@@ -1,24 +1,57 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times the headline queries at the SF dir given by
+  * SPARK_GRAFT_SF_DIR and prints one JSON line
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  * Failed queries are reported under "errors" and excluded from the
+  * total (a broken query must not masquerade as a timing).
+  * Queries materialize through the noop sink — full computation, no
+  * driver-side collect in the timed path.
+  */
 object Bench {
+
+  /** Headline set: one per operator family, the shapes that dominate at
+    * scale (scan-agg, shuffle-agg, windowed join, broadcast join,
+    * table views, dedup, ANN, text scan).
+    */
+  val headline: Seq[String] = Seq(
+    "q1_agg", "a1_wordcount", "a2_groupbykey", "a6_table_reduce",
+    "w1_tumbling", "w2_session",
+    "j1_ss_inner", "j4_st_inner", "j6_tt_inner",
+    "d2_stream_to_table",
+    "dd_exact", "dd_minhash", "dd_simhash",
+    "ann_brute", "ann_lsh",
+    "txt_quality", "txt_fingerprint", "mm_features")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spark: SparkSession = Graft.session()
+
+    def runOnce(name: String): Either[String, Double] =
+      try {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable => Left(e.toString.replaceAll("[\"\n\r]", " ").take(200))
+      }
+
+    // JVM/codegen warmup on the first headline query (untimed)
+    runOnce(headline.head)
+
+    val results: Seq[(String, Either[String, Double])] =
+      headline.filter(SparkEntry.queries.contains).map(n => n -> runOnce(n))
+
+    val ok = results.collect { case (n, Right(t)) => n -> t }
+    val errs = results.collect { case (n, Left(m)) => n -> m }
+    val qs = ok.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
+    val es = errs.map { case (k, m) => s""""$k":"$m"""" }.mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

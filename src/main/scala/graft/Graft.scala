@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Session factory + canonical table loaders for the graft engine.
+  *
+  * Conventions (see SURVEY.md §1): a "KStream" is a DataFrame with at least
+  * `key` (string) and `value` columns plus an event-time column `ts_us`
+  * (epoch microseconds, BIGINT). Epoch-micros longs are used instead of
+  * TimestampType at the edges because the test corpus stores nanosecond
+  * parquet timestamps (Spark reads them via `nanosAsLong`; integer time
+  * survives engine roundtrips exactly).
+  */
+object Graft {
+
+  /** Build a local session with the configs every graft query assumes.
+    * `cpus` controls both parallelism and shuffle partitions — on a real
+    * cluster shuffle partitions would instead be sized to data volume
+    * (~128MB per task) and AQE coalesces the rest.
+    */
+  def session(cpus: String = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply the runtime-settable configs graft queries rely on, for sessions
+    * we did not build (e.g. the driver's). nanosAsLong must be set before
+    * the first read of a nanos parquet file.
+    */
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+
+  // ---- canonical tables ---------------------------------------------------
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    configure(spark).read.parquet(s"$dir/$name.parquet")
+
+  /** `events` with `ts` normalized: raw nanos long → `ts_us` epoch micros.
+    * Matches DuckDB's read of the same file (it truncates nanos to micros).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000")) // integer div: double math loses µs at 1e18 ns
+
+  /** `events` shaped as the canonical KStream[String,String]:
+    * key = user_id, value = event_type, plus the numeric payload.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col("user_id").cast("string").as("key"),
+      col("event_type").as("value"),
+      col("value").as("amount"),
+      col("ts_us"),
+      col("event_id"),
+      col("props"))
+
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+}

@@ -1,0 +1,63 @@
+package graft.ann
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact cosine top-k of a small query set against
+  *    the corpus: the query side broadcasts, similarity is a codegen'd
+  *    higher-order expression over the corpus scan, and top-k is a
+  *    per-query window. Correctness baseline and the right tool whenever
+  *    |queries| is small (the corpus streams once, never shuffles).
+  *  - [[lshTopK]] — signed-random-projection LSH: corpus and queries
+  *    bucket by hyperplane sign pattern; candidates come from the query's
+  *    bucket (plus optional 1-bit-flip probes), ranked in-bucket. Shuffle
+  *    is on bucket id; per-task state is one bucket — the 100 TB path.
+  */
+object Ann {
+
+  /** Exact top-k neighbors for each query row (excluding self-matches).
+    * Output: query_id, neighbor_id, rank, cosine (rounded 6dp).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: String,
+                     vec: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(id).as("query_id"), col(vec).as("qv")))
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"))
+    val scored = c.crossJoin(q) // broadcast nested loop over the small query set
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** LSH-bucketed approximate top-k. `nBits` hyperplanes → 2^nBits
+    * buckets; `probeBits` > 0 additionally probes buckets at Hamming
+    * distance 1 in the first `probeBits` bits (multi-probe, recovers
+    * recall lost at bucket edges without growing buckets).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, id: String,
+              vec: String, k: Int, nBits: Int = 8, probeBits: Int = 4): DataFrame = {
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
+      srpBucket(col(vec), nBits).as("bucket"))
+    val qBase = queries.select(col(id).as("query_id"), col(vec).as("qv"),
+      srpBucket(col(vec), nBits).as("b0"))
+    // probe set: own bucket + 1-bit flips of the first probeBits bits
+    val probes = array((lit(0) +: (0 until probeBits).map(b => lit(1 << b))): _*)
+    val q = qBase.select(col("query_id"), col("qv"),
+      explode(transform(probes, f => col("b0").bitwiseXOR(f))).as("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .select("query_id", "neighbor_id", "cos").distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,159 @@
+package graft.dedup
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines, designed for the
+  * 100 TB shape: every variant is a hash-partitioned groupBy/join on a
+  * derived key (content hash, LSH band hash, SimHash chunk) — never an
+  * all-pairs crossJoin, never a driver-side index. Candidate verification
+  * happens inside the bucket join, so work is proportional to bucket
+  * sizes, not N².
+  */
+object Dedup {
+
+  // ---- exact --------------------------------------------------------------
+
+  /** Exact dedup: group on md5 of normalized content, keep the smallest id
+    * (deterministic canonical representative). One shuffle on the hash;
+    * map-side partial min.
+    */
+  def exact(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(md5(col(text)).as("content_md5"), col(id))
+      .groupBy("content_md5")
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---- MinHash + LSH ------------------------------------------------------
+
+  /** Word-shingle hashes: k-gram shingles over word tokens, each hashed to
+    * a long with xxhash64. Docs shorter than `k` tokens fall back to
+    * whole-token shingles so they still participate.
+    */
+  def shingleHashes(text: Column, k: Int = 3): Column = {
+    val toks = TextFunctions.tokens(text)
+    val grams = when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k), i =>
+        xxhash64(concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))))
+      .otherwise(transform(toks, t => xxhash64(t)))
+    array_distinct(grams)
+  }
+
+  /** MinHash signature per row as a single Column: `numHashes` independent
+    * hash "permutations" h_i(x) = xxhash64(i, x) over the shingle-hash
+    * set, each taking the minimum. Fine for small signature counts;
+    * [[minhashSigs]] is the scan-scale path.
+    */
+  def minhashSignature(hashes: Column, numHashes: Int = 64): Column =
+    array((0 until numHashes).map { i =>
+      aggregate(hashes, lit(Long.MaxValue), (acc, x) => least(acc, xxhash64(lit(i), x)))
+    }: _*)
+
+  /** MinHash signatures via explode + hash aggregation — the 100 TB shape:
+    * shingle hashes explode within the scan partition, 64 codegen'd
+    * `min(xxhash64(seed, h))` aggregates fold map-side (one 64-long row
+    * per doc crosses the shuffle, ~0.5 KB regardless of doc size). An
+    * equivalent 64-way `aggregate()` higher-order expression per row blows
+    * past codegen limits and drops to interpreted eval (~30x slower,
+    * measured at sf0.01).
+    */
+  def minhashSigs(docs: DataFrame, id: String, text: String,
+                  numHashes: Int = 64, shingleK: Int = 3): DataFrame =
+    docs.select(col(id).as("doc"), explode(shingleHashes(col(text), shingleK)).as("h"))
+      .groupBy("doc")
+      .agg(array((0 until numHashes).map(i => min(xxhash64(lit(i), col("h")))): _*).as("sig"))
+
+  /** LSH banding: split the signature into `bands` bands of
+    * `numHashes/bands` rows, hash each band. Output: one row per (doc,
+    * band) with a `band_key` to bucket-join on. Two docs sharing any band
+    * key are candidates; with 16 bands × 4 rows, P(candidate) ≈
+    * 1-(1-j^4)^16 — steep around j ≈ 0.7.
+    */
+  def lshBands(docs: DataFrame, id: String, text: String,
+               numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    // the groupBy inside minhashSigs is also the materialization barrier:
+    // band expressions below read the aggregated sig array instead of
+    // inlining (and recomputing) the signature expression per band
+    minhashSigs(docs, id, text, numHashes, shingleK)
+      .select(col("doc"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band"),
+            xxhash64(b, concat_ws(",", transform(slice(col("sig"), b * rows + 1, lit(rows)), _.cast("string")))).as("h"))))
+          .as("bk"))
+      .select(col("doc"), col("sig"), col("bk.band").as("band"), col("bk.h").as("band_hash"))
+  }
+
+  /** Candidate pairs from shared LSH buckets, verified with the signature-
+    * estimated Jaccard (fraction of agreeing minhash positions) ≥
+    * `threshold`. Self-join shuffles on (band, band_hash) — bucket-local
+    * work only. Pairs deduped via distinct on (a, b) with a < b.
+    */
+  def minhashPairs(docs: DataFrame, id: String, text: String,
+                   threshold: Double, numHashes: Int = 64, bands: Int = 16,
+                   shingleK: Int = 3): DataFrame = {
+    val banded = lshBands(docs, id, text, numHashes, bands, shingleK)
+    val l = banded.select(col("band"), col("band_hash"), col("doc").as("a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("band_hash"), col("doc").as("b"), col("sig").as("sig_b"))
+    val cand = l.join(r, Seq("band", "band_hash")).where(col("a") < col("b"))
+      .select("a", "b", "sig_a", "sig_b").distinct()
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble)
+    cand.select(col("a"), col("b"), round(est, 4).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+  }
+
+  // ---- exact Jaccard verification ----------------------------------------
+
+  /** Exact token-set Jaccard for a candidate pair set (columns a, b):
+    * joins the token sets back in and computes |∩|/|∪| — the "verify"
+    * stage after LSH candidate generation.
+    */
+  def verifyJaccard(pairs: DataFrame, docs: DataFrame, id: String, text: String): DataFrame = {
+    val sets = docs.select(col(id).as("vid"), array_distinct(TextFunctions.tokens(col(text))).as("toks"))
+    pairs
+      .join(sets.withColumnRenamed("vid", "a").withColumnRenamed("toks", "toks_a"), "a")
+      .join(sets.withColumnRenamed("vid", "b").withColumnRenamed("toks", "toks_b"), "b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          size(array_union(col("toks_a"), col("toks_b"))).cast("double"), 4))
+      .drop("toks_a", "toks_b")
+  }
+
+  // ---- SimHash ------------------------------------------------------------
+
+  /** 64-bit SimHash: for each bit position, sum ±1 contributions of every
+    * token hash; bit = 1 when the sum is positive. Computed per-row with
+    * higher-order functions (no UDF). Bit positions unroll at plan-build
+    * time (Scala ints) since Spark's shift wrappers take literal shifts;
+    * disjoint bit patterns sum to their OR, sign bit included.
+    */
+  def simhash(text: Column): Column = {
+    val hashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val cnt = aggregate(hashes, lit(0), (acc, h) =>
+        acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(cnt > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (< 16),
+    * found by blocking on 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at
+    * least one of 4 chunks equal) and verifying with bit_count(xor).
+    */
+  def simhashPairs(docs: DataFrame, id: String, text: String, maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col(id).as("doc"), simhash(col(text)).as("sh"))
+    val chunked = sigs.select(col("doc"), col("sh"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"), shiftright(col("sh"), c * 16).bitwiseAND(0xFFFF).as("ck"))): _*)).as("b"))
+      .select(col("doc"), col("sh"), col("b.chunk").as("chunk"), col("b.ck").as("chunk_key"))
+    val l = chunked.select(col("chunk"), col("chunk_key"), col("doc").as("a"), col("sh").as("sh_a"))
+    val r = chunked.select(col("chunk"), col("chunk_key"), col("doc").as("b"), col("sh").as("sh_b"))
+    l.join(r, Seq("chunk", "chunk_key")).where(col("a") < col("b"))
+      .select(col("a"), col("b"), bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-expression text analysis for large-scale training-data pipelines.
+  * Everything here is pure `functions._` composition (codegen'd, pushdown-
+  * friendly) — no UDFs in the scan path. Operates on a text Column so the
+  * same expressions serve batch, streaming, and SQL.
+  */
+object TextFunctions {
+
+  /** Lowercased word tokens, empty strings removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\W+"), t => length(t) > 0)
+
+  /** Whitespace-delimited token count (cheap, for budget estimates). */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword count estimate: word runs + individual punctuation
+    * characters (a common pre-tokenizer shape: \w+ | one non-space-non-word
+    * char). RE2-compatible (no lookarounds) so the same logic runs in
+    * other engines for oracle checks.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "\\W+"), t => length(t) > 0)) +
+      length(regexp_replace(text, "[\\w\\s]", ""))
+
+  /** Normalized text for fingerprinting: lowercase, collapse whitespace, trim. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** 64-bit content fingerprint of normalized text, as 16 hex chars
+    * (md5 prefix — stable across engines for dedup-oracle checks).
+    * For pure-Spark pipelines prefer SQL `rolling_hash(normalized)` — the
+    * native codegen'd expression ([[RollingHash]]).
+    */
+  def fingerprintHex(text: Column): Column =
+    substring(md5(normalized(text)), 1, 16)
+
+  /** Heuristic quality-score features (ratios in [0,1], rounded for
+    * engine-stable output):
+    * chars, tokens, mean token length, punctuation ratio, stopword ratio.
+    */
+  val stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is")
+
+  def punctRatio(text: Column): Column =
+    round(length(regexp_replace(text, "[\\w\\s]+", "")).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0)), 4)
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val stops = filter(toks, t => t.isin(stopwords.map(lit(_)): _*))
+    round(size(stops).cast("double") / greatest(size(toks).cast("double"), lit(1.0)), 4)
+  }
+
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(toks).cast("double"), lit(1.0)), 4)
+  }
+
+  /** Composite quality gate: long enough, not punctuation soup, some
+    * plausible word-length distribution. Deterministic; thresholds are the
+    * usual web-corpus heuristics (Gopher-style length/symbol rules).
+    */
+  def qualityOk(text: Column): Column =
+    (length(text) >= 20) && (wsTokenCount(text) >= 5) &&
+      (punctRatio(text) < lit(0.3)) &&
+      meanTokenLen(text).between(2.0, 12.0)
+
+  /** Language-ID scores: per-language marker-token hit counts over a fixed
+    * marker lexicon (n-gram/stopword heuristic). `argmaxLang` picks the
+    * best-scoring language with deterministic alphabetical tie-break, else
+    * "und" when nothing matches.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "was", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "es" -> Seq("el", "los", "las", "es", "una", "que"),
+    "zh" -> Seq("de5", "shi4", "zhe4", "bu4", "le5", "wo3"))
+
+  def langScore(text: Column, lang: String): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.isin(langMarkers(lang).map(lit(_)): _*)))
+  }
+
+  def argmaxLang(text: Column): Column = {
+    val langs = langMarkers.keys.toSeq.sorted
+    val scored = array(langs.map(l => struct(langScore(text, l).as("s"), lit(l).as("l"))): _*)
+    // array_max on struct(s, l) orders by score then language — but we want
+    // ties broken by FIRST alphabetical, so invert: maximize (s, reverse-l).
+    val best = aggregate(
+      scored,
+      struct(lit(-1).as("s"), lit("und").as("l")),
+      (acc, x) => when(x.getField("s") > acc.getField("s"), x).otherwise(acc))
+    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+  }
+}

@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector math as higher-order-function Column expressions
+  * (codegen'd; no UDF deserialization in the scan path). Inputs are
+  * `array<float>` columns; arithmetic is promoted to double for stable
+  * cross-engine comparisons.
+  */
+object VectorFunctions {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Signed random projection (SimHash for vectors): `nBits` hyperplanes
+    * with deterministic ±1 components derived from xxhash64(planeIdx, dim)
+    * — no stored model, reproducible across runs and executors. Returns an
+    * int bucket id in [0, 2^nBits).
+    */
+  def srpBucket(vec: Column, nBits: Int): Column = {
+    val bits = (0 until nBits).map { p =>
+      // component sign for dim i of plane p: parity of xxhash64(p, i)
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) =>
+          v.cast("double") * when(pmod(xxhash64(lit(p), i), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _).cast("int")
+  }
+}

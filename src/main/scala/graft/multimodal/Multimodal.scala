@@ -1,0 +1,63 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media payloads travel as opaque `binary`
+  * columns with typed metadata; decode/feature-extract runs partition-
+  * parallel over the binary batches. The actual codec is STUBBED
+  * (container ships no image/audio libs — see [[DecoderStub]]); the
+  * Spark-side contract — schema, partitioning, batch iteration — is real
+  * and tested, so swapping in a real decoder is a one-function change.
+  */
+object Multimodal {
+
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType, nullable = true),
+      StructField("n_bytes", LongType, nullable = true))), nullable = true)))
+
+  /** Wrap a text corpus as binary assets (UTF-8 payload + metadata) — the
+    * ingestion shape a real pipeline would produce from object storage.
+    */
+  def toAssets(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(
+      col(id).as("asset_id"),
+      encode(col(text), "UTF-8").as("payload"),
+      struct(lit("text/plain").as("mime"),
+        octet_length(encode(col(text), "UTF-8")).cast("long").as("n_bytes")).as("meta"))
+
+  /** STUB decoder: a real implementation would decode image/audio bytes
+    * (e.g. JPEG → HxWxC tensor) here. The stub derives deterministic
+    * pseudo-features from the bytes so the pipeline shape (schema,
+    * batching, partition parallelism) is fully exercised and testable.
+    */
+  object DecoderStub {
+    final case class Features(asset_id: Long, n_bytes: Long, head_byte: Int, byte_sum: Long)
+    def decode(assetId: Long, payload: Array[Byte]): Features = {
+      // ??? <- real codec goes here; deterministic fake below
+      val head = if (payload.nonEmpty) payload(0) & 0xff else -1
+      var s = 0L
+      var i = 0
+      while (i < payload.length) { s += (payload(i) & 0xff); i += 1 }
+      Features(assetId, payload.length.toLong, head, s)
+    }
+  }
+
+  /** Partition-parallel feature extraction over the binary column.
+    * `mapPartitions` (not per-row UDF) so a real decoder can amortize
+    * codec/model init per partition — the same batch shape
+    * `mapInPandas`/`mapInArrow` gives a Python decoder.
+    */
+  def extractFeatures(assets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoder
+    implicit val enc: Encoder[DecoderStub.Features] = Encoders.product[DecoderStub.Features]
+    assets.select("asset_id", "payload").mapPartitions { rows =>
+      // per-partition init of a real codec would happen here
+      rows.map { r: Row => DecoderStub.decode(r.getLong(0), r.getAs[Array[Byte]](1)) }
+    }.toDF()
+  }
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's nine join variants, Spark-first (SURVEY.md §2.5;
+  * reference: src/main/scala/com/github/hosnimed/StreamToStreamJoinExample.scala:92-95,
+  * StreamToTableJoinExample.scala:107-108, TableToTableJoinExample.scala:115-117).
+  *
+  * All reference joins are equi-joins on the record key; stream-stream
+  * joins additionally bound the match to a ± time window. Scale notes:
+  *
+  *  - J1-J3 (stream-stream windowed): a naive `a.key = b.key AND b.ts
+  *    BETWEEN a.ts - w AND a.ts + w` leaves Spark with `key` as the only
+  *    equi-column — every row for a hot key meets every other on one
+  *    reducer. The bucketed form here adds the time bucket to the join
+  *    key: the left side explodes to the (at most 3) buckets its window
+  *    can touch, both sides shuffle on (key, bucket), and the exact range
+  *    predicate is verified post-join — bounded state per task at 100 TB.
+  *    This mirrors how Kafka Streams scopes its join window store.
+  *  - J4-J5 (stream-table): the table side is a latest-per-key snapshot,
+  *    usually dimension-sized → `broadcast()` it; the stream never shuffles.
+  *  - J6-J8 (table-table): two latest-per-key views joined on key;
+  *    broadcast the smaller when it fits.
+  */
+object Joins {
+
+  /** Map the reference's CLI join-type vocabulary (J9) to Spark's
+    * (reference: StreamToStreamJoinExample.scala:17-26).
+    */
+  def sparkJoinType(t: String): String = t.toLowerCase match {
+    case "inner"          => "inner"
+    case "left"           => "left_outer"
+    case "outer" | "full" => "full_outer"
+    case other            => other
+  }
+
+  /** J1-J3: stream-stream join: rows match when keys are equal and
+    * `|l.ts - r.ts| <= windowUs` (microseconds). Both inputs must carry a
+    * unique row id (`idCol`) for exact outer-side recovery. Output columns
+    * are the left's prefixed `l_` and the right's prefixed `r_`.
+    *
+    * Each right row lands in exactly one time bucket; each left row
+    * explodes to every bucket its ±window can overlap, so a qualifying
+    * pair meets exactly once — no post-dedup.
+    */
+  def windowedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsUs: String,
+      idCol: String,
+      windowUs: Long,
+      joinType: String): DataFrame = {
+
+    val l = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
+    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+
+    val lb = l.withColumn(
+      "l_bucket",
+      explode(sequence(
+        floorDiv(s"l_$tsUs - ${windowUs}L", windowUs),
+        floorDiv(s"l_$tsUs + ${windowUs}L", windowUs))))
+    val rb = r.withColumn("r_bucket", floorDiv(s"r_$tsUs", windowUs))
+
+    val inner = lb.join(
+        rb,
+        col("l_bucket") === col("r_bucket") &&
+          col(s"l_$key") === col(s"r_$key") &&
+          col(s"r_$tsUs").between(col(s"l_$tsUs") - windowUs, col(s"l_$tsUs") + windowUs))
+      .drop("l_bucket", "r_bucket")
+
+    def nullPad(base: DataFrame, shape: DataFrame): DataFrame =
+      shape.schema.fields.foldLeft(base)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+
+    sparkJoinType(joinType) match {
+      case "inner" => inner
+      case "left_outer" =>
+        val matchedL = inner.select(col(s"l_$idCol").as("mid")).distinct()
+        val unmatchedL = l.join(matchedL, col(s"l_$idCol") === col("mid"), "left_anti")
+        inner.unionByName(nullPad(unmatchedL, r))
+      case "full_outer" =>
+        val matchedL = inner.select(col(s"l_$idCol").as("mid")).distinct()
+        val unmatchedL = l.join(matchedL, col(s"l_$idCol") === col("mid"), "left_anti")
+        val matchedR = inner.select(col(s"r_$idCol").as("mid")).distinct()
+        val unmatchedR = r.join(matchedR, col(s"r_$idCol") === col("mid"), "left_anti")
+        inner.unionByName(nullPad(unmatchedL, r)).unionByName(nullPad(unmatchedR, l))
+      case other => throw new IllegalArgumentException(s"unsupported joinType: $other")
+    }
+  }
+
+  /** Exact integral bucket index: SQL `div` keeps everything in long
+    * arithmetic (no double rounding at bucket edges). Timestamps are
+    * positive epoch-micros, so truncation == floor.
+    */
+  private def floorDiv(sqlExpr: String, d: Long) = expr(s"($sqlExpr) div ${d}L")
+
+  /** J4/J5: stream-table join — enrich each stream record with the current
+    * table value for its key. The table side broadcasts when
+    * dimension-sized (the common case; pass false for fact-sized tables,
+    * where Spark falls back to a shuffled hash join on the key).
+    */
+  def streamTableJoin(
+      stream: DataFrame,
+      table: DataFrame,
+      streamKey: String,
+      tableKey: String,
+      joinType: String,
+      broadcastTable: Boolean = true): DataFrame = {
+    val t = if (broadcastTable) broadcast(table) else table
+    stream.join(t, stream(streamKey) === t(tableKey), sparkJoinType(joinType))
+  }
+
+  /** J6-J8: table-table join of two latest-per-key views on their key. */
+  def tableTableJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      joinType: String): DataFrame =
+    left.join(right, left(leftKey) === right(rightKey), sparkJoinType(joinType))
+}

@@ -1,0 +1,614 @@
+package graft.queries
+
+import java.nio.file.Files
+import graft.Graft
+import graft.operators.{Aggregates, Joins, StreamOps, TableView, Windows}
+import graft.plans.Topology
+import graft.streaming.{Processors, StreamingQueries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** The SURVEY.md §2 operator inventory as driver-checkable queries:
+  * each entry exercises one operator through the graft library and has a
+  * DuckDB oracle (in [[CoreQueries.oracles]]) computing the same result
+  * over the same parquet tables. Column names/aliases match the oracle
+  * exactly (the driver sorts columns by name before hashing).
+  */
+object CoreQueries {
+  import StreamOps._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toAbsolutePath.toString
+
+  // ---- S: sources & sinks -------------------------------------------------
+
+  val sources: Map[String, Q] = Map(
+    "s1_stream_source" -> ((s, d) =>
+      Graft.eventsStream(s, d).select(col("key"), col("value"), col("ts_us"))),
+
+    "s2_table_source" -> ((s, d) =>
+      TableView.latestPerKey(Graft.eventsStream(s, d), Seq("key"), col("ts_us"), col("event_id"))
+        .select(col("key"), col("value").as("last_type"), col("amount").as("last_amount"),
+          col("ts_us").as("last_ts_us"))),
+
+    "s3_stream_sink" -> ((s, d) => {
+      val out = tmp("sink")
+      Graft.eventsStream(s, d).select("key", "value", "ts_us").to(out)
+      s.read.parquet(out)
+    }),
+
+    "s4_raw_source" -> ((s, d) =>
+      new Topology()
+        .addSource("events-source", Graft.eventsStream(s, d))
+        .addProcessor("project", _.select(col("event_id"), col("key"), col("value")))
+        .build),
+
+    "s5_raw_sink" -> ((s, d) => {
+      val out = tmp("rawsink")
+      new Topology()
+        .addSource("events-source", Graft.eventsStream(s, d))
+        .addProcessor("upper", _.mapValues(upper))
+        .addProcessor("project", _.select(col("event_id"), col("key"), col("value")))
+        .addSink("events-sink", out)
+      s.read.parquet(out)
+    }),
+
+    "s6_console_sink" -> ((s, d) => {
+      val df = Graft.eventsStream(s, d).select(col("key"), col("value"))
+      df.limit(3).printToSysOut("s6_console_sink", 3)
+      df
+    }),
+
+    "s7_file_sink" -> ((s, d) => {
+      val out = tmp("filesink")
+      Graft.eventsStream(s, d)
+        .select(concat_ws("|", col("event_id"), col("key"), col("value")).as("value"))
+        .write.mode("overwrite").text(out)
+      s.read.text(out)
+        .select(split(col("value"), "\\|").as("p"))
+        .select(col("p").getItem(0).cast(LongType).as("event_id"),
+          col("p").getItem(1).as("key"), col("p").getItem(2).as("value"))
+    }),
+
+    "s8_datagen" -> ((s, _) =>
+      // deterministic fixture generator (reference's inline producers S8)
+      s.range(0, 1000).select(
+        col("id"),
+        concat(lit("u"), (col("id") % 15).cast("string")).as("user_key"),
+        ((col("id") * 37) % 100).as("score"))),
+
+    "s9_csv_source" -> ((s, d) => {
+      val out = tmp("csv")
+      Graft.region(s, d).write.mode("overwrite").option("header", "true").csv(out)
+      s.read.schema(Graft.region(s, d).schema).option("header", "true").csv(out)
+    }),
+
+    "s10_ddl" -> ((s, d) => {
+      // topic/table DDL ≈ catalog temp views + SQL over them
+      Graft.nation(s, d).createOrReplaceTempView("nation_v")
+      Graft.region(s, d).createOrReplaceTempView("region_v")
+      s.sql("SELECT n_name, r_name FROM nation_v JOIN region_v ON n_regionkey = r_regionkey")
+    }))
+
+  val sourceOracles: Map[String, String] = Map(
+    "s1_stream_source" ->
+      "SELECT CAST(user_id AS VARCHAR) AS key, event_type AS value, epoch_us(ts) AS ts_us FROM events",
+    "s2_table_source" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key, event_type AS last_type, value AS last_amount, epoch_us(ts) AS last_ts_us
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         WHERE rn = 1""",
+    "s3_stream_sink" ->
+      "SELECT CAST(user_id AS VARCHAR) AS key, event_type AS value, epoch_us(ts) AS ts_us FROM events",
+    "s4_raw_source" ->
+      "SELECT event_id, CAST(user_id AS VARCHAR) AS key, event_type AS value FROM events",
+    "s5_raw_sink" ->
+      "SELECT event_id, CAST(user_id AS VARCHAR) AS key, upper(event_type) AS value FROM events",
+    "s6_console_sink" ->
+      "SELECT CAST(user_id AS VARCHAR) AS key, event_type AS value FROM events",
+    "s7_file_sink" ->
+      "SELECT event_id, CAST(user_id AS VARCHAR) AS key, event_type AS value FROM events",
+    "s8_datagen" ->
+      "SELECT range AS id, 'u' || CAST(range % 15 AS VARCHAR) AS user_key, (range * 37) % 100 AS score FROM range(0, 1000)",
+    "s9_csv_source" -> "SELECT * FROM region",
+    "s10_ddl" ->
+      "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey")
+
+  // ---- P: stateless transforms -------------------------------------------
+
+  val stateless: Map[String, Q] = Map(
+    "p1_mapvalues" -> ((s, d) =>
+      Graft.eventsStream(s, d).mapValues(upper).select("key", "value")),
+
+    "p2_map" -> ((s, d) =>
+      Graft.eventsStream(s, d)
+        .mapKV(col("value"), concat(col("key"), lit("#"), col("event_id")))),
+
+    "p3_flatmap" -> ((s, d) =>
+      Graft.eventsStream(s, d).flatMapKV(
+        explode(array(
+          struct(col("value").as("key"), col("key").as("value")),
+          struct(col("key").as("key"), col("value").as("value")))))),
+
+    "p4_flatmapvalues" -> ((s, d) =>
+      Graft.documents(s, d)
+        .select(col("doc_id").as("key"), col("text").as("value"))
+        .flatMapValues(v => explode(filter(split(lower(v), "\\W+"), t => length(t) > 0)))),
+
+    "p5_filter" -> ((s, d) =>
+      Graft.eventsStream(s, d).filterKV(col("amount") > 100)
+        .select("key", "value", "amount")),
+
+    "p6_filternot" -> ((s, d) =>
+      Graft.eventsStream(s, d).filterNot(col("amount") > 100)
+        .select("key", "value", "amount")),
+
+    "p7_branch" -> ((s, d) =>
+      Graft.eventsStream(s, d)
+        .branchTag(2, col("value") === "purchase", col("amount") > 100)
+        .select("event_id", "key", "value", "amount", "branch")),
+
+    "p8_selectkey" -> ((s, d) =>
+      Graft.eventsStream(s, d).selectKey(substring(col("value"), 1, 1))
+        .select("key", "value")),
+
+    "p9_peek" -> ((s, d) => {
+      val seen = s.sparkContext.longAccumulator("p9_peek_seen")
+      val df = Graft.eventsStream(s, d).select("key", "value").peek(_ => seen.add(1))
+      df
+    }),
+
+    "p10_foreach" -> ((s, d) => {
+      val seen = s.sparkContext.longAccumulator("p10_foreach_seen")
+      val df = Graft.eventsStream(s, d).select("key", "value")
+      df.foreachKV(_ => seen.add(1)) // terminal side effect (reference P10)
+      df
+    }))
+
+  val statelessOracles: Map[String, String] = Map(
+    "p1_mapvalues" ->
+      "SELECT CAST(user_id AS VARCHAR) AS key, upper(event_type) AS value FROM events",
+    "p2_map" ->
+      "SELECT event_type AS key, CAST(user_id AS VARCHAR) || '#' || CAST(event_id AS VARCHAR) AS value FROM events",
+    "p3_flatmap" ->
+      """SELECT event_type AS key, CAST(user_id AS VARCHAR) AS value FROM events
+         UNION ALL SELECT CAST(user_id AS VARCHAR) AS key, event_type AS value FROM events""",
+    "p4_flatmapvalues" ->
+      """SELECT doc_id AS key, unnest(list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0)) AS value
+         FROM documents""",
+    "p5_filter" ->
+      "SELECT CAST(user_id AS VARCHAR) AS key, event_type AS value, value AS amount FROM events WHERE value > 100",
+    "p6_filternot" ->
+      "SELECT CAST(user_id AS VARCHAR) AS key, event_type AS value, value AS amount FROM events WHERE NOT (value > 100)",
+    "p7_branch" ->
+      """SELECT event_id, CAST(user_id AS VARCHAR) AS key, event_type AS value, value AS amount,
+                CASE WHEN event_type = 'purchase' THEN 0 WHEN value > 100 THEN 1 ELSE 2 END AS branch
+         FROM events""",
+    "p8_selectkey" ->
+      "SELECT substring(event_type, 1, 1) AS key, event_type AS value FROM events",
+    "p9_peek" ->
+      "SELECT CAST(user_id AS VARCHAR) AS key, event_type AS value FROM events",
+    "p10_foreach" ->
+      "SELECT CAST(user_id AS VARCHAR) AS key, event_type AS value FROM events")
+
+  // ---- A: aggregations ----------------------------------------------------
+
+  val aggregations: Map[String, Q] = Map(
+    "a1_wordcount" -> ((s, d) =>
+      // the reference's headline: source → flatMapValues → groupBy → count
+      // (WordCountScalaExample.scala:113-117)
+      Graft.documents(s, d)
+        .select(col("doc_id").as("key"), col("text").as("value"))
+        .flatMapValues(v => explode(filter(split(lower(v), "\\W+"), t => length(t) > 0)))
+        .groupBy(col("value").as("word")).agg(count(lit(1)).as("cnt"))),
+
+    "a2_groupbykey" -> ((s, d) =>
+      Graft.eventsStream(s, d).groupBy("key")
+        .agg(count(lit(1)).as("cnt"), round(sum("amount"), 2).as("sum_amount"))),
+
+    "a3_count" -> ((s, d) =>
+      Graft.eventsStream(s, d).groupBy(col("value").as("key")).agg(count(lit(1)).as("cnt"))),
+
+    "a4_aggregate_fold" -> ((s, d) => {
+      import s.implicits._
+      val pairs = Graft.eventsStream(s, d)
+        .select(col("value"), col("amount")).as[(String, Double)]
+      val fold = Aggregates.sumFold[(String, Double)](_._2)
+      pairs.groupByKey(_._1).agg(fold.toColumn.name("agg_value"))
+        .toDF("key", "agg_value")
+        .select(col("key"), round(col("agg_value"), 2).as("agg_value"))
+    }),
+
+    "a5_reduce" -> ((s, d) => {
+      import s.implicits._
+      val pairs = Graft.eventsStream(s, d)
+        .select(col("key"), col("amount")).as[(String, Double)]
+      Aggregates.reducePerKey(pairs, (a: Double, b: Double) => math.max(a, b))
+        .toDF("key", "max_amount")
+    }),
+
+    "a6_table_reduce" -> ((s, d) => {
+      val latest = TableView.latestPerKey(
+        Graft.eventsStream(s, d), Seq("key"), col("ts_us"), col("event_id"))
+      TableView.regroupAndAgg(latest, col("value"),
+        Seq(round(sum("amount"), 2).as("total")))
+    }),
+
+    "a7_table_groupby" -> ((s, d) => {
+      val latest = TableView.latestPerKey(
+        Graft.eventsStream(s, d), Seq("key"), col("ts_us"), col("event_id"))
+      TableView.regroupAndAgg(latest, col("value"), Seq(count(lit(1)).as("cnt")))
+    }),
+
+    "a8_sketch_hll" -> ((s, d) =>
+      // approximate sketches (A8, the declared-but-unused Algebird intent);
+      // approximate by construction → no hash oracle, bounds checked in tests
+      Graft.eventsStream(s, d).groupBy(col("value").as("key"))
+        .agg(approx_count_distinct("key").as("approx_users"),
+          count(lit(1)).as("cnt"))),
+
+    "q1_agg" -> ((s, d) =>
+      Graft.lineitem(s, d)
+        .where(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))))
+
+  val aggregationOracles: Map[String, String] = Map(
+    "a1_wordcount" ->
+      """SELECT w AS word, count(*) AS cnt
+         FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0)) AS w FROM documents)
+         GROUP BY w""",
+    "a2_groupbykey" ->
+      "SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt, round(sum(value), 2) AS sum_amount FROM events GROUP BY 1",
+    "a3_count" ->
+      "SELECT event_type AS key, count(*) AS cnt FROM events GROUP BY 1",
+    "a4_aggregate_fold" ->
+      "SELECT event_type AS key, round(sum(value), 2) AS agg_value FROM events GROUP BY 1",
+    "a5_reduce" ->
+      "SELECT CAST(user_id AS VARCHAR) AS key, max(value) AS max_amount FROM events GROUP BY 1",
+    "a6_table_reduce" ->
+      """SELECT event_type AS key, round(sum(value), 2) AS total
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         WHERE rn = 1 GROUP BY 1""",
+    "a7_table_groupby" ->
+      """SELECT event_type AS key, count(*) AS cnt
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         WHERE rn = 1 GROUP BY 1""",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_base_price,
+                round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""")
+
+  // ---- W: windows ---------------------------------------------------------
+
+  val windows: Map[String, Q] = Map(
+    "w1_tumbling" -> ((s, d) =>
+      Windows.tumblingCount(Graft.events(s, d), "ts_us", "5 minutes", col("event_type"))),
+
+    "w2_session" -> ((s, d) =>
+      Windows.sessionCount(Graft.events(s, d), "ts_us", "1 hour", col("user_id"))),
+
+    "w3_windowed_key" -> ((s, d) =>
+      Windows.flattenWindowedKey(Graft.events(s, d), "ts_us", "5 minutes", col("event_type"))),
+
+    "w4_hopping" -> ((s, d) =>
+      Windows.hoppingCount(Graft.events(s, d), "ts_us", "10 minutes", "5 minutes", col("event_type"))))
+
+  val windowOracles: Map[String, String] = Map(
+    "w1_tumbling" ->
+      """SELECT event_type, epoch_us(time_bucket(INTERVAL '5 minutes', ts)) // 1000000 AS window_start_s, count(*) AS cnt
+         FROM events GROUP BY 1, 2""",
+    "w2_session" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+              m AS (SELECT user_id, ts_us,
+                           CASE WHEN lag(ts_us) OVER w IS NULL
+                                  OR ts_us - lag(ts_us) OVER w >= 3600000000 THEN 1 ELSE 0 END AS brk
+                    FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+              g AS (SELECT user_id, ts_us,
+                           sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS grp
+                    FROM m)
+         SELECT user_id, min(ts_us) AS session_start_us, count(*) AS cnt FROM g GROUP BY user_id, grp""",
+    "w3_windowed_key" ->
+      """SELECT event_type || '@[' || CAST(b AS VARCHAR) || ' : ' || CAST(b + 300 AS VARCHAR) || ']' AS key, count(*) AS cnt
+         FROM (SELECT event_type, epoch_us(time_bucket(INTERVAL '5 minutes', ts)) // 1000000 AS b FROM events)
+         GROUP BY 1""",
+    "w4_hopping" ->
+      """WITH x AS (SELECT event_type, epoch_us(time_bucket(INTERVAL '5 minutes', ts)) // 1000000 AS b FROM events),
+              w AS (SELECT event_type, b AS ws FROM x UNION ALL SELECT event_type, b - 300 AS ws FROM x)
+         SELECT event_type, ws AS window_start_s, count(*) AS cnt FROM w GROUP BY 1, 2""")
+
+  // ---- J: joins -----------------------------------------------------------
+
+  private def purchases(s: SparkSession, d: String): DataFrame =
+    Graft.eventsStream(s, d).filterKV(col("value") === "purchase")
+      .select("key", "event_id", "amount", "ts_us")
+  private def views(s: SparkSession, d: String): DataFrame =
+    Graft.eventsStream(s, d).filterKV(col("value") === "view")
+      .select("key", "event_id", "amount", "ts_us")
+
+  private val hourUs = 3600L * 1000 * 1000
+
+  private def ssJoin(s: SparkSession, d: String, joinType: String): DataFrame =
+    Joins.windowedJoin(purchases(s, d), views(s, d), "key", "ts_us", "event_id", hourUs, joinType)
+      .select(
+        col("l_event_id"), col("r_event_id"),
+        coalesce(col("l_key"), col("r_key")).as("key"),
+        round(col("l_amount") + col("r_amount"), 2).as("combined"))
+
+  private val ssJoinOracleBase =
+    """FROM (SELECT user_id, event_id, value, ts FROM events WHERE event_type = 'purchase') a
+       %s JOIN (SELECT user_id, event_id, value, ts FROM events WHERE event_type = 'view') b
+       ON a.user_id = b.user_id AND b.ts BETWEEN a.ts - INTERVAL '1 hour' AND a.ts + INTERVAL '1 hour'"""
+
+  private def ssJoinOracle(kind: String) =
+    s"""SELECT a.event_id AS l_event_id, b.event_id AS r_event_id,
+               CAST(coalesce(a.user_id, b.user_id) AS VARCHAR) AS key,
+               round(a.value + b.value, 2) AS combined
+        ${ssJoinOracleBase.format(kind)}"""
+
+  private def latestByType(s: SparkSession, d: String, tpe: String): DataFrame =
+    TableView.latestPerKey(
+      Graft.eventsStream(s, d).filterKV(col("value") === tpe)
+        .select("key", "event_id", "amount", "ts_us"),
+      Seq("key"), col("ts_us"), col("event_id"))
+
+  private def latestByTypeSql(tpe: String) =
+    s"""(SELECT CAST(user_id AS VARCHAR) AS key, value AS amount
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events WHERE event_type = '$tpe')
+         WHERE rn = 1)"""
+
+  private def ttJoin(s: SparkSession, d: String, joinType: String): DataFrame = {
+    val l = latestByType(s, d, "purchase").select(col("key"), col("amount").as("purchase_amount"))
+    val r = latestByType(s, d, "view").select(col("key").as("rkey"), col("amount").as("view_amount"))
+    Joins.tableTableJoin(l, r, "key", "rkey", joinType)
+      .select(coalesce(col("key"), col("rkey")).as("key"), col("purchase_amount"), col("view_amount"))
+  }
+
+  private def ttJoinOracle(kind: String) =
+    s"""SELECT coalesce(l.key, r.key) AS key, l.amount AS purchase_amount, r.amount AS view_amount
+        FROM ${latestByTypeSql("purchase")} l $kind JOIN ${latestByTypeSql("view")} r ON l.key = r.key"""
+
+  val joins: Map[String, Q] = Map(
+    "j1_ss_inner" -> ((s, d) => ssJoin(s, d, "inner")),
+    "j2_ss_left" -> ((s, d) => ssJoin(s, d, "left")),
+    "j3_ss_outer" -> ((s, d) => ssJoin(s, d, "outer")),
+
+    "j4_st_inner" -> ((s, d) =>
+      Joins.streamTableJoin(Graft.orders(s, d), Graft.customer(s, d),
+          "o_custkey", "c_custkey", "inner")
+        .select("o_orderkey", "c_mktsegment", "o_totalprice")),
+
+    "j5_st_left" -> ((s, d) =>
+      Joins.streamTableJoin(Graft.orders(s, d),
+          Graft.customer(s, d).where(col("c_nationkey") < 10),
+          "o_custkey", "c_custkey", "left")
+        .select("o_orderkey", "c_mktsegment", "o_totalprice")),
+
+    "j6_tt_inner" -> ((s, d) => ttJoin(s, d, "inner")),
+    "j7_tt_left" -> ((s, d) => ttJoin(s, d, "left")),
+    "j8_tt_outer" -> ((s, d) => ttJoin(s, d, "outer")),
+    // J9: the join type arrives as a runtime string, dispatched through
+    // Joins.sparkJoinType — the reference's CLI inner|left|outer switch
+    "j9_dispatch" -> ((s, d) => ttJoin(s, d, sys.env.getOrElse("GRAFT_JOIN_TYPE", "outer"))))
+
+  val joinOracles: Map[String, String] = Map(
+    "j1_ss_inner" -> ssJoinOracle("INNER"),
+    "j2_ss_left" -> ssJoinOracle("LEFT"),
+    "j3_ss_outer" -> ssJoinOracle("FULL"),
+    "j4_st_inner" ->
+      "SELECT o_orderkey, c_mktsegment, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey",
+    "j5_st_left" ->
+      """SELECT o_orderkey, c_mktsegment, o_totalprice
+         FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_nationkey < 10) c ON o_custkey = c_custkey""",
+    "j6_tt_inner" -> ttJoinOracle("INNER"),
+    "j7_tt_left" -> ttJoinOracle("LEFT"),
+    "j8_tt_outer" -> ttJoinOracle("FULL"),
+    "j9_dispatch" -> ttJoinOracle("FULL"))
+
+  // ---- D: duality ---------------------------------------------------------
+
+  val duality: Map[String, Q] = Map(
+    "d1_tostream" -> ((s, d) =>
+      // KTable.toStream: the count table's changelog — batch analog is the
+      // final table itself (update-mode emission tested in streaming suite)
+      Graft.eventsStream(s, d).groupBy("key").agg(count(lit(1)).as("cnt"))),
+
+    "d2_stream_to_table" -> ((s, d) =>
+      TableView.latestPerKey(
+        Graft.orders(s, d).withColumn("odate_us",
+          unix_micros(col("o_orderdate").cast("timestamp"))), // parquet NTZ → UTC-session timestamp
+        Seq("o_custkey"), col("odate_us"), col("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey").as("last_orderkey"),
+          col("o_totalprice").as("last_totalprice"), col("odate_us").as("last_odate_us"))))
+
+  val dualityOracles: Map[String, String] = Map(
+    "d1_tostream" ->
+      "SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt FROM events GROUP BY 1",
+    "d2_stream_to_table" ->
+      """SELECT o_custkey, o_orderkey AS last_orderkey, o_totalprice AS last_totalprice,
+                epoch_us(o_orderdate) AS last_odate_us
+         FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+         WHERE rn = 1""")
+
+  // ---- X: processor API ---------------------------------------------------
+
+  val processor: Map[String, Q] = Map(
+    "x1_processor_wordcount" -> ((s, d) => {
+      import s.implicits._
+      val words = Graft.documents(s, d)
+        .select(explode(filter(split(lower(col("text")), "\\W+"), t => length(t) > 0)).as("w"))
+        .as[String]
+      Processors.wordCount(words).toDF("word", "cnt")
+    }),
+
+    "x2_punctuate_snapshot" -> ((s, d) => {
+      // batch analog of the punctuator's store snapshot (streaming timer
+      // form covered in ProcessorsSpec)
+      import s.implicits._
+      val keys = Graft.eventsStream(s, d).select(col("value")).as[String]
+      Processors.wordCount(keys).toDF("key", "cnt")
+    }),
+
+    "x3_forward_multi" -> ((s, d) => {
+      import s.implicits._
+      val pairs = Graft.eventsStream(s, d)
+        .select(col("value"), col("amount")).as[(String, Double)]
+      Processors.countAndSum(pairs).toDF("key", "metric", "metric_value")
+    }),
+
+    "x8_describe" -> ((s, d) => {
+      import s.implicits._
+      val t = new Topology()
+        .addSource("events-source", Graft.eventsStream(s, d))
+        .addProcessor("count-by-key", _.groupBy("key").count())
+      Seq(t.describe()).toDF("topology")
+    }),
+
+    "x9_passthrough" -> ((s, d) =>
+      new Topology()
+        .addSource("in", Graft.eventsStream(s, d))
+        .addProcessor("identity", df => df)
+        .build.select("event_id", "key", "value")),
+
+    "x4_streaming_checkpoint" -> ((s, d) =>
+      StreamingQueries.runCompleteAggToMemory(s, d, "events", "x4_counts",
+        _.groupBy(col("event_type").as("key")).agg(count(lit(1)).as("cnt")))),
+
+    "x5_x6_rocksdb_state" -> ((s, d) =>
+      StreamingQueries.runCompleteAggToMemory(s, d, "events", "x56_counts",
+        _.groupBy(col("user_id")).agg(count(lit(1)).as("cnt")),
+        Map("spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))),
+
+    "x10_lifecycle_foreach" -> ((s, d) =>
+      StreamingQueries.runForeachSink(s, d, "events",
+        _.groupBy(col("event_type")).agg(count(lit(1)).as("cnt")))
+        .select(split(col("line"), ",").as("p"))
+        .select(col("p").getItem(0).as("key"), col("p").getItem(1).cast(LongType).as("cnt"))))
+
+  val processorOracles: Map[String, String] = Map(
+    "x1_processor_wordcount" ->
+      """SELECT w AS word, count(*) AS cnt
+         FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0)) AS w FROM documents)
+         GROUP BY w""",
+    "x2_punctuate_snapshot" ->
+      "SELECT event_type AS key, count(*) AS cnt FROM events GROUP BY 1",
+    "x3_forward_multi" ->
+      """SELECT event_type AS key, 'cnt' AS metric, CAST(count(*) AS DOUBLE) AS metric_value FROM events GROUP BY 1
+         UNION ALL
+         SELECT event_type AS key, 'sum' AS metric, round(sum(value), 2) AS metric_value FROM events GROUP BY 1""",
+    "x9_passthrough" ->
+      "SELECT event_id, CAST(user_id AS VARCHAR) AS key, event_type AS value FROM events",
+    "x4_streaming_checkpoint" ->
+      "SELECT event_type AS key, count(*) AS cnt FROM events GROUP BY 1",
+    "x5_x6_rocksdb_state" ->
+      "SELECT user_id, count(*) AS cnt FROM events GROUP BY 1",
+    "x10_lifecycle_foreach" ->
+      "SELECT event_type AS key, count(*) AS cnt FROM events GROUP BY 1")
+
+  // ---- T: time & error handling ------------------------------------------
+
+  val timeError: Map[String, Q] = Map(
+    "t1_event_time" -> ((s, d) => {
+      // payload-embedded event time with fallback (MyEventTimeExtractor
+      // semantics): corrupt payloads (injected deterministically) fall
+      // back to the record timestamp
+      val ev = Graft.events(s, d)
+      val raw = when(col("event_id") % 7 === 0, lit("{bad")).otherwise(col("props"))
+      val k = get_json_object(raw, "$.k").cast(LongType)
+      ev.select(col("event_id"),
+        when(k.isNotNull, col("ts_us") + k * 1000000L).otherwise(col("ts_us")).as("event_time_us"))
+    }),
+
+    "t2_badrecords" -> ((s, d) => {
+      // log-and-continue: permissive parse routes corrupt records to a
+      // dead-letter tag instead of failing the pipeline
+      val ev = Graft.events(s, d)
+      val raw = when(col("event_id") % 7 === 0, lit("{bad")).otherwise(col("props"))
+      val k = get_json_object(raw, "$.k").cast(LongType)
+      ev.select(col("event_id"),
+        when(k.isNotNull, lit("ok")).otherwise(lit("corrupt")).as("status"),
+        k.as("k"))
+    }),
+
+    "t3_late_drop" -> ((s, d) => {
+      // watermark semantics, batch-emulated: drop events later than
+      // (max event time - 7 days), then daily counts
+      val ev = Graft.events(s, d)
+      val wm = ev.agg((max(col("ts_us")) - 7L * 86400 * 1000000).as("wm_us"))
+      ev.crossJoin(broadcast(wm))
+        .where(col("ts_us") >= col("wm_us"))
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day_idx"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    "t4_state_cleanup" -> ((s, d) =>
+      StreamingQueries.runWithStateCleanup(s, d, "events", "t4_counts",
+        _.groupBy(col("event_type").as("key")).agg(count(lit(1)).as("cnt")))),
+
+    "t5_graceful_shutdown" -> ((s, d) => {
+      import s.implicits._
+      val q = StreamingQueries.readStreamParquet(s, d, "events")
+        .groupBy("event_type").count()
+        .writeStream.format("memory").queryName("t5_counts")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop() // graceful close (reference's streams.close(10s))
+      Seq(("stopped", q.isActive)).toDF("status", "active")
+    }),
+
+    "f_scalars" -> ((s, d) =>
+      Graft.part(s, d).select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lo"),
+        upper(col("p_brand")).as("up"),
+        length(col("p_type")).as("len"),
+        substring(col("p_name"), 1, 3).as("sub3"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("cat"),
+        (col("p_size").cast(LongType) * 2 + 1).as("arith"),
+        col("p_name").startsWith("a").as("starts_a"),
+        element_at(split(col("p_name"), " "), 1).as("first_word"))))
+
+  val timeErrorOracles: Map[String, String] = Map(
+    "t1_event_time" ->
+      """SELECT event_id,
+                CASE WHEN event_id % 7 = 0 THEN epoch_us(ts)
+                     ELSE epoch_us(ts) + CAST(json_extract_string(props, '$.k') AS BIGINT) * 1000000 END AS event_time_us
+         FROM events""",
+    "t2_badrecords" ->
+      """SELECT event_id,
+                CASE WHEN event_id % 7 = 0 THEN 'corrupt' ELSE 'ok' END AS status,
+                CASE WHEN event_id % 7 = 0 THEN NULL ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+         FROM events""",
+    "t3_late_drop" ->
+      """WITH m AS (SELECT max(epoch_us(ts)) - 604800000000 AS wm_us FROM events)
+         SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx, count(*) AS cnt
+         FROM events, m WHERE epoch_us(ts) >= wm_us GROUP BY 1, 2""",
+    "t4_state_cleanup" ->
+      "SELECT event_type AS key, count(*) AS cnt FROM events GROUP BY 1",
+    "f_scalars" ->
+      """SELECT p_partkey, lower(p_name) AS lo, upper(p_brand) AS up, length(p_type) AS len,
+                substring(p_name, 1, 3) AS sub3, p_brand || '#' || p_type AS cat,
+                CAST(p_size AS BIGINT) * 2 + 1 AS arith, starts_with(p_name, 'a') AS starts_a,
+                string_split(p_name, ' ')[1] AS first_word
+         FROM part""")
+
+  val all: Map[String, Q] =
+    sources ++ stateless ++ aggregations ++ windows ++ joins ++ duality ++ processor ++ timeError
+
+  val oracles: Map[String, String] =
+    sourceOracles ++ statelessOracles ++ aggregationOracles ++ windowOracles ++
+      joinOracles ++ dualityOracles ++ processorOracles ++ timeErrorOracles
+}

@@ -1,0 +1,166 @@
+package graft.queries
+
+import graft.Graft
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data-pipeline operators as driver-checkable
+  * queries: deduplication, similarity search, text analysis, multimodal
+  * plumbing, sketches. Oracle-checkable where the computation is
+  * engine-portable; LSH-derived outputs (hash-function-specific) are
+  * covered by property tests in the ScalaTest suite instead.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val all: Map[String, Q] = Map(
+    // ---- deduplication ----------------------------------------------------
+    "dd_exact" -> ((s, d) =>
+      Dedup.exact(Graft.documents(s, d), "doc_id", "text")),
+
+    "dd_minhash" -> ((s, d) =>
+      // MinHash-LSH near-dup candidates (banded; shuffle on band hash).
+      // Hash-function-specific → verified against brute-force Jaccard in
+      // DedupSpec, not the SQL oracle.
+      Dedup.minhashPairs(Graft.documents(s, d), "doc_id", "text", threshold = 0.5)),
+
+    "dd_jaccard_verify" -> ((s, d) => {
+      // blocking (lang, n_chars) + exact token-set Jaccard verify — the
+      // verify stage of candidate-pair dedup, fully oracle-checkable.
+      // Blocking join is an equi-join on the block key, never a crossJoin.
+      val docs = Graft.documents(s, d)
+      val l = docs.select(col("lang"), col("n_chars"), col("doc_id").as("a"))
+      val r = docs.select(col("lang"), col("n_chars"), col("doc_id").as("b"))
+      val pairs = l.join(r, Seq("lang", "n_chars")).where(col("a") < col("b"))
+        .select("a", "b")
+      Dedup.verifyJaccard(pairs, docs, "doc_id", "text")
+        .where(col("jaccard") >= 0.5)
+        .select("a", "b", "jaccard")
+    }),
+
+    "dd_simhash" -> ((s, d) =>
+      // SimHash near-dup pairs (chunk-blocked Hamming); engine-specific
+      // hashing → DedupSpec property tests.
+      Dedup.simhashPairs(Graft.documents(s, d), "doc_id", "text", maxHamming = 3)),
+
+    // ---- similarity search ------------------------------------------------
+    "ann_brute" -> ((s, d) => {
+      val emb = Graft.embeddings(s, d)
+      Ann.bruteForceTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 10)
+    }),
+
+    "ann_lsh" -> ((s, d) => {
+      // SRP-LSH bucketed ANN (shuffle on bucket id; recall vs brute force
+      // asserted in AnnSpec)
+      val emb = Graft.embeddings(s, d)
+      Ann.lshTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+        k = 10, nBits = 6, probeBits = 4)
+    }),
+
+    // ---- text analysis ----------------------------------------------------
+    "txt_quality" -> ((s, d) =>
+      Graft.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.wsTokenCount(col("text")).as("n_tokens"),
+        TextFunctions.subwordCount(col("text")).as("n_subwords"),
+        TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+        TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextFunctions.meanTokenLen(col("text")).as("mean_token_len"),
+        TextFunctions.qualityOk(col("text")).as("quality_ok"))),
+
+    "txt_langid" -> ((s, d) =>
+      // marker-lexicon language ID; heuristic (scored in TextSpec)
+      Graft.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        TextFunctions.argmaxLang(col("text")).as("lang_pred"))),
+
+    "txt_fingerprint" -> ((s, d) =>
+      Graft.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.fingerprintHex(col("text")).as("fp16"))),
+
+    "txt_rollinghash" -> ((s, d) => {
+      // native Catalyst expression (graft.functions.RollingHash) via the
+      // SQL function registered by GraftExtensions; engine-specific value
+      // → RollingHashSpec checks the expression against a reference impl
+      Graft.documents(s, d).createOrReplaceTempView("docs_rh")
+      s.sql("SELECT doc_id, rolling_hash(text) AS rh FROM docs_rh")
+    }),
+
+    // ---- multimodal -------------------------------------------------------
+    "mm_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.toAssets(Graft.documents(s, d), "doc_id", "text"))),
+
+    // ---- sketches ---------------------------------------------------------
+    "sk_cms" -> ((s, d) => {
+      // count-min sketch of event_type frequencies: build distributed,
+      // query the merged sketch (overestimate-only guarantee checked here
+      // by emitting est alongside exact)
+      import s.implicits._
+      val ev = Graft.eventsStream(s, d)
+      val sketchBytes = ev.select(col("value"))
+        .agg(count_min_sketch(col("value"), lit(0.001), lit(0.99), lit(42)).as("sk"))
+        .head().getAs[Array[Byte]](0)
+      val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(sketchBytes))
+      val exact = ev.groupBy(col("value").as("key")).agg(count(lit(1)).as("cnt")).collect()
+      exact.map(r => (r.getString(0), r.getLong(1), sketch.estimateCount(r.getString(0))))
+        .toSeq.toDF("key", "exact_cnt", "cms_est")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact" ->
+      "SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
+    "dd_jaccard_verify" ->
+      """WITH toks AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0)) AS tk,
+                             lang, n_chars
+                      FROM documents)
+         SELECT l.doc_id AS a, r.doc_id AS b,
+                round(CAST(len(list_intersect(l.tk, r.tk)) AS DOUBLE) /
+                      CAST(len(list_distinct(list_concat(l.tk, r.tk))) AS DOUBLE), 4) AS jaccard
+         FROM toks l JOIN toks r ON l.lang = r.lang AND l.n_chars = r.n_chars AND l.doc_id < r.doc_id
+         WHERE round(CAST(len(list_intersect(l.tk, r.tk)) AS DOUBLE) /
+                     CAST(len(list_distinct(list_concat(l.tk, r.tk))) AS DOUBLE), 4) >= 0.5""",
+    "ann_brute" ->
+      """SELECT query_id, neighbor_id, rank, cos FROM (
+           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                  row_number() OVER (PARTITION BY q.vec_id
+                                     ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC,
+                                              e.vec_id ASC) AS rank,
+                  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos
+           FROM embeddings q, embeddings e
+           WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
+         WHERE rank <= 10""",
+    "txt_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+                           list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0) AS toks
+                    FROM documents),
+              f AS (SELECT doc_id, text, toks,
+                           len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS n_tokens,
+                           len(list_filter(string_split_regex(text, '\W+'), w -> len(w) > 0))
+                             + length(regexp_replace(text, '[\w\s]', '', 'g')) AS n_subwords,
+                           round(CAST(length(regexp_replace(text, '[\w\s]+', '', 'g')) AS DOUBLE) /
+                                 greatest(CAST(length(text) AS DOUBLE), 1.0), 4) AS punct_ratio,
+                           round(CAST(len(list_filter(toks, w -> list_contains(['the','a','an','and','or','of','to','in','is'], w))) AS DOUBLE) /
+                                 greatest(CAST(len(toks) AS DOUBLE), 1.0), 4) AS stopword_ratio,
+                           round(CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) /
+                                 greatest(CAST(len(toks) AS DOUBLE), 1.0), 4) AS mean_token_len
+                    FROM t)
+         SELECT doc_id, n_tokens, n_subwords, punct_ratio, stopword_ratio, mean_token_len,
+                (length(text) >= 20 AND n_tokens >= 5 AND punct_ratio < 0.3
+                 AND mean_token_len BETWEEN 2.0 AND 12.0) AS quality_ok
+         FROM f""",
+    "txt_fingerprint" ->
+      "SELECT doc_id, substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16) AS fp16 FROM documents",
+    "mm_features" ->
+      """SELECT doc_id AS asset_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+                ascii(text) AS head_byte,
+                CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS BIGINT) AS byte_sum
+         FROM documents""")
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Processor-API equivalents (SURVEY.md §2.7; reference:
+  * src/main/scala/com/github/hosnimed/WordCountProcessorExample.scala:23-61).
+  *
+  * The reference's `Processor[K,V]` + `KeyValueStore` maps to
+  * `flatMapGroupsWithState`: `process()` ≈ the per-group function,
+  * `context.getStateStore` ≈ `GroupState[S]`, `context.forward` ≈ the
+  * returned iterator, punctuation ≈ event-time timeouts. The same code
+  * runs in batch (state starts empty, one invocation per key) and
+  * streaming (state persists in the checkpointed store across batches) —
+  * which is how the batch correctness oracle covers the streaming
+  * operator.
+  */
+object Processors {
+
+  /** X1: word-count as a custom stateful processor over a keyed stream of
+    * words. State = running count per word; each invocation folds new
+    * occurrences and forwards (word, updated count) — reference
+    * WordCountProcessorExample.scala:41-51.
+    */
+  def wordCount(words: Dataset[String]): Dataset[(String, Long)] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    words.groupByKey(identity)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (word: String, occurrences: Iterator[String], state: GroupState[Long]) =>
+          val prior = state.getOption.getOrElse(0L)
+          val updated = prior + occurrences.size
+          state.update(updated)          // KeyValueStore.put
+          Iterator.single((word, updated)) // context.forward
+      }
+  }
+
+  /** X3: multi-forward — the processor emits several records per key
+    * (count and sum), like successive `context.forward` calls.
+    */
+  def countAndSum(pairs: Dataset[(String, Double)]): Dataset[(String, String, Double)] = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (String, String, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Double)], state: GroupState[(Long, Double)]) =>
+          val (c0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var c = c0; var s = s0
+          rows.foreach { r => c += 1; s += r._2 }
+          state.update((c, s))
+          Iterator(
+            (key, "cnt", c.toDouble),
+            (key, "sum", math.rint(s * 100) / 100))
+      }
+  }
+
+  /** X2: stream-time punctuation — an event-time timer that fires once the
+    * watermark passes `intervalMs` after the group's last update, emitting
+    * the store snapshot for the key (reference's punctuator scans the
+    * store and forwards every entry,
+    * WordCountProcessorExample.scala:31-36). Streaming-only (timers need
+    * a watermark); exercised in the ScalaTest suite.
+    */
+  def punctuatedCount(words: Dataset[(String, java.sql.Timestamp)], intervalMs: Long): Dataset[(String, Long)] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    words.withWatermark("_2", "0 seconds")
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (word: String, rows: Iterator[(String, java.sql.Timestamp)], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            // punctuate: forward the snapshot, re-arm nothing (group is quiesced)
+            Iterator.single((word, state.getOption.getOrElse(0L)))
+          } else {
+            val updated = state.getOption.getOrElse(0L) + rows.size
+            state.update(updated)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + intervalMs)
+            Iterator.empty
+          }
+      }
+  }
+}

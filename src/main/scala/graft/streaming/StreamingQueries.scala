@@ -1,0 +1,138 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, ForeachWriter, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-Streaming forms of the engine's queries (SURVEY.md §2.1 S1/S3,
+  * §2.7 X4-X6/X10, §2.8 T3-T5). Each helper runs a real streaming query
+  * (file source → transform → sink) to completion with
+  * `Trigger.AvailableNow`, so the driver's batch-style correctness gate can
+  * hash the result while the code path exercised is the streaming engine:
+  * checkpointing (X4 ≈ commit), state stores (X5/X6), watermarks (T3),
+  * graceful stop (T5).
+  */
+object StreamingQueries {
+
+  private def tmpDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft-$tag").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  /** Streaming read of a parquet "topic" with the batch-inferred schema.
+    * The file-stream source lists a directory; the corpus ships single
+    * parquet files, so stage a link/copy into a temp dir (what a real
+    * deployment's topic directory would be).
+    */
+  def readStreamParquet(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val path = Paths.get(s"$dir/$table.parquet")
+    val streamDir = Paths.get(tmpDir(s"stream-$table"))
+    val target = streamDir.resolve(s"$table.parquet")
+    if (!Files.exists(target)) {
+      try Files.createLink(target, path)
+      catch { case _: Exception => Files.copy(path, target) }
+    }
+    val schema = spark.read.parquet(path.toString).schema
+    spark.readStream.schema(schema).parquet(streamDir.toString)
+  }
+
+  /** Run `transform` over a streaming read of `table`, aggregate to a
+    * named in-memory sink in complete mode, checkpointed (X4), and return
+    * the final result table. `confs` lets callers pick the state-store
+    * flavor (X6), e.g. the RocksDB provider.
+    */
+  def runCompleteAggToMemory(
+      spark: SparkSession,
+      dir: String,
+      table: String,
+      queryName: String,
+      transform: DataFrame => DataFrame,
+      confs: Map[String, String] = Map.empty): DataFrame = {
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val out = transform(readStreamParquet(spark, dir, table))
+      val q = out.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("complete")
+        .option("checkpointLocation", tmpDir(s"ckpt-$queryName"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop() // T5: graceful shutdown (idempotent after AvailableNow drains)
+      spark.table(queryName)
+    } finally {
+      confs.keys.foreach(spark.conf.unset)
+    }
+  }
+
+  /** T4: `streams.cleanUp()` — run the aggregation twice with the
+    * checkpoint deleted in between; a reset state store must reproduce
+    * identical results from scratch.
+    */
+  def runWithStateCleanup(
+      spark: SparkSession,
+      dir: String,
+      table: String,
+      queryName: String,
+      transform: DataFrame => DataFrame): DataFrame = {
+    val ckpt = tmpDir(s"ckpt-$queryName")
+    def once(name: String): DataFrame = {
+      val q = transform(readStreamParquet(spark, dir, table)).writeStream
+        .format("memory").queryName(name).outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name)
+    }
+    once(s"${queryName}_first").collect()
+    // cleanUp: wipe local state, then recompute from the source
+    deleteRecursively(Paths.get(ckpt))
+    once(queryName)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+  }
+
+  /** X10: ForeachWriter with the reference's init/process/close lifecycle
+    * (ConfluentKStreamsDemo.java:37-50) — writes one CSV line per record
+    * into `outDir` (one file per partition/epoch; local-mode safe).
+    */
+  final class LineWriter(outDir: String) extends ForeachWriter[Row] {
+    private var writer: java.io.PrintWriter = _
+    override def open(partitionId: Long, epochId: Long): Boolean = { // init
+      Files.createDirectories(Paths.get(outDir))
+      writer = new java.io.PrintWriter(s"$outDir/p${partitionId}_e$epochId.csv")
+      true
+    }
+    override def process(row: Row): Unit = // process
+      writer.println((0 until row.length).map(i => String.valueOf(row.get(i))).mkString(","))
+    override def close(errorOrNull: Throwable): Unit = // close
+      if (writer != null) writer.close()
+  }
+
+  /** Run a streaming aggregation through the ForeachWriter sink and read
+    * the emitted lines back as a DataFrame of strings.
+    */
+  def runForeachSink(
+      spark: SparkSession,
+      dir: String,
+      table: String,
+      transform: DataFrame => DataFrame): DataFrame = {
+    val outDir = tmpDir("foreach-out")
+    val q = transform(readStreamParquet(spark, dir, table)).writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", tmpDir("ckpt-foreach"))
+      .trigger(Trigger.AvailableNow())
+      .foreach(new LineWriter(outDir))
+      .start()
+    q.awaitTermination()
+    spark.read.text(outDir).withColumnRenamed("value", "line")
+  }
+}
