@@ -1,0 +1,106 @@
+package graft
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+/** Property tests for the LSH-based operators (whose outputs are
+  * hash-function-specific and therefore not DuckDB-oracle-checkable):
+  * MinHash estimates vs exact Jaccard, SimHash Hamming guarantees, and
+  * ANN recall vs brute force.
+  */
+class DedupAnnSpec extends GraftTest {
+
+  private lazy val docs = Graft.documents(spark, sf)
+
+  test("exact dedup groups identical texts and keeps the smallest id") {
+    import spark.implicits._
+    val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exact(d, "doc_id", "text").collect()
+    val dup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keep_id") === 1L)
+    assert(out.length === 2)
+  }
+
+  test("minhash est_jaccard approximates exact token-set jaccard") {
+    // verify the estimator against exact jaccard on the pairs it surfaces
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+    val verified = Dedup.verifyJaccard(pairs, docs, "doc_id", "text").collect()
+    assert(verified.nonEmpty, "expected at least one candidate pair at sf0.001")
+    verified.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      val exact = r.getAs[Double]("jaccard")
+      assert(math.abs(est - exact) < 0.35,
+        s"pair (${r.get(0)},${r.get(1)}): est=$est exact=$exact — estimator off")
+    }
+  }
+
+  test("minhash LSH finds near-duplicates (recall on planted pairs)") {
+    import spark.implicits._
+    // plant near-dups: each base doc gets a copy with one word dropped →
+    // shingle jaccard ≈ (n-k)/(n+k-?) — high; LSH at threshold 0.5 must
+    // surface essentially all planted pairs. (Ground truth must be at
+    // SHINGLE granularity — the synthetic corpus's tiny vocabulary makes
+    // unigram jaccard high for unrelated docs, which is exactly the
+    // false-positive class shingling exists to kill.)
+    val base = docs.where(col("doc_id") < 50).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val planted = base.map { case (id, t) =>
+      val words = t.split(" ")
+      (id + 100000L, (words.take(words.length / 2) ++ words.drop(words.length / 2 + 1)).mkString(" "))
+    }
+    val all = (base ++ planted).toSeq.toDF("doc_id", "text")
+    val found = Dedup.minhashPairs(all, "doc_id", "text", threshold = 0.5)
+      .select("a", "b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val truth = base.map { case (id, _) => (id, id + 100000L) }.toSet
+    val recall = truth.count(found.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${truth.size} planted near-dup pairs")
+  }
+
+  test("simhash pairs respect the hamming bound and blocking finds exact dups") {
+    import spark.implicits._
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).collect()
+    pairs.foreach { r =>
+      assert(r.getAs[Int]("hamming") <= 3)
+    }
+    // identical docs → distance 0, must always be found (pigeonhole exactness)
+    val d = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val dup = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 0).collect()
+    assert(dup.length === 1 && dup.head.getAs[Int]("hamming") === 0)
+  }
+
+  test("ANN LSH recall vs brute force") {
+    val emb = Graft.embeddings(spark, sf)
+    val queries = emb.where(col("vec_id") < 20)
+    val truth = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.lshTopK(emb, queries, "vec_id", "embedding", k = 5, nBits = 6, probeBits = 6)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.intersect(approx).size.toDouble / truth.size
+    // uniform-random 64-dim vectors are SRP-LSH's worst case (no cluster
+    // structure): the useful assertions are plumbing ones — buckets join,
+    // multiprobe recovers a nontrivial share, scores are valid. Real
+    // embedding corpora cluster and recall rises with them.
+    assert(recall >= 0.2, s"ANN recall $recall")
+    // and every reported neighbor must be a real row with sane cosine
+    Ann.lshTopK(emb, queries, "vec_id", "embedding", k = 5, nBits = 6, probeBits = 6)
+      .collect().foreach { r =>
+        val c = r.getAs[Double]("cos")
+        assert(c >= -1.0001 && c <= 1.0001)
+      }
+  }
+
+  test("brute-force ANN is exact top-k (agrees with itself on re-run, k bound)") {
+    val emb = Graft.embeddings(spark, sf)
+    val out = Ann.bruteForceTopK(emb, emb.where(col("vec_id") < 3), "vec_id", "embedding", k = 7)
+    val rows = out.collect()
+    assert(rows.length === 3 * 7)
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rs =>
+      val sims = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y }, "ranks ordered by cosine")
+    }
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.functions.{RollingHash, TextFunctions, VectorFunctions}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Scalar/aggregate function tests: the native Catalyst rolling-hash
+  * expression (interpreted + codegen + SQL registration), text analysis
+  * determinism, vector math, and sketch error bounds.
+  */
+class FunctionsSpec extends GraftTest {
+
+  test("rolling_hash: SQL function (codegen path) matches the reference impl") {
+    import spark.implicits._
+    val texts = Seq("hello world", "", "a", "the quick brown fox", "ünïcödé ok")
+    texts.toDF("t").createOrReplaceTempView("rh_in")
+    val viaSql = spark.sql("SELECT t, rolling_hash(t) AS h FROM rh_in")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    texts.foreach { t =>
+      assert(viaSql(t) === RollingHash.hash(UTF8String.fromString(t)),
+        s"codegen result differs for '$t'")
+    }
+  }
+
+  test("rolling_hash: null-safe and type-checked") {
+    import spark.implicits._
+    Seq(Some("x"), None).toDF("t").createOrReplaceTempView("rh_null")
+    val rows = spark.sql("SELECT rolling_hash(t) FROM rh_null").collect()
+    assert(rows.count(_.isNullAt(0)) === 1)
+    val err = intercept[Exception] {
+      spark.sql("SELECT rolling_hash(42)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("string"))
+  }
+
+  test("tokens/fingerprint are deterministic and normalization-invariant") {
+    import spark.implicits._
+    val df = Seq("Hello  World", "hello world", "hello  world ").toDF("t")
+      .select(TextFunctions.fingerprintHex(col("t")).as("fp"))
+    val fps = df.collect().map(_.getString(0)).toSet
+    assert(fps.size === 1, s"whitespace/case-normalized dups must share a fingerprint: $fps")
+  }
+
+  test("quality features have sane ranges on the corpus") {
+    val rows = Graft.documents(spark, sf).select(
+      TextFunctions.punctRatio(col("text")).as("pr"),
+      TextFunctions.stopwordRatio(col("text")).as("sr"),
+      TextFunctions.meanTokenLen(col("text")).as("mtl")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) >= 0 && r.getDouble(0) <= 1)
+      assert(r.getDouble(1) >= 0 && r.getDouble(1) <= 1)
+      assert(r.getDouble(2) > 0 && r.getDouble(2) < 30)
+    }
+  }
+
+  test("langid is deterministic and falls back to 'und'") {
+    import spark.implicits._
+    val out = Seq("der die das und test", "xyzzy qwfp", "the cat and the hat")
+      .toDF("t").select(TextFunctions.argmaxLang(col("t")).as("l"))
+      .collect().map(_.getString(0))
+    assert(out(0) === "de")
+    assert(out(1) === "und")
+    assert(out(2) === "en")
+  }
+
+  test("cosine similarity: exact on known vectors, self-similarity 1") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 0f, 0f), Array(0f, 1f, 0f)), (Array(1f, 2f, 3f), Array(1f, 2f, 3f)))
+      .toDF("a", "b")
+      .select(VectorFunctions.cosine(col("a"), col("b")).as("c"))
+    val out = df.collect().map(_.getDouble(0))
+    assert(math.abs(out(0)) < 1e-12)
+    assert(math.abs(out(1) - 1.0) < 1e-12)
+  }
+
+  test("HLL sketch estimate within published error bound") {
+    val ev = Graft.eventsStream(spark, sf)
+    val est = ev.agg(approx_count_distinct("key", 0.02).as("e")).head().getLong(0)
+    val exact = ev.select("key").distinct().count()
+    assert(math.abs(est - exact).toDouble / exact < 0.1, s"HLL est=$est exact=$exact")
+  }
+
+  test("CMS estimates never undercount (overestimate-only guarantee)") {
+    val out = queries.PipelineQueries.all("sk_cms")(spark, sf).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_cnt"))
+    }
+  }
+
+  test("multimodal feature extraction is partition-parallel and exact") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text")
+    val feats = graft.multimodal.Multimodal.extractFeatures(
+      graft.multimodal.Multimodal.toAssets(docs, "doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("asset_id") ->
+        ((r.getAs[Long]("n_bytes"), r.getAs[Int]("head_byte"), r.getAs[Long]("byte_sum")))).toMap
+    assert(feats(1L) === ((2L, 'a'.toInt, ('a' + 'b').toLong)))
+    assert(feats(2L) === ((0L, -1, 0L)))
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import graft.streaming.Processors
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming-engine tests: update-mode word count over a memory stream
+  * (the reference's TopologyTestDriver pattern — pipe records, read
+  * outputs), stream-time punctuation via event-time timers, watermark
+  * late-data drop, and state-store flavors.
+  */
+class ProcessorsSpec extends GraftTest {
+
+  test("X1 streaming word count updates per-key state across batches") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[String]
+    val counts = Processors.wordCount(in.toDS())
+    val q = counts.toDF("word", "cnt").writeStream
+      .format("memory").queryName("x1_wc").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData("hello", "spark", "hello")
+      q.processAllAvailable()
+      val after1 = spark.table("x1_wc").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(after1 === Map("hello" -> 2L, "spark" -> 1L))
+
+      in.addData("hello") // state must persist: hello goes 2 -> 3
+      q.processAllAvailable()
+      val rows = spark.table("x1_wc").collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.contains(("hello", 3L)), s"expected updated count 3, got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("X2 punctuation: event-time timer emits store snapshot after quiescence") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val out = Processors.punctuatedCount(in.toDS(), intervalMs = 1000)
+    val q = out.toDF("word", "cnt").writeStream
+      .format("memory").queryName("x2_punct").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      def ts(ms: Long) = new java.sql.Timestamp(ms)
+      in.addData(("w", ts(1000)), ("w", ts(1500)))
+      q.processAllAvailable() // watermark still at batch-start; timer armed
+      in.addData(("other", ts(100000))) // advances watermark far past w's timer
+      q.processAllAvailable()
+      in.addData(("other2", ts(200000))) // one more batch so the timeout fires
+      q.processAllAvailable()
+      val rows = spark.table("x2_punct").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows.contains(("w", 2L)), s"punctuator should have forwarded (w,2); got $rows")
+    } finally q.stop()
+  }
+
+  test("T3 watermark drops data later than the grace period") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val agg = in.toDF().toDF("k", "ts")
+      .withWatermark("ts", "10 seconds") // ≡ the reference's grace(3 min), scaled
+      .groupBy(window(col("ts"), "10 seconds"), col("k")).count()
+    val q = agg.writeStream.format("memory").queryName("t3_wm")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(("a", ts(5)), ("a", ts(8)))
+      q.processAllAvailable()
+      in.addData(("b", ts(100))) // watermark → 90s; window [0,10) finalized
+      q.processAllAvailable()
+      in.addData(("a", ts(6))) // LATE: arrives after watermark passed its window
+      q.processAllAvailable()
+      in.addData(("c", ts(200))) // flush
+      q.processAllAvailable()
+      val aCount = spark.table("t3_wm").where(col("k") === "a").collect().map(_.getLong(2)).sum
+      assert(aCount === 2L, s"late record must be dropped; got a=$aCount")
+    } finally q.stop()
+  }
+
+  test("X6 state-store flavors: RocksDB provider computes the same counts") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[String]
+      val q = Processors.wordCount(in.toDS()).toDF("word", "cnt").writeStream
+        .format("memory").queryName("x6_rocks").outputMode("update")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        in.addData("x", "y", "x")
+        q.processAllAvailable()
+        in.addData("x")
+        q.processAllAvailable()
+        val rows = spark.table("x6_rocks").collect().map(r => (r.getString(0), r.getLong(1)))
+        assert(rows.contains(("x", 3L)))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("X9 pass-through topology: streaming identity in → out") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Int, String)]
+    val q = in.toDF().toDF("key", "value").writeStream
+      .format("memory").queryName("x9_pass").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData((1, "a"), (2, "b"))
+      q.processAllAvailable()
+      assert(spark.table("x9_pass").collect().map(r => (r.getInt(0), r.getString(1))).toSet ===
+        Set((1, "a"), (2, "b")))
+    } finally q.stop()
+  }
+
+  test("T5 graceful stop leaves the query inactive and session healthy") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Int]
+    val q = in.toDS().toDF("v").writeStream.format("memory")
+      .queryName("t5_stop").outputMode("append").start()
+    in.addData(1, 2, 3)
+    q.processAllAvailable()
+    q.stop()
+    assert(!q.isActive)
+    assert(spark.sql("SELECT 1").count() === 1) // session still serves queries
+  }
+}
