@@ -26,6 +26,10 @@ object Graft {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reference-parity arithmetic: the JVM engine this reproduces wraps
+      // on 64-bit overflow (Java semantics); ANSI overflow errors would
+      // also forbid the multiply-add hash permutations in graft.dedup
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)

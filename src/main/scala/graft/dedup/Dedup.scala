@@ -32,11 +32,18 @@ object Dedup {
     */
   def shingleHashes(text: Column, k: Int = 3): Column = {
     val toks = TextFunctions.tokens(text)
-    val grams = when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - k), i =>
-        xxhash64(concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))))
-      .otherwise(transform(toks, t => xxhash64(t)))
-    array_distinct(grams)
+    // Bind the token array ONCE, via a zip of k shifted slices. An
+    // element_at(toks, i+j) inside the transform lambda would re-evaluate
+    // the whole tokenization per shingle position: common-subexpression
+    // elimination does not reach into higher-order-function lambda bodies
+    // (measured ~1000x slowdown on multi-KB docs).
+    val n = size(toks)
+    val zipped = arrays_zip(
+      (0 until k).map(j => slice(toks, lit(j + 1), greatest(n - (k - 1), lit(0))).as(s"t$j")): _*)
+    val grams = transform(zipped, s =>
+      xxhash64(concat_ws(" ", (0 until k).map(j => s.getField(s"t$j")): _*)))
+    val fallback = transform(toks, t => xxhash64(t))
+    array_distinct(when(n >= k, grams).otherwise(fallback))
   }
 
   /** MinHash signature per row as a single Column: `numHashes` independent
@@ -58,10 +65,18 @@ object Dedup {
     * measured at sf0.01).
     */
   def minhashSigs(docs: DataFrame, id: String, text: String,
-                  numHashes: Int = 64, shingleK: Int = 3): DataFrame =
+                  numHashes: Int = 64, shingleK: Int = 3): DataFrame = {
+    val coeffs = {
+      val rnd = new scala.util.Random(42)
+      Seq.fill(numHashes)((rnd.nextLong() | 1L, rnd.nextLong())) // odd a → bijection mod 2^64
+    }
+    // permutation h_i(x) = a_i*x + b_i in wrapping 64-bit arithmetic:
+    // one multiply-add per (shingle, i) — ~10x cheaper than re-hashing
+    // with a full hash function, and min-wise over the 2^64 ring
     docs.select(col(id).as("doc"), explode(shingleHashes(col(text), shingleK)).as("h"))
       .groupBy("doc")
-      .agg(array((0 until numHashes).map(i => min(xxhash64(lit(i), col("h")))): _*).as("sig"))
+      .agg(array(coeffs.map { case (a, b) => min(col("h") * a + b) }: _*).as("sig"))
+  }
 
   /** LSH banding: split the signature into `bands` bands of
     * `numHashes/bands` rows, hash each band. Output: one row per (doc,
@@ -70,18 +85,22 @@ object Dedup {
     * 1-(1-j^4)^16 — steep around j ≈ 0.7.
     */
   def lshBands(docs: DataFrame, id: String, text: String,
-               numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3): DataFrame = {
+               numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3): DataFrame =
+    bandsOfSigs(minhashSigs(docs, id, text, numHashes, shingleK), numHashes, bands)
+
+  /** Banding over a precomputed (doc, sig) frame. Emits ONLY
+    * (doc, band, band_hash) — the 64-long signature stays out of the
+    * exploded rows so the candidate self-join shuffles 24 bytes per
+    * (doc, band), not the whole signature (16x lighter at any scale).
+    */
+  private def bandsOfSigs(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
-    // the groupBy inside minhashSigs is also the materialization barrier:
-    // band expressions below read the aggregated sig array instead of
-    // inlining (and recomputing) the signature expression per band
-    minhashSigs(docs, id, text, numHashes, shingleK)
-      .select(col("doc"), col("sig"),
-        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          struct(b.as("band"),
-            xxhash64(b, concat_ws(",", transform(slice(col("sig"), b * rows + 1, lit(rows)), _.cast("string")))).as("h"))))
-          .as("bk"))
-      .select(col("doc"), col("sig"), col("bk.band").as("band"), col("bk.h").as("band_hash"))
+    sigs.select(col("doc"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          xxhash64(b, concat_ws(",", transform(slice(col("sig"), b * rows + 1, lit(rows)), _.cast("string")))).as("h"))))
+        .as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.h").as("band_hash"))
   }
 
   /** Candidate pairs from shared LSH buckets, verified with the signature-
@@ -92,15 +111,22 @@ object Dedup {
   def minhashPairs(docs: DataFrame, id: String, text: String,
                    threshold: Double, numHashes: Int = 64, bands: Int = 16,
                    shingleK: Int = 3): DataFrame = {
-    val banded = lshBands(docs, id, text, numHashes, bands, shingleK)
-    val l = banded.select(col("band"), col("band_hash"), col("doc").as("a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("band_hash"), col("doc").as("b"), col("sig").as("sig_b"))
+    val sigs = minhashSigs(docs, id, text, numHashes, shingleK)
+    val banded = bandsOfSigs(sigs, numHashes, bands)
+    val l = banded.select(col("band"), col("band_hash"), col("doc").as("a"))
+    val r = banded.select(col("band"), col("band_hash"), col("doc").as("b"))
+    // candidate ids first (slim shuffle), signatures re-joined only for
+    // the surviving candidate set (orders of magnitude smaller than the
+    // banded row count)
     val cand = l.join(r, Seq("band", "band_hash")).where(col("a") < col("b"))
-      .select("a", "b", "sig_a", "sig_b").distinct()
+      .select("a", "b").distinct()
+    val withSigs = cand
+      .join(sigs.select(col("doc").as("a"), col("sig").as("sig_a")), "a")
+      .join(sigs.select(col("doc").as("b"), col("sig").as("sig_b")), "b")
     val est = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble)
-    cand.select(col("a"), col("b"), round(est, 4).as("est_jaccard"))
+    withSigs.select(col("a"), col("b"), round(est, 4).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
   }
 
@@ -139,12 +165,30 @@ object Dedup {
     bits.reduce(_ + _)
   }
 
+  /** SimHash signatures via explode + hash aggregation (same scan-scale
+    * rationale as [[minhashSigs]]): per-token hashes explode in the scan
+    * partition, 64 codegen'd conditional sums fold map-side, the bit
+    * assembly runs on one row per doc. Docs with no tokens drop out
+    * (nothing to fingerprint).
+    */
+  def simhashSigs(docs: DataFrame, id: String, text: String): DataFrame = {
+    val counts = docs
+      .select(col(id).as("doc"), explode(transform(TextFunctions.tokens(col(text)), t => xxhash64(t))).as("h"))
+      .groupBy("doc")
+      .agg(
+        sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("c0"),
+        (1 until 64).map(i =>
+          sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"c$i")): _*)
+    val bits = (0 until 64).map(i => when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+    counts.select(col("doc"), bits.reduce(_ + _).as("sh"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (< 16),
     * found by blocking on 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at
     * least one of 4 chunks equal) and verifying with bit_count(xor).
     */
   def simhashPairs(docs: DataFrame, id: String, text: String, maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col(id).as("doc"), simhash(col(text)).as("sh"))
+    val sigs = simhashSigs(docs, id, text)
     val chunked = sigs.select(col("doc"), col("sh"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"), shiftright(col("sh"), c * 16).bitwiseAND(0xFFFF).as("ck"))): _*)).as("b"))
