@@ -119,4 +119,24 @@ object Joins {
       rightKey: String,
       joinType: String): DataFrame =
     left.join(right, left(leftKey) === right(rightKey), sparkJoinType(joinType))
+
+  /** Skew-resistant equi-join: salt the (large, skewed) left side into
+    * `salts` sub-keys and replicate each right row across all salts, so a
+    * hot key spreads over `salts` reducers instead of one. Deterministic
+    * (salt = hash of the left row id). AQE's skew-join handles moderate
+    * skew automatically; this is the explicit tool for pathological keys
+    * (the web-corpus "empty title" problem at 100 TB).
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftId: String,
+      salts: Int): DataFrame = {
+    val l = left.withColumn("_salt", pmod(xxhash64(col(leftId)), lit(salts)))
+    val r = right.withColumn("_salt", explode(sequence(lit(0L), lit(salts - 1L))))
+    l.join(r.withColumnRenamed(key, s"_r_$key"),
+        col(key) === col(s"_r_$key") && l("_salt") === r("_salt"))
+      .drop("_salt", s"_r_$key")
+  }
 }

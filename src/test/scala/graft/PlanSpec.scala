@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Joins
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions — the scale contract, enforced: dimension joins
+  * broadcast, scans push filters, aggregations combine map-side, LSH
+  * operators never degenerate into cartesian products. These are the
+  * properties that decide whether a query survives a 100x scale-up, so
+  * they are tested like behavior, not eyeballed.
+  */
+class PlanSpec extends GraftTest {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1_agg pushes the shipdate filter into the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("l_shipdate"), "shipdate filter must reach the scan")
+    assert(p.contains("partial_sum"), "aggregation must combine map-side")
+  }
+
+  test("stream-table join broadcasts the dimension side") {
+    val p = plan("j4_st_inner")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("scan column pruning: wordcount reads only the text column") {
+    val p = plan("a1_wordcount")
+    assert(p.contains("ReadSchema: struct<text:string>"),
+      "scan must prune to the single projected column:\n" + p.take(2000))
+  }
+
+  test("latest-per-key is one exchange + max_by partial aggregation, no sort") {
+    val p = plan("s2_table_source")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected exactly 1 shuffle, plan:\n${p.take(3000)}")
+    assert(p.contains("partial_max_by") || p.contains("max_by"), p.take(2000))
+    assert(!p.contains("Window"), "no window-function fallback for table views")
+  }
+
+  test("LSH dedup and blocking joins never cartesian-product") {
+    Seq("dd_minhash", "dd_simhash", "dd_jaccard_verify", "ann_lsh", "j1_ss_inner").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plan contains CartesianProduct")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plan contains BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("brute-force ANN is the one sanctioned nested-loop (broadcast small queries)") {
+    val p = plan("ann_brute")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "query side must broadcast; corpus side must stream:\n" + p.take(2000))
+  }
+
+  test("windowed stream-stream join shuffles on (key, bucket), not key alone") {
+    val p = plan("j1_ss_inner")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      "bucketed equi-join expected:\n" + p.take(2000))
+    assert(p.contains("bucket"), "time bucket must be part of the join key")
+  }
+
+  test("salted join spreads a hot key and agrees with the plain join") {
+    import spark.implicits._
+    val hot = (1 to 1000).map(i => (if (i % 10 == 0) "cold" + i else "HOT", i.toLong))
+      .toDF("k", "id")
+    val dim = Seq(("HOT", "a"), ("cold20", "b")).toDF("k", "v")
+    val plainCount = hot.join(dim.withColumnRenamed("k", "k2"), col("k") === col("k2")).count()
+    val salted = Joins.saltedJoin(hot, dim, "k", "id", salts = 8)
+    assert(salted.count() === plainCount)
+    // the join key must include the salt so the hot key spans reducers
+    assert(salted.queryExecution.executedPlan.toString.contains("_salt"))
+  }
+}
