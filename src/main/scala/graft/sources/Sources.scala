@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+/** Source/sink surface (SURVEY.md §2.1). The engine's record shape is
+  * `(key string, value string, ts_us long)` regardless of transport:
+  *
+  *  - '''Kafka''' (S1/S3, the reference's primary transport —
+  *    reference: src/main/scala/com/github/hosnimed/WordCountScalaExample.scala:111,117):
+  *    `kafkaStream`/`writeKafka` wire `readStream.format("kafka")` with
+  *    the standard key/value binary casts. No broker ships in this
+  *    environment, so these builders are exercised only to the
+  *    plan-construction level; the rest of the engine is
+  *    transport-agnostic and is driven through files/memory streams.
+  *  - '''Files''' (S9 + the test corpus): parquet/CSV with explicit
+  *    schemas — schema-on-read at the edge, exactly where the reference
+  *    applies its serdes.
+  *  - '''Rate''' source for load-shaped testing (S8's generator role in
+  *    streaming form).
+  */
+object Sources {
+
+  /** S1: subscribe a Kafka topic as the canonical keyed stream. */
+  def kafkaStream(spark: SparkSession, bootstrap: String, topic: String,
+                  startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .select(
+        col("key").cast("string").as("key"),
+        col("value").cast("string").as("value"),
+        unix_micros(col("timestamp")).as("ts_us"))
+
+  /** S3: write a keyed stream back to a topic (`stream.to(topic)`). */
+  def writeKafka(df: DataFrame, bootstrap: String, topic: String,
+                 checkpoint: String): DataStreamWriter[Row] =
+    df.select(col("key").cast("binary").as("key"), col("value").cast("binary").as("value"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** S9: CSV with an explicit schema (serde-at-the-edge). */
+  def csv(spark: SparkSession, path: String, schema: StructType, header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  /** Batch parquet "topic". */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Streaming load generator (records/sec), shaped like the canonical
+    * stream — for soak/load tests where the reference used inline
+    * producers (S8).
+    */
+  def rateStream(spark: SparkSession, rowsPerSecond: Int, keys: Int = 16): DataFrame =
+    spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .load()
+      .select(
+        (col("value") % keys).cast("string").as("key"),
+        concat(lit("v"), col("value")).as("value"),
+        unix_micros(col("timestamp")).as("ts_us"))
+}

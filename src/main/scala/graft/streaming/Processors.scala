@@ -56,6 +56,41 @@ object Processors {
       }
   }
 
+  /** A6, incremental form: `KGroupedTable.reduce(adder, subtractor)` with
+    * TRUE retraction semantics (reference:
+    * src/main/scala/com/github/hosnimed/DSLStatefulTransformation.scala:105-111).
+    * The batch queries use the recompute model (same final answers); this
+    * processor maintains the changelog incrementally: per table key it
+    * remembers the last (groupKey, value) and, on every upsert, emits the
+    * subtractor delta `(oldGroupKey, -oldValue)` followed by the adder
+    * delta `(newGroupKey, +newValue)`. Summing deltas per groupKey
+    * downstream yields the continuously-updated re-keyed aggregate
+    * without recomputation — the shape needed when the snapshot is too
+    * large to rescan per batch.
+    *
+    * Input: (tableKey, groupKey, value, ts); rows are applied in ts order
+    * within each batch.
+    */
+  def tableReduceDeltas(rows: Dataset[(String, String, Double, Long)]): Dataset[(String, Double)] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[(String, Double), (String, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_, it: Iterator[(String, String, Double, Long)], state: GroupState[(String, Double)]) =>
+          val sorted = it.toIndexedSeq.sortBy(r => (r._4, r._2, r._3))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+          var cur = state.getOption
+          sorted.foreach { case (_, gk, v, _) =>
+            cur.foreach { case (ogk, ov) => out += ((ogk, -ov)) } // subtractor
+            out += ((gk, v))                                      // adder
+            cur = Some((gk, v))
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** X2: stream-time punctuation — an event-time timer that fires once the
     * watermark passes `intervalMs` after the group's last update, emitting
     * the store snapshot for the key (reference's punctuator scans the

@@ -114,6 +114,28 @@ class ProcessorsSpec extends GraftTest {
     } finally q.stop()
   }
 
+  test("A6 incremental adder/subtractor matches the recompute model") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, String, Double, Long)]
+    val q = Processors.tableReduceDeltas(in.toDS()).toDF("gk", "delta").writeStream
+      .format("memory").queryName("a6_deltas").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // uma contributes 5.0 to north...
+      in.addData(("uma", "north", 5.0, 1L), ("vic", "east", 3.0, 2L))
+      q.processAllAvailable()
+      // ...then MOVES to south with 7.0: subtractor must retract north's 5
+      in.addData(("uma", "south", 7.0, 3L))
+      q.processAllAvailable()
+      val totals = spark.table("a6_deltas").groupBy("gk").sum("delta")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(totals("north") === 0.0) // +5 then -5
+      assert(totals("south") === 7.0)
+      assert(totals("east") === 3.0)
+    } finally q.stop()
+  }
+
   test("T5 graceful stop leaves the query inactive and session healthy") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
