@@ -36,6 +36,25 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: SRP-bucket the corpus, pair
+    * within buckets (plus 1-bit multiprobe on the pairing side), verify
+    * cosine ≥ `threshold`. Same scale shape as text LSH dedup — shuffle
+    * on bucket id, no all-pairs product.
+    */
+  def cosinePairs(corpus: DataFrame, id: String, vec: String,
+                  threshold: Double, nBits: Int = 8, probeBits: Int = 2): DataFrame = {
+    val base = corpus.select(col(id).as("vid"), col(vec).as("v"),
+      srpBucket(col(vec), nBits).as("b0"))
+    val probes = array((lit(0) +: (0 until probeBits).map(b => lit(1 << b))): _*)
+    val l = base.select(col("vid").as("a"), col("v").as("va"),
+      explode(transform(probes, f => col("b0").bitwiseXOR(f))).as("bucket"))
+    val r = base.select(col("vid").as("b"), col("v").as("vb"), col("b0").as("bucket"))
+    l.join(r, Seq("bucket")).where(col("a") < col("b"))
+      .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .distinct()
+      .where(col("cos") >= threshold)
+  }
+
   /** LSH-bucketed approximate top-k. `nBits` hyperplanes → 2^nBits
     * buckets; `probeBits` > 0 additionally probes buckets at Hamming
     * distance 1 in the first `probeBits` bits (multi-probe, recovers

@@ -132,12 +132,16 @@ object Dedup {
 
   // ---- exact Jaccard verification ----------------------------------------
 
-  /** Exact token-set Jaccard for a candidate pair set (columns a, b):
-    * joins the token sets back in and computes |∩|/|∪| — the "verify"
-    * stage after LSH candidate generation.
+  /** Exact n-gram-set Jaccard for a candidate pair set (columns a, b):
+    * joins the gram sets back in and computes |∩|/|∪| — the "verify"
+    * stage after LSH candidate generation. `ngram = 1` is token-set
+    * Jaccard; `ngram = 3` matches the MinHash shingling granularity.
     */
-  def verifyJaccard(pairs: DataFrame, docs: DataFrame, id: String, text: String): DataFrame = {
-    val sets = docs.select(col(id).as("vid"), array_distinct(TextFunctions.tokens(col(text))).as("toks"))
+  def verifyJaccard(pairs: DataFrame, docs: DataFrame, id: String, text: String,
+                    ngram: Int = 1): DataFrame = {
+    val grams = if (ngram <= 1) TextFunctions.tokens(col(text))
+                else TextFunctions.wordNgrams(col(text), ngram)
+    val sets = docs.select(col(id).as("vid"), array_distinct(grams).as("toks"))
     pairs
       .join(sets.withColumnRenamed("vid", "a").withColumnRenamed("toks", "toks_a"), "a")
       .join(sets.withColumnRenamed("vid", "b").withColumnRenamed("toks", "toks_b"), "b")

@@ -27,6 +27,20 @@ object TextFunctions {
     size(filter(split(text, "\\W+"), t => length(t) > 0)) +
       length(regexp_replace(text, "[\\w\\s]", ""))
 
+  /** Word k-grams as strings ("a b c"); documents shorter than k tokens
+    * fall back to their tokens. Built from a zip of k shifted slices so
+    * the tokenization binds once (HOF lambdas get no common-subexpression
+    * elimination — see graft.dedup.Dedup.shingleHashes).
+    */
+  def wordNgrams(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val zipped = arrays_zip(
+      (0 until k).map(j => slice(toks, lit(j + 1), greatest(n - (k - 1), lit(0))).as(s"t$j")): _*)
+    val grams = transform(zipped, s => concat_ws(" ", (0 until k).map(j => s.getField(s"t$j")): _*))
+    when(n >= k, grams).otherwise(toks)
+  }
+
   /** Normalized text for fingerprinting: lowercase, collapse whitespace, trim. */
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))

@@ -120,6 +120,55 @@ object Joins {
       joinType: String): DataFrame =
     left.join(right, left(leftKey) === right(rightKey), sparkJoinType(joinType))
 
+  /** As-of join (beyond the reference; the standard event-enrichment
+    * operator): for every left row, attach the LATEST right row with the
+    * same key and `r.ts <= l.ts`. Spark-first implementation: union both
+    * sides tagged, hash-partition by key, sort within the partition by
+    * (ts, tag), carry the last right payload forward with a running
+    * `last(ignoreNulls)` window, keep left rows. One shuffle, per-key
+    * local sort — no range join, no per-row probe; the same shape Spark
+    * itself plans for sessionization. `joinType` ∈ inner|left.
+    *
+    * The right payload travels as ONE struct so legitimately-null right
+    * columns don't resurrect older values.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsUs: String,
+      joinType: String = "left"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
+    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+    val rPayload = struct(r.columns.map(col).toSeq: _*)
+
+    val lTagged = l
+      .withColumn("_k", col(s"l_$key")).withColumn("_ts", col(s"l_$tsUs"))
+      .withColumn("_tag", lit(1)).withColumn("_rp", lit(null).cast(r.select(rPayload).schema.head.dataType))
+    val rTagged = r
+      .select(col(s"r_$key").as("_k"), col(s"r_$tsUs").as("_ts"), lit(0).as("_tag"), rPayload.as("_rp"))
+    val unioned = lTagged.select(
+      (l.columns.map(col) :+ col("_k") :+ col("_ts") :+ col("_tag") :+ col("_rp")).toSeq: _*)
+      .unionByName(
+        l.columns.foldLeft(rTagged)((d, c) => d.withColumn(c, lit(null).cast(l.schema(c).dataType))),
+        allowMissingColumns = false)
+
+    // right rows sort before left at equal ts (tag 0 < 1) → inclusive <=
+    val w = Window.partitionBy("_k").orderBy(col("_ts").asc, col("_tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned.withColumn("_last_r", last(col("_rp"), ignoreNulls = true).over(w))
+      .where(col("_tag") === 1)
+      .drop("_k", "_ts", "_tag", "_rp")
+    val expanded = r.columns.foldLeft(carried)((d, c) => d.withColumn(c, col(s"_last_r.$c")))
+      .drop("_last_r")
+    sparkJoinType(joinType) match {
+      case "inner"      => expanded.where(col(s"r_$key").isNotNull)
+      case "left_outer" => expanded
+      case other        => throw new IllegalArgumentException(s"asofJoin: $other")
+    }
+  }
+
   /** Skew-resistant equi-join: salt the (large, skewed) left side into
     * `salts` sub-keys and replicate each right row across all salts, so a
     * hot key spreads over `salts` reducers instead of one. Deterministic

@@ -403,7 +403,13 @@ object CoreQueries {
     "j8_tt_outer" -> ((s, d) => ttJoin(s, d, "outer")),
     // J9: the join type arrives as a runtime string, dispatched through
     // Joins.sparkJoinType — the reference's CLI inner|left|outer switch
-    "j9_dispatch" -> ((s, d) => ttJoin(s, d, sys.env.getOrElse("GRAFT_JOIN_TYPE", "outer"))))
+    "j9_dispatch" -> ((s, d) => ttJoin(s, d, sys.env.getOrElse("GRAFT_JOIN_TYPE", "outer"))),
+
+    // beyond-reference: as-of enrichment (latest right row at or before
+    // each left row's event time)
+    "aj_asof" -> ((s, d) =>
+      Joins.asofJoin(purchases(s, d), views(s, d), "key", "ts_us", "left")
+        .select(col("l_event_id"), col("r_event_id"), col("l_key").as("key"))))
 
   val joinOracles: Map[String, String] = Map(
     "j1_ss_inner" -> ssJoinOracle("INNER"),
@@ -417,7 +423,12 @@ object CoreQueries {
     "j6_tt_inner" -> ttJoinOracle("INNER"),
     "j7_tt_left" -> ttJoinOracle("LEFT"),
     "j8_tt_outer" -> ttJoinOracle("FULL"),
-    "j9_dispatch" -> ttJoinOracle("FULL"))
+    "j9_dispatch" -> ttJoinOracle("FULL"),
+    "aj_asof" ->
+      """SELECT a.event_id AS l_event_id, b.event_id AS r_event_id, CAST(a.user_id AS VARCHAR) AS key
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
+         ON a.user_id = b.user_id AND b.ts <= a.ts""")
 
   // ---- D: duality ---------------------------------------------------------
 

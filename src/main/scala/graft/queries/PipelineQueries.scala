@@ -43,6 +43,26 @@ object PipelineQueries {
         .select("a", "b", "jaccard")
     }),
 
+    "dd_ngram_jaccard" -> ((s, d) => {
+      // n-gram Jaccard dedup at the MinHash shingling granularity:
+      // blocking join + exact 3-gram-set verify, fully oracle-checkable
+      val docs = Graft.documents(s, d)
+      val l = docs.select(col("lang"), col("n_chars"), col("doc_id").as("a"))
+      val r = docs.select(col("lang"), col("n_chars"), col("doc_id").as("b"))
+      val pairs = l.join(r, Seq("lang", "n_chars")).where(col("a") < col("b"))
+        .select("a", "b")
+      Dedup.verifyJaccard(pairs, docs, "doc_id", "text", ngram = 3)
+        .where(col("jaccard") >= 0.3)
+        .select("a", "b", "jaccard")
+    }),
+
+    "dd_embedding" -> ((s, d) =>
+      // embedding-cosine near-dup: SRP-bucketed pair generation + cosine
+      // verify (bucket join, no all-pairs product); hash-bucket-specific
+      // → recall covered in DedupAnnSpec, plumbing via rows-only check
+      graft.ann.Ann.cosinePairs(Graft.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.25, nBits = 6, probeBits = 3)),
+
     "dd_simhash" -> ((s, d) =>
       // SimHash near-dup pairs (chunk-blocked Hamming); engine-specific
       // hashing → DedupSpec property tests.
@@ -127,6 +147,21 @@ object PipelineQueries {
          FROM toks l JOIN toks r ON l.lang = r.lang AND l.n_chars = r.n_chars AND l.doc_id < r.doc_id
          WHERE round(CAST(len(list_intersect(l.tk, r.tk)) AS DOUBLE) /
                      CAST(len(list_distinct(list_concat(l.tk, r.tk))) AS DOUBLE), 4) >= 0.5""",
+    "dd_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, lang, n_chars,
+                             list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0) AS l
+                      FROM documents),
+              grams AS (SELECT doc_id, lang, n_chars,
+                               list_distinct(CASE WHEN len(l) >= 3
+                                 THEN list_transform(generate_series(1, len(l) - 2), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+                                 ELSE l END) AS tk
+                        FROM toks)
+         SELECT l.doc_id AS a, r.doc_id AS b,
+                round(CAST(len(list_intersect(l.tk, r.tk)) AS DOUBLE) /
+                      CAST(len(list_distinct(list_concat(l.tk, r.tk))) AS DOUBLE), 4) AS jaccard
+         FROM grams l JOIN grams r ON l.lang = r.lang AND l.n_chars = r.n_chars AND l.doc_id < r.doc_id
+         WHERE round(CAST(len(list_intersect(l.tk, r.tk)) AS DOUBLE) /
+                     CAST(len(list_distinct(list_concat(l.tk, r.tk))) AS DOUBLE), 4) >= 0.3""",
     "ann_brute" ->
       """SELECT query_id, neighbor_id, rank, cos FROM (
            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -92,6 +92,20 @@ class DedupAnnSpec extends GraftTest {
       }
   }
 
+  test("embedding-cosine near-dup: every pair verified, planted dup found") {
+    import spark.implicits._
+    val emb = Graft.embeddings(spark, sf)
+    Ann.cosinePairs(emb, "vec_id", "embedding", threshold = 0.25, nBits = 6, probeBits = 3)
+      .collect().foreach(r => assert(r.getAs[Double]("cos") >= 0.25))
+    // a planted exact duplicate must land in the same bucket (cos = 1)
+    val v = emb.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val planted = Seq((900000L, v), (900001L, v)).toDF("vec_id", "embedding")
+    val pairs = Ann.cosinePairs(emb.select("vec_id", "embedding").unionByName(planted), "vec_id", "embedding",
+        threshold = 0.99, nBits = 6, probeBits = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((900000L, 900001L)) && pairs.contains((0L, 900000L)))
+  }
+
   test("brute-force ANN is exact top-k (agrees with itself on re-run, k bound)") {
     val emb = Graft.embeddings(spark, sf)
     val out = Ann.bruteForceTopK(emb, emb.where(col("vec_id") < 3), "vec_id", "embedding", k = 7)

@@ -82,6 +82,29 @@ class GoldenJoinSpec extends GraftTest {
       (Some(1L), Some(10L)), (Some(2L), None), (None, Some(11L)), (None, Some(12L))))
   }
 
+  test("as-of join attaches the latest right row at or before each left ts") {
+    import spark.implicits._
+    val trades = Seq((1L, "k", 1000L), (2L, "k", 5000L), (3L, "k", 100L)).toDF("id", "k", "ts_us")
+    val quotes = Seq((10L, "k", 500L), (11L, "k", 4000L), (12L, "k", 9999L), (13L, "z", 1L))
+      .toDF("id", "k", "ts_us")
+    val out = Joins.asofJoin(trades, quotes, "k", "ts_us", "left")
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(out === Map(
+      1L -> Some(10L),  // latest quote <= 1000 is 500
+      2L -> Some(11L),  // latest quote <= 5000 is 4000 (not 9999)
+      3L -> None))      // no quote at or before 100
+    val inner = Joins.asofJoin(trades, quotes, "k", "ts_us", "inner")
+    assert(inner.count() === 2)
+  }
+
+  test("as-of join is inclusive at equal timestamps") {
+    import spark.implicits._
+    val l = Seq((1L, "k", 1000L)).toDF("id", "k", "ts_us")
+    val r = Seq((10L, "k", 1000L)).toDF("id", "k", "ts_us")
+    val out = Joins.asofJoin(l, r, "k", "ts_us", "left").select("r_id").collect()
+    assert(out.head.getLong(0) === 10L)
+  }
+
   test("windowed join boundary is inclusive on both edges") {
     import spark.implicits._
     val l = Seq((1L, "k", 5000000L)).toDF("id", "k", "ts_us")
