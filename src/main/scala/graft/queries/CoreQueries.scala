@@ -305,7 +305,20 @@ object CoreQueries {
       Windows.flattenWindowedKey(Graft.events(s, d), "ts_us", "5 minutes", col("event_type"))),
 
     "w4_hopping" -> ((s, d) =>
-      Windows.hoppingCount(Graft.events(s, d), "ts_us", "10 minutes", "5 minutes", col("event_type"))))
+      Windows.hoppingCount(Graft.events(s, d), "ts_us", "10 minutes", "5 minutes", col("event_type"))),
+
+    // W1 through the streaming engine end-to-end: readStream → watermark
+    // (grace) → tumbling window aggregation → memory sink; same oracle as
+    // the batch form
+    "w1_streaming" -> ((s, d) =>
+      StreamingQueries.runCompleteAggToMemory(s, d, "events", "w1s_counts",
+        df => df
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("event_time", "3 minutes")
+          .groupBy(window(col("event_time"), "5 minutes"), col("event_type")).count()
+          .select(col("event_type"),
+            unix_timestamp(col("window.start")).as("window_start_s"),
+            col("count").as("cnt")))))
 
   val windowOracles: Map[String, String] = Map(
     "w1_tumbling" ->
@@ -328,7 +341,10 @@ object CoreQueries {
     "w4_hopping" ->
       """WITH x AS (SELECT event_type, epoch_us(time_bucket(INTERVAL '5 minutes', ts)) // 1000000 AS b FROM events),
               w AS (SELECT event_type, b AS ws FROM x UNION ALL SELECT event_type, b - 300 AS ws FROM x)
-         SELECT event_type, ws AS window_start_s, count(*) AS cnt FROM w GROUP BY 1, 2""")
+         SELECT event_type, ws AS window_start_s, count(*) AS cnt FROM w GROUP BY 1, 2""",
+    "w1_streaming" ->
+      """SELECT event_type, epoch_us(time_bucket(INTERVAL '5 minutes', ts)) // 1000000 AS window_start_s, count(*) AS cnt
+         FROM events GROUP BY 1, 2""")
 
   // ---- J: joins -----------------------------------------------------------
 
