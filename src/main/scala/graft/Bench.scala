@@ -19,9 +19,9 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_agg", "a1_wordcount", "a2_groupbykey", "a6_table_reduce",
     "w1_tumbling", "w2_session",
-    "j1_ss_inner", "j4_st_inner", "j6_tt_inner",
+    "j1_ss_inner", "j4_st_inner", "j6_tt_inner", "aj_asof",
     "d2_stream_to_table",
-    "dd_exact", "dd_minhash", "dd_simhash",
+    "dd_exact", "dd_minhash", "dd_simhash", "dd_ngram_jaccard", "dd_embedding",
     "ann_brute", "ann_lsh",
     "txt_quality", "txt_fingerprint", "mm_features")
 
@@ -42,8 +42,15 @@ object Bench {
     // JVM/codegen warmup on the first headline query (untimed)
     runOnce(headline.head)
 
+    // two timed runs per query, report the min — removes one-off codegen
+    // compilation from the steady-state number
     val results: Seq[(String, Either[String, Double])] =
-      headline.filter(SparkEntry.queries.contains).map(n => n -> runOnce(n))
+      headline.filter(SparkEntry.queries.contains).map { n =>
+        n -> (runOnce(n), runOnce(n)) match {
+          case (name, (Right(a), Right(b))) => name -> Right(math.min(a, b))
+          case (name, (_, second))          => name -> second
+        }
+      }
 
     val ok = results.collect { case (n, Right(t)) => n -> t }
     val errs = results.collect { case (n, Left(m)) => n -> m }

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode}
+import org.apache.spark.sql.streaming.ValueState
 
 /** Processor-API equivalents (SURVEY.md §2.7; reference:
   * src/main/scala/com/github/hosnimed/WordCountProcessorExample.scala:23-61).
@@ -54,6 +55,31 @@ object Processors {
             (key, "cnt", c.toDouble),
             (key, "sum", math.rint(s * 100) / 100))
       }
+  }
+
+  /** X1/X5 on Spark 4's transformWithState API: the closest structural
+    * match to the reference's Processor + named KeyValueStore —
+    * `getHandle.getValueState("wordcount-store", ...)` IS the named store
+    * attach (X5), `handleInputRows` is `process()`, the returned iterator
+    * is `forward`. Requires the RocksDB state-store provider (X6).
+    */
+  class TwsWordCount extends StatefulProcessor[String, String, (String, Long)] {
+    @transient private var countState: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      countState = getHandle.getValueState[Long]("wordcount-store", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[String],
+                                 timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(String, Long)] = {
+      val updated = (if (countState.exists()) countState.get() else 0L) + rows.size
+      countState.update(updated)
+      Iterator.single((key, updated))
+    }
+  }
+
+  def wordCountTws(words: Dataset[String]): Dataset[(String, Long)] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    words.groupByKey(identity)
+      .transformWithState(new TwsWordCount, TimeMode.None(), OutputMode.Update())
   }
 
   /** A6, incremental form: `KGroupedTable.reduce(adder, subtractor)` with

@@ -114,6 +114,28 @@ class ProcessorsSpec extends GraftTest {
     } finally q.stop()
   }
 
+  test("X1 via transformWithState: named ValueState store counts across batches") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[String]
+      val q = Processors.wordCountTws(in.toDS()).toDF("word", "cnt").writeStream
+        .format("memory").queryName("x1_tws").outputMode("update")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        in.addData("a", "b", "a")
+        q.processAllAvailable()
+        in.addData("a")
+        q.processAllAvailable()
+        val rows = spark.table("x1_tws").collect().map(r => (r.getString(0), r.getLong(1)))
+        assert(rows.contains(("a", 3L)), s"got ${rows.toSeq}")
+        assert(rows.contains(("b", 1L)))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("A6 incremental adder/subtractor matches the recompute model") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
