@@ -55,6 +55,52 @@ object Ann {
       .where(col("cos") >= threshold)
   }
 
+  /** IVF (inverted-file) approximate top-k: learn `nLists` centroids with
+    * KMeans on a sample, assign every corpus vector to its nearest list,
+    * then search each query only in its `nProbe` closest lists. The
+    * data-adaptive alternative to SRP-LSH: cells follow the embedding
+    * distribution, so real (clustered) corpora get far better
+    * recall-per-candidate. Scale shape: centroids broadcast (small),
+    * assignment is a scan, search shuffles on list id only.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+              k: Int, nLists: Int = 16, nProbe: Int = 4,
+              trainSampleFraction: Double = 1.0): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.{Vector => MlVector}
+
+    val asVec = corpus.select(col(id).as("cid"),
+      array_to_vector(col(vec).cast("array<double>")).as("features"))
+    val train = if (trainSampleFraction >= 1.0) asVec else asVec.sample(trainSampleFraction, 42)
+    val model = new KMeans().setK(nLists).setSeed(42).setFeaturesCol("features").fit(train)
+    val centroids = model.clusterCenters.map(_.toArray)
+
+    // nearest-`n` centroid ids for a vector, as a broadcast-free literal
+    // expression (centroids are tiny): cosine against each centroid
+    def nearestLists(v: org.apache.spark.sql.Column, n: Int) = {
+      val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+        val cCol = array(c.map(lit): _*)
+        struct(cosine(v, cCol).as("s"), lit(i).as("list"))
+      }: _*)
+      slice(reverse(array_sort(scored)), 1, n)
+    }
+
+    val assigned = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"))
+      .withColumn("list", nearestLists(col("cv"), 1).getItem(0).getField("list"))
+    val probed = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+      .withColumn("list", explode(nearestLists(col("qv"), nProbe).getField("list")))
+
+    val scored = probed.join(assigned, Seq("list"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .select("query_id", "neighbor_id", "cos").distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
+  }
+
   /** LSH-bucketed approximate top-k. `nBits` hyperplanes → 2^nBits
     * buckets; `probeBits` > 0 additionally probes buckets at Hamming
     * distance 1 in the first `probeBits` bits (multi-probe, recovers

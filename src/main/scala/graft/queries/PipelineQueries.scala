@@ -82,6 +82,14 @@ object PipelineQueries {
         k = 10, nBits = 6, probeBits = 4)
     }),
 
+    "ann_ivf" -> ((s, d) => {
+      // IVF: KMeans-learned inverted lists, nProbe-cell search —
+      // data-adaptive scale path (recall vs brute force in AnnSpec)
+      val emb = Graft.embeddings(s, d)
+      Ann.ivfTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+        k = 10, nLists = 16, nProbe = 4)
+    }),
+
     // ---- text analysis ----------------------------------------------------
     "txt_quality" -> ((s, d) =>
       Graft.documents(s, d).select(

@@ -57,6 +57,40 @@ class DedupAnnSpec extends GraftTest {
     assert(recall >= 0.9, s"LSH recall $recall over ${truth.size} planted near-dup pairs")
   }
 
+  test("minhash estimator property: |est - true jaccard| small over random set pairs") {
+    import spark.implicits._
+    // generate 100 random doc pairs with known overlap from a 2000-word
+    // universe; the 64-hash estimator's error should concentrate well
+    // inside ±0.25 (binomial sd at j=0.5 is ~0.06)
+    val rnd = new scala.util.Random(11)
+    val universe = (0 until 2000).map(i => s"w$i")
+    val pairs = (0 until 100).map { i =>
+      val n = 30 + rnd.nextInt(120)
+      val overlap = rnd.nextInt(n)
+      val shared = rnd.shuffle(universe).take(overlap)
+      val aOnly = rnd.shuffle(universe).take(n - overlap)
+      val bOnly = rnd.shuffle(universe).take(n - overlap)
+      val a = (shared ++ aOnly).distinct.mkString(" ")
+      val b = (shared ++ bOnly).distinct.mkString(" ")
+      (2L * i, a, 2L * i + 1, b)
+    }
+    val docs = pairs.flatMap { case (ia, a, ib, b) => Seq((ia, a), (ib, b)) }.toDF("doc_id", "text")
+    val cand = pairs.map { case (ia, _, ib, _) => (ia, ib) }.toDF("a", "b")
+    // est from 1-gram signatures vs exact 1-gram jaccard on the same sets
+    val sigs = Dedup.minhashSigs(docs, "doc_id", "text", shingleK = 1)
+    val est = cand
+      .join(sigs.select(col("doc").as("a"), col("sig").as("sig_a")), "a")
+      .join(sigs.select(col("doc").as("b"), col("sig").as("sig_b")), "b")
+      .select(col("a"), col("b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v) / 64.0).as("est_jaccard"))
+    val verified = Dedup.verifyJaccard(est, docs, "doc_id", "text").collect()
+    assert(verified.length === 100)
+    val errs = verified.map(r => math.abs(r.getAs[Double]("est_jaccard") - r.getAs[Double]("jaccard")))
+    assert(errs.max < 0.3, s"max estimator error ${errs.max}")
+    assert(errs.sum / errs.length < 0.08, s"mean estimator error ${errs.sum / errs.length}")
+  }
+
   test("simhash pairs respect the hamming bound and blocking finds exact dups") {
     import spark.implicits._
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).collect()
@@ -104,6 +138,25 @@ class DedupAnnSpec extends GraftTest {
         threshold = 0.99, nBits = 6, probeBits = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((900000L, 900001L)) && pairs.contains((0L, 900000L)))
+  }
+
+  test("IVF ANN: probing more lists strictly improves recall; full probe is exact") {
+    val emb = Graft.embeddings(spark, sf)
+    val queries = emb.where(col("vec_id") < 20)
+    val truth = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(nProbe: Int): Double = {
+      val found = Ann.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
+        nLists = 8, nProbe = nProbe)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      truth.intersect(found).size.toDouble / truth.size
+    }
+    val r2 = recallAt(2)
+    val r8 = recallAt(8) // probing every list == brute force
+    assert(r8 === 1.0, s"full probe must be exact, got $r8")
+    assert(r2 >= 0.2 && r2 <= r8, s"partial probe recall $r2")
   }
 
   test("brute-force ANN is exact top-k (agrees with itself on re-run, k bound)") {

@@ -12,11 +12,14 @@ class FunctionsSpec extends GraftTest {
 
   test("rolling_hash: SQL function (codegen path) matches the reference impl") {
     import spark.implicits._
-    val texts = Seq("hello world", "", "a", "the quick brown fox", "ünïcödé ok")
-    texts.toDF("t").createOrReplaceTempView("rh_in")
+    val rnd = new scala.util.Random(7)
+    val random = Seq.fill(200)(rnd.alphanumeric.take(rnd.nextInt(80)).mkString +
+      (if (rnd.nextBoolean()) " ünïcödé 漢字" else ""))
+    val texts = Seq("hello world", "", "a", "the quick brown fox") ++ random
+    texts.distinct.toDF("t").createOrReplaceTempView("rh_in")
     val viaSql = spark.sql("SELECT t, rolling_hash(t) AS h FROM rh_in")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    texts.foreach { t =>
+    texts.distinct.foreach { t =>
       assert(viaSql(t) === RollingHash.hash(UTF8String.fromString(t)),
         s"codegen result differs for '$t'")
     }
