@@ -29,6 +29,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark: SparkSession = Graft.session()
 
+    def jsonEscape(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
     def runOnce(name: String): Either[String, Double] =
       try {
         val t0 = System.nanoTime()
@@ -36,7 +45,7 @@ object Bench {
           .write.mode("overwrite").format("noop").save()
         Right((System.nanoTime() - t0) / 1e9)
       } catch {
-        case e: Throwable => Left(e.toString.replaceAll("[\"\n\r]", " ").take(200))
+        case e: Throwable => Left(jsonEscape(e.toString.take(200)))
       }
 
     // JVM/codegen warmup on the first headline query (untimed)
@@ -46,19 +55,20 @@ object Bench {
     // compilation from the steady-state number
     val results: Seq[(String, Either[String, Double])] =
       headline.filter(SparkEntry.queries.contains).map { n =>
-        n -> (runOnce(n), runOnce(n)) match {
-          case (name, (Right(a), Right(b))) => name -> Right(math.min(a, b))
-          case (name, (_, second))          => name -> second
+        (runOnce(n), runOnce(n)) match {
+          case (Right(a), Right(b)) => n -> Right(math.min(a, b))
+          case (Right(a), Left(_))  => n -> Right(a) // keep the valid timing
+          case (_, second)          => n -> second
         }
       }
 
     val ok = results.collect { case (n, Right(t)) => n -> t }
     val errs = results.collect { case (n, Left(m)) => n -> m }
-    val qs = ok.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
+    val qs = ok.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     val es = errs.map { case (k, m) => s""""$k":"$m"""" }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     println(
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -15,9 +15,10 @@ object Dedup {
 
   // ---- exact --------------------------------------------------------------
 
-  /** Exact dedup: group on md5 of normalized content, keep the smallest id
+  /** Exact dedup: group on md5 of the raw content, keep the smallest id
     * (deterministic canonical representative). One shuffle on the hash;
-    * map-side partial min.
+    * map-side partial min. Compose with [[graft.functions.TextFunctions.normalized]]
+    * upstream for whitespace/case-insensitive dedup.
     */
   def exact(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(md5(col(text)).as("content_md5"), col(id))
@@ -30,21 +31,8 @@ object Dedup {
     * a long with xxhash64. Docs shorter than `k` tokens fall back to
     * whole-token shingles so they still participate.
     */
-  def shingleHashes(text: Column, k: Int = 3): Column = {
-    val toks = TextFunctions.tokens(text)
-    // Bind the token array ONCE, via a zip of k shifted slices. An
-    // element_at(toks, i+j) inside the transform lambda would re-evaluate
-    // the whole tokenization per shingle position: common-subexpression
-    // elimination does not reach into higher-order-function lambda bodies
-    // (measured ~1000x slowdown on multi-KB docs).
-    val n = size(toks)
-    val zipped = arrays_zip(
-      (0 until k).map(j => slice(toks, lit(j + 1), greatest(n - (k - 1), lit(0))).as(s"t$j")): _*)
-    val grams = transform(zipped, s =>
-      xxhash64(concat_ws(" ", (0 until k).map(j => s.getField(s"t$j")): _*)))
-    val fallback = transform(toks, t => xxhash64(t))
-    array_distinct(when(n >= k, grams).otherwise(fallback))
-  }
+  def shingleHashes(text: Column, k: Int = 3): Column =
+    array_distinct(transform(TextFunctions.wordNgrams(text, k), g => xxhash64(g)))
 
   /** MinHash signature per row as a single Column: `numHashes` independent
     * hash "permutations" h_i(x) = xxhash64(i, x) over the shingle-hash
@@ -187,15 +175,23 @@ object Dedup {
     counts.select(col("doc"), bits.reduce(_ + _).as("sh"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (< 16),
-    * found by blocking on 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at
-    * least one of 4 chunks equal) and verifying with bit_count(xor).
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, found by
+    * blocking on `maxHamming + 1` bit-chunks (pigeonhole: distance ≤ h ⇒
+    * at least one of h+1 chunks is equal — completeness holds for ANY
+    * maxHamming ≤ 31) and verifying with bit_count(xor).
     */
   def simhashPairs(docs: DataFrame, id: String, text: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31, s"maxHamming out of range: $maxHamming")
+    val nChunks = maxHamming + 1
+    // chunk c covers bits [lo, hi): widths differ by at most 1
+    val bounds = (0 to nChunks).map(c => (c * 64) / nChunks)
     val sigs = simhashSigs(docs, id, text)
     val chunked = sigs.select(col("doc"), col("sh"),
-      explode(array((0 until 4).map(c =>
-        struct(lit(c).as("chunk"), shiftright(col("sh"), c * 16).bitwiseAND(0xFFFF).as("ck"))): _*)).as("b"))
+      explode(array((0 until nChunks).map { c =>
+        val (lo, hi) = (bounds(c), bounds(c + 1))
+        val mask = if (hi - lo >= 64) -1L else (1L << (hi - lo)) - 1
+        struct(lit(c).as("chunk"), shiftright(col("sh"), lo).bitwiseAND(mask).as("ck"))
+      }: _*)).as("b"))
       .select(col("doc"), col("sh"), col("b.chunk").as("chunk"), col("b.ck").as("chunk_key"))
     val l = chunked.select(col("chunk"), col("chunk_key"), col("doc").as("a"), col("sh").as("sh_a"))
     val r = chunked.select(col("chunk"), col("chunk_key"), col("doc").as("b"), col("sh").as("sh_b"))

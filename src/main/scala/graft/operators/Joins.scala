@@ -75,17 +75,25 @@ object Joins {
 
     sparkJoinType(joinType) match {
       case "inner" => inner
-      case "left_outer" =>
-        val matchedL = inner.select(col(s"l_$idCol").as("mid")).distinct()
-        val unmatchedL = l.join(matchedL, col(s"l_$idCol") === col("mid"), "left_anti")
-        inner.unionByName(nullPad(unmatchedL, r))
-      case "full_outer" =>
-        val matchedL = inner.select(col(s"l_$idCol").as("mid")).distinct()
-        val unmatchedL = l.join(matchedL, col(s"l_$idCol") === col("mid"), "left_anti")
-        val matchedR = inner.select(col(s"r_$idCol").as("mid")).distinct()
-        val unmatchedR = r.join(matchedR, col(s"r_$idCol") === col("mid"), "left_anti")
-        inner.unionByName(nullPad(unmatchedL, r)).unionByName(nullPad(unmatchedR, l))
-      case other => throw new IllegalArgumentException(s"unsupported joinType: $other")
+      case outerKind =>
+        // one extra traversal of the join builds the (small) matched-id
+        // pair set; persisting it keeps the anti-join probes from
+        // re-executing the bucketed join per side (2 joins total instead
+        // of 3 for full_outer — ids are tiny relative to the join itself)
+        val matched = inner
+          .select(col(s"l_$idCol").as("ml"), col(s"r_$idCol").as("mr")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val unmatchedL = l.join(matched.select(col("ml")).distinct(),
+          col(s"l_$idCol") === col("ml"), "left_anti")
+        val leftOuter = inner.unionByName(nullPad(unmatchedL, r))
+        outerKind match {
+          case "left_outer" => leftOuter
+          case "full_outer" =>
+            val unmatchedR = r.join(matched.select(col("mr")).distinct(),
+              col(s"r_$idCol") === col("mr"), "left_anti")
+            leftOuter.unionByName(nullPad(unmatchedR, l))
+          case other => throw new IllegalArgumentException(s"unsupported joinType: $other")
+        }
     }
   }
 
@@ -154,8 +162,10 @@ object Joins {
         l.columns.foldLeft(rTagged)((d, c) => d.withColumn(c, lit(null).cast(l.schema(c).dataType))),
         allowMissingColumns = false)
 
-    // right rows sort before left at equal ts (tag 0 < 1) → inclusive <=
-    val w = Window.partitionBy("_k").orderBy(col("_ts").asc, col("_tag").asc)
+    // right rows sort before left at equal ts (tag 0 < 1) → inclusive <=;
+    // _rp (struct of the whole right row) breaks ties among right rows at
+    // the same ts deterministically (last = greatest payload)
+    val w = Window.partitionBy("_k").orderBy(col("_ts").asc, col("_tag").asc, col("_rp").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("_last_r", last(col("_rp"), ignoreNulls = true).over(w))
       .where(col("_tag") === 1)

@@ -418,7 +418,9 @@ object CoreQueries {
     "j7_tt_left" -> ((s, d) => ttJoin(s, d, "left")),
     "j8_tt_outer" -> ((s, d) => ttJoin(s, d, "outer")),
     // J9: the join type arrives as a runtime string, dispatched through
-    // Joins.sparkJoinType — the reference's CLI inner|left|outer switch
+    // Joins.sparkJoinType — the reference's CLI inner|left|outer switch.
+    // The oracle is pinned to FULL, matching the default; setting
+    // GRAFT_JOIN_TYPE during a Verify run would intentionally diverge.
     "j9_dispatch" -> ((s, d) => ttJoin(s, d, sys.env.getOrElse("GRAFT_JOIN_TYPE", "outer"))),
 
     // beyond-reference: as-of enrichment (latest right row at or before
@@ -616,14 +618,17 @@ object CoreQueries {
   val timeErrorOracles: Map[String, String] = Map(
     "t1_event_time" ->
       """SELECT event_id,
-                CASE WHEN event_id % 7 = 0 THEN epoch_us(ts)
-                     ELSE epoch_us(ts) + CAST(json_extract_string(props, '$.k') AS BIGINT) * 1000000 END AS event_time_us
-         FROM events""",
+                CASE WHEN k IS NULL THEN epoch_us(ts)
+                     ELSE epoch_us(ts) + k * 1000000 END AS event_time_us
+         FROM (SELECT *, CASE WHEN event_id % 7 = 0 THEN NULL
+                              ELSE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+               FROM events)""",
     "t2_badrecords" ->
       """SELECT event_id,
-                CASE WHEN event_id % 7 = 0 THEN 'corrupt' ELSE 'ok' END AS status,
-                CASE WHEN event_id % 7 = 0 THEN NULL ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
-         FROM events""",
+                CASE WHEN k IS NULL THEN 'corrupt' ELSE 'ok' END AS status, k
+         FROM (SELECT *, CASE WHEN event_id % 7 = 0 THEN NULL
+                              ELSE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+               FROM events)""",
     "t3_late_drop" ->
       """WITH m AS (SELECT max(epoch_us(ts)) - 604800000000 AS wm_us FROM events)
          SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx, count(*) AS cnt

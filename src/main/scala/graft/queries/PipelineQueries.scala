@@ -201,6 +201,10 @@ object PipelineQueries {
          FROM f""",
     "txt_fingerprint" ->
       "SELECT doc_id, substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16) AS fp16 FROM documents",
+    // NOTE: the Spark side computes UTF-8 BYTE features from the binary
+    // payload; this oracle computes per-character codepoint features —
+    // equivalent only for ASCII corpora (which the testdata is). A
+    // non-ASCII corpus would need a byte-level oracle instead.
     "mm_features" ->
       """SELECT doc_id AS asset_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
                 ascii(text) AS head_byte,

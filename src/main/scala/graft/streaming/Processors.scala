@@ -51,9 +51,14 @@ object Processors {
           var c = c0; var s = s0
           rows.foreach { r => c += 1; s += r._2 }
           state.update((c, s))
+          // HALF_UP on the shortest decimal representation — the same
+          // rounding Spark's round() and the SQL oracles use (rint is
+          // half-to-even and diverges on exact .5 boundaries)
+          val rounded = java.math.BigDecimal.valueOf(s)
+            .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
           Iterator(
             (key, "cnt", c.toDouble),
-            (key, "sum", math.rint(s * 100) / 100))
+            (key, "sum", rounded))
       }
   }
 
