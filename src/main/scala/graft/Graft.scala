@@ -50,8 +50,22 @@ object Graft {
 
   // ---- canonical tables ---------------------------------------------------
 
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     configure(spark).read.parquet(s"$dir/$name.parquet")
+
+  /** Register every corpus table as a temp view (plus `events_stream`,
+    * the canonical keyed form) so the entire engine is reachable from
+    * pure `spark.sql` — the "switch your SQL over" story. S10's DDL
+    * surface, catalog-wide.
+    */
+  def registerTables(spark: SparkSession, dir: String): Unit = {
+    tableNames.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    eventsStream(spark, dir).createOrReplaceTempView("events_stream")
+  }
 
   /** `events` with `ts` normalized: raw nanos long → `ts_us` epoch micros.
     * Matches DuckDB's read of the same file (it truncates nanos to micros).

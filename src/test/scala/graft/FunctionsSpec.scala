@@ -90,6 +90,18 @@ class FunctionsSpec extends GraftTest {
     }
   }
 
+  test("registerTables exposes the whole corpus to pure SQL") {
+    Graft.registerTables(spark, sf)
+    val out = spark.sql(
+      """SELECT key, count(*) AS cnt, round(sum(amount), 2) AS total
+         FROM events_stream GROUP BY key ORDER BY cnt DESC LIMIT 3""").collect()
+    assert(out.length === 3)
+    assert(spark.sql("SELECT count(*) FROM lineitem").head().getLong(0) > 0)
+    // native function + view compose in one SQL statement
+    val fp = spark.sql("SELECT rolling_hash(text) AS h FROM documents LIMIT 5").collect()
+    assert(fp.length === 5)
+  }
+
   test("multimodal feature extraction is partition-parallel and exact") {
     import spark.implicits._
     val docs = Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text")
