@@ -47,6 +47,22 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling for video-shaped assets: treat the payload as a
+    * sequence of fixed-size frames (a real pipeline would parse container
+    * metadata — stubbed as fixed stride) and emit every `everyNth` frame
+    * as its own row `(asset_id, frame_idx, frame binary)`. Pure column
+    * expressions: the explode happens in the scan partition, frames
+    * slice with binary substr — no UDF, no driver involvement.
+    */
+  def sampleFrames(assets: DataFrame, frameBytes: Int, everyNth: Int): DataFrame = {
+    val nFrames = (octet_length(col("payload")) / frameBytes).cast("int")
+    assets.select(col("asset_id"), col("payload"),
+        explode(when(nFrames > 0, sequence(lit(0), nFrames - 1, lit(everyNth)))
+          .otherwise(array().cast("array<int>"))).as("frame_idx"))
+      .select(col("asset_id"), col("frame_idx"),
+        col("payload").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes)).as("frame"))
+  }
+
   /** Partition-parallel feature extraction over the binary column.
     * `mapPartitions` (not per-row UDF) so a real decoder can amortize
     * codec/model init per partition — the same batch shape

@@ -125,6 +125,15 @@ object PipelineQueries {
       Multimodal.extractFeatures(
         Multimodal.toAssets(Graft.documents(s, d), "doc_id", "text"))),
 
+    "mm_frames" -> ((s, d) =>
+      // video-shaped frame sampling over binary payloads (every 4th
+      // 32-byte frame); frames decoded to string for the oracle compare
+      // (ASCII corpus)
+      Multimodal.sampleFrames(
+          Multimodal.toAssets(Graft.documents(s, d), "doc_id", "text"),
+          frameBytes = 32, everyNth = 4)
+        .select(col("asset_id"), col("frame_idx"), col("frame").cast("string").as("frame_str"))),
+
     // ---- sketches ---------------------------------------------------------
     "sk_cms" -> ((s, d) => {
       // count-min sketch of event_type frequencies: build distributed,
@@ -201,6 +210,9 @@ object PipelineQueries {
          FROM f""",
     "txt_fingerprint" ->
       "SELECT doc_id, substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16) AS fp16 FROM documents",
+    "mm_frames" ->
+      """SELECT doc_id AS asset_id, i AS frame_idx, substring(text, i * 32 + 1, 32) AS frame_str
+         FROM documents, UNNEST(generate_series(0, CAST(strlen(text) // 32 AS INT) - 1, 4)) AS t(i)""",
     // NOTE: the Spark side computes UTF-8 BYTE features from the binary
     // payload; this oracle computes per-character codepoint features —
     // equivalent only for ASCII corpora (which the testdata is). A

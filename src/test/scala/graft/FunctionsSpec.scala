@@ -102,6 +102,17 @@ class FunctionsSpec extends GraftTest {
     assert(fp.length === 5)
   }
 
+  test("frame sampling slices every nth fixed-size frame") {
+    import spark.implicits._
+    // 10-byte payload, 2-byte frames → frames 0..4; every 2nd → 0,2,4
+    val assets = graft.multimodal.Multimodal.toAssets(
+      Seq((1L, "abcdefghij")).toDF("doc_id", "text"), "doc_id", "text")
+    val frames = graft.multimodal.Multimodal.sampleFrames(assets, frameBytes = 2, everyNth = 2)
+      .collect().map(r => (r.getAs[Int]("frame_idx"), new String(r.getAs[Array[Byte]]("frame"))))
+      .sortBy(_._1)
+    assert(frames.toSeq === Seq((0, "ab"), (2, "ef"), (4, "ij")))
+  }
+
   test("multimodal feature extraction is partition-parallel and exact") {
     import spark.implicits._
     val docs = Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text")
