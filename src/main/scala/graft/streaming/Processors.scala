@@ -37,6 +37,25 @@ object Processors {
       }
   }
 
+  /** X1 with a PRE-POPULATED store (reference:
+    * src/test/java/com/github/hosnimed/ConfluentKStreamsDemoTest.java:50-52
+    * seeds the state store before piping records): Spark's analog is the
+    * `initialState` overload — counts continue from the seeded values.
+    */
+  def wordCountSeeded(words: Dataset[String], initial: Dataset[(String, Long)]): Dataset[(String, Long)] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val initialState = initial.groupByKey(_._1).mapValues(_._2)
+    words.groupByKey(identity)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout(), initialState) {
+        (word: String, occurrences: Iterator[String], state: GroupState[Long]) =>
+          val updated = state.getOption.getOrElse(0L) + occurrences.size
+          state.update(updated)
+          Iterator.single((word, updated))
+      }
+  }
+
   /** X3: multi-forward — the processor emits several records per key
     * (count and sum), like successive `context.forward` calls.
     */

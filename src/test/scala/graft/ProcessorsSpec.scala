@@ -114,6 +114,22 @@ class ProcessorsSpec extends GraftTest {
     } finally q.stop()
   }
 
+  test("X1 with pre-populated store: counts continue from seeded state") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[String]
+    val seeded = Seq(("hello", 40L), ("other", 7L)).toDS()
+    val q = Processors.wordCountSeeded(in.toDS(), seeded).toDF("word", "cnt").writeStream
+      .format("memory").queryName("x1_seeded").outputMode("update")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData("hello", "hello")
+      q.processAllAvailable()
+      val rows = spark.table("x1_seeded").collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.contains(("hello", 42L)), s"seeded 40 + 2 new = 42; got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("X1 via transformWithState: named ValueState store counts across batches") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
