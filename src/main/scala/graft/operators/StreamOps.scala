@@ -103,6 +103,14 @@ object StreamOps {
     /** S3 `to(path)` — batch sink: write as parquet (the engine's "topic"). */
     def to(path: String): Unit = df.write.mode("overwrite").parquet(path)
 
+    /** P7 + S3 fused: route to branches and write them in ONE pass,
+      * partitioned by branch tag — the single-scan alternative to N
+      * filtered writes when all branches land in storage anyway.
+      */
+    def toBranchedSink(path: String, defaultTag: Int, preds: Column*): Unit =
+      df.branchTag(defaultTag, preds: _*)
+        .write.partitionBy("branch").mode("overwrite").parquet(path)
+
     /** S6 `print(toSysOut)` — console debug sink. */
     def printToSysOut(label: String, n: Int = 20): DataFrame = {
       println(s"[$label]")

@@ -84,6 +84,28 @@ class StreamOpsSpec extends GraftTest {
     assert(acc.value === 4)
   }
 
+  test("binary Array[Byte] keys work through the typed surface") {
+    import spark.implicits._
+    // the reference keys streams by raw bytes in its map example
+    // (MapFunctionScalaExample.scala:114)
+    val ks = KStream(Seq((Array[Byte](1, 2), "a"), (Array[Byte](3), "b")).toDS())
+    val out = ks.mapValues(_.toUpperCase).ds.collect()
+      .map { case (k, v) => (k.toSeq, v) }.toSet
+    assert(out === Set((Seq[Byte](1, 2), "A"), (Seq[Byte](3), "B")))
+  }
+
+  test("branched partitioned sink writes disjoint branches in one pass") {
+    val dir = java.nio.file.Files.createTempDirectory("branch-sink").toString
+    fixture.toBranchedSink(dir, 2, col("key") === "a" || col("key") === "b", col("value") === "value2")
+    val back = spark.read.parquet(dir)
+    val byTag = back.collect().groupBy(_.getAs[Int]("branch"))
+      .view.mapValues(_.map(_.getAs[String]("key")).toSet).toMap
+    assert(byTag(0) === Set("a", "b") && byTag(1) === Set("d") && byTag(2) === Set("c"))
+    // partition pruning: reading one branch touches only its directory
+    val one = spark.read.parquet(dir).where(col("branch") === 1)
+    assert(one.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
   test("typed KStream mirrors reference lambda ergonomics end to end") {
     import spark.implicits._
     // the reference's word-count spine in typed form
