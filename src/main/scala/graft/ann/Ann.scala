@@ -29,7 +29,7 @@ object Ann {
     val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"))
     val scored = c.crossJoin(q) // broadcast nested loop over the small query set
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", cosineNative("qv", "cv"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -50,7 +50,7 @@ object Ann {
       explode(transform(probes, f => col("b0").bitwiseXOR(f))).as("bucket"))
     val r = base.select(col("vid").as("b"), col("v").as("vb"), col("b0").as("bucket"))
     l.join(r, Seq("bucket")).where(col("a") < col("b"))
-      .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .select(col("a"), col("b"), round(cosineNative("va", "vb"), 6).as("cos"))
       .distinct()
       .where(col("cos") >= threshold)
   }
@@ -93,7 +93,7 @@ object Ann {
 
     val scored = probed.join(assigned, Seq("list"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", cosineNative("qv", "cv"))
       .select("query_id", "neighbor_id", "cos").distinct()
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -118,7 +118,7 @@ object Ann {
       explode(transform(probes, f => col("b0").bitwiseXOR(f))).as("bucket"))
     val scored = q.join(c, Seq("bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", cosineNative("qv", "cv"))
       .select("query_id", "neighbor_id", "cos").distinct()
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

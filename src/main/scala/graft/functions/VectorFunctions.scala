@@ -20,6 +20,15 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Native-kernel cosine (graft.functions.CosineSimilarity — codegen'd
+    * primitive loop, no HOF lambda dispatch) for the candidate-pair hot
+    * path. Requires [[graft.GraftExtensions]] on the session (always true
+    * for `Graft.session`); takes column NAMES because custom expressions
+    * are reachable through the SQL parser.
+    */
+  def cosineNative(aCol: String, bCol: String): Column =
+    expr(s"cosine_sim($aCol, $bCol)")
+
   /** Signed random projection (SimHash for vectors): `nBits` hyperplanes
     * with deterministic ±1 components derived from xxhash64(planeIdx, dim)
     * — no stored model, reproducible across runs and executors. Returns an

@@ -66,6 +66,18 @@ class FunctionsSpec extends GraftTest {
     assert(out(2) === "en")
   }
 
+  test("native cosine_sim kernel matches the HOF expression to 1e-12") {
+    val emb = Graft.embeddings(spark, sf).limit(200)
+    val pairs = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+      .crossJoin(emb.select(col("vec_id").as("b"), col("embedding").as("vb")))
+      .where(col("a") < col("b")).limit(500)
+    val diffs = pairs.select(
+        abs(VectorFunctions.cosine(col("va"), col("vb")) -
+          VectorFunctions.cosineNative("va", "vb")).as("d"))
+      .agg(max("d")).head().getDouble(0)
+    assert(diffs < 1e-12, s"max |HOF - native| = $diffs")
+  }
+
   test("cosine similarity: exact on known vectors, self-similarity 1") {
     import spark.implicits._
     val df = Seq((Array(1f, 0f, 0f), Array(0f, 1f, 0f)), (Array(1f, 2f, 3f), Array(1f, 2f, 3f)))
