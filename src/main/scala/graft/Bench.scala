@@ -17,7 +17,7 @@ object Bench {
     * table views, dedup, ANN, text scan).
     */
   val headline: Seq[String] = Seq(
-    "q1_agg", "a1_wordcount", "a2_groupbykey", "a6_table_reduce",
+    "q1_agg", "q3_shipping", "a1_wordcount", "a2_groupbykey", "a6_table_reduce",
     "w1_tumbling", "w2_session",
     "j1_ss_inner", "j4_st_inner", "j6_tt_inner", "aj_asof",
     "d2_stream_to_table",

@@ -253,6 +253,25 @@ object CoreQueries {
         .agg(approx_count_distinct("key").as("approx_users"),
           count(lit(1)).as("cnt"))),
 
+    // Spark-inherited analytics beyond the reference's operator set
+    // (SURVEY §2.3: sort/limit/multi-way joins/rollup come free) — shown
+    // with oracles so the claim is checked, not asserted
+    "q3_shipping" -> ((s, d) =>
+      Joins.streamTableJoin(
+          Joins.streamTableJoin(
+            Graft.lineitem(s, d), Graft.orders(s, d), "l_orderkey", "o_orderkey", "inner",
+            broadcastTable = false),
+          Graft.customer(s, d).where(col("c_mktsegment") === "BUILDING"),
+          "o_custkey", "c_custkey", "inner")
+        .groupBy("l_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n_lines"))),
+
+    "q_rollup" -> ((s, d) =>
+      Graft.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))),
+
     "q1_agg" -> ((s, d) =>
       Graft.lineitem(s, d)
         .where(col("l_shipdate") <= lit("1998-09-02"))
@@ -284,6 +303,15 @@ object CoreQueries {
       """SELECT event_type AS key, count(*) AS cnt
          FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
          WHERE rn = 1 GROUP BY 1""",
+    "q3_shipping" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, count(*) AS n_lines
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY l_orderkey""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
                 round(sum(l_extendedprice), 2) AS sum_base_price,
