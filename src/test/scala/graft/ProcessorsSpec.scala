@@ -174,6 +174,37 @@ class ProcessorsSpec extends GraftTest {
     } finally q.stop()
   }
 
+  test("X4 checkpoint resume: restart processes only new data (exactly-once)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("x4-resume")
+    val srcDir = base.resolve("src"); val outDir = base.resolve("out"); val ckpt = base.resolve("ckpt")
+    java.nio.file.Files.createDirectories(srcDir)
+    // stage then move so the file stream sees complete files
+    def addFile(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staged = base.resolve(s"stage-$name")
+      rows.toDF("id", "v").coalesce(1).write.parquet(staged.toString)
+      val part = java.nio.file.Files.list(staged).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, srcDir.resolve(s"$name.parquet"))
+    }
+    val schema = Seq((1L, "x")).toDF("id", "v").schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    addFile("b1", Seq((1L, "a"), (2L, "b")))
+    runOnce() // first run: processes b1, commits offsets to the checkpoint
+    addFile("b2", Seq((3L, "c")))
+    runOnce() // resumed run: must process ONLY b2
+    val out = spark.read.parquet(outDir.toString).collect().map(_.getLong(0)).sorted
+    assert(out.toSeq === Seq(1L, 2L, 3L), s"each row exactly once across restarts; got ${out.toSeq}")
+  }
+
   test("T5 graceful stop leaves the query inactive and session healthy") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
