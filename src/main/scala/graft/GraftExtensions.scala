@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, RollingHash}
+import graft.functions.{CosineSimilarity, RollingHash, SrpBucket}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -19,5 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("srp_bucket"),
+      new ExpressionInfo(classOf[SrpBucket].getName, "srp_bucket"),
+      (children: Seq[Expression]) => SrpBucket(children.head, children(1))))
   }
 }

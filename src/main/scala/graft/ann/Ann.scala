@@ -44,7 +44,7 @@ object Ann {
   def cosinePairs(corpus: DataFrame, id: String, vec: String,
                   threshold: Double, nBits: Int = 8, probeBits: Int = 2): DataFrame = {
     val base = corpus.select(col(id).as("vid"), col(vec).as("v"),
-      srpBucket(col(vec), nBits).as("b0"))
+      expr(s"srp_bucket(`$vec`, $nBits)").as("b0"))
     val probes = array((lit(0) +: (0 until probeBits).map(b => lit(1 << b))): _*)
     val l = base.select(col("vid").as("a"), col("v").as("va"),
       explode(transform(probes, f => col("b0").bitwiseXOR(f))).as("bucket"))
@@ -109,9 +109,9 @@ object Ann {
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: String,
               vec: String, k: Int, nBits: Int = 8, probeBits: Int = 4): DataFrame = {
     val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
-      srpBucket(col(vec), nBits).as("bucket"))
+      expr(s"srp_bucket(`$vec`, $nBits)").as("bucket"))
     val qBase = queries.select(col(id).as("query_id"), col(vec).as("qv"),
-      srpBucket(col(vec), nBits).as("b0"))
+      expr(s"srp_bucket(`$vec`, $nBits)").as("b0"))
     // probe set: own bucket + 1-bit flips of the first probeBits bits
     val probes = array((lit(0) +: (0 until probeBits).map(b => lit(1 << b))): _*)
     val q = qBase.select(col("query_id"), col("qv"),

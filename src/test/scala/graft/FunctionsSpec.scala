@@ -66,6 +66,15 @@ class FunctionsSpec extends GraftTest {
     assert(out(2) === "en")
   }
 
+  test("native srp_bucket matches the HOF expression exactly") {
+    val emb = Graft.embeddings(spark, sf)
+    val mismatches = emb.select(
+        VectorFunctions.srpBucket(col("embedding"), 8).as("hof"),
+        expr("srp_bucket(embedding, 8)").as("native"))
+      .where(col("hof") =!= col("native")).count()
+    assert(mismatches === 0L, s"$mismatches vectors bucket differently")
+  }
+
   test("native cosine_sim kernel matches the HOF expression to 1e-12") {
     val emb = Graft.embeddings(spark, sf).limit(200)
     val pairs = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
