@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, RollingHash, SrpBucket}
+import graft.functions.{CosineSimilarity, MinHashAgg, RollingHash, SrpBucket}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -23,5 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("srp_bucket"),
       new ExpressionInfo(classOf[SrpBucket].getName, "srp_bucket"),
       (children: Seq[Expression]) => SrpBucket(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_agg"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
+      (children: Seq[Expression]) => MinHashAgg.fromChildren(children)))
   }
 }

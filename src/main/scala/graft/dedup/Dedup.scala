@@ -52,15 +52,31 @@ object Dedup {
     * past codegen limits and drops to interpreted eval (~30x slower,
     * measured at sf0.01).
     */
+  /** Permutation coefficients h_i(x) = a_i*x + b_i (wrapping 64-bit; odd
+    * a_i → bijection mod 2^64). Shared by the column form and the
+    * [[graft.functions.MinHashAgg]] imperative aggregate so their
+    * signatures are interchangeable.
+    */
+  def minhashCoeffs(numHashes: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(numHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+  }
+
   def minhashSigs(docs: DataFrame, id: String, text: String,
-                  numHashes: Int = 64, shingleK: Int = 3): DataFrame = {
-    val coeffs = {
-      val rnd = new scala.util.Random(42)
-      Seq.fill(numHashes)((rnd.nextLong() | 1L, rnd.nextLong())) // odd a → bijection mod 2^64
-    }
-    // permutation h_i(x) = a_i*x + b_i in wrapping 64-bit arithmetic:
-    // one multiply-add per (shingle, i) — ~10x cheaper than re-hashing
-    // with a full hash function, and min-wise over the 2^64 ring
+                  numHashes: Int = 64, shingleK: Int = 3): DataFrame =
+    // one TypedImperativeAggregate updating a long[k] buffer per shingle
+    // (graft.functions.MinHashAgg) — mergeable partials, map-side combine
+    docs.select(col(id).as("doc"), explode(shingleHashes(col(text), shingleK)).as("h"))
+      .groupBy("doc")
+      .agg(expr(s"minhash_agg(h, $numHashes)").as("sig"))
+
+  /** Column-expression form of the signature aggregation (k separate min
+    * aggregates) — extension-free fallback, checked equal to the
+    * imperative aggregate in DedupSpec.
+    */
+  def minhashSigsColumnar(docs: DataFrame, id: String, text: String,
+                          numHashes: Int = 64, shingleK: Int = 3): DataFrame = {
+    val coeffs = minhashCoeffs(numHashes)
     docs.select(col(id).as("doc"), explode(shingleHashes(col(text), shingleK)).as("h"))
       .groupBy("doc")
       .agg(array(coeffs.map { case (a, b) => min(col("h") * a + b) }: _*).as("sig"))

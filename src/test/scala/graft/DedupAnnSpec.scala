@@ -22,6 +22,13 @@ class DedupAnnSpec extends GraftTest {
     assert(out.length === 2)
   }
 
+  test("imperative minhash_agg signatures equal the columnar min-aggregate form") {
+    val a = Dedup.minhashSigs(docs, "doc_id", "text").withColumnRenamed("sig", "sa")
+    val b = Dedup.minhashSigsColumnar(docs, "doc_id", "text").withColumnRenamed("sig", "sb")
+    val mismatches = a.join(b, "doc").where(col("sa") =!= col("sb")).count()
+    assert(mismatches === 0L, s"$mismatches docs with diverging signatures")
+  }
+
   test("minhash est_jaccard approximates exact token-set jaccard") {
     // verify the estimator against exact jaccard on the pairs it surfaces
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
