@@ -63,7 +63,11 @@ object Graft {
     * surface, catalog-wide.
     */
   def registerTables(spark: SparkSession, dir: String): Unit = {
-    tableNames.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    tableNames.filterNot(_ == "events").foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    // events goes up in canonical form: raw nanos `ts` PLUS the engine's
+    // epoch-micros `ts_us` — SQL users get the convention every other
+    // surface (and the oracles' micros reads) uses
+    events(spark, dir).createOrReplaceTempView("events")
     eventsStream(spark, dir).createOrReplaceTempView("events_stream")
   }
 

@@ -29,7 +29,7 @@ object Ann {
     val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"))
     val scored = c.crossJoin(q) // broadcast nested loop over the small query set
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosineNative("qv", "cv"))
+      .withColumn("cos", cosineNative(corpus.sparkSession, "qv", "cv"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -44,13 +44,13 @@ object Ann {
   def cosinePairs(corpus: DataFrame, id: String, vec: String,
                   threshold: Double, nBits: Int = 8, probeBits: Int = 2): DataFrame = {
     val base = corpus.select(col(id).as("vid"), col(vec).as("v"),
-      expr(s"srp_bucket(`$vec`, $nBits)").as("b0"))
+      srpBucketNative(corpus.sparkSession, vec, nBits).as("b0"))
     val probes = array((lit(0) +: (0 until probeBits).map(b => lit(1 << b))): _*)
     val l = base.select(col("vid").as("a"), col("v").as("va"),
       explode(transform(probes, f => col("b0").bitwiseXOR(f))).as("bucket"))
     val r = base.select(col("vid").as("b"), col("v").as("vb"), col("b0").as("bucket"))
     l.join(r, Seq("bucket")).where(col("a") < col("b"))
-      .select(col("a"), col("b"), round(cosineNative("va", "vb"), 6).as("cos"))
+      .select(col("a"), col("b"), round(cosineNative(corpus.sparkSession, "va", "vb"), 6).as("cos"))
       .distinct()
       .where(col("cos") >= threshold)
   }
@@ -93,7 +93,7 @@ object Ann {
 
     val scored = probed.join(assigned, Seq("list"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosineNative("qv", "cv"))
+      .withColumn("cos", cosineNative(corpus.sparkSession, "qv", "cv"))
       .select("query_id", "neighbor_id", "cos").distinct()
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -109,16 +109,16 @@ object Ann {
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: String,
               vec: String, k: Int, nBits: Int = 8, probeBits: Int = 4): DataFrame = {
     val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
-      expr(s"srp_bucket(`$vec`, $nBits)").as("bucket"))
+      srpBucketNative(corpus.sparkSession, vec, nBits).as("bucket"))
     val qBase = queries.select(col(id).as("query_id"), col(vec).as("qv"),
-      expr(s"srp_bucket(`$vec`, $nBits)").as("b0"))
+      srpBucketNative(corpus.sparkSession, vec, nBits).as("b0"))
     // probe set: own bucket + 1-bit flips of the first probeBits bits
     val probes = array((lit(0) +: (0 until probeBits).map(b => lit(1 << b))): _*)
     val q = qBase.select(col("query_id"), col("qv"),
       explode(transform(probes, f => col("b0").bitwiseXOR(f))).as("bucket"))
     val scored = q.join(c, Seq("bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosineNative("qv", "cv"))
+      .withColumn("cos", cosineNative(corpus.sparkSession, "qv", "cv"))
       .select("query_id", "neighbor_id", "cos").distinct()
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

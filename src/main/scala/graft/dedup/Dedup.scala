@@ -44,14 +44,6 @@ object Dedup {
       aggregate(hashes, lit(Long.MaxValue), (acc, x) => least(acc, xxhash64(lit(i), x)))
     }: _*)
 
-  /** MinHash signatures via explode + hash aggregation — the 100 TB shape:
-    * shingle hashes explode within the scan partition, 64 codegen'd
-    * `min(xxhash64(seed, h))` aggregates fold map-side (one 64-long row
-    * per doc crosses the shuffle, ~0.5 KB regardless of doc size). An
-    * equivalent 64-way `aggregate()` higher-order expression per row blows
-    * past codegen limits and drops to interpreted eval (~30x slower,
-    * measured at sf0.01).
-    */
   /** Permutation coefficients h_i(x) = a_i*x + b_i (wrapping 64-bit; odd
     * a_i → bijection mod 2^64). Shared by the column form and the
     * [[graft.functions.MinHashAgg]] imperative aggregate so their
@@ -62,17 +54,27 @@ object Dedup {
     Seq.fill(numHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
   }
 
+  /** MinHash signatures — the 100 TB shape: shingle hashes explode within
+    * the scan partition and fold map-side into one 64-long row per doc
+    * (~0.5 KB across the shuffle regardless of doc size). Uses the
+    * [[graft.functions.MinHashAgg]] imperative aggregate (single long[k]
+    * buffer, mergeable partials) when GraftExtensions is on the session,
+    * else the columnar k-min form — identical signatures either way
+    * (asserted in DedupAnnSpec). A per-row higher-order fold is NOT an
+    * option: 64 `aggregate()` lambdas blow past codegen limits and drop
+    * to interpreted eval (~30x slower, measured at sf0.01).
+    */
   def minhashSigs(docs: DataFrame, id: String, text: String,
                   numHashes: Int = 64, shingleK: Int = 3): DataFrame =
-    // one TypedImperativeAggregate updating a long[k] buffer per shingle
-    // (graft.functions.MinHashAgg) — mergeable partials, map-side combine
-    docs.select(col(id).as("doc"), explode(shingleHashes(col(text), shingleK)).as("h"))
-      .groupBy("doc")
-      .agg(expr(s"minhash_agg(h, $numHashes)").as("sig"))
+    if (docs.sparkSession.catalog.functionExists("minhash_agg"))
+      docs.select(col(id).as("doc"), explode(shingleHashes(col(text), shingleK)).as("h"))
+        .groupBy("doc")
+        .agg(expr(s"minhash_agg(h, $numHashes)").as("sig"))
+    else minhashSigsColumnar(docs, id, text, numHashes, shingleK)
 
   /** Column-expression form of the signature aggregation (k separate min
     * aggregates) — extension-free fallback, checked equal to the
-    * imperative aggregate in DedupSpec.
+    * imperative aggregate in DedupAnnSpec.
     */
   def minhashSigsColumnar(docs: DataFrame, id: String, text: String,
                           numHashes: Int = 64, shingleK: Int = 3): DataFrame = {

@@ -17,6 +17,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   */
 case class CosineSimilarity(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // null result on length mismatch / null elements (matching the
+  // zip_with-based Column form, which null-propagates instead of
+  // silently scoring a truncated prefix)
+  override def nullable: Boolean = true
 
   private def isFloatArray(t: DataType): Boolean = t match {
     case ArrayType(FloatType, _) => true
@@ -33,7 +37,14 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
     CosineSimilarity.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.CosineSimilarity.compute($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.CosineSimilarity.compute($a, $b);
+      if (${ev.value}_r == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = ${ev.value}_r.doubleValue();
+      }
+    """)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
@@ -42,14 +53,19 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
 }
 
 object CosineSimilarity {
-  /** dot(a,b) / (|a| |b|) accumulated in double; one pass, no allocation. */
-  def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** dot(a,b) / (|a| |b|) accumulated in double; one pass, no allocation.
+    * Returns null (boxed) on length mismatch or null elements — corrupt
+    * vectors must surface, not rank.
+    */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y
@@ -58,6 +74,6 @@ object CosineSimilarity {
       i += 1
     }
     val denom = math.sqrt(na) * math.sqrt(nb)
-    if (denom == 0.0) 0.0 else dot / denom
+    if (denom == 0.0) java.lang.Double.valueOf(0.0) else java.lang.Double.valueOf(dot / denom)
   }
 }

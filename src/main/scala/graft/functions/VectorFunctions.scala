@@ -20,14 +20,23 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
-  /** Native-kernel cosine (graft.functions.CosineSimilarity — codegen'd
-    * primitive loop, no HOF lambda dispatch) for the candidate-pair hot
-    * path. Requires [[graft.GraftExtensions]] on the session (always true
-    * for `Graft.session`); takes column NAMES because custom expressions
-    * are reachable through the SQL parser.
+  /** Cosine for the candidate-pair hot path: the native kernel
+    * (graft.functions.CosineSimilarity — codegen'd primitive loop, no HOF
+    * lambda dispatch) when [[graft.GraftExtensions]] is registered on the
+    * session (always true for `Graft.session`), else the Column form.
+    * Takes column NAMES because custom expressions are reachable through
+    * the SQL parser.
     */
-  def cosineNative(aCol: String, bCol: String): Column =
-    expr(s"cosine_sim($aCol, $bCol)")
+  def cosineNative(spark: org.apache.spark.sql.SparkSession, aCol: String, bCol: String): Column =
+    if (spark.catalog.functionExists("cosine_sim")) expr(s"cosine_sim(`$aCol`, `$bCol`)")
+    else cosine(col(aCol), col(bCol))
+
+  /** SRP bucket with the same native-or-fallback dispatch (bit-exact
+    * either way — see graft.functions.SrpBucket).
+    */
+  def srpBucketNative(spark: org.apache.spark.sql.SparkSession, vecCol: String, nBits: Int): Column =
+    if (spark.catalog.functionExists("srp_bucket")) expr(s"srp_bucket(`$vecCol`, $nBits)")
+    else srpBucket(col(vecCol), nBits)
 
   /** Signed random projection (SimHash for vectors): `nBits` hyperplanes
     * with deterministic ±1 components derived from xxhash64(planeIdx, dim)

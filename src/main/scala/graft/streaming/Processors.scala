@@ -45,7 +45,10 @@ object Processors {
   def wordCountSeeded(words: Dataset[String], initial: Dataset[(String, Long)]): Dataset[(String, Long)] = {
     val spark = words.sparkSession
     import spark.implicits._
-    val initialState = initial.groupByKey(_._1).mapValues(_._2)
+    // fold duplicate seed keys first: the initial-state contract is one
+    // state row per key (duplicates fail the query at runtime)
+    val initialState = initial.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+      .groupByKey(_._1).mapValues(_._2)
     words.groupByKey(identity)
       .flatMapGroupsWithState[Long, (String, Long)](
         OutputMode.Update(), GroupStateTimeout.NoTimeout(), initialState) {

@@ -82,7 +82,7 @@ class FunctionsSpec extends GraftTest {
       .where(col("a") < col("b")).limit(500)
     val diffs = pairs.select(
         abs(VectorFunctions.cosine(col("va"), col("vb")) -
-          VectorFunctions.cosineNative("va", "vb")).as("d"))
+          VectorFunctions.cosineNative(spark, "va", "vb")).as("d"))
       .agg(max("d")).head().getDouble(0)
     assert(diffs < 1e-12, s"max |HOF - native| = $diffs")
   }
