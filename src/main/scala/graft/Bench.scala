@@ -18,11 +18,11 @@ object Bench {
     */
   val headline: Seq[String] = Seq(
     "q1_agg", "q3_shipping", "a1_wordcount", "a2_groupbykey", "a6_table_reduce",
-    "w1_tumbling", "w2_session",
-    "j1_ss_inner", "j4_st_inner", "j6_tt_inner", "aj_asof",
+    "w1_tumbling", "w2_session", "w4_hopping",
+    "j1_ss_inner", "j3_ss_outer", "j4_st_inner", "j6_tt_inner", "aj_asof",
     "d2_stream_to_table",
     "dd_exact", "dd_minhash", "dd_simhash", "dd_ngram_jaccard", "dd_embedding",
-    "ann_brute", "ann_lsh",
+    "ann_brute", "ann_lsh", "ann_ivf",
     "txt_quality", "txt_fingerprint", "mm_features")
 
   def main(args: Array[String]): Unit = {

@@ -76,20 +76,33 @@ object Ann {
     val model = new KMeans().setK(nLists).setSeed(42).setFeaturesCol("features").fit(train)
     val centroids = model.clusterCenters.map(_.toArray)
 
-    // nearest-`n` centroid ids for a vector, as a broadcast-free literal
-    // expression (centroids are tiny): cosine against each centroid
-    def nearestLists(v: org.apache.spark.sql.Column, n: Int) = {
-      val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-        val cCol = array(c.map(lit): _*)
-        struct(cosine(v, cCol).as("s"), lit(i).as("list"))
-      }: _*)
-      slice(reverse(array_sort(scored)), 1, n)
+    // the centroid matrix ships ONCE per executor as a Spark broadcast and
+    // the plan carries a single udf node, so plan size is O(1) in nLists.
+    // (The earlier literal-expression form inlined every centroid into the
+    // plan — O(nLists × dim) plan text, pathological at the ~4k lists a
+    // 100 TB corpus wants.) Norms are precomputed with the broadcast.
+    val bcCent = corpus.sparkSession.sparkContext.broadcast(
+      centroids.map(c => (c, math.sqrt(c.map(x => x * x).sum))))
+
+    // nearest-`n` centroid ids by cosine (ties broken by lower list id)
+    def nearestLists(n: Int) = udf { (v: Seq[Double]) =>
+      if (v == null) null
+      else {
+        val arr = v.toArray
+        val vn = math.sqrt(arr.map(x => x * x).sum)
+        bcCent.value.zipWithIndex.map { case ((c, cn), i) =>
+          var dot = 0.0
+          var j = 0
+          while (j < arr.length && j < c.length) { dot += arr(j) * c(j); j += 1 }
+          (if (vn == 0.0 || cn == 0.0) 0.0 else dot / (vn * cn), i)
+        }.sortBy { case (s, i) => (-s, i) }.take(n).map(_._2).toSeq
+      }
     }
 
     val assigned = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"))
-      .withColumn("list", nearestLists(col("cv"), 1).getItem(0).getField("list"))
+      .withColumn("list", nearestLists(1)(col("cv").cast("array<double>")).getItem(0))
     val probed = queries.select(col(id).as("query_id"), col(vec).as("qv"))
-      .withColumn("list", explode(nearestLists(col("qv"), nProbe).getField("list")))
+      .withColumn("list", explode(nearestLists(nProbe)(col("qv").cast("array<double>"))))
 
     val scored = probed.join(assigned, Seq("list"))
       .where(col("neighbor_id") =!= col("query_id"))

@@ -76,16 +76,16 @@ object Joins {
     sparkJoinType(joinType) match {
       case "inner" => inner
       case outerKind =>
-        // one extra traversal of the join builds the (small) matched-id
-        // pair set; persisting it keeps the anti-join probes from
-        // re-executing the bucketed join per side (2 joins total instead
-        // of 3 for full_outer — ids are tiny relative to the join itself)
-        val matched = inner
+        // the bucketed join executes ONCE: `inner` is persisted, and both
+        // the union arm and the matched-id probes read the cache instead
+        // of re-running the join (the join is the expensive part; the id
+        // projections over it are cheap cache scans)
+        val innerP = inner.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val matched = innerP
           .select(col(s"l_$idCol").as("ml"), col(s"r_$idCol").as("mr")).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val unmatchedL = l.join(matched.select(col("ml")).distinct(),
           col(s"l_$idCol") === col("ml"), "left_anti")
-        val leftOuter = inner.unionByName(nullPad(unmatchedL, r))
+        val leftOuter = innerP.unionByName(nullPad(unmatchedL, r))
         outerKind match {
           case "left_outer" => leftOuter
           case "full_outer" =>

@@ -9,11 +9,16 @@ import org.apache.spark.sql.functions._
   * StreamToTableJoinExample.scala:59-67).
   *
   * A "table" is the latest-per-key snapshot of a keyed, timestamped stream.
-  * Implemented as a single hash aggregation `groupBy(key).agg(max_by(...))`
-  * — one shuffle on the key, map-side partial aggregation, no global sort,
-  * no window function, no driver collection — the only shape that holds at
-  * 100 TB (a row_number-over-sort would sort every partition; max_by folds
-  * to one struct per key on the map side first).
+  * Implemented as a single aggregation `groupBy(key).agg(max_by(...))` —
+  * one shuffle on the key, map-side partial aggregation, no window
+  * function, no global sort, no driver collection. What Spark actually
+  * plans: max_by's struct buffer is not hash-aggregable, so this runs as
+  * SortAggregate with PER-PARTITION sorts on both sides of the single
+  * exchange (no range partitioning — nothing global). That is still the
+  * right 100 TB shape: partials fold each key to one struct on the map
+  * side before the shuffle, whereas a row_number-over-window would ship
+  * EVERY row through the exchange and sort full partitions before
+  * discarding all but one row per key.
   */
 object TableView {
 

@@ -91,6 +91,23 @@ object CoreQueries {
       Graft.nation(s, d).createOrReplaceTempView("nation_v")
       Graft.region(s, d).createOrReplaceTempView("region_v")
       s.sql("SELECT n_name, r_name FROM nation_v JOIN region_v ON n_regionkey = r_regionkey")
+    }),
+
+    "s_avro_roundtrip" -> ((s, d) => {
+      // Avro serde capability (SURVEY §1.2; the reference declares Avro
+      // serdes it never exercises — reference pom.xml:46-60): write the
+      // region table through Spark's Avro serializer and read it back —
+      // identity checked against the plain-table oracle. This distribution
+      // ships AvroFileFormat inside spark-sql but NOT the spark-avro
+      // connector package that the to_avro/from_avro SQL wrappers load
+      // reflectively, so the format is addressed by class name; the
+      // serde core exercised (AvroSerializer/AvroDeserializer) is the
+      // same either way.
+      val avroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+      val out = tmp("avro")
+      val region = Graft.region(s, d)
+      region.write.mode("overwrite").format(avroFormat).save(out)
+      s.read.format(avroFormat).schema(region.schema).load(out)
     }))
 
   val sourceOracles: Map[String, String] = Map(
@@ -114,7 +131,8 @@ object CoreQueries {
       "SELECT range AS id, 'u' || CAST(range % 15 AS VARCHAR) AS user_key, (range * 37) % 100 AS score FROM range(0, 1000)",
     "s9_csv_source" -> "SELECT * FROM region",
     "s10_ddl" ->
-      "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey")
+      "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey",
+    "s_avro_roundtrip" -> "SELECT * FROM region")
 
   // ---- P: stateless transforms -------------------------------------------
 
@@ -346,6 +364,20 @@ object CoreQueries {
           .groupBy(window(col("event_time"), "5 minutes"), col("event_type")).count()
           .select(col("event_type"),
             unix_timestamp(col("window.start")).as("window_start_s"),
+            col("count").as("cnt")))),
+
+    // W2 through the streaming engine end-to-end: readStream → watermark
+    // (grace) → native session_window aggregation (merging session state
+    // store) → memory sink; same oracle as the batch gaps-and-islands form
+    "w2_streaming" -> ((s, d) =>
+      StreamingQueries.runCompleteAggToMemory(s, d, "events", "w2s_sessions",
+        df => df
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("event_time", "3 minutes")
+          .groupBy(session_window(col("event_time"), "1 hour"), col("user_id"))
+          .count()
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("session_start_us"),
             col("count").as("cnt")))))
 
   val windowOracles: Map[String, String] = Map(
@@ -372,7 +404,17 @@ object CoreQueries {
          SELECT event_type, ws AS window_start_s, count(*) AS cnt FROM w GROUP BY 1, 2""",
     "w1_streaming" ->
       """SELECT event_type, epoch_us(time_bucket(INTERVAL '5 minutes', ts)) // 1000000 AS window_start_s, count(*) AS cnt
-         FROM events GROUP BY 1, 2""")
+         FROM events GROUP BY 1, 2""",
+    "w2_streaming" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+              m AS (SELECT user_id, ts_us,
+                           CASE WHEN lag(ts_us) OVER w IS NULL
+                                  OR ts_us - lag(ts_us) OVER w >= 3600000000 THEN 1 ELSE 0 END AS brk
+                    FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+              g AS (SELECT user_id, ts_us,
+                           sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS grp
+                    FROM m)
+         SELECT user_id, min(ts_us) AS session_start_us, count(*) AS cnt FROM g GROUP BY user_id, grp""")
 
   // ---- J: joins -----------------------------------------------------------
 

@@ -136,19 +136,20 @@ object PipelineQueries {
 
     // ---- sketches ---------------------------------------------------------
     "sk_cms" -> ((s, d) => {
-      // count-min sketch of event_type frequencies: build distributed,
-      // query the merged sketch (overestimate-only guarantee checked here
-      // by emitting est alongside exact)
-      import s.implicits._
+      // count-min sketch of event_type frequencies: build distributed
+      // (map-side partial count_min_sketch agg → one-row sketch), then
+      // query distributed too — the one-row sketch broadcast-joins onto
+      // the exact per-key counts and graft.functions.CmsEstimator decodes
+      // it once per task to evaluate estimateCount executor-side. No
+      // collect: distinct-key cardinality never reaches the driver, so the
+      // shape survives a high-cardinality column at 100 TB.
       val ev = Graft.eventsStream(s, d)
-      val sketchBytes = ev.select(col("value"))
-        .agg(count_min_sketch(col("value"), lit(0.001), lit(0.99), lit(42)).as("sk"))
-        .head().getAs[Array[Byte]](0)
-      val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(sketchBytes))
-      val exact = ev.groupBy(col("value").as("key")).agg(count(lit(1)).as("cnt")).collect()
-      exact.map(r => (r.getString(0), r.getLong(1), sketch.estimateCount(r.getString(0))))
-        .toSeq.toDF("key", "exact_cnt", "cms_est")
+      val sketchRow = ev.select(col("value"))
+        .agg(count_min_sketch(col("value"), lit(0.001), lit(0.99), lit(42)).as("_sk"))
+      val exact = ev.groupBy(col("value").as("key")).agg(count(lit(1)).as("exact_cnt"))
+      val cmsEst = udf(new graft.functions.CmsEstimator)
+      exact.join(broadcast(sketchRow))
+        .select(col("key"), col("exact_cnt"), cmsEst(col("_sk"), col("key")).as("cms_est"))
     }))
 
   val oracles: Map[String, String] = Map(

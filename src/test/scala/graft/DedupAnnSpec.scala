@@ -148,6 +148,11 @@ class DedupAnnSpec extends GraftTest {
   }
 
   test("IVF ANN: probing more lists strictly improves recall; full probe is exact") {
+    // nLists = 64 on purpose: centroids travel via a Spark broadcast (one
+    // udf node in the plan), so the list count must NOT blow up plan size
+    // — this test would OOM the driver's plan text with the old
+    // literal-centroid form at 64 lists
+    val nLists = 64
     val emb = Graft.embeddings(spark, sf)
     val queries = emb.where(col("vec_id") < 20)
     val truth = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
@@ -155,15 +160,15 @@ class DedupAnnSpec extends GraftTest {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     def recallAt(nProbe: Int): Double = {
       val found = Ann.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
-        nLists = 8, nProbe = nProbe)
+        nLists = nLists, nProbe = nProbe)
         .select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       truth.intersect(found).size.toDouble / truth.size
     }
-    val r2 = recallAt(2)
-    val r8 = recallAt(8) // probing every list == brute force
-    assert(r8 === 1.0, s"full probe must be exact, got $r8")
-    assert(r2 >= 0.2 && r2 <= r8, s"partial probe recall $r2")
+    val rPartial = recallAt(8)
+    val rFull = recallAt(nLists) // probing every list == brute force
+    assert(rFull === 1.0, s"full probe must be exact, got $rFull")
+    assert(rPartial >= 0.2 && rPartial <= rFull, s"partial probe recall $rPartial")
   }
 
   test("brute-force ANN is exact top-k (agrees with itself on re-run, k bound)") {

@@ -32,12 +32,17 @@ class PlanSpec extends GraftTest {
       "scan must prune to the single projected column:\n" + p.take(2000))
   }
 
-  test("latest-per-key is one exchange + max_by partial aggregation, no sort") {
+  test("latest-per-key: one hash exchange, max_by partials, no window, no global sort") {
     val p = plan("s2_table_source")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges === 1, s"expected exactly 1 shuffle, plan:\n${p.take(3000)}")
     assert(p.contains("partial_max_by") || p.contains("max_by"), p.take(2000))
     assert(!p.contains("Window"), "no window-function fallback for table views")
+    // max_by's struct buffer falls back to SortAggregate — per-partition
+    // sorts are expected and fine; a GLOBAL sort (range partitioning)
+    // would not be
+    assert(!p.contains("Exchange rangepartitioning"),
+      "latest-per-key must never range-partition (global sort):\n" + p.take(3000))
   }
 
   test("LSH dedup and blocking joins never cartesian-product") {

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source-surface tests beyond the driver gate: S9 parity with the
+  * reference's song fixture shape, and the Avro serde round-trip.
+  *
+  * The reference's CSV fixture (reference:
+  * src/test/resources/song_source.csv, used by its song-count example) is
+  * a headerless 5-column file `id,album,artist,song,genre`. The fixture
+  * below reproduces the SHAPE (schema, headerless format, a genre worth
+  * filtering on) with original rows — the point is that a user's existing
+  * file loads unchanged through [[Sources.csv]].
+  */
+class SourcesSpec extends GraftTest {
+
+  private val songSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("album", StringType),
+    StructField("artist", StringType),
+    StructField("song", StringType),
+    StructField("genre", StringType)))
+
+  private def writeSongFixture(): String = {
+    val dir = Files.createTempDirectory("graft-songs")
+    val rows = Seq(
+      "1,First Light,The Harbor Lights,Morning Tide,Folk",
+      "2,First Light,The Harbor Lights,Gulls Over Granite,Folk",
+      "3,Static Bloom,Cassette Future,Neon Garden,Synth",
+      "4,Static Bloom,Cassette Future,Midnight Arcade,Synth",
+      "5,Static Bloom,Cassette Future,Rewind Culture,Synth",
+      "6,Gravel Road,June Calloway,Long Way South,Country")
+    Files.write(dir.resolve("songs.csv"), rows.mkString("\n").getBytes("UTF-8"))
+    dir.toAbsolutePath.toString
+  }
+
+  test("S9 song-fixture parity: headerless id,album,artist,song,genre CSV loads with explicit schema") {
+    val songs = Sources.csv(spark, writeSongFixture(), songSchema, header = false)
+    assert(songs.schema === songSchema)
+    assert(songs.count() === 6)
+    // the reference's usage shape: filter one genre, count per artist
+    val synth = songs.where(col("genre") === "Synth")
+      .groupBy("artist").count().collect()
+    assert(synth.length === 1)
+    assert(synth.head.getString(0) === "Cassette Future")
+    assert(synth.head.getLong(1) === 3L)
+    // typed column survives the explicit schema (no header inference)
+    assert(songs.agg(max("id")).head().getLong(0) === 6L)
+  }
+
+  test("Avro round-trip is the identity on the region table") {
+    val direct = Graft.region(spark, sf).collect().map(_.toSeq).toSet
+    val viaAvro = SparkEntry.queries("s_avro_roundtrip")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(viaAvro === direct)
+  }
+}
