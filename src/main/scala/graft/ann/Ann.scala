@@ -65,15 +65,20 @@ object Ann {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
               k: Int, nLists: Int = 16, nProbe: Int = 4,
-              trainSampleFraction: Double = 1.0): DataFrame = {
+              trainSampleFraction: Double = 1.0, maxIter: Int = 10): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.linalg.{Vector => MlVector}
 
+    // training is the fixed cost of IVF: at corpus scale, train on a
+    // sample (`trainSampleFraction`) — centroid quality converges long
+    // before the full corpus is seen; 10 Lloyd iterations suffice for
+    // bucketing (recall comes from nProbe, not centroid perfection)
     val asVec = corpus.select(col(id).as("cid"),
       array_to_vector(col(vec).cast("array<double>")).as("features"))
     val train = if (trainSampleFraction >= 1.0) asVec else asVec.sample(trainSampleFraction, 42)
-    val model = new KMeans().setK(nLists).setSeed(42).setFeaturesCol("features").fit(train)
+    val model = new KMeans().setK(nLists).setSeed(42).setMaxIter(maxIter)
+      .setFeaturesCol("features").fit(train)
     val centroids = model.clusterCenters.map(_.toArray)
 
     // the centroid matrix ships ONCE per executor as a Spark broadcast and

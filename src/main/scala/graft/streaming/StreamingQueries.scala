@@ -87,7 +87,7 @@ object StreamingQueries {
       q.awaitTermination()
       spark.table(name)
     }
-    once(s"${queryName}_first").collect()
+    once(s"${queryName}_first").write.mode("overwrite").format("noop").save()
     // cleanUp: wipe local state, then recompute from the source
     deleteRecursively(Paths.get(ckpt))
     once(queryName)

@@ -53,6 +53,20 @@ class PlanSpec extends GraftTest {
     }
   }
 
+  test("sk_cms builds the sketch distributed and estimates executor-side") {
+    val p = plan("sk_cms")
+    assert(p.contains("partial_count_min_sketch"),
+      "sketch must build with map-side partials:\n" + p.take(2000))
+    assert(p.contains("BroadcastExchange"),
+      "the one-row sketch must broadcast to the estimate side (never a driver collect):\n" + p.take(2000))
+  }
+
+  test("outer windowed join reuses the cached inner join instead of re-executing it") {
+    val p = plan("j3_ss_outer")
+    assert(p.contains("InMemoryTableScan"),
+      "inner join must be persisted and read back for the union + anti-join arms:\n" + p.take(3000))
+  }
+
   test("brute-force ANN is the one sanctioned nested-loop (broadcast small queries)") {
     val p = plan("ann_brute")
     assert(p.contains("BroadcastNestedLoopJoin"),
