@@ -157,6 +157,77 @@ object Dedup {
       .drop("toks_a", "toks_b")
   }
 
+  // ---- duplicate-cluster resolution ---------------------------------------
+
+  /** Connected components over a candidate-pair set (columns `a`, `b`) —
+    * the resolution stage after pair generation: pairs chain into duplicate
+    * CLUSTERS (a~b, b~c ⇒ {a,b,c}), and each document maps to its
+    * cluster's canonical id (the minimum member id, so `comp` doubles as
+    * the keep-id). Output: (node, comp).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the minimum label among itself and its neighbors; rounds are a
+    * join + hash aggregation (both shuffles on node id), and the driver
+    * sees only a one-row convergence probe per round, never the data.
+    * Rounds needed = graph diameter; near-dup clusters are dense (LSH
+    * emits most intra-cluster pairs) so diameters are small. `maxIter`
+    * bounds pathological chains; each round's result is persisted so
+    * lineage stays one round deep.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().persist(MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")).persist(MEMORY_AND_DISK)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("comp").as("nbr_comp")), "dst")
+        .groupBy(col("src").as("node")).agg(min("nbr_comp").as("nbr_comp"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .persist(MEMORY_AND_DISK)
+      // convergence probe: did ANY label change? (limit 1 — the probe cost
+      // is bounded regardless of graph size)
+      val changed = next
+        .join(labels.select(col("node"), col("comp").as("old")), "node")
+        .where(col("comp") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0L
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  // ---- benchmark decontamination ------------------------------------------
+
+  /** Contaminated corpus ids: documents sharing at least one word `n`-gram
+    * with any document in `evalSet` (the standard train/test-leakage
+    * check). STRICT n-grams — documents shorter than `n` tokens produce no
+    * grams and can't contaminate (no token-level fallback here, unlike
+    * [[graft.functions.TextFunctions.wordNgrams]]'s shingling use).
+    *
+    * Scale shape: eval sets (benchmarks) are tiny next to the corpus, so
+    * the distinct eval grams BROADCAST and the corpus side is one scan +
+    * explode + broadcast semi-join — the corpus never shuffles.
+    */
+  def contaminatedIds(corpus: DataFrame, evalSet: DataFrame, id: String,
+                      text: String, n: Int = 8): DataFrame = {
+    def strictGrams(t: Column) =
+      when(size(TextFunctions.tokens(t)) >= n,
+        array_distinct(TextFunctions.wordNgrams(t, n))).otherwise(array())
+    val evalGrams = evalSet.select(explode(strictGrams(col(text))).as("g")).distinct()
+    corpus.select(col(id), explode(strictGrams(col(text))).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select(col(id)).distinct()
+  }
+
   // ---- SimHash ------------------------------------------------------------
 
   /** 64-bit SimHash: for each bit position, sum ±1 contributions of every

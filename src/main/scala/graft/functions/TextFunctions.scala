@@ -84,6 +84,43 @@ object TextFunctions {
       (punctRatio(text) < lit(0.3)) &&
       meanTokenLen(text).between(2.0, 12.0)
 
+  /** PII redaction for training corpora: replace emails, IPv4 addresses,
+    * and phone-shaped number runs with typed placeholder tags. Pure
+    * regexp_replace chain (codegen'd, scan-local). Patterns are
+    * RE2-compatible (no lookarounds, no backrefs) so the identical
+    * patterns run in other engines for oracle checks. Order matters:
+    * emails first (their local part can look phone-like), then IPs (dotted
+    * digit runs would otherwise half-match the phone pattern), then
+    * phones.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern = "(\\+?\\d{1,3}[-. ]?)?\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}\\b"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
+  /** Deterministic dataset splitting: hash-bucket a stable key (md5 of the
+    * key's string form — engine-portable, seed-free) into `nBuckets`, and
+    * assign train/val/test by bucket range. Pure expressions: the split is
+    * reproducible across runs, engines, and repartitioning — the property
+    * a training pipeline needs so examples never migrate between splits.
+    */
+  def splitBucket(key: Column, nBuckets: Int = 100): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long"),
+      lit(nBuckets.toLong))
+
+  def splitAssign(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val b = splitBucket(key)
+    when(b < trainPct, lit("train"))
+      .when(b < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+
   /** Language-ID scores: per-language marker-token hit counts over a fixed
     * marker lexicon (n-gram/stopword heuristic). `argmaxLang` picks the
     * best-scoring language with deterministic alphabetical tie-break, else

@@ -68,6 +68,39 @@ object PipelineQueries {
       // hashing → DedupSpec property tests.
       Dedup.simhashPairs(Graft.documents(s, d), "doc_id", "text", maxHamming = 3)),
 
+    "dd_components" -> ((s, d) => {
+      // duplicate-cluster resolution: verified near-dup pairs chain into
+      // clusters via iterative min-label propagation (node → canonical
+      // min-id). Oracle: DuckDB recursive CTE transitive closure.
+      val docs = Graft.documents(s, d)
+      val l = docs.select(col("lang"), col("n_chars"), col("doc_id").as("a"))
+      val r = docs.select(col("lang"), col("n_chars"), col("doc_id").as("b"))
+      val pairs = l.join(r, Seq("lang", "n_chars")).where(col("a") < col("b"))
+        .select("a", "b")
+      val verified = Dedup.verifyJaccard(pairs, docs, "doc_id", "text")
+        .where(col("jaccard") >= 0.5).select("a", "b")
+      Dedup.connectedComponents(verified)
+    }),
+
+    "pp_decontam" -> ((s, d) => {
+      // benchmark decontamination: corpus docs sharing an 8-gram with the
+      // "eval set" (every 10th doc stands in for a benchmark — a split
+      // that provably intersects the corpus's planted near-dup clusters);
+      // eval grams broadcast, corpus never shuffles
+      val docs = Graft.documents(s, d)
+      Dedup.contaminatedIds(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", n = 8)
+    }),
+
+    "pp_split" -> ((s, d) =>
+      // deterministic train/val/test assignment: md5-bucketed key, stable
+      // across runs/engines/partitioning
+      Graft.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.splitAssign(col("doc_id")).as("split"))),
+
     // ---- similarity search ------------------------------------------------
     "ann_brute" -> ((s, d) => {
       val emb = Graft.embeddings(s, d)
@@ -111,6 +144,17 @@ object PipelineQueries {
       Graft.documents(s, d).select(
         col("doc_id"),
         TextFunctions.fingerprintHex(col("text")).as("fp16"))),
+
+    "txt_redact" -> ((s, d) =>
+      // PII redaction: the corpus text is synthetic word-bags, so plant a
+      // deterministic email/IP/phone per doc and redact — the oracle
+      // plants and redacts identically (RE2-compatible patterns)
+      Graft.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.redactPii(concat(
+          col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com at 10.0.0.7 or +1 (555) 123-4567 now")))
+          .as("redacted"))),
 
     "txt_rollinghash" -> ((s, d) => {
       // native Catalyst expression (graft.functions.RollingHash) via the
@@ -211,6 +255,50 @@ object PipelineQueries {
          FROM f""",
     "txt_fingerprint" ->
       "SELECT doc_id, substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16) AS fp16 FROM documents",
+    "txt_redact" ->
+      """SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(
+                  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com at 10.0.0.7 or +1 (555) 123-4567 now',
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                  '(\+?\d{1,3}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b', '<PHONE>', 'g') AS redacted
+         FROM documents""",
+    "dd_components" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0)) AS tk,
+                                        lang, n_chars
+                                 FROM documents),
+              p AS (SELECT l.doc_id AS a, r.doc_id AS b
+                    FROM toks l JOIN toks r ON l.lang = r.lang AND l.n_chars = r.n_chars AND l.doc_id < r.doc_id
+                    WHERE round(CAST(len(list_intersect(l.tk, r.tk)) AS DOUBLE) /
+                                CAST(len(list_distinct(list_concat(l.tk, r.tk))) AS DOUBLE), 4) >= 0.5),
+              edges AS (SELECT a AS src, b AS dst FROM p UNION SELECT b AS src, a AS dst FROM p),
+              reach AS (SELECT src AS node, src AS comp FROM edges
+                        UNION
+                        SELECT e.src AS node, r.comp AS comp FROM edges e JOIN reach r ON e.dst = r.node)
+         SELECT node, min(comp) AS comp FROM reach GROUP BY node""",
+    "pp_decontam" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0) AS l
+                       FROM documents),
+              grams AS (SELECT doc_id,
+                               CASE WHEN len(l) >= 8
+                                 THEN list_distinct(list_transform(generate_series(1, len(l) - 7),
+                                        i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' ||
+                                             l[i+4] || ' ' || l[i+5] || ' ' || l[i+6] || ' ' || l[i+7]))
+                                 ELSE CAST([] AS VARCHAR[]) END AS g
+                        FROM toks),
+              ev AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 10 = 0),
+              co AS (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 10 <> 0)
+         SELECT DISTINCT co.doc_id AS doc_id FROM co JOIN ev ON co.gram = ev.gram""",
+    "pp_split" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+              v AS (SELECT doc_id,
+                           ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096 +
+                            (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256 +
+                            (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16 +
+                            (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) % 100 AS b
+                    FROM h)
+         SELECT doc_id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         FROM v""",
     "mm_frames" ->
       """SELECT doc_id AS asset_id, i AS frame_idx, substring(text, i * 32 + 1, 32) AS frame_str
          FROM documents, UNNEST(generate_series(0, CAST(strlen(text) // 32 AS INT) - 1, 4)) AS t(i)""",

@@ -133,6 +133,36 @@ class DedupAnnSpec extends GraftTest {
       }
   }
 
+  test("connected components resolves pair chains to min-id clusters") {
+    import spark.implicits._
+    // chain 1-2-3 (never directly 1-3), plus a separate pair, plus a
+    // 4-node path 20-21-22-23 whose min must propagate two hops
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
+  test("decontamination flags only corpus docs sharing a strict 8-gram with the eval set") {
+    import spark.implicits._
+    val evalDoc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      // contains the eval doc's first 8 tokens verbatim → contaminated
+      (100L, s"prefix words then alpha beta gamma delta epsilon zeta eta theta suffix"),
+      // same vocabulary, different order → no shared 8-gram
+      (101L, "kappa iota theta eta zeta epsilon delta gamma beta alpha"),
+      // shorter than 8 tokens → produces no grams, can never contaminate
+      (102L, "alpha beta gamma delta"),
+      (103L, "completely unrelated words about something else entirely here now")
+    ).toDF("doc_id", "text")
+    val flagged = Dedup.contaminatedIds(corpus,
+        Seq((1L, evalDoc)).toDF("doc_id", "text"), "doc_id", "text", n = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged === Set(100L))
+  }
+
   test("embedding-cosine near-dup: every pair verified, planted dup found") {
     import spark.implicits._
     val emb = Graft.embeddings(spark, sf)

@@ -144,4 +144,36 @@ class FunctionsSpec extends GraftTest {
     assert(feats(1L) === ((2L, 'a'.toInt, ('a' + 'b').toLong)))
     assert(feats(2L) === ((0L, -1, 0L)))
   }
+
+  test("PII redaction replaces emails, IPs, and phones; clean text untouched") {
+    import spark.implicits._
+    val rows = Seq(
+      ("mail me at jane.doe+x@sub.example.org today", "mail me at <EMAIL> today"),
+      ("server 10.0.0.7 then call +1 (555) 123-4567", "server <IP> then call <PHONE>"),
+      ("two mails a@b.co and c@d.io here", "two mails <EMAIL> and <EMAIL> here"),
+      ("plain sentence with words only", "plain sentence with words only"),
+      ("dial 555-123-4567 now", "dial <PHONE> now"))
+    val out = rows.map(_._1).toDF("text")
+      .select(TextFunctions.redactPii(col("text")).as("r"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq === rows.map(_._2))
+  }
+
+  test("split assignment is deterministic, total, and ratio-plausible") {
+    import spark.implicits._
+    val ids = (0L until 2000L).toDF("id")
+    val assigned = ids.select(col("id"), TextFunctions.splitAssign(col("id")).as("split"))
+    val counts = assigned.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts.values.sum === 2000L)
+    // md5 buckets ≈ uniform → generous bands around 80/10/10
+    assert(counts("train") > 1400 && counts("train") < 1800, counts.toString)
+    assert(counts("val") > 100 && counts("val") < 350, counts.toString)
+    assert(counts("test") > 100 && counts("test") < 350, counts.toString)
+    // re-evaluation (fresh plan, different partitioning) gives identical rows
+    val again = ids.repartition(7)
+      .select(col("id"), TextFunctions.splitAssign(col("id")).as("split"))
+    assert(assigned.except(again).count() === 0 && again.except(assigned).count() === 0)
+  }
 }
