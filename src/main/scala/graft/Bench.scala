@@ -17,13 +17,13 @@ object Bench {
     * table views, dedup, ANN, text scan).
     */
   val headline: Seq[String] = Seq(
-    "q1_agg", "q3_shipping", "a1_wordcount", "a2_groupbykey", "a6_table_reduce",
+    "q1_agg", "q3_shipping", "q_topn", "a1_wordcount", "a2_groupbykey", "a6_table_reduce",
     "w1_tumbling", "w2_session", "w4_hopping",
     "j1_ss_inner", "j3_ss_outer", "j4_st_inner", "j6_tt_inner", "aj_asof",
     "d2_stream_to_table",
     "dd_exact", "dd_minhash", "dd_simhash", "dd_ngram_jaccard", "dd_embedding",
     "ann_brute", "ann_lsh", "ann_ivf",
-    "txt_quality", "txt_fingerprint", "mm_features", "sk_cms")
+    "txt_quality", "txt_fingerprint", "txt_tfidf", "mm_features", "sk_cms")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

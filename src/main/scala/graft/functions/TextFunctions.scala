@@ -121,6 +121,29 @@ object TextFunctions {
       .otherwise(lit("test"))
   }
 
+  /** TF-IDF featurization over a document frame — the classic corpus
+    * weighting for filtering/retrieval. Smooth idf: ln((N+1)/(df+1)) + 1.
+    *
+    * Scale shape: term frequencies are one shuffle on (doc, term) with
+    * map-side partials; document frequencies aggregate the tf rows (one
+    * row per distinct (doc, term) — never re-reading the corpus); the idf
+    * table is vocabulary-sized and BROADCASTs back onto tf, and the
+    * corpus row count rides along as a broadcast one-row frame (no
+    * driver-side count). Output: (doc, term, tf, tfidf).
+    */
+  def tfidf(docs: org.apache.spark.sql.DataFrame, id: String, text: String): org.apache.spark.sql.DataFrame = {
+    val tf = docs
+      .select(col(id).as("doc"), explode(tokens(col(text))).as("term"))
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(df_), "term").crossJoin(broadcast(n))
+      .select(col("doc"), col("term"), col("tf"),
+        round(col("tf") *
+          (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 4)
+          .as("tfidf"))
+  }
+
   /** Language-ID scores: per-language marker-token hit counts over a fixed
     * marker lexicon (n-gram/stopword heuristic). `argmaxLang` picks the
     * best-scoring language with deterministic alphabetical tie-break, else

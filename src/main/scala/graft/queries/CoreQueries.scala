@@ -298,7 +298,27 @@ object CoreQueries {
           round(sum("l_quantity"), 2).as("sum_qty"),
           round(sum("l_extendedprice"), 2).as("sum_base_price"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
-          count(lit(1)).as("count_order"))))
+          count(lit(1)).as("count_order"))),
+
+    // sort/limit/top-k (absent from the reference — SURVEY §2.3 note):
+    // top-2 revenue orders per market segment. The aggregation shuffles on
+    // orderkey with map-side partials; the window sorts only within the 5
+    // segment partitions of the (much smaller) aggregated frame.
+    "q_topn" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = Joins.streamTableJoin(
+          Joins.streamTableJoin(
+            Graft.lineitem(s, d), Graft.orders(s, d), "l_orderkey", "o_orderkey", "inner",
+            broadcastTable = false),
+          Graft.customer(s, d), "o_custkey", "c_custkey", "inner")
+        .groupBy("c_mktsegment", "l_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      rev.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 2)
+        .select(col("c_mktsegment"), col("l_orderkey"), col("revenue"), col("rnk"))
+    }))
 
   val aggregationOracles: Map[String, String] = Map(
     "a1_wordcount" ->
@@ -336,7 +356,18 @@ object CoreQueries {
                 round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
                 count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-         GROUP BY l_returnflag, l_linestatus""")
+         GROUP BY l_returnflag, l_linestatus""",
+    "q_topn" ->
+      """WITH rev AS (SELECT c_mktsegment, l_orderkey,
+                             round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+                      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                      JOIN customer ON o_custkey = c_custkey
+                      GROUP BY c_mktsegment, l_orderkey)
+         SELECT c_mktsegment, l_orderkey, revenue, rnk FROM (
+           SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                                        ORDER BY revenue DESC, l_orderkey ASC) AS rnk
+           FROM rev)
+         WHERE rnk <= 2""")
 
   // ---- W: windows ---------------------------------------------------------
 

@@ -145,6 +145,11 @@ object PipelineQueries {
         col("doc_id"),
         TextFunctions.fingerprintHex(col("text")).as("fp16"))),
 
+    "txt_tfidf" -> ((s, d) =>
+      // TF-IDF featurization; fully oracle-checkable (smooth idf, 4dp)
+      TextFunctions.tfidf(Graft.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("doc", "doc_id")),
+
     "txt_redact" -> ((s, d) =>
       // PII redaction: the corpus text is synthetic word-bags, so plant a
       // deterministic email/IP/phone per doc and redact — the oracle
@@ -255,6 +260,15 @@ object PipelineQueries {
          FROM f""",
     "txt_fingerprint" ->
       "SELECT doc_id, substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16) AS fp16 FROM documents",
+    "txt_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0)) AS term
+                       FROM documents),
+              tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+              df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+              n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT tf.doc_id, tf.term, tf.tf,
+                round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 4) AS tfidf
+         FROM tf JOIN df USING (term) CROSS JOIN n""",
     "txt_redact" ->
       """SELECT doc_id,
                 regexp_replace(regexp_replace(regexp_replace(
