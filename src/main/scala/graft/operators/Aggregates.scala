@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
 
 /** Typed aggregation surface (SURVEY.md §2.3; reference:
   * src/main/scala/com/github/hosnimed/DSLStatefulTransformation.scala:61-111).
@@ -47,4 +48,24 @@ object Aggregates {
   def reducePerKey[K, V](ds: Dataset[(K, V)], adder: (V, V) => V)(
       implicit ek: Encoder[K], ev: Encoder[V], ekv: Encoder[(K, V)]): Dataset[(K, V)] =
     ds.groupByKey(_._1).mapValues(_._2).reduceGroups(adder)
+
+  /** Two-phase top-k per group, for LOW-CARDINALITY groups at scale: a
+    * single `row_number over (partition by group)` funnels the whole
+    * frame into |groups| reducer partitions — 5 market segments means 5
+    * tasks sorting everything at 100 TB. Phase 1 takes a local top-k
+    * within each (group, input-partition) — parallelism stays at the
+    * input partition count and each task sorts only its slice; phase 2
+    * ranks the surviving ≤ k × nPartitions × |groups| candidate rows,
+    * which is tiny by construction. Orderings must be deterministic
+    * (include a tie-break column) for a stable result.
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
+                   k: Int, rankCol: String = "rnk"): DataFrame = {
+    val local = df.withColumn("_part", spark_partition_id())
+    val w1 = Window.partitionBy((groupCols :+ "_part").map(col): _*).orderBy(order: _*)
+    val candidates = local.withColumn("_lr", row_number().over(w1))
+      .where(col("_lr") <= k).drop("_part", "_lr")
+    val w2 = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    candidates.withColumn(rankCol, row_number().over(w2)).where(col(rankCol) <= k)
+  }
 }

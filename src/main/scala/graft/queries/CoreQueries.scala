@@ -302,10 +302,12 @@ object CoreQueries {
 
     // sort/limit/top-k (absent from the reference — SURVEY §2.3 note):
     // top-2 revenue orders per market segment. The aggregation shuffles on
-    // orderkey with map-side partials; the window sorts only within the 5
-    // segment partitions of the (much smaller) aggregated frame.
+    // orderkey with map-side partials; the rank runs through
+    // Aggregates.topKPerGroup's two-phase window — with only 5 segments, a
+    // single global window would funnel every aggregated row into 5
+    // reducers at 100 TB; the local phase keeps the sort at input-partition
+    // parallelism and the final rank sees only k×partitions×5 candidates.
     "q_topn" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val rev = Joins.streamTableJoin(
           Joins.streamTableJoin(
             Graft.lineitem(s, d), Graft.orders(s, d), "l_orderkey", "o_orderkey", "inner",
@@ -313,10 +315,8 @@ object CoreQueries {
           Graft.customer(s, d), "o_custkey", "c_custkey", "inner")
         .groupBy("c_mktsegment", "l_orderkey")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
-      val w = Window.partitionBy("c_mktsegment")
-        .orderBy(col("revenue").desc, col("l_orderkey").asc)
-      rev.withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= 2)
+      Aggregates.topKPerGroup(rev, Seq("c_mktsegment"),
+          Seq(col("revenue").desc, col("l_orderkey").asc), k = 2)
         .select(col("c_mktsegment"), col("l_orderkey"), col("revenue"), col("rnk"))
     }))
 

@@ -118,4 +118,19 @@ class StreamOpsSpec extends GraftTest {
       .collect().toMap
     assert(counts === Map("hello" -> 2L, "spark" -> 1L))
   }
+
+  test("two-phase topKPerGroup equals the single-window rank on any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1 to 500).map(i => (s"g${i % 4}", i.toLong, (i * 37 % 101).toLong))
+    val df = rows.toDF("grp", "id", "score").repartition(13)
+    val twoPhase = graft.operators.Aggregates
+      .topKPerGroup(df, Seq("grp"), Seq(col("score").desc, col("id").asc), k = 3)
+      .select("grp", "id", "score", "rnk").collect().map(_.toSeq).toSet
+    val w = Window.partitionBy("grp").orderBy(col("score").desc, col("id").asc)
+    val single = df.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)
+      .select("grp", "id", "score", "rnk").collect().map(_.toSeq).toSet
+    assert(twoPhase === single)
+    assert(twoPhase.size === 4 * 3)
+  }
 }
