@@ -528,10 +528,33 @@ object CoreQueries {
     // each left row's event time)
     "aj_asof" -> ((s, d) =>
       Joins.asofJoin(purchases(s, d), views(s, d), "key", "ts_us", "left")
-        .select(col("l_event_id"), col("r_event_id"), col("l_key").as("key"))))
+        .select(col("l_event_id"), col("r_event_id"), col("l_key").as("key"))),
+
+    // J1 through the real streaming engine: two watermarked file streams,
+    // native event-time interval join (Spark's stream-stream join keeps
+    // per-key state bounded by watermark + range), append-mode memory
+    // sink; same oracle as the batch j1_ss_inner
+    "j1_streaming" -> ((s, d) => {
+      def side(tag: String) =
+        StreamingQueries.readStreamParquet(s, d, "events")
+          .select(col("event_id").as(s"${tag}_event_id"),
+            col("user_id").cast("string").as(s"${tag}_key"),
+            col("event_type").as(s"${tag}_type"),
+            col("value").as(s"${tag}_amount"),
+            timestamp_micros(expr("ts div 1000")).as(s"${tag}_time"))
+          .withWatermark(s"${tag}_time", "3 minutes")
+      val l = side("l").where(col("l_type") === "purchase")
+      val r = side("r").where(col("r_type") === "view")
+      val joined = l.join(r, expr(
+          "l_key = r_key AND r_time BETWEEN l_time - INTERVAL 1 HOUR AND l_time + INTERVAL 1 HOUR"))
+        .select(col("l_event_id"), col("r_event_id"), col("l_key").as("key"),
+          round(col("l_amount") + col("r_amount"), 2).as("combined"))
+      StreamingQueries.runAppendToMemory(s, "j1s_join", joined)
+    }))
 
   val joinOracles: Map[String, String] = Map(
     "j1_ss_inner" -> ssJoinOracle("INNER"),
+    "j1_streaming" -> ssJoinOracle("INNER"),
     "j2_ss_left" -> ssJoinOracle("LEFT"),
     "j3_ss_outer" -> ssJoinOracle("FULL"),
     "j4_st_inner" ->

@@ -68,6 +68,23 @@ object StreamingQueries {
     }
   }
 
+  /** Run an already-built streaming DataFrame to a named in-memory sink in
+    * APPEND mode — the output mode of stream-stream joins and other
+    * append-only pipelines (complete mode is for aggregations).
+    */
+  def runAppendToMemory(spark: SparkSession, queryName: String, out: DataFrame): DataFrame = {
+    val q = out.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir(s"ckpt-$queryName"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** T4: `streams.cleanUp()` — run the aggregation twice with the
     * checkpoint deleted in between; a reset state store must reproduce
     * identical results from scratch.
