@@ -205,6 +205,18 @@ object Dedup {
     labels
   }
 
+  /** End-to-end dedup resolution: given the corpus and a verified
+    * candidate-pair set, drop every document that is NOT its cluster's
+    * canonical (minimum-id) member. Composes [[connectedComponents]] with
+    * one left-anti join: components label only documents that appear in a
+    * pair, so untouched documents pass through unjoined.
+    */
+  def resolve(docs: DataFrame, pairs: DataFrame, id: String): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .where(col("node") =!= col("comp")).select(col("node"))
+    docs.join(losers, docs(id) === losers("node"), "left_anti")
+  }
+
   // ---- benchmark decontamination ------------------------------------------
 
   /** Contaminated corpus ids: documents sharing at least one word `n`-gram

@@ -145,6 +145,16 @@ class DedupAnnSpec extends GraftTest {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
 
+  test("resolve keeps exactly one canonical doc per cluster and passes untouched docs through") {
+    import spark.implicits._
+    val corpus = Seq(1L, 2L, 3L, 10L, 11L, 99L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val kept = Dedup.resolve(corpus, pairs, "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // cluster {1,2,3} → keep 1; {10,11} → keep 10; 99 untouched → kept
+    assert(kept === Set(1L, 10L, 99L))
+  }
+
   test("decontamination flags only corpus docs sharing a strict 8-gram with the eval set") {
     import spark.implicits._
     val evalDoc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
