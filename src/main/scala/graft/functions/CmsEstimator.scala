@@ -7,10 +7,13 @@ import org.apache.spark.util.sketch.CountMinSketch
   * The merged sketch arrives at each task as one broadcast-joined binary
   * column (identical bytes on every row). Deserializing ~100 KB of sketch
   * per row would dominate the estimate itself, so the functor caches the
-  * decoded sketch keyed by the byte-array *instance*: within a task the
-  * broadcast value is the same object on every row, so the sketch is
-  * decoded once per task. `@transient` keeps the cache out of the closure
-  * that ships to executors.
+  * decoded sketch. Cache validity check, cheapest first: reference
+  * equality (free), then content equality — Spark's row→UDF conversion
+  * copies the binary column into a FRESH array per row, so the reference
+  * check alone would never hit; the content memcmp (~10 µs for 100 KB) is
+  * still ~100x cheaper than re-parsing the sketch. `@transient` keeps the
+  * cache out of the closure that ships to executors; each task
+  * deserializes its own functor instance, so the cache is task-local.
   *
   * This keeps the whole CMS query path distributed — build (map-side
   * partial `count_min_sketch` agg), query (this functor over the grouped
@@ -21,7 +24,9 @@ class CmsEstimator extends ((Array[Byte], String) => Long) with Serializable {
   @transient private var cachedSketch: CountMinSketch = _
 
   override def apply(sketchBytes: Array[Byte], key: String): Long = {
-    if (cachedSketch == null || !(cachedBytes eq sketchBytes)) {
+    val hit = cachedSketch != null &&
+      ((cachedBytes eq sketchBytes) || java.util.Arrays.equals(cachedBytes, sketchBytes))
+    if (!hit) {
       cachedSketch = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(sketchBytes))
       cachedBytes = sketchBytes
     }

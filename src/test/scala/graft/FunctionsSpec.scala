@@ -145,6 +145,20 @@ class FunctionsSpec extends GraftTest {
     assert(feats(2L) === ((0L, -1, 0L)))
   }
 
+  test("CmsEstimator matches direct sketch estimates across fresh array copies") {
+    val sk = org.apache.spark.util.sketch.CountMinSketch.create(0.001, 0.99, 42)
+    (1 to 100).foreach(i => sk.add(s"k${i % 7}"))
+    val bos = new java.io.ByteArrayOutputStream()
+    sk.writeTo(bos)
+    val bytes = bos.toByteArray
+    val est = new graft.functions.CmsEstimator
+    // distinct array instances with equal content — what Spark's row→UDF
+    // conversion hands the functor on every row
+    (0 until 7).foreach { i =>
+      assert(est(bytes.clone(), s"k$i") === sk.estimateCount(s"k$i"))
+    }
+  }
+
   test("PII redaction replaces emails, IPs, and phones; clean text untouched") {
     import spark.implicits._
     val rows = Seq(
