@@ -67,6 +67,19 @@ class PlanSpec extends GraftTest {
       "inner join must be persisted and read back for the union + anti-join arms:\n" + p.take(3000))
   }
 
+  test("decontamination semi-joins the broadcast eval grams (corpus side never shuffles)") {
+    val p = plan("pp_decontam")
+    assert(p.contains("LeftSemi"), "must be a semi-join:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "eval grams must broadcast:\n" + p.take(2000))
+  }
+
+  test("tfidf broadcasts the vocabulary-sized idf table and the one-row corpus count") {
+    val p = plan("txt_tfidf")
+    assert(p.contains("BroadcastHashJoin"), "idf join must broadcast:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "no sort-merge in the tfidf plan:\n" + p.take(2000))
+  }
+
   test("brute-force ANN is the one sanctioned nested-loop (broadcast small queries)") {
     val p = plan("ann_brute")
     assert(p.contains("BroadcastNestedLoopJoin"),
