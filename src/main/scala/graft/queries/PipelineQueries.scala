@@ -135,7 +135,9 @@ object PipelineQueries {
         TextFunctions.qualityOk(col("text")).as("quality_ok"))),
 
     "txt_langid" -> ((s, d) =>
-      // marker-lexicon language ID; heuristic (scored in TextSpec)
+      // marker-lexicon language ID — deterministic marker-count argmax
+      // with first-alphabetical tie-break, so it IS oracle-expressible
+      // (the oracle replays the same scoring in SQL)
       Graft.documents(s, d).select(
         col("doc_id"), col("lang"),
         TextFunctions.argmaxLang(col("text")).as("lang_pred"))),
@@ -260,6 +262,29 @@ object PipelineQueries {
          FROM f""",
     "txt_fingerprint" ->
       "SELECT doc_id, substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16) AS fp16 FROM documents",
+    // replays TextFunctions.argmaxLang exactly: per-language marker hit
+    // counts over the same tokenization; winner = first language in
+    // alphabetical order (de,en,es,fr,zh) achieving the strict maximum,
+    // 'und' when no marker hits at all
+    "txt_langid" ->
+      """WITH t AS (SELECT doc_id, lang,
+                           list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0) AS toks
+                    FROM documents),
+              s AS (SELECT doc_id, lang,
+                           len(list_filter(toks, w -> list_contains(['der','die','das','und','ist','nicht'], w))) AS s_de,
+                           len(list_filter(toks, w -> list_contains(['the','and','of','is','was','with'], w))) AS s_en,
+                           len(list_filter(toks, w -> list_contains(['el','los','las','es','una','que'], w))) AS s_es,
+                           len(list_filter(toks, w -> list_contains(['le','la','les','et','est','une'], w))) AS s_fr,
+                           len(list_filter(toks, w -> list_contains(['de5','shi4','zhe4','bu4','le5','wo3'], w))) AS s_zh
+                    FROM t)
+         SELECT doc_id, lang,
+                CASE WHEN s_de <= 0 AND s_en <= 0 AND s_es <= 0 AND s_fr <= 0 AND s_zh <= 0 THEN 'und'
+                     WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                     WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                     WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                     WHEN s_fr >= s_zh THEN 'fr'
+                     ELSE 'zh' END AS lang_pred
+         FROM s""",
     "txt_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0)) AS term
                        FROM documents),
