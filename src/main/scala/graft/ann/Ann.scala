@@ -68,7 +68,6 @@ object Ann {
               trainSampleFraction: Double = 1.0, maxIter: Int = 10): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.{Vector => MlVector}
 
     // training is the fixed cost of IVF: at corpus scale, train on a
     // sample (`trainSampleFraction`) — centroid quality converges long
@@ -86,6 +85,9 @@ object Ann {
     // (The earlier literal-expression form inlined every centroid into the
     // plan — O(nLists × dim) plan text, pathological at the ~4k lists a
     // 100 TB corpus wants.) Norms are precomputed with the broadcast.
+    // Lifecycle: the broadcast outlives this call because the returned
+    // (lazy) plan references it; ContextCleaner reclaims it once the plan
+    // is garbage-collected — it cannot be destroy()ed here.
     val bcCent = corpus.sparkSession.sparkContext.broadcast(
       centroids.map(c => (c, math.sqrt(c.map(x => x * x).sum))))
 

@@ -188,6 +188,14 @@ object Dedup {
     // the materialized partitions, keeping every round's plan constant-
     // size. (On a cluster a reliable `checkpoint(dir)` gives the same
     // truncation plus fault tolerance.)
+    //
+    // Superseded rounds are unpersisted EXPLICITLY via their checkpointed
+    // RDDs — relying on GC + ContextCleaner would hold O(rounds) full
+    // label copies in executor storage mid-algorithm.
+    def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node")).localCheckpoint()
     var converged = false
@@ -214,6 +222,8 @@ object Dedup {
       val changed = next
         .join(labels.select(col("node"), col("comp").as("old")), "node")
         .where(col("comp") =!= col("old")).limit(1).count()
+      ckptRdd(labels).foreach(_.unpersist(blocking = false))
+      ckptRdd(stepped).foreach(_.unpersist(blocking = false))
       labels = next
       converged = changed == 0L
       i += 1

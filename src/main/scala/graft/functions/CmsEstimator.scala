@@ -24,6 +24,9 @@ class CmsEstimator extends ((Array[Byte], String) => Long) with Serializable {
   @transient private var cachedSketch: CountMinSketch = _
 
   override def apply(sketchBytes: Array[Byte], key: String): Long = {
+    // null sketch (empty/all-null input frame) or null key (the sketch agg
+    // skipped nulls, so it never counted them): estimate is 0, not an NPE
+    if (sketchBytes == null || key == null) return 0L
     val hit = cachedSketch != null &&
       ((cachedBytes eq sketchBytes) || java.util.Arrays.equals(cachedBytes, sketchBytes))
     if (!hit) {

@@ -79,10 +79,17 @@ object Joins {
         // the bucketed join executes ONCE: `inner` is persisted, and both
         // the union arm and the matched-id probes read the cache instead
         // of re-running the join (the join is the expensive part; the id
-        // projections over it are cheap cache scans)
+        // projections over it are cheap cache scans). `matched` is ALSO
+        // persisted — tiny, but full_outer probes it twice and each probe
+        // would otherwise re-run the distinct over the cached join output.
+        // Both caches are MEMORY_AND_DISK and are released by LRU eviction
+        // / context cleanup once the consumer's action completes (the
+        // frames are returned lazily, so an eager unpersist here would
+        // defeat the cache).
         val innerP = inner.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val matched = innerP
           .select(col(s"l_$idCol").as("ml"), col(s"r_$idCol").as("mr")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val unmatchedL = l.join(matched.select(col("ml")).distinct(),
           col(s"l_$idCol") === col("ml"), "left_anti")
         val leftOuter = innerP.unionByName(nullPad(unmatchedL, r))

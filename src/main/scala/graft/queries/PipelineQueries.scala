@@ -186,22 +186,13 @@ object PipelineQueries {
         .select(col("asset_id"), col("frame_idx"), col("frame").cast("string").as("frame_str"))),
 
     // ---- sketches ---------------------------------------------------------
-    "sk_cms" -> ((s, d) => {
-      // count-min sketch of event_type frequencies: build distributed
-      // (map-side partial count_min_sketch agg → one-row sketch), then
-      // query distributed too — the one-row sketch broadcast-joins onto
-      // the exact per-key counts and graft.functions.CmsEstimator decodes
-      // it once per task to evaluate estimateCount executor-side. No
-      // collect: distinct-key cardinality never reaches the driver, so the
-      // shape survives a high-cardinality column at 100 TB.
-      val ev = Graft.eventsStream(s, d)
-      val sketchRow = ev.select(col("value"))
-        .agg(count_min_sketch(col("value"), lit(0.001), lit(0.99), lit(42)).as("_sk"))
-      val exact = ev.groupBy(col("value").as("key")).agg(count(lit(1)).as("exact_cnt"))
-      val cmsEst = udf(new graft.functions.CmsEstimator)
-      exact.join(broadcast(sketchRow))
-        .select(col("key"), col("exact_cnt"), cmsEst(col("_sk"), col("key")).as("cms_est"))
-    }))
+    "sk_cms" -> ((s, d) =>
+      // count-min sketch of event_type frequencies, fully distributed
+      // (see graft.functions.Sketches.cmsEstimate — the same definition
+      // the scale audit measures): distinct-key cardinality never reaches
+      // the driver, so the shape survives a high-cardinality column at
+      // 100 TB.
+      graft.functions.Sketches.cmsEstimate(Graft.eventsStream(s, d), "value")))
 
   val oracles: Map[String, String] = Map(
     "dd_exact" ->
