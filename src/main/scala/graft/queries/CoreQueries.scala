@@ -530,6 +530,18 @@ object CoreQueries {
       Joins.asofJoin(purchases(s, d), views(s, d), "key", "ts_us", "left")
         .select(col("l_event_id"), col("r_event_id"), col("l_key").as("key"))),
 
+    // J4 through the real streaming engine: stream-static join — the
+    // orders stream enriches against the static (broadcast) customer
+    // dimension per micro-batch, exactly SURVEY §2.5's Spark mapping for
+    // stream⋈table; same oracle as the batch j4_st_inner
+    "j4_streaming" -> ((s, d) => {
+      val ordersStream = StreamingQueries.readStreamParquet(s, d, "orders")
+      val joined = Joins.streamTableJoin(ordersStream, Graft.customer(s, d),
+          "o_custkey", "c_custkey", "inner")
+        .select("o_orderkey", "c_mktsegment", "o_totalprice")
+      StreamingQueries.runAppendToMemory(s, "j4s_join", joined)
+    }),
+
     // J1 through the real streaming engine: two watermarked file streams,
     // native event-time interval join (Spark's stream-stream join keeps
     // per-key state bounded by watermark + range), append-mode memory
@@ -555,6 +567,8 @@ object CoreQueries {
   val joinOracles: Map[String, String] = Map(
     "j1_ss_inner" -> ssJoinOracle("INNER"),
     "j1_streaming" -> ssJoinOracle("INNER"),
+    "j4_streaming" ->
+      "SELECT o_orderkey, c_mktsegment, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey",
     "j2_ss_left" -> ssJoinOracle("LEFT"),
     "j3_ss_outer" -> ssJoinOracle("FULL"),
     "j4_st_inner" ->
