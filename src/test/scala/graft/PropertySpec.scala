@@ -1,0 +1,83 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.{CmsEstimator, TextFunctions}
+import java.util.regex.Pattern
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generator-driven property tests (SURVEY §5: the reference has none —
+  * this layer is one of the things we add). These exercise the pure-JVM
+  * contracts of the engine's building blocks across generated inputs;
+  * the Spark-evaluated counterparts live in the other suites.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def checkProp(p: Prop, tests: Int = 200): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(tests), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  // ---- CMS overestimate-only guarantee ------------------------------------
+
+  test("property: CMS estimates never undercount, and CmsEstimator agrees with the sketch") {
+    val genWords = Gen.nonEmptyListOf(Gen.chooseNum(0, 50).map(i => s"w$i"))
+    checkProp(Prop.forAll(genWords) { words =>
+      val sk = org.apache.spark.util.sketch.CountMinSketch.create(0.01, 0.95, 7)
+      words.foreach(sk.add)
+      val bos = new java.io.ByteArrayOutputStream()
+      sk.writeTo(bos)
+      val bytes = bos.toByteArray
+      val est = new CmsEstimator
+      val exact = words.groupBy(identity).view.mapValues(_.size.toLong)
+      exact.forall { case (w, n) =>
+        val e = est(bytes.clone(), w)
+        e >= n && e == sk.estimateCount(w)
+      }
+    })
+  }
+
+  // ---- PII regex contracts ------------------------------------------------
+
+  private val local = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+
+  test("property: every generated email/IPv4 is matched; plain words never are") {
+    val genEmail = for {
+      l <- local; d <- word; tld <- Gen.oneOf("com", "org", "net", "io")
+    } yield s"$l@$d.$tld"
+    val genIp = for {
+      a <- Gen.chooseNum(0, 255); b <- Gen.chooseNum(0, 255)
+      c <- Gen.chooseNum(0, 255); d <- Gen.chooseNum(0, 255)
+    } yield s"$a.$b.$c.$d"
+    val email = Pattern.compile(TextFunctions.emailPattern)
+    val ip = Pattern.compile(TextFunctions.ipv4Pattern)
+    val phone = Pattern.compile(TextFunctions.phonePattern)
+    checkProp(Prop.forAll(genEmail) { e => email.matcher(s"x $e y").find() })
+    checkProp(Prop.forAll(genIp) { i => ip.matcher(s"x $i y").find() })
+    checkProp(Prop.forAll(Gen.nonEmptyListOf(word).map(_.mkString(" "))) { t =>
+      !email.matcher(t).find() && !ip.matcher(t).find() && !phone.matcher(t).find()
+    })
+  }
+
+  test("property: US-shaped phone numbers match with or without country code and separators") {
+    val genPhone = for {
+      cc <- Gen.oneOf("", "+1 ", "1-")
+      sep <- Gen.oneOf("-", ".", " ")
+      paren <- Gen.oneOf(true, false)
+      a <- Gen.chooseNum(200, 999); b <- Gen.chooseNum(200, 999); c <- Gen.chooseNum(1000, 9999)
+    } yield if (paren) s"$cc($a) $b$sep$c" else s"$cc$a$sep$b$sep$c"
+    val phone = Pattern.compile(TextFunctions.phonePattern)
+    checkProp(Prop.forAll(genPhone) { p => phone.matcher(s"call $p now").find() })
+  }
+
+  // ---- MinHash permutation preconditions ----------------------------------
+
+  test("property: minhash permutation multipliers are odd (bijective mod 2^64) and stable") {
+    checkProp(Prop.forAll(Gen.chooseNum(1, 256)) { n =>
+      val c = Dedup.minhashCoeffs(n)
+      c.length == n && c.forall { case (a, _) => (a & 1L) == 1L } &&
+        c == Dedup.minhashCoeffs(n) // same seed → same permutations, every call
+    }, tests = 50)
+  }
+}
