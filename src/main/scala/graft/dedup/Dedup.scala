@@ -49,6 +49,17 @@ object Dedup {
     array_distinct(when(n >= k, grams).otherwise(th))
   }
 
+  /** Native-or-fallback shingle hashing: the single-pass codegen'd kernel
+    * (graft.functions.ShingleHashes) when GraftExtensions is registered,
+    * else the Column form — bit-exact either way (asserted in
+    * FunctionsSpec), same dispatch pattern as cosineNative/srpBucketNative.
+    */
+  def shingleHashesNative(spark: org.apache.spark.sql.SparkSession,
+                          textCol: String, k: Int): Column =
+    if (spark.catalog.functionExists("shingle_hashes"))
+      expr(s"shingle_hashes(`$textCol`, $k)")
+    else shingleHashes(col(textCol), k)
+
   /** MinHash signature per row as a single Column: `numHashes` independent
     * hash "permutations" h_i(x) = xxhash64(i, x) over the shingle-hash
     * set, each taking the minimum. Fine for small signature counts;
@@ -82,7 +93,8 @@ object Dedup {
   def minhashSigs(docs: DataFrame, id: String, text: String,
                   numHashes: Int = 64, shingleK: Int = 3): DataFrame =
     if (docs.sparkSession.catalog.functionExists("minhash_agg"))
-      docs.select(col(id).as("doc"), explode(shingleHashes(col(text), shingleK)).as("h"))
+      docs.select(col(id).as("doc"),
+          explode(shingleHashesNative(docs.sparkSession, text, shingleK)).as("h"))
         .groupBy("doc")
         .agg(expr(s"minhash_agg(h, $numHashes)").as("sig"))
     else minhashSigsColumnar(docs, id, text, numHashes, shingleK)

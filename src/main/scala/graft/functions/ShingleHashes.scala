@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass word-shingle hashing: lowercase → tokenize (maximal runs of
+  * `[0-9A-Za-z_]` bytes — byte-exact with Java regex `\W+` splitting,
+  * since every multi-byte UTF-8 sequence is non-word either way) → XXH64
+  * per token → k-gram combine (running XXH64 over the k token hashes,
+  * exactly Spark's multi-argument `xxhash64`) → first-occurrence-ordered
+  * distinct. Documents with fewer than k tokens emit their distinct token
+  * hashes instead, so they still participate in dedup.
+  *
+  * This is the MinHash pipeline's scan kernel: the equivalent Column form
+  * ([[graft.dedup.Dedup.shingleHashes]]) chains split + filter + two
+  * transforms + arrays_zip + k slices; this expression does one pass over
+  * the document bytes with zero intermediate arrays of strings, and
+  * `doGenCode` keeps it inside whole-stage codegen. Bit-exact equality
+  * with the Column form is asserted in FunctionsSpec over the corpus.
+  *
+  * Capability beyond the reference (its dedup surface is absent); the
+  * shingling construction is the standard MinHash preprocessing step.
+  */
+case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires a string argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashes.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_hashes"
+}
+
+object ShingleHashes {
+
+  private final val Seed = 42L
+
+  private def isWordByte(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+      (b >= '0' && b <= '9') || b == '_'
+
+  /** Kernel shared by interpreted eval and generated code. */
+  def compute(text: UTF8String, k: Int): ArrayData = {
+    val lower = text.toLowerCase
+    val base = lower.getBaseObject
+    val offset = lower.getBaseOffset
+    val n = lower.numBytes()
+    val bytes = lower.getBytes // one copy; byte classification needs direct access
+
+    // token hashes in order (XXH64 over the token's bytes, seed 42 —
+    // identical to Spark's xxhash64(stringCol))
+    var tokenHashes = new Array[Long](math.max(8, math.min(n / 4 + 1, 1 << 16)))
+    var nTokens = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && !isWordByte(bytes(i))) i += 1
+      val start = i
+      while (i < n && isWordByte(bytes(i))) i += 1
+      if (i > start) {
+        if (nTokens == tokenHashes.length) {
+          val grown = new Array[Long](tokenHashes.length * 2)
+          System.arraycopy(tokenHashes, 0, grown, 0, nTokens)
+          tokenHashes = grown
+        }
+        tokenHashes(nTokens) = XXH64.hashUnsafeBytes(base, offset + start, i - start, Seed)
+        nTokens += 1
+      }
+    }
+
+    // gram hashes: running XXH64 over k consecutive token hashes — exactly
+    // Spark's multi-arg xxhash64(h0, ..., h_{k-1})
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (nTokens >= k) {
+      var g = 0
+      while (g <= nTokens - k) {
+        var h = Seed
+        var j = 0
+        while (j < k) {
+          h = XXH64.hashLong(tokenHashes(g + j), h)
+          j += 1
+        }
+        out.add(h)
+        g += 1
+      }
+    } else {
+      var t = 0
+      while (t < nTokens) {
+        out.add(tokenHashes(t))
+        t += 1
+      }
+    }
+    val result = new Array[Long](out.size)
+    val it = out.iterator()
+    var r = 0
+    while (it.hasNext) {
+      result(r) = it.next()
+      r += 1
+    }
+    new GenericArrayData(result)
+  }
+}

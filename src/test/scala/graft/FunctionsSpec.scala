@@ -145,6 +145,26 @@ class FunctionsSpec extends GraftTest {
     assert(feats(2L) === ((0L, -1, 0L)))
   }
 
+  test("native shingle_hashes is bit-exact with the columnar form (corpus + edges)") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val edge = Seq("", "   ", "!!! ??? ...", "one", "one two", "one two three",
+      "one  two\tthree\nfour", "héllo wörld naïve café test words here",
+      "a_b_c under_scores 123 mix3d t0kens", "ALL CAPS AND lower Mixed Case Words")
+      .toDF("text").withColumn("doc_id", monotonically_increasing_id())
+    val corpus = Graft.documents(spark, sf).select("doc_id", "text").limit(200)
+    Seq(edge, corpus).foreach { df =>
+      df.createOrReplaceTempView("sh_in")
+      for (k <- Seq(1, 3, 5)) {
+        val native = spark.sql(s"SELECT doc_id, shingle_hashes(text, $k) AS h FROM sh_in")
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        val columnar = df.select(col("doc_id"), Dedup.shingleHashes(col("text"), k).as("h"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        assert(native === columnar, s"k=$k mismatch")
+      }
+    }
+  }
+
   test("CmsEstimator matches direct sketch estimates across fresh array copies") {
     val sk = org.apache.spark.util.sketch.CountMinSketch.create(0.001, 0.99, 42)
     (1 to 100).foreach(i => sk.add(s"k${i % 7}"))
