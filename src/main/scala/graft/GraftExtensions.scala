@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, MinHashAgg, RollingHash, ShingleHashes, SrpBucket}
+import graft.functions.{CosineSimilarity, MinHashAgg, RollingHash, ShingleHashes, SrpBucket, TokenHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -32,5 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[Expression]) => ShingleHashes(children.head,
         children(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("token_hashes"),
+      new ExpressionInfo(classOf[TokenHashes].getName, "token_hashes"),
+      (children: Seq[Expression]) => TokenHashes(children.head)))
   }
 }

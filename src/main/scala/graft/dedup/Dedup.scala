@@ -319,8 +319,14 @@ object Dedup {
     * (nothing to fingerprint).
     */
   def simhashSigs(docs: DataFrame, id: String, text: String): DataFrame = {
+    // token hashes via the single-pass native kernel when available
+    // (bit-exact with the HOF form — FunctionsSpec)
+    val tokenHashes =
+      if (docs.sparkSession.catalog.functionExists("token_hashes"))
+        expr(s"token_hashes(`$text`)")
+      else transform(TextFunctions.tokens(col(text)), t => xxhash64(t))
     val counts = docs
-      .select(col(id).as("doc"), explode(transform(TextFunctions.tokens(col(text)), t => xxhash64(t))).as("h"))
+      .select(col(id).as("doc"), explode(tokenHashes).as("h"))
       .groupBy("doc")
       .agg(
         sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("c0"),

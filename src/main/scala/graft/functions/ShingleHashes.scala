@@ -47,6 +47,32 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "shingle_hashes"
 }
 
+/** All token hashes in document order, duplicates preserved — the SimHash
+  * scan kernel (bit-exact with `transform(tokens(text), xxhash64)`); same
+  * single-pass tokenizer as [[ShingleHashes]]. SQL: `token_hashes(text)`.
+  */
+case class TokenHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"token_hashes requires a string argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(ShingleHashes.tokenHashArray(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.ShingleHashes.tokenHashArray($c))")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "token_hashes"
+}
+
 object ShingleHashes {
 
   private final val Seed = 42L
@@ -55,16 +81,17 @@ object ShingleHashes {
     (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
       (b >= '0' && b <= '9') || b == '_'
 
-  /** Kernel shared by interpreted eval and generated code. */
-  def compute(text: UTF8String, k: Int): ArrayData = {
+  /** One-pass tokenizer: XXH64 of each maximal word-byte run of the
+    * lowercased text, in order, duplicates preserved (exactly Spark's
+    * `xxhash64` over each `\W+`-split token).
+    */
+  def tokenHashArray(text: UTF8String): Array[Long] = {
     val lower = text.toLowerCase
     val base = lower.getBaseObject
     val offset = lower.getBaseOffset
     val n = lower.numBytes()
     val bytes = lower.getBytes // one copy; byte classification needs direct access
 
-    // token hashes in order (XXH64 over the token's bytes, seed 42 —
-    // identical to Spark's xxhash64(stringCol))
     var tokenHashes = new Array[Long](math.max(8, math.min(n / 4 + 1, 1 << 16)))
     var nTokens = 0
     var i = 0
@@ -82,6 +109,14 @@ object ShingleHashes {
         nTokens += 1
       }
     }
+    if (nTokens == tokenHashes.length) tokenHashes
+    else java.util.Arrays.copyOf(tokenHashes, nTokens)
+  }
+
+  /** Kernel shared by interpreted eval and generated code. */
+  def compute(text: UTF8String, k: Int): ArrayData = {
+    val tokenHashes = tokenHashArray(text)
+    val nTokens = tokenHashes.length
 
     // gram hashes: running XXH64 over k consecutive token hashes — exactly
     // Spark's multi-arg xxhash64(h0, ..., h_{k-1})

@@ -162,6 +162,13 @@ class FunctionsSpec extends GraftTest {
           .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
         assert(native === columnar, s"k=$k mismatch")
       }
+      // token_hashes: all tokens in order, duplicates preserved
+      val nativeTok = spark.sql("SELECT doc_id, token_hashes(text) AS h FROM sh_in")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val hofTok = df.select(col("doc_id"),
+          transform(TextFunctions.tokens(col("text")), t => xxhash64(t)).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(nativeTok === hofTok, "token_hashes mismatch")
     }
   }
 
