@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, MinHashAgg, RollingHash, ShingleHashes, SrpBucket, TokenHashes}
+import graft.functions.{CosineSimilarity, MinHashAgg, RollingHash, ShingleHashes, SimHashAgg, SrpBucket, TokenHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -36,5 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("token_hashes"),
       new ExpressionInfo(classOf[TokenHashes].getName, "token_hashes"),
       (children: Seq[Expression]) => TokenHashes(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_agg"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
+      (children: Seq[Expression]) => SimHashAgg(children.head)))
   }
 }

@@ -325,8 +325,19 @@ object Dedup {
       if (docs.sparkSession.catalog.functionExists("token_hashes"))
         expr(s"token_hashes(`$text`)")
       else transform(TextFunctions.tokens(col(text)), t => xxhash64(t))
-    val counts = docs
-      .select(col(id).as("doc"), explode(tokenHashes).as("h"))
+    val exploded = docs.select(col(id).as("doc"), explode(tokenHashes).as("h"))
+    if (docs.sparkSession.catalog.functionExists("simhash_agg"))
+      // one imperative aggregate (int[64] buffer, map-side partials)
+      // instead of 64 conditional sums — bit-identical (DedupAnnSpec)
+      exploded.groupBy("doc").agg(expr("simhash_agg(h)").as("sh"))
+    else simhashFromCounts(exploded)
+  }
+
+  /** Extension-free fallback: 64 conditional-sum aggregates + bit
+    * assembly (the original column form; checked equal to simhash_agg).
+    */
+  def simhashFromCounts(exploded: DataFrame): DataFrame = {
+    val counts = exploded
       .groupBy("doc")
       .agg(
         sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("c0"),

@@ -98,6 +98,17 @@ class DedupAnnSpec extends GraftTest {
     assert(errs.sum / errs.length < 0.08, s"mean estimator error ${errs.sum / errs.length}")
   }
 
+  test("imperative simhash_agg signatures equal the 64-conditional-sum form") {
+    val exploded = docs.limit(300).select(col("doc_id").as("doc"),
+      explode(expr("token_hashes(text)")).as("h"))
+    val imperative = exploded.groupBy("doc").agg(expr("simhash_agg(h)").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val columnar = Dedup.simhashFromCounts(exploded)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(imperative === columnar)
+    assert(imperative.nonEmpty)
+  }
+
   test("simhash pairs respect the hamming bound and blocking finds exact dups") {
     import spark.implicits._
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).collect()
