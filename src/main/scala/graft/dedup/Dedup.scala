@@ -169,12 +169,21 @@ object Dedup {
     * joins the gram sets back in and computes |∩|/|∪| — the "verify"
     * stage after LSH candidate generation. `ngram = 1` is token-set
     * Jaccard; `ngram = 3` matches the MinHash shingling granularity.
+    *
+    * The sets are HASHED grams (the single-pass `shingle_hashes` kernel
+    * when registered): |∩| and |∪| over 64-bit gram hashes equal those
+    * over the gram strings — xxhash64 collisions would need ~2^32 distinct
+    * grams per corpus to matter — while the set arithmetic runs on longs
+    * instead of strings. The extension-free fallback keeps string sets.
     */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, id: String, text: String,
                     ngram: Int = 1): DataFrame = {
-    val grams = if (ngram <= 1) TextFunctions.tokens(col(text))
-                else TextFunctions.wordNgrams(col(text), ngram)
-    val sets = docs.select(col(id).as("vid"), array_distinct(grams).as("toks"))
+    val grams =
+      if (docs.sparkSession.catalog.functionExists("shingle_hashes"))
+        expr(s"shingle_hashes(`$text`, ${math.max(ngram, 1)})")
+      else if (ngram <= 1) array_distinct(TextFunctions.tokens(col(text)))
+      else array_distinct(TextFunctions.wordNgrams(col(text), ngram))
+    val sets = docs.select(col(id).as("vid"), grams.as("toks"))
     pairs
       .join(sets.withColumnRenamed("vid", "a").withColumnRenamed("toks", "toks_a"), "a")
       .join(sets.withColumnRenamed("vid", "b").withColumnRenamed("toks", "toks_b"), "b")
