@@ -14,15 +14,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
-      (children: Seq[Expression]) => RollingHash(children.head)))
+      (children: Seq[Expression]) => {
+        requireArity("rolling_hash", children, 1)
+        RollingHash(children.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        requireArity("cosine_sim", children, 2)
+        CosineSimilarity(children.head, children(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("srp_bucket"),
       new ExpressionInfo(classOf[SrpBucket].getName, "srp_bucket"),
-      (children: Seq[Expression]) => SrpBucket(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        requireArity("srp_bucket", children, 2)
+        SrpBucket(children.head, children(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("minhash_agg"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
@@ -30,15 +39,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
-      (children: Seq[Expression]) => ShingleHashes(children.head,
-        children(1).eval().asInstanceOf[Number].intValue())))
+      (children: Seq[Expression]) => {
+        requireArity("shingle_hashes", children, 2)
+        ShingleHashes(children.head, literalInt("shingle_hashes", children(1)))
+      }))
     ext.injectFunction((
       FunctionIdentifier("token_hashes"),
       new ExpressionInfo(classOf[TokenHashes].getName, "token_hashes"),
-      (children: Seq[Expression]) => TokenHashes(children.head)))
+      (children: Seq[Expression]) => {
+        requireArity("token_hashes", children, 1)
+        TokenHashes(children.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("simhash_agg"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
-      (children: Seq[Expression]) => SimHashAgg(children.head)))
+      (children: Seq[Expression]) => {
+        requireArity("simhash_agg", children, 1)
+        SimHashAgg(children.head)
+      }))
+  }
+
+  private def requireArity(name: String, children: Seq[Expression], n: Int): Unit =
+    if (children.length != n) throw new IllegalArgumentException(
+      s"$name expects exactly $n argument(s), got ${children.length}")
+
+  private def literalInt(name: String, e: Expression): Int = e match {
+    case l if l.foldable =>
+      l.eval() match {
+        case n: Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"$name: expected a literal int, got $other")
+      }
+    case other => throw new IllegalArgumentException(
+      s"$name: expected a literal int, got non-foldable $other")
   }
 }

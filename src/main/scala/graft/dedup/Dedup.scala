@@ -53,11 +53,13 @@ object Dedup {
     * (graft.functions.ShingleHashes) when GraftExtensions is registered,
     * else the Column form — bit-exact either way (asserted in
     * FunctionsSpec), same dispatch pattern as cosineNative/srpBucketNative.
+    * `call_function` takes the column as a Column, so dotted/nested paths
+    * resolve identically on both branches (no SQL re-parsing).
     */
   def shingleHashesNative(spark: org.apache.spark.sql.SparkSession,
                           textCol: String, k: Int): Column =
     if (spark.catalog.functionExists("shingle_hashes"))
-      expr(s"shingle_hashes(`$textCol`, $k)")
+      call_function("shingle_hashes", col(textCol), lit(k))
     else shingleHashes(col(textCol), k)
 
   /** MinHash signature per row as a single Column: `numHashes` independent
@@ -180,7 +182,7 @@ object Dedup {
                     ngram: Int = 1): DataFrame = {
     val grams =
       if (docs.sparkSession.catalog.functionExists("shingle_hashes"))
-        expr(s"shingle_hashes(`$text`, ${math.max(ngram, 1)})")
+        call_function("shingle_hashes", col(text), lit(math.max(ngram, 1)))
       else if (ngram <= 1) array_distinct(TextFunctions.tokens(col(text)))
       else array_distinct(TextFunctions.wordNgrams(col(text), ngram))
     val sets = docs.select(col(id).as("vid"), grams.as("toks"))
@@ -332,7 +334,7 @@ object Dedup {
     // (bit-exact with the HOF form — FunctionsSpec)
     val tokenHashes =
       if (docs.sparkSession.catalog.functionExists("token_hashes"))
-        expr(s"token_hashes(`$text`)")
+        call_function("token_hashes", col(text))
       else transform(TextFunctions.tokens(col(text)), t => xxhash64(t))
     val exploded = docs.select(col(id).as("doc"), explode(tokenHashes).as("h"))
     if (docs.sparkSession.catalog.functionExists("simhash_agg"))
@@ -343,15 +345,17 @@ object Dedup {
   }
 
   /** Extension-free fallback: 64 conditional-sum aggregates + bit
-    * assembly (the original column form; checked equal to simhash_agg).
+    * assembly (the original column form; checked equal to simhash_agg —
+    * including on null hashes, which contribute nothing on either path).
     */
   def simhashFromCounts(exploded: DataFrame): DataFrame = {
+    def bitCount(i: Int) =
+      sum(when(col("h").isNull, 0)
+        .when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"c$i")
     val counts = exploded
       .groupBy("doc")
-      .agg(
-        sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("c0"),
-        (1 until 64).map(i =>
-          sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"c$i")): _*)
+      .agg(bitCount(0), (1 until 64).map(bitCount): _*)
     val bits = (0 until 64).map(i => when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L)))
     counts.select(col("doc"), bits.reduce(_ + _).as("sh"))
   }

@@ -90,15 +90,18 @@ object ShingleHashes {
     val base = lower.getBaseObject
     val offset = lower.getBaseOffset
     val n = lower.numBytes()
-    val bytes = lower.getBytes // one copy; byte classification needs direct access
+    // classify via Platform.getByte on the backing memory — the same
+    // access hashUnsafeBytes uses — so the scan allocates nothing per row
+    def byteAt(i: Int): Byte =
+      org.apache.spark.unsafe.Platform.getByte(base, offset + i)
 
     var tokenHashes = new Array[Long](math.max(8, math.min(n / 4 + 1, 1 << 16)))
     var nTokens = 0
     var i = 0
     while (i < n) {
-      while (i < n && !isWordByte(bytes(i))) i += 1
+      while (i < n && !isWordByte(byteAt(i))) i += 1
       val start = i
-      while (i < n && isWordByte(bytes(i))) i += 1
+      while (i < n && isWordByte(byteAt(i))) i += 1
       if (i > start) {
         if (nTokens == tokenHashes.length) {
           val grown = new Array[Long](tokenHashes.length * 2)

@@ -7,22 +7,23 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.types.{DataType, LongType}
 
-/** 64-bit SimHash as ONE imperative aggregate: buffer = int[64] of signed
-  * per-bit counts, updated in a single tight loop per token hash (each
-  * bit's count gets +1 when the hash has the bit set, −1 otherwise), then
-  * the final signature sets bit i when count(i) > 0. Replaces 64 separate
+/** 64-bit SimHash as ONE imperative aggregate: buffer = long[64] of signed
+  * per-bit counts (long so the counts cannot wrap at any realistic group
+  * size), updated in a single tight loop per token hash (each bit's count
+  * gets +1 when the hash has the bit set, −1 otherwise), then the final
+  * signature sets bit i when count(i) > 0. Replaces 64 separate
   * conditional-`sum` aggregate columns — one dispatch per row instead of
   * 64 — and the counts merge associatively, so map-side partials hold at
   * scan scale. Bit-identical to the column form
-  * ([[graft.dedup.Dedup.simhashSigs]]'s fallback branch; arithmetic vs
-  * logical shift is irrelevant after `& 1`). SQL: `simhash_agg(hashCol)`
-  * → bigint signature.
+  * ([[graft.dedup.Dedup.simhashFromCounts]]; arithmetic vs logical shift
+  * is irrelevant after `& 1`, and both paths ignore null hashes). SQL:
+  * `simhash_agg(hashCol)` → bigint signature.
   */
 case class SimHashAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Int]] {
+  extends TypedImperativeAggregate[Array[Long]] {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -33,9 +34,9 @@ case class SimHashAgg(
     else TypeCheckResult.TypeCheckFailure(
       s"simhash_agg requires a bigint argument, got ${child.dataType.catalogString}")
 
-  override def createAggregationBuffer(): Array[Int] = new Array[Int](64)
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
 
-  override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
@@ -48,7 +49,7 @@ case class SimHashAgg(
     buf
   }
 
-  override def merge(b1: Array[Int], b2: Array[Int]): Array[Int] = {
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
     var i = 0
     while (i < 64) {
       b1(i) += b2(i)
@@ -57,7 +58,7 @@ case class SimHashAgg(
     b1
   }
 
-  override def eval(buf: Array[Int]): Any = {
+  override def eval(buf: Array[Long]): Any = {
     var sig = 0L
     var i = 0
     while (i < 64) {
@@ -67,15 +68,15 @@ case class SimHashAgg(
     sig
   }
 
-  override def serialize(buf: Array[Int]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 * buf.length)
-    buf.foreach(bb.putInt)
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putLong)
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
-    Array.fill(bytes.length / 4)(bb.getInt)
+    Array.fill(bytes.length / 8)(bb.getLong)
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): SimHashAgg =

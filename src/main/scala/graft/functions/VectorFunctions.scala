@@ -24,18 +24,20 @@ object VectorFunctions {
     * (graft.functions.CosineSimilarity — codegen'd primitive loop, no HOF
     * lambda dispatch) when [[graft.GraftExtensions]] is registered on the
     * session (always true for `Graft.session`), else the Column form.
-    * Takes column NAMES because custom expressions are reachable through
-    * the SQL parser.
+    * Dispatches via `call_function` with real Columns, so dotted/nested
+    * paths resolve identically on both branches.
     */
   def cosineNative(spark: org.apache.spark.sql.SparkSession, aCol: String, bCol: String): Column =
-    if (spark.catalog.functionExists("cosine_sim")) expr(s"cosine_sim(`$aCol`, `$bCol`)")
+    if (spark.catalog.functionExists("cosine_sim"))
+      call_function("cosine_sim", col(aCol), col(bCol))
     else cosine(col(aCol), col(bCol))
 
   /** SRP bucket with the same native-or-fallback dispatch (bit-exact
     * either way — see graft.functions.SrpBucket).
     */
   def srpBucketNative(spark: org.apache.spark.sql.SparkSession, vecCol: String, nBits: Int): Column =
-    if (spark.catalog.functionExists("srp_bucket")) expr(s"srp_bucket(`$vecCol`, $nBits)")
+    if (spark.catalog.functionExists("srp_bucket"))
+      call_function("srp_bucket", col(vecCol), lit(nBits))
     else srpBucket(col(vecCol), nBits)
 
   /** Signed random projection (SimHash for vectors): `nBits` hyperplanes
