@@ -67,6 +67,14 @@ class PlanSpec extends GraftTest {
       "inner join must be persisted and read back for the union + anti-join arms:\n" + p.take(3000))
   }
 
+  test("q_topn ranks in two phases (local per input partition, then tiny final)") {
+    val p = plan("q_topn")
+    assert("row_number".r.findAllIn(p).size >= 2,
+      "expected a local rank and a final rank:\n" + p.take(3000))
+    assert(p.contains("_part"),
+      "local phase must partition by (group, input partition):\n" + p.take(3000))
+  }
+
   test("decontamination semi-joins the broadcast eval grams (corpus side never shuffles)") {
     val p = plan("pp_decontam")
     assert(p.contains("LeftSemi"), "must be a semi-join:\n" + p.take(2000))
