@@ -144,6 +144,32 @@ object TextFunctions {
           .as("tfidf"))
   }
 
+  /** Sequence packing for training batches: assign documents to bins of at
+    * most ~`tokenBudget` tokens by running prefix sums over a deterministic
+    * document order — bin = (tokens before this doc) / budget, so every
+    * bin except possibly the last holds ≥ budget tokens' worth of docs and
+    * assignment is reproducible across runs/engines. The prefix sum is a
+    * global ordered window: Spark plans a range-partitioned parallel sort
+    * — the inherent cost of ORDER-dependent packing (any exact packer
+    * must sequence the corpus); everything downstream is per-bin local.
+    * Docs longer than the budget get a bin of their own by construction.
+    */
+  def packBins(docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+               tokenBudget: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(id))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .select(col(id), wsTokenCount(col(text)).cast("long").as("n_tok"))
+      .withColumn("_cum", sum(col("n_tok")).over(w))
+      .withColumn("_before", col("_cum") - col("n_tok"))
+      // integer `div` (not `/`, which goes through double and loses
+      // exactness past 2^53 cumulative tokens)
+      .select(col(id), col("n_tok"),
+        expr(s"_before div ${tokenBudget.toLong}L").as("bin"))
+  }
+
   /** Language-ID scores: per-language marker-token hit counts over a fixed
     * marker lexicon (n-gram/stopword heuristic). `argmaxLang` picks the
     * best-scoring language with deterministic alphabetical tie-break, else

@@ -101,6 +101,11 @@ object PipelineQueries {
         col("doc_id"),
         TextFunctions.splitAssign(col("doc_id")).as("split"))),
 
+    "pp_pack" -> ((s, d) =>
+      // sequence packing: prefix-sum token binning at a 512-token budget,
+      // deterministic by doc_id order — fully oracle-expressible
+      TextFunctions.packBins(Graft.documents(s, d), "doc_id", "text", tokenBudget = 512)),
+
     // ---- similarity search ------------------------------------------------
     "ann_brute" -> ((s, d) => {
       val emb = Graft.embeddings(s, d)
@@ -319,6 +324,14 @@ object PipelineQueries {
               ev AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 10 = 0),
               co AS (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 10 <> 0)
          SELECT DISTINCT co.doc_id AS doc_id FROM co JOIN ev ON co.gram = ev.gram""",
+    "pp_pack" ->
+      """WITH t AS (SELECT doc_id,
+                           CAST(len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS BIGINT) AS n_tok
+                    FROM documents),
+              c AS (SELECT doc_id, n_tok,
+                           sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+                    FROM t)
+         SELECT doc_id, n_tok, (cum - n_tok) // 512 AS bin FROM c""",
     "pp_split" ->
       """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
               v AS (SELECT doc_id,

@@ -200,6 +200,20 @@ class FunctionsSpec extends GraftTest {
     assert(out.toSeq === rows.map(_._2))
   }
 
+  test("sequence packing bins by prefix-sum token budget, deterministically") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f"), (4L, "g h i j k l m"))
+      .toDF("doc_id", "text")
+    // before-doc prefix sums at budget 4: 0, 3, 5, 6 → bins 0, 0, 1, 1
+    val bins = TextFunctions.packBins(docs, "doc_id", "text", tokenBudget = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(bins === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+    // repartitioning must not change the assignment (global order is the contract)
+    val again = TextFunctions.packBins(docs.repartition(5), "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again === bins)
+  }
+
   test("split assignment is deterministic, total, and ratio-plausible") {
     import spark.implicits._
     val ids = (0L until 2000L).toDF("id")
