@@ -72,6 +72,11 @@ object PipelineQueries {
       // duplicate-cluster resolution: verified near-dup pairs chain into
       // clusters via iterative min-label propagation (node → canonical
       // min-id). Oracle: DuckDB recursive CTE transitive closure.
+      // Pair generation here is the ORACLE-PORTABLE blocking join (DuckDB
+      // can replay it); the production-scale path is LSH candidates →
+      // components (Dedup.minhashPairs → connectedComponents), which
+      // SCALE.md measures as dd_cc_pipeline — blocking on (lang, n_chars)
+      // is quadratic per block and only acceptable at oracle scale.
       val docs = Graft.documents(s, d)
       val l = docs.select(col("lang"), col("n_chars"), col("doc_id").as("a"))
       val r = docs.select(col("lang"), col("n_chars"), col("doc_id").as("b"))
