@@ -144,6 +144,26 @@ object TextFunctions {
           .as("tfidf"))
   }
 
+  /** Stratified deterministic sampling: keep each row with a per-stratum
+    * rate (e.g. downsample over-represented languages when rebalancing a
+    * corpus), decided by the same md5 hash-bucket machinery as
+    * [[splitAssign]] — so the sample is reproducible across runs, engines,
+    * and partitioning, and a row's fate never changes when other rows
+    * come or go. 10k buckets give 0.01% rate resolution. Pure expressions:
+    * the filter pushes into the scan.
+    */
+  def stratifiedKeep(key: Column, stratum: Column, rates: Map[String, Double],
+                     defaultRate: Double): Column = {
+    // thresholds computed in Scala with round (0.3 * 10000 truncates to
+    // 2999 through double column arithmetic — a silent off-by-one)
+    def threshold(r: Double): Long = math.round(r * 10000.0)
+    val b = splitBucket(key, nBuckets = 10000)
+    val limit = rates.foldLeft(lit(threshold(defaultRate))) { case (acc, (s, r)) =>
+      when(stratum === s, lit(threshold(r))).otherwise(acc)
+    }
+    b < limit
+  }
+
   /** Sequence packing for training batches: assign documents to bins of at
     * most ~`tokenBudget` tokens by running prefix sums over a deterministic
     * document order — bin = (tokens before this doc) / budget, so every

@@ -106,6 +106,15 @@ object PipelineQueries {
         col("doc_id"),
         TextFunctions.splitAssign(col("doc_id")).as("split"))),
 
+    "pp_stratified" -> ((s, d) =>
+      // corpus rebalancing: deterministic per-language downsampling
+      // (keep 30% of 'en', 80% of everything else) via hash buckets —
+      // reproducible and engine-portable, so fully oracle-checkable
+      Graft.documents(s, d)
+        .where(TextFunctions.stratifiedKeep(col("doc_id"), col("lang"),
+          Map("en" -> 0.3), defaultRate = 0.8))
+        .select("doc_id", "lang")),
+
     "pp_pack" -> ((s, d) =>
       // sequence packing: prefix-sum token binning at a 512-token budget,
       // deterministic by doc_id order — fully oracle-expressible
@@ -362,6 +371,16 @@ object PipelineQueries {
               ev AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 10 = 0),
               co AS (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 10 <> 0)
          SELECT DISTINCT co.doc_id AS doc_id FROM co JOIN ev ON co.gram = ev.gram""",
+    "pp_stratified" ->
+      """WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+              v AS (SELECT doc_id, lang,
+                           ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096 +
+                            (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256 +
+                            (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16 +
+                            (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) % 10000 AS b
+                    FROM h)
+         SELECT doc_id, lang FROM v
+         WHERE b < CASE WHEN lang = 'en' THEN 3000 ELSE 8000 END""",
     "pp_pack" ->
       """WITH t AS (SELECT doc_id,
                            CAST(len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS BIGINT) AS n_tok

@@ -227,6 +227,23 @@ class FunctionsSpec extends GraftTest {
     assert(out.toSeq === rows.map(_._2))
   }
 
+  test("stratified sampling respects per-stratum rates and is a stable subset") {
+    import spark.implicits._
+    val rows = (0L until 4000L).map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")
+    val kept = rows.where(TextFunctions.stratifiedKeep(col("id"), col("lang"),
+        Map("en" -> 0.25), defaultRate = 0.75))
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 2000 per stratum; md5 buckets ≈ uniform → generous bands
+    assert(kept("en") > 350 && kept("en") < 650, kept.toString)
+    assert(kept("de") > 1350 && kept("de") < 1650, kept.toString)
+    // raising a rate only ADDS rows (hash-threshold monotonicity)
+    val small = rows.where(TextFunctions.stratifiedKeep(col("id"), col("lang"),
+      Map("en" -> 0.25), 0.25)).select("id").collect().map(_.getLong(0)).toSet
+    val big = rows.where(TextFunctions.stratifiedKeep(col("id"), col("lang"),
+      Map("en" -> 0.5), 0.5)).select("id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+  }
+
   test("sequence packing bins by prefix-sum token budget, deterministically") {
     import spark.implicits._
     val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f"), (4L, "g h i j k l m"))
