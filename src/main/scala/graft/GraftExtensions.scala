@@ -65,10 +65,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def literalInt(name: String, e: Expression): Int = e match {
     case l if l.foldable =>
+      // integral types only — a Double/Decimal literal silently truncated
+      // through intValue() would run with different semantics than asked
       l.eval() match {
-        case n: Number => n.intValue()
+        case i: java.lang.Integer => i.intValue()
+        case s: java.lang.Short => s.intValue()
+        case b: java.lang.Byte => b.intValue()
+        case lo: java.lang.Long if lo >= Int.MinValue && lo <= Int.MaxValue => lo.intValue()
         case other => throw new IllegalArgumentException(
-          s"$name: expected a literal int, got $other")
+          s"$name: expected an int literal, got $other")
       }
     case other => throw new IllegalArgumentException(
       s"$name: expected a literal int, got non-foldable $other")

@@ -95,23 +95,32 @@ object TextFunctions {
     */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  val phonePattern = "(\\+?\\d{1,3}[-. ]?)?\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}\\b"
+  // The phone pattern anchors BOTH ends: a captured non-digit prefix
+  // (RE2 has no lookbehind) plus a trailing \b — without them the pattern
+  // matches 10-13 digits INSIDE any longer digit run (card/order numbers),
+  // mangling the id and leaking its leading digits. The prefix is restored
+  // in the replacement ($1 in Spark, \1 in the DuckDB oracle).
+  val phonePattern = "(^|[^0-9])(\\+?\\d{1,3}[-. ]?)?\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}\\b"
 
   def redactPii(text: Column): Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(text, emailPattern, "<EMAIL>"),
         ipv4Pattern, "<IP>"),
-      phonePattern, "<PHONE>")
+      phonePattern, "$1<PHONE>")
 
   /** Deterministic dataset splitting: hash-bucket a stable key (md5 of the
     * key's string form — engine-portable, seed-free) into `nBuckets`, and
     * assign train/val/test by bucket range. Pure expressions: the split is
     * reproducible across runs, engines, and repartitioning — the property
     * a training pipeline needs so examples never migrate between splits.
+    * 8 hex chars (32 bits) feed the modulus: with 4 chars (16 bits) the
+    * pmod over 10k buckets was visibly non-uniform (2^16 % 10^4 ≠ 0 puts
+    * 7/65536 mass on low buckets vs 6/65536 on high — up to +7% realized
+    * rate); at 32 bits the residual bias is ~2e-6.
     */
   def splitBucket(key: Column, nBuckets: Int = 100): Column =
-    pmod(conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long"),
+    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
       lit(nBuckets.toLong))
 
   def splitAssign(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
@@ -168,22 +177,36 @@ object TextFunctions {
     * most ~`tokenBudget` tokens by running prefix sums over a deterministic
     * document order — bin = (tokens before this doc) / budget, so every
     * bin except possibly the last holds ≥ budget tokens' worth of docs and
-    * assignment is reproducible across runs/engines. The prefix sum is a
-    * global ordered window: Spark plans a range-partitioned parallel sort
-    * — the inherent cost of ORDER-dependent packing (any exact packer
-    * must sequence the corpus); everything downstream is per-bin local.
-    * Docs longer than the budget get a bin of their own by construction.
+    * assignment is reproducible across runs/engines. Docs longer than the
+    * budget get a bin of their own by construction.
+    *
+    * TWO-PHASE prefix sum: an `orderBy`-only window would plan as
+    * `Exchange SinglePartition` — every row through ONE task. Instead the
+    * frame range-partitions on the order key, each partition computes its
+    * LOCAL prefix sums in parallel, and only the per-partition totals
+    * (one row per partition) flow through a single-partition window to
+    * become global offsets, broadcast back. Identical bin values, no
+    * single-reducer funnel.
     */
   def packBins(docs: org.apache.spark.sql.DataFrame, id: String, text: String,
                tokenBudget: Int): org.apache.spark.sql.DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col(id))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    docs
-      .select(col(id), wsTokenCount(col(text)).cast("long").as("n_tok"))
-      .withColumn("_cum", sum(col("n_tok")).over(w))
-      .withColumn("_before", col("_cum") - col("n_tok"))
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(id), wsTokenCount(col(text)).cast("long").as("n_tok"))
+    // range partitions are ordered by id, so (_part, id) sorts globally
+    val parts = base.repartitionByRange(col(id))
+      .withColumn("_part", spark_partition_id())
+    val wLocal = Window.partitionBy("_part").orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parts.withColumn("_local_cum", sum(col("n_tok")).over(wLocal))
+    // per-partition totals: tiny (one row per partition), so the ordered
+    // window over them is a trivially small single-partition job
+    val wOff = Window.orderBy(col("_part"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = parts.groupBy("_part").agg(sum("n_tok").as("_ptotal"))
+      .withColumn("_offset", sum(col("_ptotal")).over(wOff) - col("_ptotal"))
+      .select("_part", "_offset")
+    local.join(broadcast(offsets), "_part")
+      .withColumn("_before", col("_offset") + col("_local_cum") - col("n_tok"))
       // integer `div` (not `/`, which goes through double and loses
       // exactness past 2^53 cumulative tokens)
       .select(col(id), col("n_tok"),

@@ -61,10 +61,20 @@ object Aggregates {
     */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
                    k: Int, rankCol: String = "rnk"): DataFrame = {
-    val local = df.withColumn("_part", spark_partition_id())
-    val w1 = Window.partitionBy((groupCols :+ "_part").map(col): _*).orderBy(order: _*)
-    val candidates = local.withColumn("_lr", row_number().over(w1))
-      .where(col("_lr") <= k).drop("_part", "_lr")
+    require(!df.columns.contains(rankCol),
+      s"topKPerGroup: output rank column '$rankCol' already exists in the input")
+    // scratch column names guaranteed fresh (withColumn would silently
+    // OVERWRITE same-named caller columns, and the trailing drop would
+    // then delete caller data)
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(n => !df.columns.contains(n)).get
+    val partCol = fresh("_part")
+    val localRankCol = fresh("_lr")
+    val local = df.withColumn(partCol, spark_partition_id())
+    val w1 = Window.partitionBy((groupCols :+ partCol).map(col): _*).orderBy(order: _*)
+    val candidates = local.withColumn(localRankCol, row_number().over(w1))
+      .where(col(localRankCol) <= k).drop(partCol, localRankCol)
     val w2 = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
     candidates.withColumn(rankCol, row_number().over(w2)).where(col(rankCol) <= k)
   }

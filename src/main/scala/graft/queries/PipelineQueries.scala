@@ -343,7 +343,7 @@ object PipelineQueries {
                   text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com at 10.0.0.7 or +1 (555) 123-4567 now',
                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-                  '(\+?\d{1,3}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b', '<PHONE>', 'g') AS redacted
+                  '(^|[^0-9])(\+?\d{1,3}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b', '\1<PHONE>', 'g') AS redacted
          FROM documents""",
     "dd_components" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0)) AS tk,
@@ -372,13 +372,9 @@ object PipelineQueries {
               co AS (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 10 <> 0)
          SELECT DISTINCT co.doc_id AS doc_id FROM co JOIN ev ON co.gram = ev.gram""",
     "pp_stratified" ->
-      """WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
-              v AS (SELECT doc_id, lang,
-                           ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096 +
-                            (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256 +
-                            (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16 +
-                            (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) % 10000 AS b
-                    FROM h)
+      """WITH v AS (SELECT doc_id, lang,
+                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
+                    FROM documents)
          SELECT doc_id, lang FROM v
          WHERE b < CASE WHEN lang = 'en' THEN 3000 ELSE 8000 END""",
     "pp_pack" ->
@@ -390,13 +386,9 @@ object PipelineQueries {
                     FROM t)
          SELECT doc_id, n_tok, (cum - n_tok) // 512 AS bin FROM c""",
     "pp_split" ->
-      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
-              v AS (SELECT doc_id,
-                           ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096 +
-                            (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256 +
-                            (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16 +
-                            (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) % 100 AS b
-                    FROM h)
+      """WITH v AS (SELECT doc_id,
+                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+                    FROM documents)
          SELECT doc_id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
          FROM v""",
     "mm_frames" ->

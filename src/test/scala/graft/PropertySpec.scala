@@ -58,6 +58,12 @@ class PropertySpec extends AnyFunSuite {
     checkProp(Prop.forAll(Gen.nonEmptyListOf(word).map(_.mkString(" "))) { t =>
       !email.matcher(t).find() && !ip.matcher(t).find() && !phone.matcher(t).find()
     })
+    // long digit runs (card/order ids, >= 14 digits) must NOT phone-match:
+    // the anchored pattern may not nibble their trailing digits
+    checkProp(Prop.forAll(Gen.chooseNum(14, 24), Gen.chooseNum(1, 9)) { (len, d) =>
+      val run = d.toString * len
+      !phone.matcher(s"id $run end").find()
+    })
   }
 
   test("property: US-shaped phone numbers match with or without country code and separators") {
