@@ -213,6 +213,55 @@ object TextFunctions {
         expr(s"_before div ${tokenBudget.toLong}L").as("bin"))
   }
 
+  /** Balanced mixture sampling: downsample every stratum to the size of the
+    * SMALLEST one (the classic "equal parts per source" training mixture),
+    * with rates derived FROM THE DATA — per-stratum counts, not hand-tuned
+    * constants. Keep decision is the same md5 hash-bucket machinery as
+    * [[splitAssign]], so membership is reproducible and row-stable.
+    *
+    * Scale shape: the per-stratum counts are one map-side-combined
+    * aggregation producing a stratum-cardinality-sized table that
+    * BROADCASTs back onto the corpus (with the one-row global min riding
+    * along) — the corpus itself is filtered in place, never shuffled. The
+    * threshold uses integer `div` (exact; a double ratio can flip floor()
+    * at exact-divisor boundaries).
+    */
+  def balancedMix(docs: org.apache.spark.sql.DataFrame, id: String,
+                  stratum: String): org.apache.spark.sql.DataFrame = {
+    val counts = docs.groupBy(col(stratum)).agg(count(lit(1)).as("n_s"))
+    val minN = counts.agg(min(col("n_s")).as("min_n"))
+    docs.join(broadcast(counts), stratum).crossJoin(broadcast(minN))
+      .where(splitBucket(col(id), nBuckets = 10000) <
+        expr("(min_n * 10000) div n_s"))
+      .select(col(id), col(stratum))
+  }
+
+  /** Deterministic distributed shuffle: give every row a stable position
+    * (`shard`, `pos`) drawn from a salted md5 of its key — the global
+    * reshuffle an epoch of training data needs, reproducible across
+    * runs/engines/partitioning.
+    *
+    * Scale shape: NO global ordering bottleneck. The 32-bit salted hash
+    * splits rows into `nShards` shards; each shard sorts independently
+    * under a PARTITIONED window (`row_number` over partitionBy(shard)),
+    * so parallelism is nShards-wide and no single task sees the full
+    * corpus. Readers consume shards in (shard, pos) order — equivalent to
+    * one global hash-random order without ever materializing it.
+    */
+  def deterministicShuffle(docs: org.apache.spark.sql.DataFrame, id: String,
+                           nShards: Int, seed: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(concat(col(id).cast("string"), lit(":" + seed))), 1, 8), 16, 10)
+      .cast("long")
+    docs.select(col(id), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+      // ties on the 32-bit hash broken by id — total order, engine-portable
+      // (cast: Spark row_number is int, the oracle engine's is bigint)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("h"), col(id))).cast("long"))
+      .select(col(id), col("shard"), col("pos"))
+  }
+
   /** Language-ID scores: per-language marker-token hit counts over a fixed
     * marker lexicon (n-gram/stopword heuristic). `argmaxLang` picks the
     * best-scoring language with deterministic alphabetical tie-break, else

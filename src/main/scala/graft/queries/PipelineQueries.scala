@@ -120,6 +120,34 @@ object PipelineQueries {
       // deterministic by doc_id order — fully oracle-expressible
       TextFunctions.packBins(Graft.documents(s, d), "doc_id", "text", tokenBudget = 512)),
 
+    "pp_mix" -> ((s, d) =>
+      // balanced mixture: every language downsampled to the smallest
+      // language's size, rates derived from per-stratum counts (broadcast
+      // back; corpus never shuffles) — fully oracle-checkable
+      TextFunctions.balancedMix(Graft.documents(s, d), "doc_id", "lang")),
+
+    "pp_shuffle" -> ((s, d) =>
+      // deterministic epoch shuffle: salted-hash (shard, pos) assignment,
+      // per-shard partitioned windows (no global-order bottleneck) —
+      // fully oracle-checkable
+      TextFunctions.deterministicShuffle(Graft.documents(s, d), "doc_id",
+        nShards = 32, seed = 42)),
+
+    "dd_stream_dedup" -> ((s, d) => {
+      // streaming dedup through the real engine: readStream → watermark →
+      // dropDuplicatesWithinWatermark (state auto-expires beyond the
+      // horizon — the 100 TB shape: state is bounded by the dedup window,
+      // not the corpus). The 30-day horizon covers the test corpus's whole
+      // span, so the emitted set equals exact DISTINCT and the batch
+      // oracle applies.
+      val out = graft.streaming.StreamingQueries.readStreamParquet(s, d, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("event_time", "30 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+      graft.streaming.StreamingQueries.runAppendToMemory(s, "dd_sdedup", out)
+    }),
+
     // ---- similarity search ------------------------------------------------
     "ann_brute" -> ((s, d) => {
       val emb = Graft.embeddings(s, d)
@@ -385,6 +413,23 @@ object PipelineQueries {
                            sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
                     FROM t)
          SELECT doc_id, n_tok, (cum - n_tok) // 512 AS bin FROM c""",
+    "pp_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+              m AS (SELECT min(n_s) AS min_n FROM c),
+              v AS (SELECT d.doc_id, d.lang,
+                           ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b,
+                           (m.min_n * 10000) // c.n_s AS thr
+                    FROM documents d JOIN c USING (lang) CROSS JOIN m)
+         SELECT doc_id, lang FROM v WHERE b < thr""",
+    "pp_shuffle" ->
+      """WITH v AS (SELECT doc_id,
+                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))::BIGINT AS h
+                    FROM documents)
+         SELECT doc_id, h % 32 AS shard,
+                row_number() OVER (PARTITION BY h % 32 ORDER BY h, doc_id) AS pos
+         FROM v""",
+    "dd_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
     "pp_split" ->
       """WITH v AS (SELECT doc_id,
                            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b

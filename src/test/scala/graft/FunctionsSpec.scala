@@ -258,6 +258,44 @@ class FunctionsSpec extends GraftTest {
     assert(again === bins)
   }
 
+  test("balanced mix downsamples every stratum toward the smallest one") {
+    import spark.implicits._
+    // 300 en / 600 de / 100 fr → every stratum targets ~100
+    val rows = (0L until 1000L).map { i =>
+      (i, if (i < 300) "en" else if (i < 900) "de" else "fr")
+    }.toDF("id", "lang")
+    val kept = TextFunctions.balancedMix(rows, "id", "lang")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet === Set("en", "de", "fr"))
+    // fr's rate is (100*10000) div 100 = 10000 → ALL of fr kept
+    assert(kept("fr") === 100L, kept.toString)
+    // others hash-threshold to ~100 each (md5 ≈ uniform, generous bands)
+    assert(kept("en") > 60 && kept("en") < 140, kept.toString)
+    assert(kept("de") > 60 && kept("de") < 140, kept.toString)
+    // stability: repartitioning must not change membership
+    val a = TextFunctions.balancedMix(rows, "id", "lang")
+    val b = TextFunctions.balancedMix(rows.repartition(7), "id", "lang")
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+  }
+
+  test("deterministic shuffle is a stable permutation with dense per-shard positions") {
+    import spark.implicits._
+    val ids = (0L until 500L).toDF("id")
+    val shuffled = TextFunctions.deterministicShuffle(ids, "id", nShards = 8, seed = 1)
+    val rows = shuffled.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // total: every id exactly once
+    assert(rows.map(_._1).toSet === (0L until 500L).toSet)
+    // positions within a shard are 1..n with no gaps
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.length).toSeq)
+    }
+    // reproducible across partitionings; a different seed reorders
+    val again = TextFunctions.deterministicShuffle(ids.repartition(9), "id", 8, 1)
+    assert(shuffled.except(again).count() === 0 && again.except(shuffled).count() === 0)
+    val other = TextFunctions.deterministicShuffle(ids, "id", 8, 2)
+    assert(other.except(shuffled).count() > 0)
+  }
+
   test("split assignment is deterministic, total, and ratio-plausible") {
     import spark.implicits._
     val ids = (0L until 2000L).toDF("id")

@@ -205,6 +205,35 @@ class ProcessorsSpec extends GraftTest {
     assert(out.toSeq === Seq(1L, 2L, 3L), s"each row exactly once across restarts; got ${out.toSeq}")
   }
 
+  test("streaming dedup: duplicates dropped within the horizon, state expires beyond it") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = in.toDS().toDF("id", "ts")
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("id")
+      .select("id")
+    val q = out.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      def ts(ms: Long) = new java.sql.Timestamp(ms)
+      in.addData((1L, ts(1000)), (1L, ts(2000))) // in-batch duplicate
+      q.processAllAvailable()
+      in.addData((1L, ts(3000)), (2L, ts(3000))) // cross-batch duplicate + new key
+      q.processAllAvailable()
+      val early = spark.table("sdedup").collect().map(_.getLong(0)).sorted
+      assert(early.toSeq === Seq(1L, 2L), s"one emission per key inside the horizon; got ${early.toSeq}")
+
+      in.addData((9L, ts(100000))) // watermark → 90s: ids 1/2 expire from state
+      q.processAllAvailable()
+      in.addData((1L, ts(95000))) // same key, beyond the horizon → re-emitted
+      q.processAllAvailable()
+      val late = spark.table("sdedup").collect().map(_.getLong(0)).sorted
+      assert(late.toSeq === Seq(1L, 1L, 2L, 9L),
+        s"state is bounded by the horizon (key 1 re-emitted after expiry); got ${late.toSeq}")
+    } finally q.stop()
+  }
+
   test("T5 graceful stop leaves the query inactive and session healthy") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
