@@ -23,7 +23,8 @@ object Bench {
     "d2_stream_to_table",
     "dd_exact", "dd_minhash", "dd_simhash", "dd_ngram_jaccard", "dd_embedding",
     "ann_brute", "ann_lsh", "ann_ivf",
-    "txt_quality", "txt_fingerprint", "txt_tfidf", "mm_features", "sk_cms")
+    "txt_quality", "txt_fingerprint", "txt_tfidf", "txt_repetition",
+    "pp_shuffle", "pp_mix", "mm_features", "sk_cms")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -213,6 +213,33 @@ object TextFunctions {
         expr(s"_before div ${tokenBudget.toLong}L").as("bin"))
   }
 
+  /** Repetition quality signals (the Gopher-rules family): per document,
+    * the fraction of duplicate word 2-/3-grams and the share of the most
+    * frequent token — the standard filters for looping/boilerplate text.
+    *
+    * Scale shape: the gram ratios are pure column expressions over one
+    * scan (no shuffle, codegen'd). The top-token share deliberately does
+    * NOT use a per-row HOF count (an O(tokens²) lambda that also falls
+    * out of codegen): it explodes to (doc, token) with a map-side-combined
+    * count and re-joins on the doc key — two narrow shuffles that AQE
+    * co-plans, each partial-aggregated before the wire.
+    */
+  def repetitionSignals(docs: org.apache.spark.sql.DataFrame, id: String,
+                        text: String): org.apache.spark.sql.DataFrame = {
+    def dupRatio(k: Int): Column = {
+      val g = wordNgrams(col(text), k)
+      round(lit(1.0) - size(array_distinct(g)).cast("double") /
+        greatest(size(g), lit(1)).cast("double"), 4)
+    }
+    val ratios = docs.select(col(id), dupRatio(2).as("dup2_ratio"), dupRatio(3).as("dup3_ratio"))
+    val topTok = docs
+      .select(col(id), explode(tokens(col(text))).as("tok"))
+      .groupBy(id, "tok").agg(count(lit(1)).as("c"))
+      .groupBy(id).agg(round(max("c").cast("double") / sum("c").cast("double"), 4)
+        .as("top_tok_frac"))
+    ratios.join(topTok, id)
+  }
+
   /** Balanced mixture sampling: downsample every stratum to the size of the
     * SMALLEST one (the classic "equal parts per source" training mixture),
     * with rates derived FROM THE DATA — per-stratum counts, not hand-tuned

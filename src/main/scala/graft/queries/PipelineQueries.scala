@@ -189,6 +189,12 @@ object PipelineQueries {
         col("doc_id"), col("lang"),
         TextFunctions.argmaxLang(col("text")).as("lang_pred"))),
 
+    "txt_repetition" -> ((s, d) =>
+      // Gopher-style repetition filters: duplicate 2-/3-gram ratios (pure
+      // column exprs) + top-token share (explode → map-side-combined
+      // count) — fully oracle-checkable
+      TextFunctions.repetitionSignals(Graft.documents(s, d), "doc_id", "text")),
+
     "txt_fingerprint" -> ((s, d) =>
       Graft.documents(s, d).select(
         col("doc_id"),
@@ -331,6 +337,21 @@ object PipelineQueries {
                 (length(text) >= 20 AND n_tokens >= 5 AND punct_ratio < 0.3
                  AND mean_token_len BETWEEN 2.0 AND 12.0) AS quality_ok
          FROM f""",
+    "txt_repetition" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0) AS l
+                    FROM documents),
+              g AS (SELECT doc_id, l,
+                           CASE WHEN len(l) >= 2 THEN list_transform(generate_series(1, len(l) - 1), i -> l[i] || ' ' || l[i+1]) ELSE l END AS g2,
+                           CASE WHEN len(l) >= 3 THEN list_transform(generate_series(1, len(l) - 2), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) ELSE l END AS g3
+                    FROM t),
+              r AS (SELECT doc_id,
+                           round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / greatest(CAST(len(g2) AS DOUBLE), 1.0), 4) AS dup2_ratio,
+                           round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / greatest(CAST(len(g3) AS DOUBLE), 1.0), 4) AS dup3_ratio
+                    FROM g),
+              tok AS (SELECT doc_id, unnest(l) AS tok FROM t),
+              tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+              tf AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS top_tok_frac FROM tc GROUP BY doc_id)
+         SELECT r.doc_id, r.dup2_ratio, r.dup3_ratio, tf.top_tok_frac FROM r JOIN tf USING (doc_id)""",
     "txt_fingerprint" ->
       "SELECT doc_id, substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16) AS fp16 FROM documents",
     // replays TextFunctions.argmaxLang exactly: per-language marker hit

@@ -258,6 +258,20 @@ class FunctionsSpec extends GraftTest {
     assert(again === bins)
   }
 
+  test("repetition signals: duplicate-gram ratios and top-token share, hand-computed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),       // 2-grams: [a a, a a, a b] → dup2 = 1-2/3; 3-grams distinct → 0; top a = 3/4
+      (2L, "x y z w"),       // all distinct everywhere
+      (3L, "go go go go")    // fully repetitive
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((0.3333, 0.0, 0.75)))
+    assert(out(2L) === ((0.0, 0.0, 0.25)))
+    assert(out(3L) === ((0.6667, 0.5, 1.0)))
+  }
+
   test("balanced mix downsamples every stratum toward the smallest one") {
     import spark.implicits._
     // 300 en / 600 de / 100 fr → every stratum targets ~100
