@@ -94,6 +94,30 @@ class PlanSpec extends GraftTest {
       "query side must broadcast; corpus side must stream:\n" + p.take(2000))
   }
 
+  test("balanced mix broadcasts the stratum counts onto the corpus") {
+    val p = plan("pp_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      "stratum-count join must broadcast (corpus filtered in place):\n" + p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must never shuffle for the mix decision:\n" + p.take(3000))
+  }
+
+  test("deterministic shuffle partitions by shard — no single-reducer global sort") {
+    val p = plan("pp_shuffle")
+    assert(!p.contains("Exchange SinglePartition"),
+      "per-shard windows must hash-partition, not funnel into one task:\n" + p.take(3000))
+    assert(p.contains("Exchange hashpartitioning"),
+      "expected a hash exchange on the shard key:\n" + p.take(3000))
+  }
+
+  test("repetition signals combine token counts map-side") {
+    val p = plan("txt_repetition")
+    assert(p.contains("partial_count") || p.contains("partial_max"),
+      "token counting must partial-aggregate before the shuffle:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "signals re-join on the doc key only:\n" + p.take(3000))
+  }
+
   test("windowed stream-stream join shuffles on (key, bucket), not key alone") {
     val p = plan("j1_ss_inner")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
