@@ -148,6 +148,27 @@ object PipelineQueries {
       graft.streaming.StreamingQueries.runAppendToMemory(s, "dd_sdedup", out)
     }),
 
+    "pp_pipeline" -> ((s, d) => {
+      // the whole corpus-preparation pipeline, composed end-to-end from
+      // the library's own stages: quality gate (scan-pushed filter) →
+      // exact dedup (hash groupBy keep-min, semi-join back) →
+      // deterministic split → sequence packing of the train split
+      // (parallel prefix sums). One oracle replays the identical chain.
+      val docs = Graft.documents(s, d)
+      val q = docs.where(TextFunctions.qualityOk(col("text")))
+      val keep = Dedup.exact(q, "doc_id", "text").select(col("keep_id").as("doc_id"))
+      val kept = q.join(keep, Seq("doc_id"), "left_semi")
+      val split = kept.select(col("doc_id"), col("text"),
+        TextFunctions.splitAssign(col("doc_id")).as("split"))
+      val packed = TextFunctions
+        .packBins(split.where(col("split") === "train"), "doc_id", "text", tokenBudget = 512)
+        .select(col("doc_id"), col("bin"))
+      split.select("doc_id", "split").join(packed, Seq("doc_id"), "left")
+        // -1, not NULL, for non-train rows: nullable ints round-trip
+        // differently across engines' parquet/pandas paths
+        .select(col("doc_id"), col("split"), coalesce(col("bin"), lit(-1L)).as("bin"))
+    }),
+
     // ---- similarity search ------------------------------------------------
     "ann_brute" -> ((s, d) => {
       val emb = Graft.embeddings(s, d)
@@ -434,6 +455,31 @@ object PipelineQueries {
                            sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
                     FROM t)
          SELECT doc_id, n_tok, (cum - n_tok) // 512 AS bin FROM c""",
+    "pp_pipeline" ->
+      """WITH t AS (SELECT doc_id, text,
+                           len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS n_tokens,
+                           round(CAST(length(regexp_replace(text, '[\w\s]+', '', 'g')) AS DOUBLE) /
+                                 greatest(CAST(length(text) AS DOUBLE), 1.0), 4) AS punct_ratio,
+                           list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0) AS toks
+                    FROM documents),
+              q AS (SELECT doc_id, text, n_tokens FROM (
+                      SELECT *, round(CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) /
+                                      greatest(CAST(len(toks) AS DOUBLE), 1.0), 4) AS mtl
+                      FROM t)
+                    WHERE length(text) >= 20 AND n_tokens >= 5 AND punct_ratio < 0.3
+                      AND mtl BETWEEN 2.0 AND 12.0),
+              k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+              s AS (SELECT q.doc_id, q.n_tokens,
+                           CASE WHEN ('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                                WHEN ('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+                                ELSE 'test' END AS split
+                    FROM q JOIN k USING (doc_id)),
+              c AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tok,
+                           sum(CAST(n_tokens AS BIGINT)) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+                    FROM s WHERE split = 'train'),
+              p AS (SELECT doc_id, (cum - n_tok) // 512 AS bin FROM c)
+         SELECT s.doc_id, s.split, coalesce(p.bin, -1) AS bin
+         FROM s LEFT JOIN p USING (doc_id)""",
     "pp_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
               m AS (SELECT min(n_s) AS min_n FROM c),
