@@ -32,8 +32,13 @@ object TextFunctions {
     * the tokenization binds once (HOF lambdas get no common-subexpression
     * elimination — see graft.dedup.Dedup.shingleHashes).
     */
-  def wordNgrams(text: Column, k: Int): Column = {
-    val toks = tokens(text)
+  def wordNgrams(text: Column, k: Int): Column = ngramsFromTokens(tokens(text), k)
+
+  /** K-grams from an already-bound token-array column — use this form when
+    * several gram sizes share one tokenization (bind `tokens(text)` in its
+    * own projection; HOF chains get no common-subexpression elimination).
+    */
+  def ngramsFromTokens(toks: Column, k: Int): Column = {
     val n = size(toks)
     val zipped = arrays_zip(
       (0 until k).map(j => slice(toks, lit(j + 1), greatest(n - (k - 1), lit(0))).as(s"t$j")): _*)
@@ -226,12 +231,19 @@ object TextFunctions {
     */
   def repetitionSignals(docs: org.apache.spark.sql.DataFrame, id: String,
                         text: String): org.apache.spark.sql.DataFrame = {
-    def dupRatio(k: Int): Column = {
-      val g = wordNgrams(col(text), k)
+    // gram arrays bind ONCE in their own projection: each ratio reads its
+    // array twice (distinct + size), and Spark gives HOF chains no
+    // common-subexpression elimination — inlined, every reference would
+    // re-tokenize and re-zip the document (CollapseProject keeps the
+    // split because the expressions are non-cheap and multiply-referenced)
+    def dupRatio(g: Column): Column =
       round(lit(1.0) - size(array_distinct(g)).cast("double") /
         greatest(size(g), lit(1)).cast("double"), 4)
-    }
-    val ratios = docs.select(col(id), dupRatio(2).as("dup2_ratio"), dupRatio(3).as("dup3_ratio"))
+    val ratios = docs
+      .select(col(id), tokens(col(text)).as("_toks"))
+      .select(col(id), ngramsFromTokens(col("_toks"), 2).as("_g2"),
+        ngramsFromTokens(col("_toks"), 3).as("_g3"))
+      .select(col(id), dupRatio(col("_g2")).as("dup2_ratio"), dupRatio(col("_g3")).as("dup3_ratio"))
     val topTok = docs
       .select(col(id), explode(tokens(col(text))).as("tok"))
       .groupBy(id, "tok").agg(count(lit(1)).as("c"))
@@ -254,12 +266,34 @@ object TextFunctions {
     * at exact-divisor boundaries).
     */
   def balancedMix(docs: org.apache.spark.sql.DataFrame, id: String,
-                  stratum: String): org.apache.spark.sql.DataFrame = {
+                  stratum: String): org.apache.spark.sql.DataFrame =
+    weightedMix(docs, id, stratum, weights = Map.empty, defaultWeight = 1L)
+
+  /** Weighted mixture sampling: realize target RATIOS between strata
+    * (e.g. "2 parts code to 1 part web") at the largest feasible size —
+    * the general data-mixture primitive; [[balancedMix]] is the
+    * all-weights-1 case. With integer weights w_s and counts n_s, the
+    * max feasible unit count is u = min_s(n_s div w_s); stratum s keeps
+    * w_s·u rows via the md5 hash-threshold, so realized sizes sit in the
+    * requested ratio and membership is row-stable. All arithmetic is
+    * integer `div` (exact, engine-portable).
+    *
+    * Scale shape: identical to [[balancedMix]] — stratum counts broadcast
+    * back with the one-row min riding along; the corpus is filtered in
+    * place and never shuffles.
+    */
+  def weightedMix(docs: org.apache.spark.sql.DataFrame, id: String, stratum: String,
+                  weights: Map[String, Long], defaultWeight: Long): org.apache.spark.sql.DataFrame = {
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, wt)) =>
+      when(col(stratum) === s, lit(wt)).otherwise(acc)
+    }
     val counts = docs.groupBy(col(stratum)).agg(count(lit(1)).as("n_s"))
-    val minN = counts.agg(min(col("n_s")).as("min_n"))
-    docs.join(broadcast(counts), stratum).crossJoin(broadcast(minN))
+      .withColumn("w", w)
+    val minUnits = counts.agg(min(expr("n_s div w")).as("mu"))
+    docs.join(broadcast(counts.select(col(stratum), col("n_s"), col("w"))), stratum)
+      .crossJoin(broadcast(minUnits))
       .where(splitBucket(col(id), nBuckets = 10000) <
-        expr("(min_n * 10000) div n_s"))
+        expr("(w * mu * 10000) div n_s"))
       .select(col(id), col(stratum))
   }
 

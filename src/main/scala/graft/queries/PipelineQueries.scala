@@ -126,6 +126,13 @@ object PipelineQueries {
       // back; corpus never shuffles) — fully oracle-checkable
       TextFunctions.balancedMix(Graft.documents(s, d), "doc_id", "lang")),
 
+    "pp_weighted" -> ((s, d) =>
+      // target-ratio mixture: de oversampled 2:1 against everything else,
+      // at the largest feasible size — same broadcast-counts shape as
+      // pp_mix, fully oracle-checkable
+      TextFunctions.weightedMix(Graft.documents(s, d), "doc_id", "lang",
+        weights = Map("de" -> 2L), defaultWeight = 1L)),
+
     "pp_shuffle" -> ((s, d) =>
       // deterministic epoch shuffle: salted-hash (shard, pos) assignment,
       // per-shard partitioned windows (no global-order bottleneck) —
@@ -487,6 +494,16 @@ object PipelineQueries {
                            ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b,
                            (m.min_n * 10000) // c.n_s AS thr
                     FROM documents d JOIN c USING (lang) CROSS JOIN m)
+         SELECT doc_id, lang FROM v WHERE b < thr""",
+    "pp_weighted" ->
+      """WITH c AS (SELECT lang, count(*) AS n_s,
+                           CASE WHEN lang = 'de' THEN 2 ELSE 1 END AS w
+                    FROM documents GROUP BY lang),
+              u AS (SELECT min(n_s // w) AS mu FROM c),
+              v AS (SELECT d.doc_id, d.lang,
+                           ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b,
+                           (c.w * u.mu * 10000) // c.n_s AS thr
+                    FROM documents d JOIN c USING (lang) CROSS JOIN u)
          SELECT doc_id, lang FROM v WHERE b < thr""",
     "pp_shuffle" ->
       """WITH v AS (SELECT doc_id,

@@ -292,6 +292,24 @@ class FunctionsSpec extends GraftTest {
     assert(a.except(b).count() === 0 && b.except(a).count() === 0)
   }
 
+  test("weighted mix realizes target ratios at the largest feasible size") {
+    import spark.implicits._
+    // 300 en / 600 de / 100 fr, weights en:1 de:2 fr:1
+    // units: min(300/1, 600/2, 100/1) = 100 → targets en 100, de 200, fr 100
+    val rows = (0L until 1000L).map { i =>
+      (i, if (i < 300) "en" else if (i < 900) "de" else "fr")
+    }.toDF("id", "lang")
+    val kept = TextFunctions.weightedMix(rows, "id", "lang", Map("de" -> 2L), 1L)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // fr is the binding stratum: threshold 10000 → kept whole
+    assert(kept("fr") === 100L, kept.toString)
+    assert(kept("en") > 60 && kept("en") < 140, kept.toString)
+    assert(kept("de") > 150 && kept("de") < 250, kept.toString)
+    // realized ratio de:en ≈ 2 (hash-threshold noise aside)
+    val ratio = kept("de").toDouble / kept("en").toDouble
+    assert(ratio > 1.4 && ratio < 2.8, s"expected ~2:1, got $ratio ($kept)")
+  }
+
   test("deterministic shuffle is a stable permutation with dense per-shard positions") {
     import spark.implicits._
     val ids = (0L until 500L).toDF("id")
