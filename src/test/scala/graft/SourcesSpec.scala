@@ -57,4 +57,25 @@ class SourcesSpec extends GraftTest {
       .collect().map(_.toSeq).toSet
     assert(viaAvro === direct)
   }
+
+  test("corpus write-out partitions by split: one directory per split, scans prune") {
+    import graft.functions.TextFunctions
+    val out = Files.createTempDirectory("graft-corpus-out").toFile
+    out.deleteOnExit()
+    val corpus = Graft.documents(spark, sf)
+      .select(col("doc_id"), col("text"), TextFunctions.splitAssign(col("doc_id")).as("split"))
+    // the final pipeline stage at 100 TB: hive-style split directories so
+    // training readers open train/ only — partition pruning, not filtering
+    corpus.write.partitionBy("split").mode("overwrite").parquet(out.getAbsolutePath)
+    val dirs = out.list().filter(_.startsWith("split=")).toSet
+    assert(dirs === Set("split=train", "split=val", "split=test"), dirs.toString)
+    val back = spark.read.parquet(out.getAbsolutePath)
+    assert(back.count() === corpus.count())
+    // a split=train read must prune partitions at planning time, not scan-filter
+    val trainScan = back.where(col("split") === "train")
+    val p = trainScan.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("split"),
+      "split predicate must prune partitions:\n" + p.take(2000))
+    assert(trainScan.count() === corpus.where(col("split") === "train").count())
+  }
 }
