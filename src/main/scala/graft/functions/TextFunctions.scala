@@ -230,7 +230,24 @@ object TextFunctions {
     * co-plans, each partial-aggregated before the wire.
     */
   def repetitionSignals(docs: org.apache.spark.sql.DataFrame, id: String,
-                        text: String): org.apache.spark.sql.DataFrame = {
+                        text: String): org.apache.spark.sql.DataFrame =
+    if (docs.sparkSession.catalog.functionExists("repetition_stats"))
+      // native single-pass kernel: one scan, zero shuffles (the n_tokens
+      // filter replays the agg form's drop of token-less docs)
+      docs.select(col(id), call_function("repetition_stats", col(text)).as("_r"))
+        .where(col("_r.n_tokens") > 0)
+        .select(col(id),
+          col("_r.dup2_ratio").as("dup2_ratio"),
+          col("_r.dup3_ratio").as("dup3_ratio"),
+          col("_r.top_tok_frac").as("top_tok_frac"))
+    else repetitionSignalsColumnar(docs, id, text)
+
+  /** Extension-free Column form of [[repetitionSignals]] — explode →
+    * two-level count → doc-key join; asserted equal to the native kernel
+    * in FunctionsSpec.
+    */
+  def repetitionSignalsColumnar(docs: org.apache.spark.sql.DataFrame, id: String,
+                                text: String): org.apache.spark.sql.DataFrame = {
     // gram arrays bind ONCE in their own projection: each ratio reads its
     // array twice (distinct + size), and Spark gives HOF chains no
     // common-subexpression elimination — inlined, every reference would

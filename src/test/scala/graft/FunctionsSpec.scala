@@ -272,6 +272,16 @@ class FunctionsSpec extends GraftTest {
     assert(out(3L) === ((0.6667, 0.5, 1.0)))
   }
 
+  test("native repetition_stats equals the columnar form over the corpus") {
+    val docs = Graft.documents(spark, sf)
+    val native = graft.functions.TextFunctions.repetitionSignals(docs, "doc_id", "text")
+    assert(native.queryExecution.executedPlan.toString.contains("repetition_stats"),
+      "session with extensions must dispatch the native kernel")
+    val columnar = graft.functions.TextFunctions.repetitionSignalsColumnar(docs, "doc_id", "text")
+    assert(native.except(columnar).count() === 0 && columnar.except(native).count() === 0,
+      "hash-based distinct counts must equal string-based ones on real text")
+  }
+
   test("balanced mix downsamples every stratum toward the smallest one") {
     import spark.implicits._
     // 300 en / 600 de / 100 fr → every stratum targets ~100
