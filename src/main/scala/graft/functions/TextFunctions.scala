@@ -269,6 +269,33 @@ object TextFunctions {
     ratios.join(topTok, id)
   }
 
+  /** Context-length chunking: split each document into sliding token
+    * spans of at most `maxTok` tokens with `overlap` tokens of context
+    * carried between consecutive chunks (stride = maxTok − overlap) — how
+    * long documents become model-sized training examples. Emits
+    * (id, chunk_idx, tok_start, tok_end); every token is covered, the
+    * last chunk ends at the document's token count, and all arithmetic is
+    * integer (engine-portable, reproducible).
+    *
+    * Scale shape: pure scan + explode — per-row computation, no shuffle;
+    * chunk counts derive from one token count, never a second pass.
+    */
+  def chunkSpans(docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+                 maxTok: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(maxTok > overlap && overlap >= 0, s"need maxTok > overlap >= 0, got $maxTok/$overlap")
+    val stride = maxTok - overlap
+    docs.select(col(id), wsTokenCount(col(text)).cast("long").as("n_tok"))
+      .where(col("n_tok") > 0)
+      .withColumn("n_chunks",
+        when(col("n_tok") <= maxTok, lit(1L))
+          .otherwise(lit(1L) + expr(s"(n_tok - $maxTok + ${stride - 1}) div $stride")))
+      .select(col(id), col("n_tok"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col(id), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("tok_start"),
+        least(col("chunk_idx") * stride + maxTok, col("n_tok")).as("tok_end"))
+  }
+
   /** Balanced mixture sampling: downsample every stratum to the size of the
     * SMALLEST one (the classic "equal parts per source" training mixture),
     * with rates derived FROM THE DATA — per-stratum counts, not hand-tuned

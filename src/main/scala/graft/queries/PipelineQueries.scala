@@ -126,6 +126,12 @@ object PipelineQueries {
       // back; corpus never shuffles) — fully oracle-checkable
       TextFunctions.balancedMix(Graft.documents(s, d), "doc_id", "lang")),
 
+    "pp_chunk" -> ((s, d) =>
+      // context-length chunking: 128-token windows, 16-token overlap —
+      // pure scan + explode, integer spans, fully oracle-checkable
+      TextFunctions.chunkSpans(Graft.documents(s, d), "doc_id", "text",
+        maxTok = 128, overlap = 16)),
+
     "pp_weighted" -> ((s, d) =>
       // target-ratio mixture: de oversampled 2:1 against everything else,
       // at the largest feasible size — same broadcast-counts shape as
@@ -495,6 +501,15 @@ object PipelineQueries {
                            (m.min_n * 10000) // c.n_s AS thr
                     FROM documents d JOIN c USING (lang) CROSS JOIN m)
          SELECT doc_id, lang FROM v WHERE b < thr""",
+    "pp_chunk" ->
+      """WITH t AS (SELECT doc_id,
+                           CAST(len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS BIGINT) AS n_tok
+                    FROM documents),
+              c AS (SELECT doc_id, n_tok,
+                           CASE WHEN n_tok <= 128 THEN 1 ELSE 1 + (n_tok - 128 + 111) // 112 END AS n_chunks
+                    FROM t WHERE n_tok > 0)
+         SELECT doc_id, i AS chunk_idx, i * 112 AS tok_start, least(i * 112 + 128, n_tok) AS tok_end
+         FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)""",
     "pp_weighted" ->
       """WITH c AS (SELECT lang, count(*) AS n_s,
                            CASE WHEN lang = 'de' THEN 2 ELSE 1 END AS w

@@ -272,6 +272,29 @@ class FunctionsSpec extends GraftTest {
     assert(out(3L) === ((0.6667, 0.5, 1.0)))
   }
 
+  test("chunk spans cover every token with the configured overlap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 5).map(i => s"t$i").mkString(" ")),    // 5 toks, one chunk
+      (2L, (1 to 10).map(i => s"t$i").mkString(" ")),   // maxTok=4, overlap=1 → stride 3
+      (3L, "")                                          // token-less: no chunks
+    ).toDF("doc_id", "text")
+    val spans = TextFunctions.chunkSpans(docs, "doc_id", "text", maxTok = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(!spans.exists(_._1 == 3L))
+    assert(spans.filter(_._1 == 1L).toSeq === Seq((1L, 0L, 0L, 4L), (1L, 1L, 3L, 5L)))
+    // doc 2: n=10 → 1 + ceil(6/3) = 3 chunks: [0,4) [3,7) [6,10)
+    assert(spans.filter(_._1 == 2L).toSeq ===
+      Seq((2L, 0L, 0L, 4L), (2L, 1L, 3L, 7L), (2L, 2L, 6L, 10L)))
+    // every consecutive pair overlaps by exactly `overlap` until the tail
+    spans.groupBy(_._1).values.foreach { cs =>
+      cs.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(b._3 === a._3 + 3, s"stride must be 3: $a -> $b")
+        case _ =>
+      }
+    }
+  }
+
   test("native repetition_stats equals the columnar form over the corpus") {
     val docs = Graft.documents(spark, sf)
     val native = graft.functions.TextFunctions.repetitionSignals(docs, "doc_id", "text")
