@@ -89,6 +89,38 @@ object TextFunctions {
       (punctRatio(text) < lit(0.3)) &&
       meanTokenLen(text).between(2.0, 12.0)
 
+  /** The full quality-feature frame: native single-pass `text_stats`
+    * kernel when the session has graft's extensions (one byte scan per
+    * document), else the Column-expression chain — identical output,
+    * asserted equal in FunctionsSpec.
+    */
+  def qualityFeatures(docs: org.apache.spark.sql.DataFrame, id: String,
+                      text: String): org.apache.spark.sql.DataFrame =
+    if (docs.sparkSession.catalog.functionExists("text_stats"))
+      docs.select(col(id), call_function("text_stats", col(text)).as("_s"))
+        .select(col(id),
+          col("_s.n_tokens").as("n_tokens"),
+          col("_s.n_subwords").as("n_subwords"),
+          col("_s.punct_ratio").as("punct_ratio"),
+          col("_s.stopword_ratio").as("stopword_ratio"),
+          col("_s.mean_token_len").as("mean_token_len"),
+          col("_s.quality_ok").as("quality_ok"))
+    else docs.select(col(id),
+      wsTokenCount(col(text)).as("n_tokens"),
+      subwordCount(col(text)).as("n_subwords"),
+      punctRatio(col(text)).as("punct_ratio"),
+      stopwordRatio(col(text)).as("stopword_ratio"),
+      meanTokenLen(col(text)).as("mean_token_len"),
+      qualityOk(col(text)).as("quality_ok"))
+
+  /** [[qualityOk]] through the native kernel when available — one byte
+    * scan instead of four separate tokenizing expressions.
+    */
+  def qualityOkFast(spark: org.apache.spark.sql.SparkSession, text: Column): Column =
+    if (spark.catalog.functionExists("text_stats"))
+      call_function("text_stats", text).getField("quality_ok")
+    else qualityOk(text)
+
   /** PII redaction for training corpora: replace emails, IPv4 addresses,
     * and phone-shaped number runs with typed placeholder tags. Pure
     * regexp_replace chain (codegen'd, scan-local). Patterns are

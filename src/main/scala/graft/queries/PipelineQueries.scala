@@ -168,7 +168,7 @@ object PipelineQueries {
       // deterministic split → sequence packing of the train split
       // (parallel prefix sums). One oracle replays the identical chain.
       val docs = Graft.documents(s, d)
-      val q = docs.where(TextFunctions.qualityOk(col("text")))
+      val q = docs.where(TextFunctions.qualityOkFast(s, col("text")))
       val keep = Dedup.exact(q, "doc_id", "text").select(col("keep_id").as("doc_id"))
       val kept = q.join(keep, Seq("doc_id"), "left_semi")
       val split = kept.select(col("doc_id"), col("text"),
@@ -206,14 +206,9 @@ object PipelineQueries {
 
     // ---- text analysis ----------------------------------------------------
     "txt_quality" -> ((s, d) =>
-      Graft.documents(s, d).select(
-        col("doc_id"),
-        TextFunctions.wsTokenCount(col("text")).as("n_tokens"),
-        TextFunctions.subwordCount(col("text")).as("n_subwords"),
-        TextFunctions.punctRatio(col("text")).as("punct_ratio"),
-        TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
-        TextFunctions.meanTokenLen(col("text")).as("mean_token_len"),
-        TextFunctions.qualityOk(col("text")).as("quality_ok"))),
+      // native text_stats kernel (one byte scan per doc) with the Column
+      // chain as extension-free fallback — identical columns either way
+      TextFunctions.qualityFeatures(Graft.documents(s, d), "doc_id", "text")),
 
     "txt_langid" -> ((s, d) =>
       // marker-lexicon language ID — deterministic marker-count argmax

@@ -295,6 +295,37 @@ class FunctionsSpec extends GraftTest {
     }
   }
 
+  test("native text_stats equals the columnar quality features over the corpus + edges") {
+    import spark.implicits._
+    val docs = Graft.documents(spark, sf)
+    val native = graft.functions.TextFunctions.qualityFeatures(docs, "doc_id", "text")
+    assert(native.queryExecution.executedPlan.toString.contains("text_stats"),
+      "session with extensions must dispatch the native kernel")
+    val columnar = docs.select(col("doc_id"),
+      TextFunctions.wsTokenCount(col("text")).as("n_tokens"),
+      TextFunctions.subwordCount(col("text")).as("n_subwords"),
+      TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+      TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
+      TextFunctions.meanTokenLen(col("text")).as("mean_token_len"),
+      TextFunctions.qualityOk(col("text")).as("quality_ok"))
+    assert(native.except(columnar).count() === 0 && columnar.except(native).count() === 0)
+    // edge shapes: empty, whitespace-only, punctuation soup, stopword-only,
+    // tabs/newlines, underscores and digits, short-but-clean
+    val edges = Seq("", "   \t\n ", "!!! ??? ,,,", "the and of to in is a an or",
+      "ab_1 cd_2\tef_3\nnine ten", "x", "clean words here exactly five ok")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val ne = graft.functions.TextFunctions.qualityFeatures(edges, "doc_id", "text")
+    val ce = edges.select(col("doc_id"),
+      TextFunctions.wsTokenCount(col("text")).as("n_tokens"),
+      TextFunctions.subwordCount(col("text")).as("n_subwords"),
+      TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+      TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
+      TextFunctions.meanTokenLen(col("text")).as("mean_token_len"),
+      TextFunctions.qualityOk(col("text")).as("quality_ok"))
+    assert(ne.except(ce).count() === 0 && ce.except(ne).count() === 0,
+      s"native:\n${ne.collect().mkString("\n")}\ncolumnar:\n${ce.collect().mkString("\n")}")
+  }
+
   test("native repetition_stats equals the columnar form over the corpus") {
     val docs = Graft.documents(spark, sf)
     val native = graft.functions.TextFunctions.repetitionSignals(docs, "doc_id", "text")
