@@ -24,7 +24,7 @@ object Bench {
     "dd_exact", "dd_minhash", "dd_simhash", "dd_ngram_jaccard", "dd_embedding",
     "ann_brute", "ann_lsh", "ann_ivf",
     "txt_quality", "txt_fingerprint", "txt_tfidf", "txt_repetition",
-    "pp_shuffle", "pp_mix", "pp_pipeline", "mm_features", "sk_cms")
+    "pp_shuffle", "pp_mix", "pp_chunk", "pp_pipeline", "mm_features", "sk_cms")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

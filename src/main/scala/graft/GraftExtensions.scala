@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, MinHashAgg, RepetitionStats, RollingHash, ShingleHashes, SimHashAgg, SrpBucket, TextStats, TokenHashes}
+import graft.functions.{CosineSimilarity, LangScores, MinHashAgg, RepetitionStats, RollingHash, ShingleHashes, SimHashAgg, SrpBucket, TextStats, TokenHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -49,6 +49,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         requireArity("token_hashes", children, 1)
         TokenHashes(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("lang_scores"),
+      new ExpressionInfo(classOf[LangScores].getName, "lang_scores"),
+      (children: Seq[Expression]) => {
+        requireArity("lang_scores", children, 1)
+        LangScores(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("text_stats"),

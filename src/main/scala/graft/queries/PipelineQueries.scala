@@ -213,10 +213,11 @@ object PipelineQueries {
     "txt_langid" -> ((s, d) =>
       // marker-lexicon language ID — deterministic marker-count argmax
       // with first-alphabetical tie-break, so it IS oracle-expressible
-      // (the oracle replays the same scoring in SQL)
+      // (the oracle replays the same scoring in SQL); dispatches the
+      // native one-pass lang_scores kernel when extensions are loaded
       Graft.documents(s, d).select(
         col("doc_id"), col("lang"),
-        TextFunctions.argmaxLang(col("text")).as("lang_pred"))),
+        TextFunctions.argmaxLangFast(s, col("text")).as("lang_pred"))),
 
     "txt_repetition" -> ((s, d) =>
       // Gopher-style repetition filters: duplicate 2-/3-gram ratios (pure

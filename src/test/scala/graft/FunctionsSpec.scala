@@ -326,6 +326,27 @@ class FunctionsSpec extends GraftTest {
       s"native:\n${ne.collect().mkString("\n")}\ncolumnar:\n${ce.collect().mkString("\n")}")
   }
 
+  test("native lang_scores equals the columnar argmax over the corpus + tie/edge cases") {
+    import spark.implicits._
+    val docs = Graft.documents(spark, sf)
+    val native = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.argmaxLangFast(spark, col("text")).as("lang_pred"))
+    assert(native.queryExecution.executedPlan.toString.contains("lang_scores"))
+    val columnar = docs.select(col("doc_id"),
+      TextFunctions.argmaxLang(col("text")).as("lang_pred"))
+    assert(native.except(columnar).count() === 0 && columnar.except(native).count() === 0)
+    // ties (de/en markers equal → alphabetical), no-marker → und, case folding,
+    // duplicate-occurrence counting, >8-byte tokens ignored by both forms
+    val edges = Seq("the und", "xyzzy plugh", "THE AND OF", "la la la le et est",
+      "unremarkable letters", "das ist the was with und")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val ne = edges.select(col("doc_id"),
+      graft.functions.TextFunctions.argmaxLangFast(spark, col("text")).as("lang_pred"))
+    val ce = edges.select(col("doc_id"), TextFunctions.argmaxLang(col("text")).as("lang_pred"))
+    assert(ne.except(ce).count() === 0 && ce.except(ne).count() === 0,
+      s"native:\n${ne.collect().mkString("\n")}\ncolumnar:\n${ce.collect().mkString("\n")}")
+  }
+
   test("native repetition_stats equals the columnar form over the corpus") {
     val docs = Graft.documents(spark, sf)
     val native = graft.functions.TextFunctions.repetitionSignals(docs, "doc_id", "text")
