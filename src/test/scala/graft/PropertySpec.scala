@@ -86,4 +86,78 @@ class PropertySpec extends AnyFunSuite {
         c == Dedup.minhashCoeffs(n) // same seed → same permutations, every call
     }, tests = 50)
   }
+
+  // ---- native text kernels vs regex references ----------------------------
+  // The byte-scan kernels' exactness contract lives at run boundaries,
+  // case folding, and 4dp rounding — generated mixed text hits all of it.
+
+  private val genText: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaNumChar,
+    1 -> Gen.oneOf('_', '!', '.', ',', '?', '@', '#', '-', '\''),
+    2 -> Gen.oneOf(' ', '\t', '\n'),
+    1 -> Gen.oneOf("the", "and", "la", "und", "is", "est").map(_.head) // bias letters
+  )).map(_.mkString)
+
+  private def round4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def refTokens(text: String): Seq[String] =
+    text.toLowerCase.split("\\W+").toSeq.filter(_.nonEmpty)
+
+  test("property: text_stats kernel matches the regex reference on generated text") {
+    checkProp(Prop.forAll(genText) { text =>
+      val row = graft.functions.TextStats.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text))
+      val toks = refTokens(text)
+      val wsToks = text.split("\\s+").count(_.nonEmpty)
+      val punct = text.replaceAll("[\\w\\s]", "").length
+      val stops = toks.count(TextFunctions.stopwords.contains)
+      val meanLen = round4(toks.map(_.length).sum.toDouble / math.max(toks.size, 1).toDouble)
+      val punctRatio = round4(punct.toDouble / math.max(text.length, 1).toDouble)
+      row.getInt(0) == wsToks &&
+        row.getInt(1) == toks.size + punct &&
+        row.getDouble(2) == punctRatio &&
+        row.getDouble(3) == round4(stops.toDouble / math.max(toks.size, 1).toDouble) &&
+        row.getDouble(4) == meanLen &&
+        row.getBoolean(5) == (text.length >= 20 && wsToks >= 5 &&
+          punctRatio < 0.3 && meanLen >= 2.0 && meanLen <= 12.0)
+    })
+  }
+
+  test("property: repetition_stats kernel matches the string-based reference") {
+    checkProp(Prop.forAll(genText) { text =>
+      val row = graft.functions.RepetitionStats.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text))
+      val toks = refTokens(text)
+      def dup(k: Int): Double = {
+        val grams = if (toks.size >= k) toks.sliding(k).map(_.mkString(" ")).toSeq else toks
+        round4(1.0 - grams.distinct.size.toDouble / math.max(grams.size, 1).toDouble)
+      }
+      val topOk =
+        if (toks.isEmpty) row.getInt(3) == 0
+        else row.getDouble(2) == round4(
+          toks.groupBy(identity).values.map(_.size).max.toDouble / toks.size.toDouble)
+      row.getDouble(0) == dup(2) && row.getDouble(1) == dup(3) &&
+        row.getInt(3) == toks.size && topOk
+    })
+  }
+
+  test("property: lang_scores kernel matches the reference marker argmax") {
+    val genMarked = for {
+      base <- genText
+      markers <- Gen.listOf(Gen.oneOf(TextFunctions.langMarkers.values.flatten.toSeq))
+    } yield (base.split(" ").toSeq ++ markers).mkString(" ")
+    checkProp(Prop.forAll(genMarked) { text =>
+      val row = graft.functions.LangScores.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text))
+      val toks = refTokens(text)
+      val langs = TextFunctions.langMarkers.keys.toSeq.sorted
+      val scores = langs.map(l => toks.count(TextFunctions.langMarkers(l).contains))
+      val pred =
+        if (scores.forall(_ <= 0)) "und"
+        else langs(scores.indexOf(scores.max)) // first alphabetical strict max
+      langs.indices.forall(i => row.getInt(i) == scores(i)) &&
+        row.getUTF8String(5).toString == pred
+    })
+  }
 }
