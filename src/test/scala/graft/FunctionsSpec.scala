@@ -121,6 +121,15 @@ class FunctionsSpec extends GraftTest {
     // native function + view compose in one SQL statement
     val fp = spark.sql("SELECT rolling_hash(text) AS h FROM documents LIMIT 5").collect()
     assert(fp.length === 5)
+    // the struct kernels are full SQL citizens too — field access and WHERE
+    val q = spark.sql(
+      """SELECT doc_id, text_stats(text).quality_ok AS ok,
+                lang_scores(text).lang_pred AS lang_pred,
+                repetition_stats(text).dup3_ratio AS dup3
+         FROM documents
+         WHERE text_stats(text).n_tokens > 0 LIMIT 5""").collect()
+    assert(q.length === 5)
+    assert(q.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
   }
 
   test("frame sampling slices every nth fixed-size frame") {
