@@ -25,6 +25,24 @@ object Dedup {
       .groupBy("content_md5")
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental ingestion dedup: from a new batch, keep one canonical row
+    * per content (smallest id) and drop anything whose content already
+    * exists in the corpus — the daily-ingest shape where yesterday's
+    * corpus never rewrites.
+    *
+    * Scale shape: both sides reduce to 16-byte content hashes BEFORE any
+    * join (batch: groupBy keep-min; corpus: distinct — each one
+    * map-side-combined shuffle on the hash), then a hash anti-join. The
+    * corpus is never re-read per batch row, and when the batch is small
+    * AQE broadcasts it against the corpus-hash side.
+    */
+  def incremental(newDocs: DataFrame, corpus: DataFrame, id: String, text: String): DataFrame = {
+    val corpusHashes = corpus.select(md5(col(text)).as("content_md5")).distinct()
+    newDocs.select(md5(col(text)).as("content_md5"), col(id))
+      .groupBy("content_md5").agg(min(col(id)).as("keep_id"))
+      .join(corpusHashes, Seq("content_md5"), "left_anti")
+  }
+
   // ---- MinHash + LSH ------------------------------------------------------
 
   /** Word-shingle hashes: k-gram shingles over word tokens, each hashed to

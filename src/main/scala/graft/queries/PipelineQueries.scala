@@ -87,6 +87,17 @@ object PipelineQueries {
       Dedup.connectedComponents(verified)
     }),
 
+    "dd_incremental" -> ((s, d) => {
+      // incremental ingestion dedup: every 10th doc stands in for the new
+      // batch, the rest for the standing corpus — both sides reduce to
+      // content hashes before the anti-join; fully oracle-checkable
+      val docs = Graft.documents(s, d)
+      Dedup.incremental(
+        docs.where(pmod(col("doc_id"), lit(10)) === 0),
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text")
+    }),
+
     "pp_decontam" -> ((s, d) => {
       // benchmark decontamination: corpus docs sharing an 8-gram with the
       // "eval set" (every 10th doc stands in for a benchmark — a split
@@ -437,6 +448,12 @@ object PipelineQueries {
                         UNION
                         SELECT e.src AS node, r.comp AS comp FROM edges e JOIN reach r ON e.dst = r.node)
          SELECT node, min(comp) AS comp FROM reach GROUP BY node""",
+    "dd_incremental" ->
+      """WITH nb AS (SELECT doc_id, md5(text) AS content_md5 FROM documents WHERE doc_id % 10 = 0),
+              corp AS (SELECT DISTINCT md5(text) AS content_md5 FROM documents WHERE doc_id % 10 <> 0),
+              keepb AS (SELECT content_md5, min(doc_id) AS keep_id FROM nb GROUP BY content_md5)
+         SELECT content_md5, keep_id FROM keepb
+         WHERE content_md5 NOT IN (SELECT content_md5 FROM corp)""",
     "pp_decontam" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0) AS l
                        FROM documents),

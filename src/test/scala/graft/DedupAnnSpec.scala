@@ -22,6 +22,20 @@ class DedupAnnSpec extends GraftTest {
     assert(out.length === 2)
   }
 
+  test("incremental dedup drops corpus-known content and dedups within the batch") {
+    import spark.implicits._
+    val corpus = Seq((100L, "already here"), (101L, "also here")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "already here"),  // known content → dropped
+      (2L, "brand new"),     // genuinely new
+      (3L, "brand new"),     // in-batch duplicate → keep id 2 only
+      (4L, "another new")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incremental(batch, corpus, "doc_id", "text")
+      .collect().map(_.getAs[Long]("keep_id")).sorted
+    assert(kept.toSeq === Seq(2L, 4L))
+  }
+
   test("imperative minhash_agg signatures equal the columnar min-aggregate form") {
     val a = Dedup.minhashSigs(docs, "doc_id", "text").withColumnRenamed("sig", "sa")
     val b = Dedup.minhashSigsColumnar(docs, "doc_id", "text").withColumnRenamed("sig", "sb")
