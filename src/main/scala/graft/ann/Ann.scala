@@ -55,6 +55,29 @@ object Ann {
       .where(col("cos") >= threshold)
   }
 
+  /** Cross-corpus embedding near-dup: which new-batch vectors are near
+    * (cosine ≥ threshold) something already in the corpus — the
+    * incremental-ingestion form of [[cosinePairs]]. Multiprobe happens on
+    * the BATCH side (typically the small side), the corpus buckets once;
+    * join is on bucket id only, never an all-pairs product.
+    */
+  def crossCosinePairs(batch: DataFrame, corpus: DataFrame, id: String, vec: String,
+                       threshold: Double, nBits: Int = 8, probeBits: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val probes = array((lit(0) +: (0 until probeBits).map(b => lit(1 << b))): _*)
+    val l = batch.select(col(id).as("batch_id"), col(vec).as("va"),
+        srpBucketNative(spark, vec, nBits).as("b0"))
+      .select(col("batch_id"), col("va"),
+        explode(transform(probes, f => col("b0").bitwiseXOR(f))).as("bucket"))
+    val r = corpus.select(col(id).as("corpus_id"), col(vec).as("vb"),
+      srpBucketNative(spark, vec, nBits).as("bucket"))
+    l.join(r, Seq("bucket"))
+      .select(col("batch_id"), col("corpus_id"),
+        round(cosineNative(spark, "va", "vb"), 6).as("cos"))
+      .distinct()
+      .where(col("cos") >= threshold)
+  }
+
   /** IVF (inverted-file) approximate top-k: learn `nLists` centroids with
     * KMeans on a sample, assign every corpus vector to its nearest list,
     * then search each query only in its `nProbe` closest lists. The

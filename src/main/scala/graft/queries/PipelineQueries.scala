@@ -63,6 +63,18 @@ object PipelineQueries {
       graft.ann.Ann.cosinePairs(Graft.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.25, nBits = 6, probeBits = 3)),
 
+    "ann_incremental" -> ((s, d) => {
+      // cross-corpus embedding near-dup (incremental ingestion): vec_id
+      // % 10 == 0 stands in for the new batch; bucket-join only,
+      // hash-bucket-specific → planted-pair test in DedupAnnSpec,
+      // rows-only here
+      val emb = Graft.embeddings(s, d)
+      graft.ann.Ann.crossCosinePairs(
+        emb.where(pmod(col("vec_id"), lit(10)) === 0),
+        emb.where(pmod(col("vec_id"), lit(10)) =!= 0),
+        "vec_id", "embedding", threshold = 0.25, nBits = 6, probeBits = 3)
+    }),
+
     "dd_simhash" -> ((s, d) =>
       // SimHash near-dup pairs (chunk-blocked Hamming); engine-specific
       // hashing → DedupSpec property tests.

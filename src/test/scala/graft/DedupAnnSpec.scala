@@ -36,6 +36,23 @@ class DedupAnnSpec extends GraftTest {
     assert(kept.toSeq === Seq(2L, 4L))
   }
 
+  test("cross-corpus embedding near-dup finds a planted batch duplicate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val corpusVecs = (0 until 50).map(i => (i.toLong, vec()))
+    // batch row 1000 is corpus row 3 with tiny noise (cos ≈ 1)
+    val planted = corpusVecs(3)._2.map(x => x + 0.001f)
+    val batch = Seq((1000L, planted), (1001L, vec())).toDF("vec_id", "embedding")
+    val corpus = corpusVecs.toDF("vec_id", "embedding")
+    val hits = graft.ann.Ann.crossCosinePairs(batch, corpus, "vec_id", "embedding",
+        threshold = 0.9, nBits = 4, probeBits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits.contains((1000L, 3L)), s"planted dup must surface; got ${hits.toSeq}")
+    // nothing pairs with itself across sides, and all survivors clear the bar
+    assert(hits.forall { case (b, c) => b >= 1000L && c < 1000L })
+  }
+
   test("imperative minhash_agg signatures equal the columnar min-aggregate form") {
     val a = Dedup.minhashSigs(docs, "doc_id", "text").withColumnRenamed("sig", "sa")
     val b = Dedup.minhashSigsColumnar(docs, "doc_id", "text").withColumnRenamed("sig", "sb")
