@@ -21,7 +21,7 @@ object Bench {
     "w1_tumbling", "w2_session", "w4_hopping",
     "j1_ss_inner", "j3_ss_outer", "j4_st_inner", "j6_tt_inner", "aj_asof",
     "d2_stream_to_table",
-    "dd_exact", "dd_minhash", "dd_simhash", "dd_ngram_jaccard", "dd_embedding",
+    "dd_exact", "dd_incremental", "dd_minhash", "dd_simhash", "dd_ngram_jaccard", "dd_embedding",
     "ann_brute", "ann_lsh", "ann_ivf",
     "txt_quality", "txt_fingerprint", "txt_tfidf", "txt_repetition",
     "pp_shuffle", "pp_mix", "pp_chunk", "pp_pipeline", "mm_features", "sk_cms")
