@@ -23,7 +23,7 @@ object Bench {
     "d2_stream_to_table",
     "dd_exact", "dd_incremental", "dd_minhash", "dd_simhash", "dd_ngram_jaccard", "dd_embedding",
     "ann_brute", "ann_lsh", "ann_ivf",
-    "txt_quality", "txt_fingerprint", "txt_tfidf", "txt_repetition",
+    "txt_quality", "txt_langid", "txt_fingerprint", "txt_tfidf", "txt_repetition",
     "pp_shuffle", "pp_mix", "pp_chunk", "pp_pipeline", "mm_features", "sk_cms")
 
   def main(args: Array[String]): Unit = {
