@@ -218,31 +218,46 @@ object TextFunctions {
     * budget get a bin of their own by construction.
     *
     * TWO-PHASE prefix sum: an `orderBy`-only window would plan as
-    * `Exchange SinglePartition` — every row through ONE task. Instead the
-    * frame range-partitions on the order key, each partition computes its
-    * LOCAL prefix sums in parallel, and only the per-partition totals
-    * (one row per partition) flow through a single-partition window to
-    * become global offsets, broadcast back. Identical bin values, no
-    * single-reducer funnel.
+    * `Exchange SinglePartition` — every row through ONE task. Instead docs
+    * group into contiguous id-range BLOCKS, each block computes its LOCAL
+    * prefix sums in parallel, and only the per-block totals (≤4096 rows)
+    * flow through a single-partition window to become global offsets,
+    * broadcast back. Identical bin values, no single-reducer funnel.
+    *
+    * Block bounds derive from the EXACT min/max of the id column — never
+    * from `spark_partition_id` after a range shuffle, whose row→partition
+    * mapping depends on sampled bounds and AQE coalescing and thus is not
+    * stable across the separate evaluations of the local-cum and offset
+    * branches (observed as run-to-run bin flips). Block assignment here is
+    * a pure function of the data, so output is bit-identical regardless of
+    * input layout, parallelism, or adaptive re-planning. Requires a
+    * numeric-orderable id; balance follows the id distribution (dense ids
+    * → even blocks), matching what range partitioning would give.
     */
   def packBins(docs: org.apache.spark.sql.DataFrame, id: String, text: String,
                tokenBudget: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = docs.select(col(id), wsTokenCount(col(text)).cast("long").as("n_tok"))
-    // range partitions are ordered by id, so (_part, id) sorts globally
-    val parts = base.repartitionByRange(col(id))
-      .withColumn("_part", spark_partition_id())
-    val wLocal = Window.partitionBy("_part").orderBy(col(id))
+    val bounds = base.agg(min(col(id)).cast("long"), max(col(id)).cast("long")).head()
+    if (bounds.isNullAt(0))
+      return base.withColumn("bin", lit(null).cast("long")).where(lit(false))
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = hi - lo + 1
+    val nBlocks = math.min(4096L, span)
+    val blockSpan = (span + nBlocks - 1) / nBlocks
+    val blocked = base.withColumn("_blk",
+      expr(s"(cast(`$id` as bigint) - ${lo}L) div ${blockSpan}L"))
+    val wLocal = Window.partitionBy("_blk").orderBy(col(id))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = parts.withColumn("_local_cum", sum(col("n_tok")).over(wLocal))
-    // per-partition totals: tiny (one row per partition), so the ordered
-    // window over them is a trivially small single-partition job
-    val wOff = Window.orderBy(col("_part"))
+    val local = blocked.withColumn("_local_cum", sum(col("n_tok")).over(wLocal))
+    // per-block totals: tiny (≤4096 rows), so the ordered window over
+    // them is a trivially small single-partition job
+    val wOff = Window.orderBy(col("_blk"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = parts.groupBy("_part").agg(sum("n_tok").as("_ptotal"))
-      .withColumn("_offset", sum(col("_ptotal")).over(wOff) - col("_ptotal"))
-      .select("_part", "_offset")
-    local.join(broadcast(offsets), "_part")
+    val offsets = blocked.groupBy("_blk").agg(sum("n_tok").as("_btotal"))
+      .withColumn("_offset", sum(col("_btotal")).over(wOff) - col("_btotal"))
+      .select("_blk", "_offset")
+    local.join(broadcast(offsets), "_blk")
       .withColumn("_before", col("_offset") + col("_local_cum") - col("n_tok"))
       // integer `div` (not `/`, which goes through double and loses
       // exactness past 2^53 cumulative tokens)

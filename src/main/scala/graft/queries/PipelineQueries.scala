@@ -294,13 +294,19 @@ object PipelineQueries {
     // ---- sketches ---------------------------------------------------------
     "sk_quantiles" -> ((s, d) =>
       // quantile sketch (approx_percentile ≈ Greenwald-Khanna): per-key
-      // p50/p95/p99 of event values, one pass, mergeable partials.
-      // Engine-specific interpolation → rows-only + bound test in
-      // FunctionsSpec (estimates within rank-error of exact percentiles).
+      // p50/p95/p99 of event values, one pass, mergeable partials (one
+      // sketch per key, three probes). Engine-specific interpolation →
+      // rows-only + bound test in FunctionsSpec (estimates within
+      // rank-error of exact percentiles). Output is flat scalars — array
+      // columns are unsortable in the driver's pandas canonicalization.
       Graft.eventsStream(s, d)
         .groupBy(col("value").as("key"))
         .agg(approx_percentile(col("amount"), array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
-          .as("quantiles"))),
+          .as("_q"))
+        .select(col("key"),
+          col("_q").getItem(0).as("p50"),
+          col("_q").getItem(1).as("p95"),
+          col("_q").getItem(2).as("p99"))),
 
     "sk_bloom_prune" -> ((s, d) => {
       // bloom-join pruning — THE shuffle-reduction primitive for selective

@@ -267,6 +267,21 @@ class FunctionsSpec extends GraftTest {
     assert(again === bins)
   }
 
+  test("packBins at corpus scale is invariant to input layout") {
+    // the round-3 implementation derived offsets from spark_partition_id
+    // after a range shuffle — stable under this spec's toy data but not
+    // across AQE re-plans, which flipped bins between runs at the driver.
+    // Lock the contract on the real corpus: identical bins whether the
+    // input arrives as-read, hash-scattered, or reverse-sorted.
+    val docs = Graft.documents(spark, sf)
+    def run(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      TextFunctions.packBins(d, "doc_id", "text", tokenBudget = 512)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val asRead = run(docs)
+    assert(run(docs.repartition(17)) === asRead)
+    assert(run(docs.orderBy(col("doc_id").desc)) === asRead)
+  }
+
   test("repetition signals: duplicate-gram ratios and top-token share, hand-computed") {
     import spark.implicits._
     val docs = Seq(
