@@ -78,6 +78,58 @@ object Ann {
       .where(col("cos") >= threshold)
   }
 
+  /** Spherical k-means (Lloyd on cosine similarity) over an in-memory
+    * sample: vectors normalize to the unit sphere, assignment is argmax
+    * dot product (ties → lower list id), centroids are renormalized
+    * member means (an empty list keeps its previous centroid). Fully
+    * deterministic: init takes the first k sample vectors, and the caller
+    * feeds the sample in hash order, so the draw is a uniform,
+    * layout-independent choice. Returns ≤ k centroids (fewer only when
+    * the sample itself is smaller than k).
+    */
+  private[ann] def sphericalKMeans(sample: Array[Array[Double]], k: Int,
+                                   maxIter: Int): Array[Array[Double]] = {
+    def normed(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v.clone() else v.map(_ / n)
+    }
+    val xs = sample.map(normed)
+    if (xs.isEmpty) return Array.empty
+    var cent = xs.take(k).map(_.clone())
+    val assign = new Array[Int](xs.length)
+    for (_ <- 0 until maxIter) {
+      var i = 0
+      while (i < xs.length) {
+        val v = xs(i)
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < cent.length) {
+          val ctr = cent(c)
+          var dot = 0.0; var j = 0
+          while (j < v.length && j < ctr.length) { dot += v(j) * ctr(j); j += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.fill(cent.length)(new Array[Double](xs(0).length))
+      val counts = new Array[Int](cent.length)
+      i = 0
+      while (i < xs.length) {
+        val s = sums(assign(i)); val v = xs(i)
+        var j = 0
+        while (j < v.length) { s(j) += v(j); j += 1 }
+        counts(assign(i)) += 1
+        i += 1
+      }
+      cent = cent.indices.map { c =>
+        if (counts(c) == 0) cent(c) else normed(sums(c))
+      }.toArray
+    }
+    cent
+  }
+
   /** IVF (inverted-file) approximate top-k: learn `nLists` centroids with
     * KMeans on a sample, assign every corpus vector to its nearest list,
     * then search each query only in its `nProbe` closest lists. The
@@ -88,20 +140,27 @@ object Ann {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
               k: Int, nLists: Int = 16, nProbe: Int = 4,
-              trainSampleFraction: Double = 1.0, maxIter: Int = 10): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    // training is the fixed cost of IVF: at corpus scale, train on a
-    // sample (`trainSampleFraction`) — centroid quality converges long
-    // before the full corpus is seen; 10 Lloyd iterations suffice for
-    // bucketing (recall comes from nProbe, not centroid perfection)
-    val asVec = corpus.select(col(id).as("cid"),
-      array_to_vector(col(vec).cast("array<double>")).as("features"))
-    val train = if (trainSampleFraction >= 1.0) asVec else asVec.sample(trainSampleFraction, 42)
-    val model = new KMeans().setK(nLists).setSeed(42).setMaxIter(maxIter)
-      .setFeaturesCol("features").fit(train)
-    val centroids = model.clusterCenters.map(_.toArray)
+              trainCap: Int = 16384, maxIter: Int = 10): DataFrame = {
+    // training is the FIXED cost of IVF and must not scale with the
+    // corpus (the standard inverted-file recipe): draw a BOUNDED uniform
+    // sample — `orderBy(xxhash64(id)).limit(cap)` plans as a distributed
+    // per-partition top-K heap, never a global sort, and the hash order
+    // makes the draw deterministic across layouts — then run spherical
+    // k-means in memory on those ≤ trainCap vectors (a few MB; bounded by
+    // construction, unlike a collect of corpus-sized state). Only the
+    // nLists × dim centroid matrix leaves the driver, as a broadcast.
+    // Centroid quality converges long before the full corpus is seen;
+    // recall comes from nProbe, not centroid perfection. (The previous
+    // form trained spark.ml KMeans over the full corpus: kmeans|| init
+    // plus per-iteration job rounds made TRAINING dominate query time.)
+    val sample = corpus
+      .select(col(id).as("_sid"), col(vec).cast("array<double>").as("_sv"))
+      .where(col("_sv").isNotNull)
+      .orderBy(xxhash64(col("_sid")), col("_sid"))
+      .limit(trainCap)
+      .select("_sv")
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centroids = sphericalKMeans(sample, nLists, maxIter)
 
     // the centroid matrix ships ONCE per executor as a Spark broadcast and
     // the plan carries a single udf node, so plan size is O(1) in nLists.

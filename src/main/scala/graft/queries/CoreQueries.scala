@@ -308,13 +308,21 @@ object CoreQueries {
     // reducers at 100 TB; the local phase keeps the sort at input-partition
     // parallelism and the final rank sees only k×partitions×5 candidates.
     "q_topn" -> ((s, d) => {
+      // revenue pre-aggregates BELOW the join: l_orderkey functionally
+      // determines (o_custkey → c_mktsegment), so per-(segment, order)
+      // revenue equals per-order revenue — summing lineitem first shrinks
+      // the big join's probe side from |lineitem| to |orders| rows, and
+      // the groupBy output arrives already hash-partitioned on the join
+      // key (one fewer wide shuffle; Catalyst does not push aggregates
+      // through joins on its own)
+      val revPerOrder = Graft.lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
       val rev = Joins.streamTableJoin(
           Joins.streamTableJoin(
-            Graft.lineitem(s, d), Graft.orders(s, d), "l_orderkey", "o_orderkey", "inner",
+            revPerOrder, Graft.orders(s, d), "l_orderkey", "o_orderkey", "inner",
             broadcastTable = false),
           Graft.customer(s, d), "o_custkey", "c_custkey", "inner")
-        .groupBy("c_mktsegment", "l_orderkey")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .select("c_mktsegment", "l_orderkey", "revenue")
       Aggregates.topKPerGroup(rev, Seq("c_mktsegment"),
           Seq(col("revenue").desc, col("l_orderkey").asc), k = 2)
         .select(col("c_mktsegment"), col("l_orderkey"), col("revenue"), col("rnk"))
