@@ -19,12 +19,12 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_agg", "q3_shipping", "q_topn", "a1_wordcount", "a2_groupbykey", "a6_table_reduce",
     "w1_tumbling", "w2_session", "w4_hopping",
-    "j1_ss_inner", "j3_ss_outer", "j4_st_inner", "j6_tt_inner", "aj_asof",
+    "j1_ss_inner", "j3_ss_outer", "j4_st_inner", "j6_tt_inner", "aj_asof", "j_salted",
     "d2_stream_to_table",
     "dd_exact", "dd_incremental", "dd_minhash", "dd_simhash", "dd_ngram_jaccard", "dd_embedding",
     "ann_brute", "ann_lsh", "ann_ivf",
     "txt_quality", "txt_langid", "txt_fingerprint", "txt_tfidf", "txt_repetition",
-    "pp_shuffle", "pp_mix", "pp_chunk", "pp_pipeline", "mm_features", "sk_cms")
+    "pp_shuffle", "pp_mix", "pp_temperature", "pp_chunk", "pp_pipeline", "mm_features", "sk_cms")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

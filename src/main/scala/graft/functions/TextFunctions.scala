@@ -388,6 +388,39 @@ object TextFunctions {
       .select(col(id), col(stratum))
   }
 
+  /** Temperature-scaled mixture sampling — the standard multilingual
+    * rebalancer (the "alpha/temperature sampling" of multilingual LM
+    * training): stratum s with count n_s keeps rate
+    * (n_min/n_s)^(1-1/T), which interpolates between the natural
+    * distribution (T=1, keep everything) and a fully balanced mix
+    * (T→∞, [[balancedMix]]). Membership is the same md5 hash-threshold
+    * as the other mixtures — row-stable, engine-portable.
+    *
+    * T=2 evaluates via `sqrt`, which IEEE 754 requires to be correctly
+    * rounded — so thresholds are bit-identical across engines and the
+    * op is fully oracle-checkable; other T go through `pow` (not
+    * correctly-rounded by spec, fine for production, not for a
+    * hash-compared oracle).
+    *
+    * Scale shape: identical to [[weightedMix]] — per-stratum counts
+    * broadcast back with the one-row min riding along; the corpus is
+    * filtered in place and never shuffles.
+    */
+  def temperatureMix(docs: org.apache.spark.sql.DataFrame, id: String, stratum: String,
+                     temperature: Double = 2.0): org.apache.spark.sql.DataFrame = {
+    require(temperature >= 1.0, s"temperature must be >= 1, got $temperature")
+    val counts = docs.groupBy(col(stratum)).agg(count(lit(1)).as("n_s"))
+    val minN = counts.agg(min("n_s").as("min_n"))
+    val ratio = col("min_n") / col("n_s") // integral / integral → double in Spark SQL
+    val rate =
+      if (temperature == 2.0) sqrt(ratio)
+      else pow(ratio, 1.0 - 1.0 / temperature)
+    docs.join(broadcast(counts), stratum)
+      .crossJoin(broadcast(minN))
+      .where(splitBucket(col(id), nBuckets = 10000) < floor(lit(10000.0) * rate))
+      .select(col(id), col(stratum))
+  }
+
   /** Deterministic distributed shuffle: give every row a stable position
     * (`shard`, `pos`) drawn from a salted md5 of its key — the global
     * reshuffle an epoch of training data needs, reproducible across

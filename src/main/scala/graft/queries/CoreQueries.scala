@@ -532,6 +532,20 @@ object CoreQueries {
     // GRAFT_JOIN_TYPE during a Verify run would intentionally diverge.
     "j9_dispatch" -> ((s, d) => ttJoin(s, d, sys.env.getOrElse("GRAFT_JOIN_TYPE", "outer"))),
 
+    // beyond-reference: explicit skew salting — event_type has 5 distinct
+    // values, so an unsalted shuffle join funnels the whole fact side
+    // into 5 reducers; salting spreads each hot key over 8. The result
+    // is exactly the unsalted join (each fact row matches the one
+    // replica carrying its salt), so the oracle replays it plain.
+    "j_salted" -> ((s, d) => {
+      val ev = Graft.eventsStream(s, d)
+      val dim = ev.groupBy(col("value"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("amount")), 2).as("sum_amount"))
+      Joins.saltedJoin(ev.select(col("event_id"), col("value")), dim, "value", "event_id",
+          salts = 8)
+        .select(col("event_id"), col("value"), col("n_events"), col("sum_amount"))
+    }),
+
     // beyond-reference: as-of enrichment (latest right row at or before
     // each left row's event time)
     "aj_asof" -> ((s, d) =>
@@ -588,6 +602,11 @@ object CoreQueries {
     "j7_tt_left" -> ttJoinOracle("LEFT"),
     "j8_tt_outer" -> ttJoinOracle("FULL"),
     "j9_dispatch" -> ttJoinOracle("FULL"),
+    "j_salted" ->
+      """WITH dim AS (SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_amount
+                      FROM events GROUP BY event_type)
+         SELECT e.event_id, e.event_type AS value, d.n_events, d.sum_amount
+         FROM events e JOIN dim d ON e.event_type = d.event_type""",
     "aj_asof" ->
       """SELECT a.event_id AS l_event_id, b.event_id AS r_event_id, CAST(a.user_id AS VARCHAR) AS key
          FROM (SELECT * FROM events WHERE event_type = 'purchase') a

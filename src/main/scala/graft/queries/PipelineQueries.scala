@@ -162,6 +162,14 @@ object PipelineQueries {
       TextFunctions.weightedMix(Graft.documents(s, d), "doc_id", "lang",
         weights = Map("de" -> 2L), defaultWeight = 1L)),
 
+    "pp_temperature" -> ((s, d) =>
+      // temperature sampling at T=2: low-resource languages upweighted
+      // toward (not all the way to) balance — thresholds go through
+      // sqrt (correctly rounded per IEEE 754), so the oracle replays
+      // them bit-exactly
+      TextFunctions.temperatureMix(Graft.documents(s, d), "doc_id", "lang",
+        temperature = 2.0)),
+
     "pp_shuffle" -> ((s, d) =>
       // deterministic epoch shuffle: salted-hash (shard, pos) assignment,
       // per-shard partitioned windows (no global-order bottleneck) —
@@ -550,6 +558,14 @@ object PipelineQueries {
                            ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b,
                            (c.w * u.mu * 10000) // c.n_s AS thr
                     FROM documents d JOIN c USING (lang) CROSS JOIN u)
+         SELECT doc_id, lang FROM v WHERE b < thr""",
+    "pp_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+              m AS (SELECT min(n_s) AS min_n FROM c),
+              v AS (SELECT d.doc_id, d.lang,
+                           ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b,
+                           floor(10000.0 * sqrt(CAST(m.min_n AS DOUBLE) / c.n_s)) AS thr
+                    FROM documents d JOIN c USING (lang) CROSS JOIN m)
          SELECT doc_id, lang FROM v WHERE b < thr""",
     "pp_shuffle" ->
       """WITH v AS (SELECT doc_id,

@@ -282,6 +282,32 @@ class FunctionsSpec extends GraftTest {
     assert(run(docs.orderBy(col("doc_id").desc)) === asRead)
   }
 
+  test("temperature mixture interpolates between natural and balanced") {
+    val docs = Graft.documents(spark, sf)
+    val natural = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minN = natural.values.min
+    // T=1 → rate 1 for every stratum: the corpus passes through unchanged
+    assert(TextFunctions.temperatureMix(docs, "doc_id", "lang", 1.0).count() === docs.count())
+    // T=2 → each stratum lands near n_s·sqrt(min/n_s) (hash-bucket noise
+    // aside) and never exceeds its natural size
+    val t2 = TextFunctions.temperatureMix(docs, "doc_id", "lang", 2.0)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    natural.foreach { case (lang, n) =>
+      val kept = t2.getOrElse(lang, 0L)
+      val expected = math.floor(10000.0 * math.sqrt(minN.toDouble / n)) / 10000.0 * n
+      assert(kept <= n, s"$lang kept $kept > natural $n")
+      assert(math.abs(kept - expected) <= math.max(15.0, expected * 0.25),
+        s"$lang kept $kept, expected ≈ $expected")
+    }
+    // membership is row-stable under relayout
+    val ids = TextFunctions.temperatureMix(docs, "doc_id", "lang", 2.0)
+      .collect().map(_.getLong(0)).toSet
+    val again = TextFunctions.temperatureMix(docs.repartition(13), "doc_id", "lang", 2.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === ids)
+  }
+
   test("repetition signals: duplicate-gram ratios and top-token share, hand-computed") {
     import spark.implicits._
     val docs = Seq(
