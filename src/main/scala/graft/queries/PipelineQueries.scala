@@ -99,6 +99,22 @@ object PipelineQueries {
       Dedup.connectedComponents(verified)
     }),
 
+    "dd_resolve" -> ((s, d) => {
+      // end-to-end near-dup REMOVAL: verified pairs → connected
+      // components → drop every non-canonical cluster member; untouched
+      // docs pass through via the left-anti join. Pair generation is the
+      // oracle-portable blocking join (as in dd_components); the
+      // production path feeds LSH candidates instead.
+      val docs = Graft.documents(s, d)
+      val l = docs.select(col("lang"), col("n_chars"), col("doc_id").as("a"))
+      val r = docs.select(col("lang"), col("n_chars"), col("doc_id").as("b"))
+      val pairs = l.join(r, Seq("lang", "n_chars")).where(col("a") < col("b"))
+        .select("a", "b")
+      val verified = Dedup.verifyJaccard(pairs, docs, "doc_id", "text")
+        .where(col("jaccard") >= 0.5).select("a", "b")
+      Dedup.resolve(docs, verified, "doc_id").select("doc_id", "lang")
+    }),
+
     "dd_incremental" -> ((s, d) => {
       // incremental ingestion dedup: every 10th doc stands in for the new
       // batch, the rest for the standing corpus — both sides reduce to
@@ -474,6 +490,22 @@ object PipelineQueries {
                         UNION
                         SELECT e.src AS node, r.comp AS comp FROM edges e JOIN reach r ON e.dst = r.node)
          SELECT node, min(comp) AS comp FROM reach GROUP BY node""",
+    "dd_resolve" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0)) AS tk,
+                                        lang, n_chars
+                                 FROM documents),
+              p AS (SELECT l.doc_id AS a, r.doc_id AS b
+                    FROM toks l JOIN toks r ON l.lang = r.lang AND l.n_chars = r.n_chars AND l.doc_id < r.doc_id
+                    WHERE round(CAST(len(list_intersect(l.tk, r.tk)) AS DOUBLE) /
+                                CAST(len(list_distinct(list_concat(l.tk, r.tk))) AS DOUBLE), 4) >= 0.5),
+              edges AS (SELECT a AS src, b AS dst FROM p UNION SELECT b AS src, a AS dst FROM p),
+              reach AS (SELECT src AS node, src AS comp FROM edges
+                        UNION
+                        SELECT e.src AS node, r.comp AS comp FROM edges e JOIN reach r ON e.dst = r.node),
+              losers AS (SELECT node FROM (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+                         WHERE node <> comp)
+         SELECT doc_id, lang FROM documents
+         WHERE doc_id NOT IN (SELECT node FROM losers)""",
     "dd_incremental" ->
       """WITH nb AS (SELECT doc_id, md5(text) AS content_md5 FROM documents WHERE doc_id % 10 = 0),
               corp AS (SELECT DISTINCT md5(text) AS content_md5 FROM documents WHERE doc_id % 10 <> 0),
