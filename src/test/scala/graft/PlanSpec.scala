@@ -102,6 +102,14 @@ class PlanSpec extends GraftTest {
       "the corpus must never shuffle for the mix decision:\n" + p.take(3000))
   }
 
+  test("temperature mix broadcasts the stratum counts onto the corpus") {
+    val p = plan("pp_temperature")
+    assert(p.contains("BroadcastHashJoin"),
+      "stratum-count join must broadcast (corpus filtered in place):\n" + p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must never shuffle for the mix decision:\n" + p.take(3000))
+  }
+
   test("deterministic shuffle partitions by shard — no single-reducer global sort") {
     val p = plan("pp_shuffle")
     assert(!p.contains("Exchange SinglePartition"),
