@@ -417,6 +417,20 @@ object CoreQueries {
           .count()
           .select(col("user_id"),
             unix_micros(col("session_window.start")).as("session_start_us"),
+            col("count").as("cnt")))),
+
+    // W4 through the streaming engine end-to-end: readStream → watermark →
+    // hopping (overlapping) window aggregation → memory sink; same oracle
+    // as the batch form — each event lands in width/slide windows
+    "w4_streaming" -> ((s, d) =>
+      StreamingQueries.runCompleteAggToMemory(s, d, "events", "w4s_counts",
+        df => df
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("event_time", "3 minutes")
+          .groupBy(window(col("event_time"), "10 minutes", "5 minutes"), col("event_type"))
+          .count()
+          .select(col("event_type"),
+            unix_timestamp(col("window.start")).as("window_start_s"),
             col("count").as("cnt")))))
 
   val windowOracles: Map[String, String] = Map(
@@ -444,6 +458,10 @@ object CoreQueries {
     "w1_streaming" ->
       """SELECT event_type, epoch_us(time_bucket(INTERVAL '5 minutes', ts)) // 1000000 AS window_start_s, count(*) AS cnt
          FROM events GROUP BY 1, 2""",
+    "w4_streaming" ->
+      """WITH x AS (SELECT event_type, epoch_us(time_bucket(INTERVAL '5 minutes', ts)) // 1000000 AS b FROM events),
+              w AS (SELECT event_type, b AS ws FROM x UNION ALL SELECT event_type, b - 300 AS ws FROM x)
+         SELECT event_type, ws AS window_start_s, count(*) AS cnt FROM w GROUP BY 1, 2""",
     "w2_streaming" ->
       """WITH o AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
               m AS (SELECT user_id, ts_us,
