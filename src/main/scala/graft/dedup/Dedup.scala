@@ -323,6 +323,60 @@ object Dedup {
       .select(col(id)).distinct()
   }
 
+  // ---- edit-distance (fuzzy string) dedup ----------------------------------
+
+  /** Deletion neighborhood of a string: every variant reachable by deleting
+    * up to `depth` characters, the string itself included (SymSpell
+    * blocking). Pure column expression — evaluates inside the scan, no UDF.
+    * Neighborhood size is C(len, depth)-ish, so this is for SHORT keys
+    * (names, titles, codes), not document bodies.
+    */
+  def deletionNeighborhood(s: Column, depth: Int): Column = {
+    def dels(w: Column): Column =
+      when(length(w) <= 0, array()).otherwise(
+        transform(sequence(lit(1), length(w)),
+          i => concat(w.substr(lit(1), i - 1), w.substr(i + 1, length(w)))))
+    (1 to depth).foldLeft(array(s)) { (acc, _) =>
+      array_distinct(concat(acc, flatten(transform(acc, dels(_)))))
+    }
+  }
+
+  /** Fuzzy-match pairs with edit distance ≤ `maxDist`, SymSpell-style:
+    * two strings within distance d always share a member of their
+    * depth-d deletion neighborhoods, so candidates come from a bucket
+    * self-join on the neighborhood hash and only candidates pay the
+    * O(len²) Levenshtein verify — never an all-pairs product.
+    *
+    * Scale shape: the exploded frame carries (id, 8-byte variant hash)
+    * only — strings are re-joined for the surviving candidate set. One
+    * shuffle on the variant hash for bucketing, hash joins back for
+    * verification; bucket sizes track true near-match density (a variant
+    * shared by k strings yields k²/2 candidates, which are mostly real
+    * matches — the false-candidate rate is bounded by the depth-d
+    * neighborhood intersection property). xxhash64 collisions only add
+    * candidates; the exact verify removes them.
+    */
+  def editDistancePairs(docs: DataFrame, id: String, text: String,
+                        maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2, s"maxDist out of range: $maxDist")
+    val variants = docs
+      .where(col(text).isNotNull)
+      .select(col(id).as("doc"),
+        explode(deletionNeighborhood(col(text), maxDist)).as("v"))
+      .select(col("doc"), xxhash64(col("v")).as("vh"))
+      .distinct()
+    val cand = variants.select(col("vh"), col("doc").as("a"))
+      .join(variants.select(col("vh"), col("doc").as("b")), "vh")
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val strs = docs.select(col(id).as("vid"), col(text).as("vstr"))
+    cand
+      .join(strs.withColumnRenamed("vid", "a").withColumnRenamed("vstr", "str_a"), "a")
+      .join(strs.withColumnRenamed("vid", "b").withColumnRenamed("vstr", "str_b"), "b")
+      .select(col("a"), col("b"), levenshtein(col("str_a"), col("str_b")).as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
   // ---- SimHash ------------------------------------------------------------
 
   /** 64-bit SimHash: for each bit position, sum ±1 contributions of every

@@ -126,6 +126,13 @@ object PipelineQueries {
         "doc_id", "text")
     }),
 
+    "dd_fuzzy" -> ((s, d) =>
+      // fuzzy entity dedup: edit-distance ≤ 1 name pairs via SymSpell
+      // deletion-neighborhood blocking (bucket join on variant hash, no
+      // cartesian) + exact Levenshtein verify — fully oracle-checkable
+      Dedup.editDistancePairs(Graft.customer(s, d), "c_custkey", "c_name",
+        maxDist = 1)),
+
     "pp_decontam" -> ((s, d) => {
       // benchmark decontamination: corpus docs sharing an 8-gram with the
       // "eval set" (every 10th doc stands in for a benchmark — a split
@@ -512,6 +519,16 @@ object PipelineQueries {
               keepb AS (SELECT content_md5, min(doc_id) AS keep_id FROM nb GROUP BY content_md5)
          SELECT content_md5, keep_id FROM keepb
          WHERE content_md5 NOT IN (SELECT content_md5 FROM corp)""",
+    // the oracle brute-forces what the Spark side finds via deletion-
+    // neighborhood blocking; the length band only prunes pairs Levenshtein
+    // would reject anyway (|len diff| > maxDist ⇒ dist > maxDist)
+    "dd_fuzzy" ->
+      """SELECT a.c_custkey AS a, b.c_custkey AS b,
+                levenshtein(a.c_name, b.c_name) AS dist
+         FROM customer a JOIN customer b
+           ON a.c_custkey < b.c_custkey
+          AND abs(length(a.c_name) - length(b.c_name)) <= 1
+         WHERE levenshtein(a.c_name, b.c_name) <= 1""",
     "pp_decontam" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0) AS l
                        FROM documents),

@@ -36,6 +36,39 @@ class DedupAnnSpec extends GraftTest {
     assert(kept.toSeq === Seq(2L, 4L))
   }
 
+  test("edit-distance pairs match brute-force Levenshtein (sub/ins/del/equal-dup)") {
+    import spark.implicits._
+    val names = Seq(
+      (1L, "alpha"), (2L, "alpho"),   // substitution, dist 1
+      (3L, "alphas"),                 // insertion vs 1, dist 1
+      (4L, "alph"),                   // deletion vs 1, dist 1
+      (5L, "beta"), (6L, "beta"),     // exact duplicate, dist 0
+      (7L, "gamma"),                  // isolated
+      (8L, "bXtY")                    // dist 2 from beta — must NOT pair at maxDist 1
+    ).toDF("k", "name")
+    val got = Dedup.editDistancePairs(names, "k", "name", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val rows = names.collect().map(r => (r.getLong(0), r.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      dist = lev(sa, sb) if dist <= 1
+    } yield (ia, ib, dist)).toSet
+    assert(got === want, s"got $got want $want")
+  }
+
+  test("edit-distance pair generation never plans a cartesian product") {
+    val plan = Dedup.editDistancePairs(Graft.customer(spark, sf), "c_custkey", "c_name")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("cross-corpus embedding near-dup finds a planted batch duplicate") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
