@@ -190,6 +190,40 @@ object TextFunctions {
           .as("tfidf"))
   }
 
+  /** Unigram language-model scoring — the perplexity-proxy quality signal
+    * (the CCNet-style filter): unigram probabilities train on the corpus
+    * itself, and each document scores its mean token negative
+    * log-likelihood. Low = common/fluent text; high = rare/garbled.
+    *
+    * Scale shape: (doc, term) counts in one map-side-combined shuffle
+    * (same as [[tfidf]]); the unigram table is vocabulary-sized and
+    * BROADCASTs back; the corpus token total rides as a one-row broadcast
+    * — the corpus shuffles once, nothing reaches the driver.
+    *
+    * Numerics: per-term surprisal ln(N/cnt) is quantized to integer
+    * MICRO-NATS before the per-doc sum. A double sum's value depends on
+    * partition-merge order (floating addition is not associative), so it
+    * would not be layout-invariant; the long sum is exact and
+    * order-independent, and the single final division is deterministic.
+    * Output: (doc, n_tok, avg_nll).
+    */
+  def unigramLmScore(docs: org.apache.spark.sql.DataFrame, id: String,
+                     text: String): org.apache.spark.sql.DataFrame = {
+    val tf = docs
+      .select(col(id).as("doc"), explode(tokens(col(text))).as("term"))
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val uni = tf.groupBy("term").agg(sum("tf").as("cnt"))
+    val n = uni.agg(sum("cnt").as("n_total"))
+    val w = uni.crossJoin(broadcast(n)).select(col("term"),
+      floor(log(col("n_total").cast("double") / col("cnt").cast("double")) * lit(1000000.0))
+        .cast("long").as("w_micro"))
+    tf.join(broadcast(w), "term")
+      .groupBy("doc")
+      .agg(sum("tf").as("n_tok"),
+        round((sum(col("tf") * col("w_micro")).cast("double") / lit(1000000.0)) /
+          sum("tf").cast("double"), 4).as("avg_nll"))
+  }
+
   /** Stratified deterministic sampling: keep each row with a per-stratum
     * rate (e.g. downsample over-represented languages when rebalancing a
     * corpus), decided by the same md5 hash-bucket machinery as

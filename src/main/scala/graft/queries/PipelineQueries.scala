@@ -289,6 +289,13 @@ object PipelineQueries {
       TextFunctions.tfidf(Graft.documents(s, d), "doc_id", "text")
         .withColumnRenamed("doc", "doc_id")),
 
+    "txt_unigram_lp" -> ((s, d) =>
+      // corpus-trained unigram LM scoring (perplexity proxy): integer
+      // micro-nat summation keeps the per-doc sum layout-invariant —
+      // fully oracle-checkable
+      TextFunctions.unigramLmScore(Graft.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("doc", "doc_id")),
+
     "txt_redact" -> ((s, d) =>
       // PII redaction: the corpus text is synthetic word-bags, so plant a
       // deterministic email/IP/phone per doc and redact — the oracle
@@ -476,6 +483,19 @@ object PipelineQueries {
          SELECT tf.doc_id, tf.term, tf.tf,
                 round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 4) AS tfidf
          FROM tf JOIN df USING (term) CROSS JOIN n""",
+    "txt_unigram_lp" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0)) AS term
+                       FROM documents),
+              tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+              uni AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+              n AS (SELECT sum(cnt) AS n_total FROM uni),
+              w AS (SELECT term, CAST(floor(ln(CAST(n.n_total AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_micro
+                    FROM uni CROSS JOIN n)
+         SELECT tf.doc_id, sum(tf.tf) AS n_tok,
+                round((CAST(sum(tf.tf * w.w_micro) AS DOUBLE) / 1000000.0) /
+                      CAST(sum(tf.tf) AS DOUBLE), 4) AS avg_nll
+         FROM tf JOIN w USING (term)
+         GROUP BY tf.doc_id""",
     "txt_redact" ->
       """SELECT doc_id,
                 regexp_replace(regexp_replace(regexp_replace(
