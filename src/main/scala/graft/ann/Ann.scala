@@ -203,6 +203,200 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Euclidean k-means on an in-memory sample (Lloyd). Deterministic:
+    * init takes the first k sample vectors, assignment ties go to the
+    * lower centroid id, empty clusters keep their previous centroid.
+    */
+  private[ann] def euclideanKMeans(sample: Array[Array[Double]], k: Int,
+                                   maxIter: Int): Array[Array[Double]] = {
+    if (sample.isEmpty) return Array.empty
+    var cent = sample.take(k).map(_.clone())
+    val assign = new Array[Int](sample.length)
+    for (_ <- 0 until maxIter) {
+      var i = 0
+      while (i < sample.length) {
+        val v = sample(i)
+        var best = 0; var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < cent.length) {
+          val ctr = cent(c)
+          var d = 0.0; var j = 0
+          while (j < v.length) { val t = v(j) - ctr(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.fill(cent.length)(new Array[Double](sample(0).length))
+      val counts = new Array[Int](cent.length)
+      i = 0
+      while (i < sample.length) {
+        val s = sums(assign(i)); val v = sample(i)
+        var j = 0
+        while (j < v.length) { s(j) += v(j); j += 1 }
+        counts(assign(i)) += 1
+        i += 1
+      }
+      cent = cent.indices.map { c =>
+        if (counts(c) == 0) cent(c) else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    cent
+  }
+
+  /** Product-quantization (PQ) approximate top-k with asymmetric-distance
+    * scoring and exact re-rank — the memory-compression scale path for
+    * ANN over a corpus too large to keep as raw floats.
+    *
+    * Recipe (the classic IVFADC encode/score split, minus the IVF cells —
+    * compose with [[ivfTopK]]'s list assignment for both):
+    *  1. TRAIN (bounded): `m` sub-codebooks of 2^codebookBits centroids
+    *     each, k-means over a ≤ trainCap hash-ordered sample of
+    *     unit-normalized vectors — the same fixed-cost, layout-invariant
+    *     draw as IVF training. Only the m × 2^bits × (dim/m) codebook
+    *     matrix leaves the driver, as one broadcast.
+    *  2. ENCODE (one corpus scan): each vector → m small codes + its
+    *     reconstruction norm. The encoded table is ~4·dim/m× smaller than
+    *     the raw floats (64-dim float32 at m=8 → 64 B → ~9 B/row): at
+    *     100 TB this is the difference between scanning 100 TB and
+    *     scanning ~1.5 TB per query batch. In production the encoded
+    *     frame is written once and reused; here it is built inline.
+    *  3. SCORE: each query precomputes its m × 2^bits dot-product lookup
+    *     table ONCE (a row-local UDF), then every (query, code-row) pair
+    *     costs m array lookups — O(m) instead of O(dim).
+    *  4. REFINE: the top `refineK` candidates per query by estimated
+    *     cosine re-rank with EXACT cosine on the raw vectors (touching
+    *     only |queries| × refineK rows), so reported scores are true
+    *     cosines and refineK ≥ |corpus| degrades gracefully to exact
+    *     brute force (asserted in AnnSpec).
+    *
+    * Deterministic end-to-end: sampling, init, ties, and the fixed-order
+    * UDF summations are all pure functions of the data.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+             k: Int, m: Int = 8, codebookBits: Int = 6, refineK: Int = 50,
+             trainCap: Int = 16384, maxIter: Int = 10): DataFrame = {
+    val spark = corpus.sparkSession
+    val kCent = 1 << codebookBits
+    val sample = corpus
+      .select(col(id).as("_sid"), col(vec).cast("array<double>").as("_sv"))
+      .where(col("_sv").isNotNull)
+      .orderBy(xxhash64(col("_sid")), col("_sid"))
+      .limit(trainCap)
+      .select("_sv")
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "PQ training needs a non-empty corpus")
+    val dim = sample(0).length
+    require(dim >= m, s"dim $dim < m $m")
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val bounds = (0 to m).map(s => s * dim / m).toArray
+    val books: Array[Array[Array[Double]]] = (0 until m).toArray.map { s =>
+      euclideanKMeans(
+        sample.map(v => java.util.Arrays.copyOfRange(unit(v), bounds(s), bounds(s + 1))),
+        kCent, maxIter)
+    }
+    val bc = spark.sparkContext.broadcast((books, bounds))
+
+    // corpus row → (m codes, reconstruction norm); nearest sub-centroid by
+    // L2 over the unit-normalized vector, ties to the lower code
+    val encode = udf { (v: Seq[Double]) =>
+      if (v == null) null
+      else {
+        val (bks, bds) = bc.value
+        val u = {
+          val arr = v.toArray
+          val n = math.sqrt(arr.map(x => x * x).sum)
+          if (n == 0.0) arr else arr.map(_ / n)
+        }
+        var normSq = 0.0
+        val codes = new Array[Int](bks.length)
+        var s = 0
+        while (s < bks.length) {
+          val book = bks(s); val lo = bds(s); val hi = bds(s + 1)
+          var best = 0; var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < book.length) {
+            val ctr = book(c)
+            var d = 0.0; var j = lo
+            while (j < hi) { val t = u(j) - ctr(j - lo); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          codes(s) = best
+          val ctr = book(best)
+          var j = 0
+          while (j < ctr.length) { normSq += ctr(j) * ctr(j); j += 1 }
+          s += 1
+        }
+        (codes.toSeq, math.sqrt(normSq))
+      }
+    }
+
+    // query row → flattened m × 2^bits table of sub-dot-products
+    val lutUdf = udf { (v: Seq[Double]) =>
+      if (v == null) null
+      else {
+        val (bks, bds) = bc.value
+        val u = {
+          val arr = v.toArray
+          val n = math.sqrt(arr.map(x => x * x).sum)
+          if (n == 0.0) arr else arr.map(_ / n)
+        }
+        val lut = new Array[Double](bks.length * kCent)
+        var s = 0
+        while (s < bks.length) {
+          val book = bks(s); val lo = bds(s)
+          var c = 0
+          while (c < book.length) {
+            val ctr = book(c)
+            var dot = 0.0; var j = 0
+            while (j < ctr.length) { dot += u(lo + j) * ctr(j); j += 1 }
+            lut(s * kCent + c) = dot
+            c += 1
+          }
+          s += 1
+        }
+        lut.toSeq
+      }
+    }
+
+    // ADC: m lookups + one divide per candidate pair
+    val adc = udf { (codes: Seq[Int], xnorm: Double, lut: Seq[Double]) =>
+      var acc = 0.0
+      var s = 0
+      while (s < codes.length) { acc += lut(s * kCent + codes(s)); s += 1 }
+      if (xnorm == 0.0) 0.0 else acc / xnorm
+    }
+
+    val encoded = corpus
+      .select(col(id).as("neighbor_id"), encode(col(vec).cast("array<double>")).as("_e"))
+      .where(col("_e").isNotNull)
+      .select(col("neighbor_id"), col("_e._1").as("codes"), col("_e._2").as("xnorm"))
+    val q = broadcast(queries
+      .select(col(id).as("query_id"), lutUdf(col(vec).cast("array<double>")).as("lut"))
+      .where(col("lut").isNotNull))
+    val est = encoded.crossJoin(q) // broadcast nested loop over the small query set
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        adc(col("codes"), col("xnorm"), col("lut")).as("est"))
+    val wEst = Window.partitionBy("query_id").orderBy(col("est").desc, col("neighbor_id").asc)
+    val cand = est.withColumn("_r", row_number().over(wEst))
+      .where(col("_r") <= math.max(refineK, k))
+      .select("query_id", "neighbor_id")
+    val refined = cand
+      .join(corpus.select(col(id).as("neighbor_id"), col(vec).as("cv")), "neighbor_id")
+      .join(broadcast(queries.select(col(id).as("query_id"), col(vec).as("qv"))), "query_id")
+      .withColumn("cos", cosineNative(spark, "qv", "cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    refined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
+  }
+
   /** LSH-bucketed approximate top-k. `nBits` hyperplanes → 2^nBits
     * buckets; `probeBits` > 0 additionally probes buckets at Hamming
     * distance 1 in the first `probeBits` bits (multi-probe, recovers

@@ -258,6 +258,16 @@ object PipelineQueries {
         k = 10, nLists = 16, nProbe = 4)
     }),
 
+    "ann_pq" -> ((s, d) => {
+      // product-quantization ANN: broadcast codebooks, m-byte codes, O(m)
+      // ADC scoring, exact re-rank of the refine set — the
+      // memory-compression scale path (full-refine == brute force and
+      // recall bounds asserted in AnnSpec; rows-only here)
+      val emb = Graft.embeddings(s, d)
+      Ann.pqTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+        k = 10, m = 8, codebookBits = 6, refineK = 50)
+    }),
+
     // ---- text analysis ----------------------------------------------------
     "txt_quality" -> ((s, d) =>
       // native text_stats kernel (one byte scan per doc) with the Column

@@ -208,6 +208,34 @@ class DedupAnnSpec extends GraftTest {
       }
   }
 
+  test("PQ ANN with corpus-sized refine degrades to exact brute force") {
+    val emb = Graft.embeddings(spark, sf)
+    val queries = emb.where(col("vec_id") < 10)
+    val truth = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Ann.pqTopK(emb, queries, "vec_id", "embedding", k = 5,
+        m = 8, codebookBits = 4, refineK = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full === truth, "full-refine PQ must equal exact top-k")
+  }
+
+  test("PQ ANN recall at moderate refine beats the candidate-free floor") {
+    val emb = Graft.embeddings(spark, sf)
+    val queries = emb.where(col("vec_id") < 20)
+    val truth = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.pqTopK(emb, queries, "vec_id", "embedding", k = 5,
+        m = 8, codebookBits = 6, refineK = 50)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.intersect(approx).size.toDouble / truth.size
+    // uniform-random vectors are the worst case for any quantizer; a
+    // refine set of 10% of the corpus should still recover well over
+    // half of the true top-k (real clustered corpora do far better)
+    assert(recall >= 0.5, s"PQ recall $recall")
+  }
+
   test("connected components resolves pair chains to min-id clusters") {
     import spark.implicits._
     // chain 1-2-3 (never directly 1-3), plus a separate pair, plus a
