@@ -22,8 +22,10 @@ object Bench {
     "j1_ss_inner", "j3_ss_outer", "j4_st_inner", "j6_tt_inner", "aj_asof", "j_salted",
     "d2_stream_to_table",
     "dd_exact", "dd_incremental", "dd_minhash", "dd_simhash", "dd_ngram_jaccard", "dd_embedding",
-    "ann_brute", "ann_lsh", "ann_ivf",
+    "dd_fuzzy",
+    "ann_brute", "ann_lsh", "ann_ivf", "ann_pq",
     "txt_quality", "txt_langid", "txt_fingerprint", "txt_tfidf", "txt_repetition",
+    "txt_unigram_lp",
     "pp_shuffle", "pp_mix", "pp_temperature", "pp_chunk", "pp_pipeline", "mm_features", "sk_cms")
 
   def main(args: Array[String]): Unit = {
