@@ -63,6 +63,24 @@ object Multimodal {
         col("payload").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes)).as("frame"))
   }
 
+  /** Sliding windows for audio-shaped assets: overlapping `winBytes`
+    * windows advancing by `hopBytes` (the 25 ms-window / 10 ms-hop shape
+    * every audio featurizer consumes; a real pipeline would derive the
+    * byte widths from the sample rate in `meta`). Only complete windows
+    * emit; payloads shorter than one window yield nothing. Same scale
+    * shape as [[sampleFrames]]: explode + binary substr inside the scan
+    * partition, no UDF, no shuffle.
+    */
+  def slidingWindows(assets: DataFrame, winBytes: Int, hopBytes: Int): DataFrame = {
+    val len = octet_length(col("payload"))
+    val lastIdx = ((len - winBytes) / hopBytes).cast("int")
+    assets.select(col("asset_id"), col("payload"),
+        explode(when(len >= winBytes, sequence(lit(0), lastIdx))
+          .otherwise(array().cast("array<int>"))).as("win_idx"))
+      .select(col("asset_id"), col("win_idx"),
+        col("payload").substr(col("win_idx") * hopBytes + 1, lit(winBytes)).as("win"))
+  }
+
   /** Partition-parallel feature extraction over the binary column.
     * `mapPartitions` (not per-row UDF) so a real decoder can amortize
     * codec/model init per partition — the same batch shape

@@ -339,6 +339,15 @@ object PipelineQueries {
           frameBytes = 32, everyNth = 4)
         .select(col("asset_id"), col("frame_idx"), col("frame").cast("string").as("frame_str"))),
 
+    "mm_audio" -> ((s, d) =>
+      // audio-shaped overlapping windows (64-byte window, 32-byte hop)
+      // over binary payloads; windows decoded to string for the oracle
+      // compare (ASCII corpus)
+      Multimodal.slidingWindows(
+          Multimodal.toAssets(Graft.documents(s, d), "doc_id", "text"),
+          winBytes = 64, hopBytes = 32)
+        .select(col("asset_id"), col("win_idx"), col("win").cast("string").as("win_str"))),
+
     // ---- sketches ---------------------------------------------------------
     "sk_quantiles" -> ((s, d) =>
       // quantile sketch (approx_percentile ≈ Greenwald-Khanna): per-key
@@ -664,6 +673,10 @@ object PipelineQueries {
     "mm_frames" ->
       """SELECT doc_id AS asset_id, i AS frame_idx, substring(text, i * 32 + 1, 32) AS frame_str
          FROM documents, UNNEST(generate_series(0, CAST(strlen(text) // 32 AS INT) - 1, 4)) AS t(i)""",
+    "mm_audio" ->
+      """SELECT doc_id AS asset_id, i AS win_idx, substring(text, i * 32 + 1, 64) AS win_str
+         FROM documents, UNNEST(generate_series(0, CAST((strlen(text) - 64) // 32 AS INT))) AS t(i)
+         WHERE strlen(text) >= 64""",
     // NOTE: the Spark side computes UTF-8 BYTE features from the binary
     // payload; this oracle computes per-character codepoint features —
     // equivalent only for ASCII corpora (which the testdata is). A
