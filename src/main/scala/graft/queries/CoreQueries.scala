@@ -769,6 +769,31 @@ object CoreQueries {
         .agg(count(lit(1)).as("cnt"))
     }),
 
+    "t3_streaming" -> ((s, d) => {
+      // T3 through the REAL watermark machinery, multi-batch: three
+      // micro-batches (even event_ids; then ids ≡ 1 mod 4; then ids ≡ 3
+      // mod 4). Late-input filtering uses the PREVIOUS batch's watermark
+      // (SPARK-40925), so batch-3 rows face a drop threshold of
+      // max(batch-1 event time) − 1h: rows whose 5-minute window closed
+      // below it hit the engine's real late-drop path. Append mode emits
+      // only windows finalized by the terminal watermark. Every boundary
+      // is a pure function of the data (watermark floors event time to
+      // MILLISECONDS before subtracting the delay), so the oracle replays
+      // drop and emission exactly.
+      val out = StreamingQueries
+        .readStreamBatched(s, d, "events",
+          when(pmod(col("event_id"), lit(2)) === 0, 0)
+            .when(pmod(col("event_id"), lit(4)) === 1, 1).otherwise(2))
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("event_time", "1 hour")
+        .groupBy(window(col("event_time"), "5 minutes"), col("event_type"))
+        .count()
+        .select(col("event_type"),
+          unix_timestamp(col("window.start")).as("window_start_s"),
+          col("count").as("cnt"))
+      StreamingQueries.runAppendToMemory(s, "t3s_counts", out)
+    }),
+
     "t4_state_cleanup" -> ((s, d) =>
       StreamingQueries.runWithStateCleanup(s, d, "events", "t4_counts",
         _.groupBy(col("event_type").as("key")).agg(count(lit(1)).as("cnt")))),
@@ -816,6 +841,22 @@ object CoreQueries {
       """WITH m AS (SELECT max(epoch_us(ts)) - 604800000000 AS wm_us FROM events)
          SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx, count(*) AS cnt
          FROM events, m WHERE epoch_us(ts) >= wm_us GROUP BY 1, 2""",
+    // w0/w2 replay the engine's watermark arithmetic (ms-floored max
+    // event time minus the delay): batch-3 rows (ids ≡ 3 mod 4) drop
+    // when their window closed below the batch-1 watermark (late-input
+    // filtering lags one batch), and a window emits once the terminal
+    // watermark passes its end
+    "t3_streaming" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS us FROM events),
+              w0 AS (SELECT ((max(us) // 1000) - 3600000) * 1000 AS wm FROM e WHERE event_id % 2 = 0),
+              w2 AS (SELECT ((max(us) // 1000) - 3600000) * 1000 AS wm FROM e),
+              kept AS (SELECT e.event_type, (e.us // 300000000) * 300000000 AS ws
+                       FROM e, w0
+                       WHERE e.event_id % 2 = 0 OR e.event_id % 4 = 1
+                          OR (e.us // 300000000) * 300000000 + 300000000 > w0.wm),
+              agg AS (SELECT event_type, ws, count(*) AS cnt FROM kept GROUP BY 1, 2)
+         SELECT event_type, ws // 1000000 AS window_start_s, cnt
+         FROM agg, w2 WHERE ws + 300000000 <= w2.wm""",
     "t4_state_cleanup" ->
       "SELECT event_type AS key, count(*) AS cnt FROM events GROUP BY 1",
     "f_scalars" ->

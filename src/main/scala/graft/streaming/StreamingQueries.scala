@@ -38,6 +38,41 @@ object StreamingQueries {
     spark.readStream.schema(schema).parquet(streamDir.toString)
   }
 
+  /** Stage a table as an N-FILE stream directory (file i = rows where
+    * `batchOf` = i) and open it with one file admitted per micro-batch,
+    * so watermark ADVANCEMENT is observable end-to-end. File order is
+    * pinned by distinct modification times (the source admits
+    * oldest-first).
+    *
+    * Spark runs TWO watermarks per batch (SPARK-40925): late-input
+    * filtering uses the PREVIOUS batch's watermark, state eviction the
+    * current one. So rows in file i face a late-drop threshold derived
+    * from files 0..i-2 and an eviction threshold from files 0..i-1 —
+    * reaching the real drop path needs at least three data files, with
+    * the late rows in the third.
+    */
+  def readStreamBatched(spark: SparkSession, dir: String, table: String,
+                        batchOf: org.apache.spark.sql.Column): DataFrame = {
+    val src = spark.read.parquet(s"$dir/$table.parquet")
+    val batchDir = Paths.get(tmpDir(s"streamN-$table"))
+    val tagged = src.withColumn("_b", batchOf.cast("int"))
+    val nMax = tagged.agg(max(col("_b"))).head().getInt(0)
+    val now = System.currentTimeMillis()
+    (0 to nMax).foreach { i =>
+      val tmp = Paths.get(tmpDir(s"stage-$i"))
+      tagged.where(col("_b") === i).drop("_b")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val target = batchDir.resolve(s"batch-$i.parquet")
+      Files.move(part, target)
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(now - (nMax - i) * 120000L))
+    }
+    spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", 1).parquet(batchDir.toString)
+  }
+
   /** Run `transform` over a streaming read of `table`, aggregate to a
     * named in-memory sink in complete mode, checkpointed (X4), and return
     * the final result table. `confs` lets callers pick the state-store
