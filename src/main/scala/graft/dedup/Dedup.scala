@@ -300,6 +300,23 @@ object Dedup {
     docs.join(losers, docs(id) === losers("node"), "left_anti")
   }
 
+  /** [[resolve]] with a QUALITY-BASED canonical: each duplicate cluster
+    * keeps its highest-`score` member (ties → smallest id) instead of the
+    * smallest id — the policy real corpus dedup wants (keep the cleanest
+    * copy, not the accidental first one). Same scale shape as resolve:
+    * components over the pair set, one score join, a per-cluster `max_by`
+    * (map-side partials), and one anti-join back onto the corpus.
+    */
+  def resolveBy(docs: DataFrame, pairs: DataFrame, id: String, score: Column): DataFrame = {
+    val scored = connectedComponents(pairs)
+      .join(docs.select(col(id).as("node"), score.as("_score")), "node")
+    val winners = scored.groupBy("comp")
+      .agg(max_by(col("node"), struct(col("_score"), -col("node"))).as("node"))
+    val losers = scored.select("node")
+      .join(winners.select("node"), Seq("node"), "left_anti")
+    docs.join(losers, docs(id) === losers("node"), "left_anti")
+  }
+
   // ---- benchmark decontamination ------------------------------------------
 
   /** Contaminated corpus ids: documents sharing at least one word `n`-gram
@@ -347,13 +364,20 @@ object Dedup {
     * self-join on the neighborhood hash and only candidates pay the
     * O(len²) Levenshtein verify — never an all-pairs product.
     *
-    * Scale shape: the exploded frame carries (id, 8-byte variant hash)
-    * only — strings are re-joined for the surviving candidate set. One
-    * shuffle on the variant hash for bucketing, hash joins back for
-    * verification; bucket sizes track true near-match density (a variant
-    * shared by k strings yields k²/2 candidates, which are mostly real
-    * matches — the false-candidate rate is bounded by the depth-d
-    * neighborhood intersection property). xxhash64 collisions only add
+    * Scale shape: ONE shuffle. The exploded frame carries
+    * (id, string, 8-byte variant hash); the self-join keys on the variant
+    * hash, so both sides share the exchange (plan reuse) and the verify
+    * runs inside the bucket join with no re-join for strings. Carrying
+    * the string is deliberate: this operator is for SHORT keys (names,
+    * titles, codes — neighborhood generation is O(len²) anyway), where
+    * the string costs about as much on the wire as a second join key —
+    * the measured alternative (slim hash-only shuffle + two corpus-wide
+    * joins to fetch strings for candidates + an extra pre-verify
+    * distinct) went super-linear at 100× data. Verification precedes the
+    * pair distinct, so a pair sharing k variants pays k cheap Levenshtein
+    * calls instead of an extra shuffle. Bucket sizes track true
+    * near-match density (a variant shared by k strings yields k²/2
+    * candidates, mostly real matches). xxhash64 collisions only add
     * candidates; the exact verify removes them.
     */
   def editDistancePairs(docs: DataFrame, id: String, text: String,
@@ -361,20 +385,16 @@ object Dedup {
     require(maxDist >= 1 && maxDist <= 2, s"maxDist out of range: $maxDist")
     val variants = docs
       .where(col(text).isNotNull)
-      .select(col(id).as("doc"),
+      .select(col(id).as("doc"), col(text).as("str"),
         explode(deletionNeighborhood(col(text), maxDist)).as("v"))
-      .select(col("doc"), xxhash64(col("v")).as("vh"))
+      .select(col("doc"), col("str"), xxhash64(col("v")).as("vh"))
       .distinct()
-    val cand = variants.select(col("vh"), col("doc").as("a"))
-      .join(variants.select(col("vh"), col("doc").as("b")), "vh")
+    variants.select(col("vh"), col("doc").as("a"), col("str").as("str_a"))
+      .join(variants.select(col("vh"), col("doc").as("b"), col("str").as("str_b")), "vh")
       .where(col("a") < col("b"))
-      .select("a", "b").distinct()
-    val strs = docs.select(col(id).as("vid"), col(text).as("vstr"))
-    cand
-      .join(strs.withColumnRenamed("vid", "a").withColumnRenamed("vstr", "str_a"), "a")
-      .join(strs.withColumnRenamed("vid", "b").withColumnRenamed("vstr", "str_b"), "b")
       .select(col("a"), col("b"), levenshtein(col("str_a"), col("str_b")).as("dist"))
       .where(col("dist") <= maxDist)
+      .distinct()
   }
 
   // ---- SimHash ------------------------------------------------------------

@@ -115,6 +115,27 @@ object PipelineQueries {
       Dedup.resolve(docs, verified, "doc_id").select("doc_id", "lang")
     }),
 
+    "dd_resolve_best" -> ((s, d) => {
+      // near-dup removal keeping the highest-QUALITY cluster member: the
+      // canonical copy is the most fluent one (lowest unigram-LM mean
+      // surprisal, ties → smallest id) — the keep-the-cleanest-copy
+      // policy; same oracle-portable pair generation as dd_resolve, and
+      // the LM score reuses txt_unigram_lp's layout-invariant arithmetic
+      val docs = Graft.documents(s, d)
+      val l = docs.select(col("lang"), col("n_chars"), col("doc_id").as("a"))
+      val r = docs.select(col("lang"), col("n_chars"), col("doc_id").as("b"))
+      val pairs = l.join(r, Seq("lang", "n_chars")).where(col("a") < col("b"))
+        .select("a", "b")
+      val verified = Dedup.verifyJaccard(pairs, docs, "doc_id", "text")
+        .where(col("jaccard") >= 0.5).select("a", "b")
+      val lm = TextFunctions.unigramLmScore(docs, "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("avg_nll"))
+      val docsScored = docs.join(lm, Seq("doc_id"), "left")
+      Dedup.resolveBy(docsScored, verified, "doc_id",
+          -coalesce(col("avg_nll"), lit(1e9)))
+        .select("doc_id", "lang")
+    }),
+
     "dd_incremental" -> ((s, d) => {
       // incremental ingestion dedup: every 10th doc stands in for the new
       // batch, the rest for the standing corpus — both sides reduce to
@@ -550,6 +571,37 @@ object PipelineQueries {
                         SELECT e.src AS node, r.comp AS comp FROM edges e JOIN reach r ON e.dst = r.node),
               losers AS (SELECT node FROM (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
                          WHERE node <> comp)
+         SELECT doc_id, lang FROM documents
+         WHERE doc_id NOT IN (SELECT node FROM losers)""",
+    "dd_resolve_best" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0)) AS tk,
+                                        lang, n_chars
+                                 FROM documents),
+              p AS (SELECT l.doc_id AS a, r.doc_id AS b
+                    FROM toks l JOIN toks r ON l.lang = r.lang AND l.n_chars = r.n_chars AND l.doc_id < r.doc_id
+                    WHERE round(CAST(len(list_intersect(l.tk, r.tk)) AS DOUBLE) /
+                                CAST(len(list_distinct(list_concat(l.tk, r.tk))) AS DOUBLE), 4) >= 0.5),
+              edges AS (SELECT a AS src, b AS dst FROM p UNION SELECT b AS src, a AS dst FROM p),
+              reach AS (SELECT src AS node, src AS comp FROM edges
+                        UNION
+                        SELECT e.src AS node, r.comp AS comp FROM edges e JOIN reach r ON e.dst = r.node),
+              comp AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+              tt AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0)) AS term
+                     FROM documents),
+              tf AS (SELECT doc_id, term, count(*) AS tf FROM tt GROUP BY doc_id, term),
+              uni AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+              n AS (SELECT sum(cnt) AS n_total FROM uni),
+              wt AS (SELECT term, CAST(floor(ln(CAST(n.n_total AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_micro
+                     FROM uni CROSS JOIN n),
+              lm AS (SELECT tf.doc_id,
+                            round((CAST(sum(tf.tf * wt.w_micro) AS DOUBLE) / 1000000.0) /
+                                  CAST(sum(tf.tf) AS DOUBLE), 4) AS avg_nll
+                     FROM tf JOIN wt USING (term) GROUP BY tf.doc_id),
+              scored AS (SELECT c.node, c.comp, coalesce(lm.avg_nll, 1e9) AS s
+                         FROM comp c LEFT JOIN lm ON lm.doc_id = c.node),
+              rk AS (SELECT node, row_number() OVER (PARTITION BY comp ORDER BY s ASC, node ASC) AS rk
+                     FROM scored),
+              losers AS (SELECT node FROM rk WHERE rk > 1)
          SELECT doc_id, lang FROM documents
          WHERE doc_id NOT IN (SELECT node FROM losers)""",
     "dd_incremental" ->

@@ -258,6 +258,19 @@ class DedupAnnSpec extends GraftTest {
     assert(kept === Set(1L, 10L, 99L))
   }
 
+  test("resolveBy keeps the highest-score cluster member, ties to the smallest id") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a", 5L), (2L, "b", 9L), (3L, "c", 9L), (10L, "d", 1L),
+        (11L, "e", 7L), (99L, "f", 0L))
+      .toDF("doc_id", "text", "score")
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val kept = Dedup.resolveBy(corpus, pairs, "doc_id", col("score"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // {1,2,3}: 2 and 3 tie at score 9 → keep 2; {10,11}: 11 wins on score;
+    // 99 untouched → kept
+    assert(kept === Set(2L, 11L, 99L))
+  }
+
   test("decontamination flags only corpus docs sharing a strict 8-gram with the eval set") {
     import spark.implicits._
     val evalDoc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
