@@ -19,7 +19,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_agg", "q3_shipping", "q_topn", "a1_wordcount", "a2_groupbykey", "a6_table_reduce",
     "w1_tumbling", "w2_session", "w4_hopping",
-    "j1_ss_inner", "j3_ss_outer", "j4_st_inner", "j6_tt_inner", "aj_asof", "j_salted",
+    "j1_ss_inner", "j3_ss_outer", "j4_st_inner", "j6_tt_inner", "aj_asof", "j_salted", "j_range",
     "d2_stream_to_table",
     "dd_exact", "dd_incremental", "dd_minhash", "dd_simhash", "dd_ngram_jaccard", "dd_embedding",
     "dd_fuzzy",

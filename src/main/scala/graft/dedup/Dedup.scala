@@ -383,12 +383,14 @@ object Dedup {
   def editDistancePairs(docs: DataFrame, id: String, text: String,
                         maxDist: Int = 1): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2, s"maxDist out of range: $maxDist")
+    // no distinct needed: deletionNeighborhood array_distincts per doc,
+    // so (doc, vh) rows are already unique — a distinct here would add a
+    // third corpus-scale shuffle for nothing
     val variants = docs
       .where(col(text).isNotNull)
       .select(col(id).as("doc"), col(text).as("str"),
         explode(deletionNeighborhood(col(text), maxDist)).as("v"))
       .select(col("doc"), col("str"), xxhash64(col("v")).as("vh"))
-      .distinct()
     variants.select(col("vh"), col("doc").as("a"), col("str").as("str_a"))
       .join(variants.select(col("vh"), col("doc").as("b"), col("str").as("str_b")), "vh")
       .where(col("a") < col("b"))

@@ -186,6 +186,37 @@ object Joins {
     }
   }
 
+  /** Distributed range join (point-in-interval): `points ⋈ intervals ON
+    * lo ≤ p < hi`, bucketized. Spark's native plan for a non-equi join is
+    * a broadcast nested loop — per-row O(|intervals|) probes, and
+    * impossible when the interval side outgrows a broadcast. Bucketizing
+    * turns it into an EQUI-join: each interval replicates to the
+    * `cellWidth`-wide cells it overlaps, each point probes exactly its
+    * own cell, and the exact predicate re-verifies in-cell. Both sides
+    * shuffle on the cell id (or the interval side broadcasts when small),
+    * so the shape survives arbitrarily large interval tables. Replication
+    * factor = interval span / cellWidth — pick cellWidth near the median
+    * span. Output: all point columns + all interval columns.
+    */
+  def rangeJoin(
+      points: DataFrame,
+      pointCol: String,
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      cellWidth: Double): DataFrame = {
+    val cells = intervals.withColumn("_cell",
+      explode(sequence(
+        floor(col(loCol) / cellWidth).cast("long"),
+        // hi is exclusive, but emitting its cell when hi lands exactly on
+        // a boundary only adds a candidate the predicate rejects
+        floor(col(hiCol) / cellWidth).cast("long"))))
+    points.withColumn("_cell", floor(col(pointCol) / cellWidth).cast("long"))
+      .join(cells, Seq("_cell"))
+      .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("_cell")
+  }
+
   /** Skew-resistant equi-join: salt the (large, skewed) left side into
     * `salts` sub-keys and replicate each right row across all salts, so a
     * hot key spreads over `salts` reducers instead of one. Deterministic

@@ -564,6 +564,22 @@ object CoreQueries {
         .select(col("event_id"), col("value"), col("n_events"), col("sum_amount"))
     }),
 
+    // beyond-reference: bucketized range join — overlapping amount bands
+    // (lo = 32i, hi = 32i + 48: exact binary doubles, so cell math and
+    // the verify predicate replay identically in the oracle) attach to
+    // every event whose amount falls inside; equi-join on cell id, never
+    // a nested loop
+    "j_range" -> ((s, d) => {
+      val bands = s.range(0, 16).select(
+        col("id").as("band"),
+        (col("id") * 32.0d).as("lo"),
+        (col("id") * 32.0d + 48.0d).as("hi"))
+      Joins.rangeJoin(
+          Graft.eventsStream(s, d).select(col("event_id"), col("amount")),
+          "amount", bands, "lo", "hi", cellWidth = 32.0d)
+        .select(col("event_id"), col("band"))
+    }),
+
     // beyond-reference: as-of enrichment (latest right row at or before
     // each left row's event time)
     "aj_asof" -> ((s, d) =>
@@ -625,6 +641,11 @@ object CoreQueries {
                       FROM events GROUP BY event_type)
          SELECT e.event_id, e.event_type AS value, d.n_events, d.sum_amount
          FROM events e JOIN dim d ON e.event_type = d.event_type""",
+    "j_range" ->
+      """WITH bands AS (SELECT i AS band, i * 32.0 AS lo, i * 32.0 + 48.0 AS hi
+                        FROM UNNEST(generate_series(0, 15)) AS t(i))
+         SELECT e.event_id, b.band
+         FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi""",
     "aj_asof" ->
       """SELECT a.event_id AS l_event_id, b.event_id AS r_event_id, CAST(a.user_id AS VARCHAR) AS key
          FROM (SELECT * FROM events WHERE event_type = 'purchase') a

@@ -14,6 +14,23 @@ import org.apache.spark.sql.functions._
   */
 class GoldenJoinSpec extends GraftTest {
 
+  test("bucketized range join equals the naive non-equi join (boundaries included)") {
+    import spark.implicits._
+    val points = Seq((1L, 0.0), (2L, 31.9), (3L, 32.0), (4L, 47.9), (5L, 48.0),
+        (6L, 95.9), (7L, 96.0), (8L, -1.0), (9L, 500.0))
+      .toDF("pid", "p")
+    val intervals = Seq((10L, 0.0, 48.0), (11L, 32.0, 80.0), (12L, 32.0, 33.0),
+        (13L, 90.0, 96.0))
+      .toDF("iid", "lo", "hi")
+    val got = Joins.rangeJoin(points, "p", intervals, "lo", "hi", cellWidth = 32.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = points.join(intervals, $"p" >= $"lo" && $"p" < $"hi")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want, s"got $got want $want")
+    // hi is exclusive, lo inclusive: point 5 (48.0) must NOT match [0,48)
+    assert(!got.contains((5L, 10L)) && got.contains((3L, 11L)))
+  }
+
   test("stream-table join honors table upsert semantics (late region move)") {
     import spark.implicits._
 

@@ -53,6 +53,12 @@ class PlanSpec extends GraftTest {
     }
   }
 
+  test("range join plans an equi-join on the cell id, not a nested loop") {
+    val p = plan("j_range")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"j_range fell back to a nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("sk_cms builds the sketch distributed and estimates executor-side") {
     val p = plan("sk_cms")
     assert(p.contains("partial_count_min_sketch"),
