@@ -49,9 +49,12 @@ object Ann {
     val l = base.select(col("vid").as("a"), col("v").as("va"),
       explode(transform(probes, f => col("b0").bitwiseXOR(f))).as("bucket"))
     val r = base.select(col("vid").as("b"), col("v").as("vb"), col("b0").as("bucket"))
+    // no distinct() needed: r keys by its ONE true bucket and l's probe
+    // set is distinct values (b0 ^ unique flip masks), so a given (a, b)
+    // pair can match on at most one bucket — dedup would be a pure extra
+    // shuffle over the candidate set
     l.join(r, Seq("bucket")).where(col("a") < col("b"))
       .select(col("a"), col("b"), round(cosineNative(corpus.sparkSession, "va", "vb"), 6).as("cos"))
-      .distinct()
       .where(col("cos") >= threshold)
   }
 
@@ -71,10 +74,11 @@ object Ann {
         explode(transform(probes, f => col("b0").bitwiseXOR(f))).as("bucket"))
     val r = corpus.select(col(id).as("corpus_id"), col(vec).as("vb"),
       srpBucketNative(spark, vec, nBits).as("bucket"))
+    // pairs are unique without a distinct(): corpus rows key by their one
+    // bucket, batch probes are distinct bucket values
     l.join(r, Seq("bucket"))
       .select(col("batch_id"), col("corpus_id"),
         round(cosineNative(spark, "va", "vb"), 6).as("cos"))
-      .distinct()
       .where(col("cos") >= threshold)
   }
 
@@ -193,10 +197,13 @@ object Ann {
     val probed = queries.select(col(id).as("query_id"), col(vec).as("qv"))
       .withColumn("list", explode(nearestLists(nProbe)(col("qv").cast("array<double>"))))
 
+    // every corpus vector lives in exactly ONE list and each query's
+    // nProbe lists are distinct, so (query, neighbor) candidates are
+    // already unique — a distinct() here would be a wasted extra shuffle
     val scored = probed.join(assigned, Seq("list"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosineNative(corpus.sparkSession, "qv", "cv"))
-      .select("query_id", "neighbor_id", "cos").distinct()
+      .select("query_id", "neighbor_id", "cos")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -412,10 +419,12 @@ object Ann {
     val probes = array((lit(0) +: (0 until probeBits).map(b => lit(1 << b))): _*)
     val q = qBase.select(col("query_id"), col("qv"),
       explode(transform(probes, f => col("b0").bitwiseXOR(f))).as("bucket"))
+    // candidates are unique without a distinct(): each corpus vector keys
+    // by its one bucket, the query's probe buckets are distinct values
     val scored = q.join(c, Seq("bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosineNative(corpus.sparkSession, "qv", "cv"))
-      .select("query_id", "neighbor_id", "cos").distinct()
+      .select("query_id", "neighbor_id", "cos")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed sketch query shapes shared by the driver queries and the
@@ -27,5 +27,32 @@ object Sketches {
     val est = udf(new CmsEstimator)
     exact.join(broadcast(sketchRow))
       .select(col("key"), col("exact_cnt"), est(col("_sk"), col("key")).as("cms_est"))
+  }
+
+  /** Mergeable distinct-count sketches (DataSketches HLL), the
+    * store-and-merge pattern a 100 TB pipeline runs on: build ONE small
+    * sketch per (stratum, shard) — e.g. per (event_type, day) — which in
+    * production is persisted next to the raw data, then answer
+    * "distinct values per stratum" by `hll_union_agg` over the shard
+    * sketches WITHOUT re-reading the raw rows. Adding a day of data
+    * re-sketches only that day; historical shards merge in at a few KB
+    * apiece. Both aggregation levels have map-side partials, shuffles
+    * carry sketch bytes (≤ ~2^lgK per group), and nothing
+    * value-cardinality-sized moves anywhere.
+    *
+    * Output: (stratum, n_shards, hll_distinct). Merging shard sketches
+    * estimates within the sketch's error envelope of a single sketch
+    * over all rows (not bit-identical — the union and direct paths cross
+    * the sparse→dense transition differently); both that agreement and
+    * the error bound vs exact distinct are asserted in FunctionsSpec.
+    */
+  def hllMergeDistinct(df: DataFrame, stratum: String, shard: Column,
+                       valueCol: String, lgK: Int = 12): DataFrame = {
+    val perShard = df.where(col(valueCol).isNotNull)
+      .groupBy(col(stratum), shard.as("_shard"))
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("_sk"))
+    perShard.groupBy(col(stratum))
+      .agg(count(lit(1)).as("n_shards"),
+        hll_sketch_estimate(hll_union_agg(col("_sk"), lit(false))).as("hll_distinct"))
   }
 }

@@ -285,8 +285,11 @@ object TextFunctions {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = blocked.withColumn("_local_cum", sum(col("n_tok")).over(wLocal))
     // per-block totals: tiny (≤4096 rows), so the ordered window over
-    // them is a trivially small single-partition job
-    val wOff = Window.orderBy(col("_blk"))
+    // them is a trivially small single-partition job. Partitioning by a
+    // constant keeps that explicit in the plan (hash exchange on a
+    // literal → one partition) instead of tripping WindowExec's
+    // no-partition warning on every run.
+    val wOff = Window.partitionBy(lit(0)).orderBy(col("_blk"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = blocked.groupBy("_blk").agg(sum("n_tok").as("_btotal"))
       .withColumn("_offset", sum(col("_btotal")).over(wOff) - col("_btotal"))
@@ -518,4 +521,60 @@ object TextFunctions {
     if (spark.catalog.functionExists("lang_scores"))
       call_function("lang_scores", text).getField("lang_pred")
     else argmaxLang(text)
+
+  /** URL canonicalization for web-corpus dedup: the same page crawled as
+    * `HTTPS://Site.COM:443/a/?utm_source=x#top` and `https://site.com/a`
+    * must hash identically or exact dedup misses most web duplicates.
+    * Policy (each step a pure regex/string expression, applied in this
+    * fixed order; RE2-compatible so an oracle replays it bit-exactly):
+    *   1. drop the fragment;
+    *   2. lowercase scheme and host; strip the scheme's default port
+    *      (`:443` for https, `:80` for http);
+    *   3. remove `utm_*` tracking parameters, then repair separator
+    *      debris (`&&`→`&`, `?&`→`?`, trailing `?`/`&`);
+    *   4. strip the trailing path slash (before `?` or at end).
+    * One scan, no shuffle — composes with [[graft.dedup.Dedup.exact]] on
+    * the canonical form.
+    */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val host = when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(hostport)
+    val rest0 = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val rest1 = regexp_replace(rest0, "([?&])utm_[A-Za-z_]+=[^&]*", "$1")
+    val rest2 = regexp_replace(regexp_replace(regexp_replace(
+      rest1, "&&+", "&"), "\\?&", "?"), "[?&]+$", "")
+    val rest3 = regexp_replace(regexp_replace(rest2, "/\\?", "?"), "/$", "")
+    concat(scheme, lit("://"), host, rest3)
+  }
+
+  /** Deterministic round-robin interleave of a corpus's strata (the
+    * source-mixing order for training: batch i draws document i/K from
+    * stratum i%K): each stratum orders its rows by the engine-portable
+    * md5 hash (ties → id) IN PARALLEL per-stratum windows, strata get
+    * alphabetical indices 0..K-1 from a tiny sorted-distinct frame that
+    * broadcasts back, and the global position is `r*K + idx` — an
+    * interleaved total order with NO global sort or single-partition
+    * funnel anywhere. Unequal stratum sizes simply exhaust early (gaps in
+    * `pos` beyond a short stratum's end — consumers read in pos order).
+    * Output: (id, stratum, pos).
+    */
+  def interleave(docs: org.apache.spark.sql.DataFrame, id: String,
+                 stratum: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(col(id).cast("string")), 1, 8), 16, 10).cast("long")
+    val idx = docs.select(col(stratum)).distinct()
+      .withColumn("_idx", row_number().over(
+        Window.partitionBy(lit(0)).orderBy(col(stratum))).cast("long") - 1L)
+    val nStrata = idx.groupBy().agg(count(lit(1)).as("_k"))
+    docs.select(col(id), col(stratum), h.as("_h"))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col(stratum)).orderBy(col("_h"), col(id))).cast("long") - 1L)
+      .join(broadcast(idx), stratum)
+      .crossJoin(broadcast(nStrata))
+      .select(col(id), col(stratum), (col("_r") * col("_k") + col("_idx")).as("pos"))
+  }
 }

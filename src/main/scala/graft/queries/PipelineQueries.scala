@@ -154,6 +154,30 @@ object PipelineQueries {
       Dedup.editDistancePairs(Graft.customer(s, d), "c_custkey", "c_name",
         maxDist = 1)),
 
+    "dd_url" -> ((s, d) => {
+      // web-corpus URL dedup: synthesize a messy URL per doc (mixed-case
+      // scheme/host, default port, trailing slash, utm_* params, fragment
+      // — the corpus has no URL column, so the test plants one
+      // deterministically, same device as txt_redact), canonicalize with
+      // TextFunctions.canonicalUrl, exact-dedup on the canonical form.
+      // Pure expressions + one groupBy; fully oracle-checkable (the
+      // oracle replays the same canonicalization steps).
+      val urls = Graft.documents(s, d).select(col("doc_id"),
+        concat(lit("HTTPS://Example"), pmod(col("doc_id"), lit(7)),
+          lit(".COM:443/Path"), pmod(col("doc_id"), lit(50)), lit("/"),
+          lit("?utm_source=feed&id="), pmod(col("doc_id"), lit(25)),
+          lit("&utm_campaign=x#sec"), pmod(col("doc_id"), lit(3))).as("url"))
+      urls.select(col("doc_id"), TextFunctions.canonicalUrl(col("url")).as("curl"))
+        .groupBy("curl")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+    }),
+
+    "pp_interleave" -> ((s, d) =>
+      // deterministic round-robin source interleave: global training-read
+      // order pos = r*K + strataIdx with per-stratum parallel windows —
+      // no global sort; fully oracle-checkable
+      TextFunctions.interleave(Graft.documents(s, d), "doc_id", "lang")),
+
     "pp_decontam" -> ((s, d) => {
       // benchmark decontamination: corpus docs sharing an 8-gram with the
       // "eval set" (every 10th doc stands in for a benchmark — a split
@@ -409,6 +433,16 @@ object PipelineQueries {
       pruned.crossJoin(exact)
     }),
 
+    "sk_hll_merge" -> ((s, d) =>
+      // mergeable distinct-count sketches: one HLL per (event_type, day),
+      // union-merged per event_type — the persist-and-merge shape that
+      // answers incremental distinct queries without re-reading raw data.
+      // Estimates are DataSketches-specific → rows-only here; the union
+      // losslessness + error bound are asserted in FunctionsSpec.
+      graft.functions.Sketches.hllMergeDistinct(
+        Graft.events(s, d).withColumn("day", expr("ts_us div 86400000000")),
+        "event_type", col("day"), "user_id")),
+
     "sk_cms" -> ((s, d) =>
       // count-min sketch of event_type frequencies, fully distributed
       // (see graft.functions.Sketches.cmsEstimate — the same definition
@@ -620,6 +654,39 @@ object PipelineQueries {
            ON a.c_custkey < b.c_custkey
           AND abs(length(a.c_name) - length(b.c_name)) <= 1
          WHERE levenshtein(a.c_name, b.c_name) <= 1""",
+    "dd_url" ->
+      """WITH u AS (SELECT doc_id,
+                           'HTTPS://Example' || (doc_id % 7) || '.COM:443/Path' || (doc_id % 50) ||
+                           '/?utm_source=feed&id=' || (doc_id % 25) || '&utm_campaign=x#sec' || (doc_id % 3) AS url
+                    FROM documents),
+              s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS nofrag FROM u),
+              s2 AS (SELECT doc_id, nofrag,
+                            lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                            lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+                            regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest0
+                     FROM s1),
+              s3 AS (SELECT doc_id, scheme,
+                            CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                                 WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$', '')
+                                 ELSE hostport END AS host,
+                            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                              regexp_replace(regexp_replace(rest0, '([?&])utm_[A-Za-z_]+=[^&]*', '\1', 'g'),
+                              '&&+', '&', 'g'), '\?&', '?', 'g'), '[?&]+$', ''), '/\?', '?', 'g'), '/$', '') AS rest
+                     FROM s2)
+         SELECT scheme || '://' || host || rest AS curl,
+                min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM s3 GROUP BY 1""",
+    "pp_interleave" ->
+      """WITH h AS (SELECT doc_id, lang,
+                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+                    FROM documents),
+              li AS (SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS idx
+                     FROM (SELECT DISTINCT lang FROM documents)),
+              k AS (SELECT count(*) AS k FROM li),
+              r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) - 1 AS r
+                    FROM h)
+         SELECT r.doc_id, r.lang, CAST(r.r * k.k + li.idx AS BIGINT) AS pos
+         FROM r JOIN li USING (lang) CROSS JOIN k""",
     "pp_decontam" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0) AS l
                        FROM documents),
@@ -646,7 +713,7 @@ object PipelineQueries {
               c AS (SELECT doc_id, n_tok,
                            sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
                     FROM t)
-         SELECT doc_id, n_tok, (cum - n_tok) // 512 AS bin FROM c""",
+         SELECT doc_id, n_tok, CAST((cum - n_tok) // 512 AS BIGINT) AS bin FROM c""",
     "pp_pipeline" ->
       """WITH t AS (SELECT doc_id, text,
                            len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS n_tokens,
@@ -669,8 +736,8 @@ object PipelineQueries {
               c AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tok,
                            sum(CAST(n_tokens AS BIGINT)) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
                     FROM s WHERE split = 'train'),
-              p AS (SELECT doc_id, (cum - n_tok) // 512 AS bin FROM c)
-         SELECT s.doc_id, s.split, coalesce(p.bin, -1) AS bin
+              p AS (SELECT doc_id, CAST((cum - n_tok) // 512 AS BIGINT) AS bin FROM c)
+         SELECT s.doc_id, s.split, CAST(coalesce(p.bin, -1) AS BIGINT) AS bin
          FROM s LEFT JOIN p USING (doc_id)""",
     "pp_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),

@@ -480,4 +480,73 @@ class FunctionsSpec extends GraftTest {
       .select(col("id"), TextFunctions.splitAssign(col("id")).as("split"))
     assert(assigned.except(again).count() === 0 && again.except(assigned).count() === 0)
   }
+
+  test("canonicalUrl: case, port, tracking-param, fragment, slash policy") {
+    import spark.implicits._
+    val cases = Seq(
+      // same page, four crawled spellings → one canonical form
+      "HTTPS://Example.COM:443/a/?utm_source=x#top" -> "https://example.com/a",
+      "https://example.com/a"                        -> "https://example.com/a",
+      "https://EXAMPLE.com/a/"                       -> "https://example.com/a",
+      "https://example.com:443/a?utm_campaign=z"     -> "https://example.com/a",
+      // non-default port survives; http strips :80 not :443
+      "http://h.io:8080/p"                           -> "http://h.io:8080/p",
+      "http://H.io:80/p"                             -> "http://h.io/p",
+      "http://h.io:443/p"                            -> "http://h.io:443/p",
+      // utm removal repairs separators; real params survive in order
+      "https://h.io/p?utm_a=1&id=2&utm_b=3&q=4"      -> "https://h.io/p?id=2&q=4",
+      "https://h.io/p?utm_a=1&utm_b=2"               -> "https://h.io/p",
+      // path case is preserved (only scheme+host fold)
+      "https://h.io/CaseSensitive/Path"              -> "https://h.io/CaseSensitive/Path")
+    val out = cases.map(_._1).toDF("u")
+      .select(col("u"), TextFunctions.canonicalUrl(col("u")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) => assert(out(in) === want, s"for $in") }
+  }
+
+  test("interleave: round-robin order, parallel-layout invariant") {
+    import spark.implicits._
+    val rows = (0L until 300L).map(i => (i, Seq("a", "b", "c")(i.toInt % 3)))
+    val df = rows.toDF("id", "s")
+    val out = TextFunctions.interleave(df, "id", "s")
+    val got = out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // total order: positions are distinct; stratum index = pos mod K
+    assert(got.map(_._3).distinct.length === got.length)
+    val idx = Map("a" -> 0L, "b" -> 1L, "c" -> 2L)
+    got.foreach { case (_, s, p) => assert(p % 3 === idx(s), s"pos $p stratum $s") }
+    // within a stratum, positions are the consecutive residue-class values
+    got.groupBy(_._2).foreach { case (s, g) =>
+      assert(g.map(_._3).sorted.toSeq === (0 until g.length).map(r => r * 3L + idx(s)))
+    }
+    // layout-invariant: repartitioned input, identical rows
+    val again = TextFunctions.interleave(df.repartition(7), "id", "s")
+    assert(out.except(again).count() === 0 && again.except(out).count() === 0)
+  }
+
+  test("hllMergeDistinct: shard-union == single-shot sketch, near exact") {
+    import spark.implicits._
+    val n = 5000L
+    // ~n/2 distinct values, 2 strata; i%2 and i%20 are correlated, so each
+    // stratum sees the 10 shards of its parity class
+    val df = (0L until n).map(i => (s"g${i % 2}", i % 20, s"v${(i * 7919L) % (n / 2)}"))
+      .toDF("g", "shard", "v")
+    val merged = graft.functions.Sketches.hllMergeDistinct(df, "g", col("shard"), "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val single = df.groupBy("g")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("v"), lit(12))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = df.groupBy("g").agg(countDistinct("v").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    merged.foreach { case (g, (shards, est)) =>
+      assert(shards === 10L)
+      // the union path and the single-shot path may transition
+      // sparse→dense at different points, so estimates are close but not
+      // bit-identical — both sit within the sketch's error envelope
+      val drift = math.abs(est.toDouble - single(g)) / single(g)
+      assert(drift < 0.03, s"union vs single-shot drift for $g: $est vs ${single(g)}")
+      // HLL lgK=12 has ~1.6% relative standard error; allow 5%
+      val rel = math.abs(est.toDouble - exact(g)) / exact(g)
+      assert(rel < 0.05, s"$g: est $est vs exact ${exact(g)}")
+    }
+  }
 }
