@@ -26,7 +26,8 @@ object Bench {
     "ann_brute", "ann_lsh", "ann_ivf", "ann_pq",
     "txt_quality", "txt_langid", "txt_fingerprint", "txt_tfidf", "txt_repetition",
     "txt_unigram_lp",
-    "pp_shuffle", "pp_mix", "pp_temperature", "pp_chunk", "pp_pipeline", "mm_features", "sk_cms")
+    "pp_shuffle", "pp_mix", "pp_temperature", "pp_chunk", "pp_pack", "pp_interleave",
+    "pp_pipeline", "dd_url", "mm_features", "sk_cms", "sk_hll_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
