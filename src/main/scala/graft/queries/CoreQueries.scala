@@ -2,7 +2,8 @@ package graft.queries
 
 import java.nio.file.Files
 import graft.Graft
-import graft.operators.{Aggregates, Joins, StreamOps, TableView, Windows}
+import graft.operators.{Aggregates, Joins, Profiling, StreamOps, TableView, Windows}
+import graft.sources.Sources
 import graft.plans.Topology
 import graft.streaming.{Processors, StreamingQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -580,6 +581,30 @@ object CoreQueries {
         .select(col("event_id"), col("band"))
     }),
 
+    // beyond-reference: co-located join on BUCKETED tables — the write
+    // pays the shuffle once, then the fact⋈fact equi-join (and any
+    // downstream op keyed the same way) plans with no Exchange at all
+    // (asserted in PlanSpec). Revenue math runs in cents-exact longs so
+    // the per-customer sum is associative — double summation would make
+    // the 4th decimal depend on partition merge order.
+    "j_bucketed" -> ((s, d) => {
+      Sources.writeBucketed(Graft.lineitem(s, d).select(
+          col("l_orderkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+          round(col("l_discount") * 100).cast("long").as("disc_c")),
+        "graft_b_lineitem", "l_orderkey", nBuckets = 16)
+      Sources.writeBucketed(
+        Graft.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        "graft_b_orders", "o_orderkey", nBuckets = 16)
+      s.table("graft_b_lineitem")
+        .join(s.table("graft_b_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(
+          round(sum(col("price_c") * (lit(100L) - col("disc_c"))).cast("double") / 1e4, 4)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // beyond-reference: as-of enrichment (latest right row at or before
     // each left row's event time)
     "aj_asof" -> ((s, d) =>
@@ -646,6 +671,16 @@ object CoreQueries {
                         FROM UNNEST(generate_series(0, 15)) AS t(i))
          SELECT e.event_id, b.band
          FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi""",
+    "j_bucketed" ->
+      """WITH li AS (SELECT l_orderkey,
+                            CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                            CAST(round(l_discount * 100) AS BIGINT) AS disc_c
+                     FROM lineitem)
+         SELECT o_custkey,
+                round(CAST(sum(price_c * (100 - disc_c)) AS DOUBLE) / 10000.0, 4) AS revenue,
+                count(*) AS n_items
+         FROM li JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
     "aj_asof" ->
       """SELECT a.event_id AS l_event_id, b.event_id AS r_event_id, CAST(a.user_id AS VARCHAR) AS key
          FROM (SELECT * FROM events WHERE event_type = 'purchase') a

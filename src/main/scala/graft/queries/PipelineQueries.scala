@@ -172,6 +172,15 @@ object PipelineQueries {
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
     }),
 
+    "pp_profile" -> ((s, d) =>
+      // one-pass corpus profile: per-column non-null count, exact
+      // distinct, string-form min/max + table row count — the
+      // look-before-you-leap stats a pipeline reads before choosing
+      // broadcast vs shuffle, imputation, bucketing. Fully
+      // oracle-checkable (plain counts and lexicographic extremes).
+      graft.operators.Profiling.profile(
+        Graft.documents(s, d), Seq("doc_id", "lang", "n_chars", "text"))),
+
     "pp_interleave" -> ((s, d) =>
       // deterministic round-robin source interleave: global training-read
       // order pos = r*K + strataIdx with per-stratum parallel windows —
@@ -676,6 +685,24 @@ object PipelineQueries {
          SELECT scheme || '://' || host || rest AS curl,
                 min(doc_id) AS keep_id, count(*) AS n_copies
          FROM s3 GROUP BY 1""",
+    "pp_profile" ->
+      """WITH n AS (SELECT count(*) AS n_rows FROM documents)
+         SELECT 'doc_id' AS col_name, n.n_rows, count(doc_id) AS n_nonnull,
+                count(DISTINCT doc_id) AS n_distinct,
+                min(CAST(doc_id AS VARCHAR)) AS min_s, max(CAST(doc_id AS VARCHAR)) AS max_s
+         FROM documents, n GROUP BY n.n_rows
+         UNION ALL
+         SELECT 'lang', n.n_rows, count(lang), count(DISTINCT lang),
+                min(CAST(lang AS VARCHAR)), max(CAST(lang AS VARCHAR))
+         FROM documents, n GROUP BY n.n_rows
+         UNION ALL
+         SELECT 'n_chars', n.n_rows, count(n_chars), count(DISTINCT n_chars),
+                min(CAST(n_chars AS VARCHAR)), max(CAST(n_chars AS VARCHAR))
+         FROM documents, n GROUP BY n.n_rows
+         UNION ALL
+         SELECT 'text', n.n_rows, count(text), count(DISTINCT text),
+                min(CAST(text AS VARCHAR)), max(CAST(text AS VARCHAR))
+         FROM documents, n GROUP BY n.n_rows""",
     "pp_interleave" ->
       """WITH h AS (SELECT doc_id, lang,
                            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h

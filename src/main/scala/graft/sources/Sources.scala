@@ -56,6 +56,44 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Persist a frame as a BUCKETED parquet table: rows hash-partition
+    * into `nBuckets` files per write task by `bucketCol`, each sorted on
+    * it. A bucketed table carries its partitioning in metadata, so a
+    * subsequent equi-join (or aggregation) on the bucket column reads
+    * co-located data and plans with NO Exchange and NO Sort — at 100 TB
+    * the dominant join cost paid ONCE at write time and amortized over
+    * every downstream query. This is the batch analog of the reference's
+    * co-partitioned topics (Kafka Streams joins require both topics to
+    * share partition count and keying — reference:
+    * src/main/scala/com/github/hosnimed/StreamToStreamJoinExample.scala:92-95).
+    * Requires `saveAsTable` (bucket metadata lives in the catalog).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    // a managed-table dir left by an EARLIER session is invisible to this
+    // session's in-memory catalog, so `overwrite` can't drop it and the
+    // create fails on LOCATION_ALREADY_EXISTS — clear the orphan first
+    if (!spark.catalog.tableExists(table)) {
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    // repartition on the bucket column first: Spark's repartition hash
+    // (Murmur3 pmod n) IS the bucket hash, so each write task holds
+    // exactly one bucket → ONE file per bucket. Without it every task
+    // writes a sliver of every bucket (task×bucket small files), and a
+    // multi-file bucket forces downstream joins to re-Sort even though
+    // the Exchange is gone.
+    df.repartition(nBuckets, col(bucketCol))
+      .write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+  }
+
   /** Streaming load generator (records/sec), shaped like the canonical
     * stream — for soak/load tests where the reference used inline
     * producers (S8).

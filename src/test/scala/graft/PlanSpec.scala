@@ -158,4 +158,41 @@ class PlanSpec extends GraftTest {
     // the join key must include the salt so the hot key spans reducers
     assert(salted.queryExecution.executedPlan.toString.contains("_salt"))
   }
+
+  test("bucketed tables join with no Exchange and no Sort before the join") {
+    import spark.implicits._
+    graft.sources.Sources.writeBucketed(
+      (0L until 1000L).map(i => (i % 100, s"l$i")).toDF("k", "lv"),
+      "bt_left", "k", nBuckets = 8)
+    graft.sources.Sources.writeBucketed(
+      (0L until 500L).map(i => (i % 100, s"r$i")).toDF("k", "rv"),
+      "bt_right", "k", nBuckets = 8)
+    // forbid broadcast so the planner must pick the co-located SMJ path
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.table("bt_left").join(spark.table("bt_right"), "k")
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        "bucketed equi-join must not shuffle:\n" + p.take(3000))
+      assert(j.count() === 1000L * 5L)
+      // the write sorts each (single-file) bucket, but Spark trusts that
+      // order only behind the legacy flag (multi-file buckets made it
+      // unsafe by default) — with it on, the join is Sort-free too
+      withConf("spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true") {
+        val p2 = spark.table("bt_left").join(spark.table("bt_right"), "k")
+          .queryExecution.executedPlan.toString
+        assert(!p2.contains("Exchange") && !p2.contains("Sort "),
+          "sorted bucket scan must plan a shuffle-free, sort-free join:\n" + p2.take(3000))
+      }
+    }
+  }
+
+  private def withConf[A](kv: (String, String))(body: => A): A = {
+    val (k, v) = kv
+    val old = spark.conf.getOption(k)
+    spark.conf.set(k, v)
+    try body finally old match {
+      case Some(o) => spark.conf.set(k, o)
+      case None    => spark.conf.unset(k)
+    }
+  }
 }
