@@ -587,6 +587,21 @@ object CoreQueries {
     // (asserted in PlanSpec). Revenue math runs in cents-exact longs so
     // the per-customer sum is associative — double summation would make
     // the 4th decimal depend on partition merge order.
+    // beyond-reference: hive-style partition pruning — the corpus is laid
+    // out as lang=*/ directories and the lang filter prunes whole
+    // directories at planning time (PlanSpec asserts the PartitionFilters
+    // entry), so the scan never touches the other languages. The
+    // scan-side complement of j_bucketed's join-side pruning.
+    "s_partition_prune" -> ((s, d) => {
+      val path = tmp("part")
+      Sources.writePartitioned(
+        Graft.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+        path, "lang")
+      s.read.parquet(path).where(col("lang") === "en")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    }),
+
     "j_bucketed" -> ((s, d) => {
       Sources.writeBucketed(Graft.lineitem(s, d).select(
           col("l_orderkey"),
@@ -671,6 +686,9 @@ object CoreQueries {
                         FROM UNNEST(generate_series(0, 15)) AS t(i))
          SELECT e.event_id, b.band
          FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi""",
+    "s_partition_prune" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE lang = 'en' GROUP BY lang""",
     "j_bucketed" ->
       """WITH li AS (SELECT l_orderkey,
                             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,

@@ -94,6 +94,21 @@ object Sources {
       .saveAsTable(table)
   }
 
+  /** Persist a frame PARTITIONED by a low-cardinality column (hive-style
+    * `col=value/` directories). A filter on the partition column then
+    * prunes whole directories at PLANNING time — the scan never opens,
+    * lists, or reads the excluded partitions. At 100 TB with a
+    * `lang=`/`date=` layout this is the difference between scanning the
+    * corpus and scanning one slice; the complement of bucketing (which
+    * prunes the JOIN, not the scan). Keep partition columns coarse: one
+    * directory per distinct value (a high-cardinality partition key is
+    * the classic small-files failure).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCol)
+      .parquet(path)
+
   /** Streaming load generator (records/sec), shaped like the canonical
     * stream — for soak/load tests where the reference used inline
     * producers (S8).

@@ -159,6 +159,22 @@ class PlanSpec extends GraftTest {
     assert(salted.queryExecution.executedPlan.toString.contains("_salt"))
   }
 
+  test("partitioned layout prunes non-matching directories at the scan") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    graft.sources.Sources.writePartitioned(
+      (0 until 300).map(i => (i.toLong, Seq("en", "de", "fr")(i % 3))).toDF("id", "lang"),
+      path, "lang")
+    val q = spark.read.parquet(path).where(col("lang") === "en")
+    val p = q.queryExecution.executedPlan.toString
+    // the lang predicate must appear as a PARTITION filter (directory
+    // pruning), not a data filter evaluated per row group
+    assert(p.contains("PartitionFilters") && p.contains("lang"), p.take(2000))
+    assert(!p.contains("PushedFilters: [IsNotNull(lang"),
+      "lang must prune directories, not filter rows:\n" + p.take(2000))
+    assert(q.count() === 100)
+  }
+
   test("bucketed tables join with no Exchange and no Sort before the join") {
     import spark.implicits._
     graft.sources.Sources.writeBucketed(
