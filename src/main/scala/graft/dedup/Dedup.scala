@@ -183,6 +183,60 @@ object Dedup {
       .where(col("est_jaccard") >= threshold)
   }
 
+  /** Cross-corpus MinHash near-dup: which new-batch documents are
+    * NEAR-duplicates (signature-estimated Jaccard ≥ threshold) of
+    * something already in the corpus — the fuzzy companion of
+    * [[incremental]] (which only catches byte-identical content) and the
+    * text analog of [[graft.ann.Ann.crossCosinePairs]]. Output:
+    * (batch_id, corpus_id, est_jaccard).
+    *
+    * Scale shape: both sides reduce to banded signatures independently
+    * (map-side-combined aggregation each), the candidate join keys on
+    * (band, band_hash) with 24-byte rows, and signatures re-join only for
+    * survivors. In production the CORPUS side's signatures/bands are
+    * computed once at ingest and persisted — each daily batch pays only
+    * its own sketching plus the bucket join.
+    */
+  def crossMinhashPairs(batch: DataFrame, corpus: DataFrame, id: String, text: String,
+                        threshold: Double, numHashes: Int = 64, bands: Int = 16,
+                        shingleK: Int = 3): DataFrame = {
+    val bs = minhashSigs(batch, id, text, numHashes, shingleK)
+    val cs = minhashSigs(corpus, id, text, numHashes, shingleK)
+    val bb = bandsOfSigs(bs, numHashes, bands)
+      .select(col("band"), col("band_hash"), col("doc").as("batch_id"))
+    val cb = bandsOfSigs(cs, numHashes, bands)
+      .select(col("band"), col("band_hash"), col("doc").as("corpus_id"))
+    val cand = bb.join(cb, Seq("band", "band_hash"))
+      .select("batch_id", "corpus_id").distinct()
+    val withSigs = cand
+      .join(bs.select(col("doc").as("batch_id"), col("sig").as("sig_a")), "batch_id")
+      .join(cs.select(col("doc").as("corpus_id"), col("sig").as("sig_b")), "corpus_id")
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble)
+    withSigs.select(col("batch_id"), col("corpus_id"), round(est, 4).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+  }
+
+  /** Group-aware train/val/test split — the leakage guard: a document and
+    * its near-duplicates must land in the SAME split, or the eval split
+    * silently contains paraphrases of training data. Documents in a
+    * duplicate cluster split by their cluster's canonical (min) id;
+    * untouched documents split by their own id — both through the same
+    * engine-portable md5 bucketing as [[TextFunctions.splitAssign]], so
+    * the assignment is stable across runs, engines, and re-ingestion.
+    *
+    * Scale shape: components over the (already-generated) pair set, one
+    * left join onto the corpus, pure-expression assignment — no new
+    * shuffle beyond the component propagation.
+    */
+  def groupAwareSplit(docs: DataFrame, pairs: DataFrame, id: String): DataFrame = {
+    val comp = connectedComponents(pairs)
+    docs.join(comp, docs(id) === comp("node"), "left")
+      .select(col(id),
+        TextFunctions.splitAssign(coalesce(col("comp"), col(id))).as("split"))
+  }
+
   // ---- exact Jaccard verification ----------------------------------------
 
   /** Exact n-gram-set Jaccard for a candidate pair set (columns a, b):

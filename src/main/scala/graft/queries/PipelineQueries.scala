@@ -136,6 +136,34 @@ object PipelineQueries {
         .select("doc_id", "lang")
     }),
 
+    "dd_minhash_incremental" -> ((s, d) => {
+      // cross-corpus NEAR-dup for incremental ingestion: new batch (every
+      // 10th doc) LSH-checked against the standing corpus — the fuzzy
+      // companion of dd_incremental's exact-hash check. Signature values
+      // are hash-specific → planted-pair test in DedupAnnSpec, rows-only
+      // here.
+      val docs = Graft.documents(s, d)
+      Dedup.crossMinhashPairs(
+        docs.where(pmod(col("doc_id"), lit(10)) === 0),
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text", threshold = 0.5)
+    }),
+
+    "pp_split_grouped" -> ((s, d) => {
+      // leakage-safe splitting: near-dup clusters (from the
+      // oracle-portable blocking join, as in dd_resolve; production feeds
+      // LSH pairs) land WHOLE in one split — a doc and its paraphrase can
+      // never straddle train/test. Fully oracle-checkable.
+      val docs = Graft.documents(s, d)
+      val l = docs.select(col("lang"), col("n_chars"), col("doc_id").as("a"))
+      val r = docs.select(col("lang"), col("n_chars"), col("doc_id").as("b"))
+      val pairs = l.join(r, Seq("lang", "n_chars")).where(col("a") < col("b"))
+        .select("a", "b")
+      val verified = Dedup.verifyJaccard(pairs, docs, "doc_id", "text")
+        .where(col("jaccard") >= 0.5).select("a", "b")
+      Dedup.groupAwareSplit(docs, verified, "doc_id")
+    }),
+
     "dd_incremental" -> ((s, d) => {
       // incremental ingestion dedup: every 10th doc stands in for the new
       // batch, the rest for the standing corpus — both sides reduce to
@@ -647,6 +675,24 @@ object PipelineQueries {
               losers AS (SELECT node FROM rk WHERE rk > 1)
          SELECT doc_id, lang FROM documents
          WHERE doc_id NOT IN (SELECT node FROM losers)""",
+    "pp_split_grouped" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0)) AS tk,
+                                        lang, n_chars
+                                 FROM documents),
+              p AS (SELECT l.doc_id AS a, r.doc_id AS b
+                    FROM toks l JOIN toks r ON l.lang = r.lang AND l.n_chars = r.n_chars AND l.doc_id < r.doc_id
+                    WHERE round(CAST(len(list_intersect(l.tk, r.tk)) AS DOUBLE) /
+                                CAST(len(list_distinct(list_concat(l.tk, r.tk))) AS DOUBLE), 4) >= 0.5),
+              edges AS (SELECT a AS src, b AS dst FROM p UNION SELECT b AS src, a AS dst FROM p),
+              reach AS (SELECT src AS node, src AS comp FROM edges
+                        UNION
+                        SELECT e.src AS node, r.comp AS comp FROM edges e JOIN reach r ON e.dst = r.node),
+              comp AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+              g AS (SELECT d.doc_id,
+                           ('0x' || substr(md5(CAST(coalesce(c.comp, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+                    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+         SELECT doc_id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         FROM g""",
     "dd_incremental" ->
       """WITH nb AS (SELECT doc_id, md5(text) AS content_md5 FROM documents WHERE doc_id % 10 = 0),
               corp AS (SELECT DISTINCT md5(text) AS content_md5 FROM documents WHERE doc_id % 10 <> 0),

@@ -327,6 +327,43 @@ class DedupAnnSpec extends GraftTest {
     assert(rPartial >= 0.2 && rPartial <= rFull, s"partial probe recall $rPartial")
   }
 
+  test("cross-corpus minhash finds a planted near-dup, sides stay disjoint") {
+    import spark.implicits._
+    val corpusRows = (0L until 200L).map(i =>
+      (i, s"corpus document number $i with words alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+    // batch doc 1000 is a near-copy of corpus doc 7 (one word changed);
+    // batch doc 1001 shares no tokens with anything
+    val batchRows = Seq(
+      (1000L, corpusRows(7)._2.replace("delta7", "CHANGED")),
+      (1001L, "utterly unrelated content qqq www eee rrr ttt yyy uuu iii"))
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val batch = batchRows.toDF("doc_id", "text")
+    val hits = Dedup.crossMinhashPairs(batch, corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits.contains((1000L, 7L)), s"planted near-dup must surface; got ${hits.toSeq}")
+    assert(hits.forall { case (b, c) => b >= 1000L && c < 1000L },
+      "batch ids on the left, corpus ids on the right")
+    assert(!hits.exists(_._1 == 1001L), "unrelated batch doc must not pair")
+  }
+
+  test("group-aware split keeps every near-dup cluster in one split") {
+    import spark.implicits._
+    val docs = (0L until 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters: {1,2,3} (chain), {10,11}; rest untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val out = Dedup.groupAwareSplit(docs, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size === 60)
+    assert(Set(out(1L), out(2L), out(3L)).size === 1, "chained cluster must not straddle splits")
+    assert(Set(out(10L), out(11L)).size === 1)
+    // cluster members take the canonical (min-id) member's assignment...
+    assert(out(1L) === out(2L))
+    // ...and untouched docs keep plain splitAssign — spot-check one
+    val plain = docs.where(col("doc_id") === 42L)
+      .select(graft.functions.TextFunctions.splitAssign(col("doc_id"))).head().getString(0)
+    assert(out(42L) === plain)
+  }
+
   test("brute-force ANN is exact top-k (agrees with itself on re-run, k bound)") {
     val emb = Graft.embeddings(spark, sf)
     val out = Ann.bruteForceTopK(emb, emb.where(col("vec_id") < 3), "vec_id", "embedding", k = 7)
