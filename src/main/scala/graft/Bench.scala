@@ -20,9 +20,10 @@ object Bench {
     "q1_agg", "q3_shipping", "q_topn", "a1_wordcount", "a2_groupbykey", "a6_table_reduce",
     "w1_tumbling", "w2_session", "w4_hopping",
     "j1_ss_inner", "j3_ss_outer", "j4_st_inner", "j6_tt_inner", "aj_asof", "j_salted", "j_range",
+    "j_bucketed", "s_partition_prune",
     "d2_stream_to_table",
-    "dd_exact", "dd_incremental", "dd_minhash", "dd_simhash", "dd_ngram_jaccard", "dd_embedding",
-    "dd_fuzzy",
+    "dd_exact", "dd_incremental", "dd_minhash", "dd_minhash_incremental", "dd_simhash",
+    "dd_ngram_jaccard", "dd_embedding", "dd_fuzzy",
     "ann_brute", "ann_lsh", "ann_ivf", "ann_pq",
     "txt_quality", "txt_langid", "txt_fingerprint", "txt_tfidf", "txt_repetition",
     "txt_unigram_lp",

@@ -522,6 +522,58 @@ object TextFunctions {
       call_function("lang_scores", text).getField("lang_pred")
     else argmaxLang(text)
 
+  /** Token-distribution Shannon entropy (bits): low entropy flags
+    * repetitive/boilerplate text (a handful of tokens dominating), high
+    * entropy flags noise — a standard corpus quality signal next to the
+    * Gopher repetition rules. Each term p·log2(p) quantizes to integer
+    * MICRO-BITS before the sum (same device as [[unigramLmScore]]): the
+    * long sum is exact and order-independent, so the result cannot drift
+    * with engine fold order or layout — floating sums are not
+    * associative. Pure expressions — one scan, no shuffle, no UDF.
+    * O(distinct × tokens) per row — fine for natural text where distinct
+    * tokens ≪ length.
+    *
+    * NOT oracle-gated: libm `log2` implementations differ in the last
+    * ulp across engines, which flips the micro-bit floor on ~0.4% of
+    * docs — layout-invariant within Spark (FunctionsSpec), but not
+    * bit-portable. [[tokenDiversity]] is the cross-engine-exact signal.
+    */
+  def tokenEntropy(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val uniq = array_sort(array_distinct(toks))
+    val termsMicro = transform(uniq, c => {
+      val p = size(filter(toks, x => x === c)).cast("double") / n
+      floor(p * log2(p) * lit(1000000.0d)).cast("long")
+    })
+    when(n > 0,
+      round(-(aggregate(termsMicro, lit(0L), (acc, t) => acc + t).cast("double") / lit(1000000.0d)), 4))
+      .otherwise(lit(0.0d))
+  }
+
+  /** Gini-Simpson token diversity: 1 − Σ p_i² — the companion diversity
+    * signal to [[tokenEntropy]] (0 = one token repeated, →1 = all tokens
+    * distinct; flags boilerplate exactly like low entropy does). Chosen
+    * for the ORACLE-GATED query because it needs only rational
+    * arithmetic: Σ c_i² is an exact integer, and the single final
+    * division of exact integers yields the identical double in every
+    * engine — no transcendental whose last ulp can flip a rounding
+    * boundary. Row-local pure expressions; one scan, no shuffle.
+    */
+  def tokenDiversity(text: Column): Column = {
+    val toks = tokens(text)
+    val uniq = array_distinct(toks)
+    val sumSq = aggregate(
+      transform(uniq, c => {
+        val cnt = size(filter(toks, x => x === c)).cast("long")
+        cnt * cnt
+      }), lit(0L), (acc, v) => acc + v)
+    val n = size(toks).cast("double")
+    when(size(toks) > 0,
+      round(lit(1.0d) - sumSq.cast("double") / (n * n), 4))
+      .otherwise(lit(0.0d))
+  }
+
   /** URL canonicalization for web-corpus dedup: the same page crawled as
     * `HTTPS://Site.COM:443/a/?utm_source=x#top` and `https://site.com/a`
     * must hash identically or exact dedup misses most web duplicates.

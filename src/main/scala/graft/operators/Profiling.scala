@@ -43,4 +43,22 @@ object Profiling {
       s"stack(${cols.size}, $stackArgs) as (col_name, n_nonnull, n_distinct, min_s, max_s)")
       .select("col_name", "n_rows", "n_nonnull", "n_distinct", "min_s", "max_s")
   }
+
+  /** Fixed-width histogram of a numeric column: bin i covers
+    * [i·binWidth, (i+1)·binWidth), everything below bin 0 / at-or-above
+    * the last edge clamps into the edge bins (so the histogram is total
+    * over non-null values). One scan + one tiny aggregation on the bin id
+    * — the distribution check that sizes shuffle partitions, picks salt
+    * counts, and spots skew before a join goes pathological. Output:
+    * (bin, lo, hi, n) for every non-empty bin.
+    */
+  def histogram(df: DataFrame, valueCol: String, binWidth: Double,
+                nBins: Int): DataFrame =
+    df.where(col(valueCol).isNotNull)
+      .select(least(greatest(floor(col(valueCol) / binWidth), lit(0.0)),
+        lit((nBins - 1).toDouble)).cast("long").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"), (col("bin") * binWidth).as("lo"),
+        ((col("bin") + 1) * binWidth).as("hi"), col("n"))
 }

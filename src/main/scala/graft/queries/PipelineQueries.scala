@@ -200,6 +200,13 @@ object PipelineQueries {
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
     }),
 
+    "pp_histogram" -> ((s, d) =>
+      // fixed-width value histogram of event amounts: the skew/
+      // distribution check before sizing shuffles; one scan + tiny
+      // aggregation, fully oracle-checkable
+      graft.operators.Profiling.histogram(
+        Graft.eventsStream(s, d), "amount", binWidth = 25.0, nBins = 20)),
+
     "pp_profile" -> ((s, d) =>
       // one-pass corpus profile: per-column non-null count, exact
       // distinct, string-form min/max + table row count — the
@@ -387,6 +394,15 @@ object PipelineQueries {
       // fully oracle-checkable
       TextFunctions.unigramLmScore(Graft.documents(s, d), "doc_id", "text")
         .withColumnRenamed("doc", "doc_id")),
+
+    "txt_diversity" -> ((s, d) =>
+      // Gini-Simpson token diversity quality signal — rational arithmetic
+      // only, so it replays bit-exactly cross-engine (Shannon entropy's
+      // log2 terms differ in the last libm ulp; tokenEntropy ships too
+      // but is ScalaTest-verified instead)
+      Graft.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.tokenDiversity(col("text")).as("diversity"))),
 
     "txt_redact" -> ((s, d) =>
       // PII redaction: the corpus text is synthetic word-bags, so plant a
@@ -607,6 +623,27 @@ object PipelineQueries {
                       CAST(sum(tf.tf) AS DOUBLE), 4) AS avg_nll
          FROM tf JOIN w USING (term)
          GROUP BY tf.doc_id""",
+    "txt_diversity" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0) AS toks
+                    FROM documents),
+              u AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+                           list_distinct(toks) AS uniq
+                    FROM t),
+              s AS (SELECT doc_id, n,
+                           list_sum(list_transform(uniq,
+                             c -> CAST(len(list_filter(toks, x -> x = c)) AS BIGINT) *
+                                  CAST(len(list_filter(toks, x -> x = c)) AS BIGINT))) AS sum_sq
+                    FROM u)
+         SELECT doc_id,
+                CASE WHEN n > 0
+                     THEN round(1.0 - CAST(sum_sq AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 4)
+                     ELSE 0.0 END AS diversity
+         FROM s""",
+    "pp_histogram" ->
+      """WITH b AS (SELECT CAST(least(greatest(floor(value / 25.0), 0), 19) AS BIGINT) AS bin
+                    FROM events WHERE value IS NOT NULL)
+         SELECT bin, bin * 25.0 AS lo, (bin + 1) * 25.0 AS hi, count(*) AS n
+         FROM b GROUP BY bin""",
     "txt_redact" ->
       """SELECT doc_id,
                 regexp_replace(regexp_replace(regexp_replace(

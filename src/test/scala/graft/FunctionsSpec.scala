@@ -481,6 +481,43 @@ class FunctionsSpec extends GraftTest {
     assert(assigned.except(again).count() === 0 && again.except(assigned).count() === 0)
   }
 
+  test("tokenEntropy: known distributions, empty text, repartition-stable") {
+    import spark.implicits._
+    val out = Seq(
+      ("uniform2", "aa bb aa bb"),          // 2 tokens, p=0.5 each → 1 bit
+      ("uniform4", "aa bb cc dd"),          // 4 equiprobable → 2 bits
+      ("constant", "aa aa aa aa"),          // degenerate → 0 bits
+      ("empty", ""))
+      .toDF("k", "t")
+      .select(col("k"), TextFunctions.tokenEntropy(col("t")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out("uniform2") - 1.0) < 1e-4, out.toString)
+    assert(math.abs(out("uniform4") - 2.0) < 1e-4, out.toString)
+    assert(out("constant") === 0.0)
+    assert(out("empty") === 0.0)
+    val docs = Graft.documents(spark, sf)
+    val a = docs.select(col("doc_id"), TextFunctions.tokenEntropy(col("text")).as("e"))
+    val b = docs.repartition(7)
+      .select(col("doc_id"), TextFunctions.tokenEntropy(col("text")).as("e"))
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+  }
+
+  test("tokenDiversity: known distributions, agrees with entropy's ordering") {
+    import spark.implicits._
+    val out = Seq(
+      ("uniform2", "aa bb aa bb"),          // 1 - 2·(1/2)² = 0.5
+      ("uniform4", "aa bb cc dd"),          // 1 - 4·(1/4)² = 0.75
+      ("constant", "aa aa aa aa"),          // 1 - 1 = 0
+      ("empty", ""))
+      .toDF("k", "t")
+      .select(col("k"), TextFunctions.tokenDiversity(col("t")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("uniform2") === 0.5, out.toString)
+    assert(out("uniform4") === 0.75, out.toString)
+    assert(out("constant") === 0.0)
+    assert(out("empty") === 0.0)
+  }
+
   test("canonicalUrl: case, port, tracking-param, fragment, slash policy") {
     import spark.implicits._
     val cases = Seq(
