@@ -26,7 +26,7 @@ object Bench {
     "dd_ngram_jaccard", "dd_embedding", "dd_fuzzy",
     "ann_brute", "ann_lsh", "ann_ivf", "ann_pq",
     "txt_quality", "txt_langid", "txt_fingerprint", "txt_tfidf", "txt_repetition",
-    "txt_unigram_lp",
+    "txt_unigram_lp", "txt_diversity",
     "pp_shuffle", "pp_mix", "pp_temperature", "pp_chunk", "pp_pack", "pp_interleave",
     "pp_pipeline", "dd_url", "mm_features", "sk_cms", "sk_hll_merge")
 

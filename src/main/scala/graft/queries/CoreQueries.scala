@@ -587,6 +587,21 @@ object CoreQueries {
     // (asserted in PlanSpec). Revenue math runs in cents-exact longs so
     // the per-customer sum is associative — double summation would make
     // the 4th decimal depend on partition merge order.
+    // beyond-reference: schema evolution across ingest batches — a
+    // long-lived corpus accretes columns over pipeline versions;
+    // mergeSchema reads old and new batches as the union shape with
+    // nulls where a batch predates a column, no rewrite of history.
+    "s_schema_evolution" -> ((s, d) => {
+      val path = tmp("evo")
+      val docs = Graft.documents(s, d)
+      docs.where(pmod(col("doc_id"), lit(2)) === 0)
+        .select("doc_id", "lang").write.mode("overwrite").parquet(s"$path/b1")
+      docs.where(pmod(col("doc_id"), lit(2)) =!= 0)
+        .select("doc_id", "lang", "n_chars").write.mode("overwrite").parquet(s"$path/b2")
+      s.read.option("mergeSchema", "true").parquet(s"$path/b1", s"$path/b2")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
     // beyond-reference: hive-style partition pruning — the corpus is laid
     // out as lang=*/ directories and the lang filter prunes whole
     // directories at planning time (PlanSpec asserts the PartitionFilters
@@ -686,6 +701,10 @@ object CoreQueries {
                         FROM UNNEST(generate_series(0, 15)) AS t(i))
          SELECT e.event_id, b.band
          FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi""",
+    "s_schema_evolution" ->
+      """SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars FROM documents WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 <> 0""",
     "s_partition_prune" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents WHERE lang = 'en' GROUP BY lang""",

@@ -200,6 +200,18 @@ object PipelineQueries {
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
     }),
 
+    "pp_topquality" -> ((s, d) =>
+      // global "best N documents" selection: orderBy+limit plans as
+      // TakeOrderedAndProject — per-partition top-N heaps merged on the
+      // driver, NEVER a global sort (PlanSpec asserts it). Ranking key is
+      // the rational-arithmetic diversity signal with doc_id tiebreak so
+      // the cut is total and engine-portable.
+      Graft.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.tokenDiversity(col("text")).as("diversity"))
+        .orderBy(col("diversity").desc, col("doc_id").asc)
+        .limit(25)),
+
     "pp_histogram" -> ((s, d) =>
       // fixed-width value histogram of event amounts: the skew/
       // distribution check before sizing shuffles; one scan + tiny
@@ -639,6 +651,21 @@ object PipelineQueries {
                      THEN round(1.0 - CAST(sum_sq AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 4)
                      ELSE 0.0 END AS diversity
          FROM s""",
+    "pp_topquality" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0) AS toks
+                    FROM documents),
+              u AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n, list_distinct(toks) AS uniq FROM t),
+              s AS (SELECT doc_id, n,
+                           list_sum(list_transform(uniq,
+                             c -> CAST(len(list_filter(toks, x -> x = c)) AS BIGINT) *
+                                  CAST(len(list_filter(toks, x -> x = c)) AS BIGINT))) AS sum_sq
+                    FROM u),
+              v AS (SELECT doc_id,
+                           CASE WHEN n > 0
+                                THEN round(1.0 - CAST(sum_sq AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 4)
+                                ELSE 0.0 END AS diversity
+                    FROM s)
+         SELECT doc_id, diversity FROM v ORDER BY diversity DESC, doc_id ASC LIMIT 25""",
     "pp_histogram" ->
       """WITH b AS (SELECT CAST(least(greatest(floor(value / 25.0), 0), 19) AS BIGINT) AS bin
                     FROM events WHERE value IS NOT NULL)

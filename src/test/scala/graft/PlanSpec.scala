@@ -159,6 +159,14 @@ class PlanSpec extends GraftTest {
     assert(salted.queryExecution.executedPlan.toString.contains("_salt"))
   }
 
+  test("global top-N plans per-partition heaps, not a full sort") {
+    val p = plan("pp_topquality")
+    assert(p.contains("TakeOrderedAndProject"),
+      "orderBy+limit must plan TakeOrderedAndProject:\n" + p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "a global range sort would not survive a large corpus:\n" + p.take(2000))
+  }
+
   test("partitioned layout prunes non-matching directories at the scan") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft-prune").toString
