@@ -285,11 +285,12 @@ object TextFunctions {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = blocked.withColumn("_local_cum", sum(col("n_tok")).over(wLocal))
     // per-block totals: tiny (≤4096 rows), so the ordered window over
-    // them is a trivially small single-partition job. Partitioning by a
-    // constant keeps that explicit in the plan (hash exchange on a
-    // literal → one partition) instead of tripping WindowExec's
-    // no-partition warning on every run.
-    val wOff = Window.partitionBy(lit(0)).orderBy(col("_blk"))
+    // them is a trivially small single-partition job. The partition key
+    // is an always-zero expression of _blk — NON-foldable, so Catalyst
+    // can't constant-fold the spec back to empty (a bare literal gets
+    // folded away and WindowExec then warns "no partition defined" on
+    // every run) — while still hashing every row to one partition.
+    val wOff = Window.partitionBy(expr("_blk * 0L")).orderBy(col("_blk"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = blocked.groupBy("_blk").agg(sum("n_tok").as("_btotal"))
       .withColumn("_offset", sum(col("_btotal")).over(wOff) - col("_btotal"))
@@ -629,9 +630,15 @@ object TextFunctions {
                  stratum: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = conv(substring(md5(col(id).cast("string")), 1, 8), 16, 10).cast("long")
-    val idx = docs.select(col(stratum)).distinct()
-      .withColumn("_idx", row_number().over(
-        Window.partitionBy(lit(0)).orderBy(col(stratum))).cast("long") - 1L)
+    // alphabetical stratum index WITHOUT a window: idx = how many strata
+    // sort strictly before this one — a K² self-join over the K-row
+    // distinct frame (K = stratum count, tiny by definition), so no
+    // single-partition window ever appears in the plan
+    val sv = docs.select(col(stratum)).distinct()
+    val idx = sv.join(sv.select(col(stratum).as("_lt")),
+        col("_lt") < col(stratum), "left")
+      .groupBy(col(stratum))
+      .agg(count(col("_lt")).as("_idx"))
     val nStrata = idx.groupBy().agg(count(lit(1)).as("_k"))
     docs.select(col(id), col(stratum), h.as("_h"))
       .withColumn("_r", row_number().over(

@@ -81,6 +81,28 @@ object Multimodal {
         col("payload").substr(col("win_idx") * hopBytes + 1, lit(winBytes)).as("win"))
   }
 
+  /** 2D stride subsampling for image-shaped assets — the
+    * nearest-neighbor-downsample plumbing: the payload is a raster of
+    * `rowWidth` bytes per row (a real pipeline reads W from container
+    * meta), and every `stride`-th row and column survives. The kept
+    * positions enumerate as a nested sequence inside the scan partition
+    * and join into one output value with a single-pass `concat_ws` — no
+    * UDF, no shuffle, no quadratic fold. Output is the string form (the
+    * test corpus is ASCII text standing in for pixel bytes; a real
+    * decoder would emit a tensor — see [[DecoderStub]]).
+    */
+  def resize2d(assets: DataFrame, rowWidth: Int, stride: Int): DataFrame = {
+    val txt = col("payload").cast("string")
+    val nRows = (octet_length(col("payload")) / rowWidth).cast("int")
+    val kept = flatten(transform(
+      when(nRows > 0, sequence(lit(0), nRows - 1, lit(stride)))
+        .otherwise(array().cast("array<int>")),
+      r => transform(sequence(lit(0), lit(rowWidth - 1), lit(stride)),
+        c => r * rowWidth + c)))
+    assets.select(col("asset_id"),
+      concat_ws("", transform(kept, i => txt.substr(i + 1, lit(1)))).as("resized"))
+  }
+
   /** Partition-parallel feature extraction over the binary column.
     * `mapPartitions` (not per-row UDF) so a real decoder can amortize
     * codec/model init per partition — the same batch shape

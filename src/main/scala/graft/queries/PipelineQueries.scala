@@ -200,6 +200,20 @@ object PipelineQueries {
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
     }),
 
+    "pp_weights" -> ((s, d) => {
+      // soft dedup: instead of DROPPING duplicates, every document gets
+      // loss weight 1/n_copies (repeated content contributes once in
+      // expectation) — the reweighting alternative when removal is too
+      // aggressive. One hash groupBy + one hash join back; fully
+      // oracle-checkable.
+      val docs = Graft.documents(s, d)
+      val counts = Dedup.exact(docs, "doc_id", "text")
+      docs.select(col("doc_id"), md5(col("text")).as("content_md5"))
+        .join(counts.select(col("content_md5"), col("n_copies")), "content_md5")
+        .select(col("doc_id"), col("n_copies"),
+          round(lit(1.0d) / col("n_copies").cast("double"), 4).as("weight"))
+    }),
+
     "pp_topquality" -> ((s, d) =>
       // global "best N documents" selection: orderBy+limit plans as
       // TakeOrderedAndProject — per-partition top-N heaps merged on the
@@ -449,6 +463,14 @@ object PipelineQueries {
           frameBytes = 32, everyNth = 4)
         .select(col("asset_id"), col("frame_idx"), col("frame").cast("string").as("frame_str"))),
 
+    "mm_resize" -> ((s, d) =>
+      // image-shaped 2D stride downsample (every 2nd row and column of a
+      // 32-byte-wide raster); string form for the oracle compare (ASCII
+      // corpus) — fully oracle-checkable
+      Multimodal.resize2d(
+        Multimodal.toAssets(Graft.documents(s, d), "doc_id", "text"),
+        rowWidth = 32, stride = 2)),
+
     "mm_audio" -> ((s, d) =>
       // audio-shaped overlapping windows (64-byte window, 32-byte hop)
       // over binary payloads; windows decoded to string for the oracle
@@ -651,6 +673,10 @@ object PipelineQueries {
                      THEN round(1.0 - CAST(sum_sq AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 4)
                      ELSE 0.0 END AS diversity
          FROM s""",
+    "pp_weights" ->
+      """WITH c AS (SELECT md5(text) AS content_md5, count(*) AS n_copies FROM documents GROUP BY 1)
+         SELECT d.doc_id, c.n_copies, round(1.0 / c.n_copies, 4) AS weight
+         FROM documents d JOIN c ON md5(d.text) = c.content_md5""",
     "pp_topquality" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0) AS toks
                     FROM documents),
@@ -929,6 +955,16 @@ object PipelineQueries {
     "mm_frames" ->
       """SELECT doc_id AS asset_id, i AS frame_idx, substring(text, i * 32 + 1, 32) AS frame_str
          FROM documents, UNNEST(generate_series(0, CAST(strlen(text) // 32 AS INT) - 1, 4)) AS t(i)""",
+    "mm_resize" ->
+      """WITH a AS (SELECT doc_id AS asset_id, text, CAST(strlen(text) // 32 AS INT) AS n_rows FROM documents),
+              k AS (SELECT asset_id, r.i * 32 + c.j AS pos
+                    FROM a, UNNEST(generate_series(0, n_rows - 1, 2)) AS r(i),
+                         UNNEST(generate_series(0, 31, 2)) AS c(j)
+                    WHERE n_rows > 0)
+         SELECT a.asset_id,
+                coalesce(string_agg(substring(a.text, k.pos + 1, 1), '' ORDER BY k.pos), '') AS resized
+         FROM a LEFT JOIN k USING (asset_id)
+         GROUP BY a.asset_id""",
     "mm_audio" ->
       """SELECT doc_id AS asset_id, i AS win_idx, substring(text, i * 32 + 1, 64) AS win_str
          FROM documents, UNNEST(generate_series(0, CAST((strlen(text) - 64) // 32 AS INT))) AS t(i)

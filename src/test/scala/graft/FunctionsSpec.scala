@@ -518,6 +518,18 @@ class FunctionsSpec extends GraftTest {
     assert(out("empty") === 0.0)
   }
 
+  test("resize2d keeps every stride-th row and column of the raster") {
+    import spark.implicits._
+    // 3 rows of width 4: "abcd" / "efgh" / "ijkl" (+ partial tail dropped)
+    val assets = graft.multimodal.Multimodal.toAssets(
+      Seq((1L, "abcdefghijklmn"), (2L, "xy")).toDF("doc_id", "text"), "doc_id", "text")
+    val out = graft.multimodal.Multimodal.resize2d(assets, rowWidth = 4, stride = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // rows 0,2 and cols 0,2 → positions 0,2,8,10 → "acik"
+    assert(out(1L) === "acik", out.toString)
+    assert(out(2L) === "", "payload shorter than one row resizes to empty")
+  }
+
   test("canonicalUrl: case, port, tracking-param, fragment, slash policy") {
     import spark.implicits._
     val cases = Seq(
