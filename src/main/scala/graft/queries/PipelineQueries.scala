@@ -330,6 +330,31 @@ object PipelineQueries {
       graft.streaming.StreamingQueries.runAppendToMemory(s, "dd_sdedup", out)
     }),
 
+    "pp_ingest" -> ((s, d) => {
+      // the composed INCREMENTAL-INGEST path (pp_pipeline's counterpart
+      // for a standing corpus): new batch → drop content already in the
+      // corpus (hash anti-join, keep-min within batch) → drop NEAR-dups
+      // of corpus docs (pair generation here is the oracle-portable
+      // blocking join; production feeds crossMinhashPairs) → stable split
+      // assignment for what survives. One SQL chain replays it all.
+      val docs = Graft.documents(s, d)
+      val batch = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      val keptExact = Dedup.incremental(batch, corpus, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val cand = batch.select(col("lang"), col("n_chars"), col("doc_id").as("a"))
+        .join(corpus.select(col("lang"), col("n_chars"), col("doc_id").as("b")),
+          Seq("lang", "n_chars"))
+        .select("a", "b")
+      val nearDup = Dedup.verifyJaccard(cand, docs, "doc_id", "text")
+        .where(col("jaccard") >= 0.5)
+        .select(col("a").as("doc_id")).distinct()
+      batch.join(keptExact, Seq("doc_id"), "left_semi")
+        .join(nearDup, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          TextFunctions.splitAssign(col("doc_id")).as("split"))
+    }),
+
     "pp_pipeline" -> ((s, d) => {
       // the whole corpus-preparation pipeline, composed end-to-end from
       // the library's own stages: quality gate (scan-pushed filter) →
@@ -877,6 +902,29 @@ object PipelineQueries {
                            sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
                     FROM t)
          SELECT doc_id, n_tok, CAST((cum - n_tok) // 512 AS BIGINT) AS bin FROM c""",
+    "pp_ingest" ->
+      """WITH batch AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+              corp AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+              ch AS (SELECT DISTINCT md5(text) AS h FROM corp),
+              ke AS (SELECT min(doc_id) AS doc_id FROM batch
+                     WHERE md5(text) NOT IN (SELECT h FROM ch)
+                     GROUP BY md5(text)),
+              toks AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0)) AS tk,
+                              lang, n_chars
+                       FROM documents),
+              nd AS (SELECT DISTINCT b.doc_id AS doc_id
+                     FROM toks b JOIN toks c
+                       ON b.lang = c.lang AND b.n_chars = c.n_chars
+                      AND b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+                     WHERE round(CAST(len(list_intersect(b.tk, c.tk)) AS DOUBLE) /
+                                 CAST(len(list_distinct(list_concat(b.tk, c.tk))) AS DOUBLE), 4) >= 0.5),
+              vv AS (SELECT doc_id,
+                            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bkt
+                     FROM batch
+                     WHERE doc_id IN (SELECT doc_id FROM ke)
+                       AND doc_id NOT IN (SELECT doc_id FROM nd))
+         SELECT doc_id, CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
+         FROM vv""",
     "pp_pipeline" ->
       """WITH t AS (SELECT doc_id, text,
                            len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS n_tokens,
