@@ -587,6 +587,21 @@ object CoreQueries {
     // (asserted in PlanSpec). Revenue math runs in cents-exact longs so
     // the per-customer sum is associative — double summation would make
     // the 4th decimal depend on partition merge order.
+    // beyond-reference: corrupt-shard tolerance — at 100 TB some file is
+    // always truncated/garbage; ignoreCorruptFiles skips the bad shard
+    // and the scan completes over the healthy ones instead of failing
+    // the whole job. The reference's log-and-continue policy (T2) at the
+    // FILE level rather than the record level.
+    "s_corrupt_skip" -> ((s, d) => {
+      val path = tmp("corrupt")
+      Graft.documents(s, d).select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(path)
+      Files.write(java.nio.file.Paths.get(path, "part-corrupt.parquet"),
+        "this is not a parquet file".getBytes("UTF-8"))
+      s.read.option("ignoreCorruptFiles", "true").parquet(path)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // beyond-reference: schema evolution across ingest batches — a
     // long-lived corpus accretes columns over pipeline versions;
     // mergeSchema reads old and new batches as the union shape with
@@ -701,6 +716,8 @@ object CoreQueries {
                         FROM UNNEST(generate_series(0, 15)) AS t(i))
          SELECT e.event_id, b.band
          FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi""",
+    "s_corrupt_skip" ->
+      "SELECT doc_id, lang FROM documents",
     "s_schema_evolution" ->
       """SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars FROM documents WHERE doc_id % 2 = 0
          UNION ALL

@@ -159,6 +159,17 @@ class PlanSpec extends GraftTest {
     assert(salted.queryExecution.executedPlan.toString.contains("_salt"))
   }
 
+  test("new pipeline ops prune their scans to the referenced columns") {
+    Seq(
+      "pp_weights" -> "ReadSchema: struct<doc_id:bigint,text:string>",
+      "dd_url" -> "ReadSchema: struct<doc_id:bigint>",
+      "txt_diversity" -> "ReadSchema: struct<doc_id:bigint,text:string>").foreach {
+      case (q, want) =>
+        val p = plan(q)
+        assert(p.contains(want), s"$q scan must prune to $want:\n" + p.take(2000))
+    }
+  }
+
   test("global top-N plans per-partition heaps, not a full sort") {
     val p = plan("pp_topquality")
     assert(p.contains("TakeOrderedAndProject"),
