@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, LangScores, MinHashAgg, RepetitionStats, RollingHash, ShingleHashes, SimHashAgg, SrpBucket, TextStats, TokenHashes}
+import graft.functions.{CanonicalUrl, CosineSimilarity, LangScores, MinHashAgg, RepetitionStats, RollingHash, ShingleHashes, SimHashAgg, SrpBucket, TextStats, TokenHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -70,6 +70,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         requireArity("repetition_stats", children, 1)
         RepetitionStats(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("canonical_url"),
+      new ExpressionInfo(classOf[CanonicalUrl].getName, "canonical_url"),
+      (children: Seq[Expression]) => {
+        requireArity("canonical_url", children, 1)
+        CanonicalUrl(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("simhash_agg"),

@@ -615,6 +615,16 @@ object TextFunctions {
     concat(scheme, lit("://"), host, rest3)
   }
 
+  /** [[canonicalUrl]] through the native single-pass `canonical_url`
+    * kernel when the session has graft's extensions (a few character
+    * passes instead of ten regex-engine scans per row) — identical
+    * output, asserted in FunctionsSpec.
+    */
+  def canonicalUrlFast(spark: org.apache.spark.sql.SparkSession, u: Column): Column =
+    if (spark.catalog.functionExists("canonical_url"))
+      call_function("canonical_url", u)
+    else canonicalUrl(u)
+
   /** Deterministic round-robin interleave of a corpus's strata (the
     * source-mixing order for training: batch i draws document i/K from
     * stratum i%K): each stratum orders its rows by the engine-portable

@@ -195,7 +195,7 @@ object PipelineQueries {
           lit(".COM:443/Path"), pmod(col("doc_id"), lit(50)), lit("/"),
           lit("?utm_source=feed&id="), pmod(col("doc_id"), lit(25)),
           lit("&utm_campaign=x#sec"), pmod(col("doc_id"), lit(3))).as("url"))
-      urls.select(col("doc_id"), TextFunctions.canonicalUrl(col("url")).as("curl"))
+      urls.select(col("doc_id"), TextFunctions.canonicalUrlFast(s, col("url")).as("curl"))
         .groupBy("curl")
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
     }),

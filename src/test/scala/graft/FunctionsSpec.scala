@@ -530,6 +530,33 @@ class FunctionsSpec extends GraftTest {
     assert(out(2L) === "", "payload shorter than one row resizes to empty")
   }
 
+  test("native canonical_url equals the regex-chain form on edges and corpus") {
+    import spark.implicits._
+    val edges = Seq(
+      "", "foo", "https://", "a://b", "?utm_a=1", "https:///path",
+      "HTTPS://Example.COM:443/a/?utm_source=x#top",
+      "http://H.io:80/p", "http://h.io:443/p", "ftp://X.Y:443/Z/?#f",
+      "https://h.io/p?utm_a=1&id=2&utm_b=3&q=4",
+      "https://h.io/p?utm_a=1&utm_b=2",
+      "https://h.io/p?utm_source2=x",  // digit in name: regex does NOT match
+      "https://h.io/p?utm_=1",         // empty name: no match either
+      "https://h.io/??&x", "https://h.io//?q", "https://h.io/p?a=1&&b=2#x",
+      "HtTpS://MiXeD.CaSe:443:443/Q?utm_x=&utm_y=2&z=3&")
+    val corpus = Graft.documents(spark, sf)
+      .select(concat(lit("HTTPS://Example"), pmod(col("doc_id"), lit(7)),
+        lit(".COM:443/Path"), pmod(col("doc_id"), lit(50)), lit("/"),
+        lit("?utm_source=feed&id="), pmod(col("doc_id"), lit(25)),
+        lit("&utm_campaign=x#sec"), pmod(col("doc_id"), lit(3))).as("u"))
+    val all = edges.toDF("u").unionByName(corpus)
+    val diff = all.select(col("u"),
+        TextFunctions.canonicalUrl(col("u")).as("chain"),
+        call_function("canonical_url", col("u")).as("native"))
+      .where(col("chain") =!= col("native"))
+      .collect()
+    assert(diff.isEmpty,
+      diff.take(5).map(r => s"'${r.getString(0)}': chain='${r.getString(1)}' native='${r.getString(2)}'").mkString("; "))
+  }
+
   test("canonicalUrl: case, port, tracking-param, fragment, slash policy") {
     import spark.implicits._
     val cases = Seq(
