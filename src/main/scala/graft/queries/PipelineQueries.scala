@@ -214,6 +214,20 @@ object PipelineQueries {
           round(lit(1.0d) / col("n_copies").cast("double"), 4).as("weight"))
     }),
 
+    "pp_sample_n" -> ((s, d) =>
+      // exactly-N uniform deterministic sample (eval-set construction):
+      // rank by the engine-portable md5 hash and take the first N — plans
+      // as TakeOrderedAndProject (per-partition heaps), reproducible
+      // across runs/engines/layouts, and N is exact (hash-threshold
+      // sampling only hits N in expectation). Same bounded-draw shape as
+      // the ANN trainers' sample stage.
+      Graft.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.splitBucket(col("doc_id"), nBuckets = 1000000000).as("_h"))
+        .orderBy(col("_h"), col("doc_id"))
+        .limit(100)
+        .select("doc_id", "lang")),
+
     "pp_topquality" -> ((s, d) =>
       // global "best N documents" selection: orderBy+limit plans as
       // TakeOrderedAndProject — per-partition top-N heaps merged on the
@@ -702,6 +716,12 @@ object PipelineQueries {
       """WITH c AS (SELECT md5(text) AS content_md5, count(*) AS n_copies FROM documents GROUP BY 1)
          SELECT d.doc_id, c.n_copies, round(1.0 / c.n_copies, 4) AS weight
          FROM documents d JOIN c ON md5(d.text) = c.content_md5""",
+    "pp_sample_n" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000000 AS h
+           FROM documents)
+         ORDER BY h, doc_id LIMIT 100""",
     "pp_topquality" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0) AS toks
                     FROM documents),
