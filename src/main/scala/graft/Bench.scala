@@ -28,7 +28,7 @@ object Bench {
     "txt_quality", "txt_langid", "txt_fingerprint", "txt_tfidf", "txt_repetition",
     "txt_unigram_lp", "txt_diversity",
     "pp_shuffle", "pp_mix", "pp_temperature", "pp_chunk", "pp_pack", "pp_interleave",
-    "pp_weights", "pp_profile", "pp_histogram", "pp_topquality",
+    "pp_weights", "pp_profile", "pp_histogram", "pp_topquality", "pp_sample_n",
     "pp_pipeline", "dd_url", "mm_features", "mm_resize", "sk_cms", "sk_hll_merge")
 
   def main(args: Array[String]): Unit = {

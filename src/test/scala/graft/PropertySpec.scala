@@ -160,4 +160,57 @@ class PropertySpec extends AnyFunSuite {
         row.getUTF8String(5).toString == pred
     })
   }
+
+  // ---- canonical_url kernel == regex chain --------------------------------
+
+  /** The Column chain's exact semantics in plain Java regex (Spark's
+    * regexp_replace/regexp_extract ARE java.util.regex), as the fuzz
+    * reference for the single-pass kernel.
+    */
+  private def canonicalChainRef(u: String): String = {
+    import java.util.Locale
+    def extract(p: String, s: String): String = {
+      val m = Pattern.compile(p).matcher(s)
+      if (m.find()) Option(m.group(1)).getOrElse("") else ""
+    }
+    val noFrag = u.replaceAll("#.*", "")
+    val scheme = extract("^([A-Za-z][A-Za-z0-9+.-]*)://", noFrag).toLowerCase(Locale.ROOT)
+    val hostport = extract("^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", noFrag).toLowerCase(Locale.ROOT)
+    val host =
+      if (scheme == "https") hostport.replaceAll(":443$", "")
+      else if (scheme == "http") hostport.replaceAll(":80$", "")
+      else hostport
+    val rest0 = extract("^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", noFrag)
+    val rest = rest0.replaceAll("([?&])utm_[A-Za-z_]+=[^&]*", "$1")
+      .replaceAll("&&+", "&").replaceAll("\\?&", "?").replaceAll("[?&]+$", "")
+      .replaceAll("/\\?", "?").replaceAll("/$", "")
+    scheme + "://" + host + rest
+  }
+
+  test("property: canonical_url kernel matches the regex chain on URL-shaped and random input") {
+    val genScheme = Gen.oneOf("http", "HTTP", "https", "HTTPS", "ftp", "a+b-c", "s3")
+    val genHost = for {
+      name <- Gen.oneOf("Example.COM", "h.io", "X", "a-b.c.d", "")
+      port <- Gen.oneOf("", ":443", ":80", ":8080", ":443:443")
+    } yield name + port
+    val genParam = Gen.oneOf("utm_source=x", "utm_a=1", "utm_=bad", "utm_b2=z",
+      "id=7", "q=a/b", "utm_campaign=", "z=")
+    val genUrl = for {
+      sch <- genScheme
+      sep <- Gen.oneOf("://", ":/", "")
+      host <- genHost
+      path <- Gen.oneOf("", "/", "/P/q", "/a/", "//")
+      ps <- Gen.listOf(genParam)
+      qm <- Gen.oneOf("", "?", "?&")
+      frag <- Gen.oneOf("", "#f", "#a#b")
+    } yield sch + sep + host + path + qm + ps.mkString("&") + frag
+    val genRandom = Gen.listOf(
+      Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(':', '/', '?', '&', '=', '#', '.', '_', '-')))
+      .map(_.mkString)
+    checkProp(Prop.forAll(Gen.oneOf(genUrl, genRandom)) { u =>
+      val native = graft.functions.CanonicalUrl.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(u)).toString
+      native == canonicalChainRef(u)
+    }, tests = 500)
+  }
 }
