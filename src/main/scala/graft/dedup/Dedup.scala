@@ -160,12 +160,32 @@ object Dedup {
     * estimated Jaccard (fraction of agreeing minhash positions) ≥
     * `threshold`. Self-join shuffles on (band, band_hash) — bucket-local
     * work only. Pairs deduped via distinct on (a, b) with a < b.
+    *
+    * `maxBucket` (0 = off) guards the LSH skew failure mode at corpus
+    * scale: a mega-cluster of identical/near-identical documents lands in
+    * the SAME bucket of every band, and one task then owns k²/2 candidate
+    * pairs (a 100k-copy boilerplate page → 5·10⁹ pairs). Buckets larger
+    * than the cap are dropped BEFORE the self-join (a size aggregation +
+    * semi-join on the banded frame — no extra corpus pass). The
+    * documented tradeoff: pairs WITHIN a dropped mega-bucket are not
+    * emitted; byte-identical content is [[exact]] dedup's job upstream,
+    * and a true near-dup cluster that large still surfaces through its
+    * other, less-degenerate bands when any member differs at all.
     */
   def minhashPairs(docs: DataFrame, id: String, text: String,
                    threshold: Double, numHashes: Int = 64, bands: Int = 16,
-                   shingleK: Int = 3): DataFrame = {
+                   shingleK: Int = 3, maxBucket: Int = 0): DataFrame = {
     val sigs = minhashSigs(docs, id, text, numHashes, shingleK)
-    val banded = bandsOfSigs(sigs, numHashes, bands)
+    val bandedAll = bandsOfSigs(sigs, numHashes, bands)
+    val banded =
+      if (maxBucket <= 0) bandedAll
+      else {
+        val ok = bandedAll.groupBy("band", "band_hash")
+          .agg(count(lit(1)).as("_bsz"))
+          .where(col("_bsz") <= maxBucket)
+          .select("band", "band_hash")
+        bandedAll.join(ok, Seq("band", "band_hash"), "left_semi")
+      }
     val l = banded.select(col("band"), col("band_hash"), col("doc").as("a"))
     val r = banded.select(col("band"), col("band_hash"), col("doc").as("b"))
     // candidate ids first (slim shuffle), signatures re-joined only for

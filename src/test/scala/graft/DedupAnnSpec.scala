@@ -327,6 +327,30 @@ class DedupAnnSpec extends GraftTest {
     assert(rPartial >= 0.2 && rPartial <= rFull, s"partial probe recall $rPartial")
   }
 
+  test("LSH bucket cap drops mega-cluster candidates, keeps normal near-dups") {
+    import spark.implicits._
+    val normal = (0L until 100L).map(i =>
+      (i, s"regular document $i with tokens alpha$i beta$i gamma$i delta$i epsilon$i"))
+    // a planted near-dup pair among the normal docs
+    val pair = Seq((500L, normal(7)._2.replace("delta7", "MUTATED")))
+    // a 300-copy boilerplate mega-cluster (identical text → identical
+    // signature → one bucket per band of size 300)
+    val mega = (1000L until 1300L).map(i => (i, "boilerplate page exactly repeated verbatim"))
+    val docs = (normal ++ pair ++ mega).toDF("doc_id", "text")
+    val capped = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val uncapped = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // capped ⊆ uncapped, planted pair survives, mega-cluster pairs gone
+    assert(capped.toSet.subsetOf(uncapped.toSet))
+    assert(capped.contains((7L, 500L)) || capped.contains((500L, 7L)),
+      s"planted near-dup must survive the cap; got ${capped.length} pairs")
+    assert(!capped.exists { case (a, b) => a >= 1000L && b >= 1000L },
+      "mega-bucket pairs must be dropped by the cap")
+    assert(uncapped.count { case (a, b) => a >= 1000L && b >= 1000L } === 300 * 299 / 2,
+      "uncapped run emits the full quadratic mega-cluster (the shape the cap prevents)")
+  }
+
   test("cross-corpus minhash finds a planted near-dup, sides stay disjoint") {
     import spark.implicits._
     val corpusRows = (0L until 200L).map(i =>
