@@ -42,9 +42,20 @@ object Ann {
     * on bucket id, no all-pairs product.
     */
   def cosinePairs(corpus: DataFrame, id: String, vec: String,
-                  threshold: Double, nBits: Int = 8, probeBits: Int = 2): DataFrame = {
-    val base = corpus.select(col(id).as("vid"), col(vec).as("v"),
+                  threshold: Double, nBits: Int = 8, probeBits: Int = 2,
+                  maxBucket: Int = 0): DataFrame = {
+    val base0 = corpus.select(col(id).as("vid"), col(vec).as("v"),
       srpBucketNative(corpus.sparkSession, vec, nBits).as("b0"))
+    // hot-bucket guard (same contract as Dedup.minhashPairs(maxBucket)):
+    // a mega-cluster of near-identical embeddings shares one SRP bucket
+    // → k²/2 verify pairs on one task; cap drops those buckets up front
+    val base =
+      if (maxBucket <= 0) base0
+      else {
+        val ok = base0.groupBy("b0").agg(count(lit(1)).as("_bsz"))
+          .where(col("_bsz") <= maxBucket).select("b0")
+        base0.join(ok, Seq("b0"), "left_semi")
+      }
     val probes = array((lit(0) +: (0 until probeBits).map(b => lit(1 << b))): _*)
     val l = base.select(col("vid").as("a"), col("v").as("va"),
       explode(transform(probes, f => col("b0").bitwiseXOR(f))).as("bucket"))

@@ -533,19 +533,32 @@ object Dedup {
     * at least one of h+1 chunks is equal — completeness holds for ANY
     * maxHamming ≤ 31) and verifying with bit_count(xor).
     */
-  def simhashPairs(docs: DataFrame, id: String, text: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, id: String, text: String, maxHamming: Int = 3,
+                   maxBucket: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 31, s"maxHamming out of range: $maxHamming")
     val nChunks = maxHamming + 1
     // chunk c covers bits [lo, hi): widths differ by at most 1
     val bounds = (0 to nChunks).map(c => (c * 64) / nChunks)
     val sigs = simhashSigs(docs, id, text)
-    val chunked = sigs.select(col("doc"), col("sh"),
+    val chunkedAll = sigs.select(col("doc"), col("sh"),
       explode(array((0 until nChunks).map { c =>
         val (lo, hi) = (bounds(c), bounds(c + 1))
         val mask = if (hi - lo >= 64) -1L else (1L << (hi - lo)) - 1
         struct(lit(c).as("chunk"), shiftright(col("sh"), lo).bitwiseAND(mask).as("ck"))
       }: _*)).as("b"))
       .select(col("doc"), col("sh"), col("b.chunk").as("chunk"), col("b.ck").as("chunk_key"))
+    // same hot-bucket guard as minhashPairs(maxBucket): a mega-cluster of
+    // identical signatures shares every chunk bucket → k²/2 pairs on one
+    // task; oversized buckets drop before the self-join
+    val chunked =
+      if (maxBucket <= 0) chunkedAll
+      else {
+        val ok = chunkedAll.groupBy("chunk", "chunk_key")
+          .agg(count(lit(1)).as("_bsz"))
+          .where(col("_bsz") <= maxBucket)
+          .select("chunk", "chunk_key")
+        chunkedAll.join(ok, Seq("chunk", "chunk_key"), "left_semi")
+      }
     val l = chunked.select(col("chunk"), col("chunk_key"), col("doc").as("a"), col("sh").as("sh_a"))
     val r = chunked.select(col("chunk"), col("chunk_key"), col("doc").as("b"), col("sh").as("sh_b"))
     l.join(r, Seq("chunk", "chunk_key")).where(col("a") < col("b"))
