@@ -569,6 +569,41 @@ object PipelineQueries {
         Graft.events(s, d).withColumn("day", expr("ts_us div 86400000000")),
         "event_type", col("day"), "user_id")),
 
+    "sk_hll_overlap" -> ((s, d) => {
+      // audience overlap via sketch algebra: |A∩B| ≈ est(A) + est(B) −
+      // est(A∪B), all from per-segment HLL sketches — the composition
+      // that answers intersection questions WITHOUT a distinct-join, and
+      // entirely from sketches that in production are precomputed per
+      // segment. Rows-only (estimates are sketch-library-specific);
+      // sanity-bounded in FunctionsSpec.
+      val ev = Graft.events(s, d).where(col("user_id").isNotNull)
+      val sk = ev.where(col("event_type").isin("view", "purchase"))
+        .groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("_sk"))
+      val union = sk.agg(
+        hll_sketch_estimate(hll_union_agg(col("_sk"), lit(false))).as("est_union"))
+      val parts = sk.groupBy()
+        .pivot("event_type", Seq("view", "purchase"))
+        .agg(first(hll_sketch_estimate(col("_sk"))))
+      parts.crossJoin(union)
+        .select(col("view").as("est_view"), col("purchase").as("est_purchase"),
+          col("est_union"),
+          (col("view") + col("purchase") - col("est_union")).as("est_both"))
+    }),
+
+    "pp_dedup_report" -> ((s, d) => {
+      // the operational summary a dedup run ships with: corpus size,
+      // distinct contents, docs dropped, duplicate rate (4dp) — one
+      // groupBy + one row, fully oracle-checkable.
+      val c = Dedup.exact(Graft.documents(s, d), "doc_id", "text")
+      c.agg(
+        sum("n_copies").as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        (sum("n_copies") - count(lit(1))).as("n_dropped"),
+        round((sum("n_copies") - count(lit(1))).cast("double") /
+          sum("n_copies").cast("double"), 4).as("dup_rate"))
+    }),
+
     "sk_cms" -> ((s, d) =>
       // count-min sketch of event_type frequencies, fully distributed
       // (see graft.functions.Sketches.cmsEstimate — the same definition
@@ -895,6 +930,12 @@ object PipelineQueries {
                     FROM h)
          SELECT r.doc_id, r.lang, CAST(r.r * k.k + li.idx AS BIGINT) AS pos
          FROM r JOIN li USING (lang) CROSS JOIN k""",
+    "pp_dedup_report" ->
+      """WITH c AS (SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1)
+         SELECT CAST(sum(n) AS BIGINT) AS n_docs, count(*) AS n_distinct,
+                CAST(sum(n) - count(*) AS BIGINT) AS n_dropped,
+                round(CAST(sum(n) - count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 4) AS dup_rate
+         FROM c""",
     "pp_decontam" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0) AS l
                        FROM documents),

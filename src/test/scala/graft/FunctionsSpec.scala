@@ -599,6 +599,20 @@ class FunctionsSpec extends GraftTest {
     assert(out.except(again).count() === 0 && again.except(out).count() === 0)
   }
 
+  test("hll overlap estimate tracks the exact audience intersection") {
+    val out = queries.PipelineQueries.all("sk_hll_overlap")(spark, sf).head()
+    val ev = Graft.events(spark, sf).where(col("user_id").isNotNull)
+    def users(t: String) =
+      ev.where(col("event_type") === t).select("user_id").distinct()
+    val exactBoth = users("view").intersect(users("purchase")).count()
+    val estBoth = out.getAs[Long]("est_both")
+    assert(math.abs(estBoth - exactBoth) <= math.max(2L, (exactBoth * 0.1).toLong),
+      s"est_both $estBoth vs exact $exactBoth")
+    // union can never exceed the sum of the parts
+    assert(out.getAs[Long]("est_union") <=
+      out.getAs[Long]("est_view") + out.getAs[Long]("est_purchase"))
+  }
+
   test("hllMergeDistinct: shard-union == single-shot sketch, near exact") {
     import spark.implicits._
     val n = 5000L
