@@ -137,12 +137,15 @@ object Joins {
 
   /** As-of join (beyond the reference; the standard event-enrichment
     * operator): for every left row, attach the LATEST right row with the
-    * same key and `r.ts <= l.ts`. Spark-first implementation: union both
+    * same key and `r.ts <= l.ts` (`direction = "backward"`, the default),
+    * or the EARLIEST right row with `r.ts >= l.ts` (`"forward"` — the
+    * next-event enrichment). Spark-first implementation: union both
     * sides tagged, hash-partition by key, sort within the partition by
-    * (ts, tag), carry the last right payload forward with a running
-    * `last(ignoreNulls)` window, keep left rows. One shuffle, per-key
-    * local sort — no range join, no per-row probe; the same shape Spark
-    * itself plans for sessionization. `joinType` ∈ inner|left.
+    * (ts, tag) — ascending for backward, ts-descending for forward —
+    * carry the last right payload with a running `last(ignoreNulls)`
+    * window, keep left rows. One shuffle, per-key local sort — no range
+    * join, no per-row probe; the same shape Spark itself plans for
+    * sessionization. `joinType` ∈ inner|left.
     *
     * The right payload travels as ONE struct so legitimately-null right
     * columns don't resurrect older values.
@@ -152,8 +155,11 @@ object Joins {
       right: DataFrame,
       key: String,
       tsUs: String,
-      joinType: String = "left"): DataFrame = {
+      joinType: String = "left",
+      direction: String = "backward"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(direction == "backward" || direction == "forward",
+      s"asofJoin direction: $direction")
     val l = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
     val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
     val rPayload = struct(r.columns.map(col).toSeq: _*)
@@ -169,10 +175,13 @@ object Joins {
         l.columns.foldLeft(rTagged)((d, c) => d.withColumn(c, lit(null).cast(l.schema(c).dataType))),
         allowMissingColumns = false)
 
-    // right rows sort before left at equal ts (tag 0 < 1) → inclusive <=;
-    // _rp (struct of the whole right row) breaks ties among right rows at
-    // the same ts deterministically (last = greatest payload)
-    val w = Window.partitionBy("_k").orderBy(col("_ts").asc, col("_tag").asc, col("_rp").asc)
+    // right rows sort before left at equal ts (tag 0 < 1) → inclusive
+    // bound in BOTH directions; _rp (struct of the whole right row)
+    // breaks ties among right rows at the same ts deterministically
+    // (last = greatest payload). Forward scans in descending ts, so the
+    // carried right is the nearest one at-or-after the left row.
+    val tsOrder = if (direction == "backward") col("_ts").asc else col("_ts").desc
+    val w = Window.partitionBy("_k").orderBy(tsOrder, col("_tag").asc, col("_rp").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("_last_r", last(col("_rp"), ignoreNulls = true).over(w))
       .where(col("_tag") === 1)

@@ -656,6 +656,13 @@ object CoreQueries {
       Joins.asofJoin(purchases(s, d), views(s, d), "key", "ts_us", "left")
         .select(col("l_event_id"), col("r_event_id"), col("l_key").as("key"))),
 
+    // forward as-of: the NEXT right row at or after each left row — the
+    // time-to-next-event enrichment (e.g. purchase → next view)
+    "aj_forward" -> ((s, d) =>
+      Joins.asofJoin(purchases(s, d), views(s, d), "key", "ts_us", "left",
+          direction = "forward")
+        .select(col("l_event_id"), col("r_event_id"), col("l_key").as("key"))),
+
     // J4 through the real streaming engine: stream-static join — the
     // orders stream enriches against the static (broadcast) customer
     // dimension per micro-batch, exactly SURVEY §2.5's Spark mapping for
@@ -739,7 +746,12 @@ object CoreQueries {
       """SELECT a.event_id AS l_event_id, b.event_id AS r_event_id, CAST(a.user_id AS VARCHAR) AS key
          FROM (SELECT * FROM events WHERE event_type = 'purchase') a
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
-         ON a.user_id = b.user_id AND b.ts <= a.ts""")
+         ON a.user_id = b.user_id AND b.ts <= a.ts""",
+    "aj_forward" ->
+      """SELECT a.event_id AS l_event_id, b.event_id AS r_event_id, CAST(a.user_id AS VARCHAR) AS key
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
+         ON a.user_id = b.user_id AND b.ts >= a.ts""")
 
   // ---- D: duality ---------------------------------------------------------
 
