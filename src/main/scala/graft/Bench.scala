@@ -20,7 +20,7 @@ object Bench {
     "q1_agg", "q3_shipping", "q_topn", "a1_wordcount", "a2_groupbykey", "a6_table_reduce",
     "w1_tumbling", "w2_session", "w4_hopping",
     "j1_ss_inner", "j3_ss_outer", "j4_st_inner", "j6_tt_inner", "aj_asof", "j_salted", "j_range",
-    "j_bucketed", "s_partition_prune",
+    "aj_forward", "j_bucketed", "s_partition_prune",
     "d2_stream_to_table",
     "dd_exact", "dd_incremental", "dd_minhash", "dd_minhash_incremental", "dd_simhash",
     "dd_ngram_jaccard", "dd_embedding", "dd_fuzzy",
@@ -29,7 +29,8 @@ object Bench {
     "txt_unigram_lp", "txt_diversity",
     "pp_shuffle", "pp_mix", "pp_temperature", "pp_chunk", "pp_pack", "pp_interleave",
     "pp_weights", "pp_profile", "pp_histogram", "pp_topquality", "pp_sample_n",
-    "pp_pipeline", "dd_url", "mm_features", "mm_resize", "sk_cms", "sk_hll_merge")
+    "pp_pipeline", "pp_dedup_report", "dd_url", "mm_features", "mm_resize",
+    "sk_cms", "sk_hll_merge", "sk_hll_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
