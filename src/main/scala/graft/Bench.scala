@@ -55,6 +55,13 @@ object Bench {
         case e: Throwable => Left(jsonEscape(e.toString.take(200)))
       }
 
+    // touch every corpus table once (untimed) so first timed runs measure
+    // compute, not cold page cache — an OS-cold read of the large tables
+    // once inflated shuffle-heavy queries ~10x on this box
+    Graft.tableNames.foreach { t =>
+      try Graft.table(spark, sfDir, t).write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
+    }
     // JVM/codegen warmup on the first headline query (untimed)
     runOnce(headline.head)
 
