@@ -663,6 +663,19 @@ object CoreQueries {
           direction = "forward")
         .select(col("l_event_id"), col("r_event_id"), col("l_key").as("key"))),
 
+    // beyond-reference: conversion funnel composed from the forward
+    // as-of join — each view attaches its user's NEXT purchase, and the
+    // funnel counts conversions within the hour. Same single-shuffle
+    // shape as aj_asof; the window bound is a post-join filter.
+    "q_funnel" -> ((s, d) =>
+      Joins.asofJoin(views(s, d), purchases(s, d), "key", "ts_us", "left",
+          direction = "forward")
+        .agg(
+          count(lit(1)).as("n_views"),
+          sum(when(col("r_ts_us").isNotNull &&
+            col("r_ts_us") - col("l_ts_us") <= hourUs, 1L).otherwise(0L))
+            .as("n_converted_1h"))),
+
     // J4 through the real streaming engine: stream-static join — the
     // orders stream enriches against the static (broadcast) customer
     // dimension per micro-batch, exactly SURVEY §2.5's Spark mapping for
@@ -751,6 +764,14 @@ object CoreQueries {
       """SELECT a.event_id AS l_event_id, b.event_id AS r_event_id, CAST(a.user_id AS VARCHAR) AS key
          FROM (SELECT * FROM events WHERE event_type = 'purchase') a
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
+         ON a.user_id = b.user_id AND b.ts >= a.ts""",
+    "q_funnel" ->
+      """SELECT count(*) AS n_views,
+                CAST(sum(CASE WHEN b.ts IS NOT NULL
+                              AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_1h
+         FROM (SELECT * FROM events WHERE event_type = 'view') a
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
          ON a.user_id = b.user_id AND b.ts >= a.ts""")
 
   // ---- D: duality ---------------------------------------------------------
