@@ -43,7 +43,9 @@ object Bench {
       case c => c.toString
     }
 
-    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def fmt(v: Double): String =
+      if (v.isNaN || v.isInfinite) "null"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
     def runOnce(name: String): Either[String, Double] =
       try {
@@ -65,6 +67,18 @@ object Bench {
     // JVM/codegen warmup on the first headline query (untimed)
     runOnce(headline.head)
 
+    // Environment-sanity sentinel: time a fixed calibration probe before
+    // and after the run. On a healthy box the two agree; on a contended
+    // box they drift, and we stamp the artifact instead of letting a bad
+    // measurement window masquerade as an engine regression (BENCH_r04
+    // was 20-100x inflated by exactly this).
+    val calibrationQuery = headline.head // q1_agg: scan-agg, ~0.5s warm
+    def calibrate(): Double = runOnce(calibrationQuery) match {
+      case Right(t) => t
+      case Left(_)  => Double.NaN
+    }
+    val calStart = calibrate()
+
     // two timed runs per query, report the min — removes one-off codegen
     // compilation from the steady-state number
     val results: Seq[(String, Either[String, Double])] =
@@ -76,13 +90,26 @@ object Bench {
         }
       }
 
+    val calEnd = calibrate()
+    val calRatio =
+      if (calStart.isNaN || calEnd.isNaN) Double.NaN
+      else math.max(calStart, calEnd) / math.max(1e-9, math.min(calStart, calEnd))
+    // >2x drift between identical probes = the box changed under us;
+    // an absolute ceiling catches a window that was bad from the start
+    // (warm q1_agg on this data is ~0.4-0.7s; 5s means heavy contention).
+    val degraded =
+      calRatio.isNaN || calRatio > 2.0 ||
+        math.min(calStart, calEnd) > 5.0
+
     val ok = results.collect { case (n, Right(t)) => n -> t }
     val errs = results.collect { case (n, Left(m)) => n -> m }
     val qs = ok.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     val es = errs.map { case (k, m) => s""""$k":"$m"""" }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    val cal =
+      s"""{"query":"$calibrationQuery","start":${fmt(calStart)},"end":${fmt(calEnd)},"ratio":${fmt(calRatio)}}"""
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$es,"degraded":$degraded,"calibration":$cal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -190,6 +190,75 @@ object TextFunctions {
           .as("tfidf"))
   }
 
+  /** Atanh-series coefficients 1/3, 1/5, …, 1/31 for [[detLn]] — shared
+    * between the Column builder and the oracle-SQL renderer so both engines
+    * evaluate literally the same doubles in the same order.
+    */
+  private val DetLnCoeffs: Seq[Double] = (3 to 31 by 2).map(1.0 / _)
+
+  /** The double nearest ln 2; the decimal literal parses to the identical
+    * bit pattern in every engine (decimal→double parsing is correctly
+    * rounded everywhere).
+    */
+  private val Ln2 = 0.6931471805599453
+
+  /** Render a double so any SQL engine parses it back to the same bits:
+    * Java's shortest round-trip decimal plus an `e0` exponent marker so
+    * DuckDB types it DOUBLE rather than DECIMAL.
+    */
+  private def sqlDouble(d: Double): String = {
+    val s = java.lang.Double.toString(d)
+    if (s.contains("E") || s.contains("e")) s else s + "e0"
+  }
+
+  /** Bit-DETERMINISTIC natural log of a positive integer column — the
+    * cross-engine-safe replacement for libm `ln` in oracle-checked
+    * arithmetic. Different engines' `ln` disagree in the last ulp, which
+    * flips `floor(ln(x)·1e6)` micro-nat quantization when the product
+    * straddles an integer (the txt_unigram_lp round-4 hash mismatch).
+    * This computes ln(k) from operations that ARE identical everywhere
+    * because IEEE-754 requires correctly-rounded +,−,×,÷:
+    *
+    *   1. exponent e = (number of binary digits of k) − 1, via the exact
+    *      string length of `bin(k)` — no logs involved;
+    *   2. mantissa m = k / 2^e ∈ [1,2), exact (division by a power of two);
+    *   3. ln m = 2t·(1 + t²/3 + t⁴/5 + … + t³⁰/31) with t=(m−1)/(m+1)
+    *      (|t| ≤ 1/3, truncation < 1e-16 — below double epsilon), fixed
+    *      Horner order;
+    *   4. ln k = e·ln2 + ln m with a shared ln2 literal.
+    *
+    * [[detLnSql]] renders the identical op sequence as ANSI/DuckDB SQL, so
+    * Spark and the oracle produce the same 64 bits for every k and a
+    * subsequent `floor(·1e6)` can never land on opposite sides of a
+    * boundary.
+    */
+  def detLn(k: Column): Column = {
+    val e = (length(bin(k.cast("long"))) - lit(1)).cast("int")
+    val m = k.cast("double") / call_function("shiftleft", lit(1L), e).cast("double")
+    val t = (m - lit(1.0)) / (m + lit(1.0))
+    val u = t * t
+    var s: Column = lit(DetLnCoeffs.last)
+    DetLnCoeffs.init.reverse.foreach(c => s = lit(c) + u * s)
+    val lnm = lit(2.0) * t * (lit(1.0) + u * s)
+    e.cast("double") * lit(Ln2) + lnm
+  }
+
+  /** SQL text computing exactly [[detLn]] for integer expression `k` —
+    * same literals, same operation order, so the engine-side and
+    * oracle-side doubles are bit-identical. `k` is referenced several
+    * times; pass a simple column name.
+    */
+  def detLnSql(k: String): String = {
+    val e = s"(length(bin(CAST($k AS BIGINT))) - 1)"
+    val m = s"(CAST($k AS DOUBLE) / CAST((CAST(1 AS BIGINT) << $e) AS DOUBLE))"
+    val t = s"(($m - 1.0e0) / ($m + 1.0e0))"
+    val u = s"($t * $t)"
+    var s0 = sqlDouble(DetLnCoeffs.last)
+    DetLnCoeffs.init.reverse.foreach(c => s0 = s"${sqlDouble(c)} + $u * ($s0)")
+    val lnm = s"2.0e0 * $t * (1.0e0 + $u * ($s0))"
+    s"(CAST($e AS DOUBLE) * ${sqlDouble(Ln2)} + $lnm)"
+  }
+
   /** Unigram language-model scoring — the perplexity-proxy quality signal
     * (the CCNet-style filter): unigram probabilities train on the corpus
     * itself, and each document scores its mean token negative
@@ -200,12 +269,14 @@ object TextFunctions {
     * BROADCASTs back; the corpus token total rides as a one-row broadcast
     * — the corpus shuffles once, nothing reaches the driver.
     *
-    * Numerics: per-term surprisal ln(N/cnt) is quantized to integer
-    * MICRO-NATS before the per-doc sum. A double sum's value depends on
-    * partition-merge order (floating addition is not associative), so it
-    * would not be layout-invariant; the long sum is exact and
-    * order-independent, and the single final division is deterministic.
-    * Output: (doc, n_tok, avg_nll).
+    * Numerics — every step is layout- AND engine-invariant: per-term
+    * surprisal ln(N/cnt) = [[detLn]](N) − [[detLn]](cnt) is bit-identical
+    * across engines (no libm), quantized to integer MICRO-NATS before the
+    * per-doc sum (a double sum depends on partition-merge order; the long
+    * sum is exact), and the mean is emitted as integer micro-nats via
+    * BIGINT division — no double round anywhere, so the result hashes
+    * identically on any engine and any partitioning.
+    * Output: (doc, n_tok, avg_nll_micro).
     */
   def unigramLmScore(docs: org.apache.spark.sql.DataFrame, id: String,
                      text: String): org.apache.spark.sql.DataFrame = {
@@ -215,13 +286,14 @@ object TextFunctions {
     val uni = tf.groupBy("term").agg(sum("tf").as("cnt"))
     val n = uni.agg(sum("cnt").as("n_total"))
     val w = uni.crossJoin(broadcast(n)).select(col("term"),
-      floor(log(col("n_total").cast("double") / col("cnt").cast("double")) * lit(1000000.0))
+      floor((detLn(col("n_total")) - detLn(col("cnt"))) * lit(1000000.0))
         .cast("long").as("w_micro"))
     tf.join(broadcast(w), "term")
       .groupBy("doc")
       .agg(sum("tf").as("n_tok"),
-        round((sum(col("tf") * col("w_micro")).cast("double") / lit(1000000.0)) /
-          sum("tf").cast("double"), 4).as("avg_nll"))
+        sum(col("tf") * col("w_micro")).as("_sum_micro"))
+      .select(col("doc"), col("n_tok"),
+        expr("_sum_micro div n_tok").as("avg_nll_micro"))
   }
 
   /** Stratified deterministic sampling: keep each row with a per-stratum

@@ -129,10 +129,10 @@ object PipelineQueries {
       val verified = Dedup.verifyJaccard(pairs, docs, "doc_id", "text")
         .where(col("jaccard") >= 0.5).select("a", "b")
       val lm = TextFunctions.unigramLmScore(docs, "doc_id", "text")
-        .select(col("doc").as("doc_id"), col("avg_nll"))
+        .select(col("doc").as("doc_id"), col("avg_nll_micro"))
       val docsScored = docs.join(lm, Seq("doc_id"), "left")
       Dedup.resolveBy(docsScored, verified, "doc_id",
-          -coalesce(col("avg_nll"), lit(1e9)))
+          -coalesce(col("avg_nll_micro"), lit(Long.MaxValue)))
         .select("doc_id", "lang")
     }),
 
@@ -718,17 +718,19 @@ object PipelineQueries {
          SELECT tf.doc_id, tf.term, tf.tf,
                 round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 4) AS tfidf
          FROM tf JOIN df USING (term) CROSS JOIN n""",
+    // ln is detLnSql — bit-identical to Spark's detLn (no libm), so the
+    // floor(·1e6) micro-nat quantization can never straddle a boundary
+    // cross-engine; the mean is BIGINT division, no double round at all
     "txt_unigram_lp" ->
-      """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0)) AS term
+      s"""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\W+'), w -> len(w) > 0)) AS term
                        FROM documents),
               tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
-              uni AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
-              n AS (SELECT sum(cnt) AS n_total FROM uni),
-              w AS (SELECT term, CAST(floor(ln(CAST(n.n_total AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_micro
+              uni AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY term),
+              n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM uni),
+              w AS (SELECT term, CAST(floor((${TextFunctions.detLnSql("n.n_total")} - ${TextFunctions.detLnSql("uni.cnt")}) * 1000000.0e0) AS BIGINT) AS w_micro
                     FROM uni CROSS JOIN n)
-         SELECT tf.doc_id, sum(tf.tf) AS n_tok,
-                round((CAST(sum(tf.tf * w.w_micro) AS DOUBLE) / 1000000.0) /
-                      CAST(sum(tf.tf) AS DOUBLE), 4) AS avg_nll
+         SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tok,
+                CAST(CAST(sum(tf.tf * w.w_micro) AS BIGINT) // CAST(sum(tf.tf) AS BIGINT) AS BIGINT) AS avg_nll_micro
          FROM tf JOIN w USING (term)
          GROUP BY tf.doc_id""",
     "txt_diversity" ->
@@ -815,7 +817,7 @@ object PipelineQueries {
          SELECT doc_id, lang FROM documents
          WHERE doc_id NOT IN (SELECT node FROM losers)""",
     "dd_resolve_best" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0)) AS tk,
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\\W+'), w -> len(w) > 0)) AS tk,
                                         lang, n_chars
                                  FROM documents),
               p AS (SELECT l.doc_id AS a, r.doc_id AS b
@@ -827,18 +829,17 @@ object PipelineQueries {
                         UNION
                         SELECT e.src AS node, r.comp AS comp FROM edges e JOIN reach r ON e.dst = r.node),
               comp AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
-              tt AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0)) AS term
+              tt AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\W+'), w -> len(w) > 0)) AS term
                      FROM documents),
               tf AS (SELECT doc_id, term, count(*) AS tf FROM tt GROUP BY doc_id, term),
-              uni AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
-              n AS (SELECT sum(cnt) AS n_total FROM uni),
-              wt AS (SELECT term, CAST(floor(ln(CAST(n.n_total AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_micro
+              uni AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY term),
+              n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM uni),
+              wt AS (SELECT term, CAST(floor((${TextFunctions.detLnSql("n.n_total")} - ${TextFunctions.detLnSql("uni.cnt")}) * 1000000.0e0) AS BIGINT) AS w_micro
                      FROM uni CROSS JOIN n),
               lm AS (SELECT tf.doc_id,
-                            round((CAST(sum(tf.tf * wt.w_micro) AS DOUBLE) / 1000000.0) /
-                                  CAST(sum(tf.tf) AS DOUBLE), 4) AS avg_nll
+                            CAST(CAST(sum(tf.tf * wt.w_micro) AS BIGINT) // CAST(sum(tf.tf) AS BIGINT) AS BIGINT) AS avg_nll_micro
                      FROM tf JOIN wt USING (term) GROUP BY tf.doc_id),
-              scored AS (SELECT c.node, c.comp, coalesce(lm.avg_nll, 1e9) AS s
+              scored AS (SELECT c.node, c.comp, coalesce(lm.avg_nll_micro, 9223372036854775807) AS s
                          FROM comp c LEFT JOIN lm ON lm.doc_id = c.node),
               rk AS (SELECT node, row_number() OVER (PARTITION BY comp ORDER BY s ASC, node ASC) AS rk
                      FROM scored),

@@ -502,6 +502,38 @@ class FunctionsSpec extends GraftTest {
     assert(a.except(b).count() === 0 && b.except(a).count() === 0)
   }
 
+  test("detLn: matches math.log to <1e-14 relative over integer range") {
+    import spark.implicits._
+    val ks: Seq[Long] = (1L to 5000L) ++
+      Seq(65535L, 65536L, 1000003L, (1L << 40) - 1, (1L << 40), 1234567890123L)
+    val got = ks.toDF("k")
+      .select(col("k"), TextFunctions.detLn(col("k")).as("lnk"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ks.foreach { k =>
+      val want = math.log(k.toDouble)
+      val tol = math.max(1e-14 * math.abs(want), 1e-15)
+      assert(math.abs(got(k) - want) <= tol,
+        s"detLn($k)=${got(k)} vs math.log=$want")
+    }
+    assert(got(1L) === 0.0)
+  }
+
+  test("unigramLmScore: integer micro-nats, layout-invariant, sane ordering") {
+    val docs = Graft.documents(spark, sf)
+    val a = TextFunctions.unigramLmScore(docs, "doc_id", "text")
+    val b = TextFunctions.unigramLmScore(docs.repartition(7), "doc_id", "text")
+    // exact equality across layouts — the whole point of the long-sum +
+    // integer-division arithmetic
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    val rows = a.collect()
+    assert(rows.nonEmpty)
+    // every score is a non-negative micro-nat count (cnt ≤ n_total)
+    assert(rows.forall(r => r.getLong(2) >= 0L))
+    // a doc made entirely of the corpus' most common tokens would score
+    // lower than one of rare tokens; proxy: scores are not all equal
+    assert(rows.map(_.getLong(2)).distinct.length > 1)
+  }
+
   test("tokenDiversity: known distributions, agrees with entropy's ordering") {
     import spark.implicits._
     val out = Seq(
