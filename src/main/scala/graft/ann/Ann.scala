@@ -46,10 +46,17 @@ object Ann {
                   maxBucket: Int = 0): DataFrame = {
     val base0 = corpus.select(col(id).as("vid"), col(vec).as("v"),
       srpBucketNative(corpus.sparkSession, vec, nBits).as("b0"))
-    // hot-bucket guard (same contract as Dedup.minhashPairs(maxBucket)):
-    // a mega-cluster of near-identical embeddings shares one SRP bucket
-    // → k²/2 verify pairs on one task; cap drops those buckets up front
-    val base =
+    // Hot-bucket guard against the LSH skew cliff (a mega-cluster of
+    // near-identical embeddings shares one SRP bucket → k²/2 verify pairs
+    // on one task). Unlike minhashPairs — where a doc has 16 bands and
+    // other bands still surface it — an SRP vector has ONE base bucket,
+    // so the cap applies only to the r (base-bucket) side: pairs WITHIN
+    // an oversized bucket are dropped (bounded loss — byte-identical
+    // content is exact dedup's job upstream), but every capped vector
+    // still PROBES into healthy neighboring buckets, so its cross-bucket
+    // matches survive. Worst-case join-group size is then
+    // (cluster size) × maxBucket — linear in the cluster, not quadratic.
+    val r0 =
       if (maxBucket <= 0) base0
       else {
         val ok = base0.groupBy("b0").agg(count(lit(1)).as("_bsz"))
@@ -57,9 +64,9 @@ object Ann {
         base0.join(ok, Seq("b0"), "left_semi")
       }
     val probes = array((lit(0) +: (0 until probeBits).map(b => lit(1 << b))): _*)
-    val l = base.select(col("vid").as("a"), col("v").as("va"),
+    val l = base0.select(col("vid").as("a"), col("v").as("va"),
       explode(transform(probes, f => col("b0").bitwiseXOR(f))).as("bucket"))
-    val r = base.select(col("vid").as("b"), col("v").as("vb"), col("b0").as("bucket"))
+    val r = r0.select(col("vid").as("b"), col("v").as("vb"), col("b0").as("bucket"))
     // no distinct() needed: r keys by its ONE true bucket and l's probe
     // set is distinct values (b0 ^ unique flip masks), so a given (a, b)
     // pair can match on at most one bucket — dedup would be a pure extra

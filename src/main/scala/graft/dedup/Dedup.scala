@@ -453,18 +453,35 @@ object Dedup {
     * near-match density (a variant shared by k strings yields k²/2
     * candidates, mostly real matches). xxhash64 collisions only add
     * candidates; the exact verify removes them.
+    *
+    * `maxBucket` (0 = off) is the same hot-bucket guard as
+    * [[minhashPairs]]: a mega-cluster of identical keys shares every
+    * variant bucket, putting k²/2 Levenshtein calls on one task. Variant
+    * buckets larger than the cap drop before the self-join (size
+    * aggregation + semi-join — no extra corpus pass). Tradeoff: pairs
+    * whose EVERY shared variant sits in an oversized bucket are lost —
+    * byte-identical keys are [[exact]] dedup's job upstream, and a
+    * near-match pair that differs at all shares many variants, most in
+    * sparser buckets.
     */
   def editDistancePairs(docs: DataFrame, id: String, text: String,
-                        maxDist: Int = 1): DataFrame = {
+                        maxDist: Int = 1, maxBucket: Int = 0): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2, s"maxDist out of range: $maxDist")
     // no distinct needed: deletionNeighborhood array_distincts per doc,
     // so (doc, vh) rows are already unique — a distinct here would add a
     // third corpus-scale shuffle for nothing
-    val variants = docs
+    val variantsAll = docs
       .where(col(text).isNotNull)
       .select(col(id).as("doc"), col(text).as("str"),
         explode(deletionNeighborhood(col(text), maxDist)).as("v"))
       .select(col("doc"), col("str"), xxhash64(col("v")).as("vh"))
+    val variants =
+      if (maxBucket <= 0) variantsAll
+      else {
+        val ok = variantsAll.groupBy("vh").agg(count(lit(1)).as("_bsz"))
+          .where(col("_bsz") <= maxBucket).select("vh")
+        variantsAll.join(ok, Seq("vh"), "left_semi")
+      }
     variants.select(col("vh"), col("doc").as("a"), col("str").as("str_a"))
       .join(variants.select(col("vh"), col("doc").as("b"), col("str").as("str_b")), "vh")
       .where(col("a") < col("b"))
@@ -561,9 +578,13 @@ object Dedup {
       }
     val l = chunked.select(col("chunk"), col("chunk_key"), col("doc").as("a"), col("sh").as("sh_a"))
     val r = chunked.select(col("chunk"), col("chunk_key"), col("doc").as("b"), col("sh").as("sh_b"))
+    // filter BEFORE the distinct: the Hamming verify is a per-row
+    // expression, the distinct is a shuffle — rejecting first shrinks the
+    // exchange and doesn't rely on Catalyst pushing the predicate through
+    // the aggregate
     l.join(r, Seq("chunk", "chunk_key")).where(col("a") < col("b"))
       .select(col("a"), col("b"), bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

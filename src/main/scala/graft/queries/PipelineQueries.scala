@@ -26,8 +26,13 @@ object PipelineQueries {
     "dd_minhash" -> ((s, d) =>
       // MinHash-LSH near-dup candidates (banded; shuffle on band hash).
       // Hash-function-specific → verified against brute-force Jaccard in
-      // DedupSpec, not the SQL oracle.
-      Dedup.minhashPairs(Graft.documents(s, d), "doc_id", "text", threshold = 0.5)),
+      // DedupSpec, not the SQL oracle. maxBucket is the hot-bucket skew
+      // guard, ON in the certified path (measured: a 5000-copy
+      // mega-cluster runs 1.4s capped vs 71.4s uncapped at 100×) —
+      // 10-100x any expected true near-dup cluster, far above every
+      // bucket at test SFs.
+      Dedup.minhashPairs(Graft.documents(s, d), "doc_id", "text", threshold = 0.5,
+        maxBucket = 1000)),
 
     "dd_jaccard_verify" -> ((s, d) => {
       // blocking (lang, n_chars) + exact token-set Jaccard verify — the
@@ -59,9 +64,11 @@ object PipelineQueries {
     "dd_embedding" -> ((s, d) =>
       // embedding-cosine near-dup: SRP-bucketed pair generation + cosine
       // verify (bucket join, no all-pairs product); hash-bucket-specific
-      // → recall covered in DedupAnnSpec, plumbing via rows-only check
+      // → recall covered in DedupAnnSpec, plumbing via rows-only check.
+      // maxBucket caps the base-bucket side only (capped vectors still
+      // probe into healthy buckets); inert at test SFs.
       graft.ann.Ann.cosinePairs(Graft.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.25, nBits = 6, probeBits = 3)),
+        threshold = 0.25, nBits = 6, probeBits = 3, maxBucket = 1000)),
 
     "ann_incremental" -> ((s, d) => {
       // cross-corpus embedding near-dup (incremental ingestion): vec_id
@@ -77,8 +84,10 @@ object PipelineQueries {
 
     "dd_simhash" -> ((s, d) =>
       // SimHash near-dup pairs (chunk-blocked Hamming); engine-specific
-      // hashing → DedupSpec property tests.
-      Dedup.simhashPairs(Graft.documents(s, d), "doc_id", "text", maxHamming = 3)),
+      // hashing → DedupSpec property tests. maxBucket = hot-bucket skew
+      // guard, ON in the certified path; inert at test SFs.
+      Dedup.simhashPairs(Graft.documents(s, d), "doc_id", "text", maxHamming = 3,
+        maxBucket = 1000)),
 
     "dd_components" -> ((s, d) => {
       // duplicate-cluster resolution: verified near-dup pairs chain into
@@ -178,9 +187,13 @@ object PipelineQueries {
     "dd_fuzzy" -> ((s, d) =>
       // fuzzy entity dedup: edit-distance ≤ 1 name pairs via SymSpell
       // deletion-neighborhood blocking (bucket join on variant hash, no
-      // cartesian) + exact Levenshtein verify — fully oracle-checkable
+      // cartesian) + exact Levenshtein verify — fully oracle-checkable.
+      // maxBucket guards the variant-bucket quadratic cliff; 5000 is
+      // unreachable at test SFs (a bucket that size needs 5000 distinct
+      // names sharing one deletion variant), so the oracle compare is
+      // unaffected while the certified plan carries the guard.
       Dedup.editDistancePairs(Graft.customer(s, d), "c_custkey", "c_name",
-        maxDist = 1)),
+        maxDist = 1, maxBucket = 5000)),
 
     "dd_url" -> ((s, d) => {
       // web-corpus URL dedup: synthesize a messy URL per doc (mixed-case

@@ -351,6 +351,88 @@ class DedupAnnSpec extends GraftTest {
       "uncapped run emits the full quadratic mega-cluster (the shape the cap prevents)")
   }
 
+  test("edit-distance bucket cap bounds a planted mega-bucket, keeps normal matches") {
+    import spark.implicits._
+    val normal = Seq(
+      (1L, "alpha"), (2L, "alpho"),   // dist-1 pair that must survive
+      (3L, "gamma"), (4L, "delta"))
+    // 400 copies of one key: every variant bucket of that key has 400
+    // members → k²/2 Levenshtein calls on one task without the cap
+    val mega = (1000L until 1400L).map(i => (i, "boilerplate"))
+    val names = (normal ++ mega).toDF("k", "name")
+    val capped = Dedup.editDistancePairs(names, "k", "name", maxDist = 1, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.editDistancePairs(names, "k", "name", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped))
+    assert(capped.contains((1L, 2L)), s"planted dist-1 pair must survive; got $capped")
+    assert(!capped.exists { case (a, b) => a >= 1000L && b >= 1000L },
+      "mega-bucket pairs must be dropped by the cap")
+    assert(uncapped.count { case (a, b) => a >= 1000L && b >= 1000L } === 400 * 399 / 2)
+  }
+
+  test("SRP cap drops only intra-hot-bucket pairs; capped vectors still probe out") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    // The r-side-only cap contract: vectors in an oversized base bucket
+    // lose their INTRA-bucket pairs but keep probing into healthy
+    // neighboring buckets. Construct exactly that: a planted mega-cluster
+    // (copies of u, ids BELOW every real id so the mega vector is the
+    // probe/l side of each cross pair) and a real witness w whose base
+    // bucket differs from u's in exactly one probed bit.
+    val emb = Graft.embeddings(spark, sf).select("vec_id", "embedding")
+    val nBits = 4
+    val byId = emb.select(col("vec_id"), col("embedding"),
+        VectorFunctions.srpBucketNative(spark, "embedding", nBits).as("b0"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val (_, u, ub) = byId.find(_._1 == 0L).get
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (dot, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / math.sqrt(na * nb)
+    }
+    // witness: any real vector one probed bit-flip away from u's bucket
+    // (probeBits = nBits probes every single-bit flip) whose own bucket
+    // stays under the cap, best cos first
+    val cap = 100 // hot bucket = 300 mega + u + u's real bucket-mates > cap
+    val bucketSize = byId.groupBy(_._3).map { case (b, xs) => b -> xs.length }
+    val candidates = byId.filter { case (_, _, b0) =>
+      java.lang.Integer.bitCount(b0 ^ ub) == 1 && bucketSize(b0) <= cap }
+      .map { case (id, v, b0) => (id, b0, cos(u, v)) }
+      .sortBy(-_._3)
+    assert(candidates.nonEmpty, "no vector in any healthy Hamming-1 bucket of u — corpus degenerate?")
+    val (wId, wB0, wCos) = candidates.head
+    val threshold = wCos - 1e-4
+    val megaIds = (-300L until 0L)
+    val mega = megaIds.map(i => (i, u.toSeq)).toDF("vec_id", "embedding")
+    val all = emb.unionByName(mega)
+    def run(mb: Int) = Ann.cosinePairs(all, "vec_id", "embedding",
+        threshold = threshold, nBits = nBits, probeBits = nBits, maxBucket = mb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = run(cap)
+    val uncapped = run(0)
+    assert(capped.subsetOf(uncapped))
+    assert(!capped.exists { case (a, b) => a < 0L && b < 0L },
+      "intra-mega-bucket pairs must be dropped by the cap")
+    assert(uncapped.exists { case (a, b) => a < 0L && b < 0L },
+      "uncapped run must show the quadratic mega-cluster the cap prevents")
+    // the heart of the contract: every capped (mega, witness) cross pair
+    // survives, because the mega vector probes from the (uncapped) l side
+    // into w's healthy base bucket
+    megaIds.foreach { m =>
+      assert(capped.contains((m, wId)),
+        s"capped vector $m must still reach witness $wId via probing (cos=$wCos)")
+    }
+  }
+
+  test("certified LSH queries run with the bucket cap active (left-semi guard in plan)") {
+    for (q <- Seq("dd_minhash", "dd_simhash", "dd_embedding", "dd_fuzzy")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan.toString
+      assert(plan.contains("LeftSemi"),
+        s"$q must carry the maxBucket semi-join guard; plan:\n${plan.take(2000)}")
+    }
+  }
+
   test("cross-corpus minhash finds a planted near-dup, sides stay disjoint") {
     import spark.implicits._
     val corpusRows = (0L until 200L).map(i =>
