@@ -87,12 +87,16 @@ object Multimodal {
     * meta), and every `stride`-th row and column survives. The kept
     * positions enumerate as a nested sequence inside the scan partition
     * and join into one output value with a single-pass `concat_ws` — no
-    * UDF, no shuffle, no quadratic fold. Output is the string form (the
-    * test corpus is ASCII text standing in for pixel bytes; a real
-    * decoder would emit a tensor — see [[DecoderStub]]).
+    * UDF, no shuffle, no quadratic fold. Row count AND extraction both
+    * operate in BYTES: positions index the binary payload directly
+    * (1-byte binary slices, reinterpreted as a string at the end), so a
+    * payload whose string form is multi-byte UTF-8 subsamples its raw
+    * bytes instead of silently shifting — pixel rasters are bytes, not
+    * characters. Output is the string form (the test corpus is ASCII
+    * text standing in for pixel bytes; a real decoder would emit a
+    * tensor — see [[DecoderStub]]).
     */
   def resize2d(assets: DataFrame, rowWidth: Int, stride: Int): DataFrame = {
-    val txt = col("payload").cast("string")
     val nRows = (octet_length(col("payload")) / rowWidth).cast("int")
     val kept = flatten(transform(
       when(nRows > 0, sequence(lit(0), nRows - 1, lit(stride)))
@@ -100,7 +104,8 @@ object Multimodal {
       r => transform(sequence(lit(0), lit(rowWidth - 1), lit(stride)),
         c => r * rowWidth + c)))
     assets.select(col("asset_id"),
-      concat_ws("", transform(kept, i => txt.substr(i + 1, lit(1)))).as("resized"))
+      concat_ws("", transform(kept,
+        i => col("payload").substr(i + 1, lit(1)).cast("string"))).as("resized"))
   }
 
   /** Partition-parallel feature extraction over the binary column.

@@ -180,6 +180,13 @@ object Joins {
     // breaks ties among right rows at the same ts deterministically
     // (last = greatest payload). Forward scans in descending ts, so the
     // carried right is the nearest one at-or-after the left row.
+    // TIE-BREAK CAVEAT: when several right rows share the qualifying ts,
+    // this picks the greatest _rp struct in BOTH directions — a
+    // deterministic choice, but engines' native ASOF joins resolve such
+    // ties implementation-arbitrarily, so cross-engine comparisons on
+    // non-ts right fields are only meaningful when (key, ts) is unique
+    // on the right (true for the events table) or when comparing
+    // tie-invariant fields like r_ts_us.
     val tsOrder = if (direction == "backward") col("_ts").asc else col("_ts").desc
     val w = Window.partitionBy("_k").orderBy(tsOrder, col("_tag").asc, col("_rp").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

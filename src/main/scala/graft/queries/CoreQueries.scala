@@ -637,10 +637,12 @@ object CoreQueries {
           col("l_orderkey"),
           round(col("l_extendedprice") * 100).cast("long").as("price_c"),
           round(col("l_discount") * 100).cast("long").as("disc_c")),
-        "graft_b_lineitem", "l_orderkey", nBuckets = 16)
+        "graft_b_lineitem", "l_orderkey", nBuckets = 16,
+        overwriteOrphan = true)
       Sources.writeBucketed(
         Graft.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-        "graft_b_orders", "o_orderkey", nBuckets = 16)
+        "graft_b_orders", "o_orderkey", nBuckets = 16,
+        overwriteOrphan = true)
       s.table("graft_b_lineitem")
         .join(s.table("graft_b_orders"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey"))

@@ -233,10 +233,14 @@ object PipelineQueries {
       // as TakeOrderedAndProject (per-partition heaps), reproducible
       // across runs/engines/layouts, and N is exact (hash-threshold
       // sampling only hits N in expectation). Same bounded-draw shape as
-      // the ANN trainers' sample stage.
+      // the ANN trainers' sample stage. Ranks on a RAW 60-bit hash
+      // prefix, no modulo: a 32-bit prefix mod 1e9 left residues below
+      // 2^32 mod 1e9 with 5 preimages vs 4 elsewhere (~25% selection
+      // bias toward low hash values).
       Graft.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          TextFunctions.splitBucket(col("doc_id"), nBuckets = 1000000000).as("_h"))
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long").as("_h"))
         .orderBy(col("_h"), col("doc_id"))
         .limit(100)
         .select("doc_id", "lang")),
@@ -769,7 +773,7 @@ object PipelineQueries {
     "pp_sample_n" ->
       """SELECT doc_id, lang FROM (
            SELECT doc_id, lang,
-                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000000 AS h
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
            FROM documents)
          ORDER BY h, doc_id LIMIT 100""",
     "pp_topquality" ->

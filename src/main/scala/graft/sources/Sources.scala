@@ -67,18 +67,31 @@ object Sources {
     * share partition count and keying — reference:
     * src/main/scala/com/github/hosnimed/StreamToStreamJoinExample.scala:92-95).
     * Requires `saveAsTable` (bucket metadata lives in the catalog).
+    *
+    * `overwriteOrphan`: a managed-table directory left by an EARLIER
+    * session is invisible to this session's in-memory catalog, so
+    * `overwrite` can't drop it and the create fails on
+    * LOCATION_ALREADY_EXISTS. With the flag set the orphan directory is
+    * deleted first — correct for scratch/derived tables this pipeline
+    * owns. Default is OFF: in a shared or persistent-metastore warehouse
+    * that directory may belong to another application that happens to
+    * use the same table name, and silently destroying it would be data
+    * loss; the default instead fails with an explicit message.
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    nBuckets: Int): Unit = {
+                    nBuckets: Int, overwriteOrphan: Boolean = false): Unit = {
     val spark = df.sparkSession
-    // a managed-table dir left by an EARLIER session is invisible to this
-    // session's in-memory catalog, so `overwrite` can't drop it and the
-    // create fails on LOCATION_ALREADY_EXISTS — clear the orphan first
     if (!spark.catalog.tableExists(table)) {
       val p = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+      if (fs.exists(p)) {
+        if (overwriteOrphan) fs.delete(p, true)
+        else throw new IllegalStateException(
+          s"writeBucketed: warehouse directory $p exists but table '$table' " +
+            "is not in this session's catalog - it may belong to another " +
+            "application. Pass overwriteOrphan=true to reclaim it.")
+      }
     }
     // repartition on the bucket column first: Spark's repartition hash
     // (Murmur3 pmod n) IS the bucket hash, so each write task holds

@@ -198,10 +198,10 @@ class PlanSpec extends GraftTest {
     import spark.implicits._
     graft.sources.Sources.writeBucketed(
       (0L until 1000L).map(i => (i % 100, s"l$i")).toDF("k", "lv"),
-      "bt_left", "k", nBuckets = 8)
+      "bt_left", "k", nBuckets = 8, overwriteOrphan = true)
     graft.sources.Sources.writeBucketed(
       (0L until 500L).map(i => (i % 100, s"r$i")).toDF("k", "rv"),
-      "bt_right", "k", nBuckets = 8)
+      "bt_right", "k", nBuckets = 8, overwriteOrphan = true)
     // forbid broadcast so the planner must pick the co-located SMJ path
     withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val j = spark.table("bt_left").join(spark.table("bt_right"), "k")
