@@ -152,6 +152,27 @@ object Ann {
     cent
   }
 
+  /** Bounded, layout-invariant training draw shared by the quantizer
+    * trainers: `orderBy(xxhash64(id)).limit(cap)` plans as a distributed
+    * per-partition top-K heap (never a global sort) and the hash order
+    * makes the draw deterministic across layouts. Only ≤ cap vectors
+    * (a few MB) reach the driver — bounded by construction.
+    */
+  private def boundedSample(corpus: DataFrame, id: String, vec: String,
+                            cap: Int): Array[Array[Double]] =
+    corpus
+      .select(col(id).as("_sid"), col(vec).cast("array<double>").as("_sv"))
+      .where(col("_sv").isNotNull)
+      .orderBy(xxhash64(col("_sid")), col("_sid"))
+      .limit(cap)
+      .select("_sv")
+      .collect().map(_.getSeq[Double](0).toArray)
+
+  private def unitVec(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0.0) v.clone() else v.map(_ / n)
+  }
+
   /** IVF (inverted-file) approximate top-k: learn `nLists` centroids with
     * KMeans on a sample, assign every corpus vector to its nearest list,
     * then search each query only in its `nProbe` closest lists. The
@@ -164,24 +185,16 @@ object Ann {
               k: Int, nLists: Int = 16, nProbe: Int = 4,
               trainCap: Int = 16384, maxIter: Int = 10): DataFrame = {
     // training is the FIXED cost of IVF and must not scale with the
-    // corpus (the standard inverted-file recipe): draw a BOUNDED uniform
-    // sample — `orderBy(xxhash64(id)).limit(cap)` plans as a distributed
-    // per-partition top-K heap, never a global sort, and the hash order
-    // makes the draw deterministic across layouts — then run spherical
-    // k-means in memory on those ≤ trainCap vectors (a few MB; bounded by
-    // construction, unlike a collect of corpus-sized state). Only the
-    // nLists × dim centroid matrix leaves the driver, as a broadcast.
-    // Centroid quality converges long before the full corpus is seen;
-    // recall comes from nProbe, not centroid perfection. (The previous
-    // form trained spark.ml KMeans over the full corpus: kmeans|| init
-    // plus per-iteration job rounds made TRAINING dominate query time.)
-    val sample = corpus
-      .select(col(id).as("_sid"), col(vec).cast("array<double>").as("_sv"))
-      .where(col("_sv").isNotNull)
-      .orderBy(xxhash64(col("_sid")), col("_sid"))
-      .limit(trainCap)
-      .select("_sv")
-      .collect().map(_.getSeq[Double](0).toArray)
+    // corpus (the standard inverted-file recipe): run spherical k-means
+    // in memory over a [[boundedSample]] (≤ trainCap vectors, a few MB;
+    // bounded by construction, unlike a collect of corpus-sized state).
+    // Only the nLists × dim centroid matrix leaves the driver, as a
+    // broadcast. Centroid quality converges long before the full corpus
+    // is seen; recall comes from nProbe, not centroid perfection. (The
+    // previous form trained spark.ml KMeans over the full corpus:
+    // kmeans|| init plus per-iteration job rounds made TRAINING dominate
+    // query time.)
+    val sample = boundedSample(corpus, id, vec, trainCap)
     val centroids = sphericalKMeans(sample, nLists, maxIter)
 
     // the centroid matrix ships ONCE per executor as a Spark broadcast and
@@ -304,24 +317,14 @@ object Ann {
              trainCap: Int = 16384, maxIter: Int = 10): DataFrame = {
     val spark = corpus.sparkSession
     val kCent = 1 << codebookBits
-    val sample = corpus
-      .select(col(id).as("_sid"), col(vec).cast("array<double>").as("_sv"))
-      .where(col("_sv").isNotNull)
-      .orderBy(xxhash64(col("_sid")), col("_sid"))
-      .limit(trainCap)
-      .select("_sv")
-      .collect().map(_.getSeq[Double](0).toArray)
+    val sample = boundedSample(corpus, id, vec, trainCap)
     require(sample.nonEmpty, "PQ training needs a non-empty corpus")
     val dim = sample(0).length
     require(dim >= m, s"dim $dim < m $m")
-    def unit(v: Array[Double]): Array[Double] = {
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0.0) v else v.map(_ / n)
-    }
     val bounds = (0 to m).map(s => s * dim / m).toArray
     val books: Array[Array[Array[Double]]] = (0 until m).toArray.map { s =>
       euclideanKMeans(
-        sample.map(v => java.util.Arrays.copyOfRange(unit(v), bounds(s), bounds(s + 1))),
+        sample.map(v => java.util.Arrays.copyOfRange(unitVec(v), bounds(s), bounds(s + 1))),
         kCent, maxIter)
     }
     val bc = spark.sparkContext.broadcast((books, bounds))
@@ -408,6 +411,183 @@ object Ann {
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         adc(col("codes"), col("xnorm"), col("lut")).as("est"))
+    val wEst = Window.partitionBy("query_id").orderBy(col("est").desc, col("neighbor_id").asc)
+    val cand = est.withColumn("_r", row_number().over(wEst))
+      .where(col("_r") <= math.max(refineK, k))
+      .select("query_id", "neighbor_id")
+    val refined = cand
+      .join(corpus.select(col(id).as("neighbor_id"), col(vec).as("cv")), "neighbor_id")
+      .join(broadcast(queries.select(col(id).as("query_id"), col(vec).as("qv"))), "query_id")
+      .withColumn("cos", cosineNative(spark, "qv", "cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    refined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** IVFADC — the production ANN composition of [[ivfTopK]] and
+    * [[pqTopK]]: a coarse quantizer (spherical-k-means inverted lists)
+    * scopes the search to `nProbe` cells, and product quantization over
+    * the RESIDUALS (u − c_list, the classic IVFADC encode — residuals
+    * are far more compressible than raw vectors because the coarse cell
+    * has already absorbed most of the energy) compresses each corpus
+    * vector to m codes + one norm. Asymmetric-distance scoring touches
+    * only the probed cells' encoded rows, then the top `refineK`
+    * estimates re-rank with exact cosine on raw vectors.
+    *
+    * Scale shape: training is bounded ([[boundedSample]]) and ships as
+    * ONE broadcast (centroids + codebooks); the corpus pays one
+    * encode scan; the candidate join is an equi-join on list id; the
+    * ADC scan reads ~9 B/row instead of raw floats; the exact re-rank
+    * touches |queries| × refineK rows. With nProbe = nLists and
+    * refineK ≥ |corpus| this degrades to exact brute force (asserted
+    * in DedupAnnSpec).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+                k: Int, nLists: Int = 16, nProbe: Int = 4, m: Int = 8,
+                codebookBits: Int = 6, refineK: Int = 50,
+                trainCap: Int = 16384, maxIter: Int = 10): DataFrame = {
+    val spark = corpus.sparkSession
+    val kCent = 1 << codebookBits
+    val sample = boundedSample(corpus, id, vec, trainCap)
+    require(sample.nonEmpty, "IVFADC training needs a non-empty corpus")
+    val dim = sample(0).length
+    require(dim >= m, s"dim $dim < m $m")
+
+    // coarse quantizer (unit-norm centroids, argmax-dot assignment,
+    // ties to the lower list id — identical contract to ivfTopK)
+    val centroids = sphericalKMeans(sample, nLists, maxIter)
+    def nearestList(cents: Array[Array[Double]], u: Array[Double]): Int = {
+      var best = 0; var bestS = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        val ctr = cents(c)
+        var dot = 0.0; var j = 0
+        while (j < u.length && j < ctr.length) { dot += u(j) * ctr(j); j += 1 }
+        if (dot > bestS) { bestS = dot; best = c }
+        c += 1
+      }
+      best
+    }
+    // residual codebooks: k-means per subspace over (u − c_list) of the
+    // training sample
+    val bounds = (0 to m).map(s => s * dim / m).toArray
+    val residuals = sample.map { v =>
+      val u = unitVec(v)
+      val c = centroids(nearestList(centroids, u))
+      Array.tabulate(dim)(j => u(j) - c(j))
+    }
+    val books: Array[Array[Array[Double]]] = (0 until m).toArray.map { s =>
+      euclideanKMeans(
+        residuals.map(r => java.util.Arrays.copyOfRange(r, bounds(s), bounds(s + 1))),
+        kCent, maxIter)
+    }
+    val bc = spark.sparkContext.broadcast((centroids, books, bounds))
+
+    // corpus row → (list, m codes, reconstruction norm): nearest
+    // sub-centroid by L2 over the residual, x̂ = c_list + ĉ(codes)
+    val encode = udf { (v: Seq[Double]) =>
+      if (v == null) null
+      else {
+        val (cents, bks, bds) = bc.value
+        val u = unitVec(v.toArray)
+        val lst = nearestList(cents, u)
+        val cl = cents(lst)
+        val recon = cl.clone()
+        val codes = new Array[Int](bks.length)
+        var s = 0
+        while (s < bks.length) {
+          val book = bks(s); val lo = bds(s); val hi = bds(s + 1)
+          var best = 0; var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < book.length) {
+            val ctr = book(c)
+            var d = 0.0; var j = lo
+            while (j < hi) { val t = (u(j) - cl(j)) - ctr(j - lo); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          codes(s) = best
+          val ctr = book(best)
+          var j = lo
+          while (j < hi) { recon(j) += ctr(j - lo); j += 1 }
+          s += 1
+        }
+        var normSq = 0.0
+        var j = 0
+        while (j < recon.length) { normSq += recon(j) * recon(j); j += 1 }
+        (lst, codes.toSeq, math.sqrt(normSq))
+      }
+    }
+
+    // query row → nProbe (list, dot(u_q, c_list)) probes, by descending
+    // centroid similarity (ties to the lower list id)
+    val probeUdf = udf { (v: Seq[Double]) =>
+      if (v == null) null
+      else {
+        val (cents, _, _) = bc.value
+        val u = unitVec(v.toArray)
+        cents.zipWithIndex.map { case (c, i) =>
+          var dot = 0.0; var j = 0
+          while (j < u.length && j < c.length) { dot += u(j) * c(j); j += 1 }
+          (dot, i)
+        }.sortBy { case (s, i) => (-s, i) }.take(nProbe)
+          .map { case (d, i) => (i, d) }.toSeq
+      }
+    }
+
+    // query row → residual LUT (list-independent: lut[s][c] = dot of the
+    // query's subspace slice with residual sub-centroid c)
+    val lutUdf = udf { (v: Seq[Double]) =>
+      if (v == null) null
+      else {
+        val (_, bks, bds) = bc.value
+        val u = unitVec(v.toArray)
+        val lut = new Array[Double](bks.length * kCent)
+        var s = 0
+        while (s < bks.length) {
+          val book = bks(s); val lo = bds(s)
+          var c = 0
+          while (c < book.length) {
+            val ctr = book(c)
+            var dot = 0.0; var j = 0
+            while (j < ctr.length) { dot += u(lo + j) * ctr(j); j += 1 }
+            lut(s * kCent + c) = dot
+            c += 1
+          }
+          s += 1
+        }
+        lut.toSeq
+      }
+    }
+
+    // ADC: cos-estimate = (dot(q, c_list) + Σ_s lut[s][code_s]) / ‖x̂‖
+    val adc = udf { (codes: Seq[Int], xnorm: Double, qdotc: Double, lut: Seq[Double]) =>
+      var acc = qdotc
+      var s = 0
+      while (s < codes.length) { acc += lut(s * kCent + codes(s)); s += 1 }
+      if (xnorm == 0.0) 0.0 else acc / xnorm
+    }
+
+    val encoded = corpus
+      .select(col(id).as("neighbor_id"), encode(col(vec).cast("array<double>")).as("_e"))
+      .where(col("_e").isNotNull)
+      .select(col("neighbor_id"), col("_e._1").as("list"),
+        col("_e._2").as("codes"), col("_e._3").as("xnorm"))
+    val q = queries
+      .select(col(id).as("query_id"),
+        probeUdf(col(vec).cast("array<double>")).as("_p"),
+        lutUdf(col(vec).cast("array<double>")).as("lut"))
+      .where(col("_p").isNotNull)
+      .select(col("query_id"), col("lut"), explode(col("_p")).as("_pe"))
+      .select(col("query_id"), col("lut"),
+        col("_pe._1").as("list"), col("_pe._2").as("qdotc"))
+    // candidates are unique without a distinct(): each corpus vector
+    // lives in exactly ONE list and a query's probed lists are distinct
+    val est = broadcast(q).join(encoded, Seq("list"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        adc(col("codes"), col("xnorm"), col("qdotc"), col("lut")).as("est"))
     val wEst = Window.partitionBy("query_id").orderBy(col("est").desc, col("neighbor_id").asc)
     val cand = est.withColumn("_r", row_number().over(wEst))
       .where(col("_r") <= math.max(refineK, k))

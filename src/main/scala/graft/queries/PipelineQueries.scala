@@ -439,6 +439,16 @@ object PipelineQueries {
         k = 10, m = 8, codebookBits = 6, refineK = 50)
     }),
 
+    "ann_ivfpq" -> ((s, d) => {
+      // IVFADC: inverted lists scope the search, residual PQ compresses
+      // the in-cell scan, exact re-rank on the refine set — the full
+      // production ANN composition (recall + exact-degradation asserted
+      // in DedupAnnSpec; rows-only here)
+      val emb = Graft.embeddings(s, d)
+      Ann.ivfPqTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+        k = 10, nLists = 16, nProbe = 6, m = 8, codebookBits = 6, refineK = 50)
+    }),
+
     // ---- text analysis ----------------------------------------------------
     "txt_quality" -> ((s, d) =>
       // native text_stats kernel (one byte scan per doc) with the Column

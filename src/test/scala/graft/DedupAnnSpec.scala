@@ -327,6 +327,42 @@ class DedupAnnSpec extends GraftTest {
     assert(rPartial >= 0.2 && rPartial <= rFull, s"partial probe recall $rPartial")
   }
 
+  test("IVFADC: full probe + corpus-sized refine degrades to exact brute force") {
+    val emb = Graft.embeddings(spark, sf)
+    val queries = emb.where(col("vec_id") < 10)
+    val truth = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Ann.ivfPqTopK(emb, queries, "vec_id", "embedding", k = 5,
+        nLists = 16, nProbe = 16, m = 8, codebookBits = 6, refineK = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full === truth,
+      "probing every list with corpus-sized refine must equal brute force")
+  }
+
+  test("IVFADC: moderate probe/refine recall beats the floor, scores are true cosines") {
+    val emb = Graft.embeddings(spark, sf)
+    val queries = emb.where(col("vec_id") < 20)
+    val truth = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Ann.ivfPqTopK(emb, queries, "vec_id", "embedding", k = 5,
+      nLists = 16, nProbe = 8, m = 8, codebookBits = 6, refineK = 50)
+    val found = got.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.intersect(found).size.toDouble / truth.size
+    assert(recall >= 0.5, s"IVFADC recall@5 too low: $recall")
+    // reported scores are exact cosines of the raw vectors (the refine
+    // contract), not ADC estimates: spot-check against brute force where
+    // the pair appears in both
+    val bruteCos = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    got.collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bruteCos.get(key).foreach(c => assert(c === r.getDouble(3),
+        s"IVFADC must report exact cosine for $key"))
+    }
+  }
+
   test("LSH bucket cap drops mega-cluster candidates, keeps normal near-dups") {
     import spark.implicits._
     val normal = (0L until 100L).map(i =>
