@@ -73,9 +73,14 @@ object Bench {
     // measurement window masquerade as an engine regression (BENCH_r04
     // was 20-100x inflated by exactly this).
     val calibrationQuery = headline.head // q1_agg: scan-agg, ~0.5s warm
-    def calibrate(): Double = runOnce(calibrationQuery) match {
-      case Right(t) => t
-      case Left(_)  => Double.NaN
+    // min-of-2, same as the timed queries: a single probe right after
+    // warmup still carries residual JIT/codegen cost and reads ~2x the
+    // steady state (measured), which would false-positive the sentinel
+    def calibrate(): Double = (runOnce(calibrationQuery), runOnce(calibrationQuery)) match {
+      case (Right(a), Right(b)) => math.min(a, b)
+      case (Right(a), _)        => a
+      case (_, Right(b))        => b
+      case _                    => Double.NaN
     }
     val calStart = calibrate()
 
@@ -91,12 +96,15 @@ object Bench {
       }
 
     val calEnd = calibrate()
+    // DIRECTIONAL ratio: end/start. The JVM keeps JIT-warming through the
+    // run, so end < start is normal on a healthy box (measured ~0.5x) and
+    // must not trip the sentinel; contention arriving mid-run makes the
+    // END probe slow (ratio >> 1), and a window that was contended
+    // throughout is caught by the absolute ceiling (warm q1_agg on this
+    // data is ~0.2-0.7s; 5s means the box is not measuring the engine).
     val calRatio =
       if (calStart.isNaN || calEnd.isNaN) Double.NaN
-      else math.max(calStart, calEnd) / math.max(1e-9, math.min(calStart, calEnd))
-    // >2x drift between identical probes = the box changed under us;
-    // an absolute ceiling catches a window that was bad from the start
-    // (warm q1_agg on this data is ~0.4-0.7s; 5s means heavy contention).
+      else calEnd / math.max(1e-9, calStart)
     val degraded =
       calRatio.isNaN || calRatio > 2.0 ||
         math.min(calStart, calEnd) > 5.0
