@@ -83,15 +83,27 @@ object Ann {
     * join is on bucket id only, never an all-pairs product.
     */
   def crossCosinePairs(batch: DataFrame, corpus: DataFrame, id: String, vec: String,
-                       threshold: Double, nBits: Int = 8, probeBits: Int = 2): DataFrame = {
+                       threshold: Double, nBits: Int = 8, probeBits: Int = 2,
+                       maxBucket: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     val probes = array((lit(0) +: (0 until probeBits).map(b => lit(1 << b))): _*)
     val l = batch.select(col(id).as("batch_id"), col(vec).as("va"),
         srpBucketNative(spark, vec, nBits).as("b0"))
       .select(col("batch_id"), col("va"),
         explode(transform(probes, f => col("b0").bitwiseXOR(f))).as("bucket"))
-    val r = corpus.select(col(id).as("corpus_id"), col(vec).as("vb"),
+    val r0 = corpus.select(col(id).as("corpus_id"), col(vec).as("vb"),
       srpBucketNative(spark, vec, nBits).as("bucket"))
+    // corpus-side hot-bucket guard (same r-side-only contract as
+    // cosinePairs(maxBucket)): an oversized corpus bucket is dropped, so
+    // one batch probe can't pull a mega-cluster into a single task;
+    // batch probes into healthy buckets are unaffected
+    val r =
+      if (maxBucket <= 0) r0
+      else {
+        val ok = r0.groupBy("bucket").agg(count(lit(1)).as("_bsz"))
+          .where(col("_bsz") <= maxBucket).select("bucket")
+        r0.join(ok, Seq("bucket"), "left_semi")
+      }
     // pairs are unique without a distinct(): corpus rows key by their one
     // bucket, batch probes are distinct bucket values
     l.join(r, Seq("bucket"))

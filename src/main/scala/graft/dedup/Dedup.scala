@@ -219,13 +219,27 @@ object Dedup {
     */
   def crossMinhashPairs(batch: DataFrame, corpus: DataFrame, id: String, text: String,
                         threshold: Double, numHashes: Int = 64, bands: Int = 16,
-                        shingleK: Int = 3): DataFrame = {
+                        shingleK: Int = 3, maxBucket: Int = 0): DataFrame = {
     val bs = minhashSigs(batch, id, text, numHashes, shingleK)
     val cs = minhashSigs(corpus, id, text, numHashes, shingleK)
     val bb = bandsOfSigs(bs, numHashes, bands)
       .select(col("band"), col("band_hash"), col("doc").as("batch_id"))
-    val cb = bandsOfSigs(cs, numHashes, bands)
+    val cbAll = bandsOfSigs(cs, numHashes, bands)
       .select(col("band"), col("band_hash"), col("doc").as("corpus_id"))
+    // same hot-bucket guard as minhashPairs(maxBucket), applied to the
+    // CORPUS side only (the big side; a boilerplate mega-cluster there
+    // makes every matching batch doc pay the whole cluster in one task).
+    // A batch doc whose match sits in a dropped bucket still surfaces
+    // through the pair's other, less-degenerate bands.
+    val cb =
+      if (maxBucket <= 0) cbAll
+      else {
+        val ok = cbAll.groupBy("band", "band_hash")
+          .agg(count(lit(1)).as("_bsz"))
+          .where(col("_bsz") <= maxBucket)
+          .select("band", "band_hash")
+        cbAll.join(ok, Seq("band", "band_hash"), "left_semi")
+      }
     val cand = bb.join(cb, Seq("band", "band_hash"))
       .select("batch_id", "corpus_id").distinct()
     val withSigs = cand

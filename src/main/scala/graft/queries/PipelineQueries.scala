@@ -79,7 +79,8 @@ object PipelineQueries {
       graft.ann.Ann.crossCosinePairs(
         emb.where(pmod(col("vec_id"), lit(10)) === 0),
         emb.where(pmod(col("vec_id"), lit(10)) =!= 0),
-        "vec_id", "embedding", threshold = 0.25, nBits = 6, probeBits = 3)
+        "vec_id", "embedding", threshold = 0.25, nBits = 6, probeBits = 3,
+        maxBucket = 1000)
     }),
 
     "dd_simhash" -> ((s, d) =>
@@ -155,7 +156,7 @@ object PipelineQueries {
       Dedup.crossMinhashPairs(
         docs.where(pmod(col("doc_id"), lit(10)) === 0),
         docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
-        "doc_id", "text", threshold = 0.5)
+        "doc_id", "text", threshold = 0.5, maxBucket = 1000)
     }),
 
     "pp_split_grouped" -> ((s, d) => {

@@ -462,7 +462,8 @@ class DedupAnnSpec extends GraftTest {
   }
 
   test("certified LSH queries run with the bucket cap active (left-semi guard in plan)") {
-    for (q <- Seq("dd_minhash", "dd_simhash", "dd_embedding", "dd_fuzzy")) {
+    for (q <- Seq("dd_minhash", "dd_simhash", "dd_embedding", "dd_fuzzy",
+                  "dd_minhash_incremental", "ann_incremental")) {
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan.toString
       assert(plan.contains("LeftSemi"),
         s"$q must carry the maxBucket semi-join guard; plan:\n${plan.take(2000)}")
