@@ -489,6 +489,36 @@ class DedupAnnSpec extends GraftTest {
     assert(!hits.exists(_._1 == 1001L), "unrelated batch doc must not pair")
   }
 
+  test("cross-corpus cap: corpus mega-cluster bounded, batch near-dup still found") {
+    import spark.implicits._
+    val corpusRows = (0L until 200L).map(i =>
+      (i, s"corpus document number $i with words alpha$i beta$i gamma$i delta$i epsilon$i zeta$i")) ++
+      // a 300-copy mega-cluster in the standing corpus: identical text →
+      // identical signature → every band bucket holds 300 corpus rows
+      (1000L until 1300L).map(i => (i, "boilerplate page exactly repeated verbatim"))
+    val batchRows = Seq(
+      // near-copy of corpus doc 7 (one word changed) — must survive the cap
+      (5000L, corpusRows(7)._2.replace("delta7", "CHANGED")),
+      // a batch copy of the boilerplate: its only matches live in capped
+      // buckets, so the cap drops them (exact dedup's job upstream)
+      (5001L, "boilerplate page exactly repeated verbatim"))
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val batch = batchRows.toDF("doc_id", "text")
+    val capped = Dedup.crossMinhashPairs(batch, corpus, "doc_id", "text",
+        threshold = 0.5, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.crossMinhashPairs(batch, corpus, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped))
+    assert(capped.contains((5000L, 7L)),
+      s"planted near-dup in a healthy bucket must survive the cap; got $capped")
+    assert(!capped.exists(_._2 >= 1000L),
+      "matches into the capped mega-cluster must be dropped")
+    assert(uncapped.count { case (b, c) => b == 5001L && c >= 1000L } === 300,
+      "uncapped run pays the full mega-cluster fan-out the cap prevents")
+  }
+
   test("group-aware split keeps every near-dup cluster in one split") {
     import spark.implicits._
     val docs = (0L until 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
