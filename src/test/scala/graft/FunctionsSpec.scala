@@ -518,6 +518,26 @@ class FunctionsSpec extends GraftTest {
     assert(got(1L) === 0.0)
   }
 
+  test("detLnSql renders the identical computation: SQL == Column, bit-exact") {
+    import spark.implicits._
+    val ks: Seq[Long] = (1L to 2000L) ++ Seq(65536L, 999983L, (1L << 45) + 12345L)
+    ks.toDF("k").createOrReplaceTempView("detln_in")
+    // the oracle-side SQL text executed BY SPARK must reproduce the
+    // Column form to the last bit — op order and literals are shared by
+    // construction, this guards against the two renderers drifting
+    val viaSql = spark.sql(
+        s"SELECT k, ${TextFunctions.detLnSql("k")} AS lnk FROM detln_in")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaCol = ks.toDF("k")
+      .select(col("k"), TextFunctions.detLn(col("k")).as("lnk"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ks.foreach { k =>
+      assert(java.lang.Double.doubleToLongBits(viaSql(k)) ===
+        java.lang.Double.doubleToLongBits(viaCol(k)),
+        s"detLnSql($k)=${viaSql(k)} != detLn($k)=${viaCol(k)}")
+    }
+  }
+
   test("unigramLmScore: integer micro-nats, layout-invariant, sane ordering") {
     val docs = Graft.documents(spark, sf)
     val a = TextFunctions.unigramLmScore(docs, "doc_id", "text")
