@@ -146,6 +146,22 @@ object PipelineQueries {
         .select("doc_id", "lang")
     }),
 
+    "dd_lsh_resolve" -> ((s, d) => {
+      // the PRODUCTION near-dup removal path end-to-end: capped MinHash-
+      // LSH candidates → exact token-Jaccard verify on candidates only →
+      // connected components → drop non-canonical members. This is the
+      // shape SCALE.md measures as dd_cc_pipeline; dd_resolve is its
+      // oracle-portable twin (blocking-join candidates so DuckDB can
+      // replay). LSH candidate sets are hash-specific → rows-only here,
+      // end-to-end behavior in DedupAnnSpec.
+      val docs = Graft.documents(s, d)
+      val cand = Dedup.minhashPairs(docs, "doc_id", "text",
+        threshold = 0.5, maxBucket = 1000).select("a", "b")
+      val verified = Dedup.verifyJaccard(cand, docs, "doc_id", "text")
+        .where(col("jaccard") >= 0.5).select("a", "b")
+      Dedup.resolve(docs, verified, "doc_id").select("doc_id", "lang")
+    }),
+
     "dd_minhash_incremental" -> ((s, d) => {
       // cross-corpus NEAR-dup for incremental ingestion: new batch (every
       // 10th doc) LSH-checked against the standing corpus — the fuzzy

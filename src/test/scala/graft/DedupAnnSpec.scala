@@ -489,6 +489,33 @@ class DedupAnnSpec extends GraftTest {
     assert(!hits.exists(_._1 == 1001L), "unrelated batch doc must not pair")
   }
 
+  test("LSH→verify→resolve pipeline: clusters collapse to canonicals, others pass") {
+    import spark.implicits._
+    val normal = (0L until 100L).map(i =>
+      (i, s"standalone document $i about alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+    // a near-dup CHAIN (500-501-502, each one word off its neighbor) and
+    // an exact-duplicate pair (600, 601)
+    val base = "shared content words one two three four five six seven eight nine ten"
+    val chain = Seq(
+      (500L, base),
+      (501L, base.replace("three", "THREE")),
+      (502L, base.replace("three", "THREE").replace("seven", "SEVEN")))
+    val dupPair = Seq((600L, "identical doc body"), (601L, "identical doc body"))
+    val docs = (normal ++ chain ++ dupPair).toDF("doc_id", "text")
+    val cand = Dedup.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.5, maxBucket = 1000).select("a", "b")
+    val verified = Dedup.verifyJaccard(cand, docs, "doc_id", "text")
+      .where(col("jaccard") >= 0.5).select("a", "b")
+    val kept = Dedup.resolve(docs, verified, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(500L) && !kept.contains(501L) && !kept.contains(502L),
+      s"near-dup chain must collapse to its min id; kept ${kept.filter(_ >= 500)}")
+    assert(kept.contains(600L) && !kept.contains(601L),
+      "exact-dup pair must collapse to its min id")
+    assert((0L until 100L).forall(kept.contains),
+      "standalone docs must pass through untouched")
+  }
+
   test("cross-corpus cap: corpus mega-cluster bounded, batch near-dup still found") {
     import spark.implicits._
     val corpusRows = (0L until 200L).map(i =>
