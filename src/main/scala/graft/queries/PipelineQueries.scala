@@ -70,6 +70,20 @@ object PipelineQueries {
       graft.ann.Ann.cosinePairs(Graft.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.25, nBits = 6, probeBits = 3, maxBucket = 1000)),
 
+    "dd_embedding_resolve" -> ((s, d) => {
+      // the embedding-modality twin of dd_lsh_resolve: capped SRP-bucket
+      // cosine pairs → connected components → drop non-canonical members.
+      // Semantic near-dup REMOVAL end-to-end (the representation-level
+      // dedup a multimodal corpus runs where text shingles don't apply).
+      // Hash-bucket-specific candidates → rows-only; behavior in
+      // DedupAnnSpec.
+      val emb = Graft.embeddings(s, d)
+      val verified = graft.ann.Ann.cosinePairs(emb, "vec_id", "embedding",
+          threshold = 0.95, nBits = 6, probeBits = 3, maxBucket = 1000)
+        .select("a", "b")
+      Dedup.resolve(emb.select("vec_id", "label"), verified, "vec_id")
+    }),
+
     "ann_incremental" -> ((s, d) => {
       // cross-corpus embedding near-dup (incremental ingestion): vec_id
       // % 10 == 0 stands in for the new batch; bucket-join only,

@@ -516,6 +516,32 @@ class DedupAnnSpec extends GraftTest {
       "standalone docs must pass through untouched")
   }
 
+  test("embedding resolve pipeline: planted vector dup cluster collapses, rest pass") {
+    import spark.implicits._
+    val emb = Graft.embeddings(spark, sf).select("vec_id", "embedding")
+    val v = emb.where(col("vec_id") === 3).select("embedding").head().getSeq[Float](0).toArray
+    // three exact copies of vector 3 planted at high ids — same SRP
+    // bucket, cosine 1.0 → one cluster {3, 910000, 910001, 910002}
+    val planted = Seq(910000L, 910001L, 910002L).map(i => (i, v.toSeq)).toDF("vec_id", "embedding")
+    val all = emb.unionByName(planted)
+    val verified = Ann.cosinePairs(all, "vec_id", "embedding",
+        threshold = 0.999999, nBits = 6, probeBits = 3, maxBucket = 1000)
+      .select("a", "b")
+    val kept = Dedup.resolve(all.select("vec_id"), verified, "vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(3L), "cluster canonical (min id) must survive")
+    assert(Seq(910000L, 910001L, 910002L).forall(!kept.contains(_)),
+      s"planted copies must be dropped; kept ${kept.filter(_ >= 910000L)}")
+    // every original vector other than exact-dup losers survives
+    val originals = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val dropped = originals -- kept
+    // originals may only drop if they are exact/near dups of a smaller id
+    // at cos ≥ threshold; with threshold this tight that means true dups
+    dropped.foreach { d =>
+      assert(d != 3L, "vector 3 is its cluster's min id and must not drop")
+    }
+  }
+
   test("cross-corpus cap: corpus mega-cluster bounded, batch near-dup still found") {
     import spark.implicits._
     val corpusRows = (0L until 200L).map(i =>

@@ -554,6 +554,30 @@ class FunctionsSpec extends GraftTest {
     assert(rows.map(_.getLong(2)).distinct.length > 1)
   }
 
+  test("unigramLmScore matches an in-memory reference on a known corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "the dog sat"), (3L, "the the the"), (4L, "rare unique tokens"))
+    val got = TextFunctions.unigramLmScore(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // reference: same math in plain Scala (tokens = lowercase \W+ split)
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq }
+    val cnt = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTotal = cnt.values.sum
+    def w(term: String): Long =
+      math.floor(math.log(nTotal.toDouble / cnt(term).toDouble) * 1e6).toLong
+    toks.foreach { case (id, ts) =>
+      val nTok = ts.size.toLong
+      val expect = ts.map(w).sum / nTok
+      assert(got(id) === ((nTok, expect)),
+        s"doc $id: got ${got(id)}, want ($nTok, $expect)")
+    }
+    // ordering sanity: all-common-token doc scores lower surprisal than
+    // the all-rare-token doc
+    assert(got(3L)._2 < got(4L)._2)
+  }
+
   test("tokenDiversity: known distributions, agrees with entropy's ordering") {
     import spark.implicits._
     val out = Seq(
