@@ -454,6 +454,14 @@ object Ann {
     * touches |queries| × refineK rows. With nProbe = nLists and
     * refineK ≥ |corpus| this degrades to exact brute force (asserted
     * in DedupAnnSpec).
+    *
+    * The probed-query frame BROADCASTS (same contract as the other topK
+    * searchers' query side): shuffling the encoded corpus by list id
+    * would funnel it into nLists partitions, while broadcasting queries
+    * leaves the corpus scan in place. Right for query batches up to
+    * ~10^4-10^5 (each query row carries an m·2^bits-double LUT); a
+    * larger batch should be sharded and the shards run independently —
+    * results are per-query, so sharding composes trivially.
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
                 k: Int, nLists: Int = 16, nProbe: Int = 4, m: Int = 8,
