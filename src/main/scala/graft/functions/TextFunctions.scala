@@ -259,6 +259,45 @@ object TextFunctions {
     s"(CAST($e AS DOUBLE) * ${sqlDouble(Ln2)} + $lnm)"
   }
 
+  /** 60·ln2 as one IEEE multiply of the shared literals — the −ln(u)
+    * offset for [[weightedSampleScore]]'s 60-bit uniform draw.
+    */
+  private val Ln2x60 = 60.0 * Ln2
+
+  /** Efraimidis–Spirakis weighted-sampling score, engine-portable and
+    * fully deterministic: rank rows by this ASCENDING and take the first
+    * N for an exact-N weighted sample WITHOUT replacement — a row's
+    * inclusion probability scales with `weight`, and the draw never
+    * changes when other rows come or go (the property mixture
+    * construction needs: re-running on a grown corpus keeps the
+    * previously sampled rows' keys stable).
+    *
+    * The E-S key is u^(1/w) (keep the N largest) with u uniform; taking
+    * −ln gives the equivalent ascending key −ln(u)/w. u derives from a
+    * 60-bit md5 prefix (u = (h+1)/2^60 ∈ (0,1]), so
+    * −ln(u) = 60·ln2 − ln(h+1) — an INTEGER-argument log, which
+    * [[detLn]] computes bit-identically on every engine. The division by
+    * `weight` and the micro-unit floor are IEEE-exact, so the score (and
+    * therefore the sample) hash-matches the SQL oracle rendered by
+    * [[weightedSampleScoreSql]]. `weight` must be positive.
+    *
+    * Scale shape: pure expressions in the scan + orderBy-limit →
+    * TakeOrderedAndProject (per-partition top-N heaps, no global sort).
+    */
+  def weightedSampleScore(key: Column, weight: Column): Column = {
+    val h1 = conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+      .cast("long") + lit(1L)
+    floor(((lit(Ln2x60) - detLn(h1)) / weight.cast("double")) * lit(1000000.0))
+      .cast("long")
+  }
+
+  /** SQL text computing exactly [[weightedSampleScore]] for a 60-bit
+    * `h1` column (the md5-prefix-plus-one integer) and a numeric weight
+    * column — same literals, same op order, bit-identical doubles.
+    */
+  def weightedSampleScoreSql(h1: String, w: String): String =
+    s"CAST(floor(((${sqlDouble(Ln2x60)} - ${detLnSql(h1)}) / CAST($w AS DOUBLE)) * 1000000.0e0) AS BIGINT)"
+
   /** Unigram language-model scoring — the perplexity-proxy quality signal
     * (the CCNet-style filter): unigram probabilities train on the corpus
     * itself, and each document scores its mean token negative

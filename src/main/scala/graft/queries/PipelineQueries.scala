@@ -276,6 +276,20 @@ object PipelineQueries {
         .limit(100)
         .select("doc_id", "lang")),
 
+    "pp_sample_weighted" -> ((s, d) =>
+      // exact-N WEIGHTED sample without replacement (Efraimidis–Spirakis;
+      // mixture construction at a fixed budget): en docs drawn at 4x the
+      // rate of other languages, deterministic and engine-portable — the
+      // −ln(u)/w key uses detLn so the oracle replays it bit-exactly.
+      // TakeOrderedAndProject shape, same as pp_sample_n.
+      Graft.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.weightedSampleScore(col("doc_id"),
+            when(col("lang") === "en", lit(4)).otherwise(lit(1))).as("_sc"))
+        .orderBy(col("_sc"), col("doc_id"))
+        .limit(100)
+        .select("doc_id", "lang")),
+
     "pp_topquality" -> ((s, d) =>
       // global "best N documents" selection: orderBy+limit plans as
       // TakeOrderedAndProject — per-partition top-N heaps merged on the
@@ -817,6 +831,15 @@ object PipelineQueries {
                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
            FROM documents)
          ORDER BY h, doc_id LIMIT 100""",
+    "pp_sample_weighted" ->
+      s"""WITH g AS (SELECT doc_id, lang,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1 AS h1,
+                       CASE WHEN lang = 'en' THEN 4 ELSE 1 END AS w
+                     FROM documents),
+              s AS (SELECT doc_id, lang,
+                       ${TextFunctions.weightedSampleScoreSql("g.h1", "g.w")} AS sc
+                    FROM g)
+         SELECT doc_id, lang FROM s ORDER BY sc, doc_id LIMIT 100""",
     "pp_topquality" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0) AS toks
                     FROM documents),

@@ -578,6 +578,40 @@ class FunctionsSpec extends GraftTest {
     assert(got(3L)._2 < got(4L)._2)
   }
 
+  test("weightedSampleScore: deterministic, layout-stable, weights shift the draw") {
+    import spark.implicits._
+    val docs = Graft.documents(spark, sf)
+    val w = when(col("lang") === "en", lit(4)).otherwise(lit(1))
+    def sample(d: org.apache.spark.sql.DataFrame,
+               weight: org.apache.spark.sql.Column) = d
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.weightedSampleScore(col("doc_id"), weight).as("_sc"))
+      .orderBy(col("_sc"), col("doc_id")).limit(100)
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    val a = sample(docs, w)
+    val b = sample(docs.repartition(7), w)
+    assert(a.toSeq === b.toSeq, "draw must not depend on layout")
+    assert(a.length === 100, "exactly N")
+    // weighting monotonicity: en at weight 4 takes a larger share than
+    // at weight 1 (both draws deterministic on the same hash stream)
+    val uniform = sample(docs, lit(1))
+    val enW = a.count(_._2 == "en")
+    val enU = uniform.count(_._2 == "en")
+    assert(enW > enU, s"weight-4 en share ($enW) must exceed uniform ($enU)")
+    // stability under corpus growth: rows sampled from the original
+    // corpus keep their scores when new rows arrive (a new doc can push
+    // others out only by ranking ahead, never by changing their keys)
+    val scores1 = docs.select(col("doc_id"),
+        TextFunctions.weightedSampleScore(col("doc_id"), w).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val grown = docs.unionByName(docs.limit(5)
+      .withColumn("doc_id", col("doc_id") + 1000000L))
+    val scores2 = grown.select(col("doc_id"),
+        TextFunctions.weightedSampleScore(col("doc_id"), w).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    scores1.foreach { case (id, s) => assert(scores2(id) === s) }
+  }
+
   test("tokenDiversity: known distributions, agrees with entropy's ordering") {
     import spark.implicits._
     val out = Seq(
