@@ -43,10 +43,11 @@ object Ann {
     */
   def cosinePairs(corpus: DataFrame, id: String, vec: String,
                   threshold: Double, nBits: Int = 8, probeBits: Int = 2,
-                  maxBucket: Int = 0): DataFrame = {
+                  maxBucket: Int = 1000): DataFrame = {
     val base0 = corpus.select(col(id).as("vid"), col(vec).as("v"),
       srpBucketNative(corpus.sparkSession, vec, nBits).as("b0"))
-    // Hot-bucket guard against the LSH skew cliff (a mega-cluster of
+    // Hot-bucket guard (default ON at 1000; maxBucket = 0 is the
+    // explicit opt-out) against the LSH skew cliff (a mega-cluster of
     // near-identical embeddings shares one SRP bucket → k²/2 verify pairs
     // on one task). Unlike minhashPairs — where a doc has 16 bands and
     // other bands still surface it — an SRP vector has ONE base bucket,
@@ -67,13 +68,22 @@ object Ann {
     val l = base0.select(col("vid").as("a"), col("v").as("va"),
       explode(transform(probes, f => col("b0").bitwiseXOR(f))).as("bucket"))
     val r = r0.select(col("vid").as("b"), col("v").as("vb"), col("b0").as("bucket"))
-    // no distinct() needed: r keys by its ONE true bucket and l's probe
-    // set is distinct values (b0 ^ unique flip masks), so a given (a, b)
-    // pair can match on at most one bucket — dedup would be a pure extra
-    // shuffle over the candidate set
-    l.join(r, Seq("bucket")).where(col("a") < col("b"))
-      .select(col("a"), col("b"), round(cosineNative(corpus.sparkSession, "va", "vb"), 6).as("cos"))
+    // Both orientations are kept and canonicalized with least/greatest
+    // rather than filtered with a<b: under the cap, a pair whose
+    // hot-bucket member has the LARGER id survives only as (hot, healthy)
+    // — the healthy vector probing INTO the hot bucket finds nothing (the
+    // hot side was semi-joined away), so an a<b filter would silently
+    // drop it whenever hot-id > healthy-id. Canonicalizing keeps every
+    // orientation that exists. The distinct() this requires runs AFTER
+    // the threshold filter, so it shuffles only the final (small) pair
+    // set — each unordered pair appears at most twice (once per
+    // orientation: r keys by its ONE true bucket and l's probe set is
+    // distinct values, so an orientation matches at most one bucket).
+    l.join(r, Seq("bucket")).where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"),
+        round(cosineNative(corpus.sparkSession, "va", "vb"), 6).as("cos"))
       .where(col("cos") >= threshold)
+      .distinct()
   }
 
   /** Cross-corpus embedding near-dup: which new-batch vectors are near
@@ -84,7 +94,7 @@ object Ann {
     */
   def crossCosinePairs(batch: DataFrame, corpus: DataFrame, id: String, vec: String,
                        threshold: Double, nBits: Int = 8, probeBits: Int = 2,
-                       maxBucket: Int = 0): DataFrame = {
+                       maxBucket: Int = 1000): DataFrame = {
     val spark = corpus.sparkSession
     val probes = array((lit(0) +: (0 until probeBits).map(b => lit(1 << b))): _*)
     val l = batch.select(col(id).as("batch_id"), col(vec).as("va"),
@@ -594,18 +604,25 @@ object Ann {
       .where(col("_e").isNotNull)
       .select(col("neighbor_id"), col("_e._1").as("list"),
         col("_e._2").as("codes"), col("_e._3").as("xnorm"))
-    val q = queries
-      .select(col(id).as("query_id"),
-        probeUdf(col(vec).cast("array<double>")).as("_p"),
-        lutUdf(col(vec).cast("array<double>")).as("lut"))
+    // The m·2^bits-double LUT is per-QUERY, not per-probe: broadcasting
+    // the probe-exploded frame with the LUT inline would ship each LUT
+    // nProbe times (e.g. 512 doubles × 6 probes per query). Instead the
+    // slim (query_id, list, qdotc) probe frame drives the list equi-join
+    // and the one-row-per-query (query_id, lut) frame joins on AFTER it,
+    // so each LUT crosses the wire once.
+    val qProbes = queries
+      .select(col(id).as("query_id"), probeUdf(col(vec).cast("array<double>")).as("_p"))
       .where(col("_p").isNotNull)
-      .select(col("query_id"), col("lut"), explode(col("_p")).as("_pe"))
-      .select(col("query_id"), col("lut"),
-        col("_pe._1").as("list"), col("_pe._2").as("qdotc"))
+      .select(col("query_id"), explode(col("_p")).as("_pe"))
+      .select(col("query_id"), col("_pe._1").as("list"), col("_pe._2").as("qdotc"))
+    val qLut = queries
+      .select(col(id).as("query_id"), lutUdf(col(vec).cast("array<double>")).as("lut"))
+      .where(col("lut").isNotNull)
     // candidates are unique without a distinct(): each corpus vector
     // lives in exactly ONE list and a query's probed lists are distinct
-    val est = broadcast(q).join(encoded, Seq("list"))
+    val est = broadcast(qProbes).join(encoded, Seq("list"))
       .where(col("neighbor_id") =!= col("query_id"))
+      .join(broadcast(qLut), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         adc(col("codes"), col("xnorm"), col("qdotc"), col("lut")).as("est"))
     val wEst = Window.partitionBy("query_id").orderBy(col("est").desc, col("neighbor_id").asc)

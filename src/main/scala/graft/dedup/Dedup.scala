@@ -161,7 +161,8 @@ object Dedup {
     * `threshold`. Self-join shuffles on (band, band_hash) — bucket-local
     * work only. Pairs deduped via distinct on (a, b) with a < b.
     *
-    * `maxBucket` (0 = off) guards the LSH skew failure mode at corpus
+    * `maxBucket` (default 1000; 0 = explicit opt-out) guards the LSH
+    * skew failure mode at corpus
     * scale: a mega-cluster of identical/near-identical documents lands in
     * the SAME bucket of every band, and one task then owns k²/2 candidate
     * pairs (a 100k-copy boilerplate page → 5·10⁹ pairs). Buckets larger
@@ -174,7 +175,7 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, id: String, text: String,
                    threshold: Double, numHashes: Int = 64, bands: Int = 16,
-                   shingleK: Int = 3, maxBucket: Int = 0): DataFrame = {
+                   shingleK: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val sigs = minhashSigs(docs, id, text, numHashes, shingleK)
     val bandedAll = bandsOfSigs(sigs, numHashes, bands)
     val banded =
@@ -219,7 +220,7 @@ object Dedup {
     */
   def crossMinhashPairs(batch: DataFrame, corpus: DataFrame, id: String, text: String,
                         threshold: Double, numHashes: Int = 64, bands: Int = 16,
-                        shingleK: Int = 3, maxBucket: Int = 0): DataFrame = {
+                        shingleK: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val bs = minhashSigs(batch, id, text, numHashes, shingleK)
     val cs = minhashSigs(corpus, id, text, numHashes, shingleK)
     val bb = bandsOfSigs(bs, numHashes, bands)
@@ -318,56 +319,77 @@ object Dedup {
     * driver sees only a one-row convergence probe per round, never the
     * data; each round's result is persisted so lineage stays one round
     * deep. `maxIter` bounds the worst case.
+    *
+    * `checkpointDir` picks the checkpoint mode. `None` (default) uses
+    * `localCheckpoint` — fastest, right for a single-box bench, but local
+    * checkpoint blocks die WITH their executor: on a preemptible cluster
+    * one lost executor fails the whole job mid-algorithm ("lineage has
+    * been truncated and cannot be recomputed"). `Some(dir)` switches
+    * every round to a RELIABLE `checkpoint` against that directory
+    * (HDFS/object store on a real cluster), which survives executor loss
+    * — the production mode. Superseded rounds' checkpoint files are
+    * deleted eagerly so the footprint stays at ~2 rounds of labels.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sc = pairs.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    val reliable = checkpointDir.isDefined
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct().persist(MEMORY_AND_DISK)
-    // localCheckpoint (not persist) after every round: each round's plan
+    // Checkpoint (not persist) after every round: each round's plan
     // references the previous round's frame multiple times, so WITHOUT
     // lineage truncation the LOGICAL plan grows ~4^rounds and the
     // analyzer OOMs long before the data does (measured: 4.7k edges blew
     // an 8 GB driver at round ~15). Checkpointing replaces the plan with
     // the materialized partitions, keeping every round's plan constant-
-    // size. (On a cluster a reliable `checkpoint(dir)` gives the same
-    // truncation plus fault tolerance.)
+    // size.
     //
-    // Superseded rounds are unpersisted EXPLICITLY via their checkpointed
-    // RDDs — relying on GC + ContextCleaner would hold O(rounds) full
-    // label copies in executor storage mid-algorithm.
+    // Superseded rounds are released EXPLICITLY via their checkpointed
+    // RDDs (unpersist + reliable-file delete) — relying on GC +
+    // ContextCleaner would hold O(rounds) full label copies in executor
+    // storage / the checkpoint store mid-algorithm.
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
       df.queryExecution.analyzed.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node")).localCheckpoint()
+    def release(df: DataFrame): Unit = ckptRdd(df).foreach { r =>
+      r.unpersist(blocking = false)
+      if (reliable) r.getCheckpointFile.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+      }
+    }
+    var labels = ckpt(edges.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("node").as("dst"), col("comp").as("nbr_comp")), "dst")
         .groupBy(col("src").as("node")).agg(min("nbr_comp").as("nbr_comp"))
-      val stepped = labels.join(nbrMin, Seq("node"), "left")
+      val stepped = ckpt(labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .localCheckpoint()
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp")))
       // path halving: jump each label to its label's label (comp is always
       // itself a node id, and labels only decrease, so this preserves
       // reachability while halving chain lengths)
-      val next = stepped.as("x")
+      val next = ckpt(stepped.as("x")
         .join(stepped.select(col("node").as("c"), col("comp").as("cc")),
           col("x.comp") === col("c"), "left")
         .select(col("x.node").as("node"),
-          least(col("x.comp"), coalesce(col("cc"), col("x.comp"))).as("comp"))
-        .localCheckpoint()
+          least(col("x.comp"), coalesce(col("cc"), col("x.comp"))).as("comp")))
       // convergence probe: did ANY label change? (limit 1 — the probe cost
       // is bounded regardless of graph size)
       val changed = next
         .join(labels.select(col("node"), col("comp").as("old")), "node")
         .where(col("comp") =!= col("old")).limit(1).count()
-      ckptRdd(labels).foreach(_.unpersist(blocking = false))
-      ckptRdd(stepped).foreach(_.unpersist(blocking = false))
+      release(labels)
+      release(stepped)
       labels = next
       converged = changed == 0L
       i += 1
@@ -382,8 +404,9 @@ object Dedup {
     * one left-anti join: components label only documents that appear in a
     * pair, so untouched documents pass through unjoined.
     */
-  def resolve(docs: DataFrame, pairs: DataFrame, id: String): DataFrame = {
-    val losers = connectedComponents(pairs)
+  def resolve(docs: DataFrame, pairs: DataFrame, id: String,
+              checkpointDir: Option[String] = None): DataFrame = {
+    val losers = connectedComponents(pairs, checkpointDir = checkpointDir)
       .where(col("node") =!= col("comp")).select(col("node"))
     docs.join(losers, docs(id) === losers("node"), "left_anti")
   }
@@ -395,8 +418,9 @@ object Dedup {
     * components over the pair set, one score join, a per-cluster `max_by`
     * (map-side partials), and one anti-join back onto the corpus.
     */
-  def resolveBy(docs: DataFrame, pairs: DataFrame, id: String, score: Column): DataFrame = {
-    val scored = connectedComponents(pairs)
+  def resolveBy(docs: DataFrame, pairs: DataFrame, id: String, score: Column,
+                checkpointDir: Option[String] = None): DataFrame = {
+    val scored = connectedComponents(pairs, checkpointDir = checkpointDir)
       .join(docs.select(col(id).as("node"), score.as("_score")), "node")
     val winners = scored.groupBy("comp")
       .agg(max_by(col("node"), struct(col("_score"), -col("node"))).as("node"))
@@ -468,7 +492,9 @@ object Dedup {
     * candidates, mostly real matches). xxhash64 collisions only add
     * candidates; the exact verify removes them.
     *
-    * `maxBucket` (0 = off) is the same hot-bucket guard as
+    * `maxBucket` (default 5000 — short-key variant buckets tolerate a
+    * higher cap than document LSH; 0 = explicit opt-out) is the same
+    * hot-bucket guard as
     * [[minhashPairs]]: a mega-cluster of identical keys shares every
     * variant bucket, putting k²/2 Levenshtein calls on one task. Variant
     * buckets larger than the cap drop before the self-join (size
@@ -479,7 +505,7 @@ object Dedup {
     * sparser buckets.
     */
   def editDistancePairs(docs: DataFrame, id: String, text: String,
-                        maxDist: Int = 1, maxBucket: Int = 0): DataFrame = {
+                        maxDist: Int = 1, maxBucket: Int = 5000): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2, s"maxDist out of range: $maxDist")
     // no distinct needed: deletionNeighborhood array_distincts per doc,
     // so (doc, vh) rows are already unique — a distinct here would add a
@@ -565,7 +591,7 @@ object Dedup {
     * maxHamming ≤ 31) and verifying with bit_count(xor).
     */
   def simhashPairs(docs: DataFrame, id: String, text: String, maxHamming: Int = 3,
-                   maxBucket: Int = 0): DataFrame = {
+                   maxBucket: Int = 1000): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 31, s"maxHamming out of range: $maxHamming")
     val nChunks = maxHamming + 1
     // chunk c covers bits [lo, hi): widths differ by at most 1

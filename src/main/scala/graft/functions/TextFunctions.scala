@@ -243,6 +243,24 @@ object TextFunctions {
     e.cast("double") * lit(Ln2) + lnm
   }
 
+  /** Driver-side (plain Scala) port of [[detLn]] for integer k ≥ 1 —
+    * literally the same IEEE op sequence, so its doubles are
+    * bit-identical to the Column and SQL forms (asserted in
+    * FunctionsSpec). For in-memory reference computations: a reference
+    * built on libm `math.log` can differ in the last ulp and flip a
+    * `floor(·1e6)` micro-nat on the boundary.
+    */
+  def detLnRef(k: Long): Double = {
+    val e = java.lang.Long.toBinaryString(k).length - 1
+    val m = k.toDouble / (1L << e).toDouble
+    val t = (m - 1.0) / (m + 1.0)
+    val u = t * t
+    var s = DetLnCoeffs.last
+    DetLnCoeffs.init.reverse.foreach(c => s = c + u * s)
+    val lnm = 2.0 * t * (1.0 + u * s)
+    e.toDouble * Ln2 + lnm
+  }
+
   /** SQL text computing exactly [[detLn]] for integer expression `k` —
     * same literals, same operation order, so the engine-side and
     * oracle-side doubles are bit-identical. `k` is referenced several

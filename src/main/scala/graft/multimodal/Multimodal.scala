@@ -88,13 +88,16 @@ object Multimodal {
     * positions enumerate as a nested sequence inside the scan partition
     * and join into one output value with a single-pass `concat_ws` — no
     * UDF, no shuffle, no quadratic fold. Row count AND extraction both
-    * operate in BYTES: positions index the binary payload directly
-    * (1-byte binary slices, reinterpreted as a string at the end), so a
+    * operate in BYTES: positions index the binary payload directly, so a
     * payload whose string form is multi-byte UTF-8 subsamples its raw
     * bytes instead of silently shifting — pixel rasters are bytes, not
-    * characters. Output is the string form (the test corpus is ASCII
-    * text standing in for pixel bytes; a real decoder would emit a
-    * tensor — see [[DecoderStub]]).
+    * characters. Output stays BINARY: each kept byte renders to its
+    * 2-char hex form (total, not per-element, buffer growth — linear),
+    * the hex strings join with one `concat_ws` pass, and `unhex` folds
+    * the result back to bytes. A lossy route through a string cast
+    * (1-byte binary → UTF-8) would collapse every continuation byte
+    * 0x80–0xFF to U+FFFD; hex round-trips all 256 byte values exactly.
+    * (A real decoder would emit a tensor — see [[DecoderStub]].)
     */
   def resize2d(assets: DataFrame, rowWidth: Int, stride: Int): DataFrame = {
     val nRows = (octet_length(col("payload")) / rowWidth).cast("int")
@@ -104,8 +107,8 @@ object Multimodal {
       r => transform(sequence(lit(0), lit(rowWidth - 1), lit(stride)),
         c => r * rowWidth + c)))
     assets.select(col("asset_id"),
-      concat_ws("", transform(kept,
-        i => col("payload").substr(i + 1, lit(1)).cast("string"))).as("resized"))
+      unhex(concat_ws("", transform(kept,
+        i => hex(col("payload").substr(i + 1, lit(1)))))).as("resized"))
   }
 
   /** Partition-parallel feature extraction over the binary column.

@@ -576,11 +576,13 @@ object PipelineQueries {
 
     "mm_resize" -> ((s, d) =>
       // image-shaped 2D stride downsample (every 2nd row and column of a
-      // 32-byte-wide raster); string form for the oracle compare (ASCII
-      // corpus) — fully oracle-checkable
+      // 32-byte-wide raster); resize2d keeps bytes — cast to string here
+      // only for the oracle compare (ASCII corpus) — fully
+      // oracle-checkable
       Multimodal.resize2d(
-        Multimodal.toAssets(Graft.documents(s, d), "doc_id", "text"),
-        rowWidth = 32, stride = 2)),
+          Multimodal.toAssets(Graft.documents(s, d), "doc_id", "text"),
+          rowWidth = 32, stride = 2)
+        .select(col("asset_id"), col("resized").cast("string").as("resized"))),
 
     "mm_audio" -> ((s, d) =>
       // audio-shaped overlapping windows (64-byte window, 32-byte hop)

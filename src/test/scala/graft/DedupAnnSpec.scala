@@ -248,6 +248,32 @@ class DedupAnnSpec extends GraftTest {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
 
+  test("connected components: reliable-checkpoint mode yields identical components") {
+    import spark.implicits._
+    // the production mode (checkpoint against a directory, survives
+    // executor loss) must be a pure execution-strategy switch: same
+    // labels as the localCheckpoint bench mode, and superseded rounds'
+    // checkpoint files must be cleaned up as the algorithm advances
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-").toFile
+    try {
+      val pairs = ((2L, 1L) +: (2L, 3L) +: (10L, 11L) +:
+        (100L until 160L).map(i => (i, i + 1))).toDF("a", "b")
+      val local = Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val reliable = Dedup.connectedComponents(pairs,
+          checkpointDir = Some(dir.getAbsolutePath)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable === local, "checkpoint mode must not change the result")
+      assert((100L to 160L).forall(n => reliable(n) == 100L),
+        "61-node chain must fully collapse through reliable checkpoints")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("resolve keeps exactly one canonical doc per cluster and passes untouched docs through") {
     import spark.implicits._
     val corpus = Seq(1L, 2L, 3L, 10L, 11L, 99L).map(i => (i, s"text$i")).toDF("doc_id", "text")
@@ -375,7 +401,7 @@ class DedupAnnSpec extends GraftTest {
     val docs = (normal ++ pair ++ mega).toDF("doc_id", "text")
     val capped = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5, maxBucket = 100)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val uncapped = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+    val uncapped = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5, maxBucket = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     // capped ⊆ uncapped, planted pair survives, mega-cluster pairs gone
     assert(capped.toSet.subsetOf(uncapped.toSet))
@@ -398,7 +424,7 @@ class DedupAnnSpec extends GraftTest {
     val names = (normal ++ mega).toDF("k", "name")
     val capped = Dedup.editDistancePairs(names, "k", "name", maxDist = 1, maxBucket = 100)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val uncapped = Dedup.editDistancePairs(names, "k", "name", maxDist = 1)
+    val uncapped = Dedup.editDistancePairs(names, "k", "name", maxDist = 1, maxBucket = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped.subsetOf(uncapped))
     assert(capped.contains((1L, 2L)), s"planted dist-1 pair must survive; got $capped")
@@ -439,25 +465,34 @@ class DedupAnnSpec extends GraftTest {
     assert(candidates.nonEmpty, "no vector in any healthy Hamming-1 bucket of u — corpus degenerate?")
     val (wId, wB0, wCos) = candidates.head
     val threshold = wCos - 1e-4
-    val megaIds = (-300L until 0L)
-    val mega = megaIds.map(i => (i, u.toSeq)).toDF("vec_id", "embedding")
-    val all = emb.unionByName(mega)
-    def run(mb: Int) = Ann.cosinePairs(all, "vec_id", "embedding",
-        threshold = threshold, nBits = nBits, probeBits = nBits, maxBucket = mb)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val capped = run(cap)
-    val uncapped = run(0)
-    assert(capped.subsetOf(uncapped))
-    assert(!capped.exists { case (a, b) => a < 0L && b < 0L },
-      "intra-mega-bucket pairs must be dropped by the cap")
-    assert(uncapped.exists { case (a, b) => a < 0L && b < 0L },
-      "uncapped run must show the quadratic mega-cluster the cap prevents")
-    // the heart of the contract: every capped (mega, witness) cross pair
-    // survives, because the mega vector probes from the (uncapped) l side
-    // into w's healthy base bucket
-    megaIds.foreach { m =>
-      assert(capped.contains((m, wId)),
-        s"capped vector $m must still reach witness $wId via probing (cos=$wCos)")
+    // Run the contract with the mega-cluster ids BELOW and ABOVE every
+    // real id. The below case always worked; the above case is the one a
+    // naive a<b orientation filter silently breaks (the hot vector can
+    // only appear as 'a' via probing, and as 'b' it was semi-joined
+    // away), fixed by least/greatest canonicalization in cosinePairs.
+    for ((megaIds, tag) <- Seq(((-300L until 0L), "below"),
+                               ((900000L until 900300L), "above"))) {
+      val mega = megaIds.map(i => (i, u.toSeq)).toDF("vec_id", "embedding")
+      val all = emb.unionByName(mega)
+      val isMega = (x: Long) => megaIds.contains(x)
+      def run(mb: Int) = Ann.cosinePairs(all, "vec_id", "embedding",
+          threshold = threshold, nBits = nBits, probeBits = nBits, maxBucket = mb)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val capped = run(cap)
+      val uncapped = run(0)
+      assert(capped.subsetOf(uncapped), s"[$tag] capped ⊆ uncapped")
+      assert(!capped.exists { case (a, b) => isMega(a) && isMega(b) },
+        s"[$tag] intra-mega-bucket pairs must be dropped by the cap")
+      assert(uncapped.exists { case (a, b) => isMega(a) && isMega(b) },
+        s"[$tag] uncapped run must show the quadratic mega-cluster the cap prevents")
+      // the heart of the contract: every capped (mega, witness) cross
+      // pair survives regardless of id order, because the mega vector
+      // probes from the (uncapped) l side into w's healthy base bucket
+      // and the output canonicalizes with least/greatest
+      megaIds.foreach { m =>
+        assert(capped.contains((math.min(m, wId), math.max(m, wId))),
+          s"[$tag] capped vector $m must still reach witness $wId via probing (cos=$wCos)")
+      }
     }
   }
 
@@ -561,7 +596,7 @@ class DedupAnnSpec extends GraftTest {
         threshold = 0.5, maxBucket = 100)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val uncapped = Dedup.crossMinhashPairs(batch, corpus, "doc_id", "text",
-        threshold = 0.5)
+        threshold = 0.5, maxBucket = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped.subsetOf(uncapped))
     assert(capped.contains((5000L, 7L)),

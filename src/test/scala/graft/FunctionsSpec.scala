@@ -535,6 +535,11 @@ class FunctionsSpec extends GraftTest {
       assert(java.lang.Double.doubleToLongBits(viaSql(k)) ===
         java.lang.Double.doubleToLongBits(viaCol(k)),
         s"detLnSql($k)=${viaSql(k)} != detLn($k)=${viaCol(k)}")
+      // and the driver-side port stays bit-identical too, so in-memory
+      // test references can share the engine's exact arithmetic
+      assert(java.lang.Double.doubleToLongBits(TextFunctions.detLnRef(k)) ===
+        java.lang.Double.doubleToLongBits(viaCol(k)),
+        s"detLnRef($k)=${TextFunctions.detLnRef(k)} != detLn($k)=${viaCol(k)}")
     }
   }
 
@@ -560,13 +565,17 @@ class FunctionsSpec extends GraftTest {
       (1L, "the cat sat"), (2L, "the dog sat"), (3L, "the the the"), (4L, "rare unique tokens"))
     val got = TextFunctions.unigramLmScore(docs.toDF("doc_id", "text"), "doc_id", "text")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    // reference: same math in plain Scala (tokens = lowercase \W+ split)
+    // reference: same math in plain Scala (tokens = lowercase \W+ split).
+    // The per-term weight uses the engine's SPLIT form
+    // floor((detLn(N) − detLn(cnt))·1e6) via the driver-side detLnRef
+    // port — a libm-log reference (floor(log(N/cnt)·1e6)) differs in the
+    // last ulp and can land on the other side of a micro-nat boundary.
     val toks = docs.map { case (id, t) =>
       id -> t.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq }
     val cnt = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
     val nTotal = cnt.values.sum
     def w(term: String): Long =
-      math.floor(math.log(nTotal.toDouble / cnt(term).toDouble) * 1e6).toLong
+      math.floor((TextFunctions.detLnRef(nTotal) - TextFunctions.detLnRef(cnt(term))) * 1e6).toLong
     toks.foreach { case (id, ts) =>
       val nTok = ts.size.toLong
       val expect = ts.map(w).sum / nTok
@@ -634,10 +643,27 @@ class FunctionsSpec extends GraftTest {
     val assets = graft.multimodal.Multimodal.toAssets(
       Seq((1L, "abcdefghijklmn"), (2L, "xy")).toDF("doc_id", "text"), "doc_id", "text")
     val out = graft.multimodal.Multimodal.resize2d(assets, rowWidth = 4, stride = 2)
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      .collect().map(r => r.getLong(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8")).toMap
     // rows 0,2 and cols 0,2 → positions 0,2,8,10 → "acik"
     assert(out(1L) === "acik", out.toString)
     assert(out(2L) === "", "payload shorter than one row resizes to empty")
+  }
+
+  test("resize2d preserves non-ASCII payload bytes exactly (binary contract)") {
+    import spark.implicits._
+    // 2 rows of width 2 spanning the whole byte range, incl. UTF-8
+    // continuation bytes that a string cast would collapse to U+FFFD
+    val payload = Array(0x00, 0x80, 0xFF, 0x41).map(_.toByte)
+    val assets = Seq((1L, payload)).toDF("asset_id", "payload")
+    val out = graft.multimodal.Multimodal.resize2d(assets, rowWidth = 2, stride = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    // stride 2 over a 2x2 raster keeps row 0, col 0 → position 0 → 0x00
+    assert(out(1L).toSeq === Seq(0x00.toByte), out(1L).map(b => f"${b & 0xff}%02x").mkString(","))
+    val out1 = graft.multimodal.Multimodal.resize2d(assets, rowWidth = 2, stride = 1)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(out1(1L).toSeq === payload.toSeq,
+      "stride 1 must round-trip every byte value exactly: " +
+        out1(1L).map(b => f"${b & 0xff}%02x").mkString(","))
   }
 
   test("native canonical_url equals the regex-chain form on edges and corpus") {
