@@ -86,10 +86,17 @@ object Bench {
     }
     val calStart = calibrate()
 
-    // two timed runs per query, report the min — removes one-off codegen
-    // compilation from the steady-state number
+    // per query: one UNTIMED warm pass, then two timed runs, report the
+    // min. The warm pass absorbs the one-off costs that min-of-2 alone
+    // cannot: whole-stage/expression codegen compiles for this query's
+    // kernels, broadcast builds, and the first cold read of any parquet
+    // the corpus warm-up loop missed. Without it, back-to-back timed
+    // runs can BOTH carry the one-off (the r5 certified artifact showed
+    // ann_brute at 11.28s where a clean re-run of the same jar/data
+    // measured 0.23s — a 49x flap this pass is designed to remove).
     val results: Seq[(String, Either[String, Double])] =
       headline.filter(SparkEntry.queries.contains).map { n =>
+        runOnce(n) // warm (untimed): discard result, keep only hard errors below
         (runOnce(n), runOnce(n)) match {
           case (Right(a), Right(b)) => n -> Right(math.min(a, b))
           case (Right(a), Left(_))  => n -> Right(a) // keep the valid timing

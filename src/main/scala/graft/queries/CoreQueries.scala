@@ -710,6 +710,70 @@ object CoreQueries {
         .select(col("l_event_id"), col("r_event_id"), col("l_key").as("key"),
           round(col("l_amount") + col("r_amount"), 2).as("combined"))
       StreamingQueries.runAppendToMemory(s, "j1s_join", joined)
+    }),
+
+    // J3 through the real engine — SURVEY §7.4 hard part #2: FULL OUTER
+    // stream-stream join where null-padded rows for unmatched events may
+    // emit only once the watermark passes their join-window end (the
+    // reference's KStream outer join emits eagerly; Spark holds the row
+    // in state and pads at eviction). Three time-ordered micro-batches
+    // (ts tertiles — monotone batches, so nothing is late-dropped and
+    // the joined set equals the batch join) plus a terminal
+    // watermark-SENTINEL row staged as its own 4th file: it flows
+    // through BOTH sides' watermark operators (advancing the global
+    // watermark past every real row's eviction bound: max ts + 1h range
+    // + 3 min delay < +2 h) and is then filtered out by the
+    // event-type predicates, so it joins nothing. The trailing no-data
+    // batch flushes every still-unmatched row null-padded, making the
+    // append-mode result EQUAL to the batch full-outer join — same
+    // oracle as j3_ss_outer. ProcessorsSpec("full-outer … watermark")
+    // proves the timing half: no null padding before watermark passage,
+    // padding after.
+    //
+    // The sentinels must SURVIVE the event-type filters (one 'purchase',
+    // one 'view', on keys that exist nowhere else): Catalyst pushes a
+    // deterministic filter below the EventTimeWatermark node into the
+    // scan, so a filtered-out sentinel would never reach the watermark
+    // operator (measured: the watermark then tracks the last per-type
+    // event, not the sentinel). A surviving sentinel advances both
+    // sides' watermark but joins nothing (no matching key, and its
+    // event time sits beyond every real row's interval) and is itself
+    // never evicted (its own window outlives the final watermark), so
+    // it cannot appear in the append output.
+    "j3_streaming" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
+      def sentinel(id: Long, user: Long, tpe: String) =
+        raw.orderBy(col("ts").desc).limit(1)
+          .withColumn("event_id", lit(id))
+          .withColumn("user_id", lit(user))
+          .withColumn("event_type", lit(tpe))
+          .withColumn("ts", lit(maxTs + 2L * 3600 * 1000000000L))
+      val withSentinels = raw
+        .unionByName(sentinel(-1L, -999L, "purchase"))
+        .unionByName(sentinel(-2L, -998L, "view"))
+      val batchCol =
+        when(col("event_id") < 0, lit(3))
+          .otherwise(ntile(3).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
+      def side(tag: String) =
+        StreamingQueries.stageStreamBatched(s, withSentinels,
+            batchCol, s"ev-j3-$tag")
+          .select(col("event_id").as(s"${tag}_event_id"),
+            col("user_id").cast("string").as(s"${tag}_key"),
+            col("event_type").as(s"${tag}_type"),
+            col("value").as(s"${tag}_amount"),
+            timestamp_micros(expr("ts div 1000")).as(s"${tag}_time"))
+          .withWatermark(s"${tag}_time", "3 minutes")
+      val l = side("l").where(col("l_type") === "purchase")
+      val r = side("r").where(col("r_type") === "view")
+      val joined = l.join(r, expr(
+          "l_key = r_key AND r_time BETWEEN l_time - INTERVAL 1 HOUR AND l_time + INTERVAL 1 HOUR"),
+          "full_outer")
+        .select(col("l_event_id"), col("r_event_id"),
+          coalesce(col("l_key"), col("r_key")).as("key"),
+          round(col("l_amount") + col("r_amount"), 2).as("combined"))
+      StreamingQueries.runAppendToMemory(s, "j3s_join", joined)
     }))
 
   val joinOracles: Map[String, String] = Map(
@@ -719,6 +783,9 @@ object CoreQueries {
       "SELECT o_orderkey, c_mktsegment, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey",
     "j2_ss_left" -> ssJoinOracle("LEFT"),
     "j3_ss_outer" -> ssJoinOracle("FULL"),
+    // the sentinel staging makes the streaming append result converge to
+    // the batch full-outer join, so the SAME full oracle applies
+    "j3_streaming" -> ssJoinOracle("FULL"),
     "j4_st_inner" ->
       "SELECT o_orderkey, c_mktsegment, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey",
     "j5_st_left" ->

@@ -52,9 +52,17 @@ object StreamingQueries {
     * the late rows in the third.
     */
   def readStreamBatched(spark: SparkSession, dir: String, table: String,
-                        batchOf: org.apache.spark.sql.Column): DataFrame = {
-    val src = spark.read.parquet(s"$dir/$table.parquet")
-    val batchDir = Paths.get(tmpDir(s"streamN-$table"))
+                        batchOf: org.apache.spark.sql.Column): DataFrame =
+    stageStreamBatched(spark, spark.read.parquet(s"$dir/$table.parquet"), batchOf, table)
+
+  /** [[readStreamBatched]] over an arbitrary batch DataFrame — lets a
+    * caller stage a transformed/augmented frame (e.g. events plus a
+    * watermark-sentinel row) as an N-file stream directory.
+    */
+  def stageStreamBatched(spark: SparkSession, src: DataFrame,
+                         batchOf: org.apache.spark.sql.Column,
+                         tag: String = "df"): DataFrame = {
+    val batchDir = Paths.get(tmpDir(s"streamN-$tag"))
     val tagged = src.withColumn("_b", batchOf.cast("int"))
     val nMax = tagged.agg(max(col("_b"))).head().getInt(0)
     val now = System.currentTimeMillis()

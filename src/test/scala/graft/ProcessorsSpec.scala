@@ -234,6 +234,50 @@ class ProcessorsSpec extends GraftTest {
     } finally q.stop()
   }
 
+  test("full-outer stream-stream join pads unmatched rows only after the watermark passes") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lIn = MemoryStream[(String, Double, java.sql.Timestamp)]
+    val rIn = MemoryStream[(String, Double, java.sql.Timestamp)]
+    val l = lIn.toDS().toDF("l_key", "l_amt", "l_ts").withWatermark("l_ts", "5 seconds")
+    val r = rIn.toDS().toDF("r_key", "r_amt", "r_ts").withWatermark("r_ts", "5 seconds")
+    val joined = l.join(r,
+      expr("l_key = r_key AND r_ts BETWEEN l_ts - INTERVAL 10 SECONDS AND l_ts + INTERVAL 10 SECONDS"),
+      "full_outer")
+    val q = joined.writeStream.format("memory").queryName("j3wm")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      def ts(msec: Long) = new java.sql.Timestamp(msec)
+      // batch 1: one matched pair + one unmatched left row
+      lIn.addData(("a", 1.0, ts(10000)), ("lonely", 5.0, ts(11000)))
+      rIn.addData(("a", 2.0, ts(12000)))
+      q.processAllAvailable()
+      def collected() = spark.table("j3wm").collect()
+        .map(row => (Option(row.getString(0)), Option(row.getString(3))))
+      val early = collected()
+      assert(early.contains((Some("a"), Some("a"))),
+        s"matched pair must emit eagerly; got ${early.toSeq}")
+      assert(!early.exists(_._1.contains("lonely")),
+        "unmatched row must NOT be null-padded before the watermark passes its join window")
+
+      // batch 2: a far-future row on EACH side (global watermark = min of
+      // the two) pushes the watermark past lonely's eviction bound
+      // (11s event + 10s range + 5s delay << 95s)
+      lIn.addData(("zl", 0.0, ts(100000)))
+      rIn.addData(("zr", 0.0, ts(100000)))
+      q.processAllAvailable()
+      // the padding emits in a trailing no-data batch; poll briefly
+      val deadline = System.currentTimeMillis() + 30000
+      var padded = collected()
+      while (!padded.exists(p => p._1.contains("lonely") && p._2.isEmpty) &&
+             System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); q.processAllAvailable(); padded = collected()
+      }
+      assert(padded.exists(p => p._1.contains("lonely") && p._2.isEmpty),
+        s"unmatched row must emit null-padded after watermark passage; got ${padded.toSeq}")
+    } finally q.stop()
+  }
+
   test("T5 graceful stop leaves the query inactive and session healthy") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -35,4 +35,26 @@ class WatermarkBatchSpec extends GraftTest {
     val dropped = progress.flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
     assert(dropped > 0, "batch-3 late rows must hit the real drop path")
   }
+
+  test("j3_streaming (full-outer through the engine) equals the batch full-outer join") {
+    // time-ordered batches (nothing late-dropped) + the watermark
+    // sentinel (all outer state flushed) ⇒ the append-mode streaming
+    // result must converge to exactly the batch join — including every
+    // null-padded unmatched row on both sides
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))
+    }.groupBy(identity).view.mapValues(_.length).toMap
+    val streaming = norm(SparkEntry.queries("j3_streaming")(spark, sf)
+      .select("l_event_id", "r_event_id", "key", "combined"))
+    val batch = norm(SparkEntry.queries("j3_ss_outer")(spark, sf)
+      .select("l_event_id", "r_event_id", "key", "combined"))
+    assert(streaming.size > 0)
+    assert(streaming === batch,
+      s"streaming full-outer must equal batch; only-in-streaming=${
+        (streaming.keySet -- batch.keySet).take(5)}, only-in-batch=${
+        (batch.keySet -- streaming.keySet).take(5)}")
+    // and the outer semantics are real: both null-padded orientations exist
+    assert(streaming.keys.exists(_._1.isEmpty), "right-only rows must be null-padded")
+    assert(streaming.keys.exists(_._2.isEmpty), "left-only rows must be null-padded")
+  }
 }
