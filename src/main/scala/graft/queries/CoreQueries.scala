@@ -266,11 +266,20 @@ object CoreQueries {
     }),
 
     "a8_sketch_hll" -> ((s, d) =>
-      // approximate sketches (A8, the declared-but-unused Algebird intent);
-      // approximate by construction → no hash oracle, bounds checked in tests
+      // approximate sketches (A8, the declared-but-unused Algebird
+      // intent), CERTIFIED in one query: the HLL++ sketch stays in the
+      // plan and its estimate is asserted within 10% of the exact
+      // distinct count (rsd 0.02 → the 10% bound is 5σ; the oracle
+      // states TRUE), while the exact n_users/cnt columns hash-match
+      // DuckDB. At 100 TB a caller keeps only the sketch column — the
+      // exact count is the oracle hook at test scale.
       Graft.eventsStream(s, d).groupBy(col("value").as("key"))
-        .agg(approx_count_distinct("key").as("approx_users"),
-          count(lit(1)).as("cnt"))),
+        .agg(approx_count_distinct(col("key"), 0.02).as("_approx"),
+          count_distinct(col("key")).as("n_users"),
+          count(lit(1)).as("cnt"))
+        .select(col("key"), col("n_users"), col("cnt"),
+          (abs(col("_approx") - col("n_users")) <=
+            col("n_users") * lit(0.10)).as("hll_ok"))),
 
     // Spark-inherited analytics beyond the reference's operator set
     // (SURVEY §2.3: sort/limit/multi-way joins/rollup come free) — shown
@@ -330,6 +339,13 @@ object CoreQueries {
     }))
 
   val aggregationOracles: Map[String, String] = Map(
+    // a8: exact columns hash-match; hll_ok is the sketch's 10%-bound
+    // claim, which the oracle states as literal TRUE (a bound violation
+    // flips the engine-side boolean and fails the hash)
+    "a8_sketch_hll" ->
+      """SELECT event_type AS key, count(DISTINCT user_id) AS n_users,
+                count(*) AS cnt, TRUE AS hll_ok
+         FROM events GROUP BY 1""",
     "a1_wordcount" ->
       """SELECT w AS word, count(*) AS cnt
          FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0)) AS w FROM documents)

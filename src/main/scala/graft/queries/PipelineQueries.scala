@@ -494,6 +494,45 @@ object PipelineQueries {
         k = 10, nLists = 16, nProbe = 6, m = 8, codebookBits = 6, refineK = 50)
     }),
 
+    "ann_recall_report" -> ((s, d) => {
+      // recall@10 of every approximate ANN path against the exact brute
+      // force, computed INSIDE Spark over the same parameterizations as
+      // the certified ann_* queries — one row per method. Moves the
+      // recall claim from ScalaTest into the driver-visible contract
+      // (rows-only: recall depends on the engine's hash/quantizer
+      // internals, no SQL-oracle form exists; DedupAnnSpec asserts
+      // floors on these same numbers). Scale shape: the truth set is
+      // |queries|·k rows; every comparison is an equi-join on
+      // (query_id, neighbor_id); the searches themselves keep their own
+      // certified plans.
+      import s.implicits._
+      val emb = Graft.embeddings(s, d)
+      val q = emb.where(col("vec_id") < 10)
+      val truth = Ann.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id")
+      val methods: Seq[(String, DataFrame)] = Seq(
+        "lsh" -> Ann.lshTopK(emb, q, "vec_id", "embedding",
+          k = 10, nBits = 6, probeBits = 4),
+        "ivf" -> Ann.ivfTopK(emb, q, "vec_id", "embedding",
+          k = 10, nLists = 16, nProbe = 4),
+        "pq" -> Ann.pqTopK(emb, q, "vec_id", "embedding",
+          k = 10, m = 8, codebookBits = 6, refineK = 50),
+        "ivfpq" -> Ann.ivfPqTopK(emb, q, "vec_id", "embedding",
+          k = 10, nLists = 16, nProbe = 6, m = 8, codebookBits = 6, refineK = 50))
+      val approx = methods.map { case (m, df) =>
+        df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
+      }.reduce(_ unionByName _)
+      val hits = approx.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("method").agg(count(lit(1)).as("n_hit"))
+      val totals = broadcast(truth.agg(count(lit(1)).as("n_truth")))
+      methods.map(_._1).toDF("method")
+        .join(hits, Seq("method"), "left")
+        .crossJoin(totals)
+        .select(col("method"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_truth"), 4)
+            .as("recall_at_10"))
+    }),
+
     // ---- text analysis ----------------------------------------------------
     "txt_quality" -> ((s, d) =>
       // native text_stats kernel (one byte scan per doc) with the Column
@@ -594,21 +633,38 @@ object PipelineQueries {
         .select(col("asset_id"), col("win_idx"), col("win").cast("string").as("win_str"))),
 
     // ---- sketches ---------------------------------------------------------
-    "sk_quantiles" -> ((s, d) =>
-      // quantile sketch (approx_percentile ≈ Greenwald-Khanna): per-key
-      // p50/p95/p99 of event values, one pass, mergeable partials (one
-      // sketch per key, three probes). Engine-specific interpolation →
-      // rows-only + bound test in FunctionsSpec (estimates within
-      // rank-error of exact percentiles). Output is flat scalars — array
-      // columns are unsortable in the driver's pandas canonicalization.
-      Graft.eventsStream(s, d)
-        .groupBy(col("value").as("key"))
-        .agg(approx_percentile(col("amount"), array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
-          .as("_q"))
-        .select(col("key"),
-          col("_q").getItem(0).as("p50"),
-          col("_q").getItem(1).as("p95"),
-          col("_q").getItem(2).as("p99"))),
+    "sk_quantiles" -> ((s, d) => {
+      // quantile sketch (approx_percentile ≈ Greenwald-Khanna) CERTIFIED
+      // against exact percentiles in one query: per-key p50/p95/p99 as
+      // ANSI percentile_disc — actual data elements, no interpolation
+      // arithmetic, so DuckDB's percentile_disc hash-matches bit-exactly
+      // — plus okXX booleans asserting the sketch estimate lands between
+      // the exact (p−δ)/(p+δ) discrete quantiles (δ = 0.01, 100× the
+      // sketch's 1/10000 rank-error guarantee; the oracle states TRUE).
+      // The sketch stays in the plan (one mergeable sketch per key,
+      // map-side partials); the exact columns are the oracle hook — at
+      // 100 TB a caller keeps only the sketch column set.
+      Graft.eventsStream(s, d).createOrReplaceTempView("skq_events")
+      s.sql("""
+        WITH g AS (
+          SELECT value AS key,
+                 percentile_disc(0.50) WITHIN GROUP (ORDER BY amount) AS p50,
+                 percentile_disc(0.95) WITHIN GROUP (ORDER BY amount) AS p95,
+                 percentile_disc(0.99) WITHIN GROUP (ORDER BY amount) AS p99,
+                 percentile_disc(0.49) WITHIN GROUP (ORDER BY amount) AS lo50,
+                 percentile_disc(0.51) WITHIN GROUP (ORDER BY amount) AS hi50,
+                 percentile_disc(0.94) WITHIN GROUP (ORDER BY amount) AS lo95,
+                 percentile_disc(0.96) WITHIN GROUP (ORDER BY amount) AS hi95,
+                 percentile_disc(0.98) WITHIN GROUP (ORDER BY amount) AS lo99,
+                 percentile_disc(0.995) WITHIN GROUP (ORDER BY amount) AS hi99,
+                 approx_percentile(amount, array(0.50, 0.95, 0.99), 10000) AS q
+          FROM skq_events GROUP BY value)
+        SELECT key, p50, p95, p99,
+               q[0] >= lo50 AND q[0] <= hi50 AS ok50,
+               q[1] >= lo95 AND q[1] <= hi95 AS ok95,
+               q[2] >= lo99 AND q[2] <= hi99 AS ok99
+        FROM g""")
+    }),
 
     "sk_bloom_prune" -> ((s, d) => {
       // bloom-join pruning — THE shuffle-reduction primitive for selective
@@ -687,6 +743,18 @@ object PipelineQueries {
       graft.functions.Sketches.cmsEstimate(Graft.eventsStream(s, d), "value")))
 
   val oracles: Map[String, String] = Map(
+    // sk_quantiles: discrete (ANSI percentile_disc) exact quantiles are
+    // actual data elements — no interpolation arithmetic — so they
+    // hash-match across engines; okXX is the sketch's rank-error-bound
+    // claim, TRUE by construction on the oracle side (a sketch drift
+    // beyond ±0.01 rank flips the engine boolean and fails the hash)
+    "sk_quantiles" ->
+      """SELECT event_type AS key,
+                percentile_disc(0.50) WITHIN GROUP (ORDER BY value) AS p50,
+                percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95,
+                percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99,
+                TRUE AS ok50, TRUE AS ok95, TRUE AS ok99
+         FROM events GROUP BY 1""",
     "dd_exact" ->
       "SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
     "dd_jaccard_verify" ->

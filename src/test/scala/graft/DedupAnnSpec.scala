@@ -236,6 +236,22 @@ class DedupAnnSpec extends GraftTest {
     assert(recall >= 0.5, s"PQ recall $recall")
   }
 
+  test("ann_recall_report certifies in-range recall with the shared floor per method") {
+    // the driver-visible recall contract: one row per approximate path,
+    // recall@10 against the brute-force truth computed inside Spark.
+    // Floor 0.2 matches the per-method recall tests above — the synthetic
+    // corpus is uniform-random 64-dim vectors, every quantizer's worst
+    // case; clustered real corpora score far higher.
+    val report = SparkEntry.queries("ann_recall_report")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(report.keySet === Set("lsh", "ivf", "pq", "ivfpq"),
+      s"one row per method; got ${report.keySet}")
+    report.foreach { case (m, rec) =>
+      assert(rec >= 0.0 && rec <= 1.0, s"$m recall out of range: $rec")
+      assert(rec >= 0.2, s"$m recall $rec below the certification floor")
+    }
+  }
+
   test("connected components resolves pair chains to min-id clusters") {
     import spark.implicits._
     // chain 1-2-3 (never directly 1-3), plus a separate pair, plus a
