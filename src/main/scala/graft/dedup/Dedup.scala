@@ -320,6 +320,18 @@ object Dedup {
     * data; each round's result is persisted so lineage stays one round
     * deep. `maxIter` bounds the worst case.
     *
+    * `saltBuckets` (> 0 to enable) salts the path-halving self-join —
+    * the round's skew point: every member of a duplicate cluster carries
+    * the SAME `comp` label, so the join group for a mega-cluster's
+    * canonical id is the whole cluster on one task. Salting reuses
+    * [[graft.operators.Joins.saltedJoin]]'s device: the many-rows side
+    * takes a deterministic per-node salt, the unique-per-key side
+    * explodes `saltBuckets` ways, and the join keys on (comp, salt) —
+    * the cluster spreads over `saltBuckets` tasks at the cost of
+    * replicating the (slim, two-column) label frame. Off by default:
+    * below ~10⁶-member clusters the skew is cheaper than the
+    * replication.
+    *
     * `checkpointDir` picks the checkpoint mode. `None` (default) uses
     * `localCheckpoint` — fastest, right for a single-box bench, but local
     * checkpoint blocks die WITH their executor: on a preemptible cluster
@@ -331,7 +343,8 @@ object Dedup {
     * deleted eagerly so the footprint stays at ~2 rounds of labels.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          saltBuckets: Int = 0): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sc = pairs.sparkSession.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
@@ -377,10 +390,23 @@ object Dedup {
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp")))
       // path halving: jump each label to its label's label (comp is always
       // itself a node id, and labels only decrease, so this preserves
-      // reachability while halving chain lengths)
-      val next = ckpt(stepped.as("x")
-        .join(stepped.select(col("node").as("c"), col("comp").as("cc")),
-          col("x.comp") === col("c"), "left")
+      // reachability while halving chain lengths). With saltBuckets > 0
+      // the self-join spreads each comp's join group over saltBuckets
+      // tasks (see scaladoc) — identical result, skew-proof shuffle.
+      val halved =
+        if (saltBuckets <= 0)
+          stepped.as("x")
+            .join(stepped.select(col("node").as("c"), col("comp").as("cc")),
+              col("x.comp") === col("c"), "left")
+        else {
+          val lhs = stepped.as("x")
+            .withColumn("_sl", pmod(xxhash64(col("x.node")), lit(saltBuckets)))
+          val rhs = stepped.select(col("node").as("c"), col("comp").as("cc"))
+            .withColumn("_sr",
+              explode(array((0 until saltBuckets).map(lit(_)): _*)))
+          lhs.join(rhs, col("x.comp") === col("c") && col("_sl") === col("_sr"), "left")
+        }
+      val next = ckpt(halved
         .select(col("x.node").as("node"),
           least(col("x.comp"), coalesce(col("cc"), col("x.comp"))).as("comp")))
       // convergence probe: did ANY label change? (limit 1 — the probe cost
@@ -405,8 +431,10 @@ object Dedup {
     * pair, so untouched documents pass through unjoined.
     */
   def resolve(docs: DataFrame, pairs: DataFrame, id: String,
-              checkpointDir: Option[String] = None): DataFrame = {
-    val losers = connectedComponents(pairs, checkpointDir = checkpointDir)
+              checkpointDir: Option[String] = None,
+              saltBuckets: Int = 0): DataFrame = {
+    val losers = connectedComponents(pairs, checkpointDir = checkpointDir,
+        saltBuckets = saltBuckets)
       .where(col("node") =!= col("comp")).select(col("node"))
     docs.join(losers, docs(id) === losers("node"), "left_anti")
   }
@@ -419,8 +447,10 @@ object Dedup {
     * (map-side partials), and one anti-join back onto the corpus.
     */
   def resolveBy(docs: DataFrame, pairs: DataFrame, id: String, score: Column,
-                checkpointDir: Option[String] = None): DataFrame = {
-    val scored = connectedComponents(pairs, checkpointDir = checkpointDir)
+                checkpointDir: Option[String] = None,
+                saltBuckets: Int = 0): DataFrame = {
+    val scored = connectedComponents(pairs, checkpointDir = checkpointDir,
+        saltBuckets = saltBuckets)
       .join(docs.select(col(id).as("node"), score.as("_score")), "node")
     val winners = scored.groupBy("comp")
       .agg(max_by(col("node"), struct(col("_score"), -col("node"))).as("node"))

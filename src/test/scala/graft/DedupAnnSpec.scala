@@ -264,6 +264,21 @@ class DedupAnnSpec extends GraftTest {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
 
+  test("connected components: salted path-halving yields identical components") {
+    import spark.implicits._
+    // a star cluster (every node paired with canonical 0 — the shape that
+    // concentrates one comp value), a chain, and a plain pair
+    val pairs = ((1L to 40L).map(i => (0L, i)) ++
+      Seq((100L, 101L), (101L, 102L), (200L, 201L))).toDF("a", "b")
+    val plain = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = Dedup.connectedComponents(pairs, saltBuckets = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted === plain, "salting is an execution-strategy switch, not a semantic one")
+    assert((0L to 40L).forall(n => salted(n) == 0L))
+    assert(salted(102L) == 100L && salted(201L) == 200L)
+  }
+
   test("connected components: reliable-checkpoint mode yields identical components") {
     import spark.implicits._
     // the production mode (checkpoint against a directory, survives
