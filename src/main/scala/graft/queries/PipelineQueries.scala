@@ -672,10 +672,11 @@ object PipelineQueries {
       // (purchase users) with a distributed one-pass aggregation
       // (`stat.bloomFilter`; only the FIXED-SIZE ~60 KB filter reaches the
       // driver, independent of key cardinality), broadcast it, and
-      // pre-filter the large side (views) BEFORE any shuffle. Bloom admits
-      // no false negatives, so the pruned count overapproximates the exact
-      // semi-join — both counts emitted; containment asserted in
-      // FunctionsSpec.
+      // pre-filter the large side (views) BEFORE any shuffle. CERTIFIED
+      // since r6: the exact semi-join count hash-matches DuckDB and the
+      // bloom's two guarantees — no false negatives (pruned ⊇ exact) and
+      // false-positive rate within 2× the configured fpp of the total
+      // view count — are oracle-asserted booleans.
       val ev = Graft.eventsStream(s, d)
       val purchases = ev.where(col("value") === "purchase").select(col("key"))
       val views = ev.where(col("value") === "view").select(col("key"))
@@ -683,29 +684,48 @@ object PipelineQueries {
       val bcBf = s.sparkContext.broadcast(bf)
       val mightContain = udf((k: String) => k != null && bcBf.value.mightContainString(k))
       val pruned = views.where(mightContain(col("key")))
-        .agg(count(lit(1)).as("bloom_pruned_views"))
+        .agg(count(lit(1)).as("_pruned"))
       val exact = views.join(purchases.distinct(), Seq("key"), "left_semi")
         .agg(count(lit(1)).as("exact_semi_views"))
-      pruned.crossJoin(exact)
+      val total = views.agg(count(lit(1)).as("_nv"))
+      pruned.crossJoin(exact).crossJoin(total)
+        .select(col("exact_semi_views"),
+          (col("_pruned") >= col("exact_semi_views")).as("bloom_admits_all"),
+          (col("_pruned") - col("exact_semi_views") <= col("_nv") * lit(0.02))
+            .as("bloom_fp_bounded"))
     }),
 
-    "sk_hll_merge" -> ((s, d) =>
+    "sk_hll_merge" -> ((s, d) => {
       // mergeable distinct-count sketches: one HLL per (event_type, day),
       // union-merged per event_type — the persist-and-merge shape that
       // answers incremental distinct queries without re-reading raw data.
-      // Estimates are DataSketches-specific → rows-only here; the union
-      // losslessness + error bound are asserted in FunctionsSpec.
-      graft.functions.Sketches.hllMergeDistinct(
-        Graft.events(s, d).withColumn("day", expr("ts_us div 86400000000")),
-        "event_type", col("day"), "user_id")),
+      // CERTIFIED since r6: exact n_shards/n_exact hash-match DuckDB and
+      // the merged estimate's 5% bound (lgK=12 → rsd ≈1.6%, so 3σ) is an
+      // oracle-asserted boolean; the union-vs-single-shot agreement stays
+      // in FunctionsSpec. At 100 TB a caller keeps the sketch column —
+      // the exact distinct is the oracle hook at test scale.
+      val ev = Graft.events(s, d).withColumn("day", expr("ts_us div 86400000000"))
+      val merged = graft.functions.Sketches.hllMergeDistinct(
+        ev, "event_type", col("day"), "user_id")
+      val exact = ev.where(col("user_id").isNotNull)
+        .groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("n_exact"))
+      merged.join(exact, "event_type")
+        .select(col("event_type"), col("n_shards"), col("n_exact"),
+          (abs(col("hll_distinct") - col("n_exact")) <=
+            col("n_exact") * lit(0.05)).as("hll_ok"))
+    }),
 
     "sk_hll_overlap" -> ((s, d) => {
       // audience overlap via sketch algebra: |A∩B| ≈ est(A) + est(B) −
       // est(A∪B), all from per-segment HLL sketches — the composition
       // that answers intersection questions WITHOUT a distinct-join, and
       // entirely from sketches that in production are precomputed per
-      // segment. Rows-only (estimates are sketch-library-specific);
-      // sanity-bounded in FunctionsSpec.
+      // segment. CERTIFIED since r6: exact per-segment and intersection
+      // cardinalities hash-match DuckDB; the inclusion-exclusion estimate
+      // is asserted within 10% of (n_view + n_purchase) — three sketch
+      // errors compound, each ≲1.6% of its set at lgK=12, so the bound
+      // is ≳2σ-per-term generous — as an oracle-stated boolean.
       val ev = Graft.events(s, d).where(col("user_id").isNotNull)
       val sk = ev.where(col("event_type").isin("view", "purchase"))
         .groupBy("event_type")
@@ -715,10 +735,19 @@ object PipelineQueries {
       val parts = sk.groupBy()
         .pivot("event_type", Seq("view", "purchase"))
         .agg(first(hll_sketch_estimate(col("_sk"))))
-      parts.crossJoin(union)
-        .select(col("view").as("est_view"), col("purchase").as("est_purchase"),
-          col("est_union"),
-          (col("view") + col("purchase") - col("est_union")).as("est_both"))
+      val estBoth = parts.crossJoin(union)
+        .select((col("view") + col("purchase") - col("est_union")).as("est_both"))
+      val exact = ev.agg(
+        count_distinct(when(col("event_type") === "view", col("user_id"))).as("n_view"),
+        count_distinct(when(col("event_type") === "purchase", col("user_id"))).as("n_purchase"))
+      val viewUsers = ev.where(col("event_type") === "view").select("user_id").distinct()
+      val purchaseUsers = ev.where(col("event_type") === "purchase").select("user_id").distinct()
+      val nBoth = viewUsers.join(purchaseUsers, "user_id")
+        .agg(count(lit(1)).as("n_both"))
+      exact.crossJoin(nBoth).crossJoin(estBoth)
+        .select(col("n_view"), col("n_purchase"), col("n_both"),
+          (abs(col("est_both") - col("n_both")) <=
+            (col("n_view") + col("n_purchase")) * lit(0.10)).as("overlap_ok"))
     }),
 
     "pp_dedup_report" -> ((s, d) => {
@@ -740,7 +769,21 @@ object PipelineQueries {
       // the scale audit measures): distinct-key cardinality never reaches
       // the driver, so the shape survives a high-cardinality column at
       // 100 TB.
-      graft.functions.Sketches.cmsEstimate(Graft.eventsStream(s, d), "value")))
+      // CERTIFIED since r6: exact per-key counts hash-match DuckDB; the
+      // sketch's two guarantees — overestimate-only, and error ≤ eps·N
+      // (eps = 0.001) — are oracle-asserted booleans. The sketch stays in
+      // the plan; at 100 TB a caller drops the exact column.
+      {
+        val ev = Graft.eventsStream(s, d)
+        val total = broadcast(ev.where(col("value").isNotNull)
+          .agg(count(lit(1)).as("_n")))
+        graft.functions.Sketches.cmsEstimate(ev, "value")
+          .crossJoin(total)
+          .select(col("key"), col("exact_cnt"),
+            (col("cms_est") >= col("exact_cnt")).as("cms_no_undercount"),
+            (col("cms_est") <= col("exact_cnt") + col("_n") * lit(0.001))
+              .as("cms_within_eps"))
+      }))
 
   val oracles: Map[String, String] = Map(
     // sk_quantiles: discrete (ANSI percentile_disc) exact quantiles are
@@ -748,6 +791,37 @@ object PipelineQueries {
     // hash-match across engines; okXX is the sketch's rank-error-bound
     // claim, TRUE by construction on the oracle side (a sketch drift
     // beyond ±0.01 rank flips the engine boolean and fails the hash)
+    // sk_cms / sk_hll_merge / sk_hll_overlap / sk_bloom_prune follow the
+    // same certification device as sk_quantiles: exact columns
+    // hash-match, each sketch's guarantee is a boolean the oracle states
+    // as TRUE (a violation flips the engine-side value and fails the
+    // hash), and the sketch itself stays in the executed plan.
+    "sk_cms" ->
+      """SELECT event_type AS key, count(*) AS exact_cnt,
+                TRUE AS cms_no_undercount, TRUE AS cms_within_eps
+         FROM events WHERE event_type IS NOT NULL GROUP BY 1""",
+    "sk_hll_merge" ->
+      """SELECT event_type, count(DISTINCT epoch_us(ts) // 86400000000) AS n_shards,
+                count(DISTINCT user_id) AS n_exact, TRUE AS hll_ok
+         FROM events WHERE user_id IS NOT NULL GROUP BY 1""",
+    "sk_hll_overlap" ->
+      """SELECT (SELECT count(DISTINCT user_id) FROM events
+                 WHERE event_type = 'view' AND user_id IS NOT NULL) AS n_view,
+                (SELECT count(DISTINCT user_id) FROM events
+                 WHERE event_type = 'purchase' AND user_id IS NOT NULL) AS n_purchase,
+                (SELECT count(*) FROM
+                   (SELECT DISTINCT user_id FROM events
+                    WHERE event_type = 'view' AND user_id IS NOT NULL) v
+                   JOIN (SELECT DISTINCT user_id FROM events
+                         WHERE event_type = 'purchase' AND user_id IS NOT NULL) p
+                   USING (user_id)) AS n_both,
+                TRUE AS overlap_ok""",
+    "sk_bloom_prune" ->
+      """SELECT count(*) AS exact_semi_views,
+                TRUE AS bloom_admits_all, TRUE AS bloom_fp_bounded
+         FROM (SELECT CAST(user_id AS VARCHAR) AS key FROM events WHERE event_type = 'view') v
+         WHERE v.key IN (SELECT CAST(user_id AS VARCHAR) FROM events
+                         WHERE event_type = 'purchase' AND user_id IS NOT NULL)""",
     "sk_quantiles" ->
       """SELECT event_type AS key,
                 percentile_disc(0.50) WITHIN GROUP (ORDER BY value) AS p50,

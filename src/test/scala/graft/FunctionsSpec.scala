@@ -105,9 +105,18 @@ class FunctionsSpec extends GraftTest {
   }
 
   test("CMS estimates never undercount (overestimate-only guarantee)") {
+    // the raw sketch contract…
+    val raw = graft.functions.Sketches.cmsEstimate(Graft.eventsStream(spark, sf), "value")
+      .collect()
+    raw.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_cnt"))
+    }
+    // …and the certified query's boolean form of it (what the oracle
+    // asserts as TRUE)
     val out = queries.PipelineQueries.all("sk_cms")(spark, sf).collect()
     out.foreach { r =>
-      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_cnt"))
+      assert(r.getAs[Boolean]("cms_no_undercount"), r.toString)
+      assert(r.getAs[Boolean]("cms_within_eps"), r.toString)
     }
   }
 
@@ -199,13 +208,13 @@ class FunctionsSpec extends GraftTest {
 
   test("bloom pruning admits every exact semi-join row (no false negatives)") {
     val out = graft.queries.PipelineQueries.all("sk_bloom_prune")(spark, sf).head()
-    val bloomCount = out.getLong(0)
-    val exactCount = out.getLong(1)
-    assert(bloomCount >= exactCount, s"bloom $bloomCount < exact $exactCount")
-    // and the filter is actually selective (not pass-everything) on this
-    // corpus: views from non-purchasing users exist and most are pruned
+    assert(out.getAs[Boolean]("bloom_admits_all"),
+      "bloom-pruned set must contain every exact semi-join row")
+    assert(out.getAs[Boolean]("bloom_fp_bounded"),
+      "false-positive admissions must stay within 2x the configured fpp")
+    // and the exact count is sane: at most the total view count
     val total = Graft.eventsStream(spark, sf).where(col("value") === "view").count()
-    assert(bloomCount <= total)
+    assert(out.getAs[Long]("exact_semi_views") <= total)
   }
 
   test("CmsEstimator matches direct sketch estimates across fresh array copies") {
@@ -741,12 +750,13 @@ class FunctionsSpec extends GraftTest {
     def users(t: String) =
       ev.where(col("event_type") === t).select("user_id").distinct()
     val exactBoth = users("view").intersect(users("purchase")).count()
-    val estBoth = out.getAs[Long]("est_both")
-    assert(math.abs(estBoth - exactBoth) <= math.max(2L, (exactBoth * 0.1).toLong),
-      s"est_both $estBoth vs exact $exactBoth")
-    // union can never exceed the sum of the parts
-    assert(out.getAs[Long]("est_union") <=
-      out.getAs[Long]("est_view") + out.getAs[Long]("est_purchase"))
+    // the query's exact columns ARE the exact counts…
+    assert(out.getAs[Long]("n_both") === exactBoth)
+    assert(out.getAs[Long]("n_view") === users("view").count())
+    assert(out.getAs[Long]("n_purchase") === users("purchase").count())
+    // …and the inclusion-exclusion sketch estimate is certified in-bound
+    assert(out.getAs[Boolean]("overlap_ok"),
+      s"sketch overlap estimate drifted out of bound: $out")
   }
 
   test("hllMergeDistinct: shard-union == single-shot sketch, near exact") {
