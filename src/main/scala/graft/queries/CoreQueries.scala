@@ -756,41 +756,62 @@ object CoreQueries {
     // event time sits beyond every real row's interval) and is itself
     // never evicted (its own window outlives the final watermark), so
     // it cannot appear in the append output.
-    "j3_streaming" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val raw = s.read.parquet(s"$d/events.parquet")
-      val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
-      def sentinel(id: Long, user: Long, tpe: String) =
-        raw.orderBy(col("ts").desc).limit(1)
-          .withColumn("event_id", lit(id))
-          .withColumn("user_id", lit(user))
-          .withColumn("event_type", lit(tpe))
-          .withColumn("ts", lit(maxTs + 2L * 3600 * 1000000000L))
-      val withSentinels = raw
-        .unionByName(sentinel(-1L, -999L, "purchase"))
-        .unionByName(sentinel(-2L, -998L, "view"))
-      val batchCol =
-        when(col("event_id") < 0, lit(3))
-          .otherwise(ntile(3).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
-      def side(tag: String) =
-        StreamingQueries.stageStreamBatched(s, withSentinels,
-            batchCol, s"ev-j3-$tag")
-          .select(col("event_id").as(s"${tag}_event_id"),
-            col("user_id").cast("string").as(s"${tag}_key"),
-            col("event_type").as(s"${tag}_type"),
-            col("value").as(s"${tag}_amount"),
-            timestamp_micros(expr("ts div 1000")).as(s"${tag}_time"))
-          .withWatermark(s"${tag}_time", "3 minutes")
-      val l = side("l").where(col("l_type") === "purchase")
-      val r = side("r").where(col("r_type") === "view")
-      val joined = l.join(r, expr(
-          "l_key = r_key AND r_time BETWEEN l_time - INTERVAL 1 HOUR AND l_time + INTERVAL 1 HOUR"),
-          "full_outer")
-        .select(col("l_event_id"), col("r_event_id"),
-          coalesce(col("l_key"), col("r_key")).as("key"),
-          round(col("l_amount") + col("r_amount"), 2).as("combined"))
-      StreamingQueries.runAppendToMemory(s, "j3s_join", joined)
-    }))
+    "j3_streaming" -> ((s, d) => ssOuterStreaming(s, d, "full_outer", "j3s_join")),
+
+    // J2 through the real engine: LEFT OUTER interval join — the same
+    // watermark-sentinel machinery as j3_streaming, with only the left
+    // (purchase) side's unmatched rows held in state for null-padded
+    // emission after watermark passage. Same oracle as the batch
+    // j2_ss_left.
+    "j2_streaming" -> ((s, d) => ssOuterStreaming(s, d, "left_outer", "j2s_join")))
+
+  /** Outer stream-stream interval join through the real streaming engine
+    * (j2_streaming / j3_streaming). See the j3_streaming comment above
+    * for the staging design: three time-ordered micro-batch files plus a
+    * 4th file carrying one watermark-sentinel row PER event type (a
+    * filtered-out sentinel would never reach the watermark operator —
+    * Catalyst pushes the type filter below EventTimeWatermark into the
+    * scan). The sentinels advance both sides past every real row's
+    * eviction bound and the trailing no-data batch flushes all remaining
+    * outer state, so the append result equals the batch join and shares
+    * its oracle.
+    */
+  private def ssOuterStreaming(s: SparkSession, d: String, joinType: String,
+                               queryName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
+    def sentinel(id: Long, user: Long, tpe: String) =
+      raw.orderBy(col("ts").desc).limit(1)
+        .withColumn("event_id", lit(id))
+        .withColumn("user_id", lit(user))
+        .withColumn("event_type", lit(tpe))
+        .withColumn("ts", lit(maxTs + 2L * 3600 * 1000000000L))
+    val withSentinels = raw
+      .unionByName(sentinel(-1L, -999L, "purchase"))
+      .unionByName(sentinel(-2L, -998L, "view"))
+    val batchCol =
+      when(col("event_id") < 0, lit(3))
+        .otherwise(ntile(3).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
+    def side(tag: String) =
+      StreamingQueries.stageStreamBatched(s, withSentinels,
+          batchCol, s"ev-$queryName-$tag")
+        .select(col("event_id").as(s"${tag}_event_id"),
+          col("user_id").cast("string").as(s"${tag}_key"),
+          col("event_type").as(s"${tag}_type"),
+          col("value").as(s"${tag}_amount"),
+          timestamp_micros(expr("ts div 1000")).as(s"${tag}_time"))
+        .withWatermark(s"${tag}_time", "3 minutes")
+    val l = side("l").where(col("l_type") === "purchase")
+    val r = side("r").where(col("r_type") === "view")
+    val joined = l.join(r, expr(
+        "l_key = r_key AND r_time BETWEEN l_time - INTERVAL 1 HOUR AND l_time + INTERVAL 1 HOUR"),
+        joinType)
+      .select(col("l_event_id"), col("r_event_id"),
+        coalesce(col("l_key"), col("r_key")).as("key"),
+        round(col("l_amount") + col("r_amount"), 2).as("combined"))
+    StreamingQueries.runAppendToMemory(s, queryName, joined)
+  }
 
   val joinOracles: Map[String, String] = Map(
     "j1_ss_inner" -> ssJoinOracle("INNER"),
@@ -799,8 +820,9 @@ object CoreQueries {
       "SELECT o_orderkey, c_mktsegment, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey",
     "j2_ss_left" -> ssJoinOracle("LEFT"),
     "j3_ss_outer" -> ssJoinOracle("FULL"),
-    // the sentinel staging makes the streaming append result converge to
-    // the batch full-outer join, so the SAME full oracle applies
+    // the sentinel staging makes the streaming append results converge
+    // to the batch joins, so the SAME oracles apply
+    "j2_streaming" -> ssJoinOracle("LEFT"),
     "j3_streaming" -> ssJoinOracle("FULL"),
     "j4_st_inner" ->
       "SELECT o_orderkey, c_mktsegment, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey",

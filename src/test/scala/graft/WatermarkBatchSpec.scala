@@ -36,25 +36,37 @@ class WatermarkBatchSpec extends GraftTest {
     assert(dropped > 0, "batch-3 late rows must hit the real drop path")
   }
 
-  test("j3_streaming (full-outer through the engine) equals the batch full-outer join") {
+  private def norm(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+    (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))
+  }.groupBy(identity).view.mapValues(_.length).toMap
+
+  private def assertStreamingEqualsBatch(streamingName: String, batchName: String) = {
     // time-ordered batches (nothing late-dropped) + the watermark
-    // sentinel (all outer state flushed) ⇒ the append-mode streaming
+    // sentinels (all outer state flushed) ⇒ the append-mode streaming
     // result must converge to exactly the batch join — including every
-    // null-padded unmatched row on both sides
-    def norm(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
-      (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))
-    }.groupBy(identity).view.mapValues(_.length).toMap
-    val streaming = norm(SparkEntry.queries("j3_streaming")(spark, sf)
+    // null-padded unmatched row
+    val streaming = norm(SparkEntry.queries(streamingName)(spark, sf)
       .select("l_event_id", "r_event_id", "key", "combined"))
-    val batch = norm(SparkEntry.queries("j3_ss_outer")(spark, sf)
+    val batch = norm(SparkEntry.queries(batchName)(spark, sf)
       .select("l_event_id", "r_event_id", "key", "combined"))
     assert(streaming.size > 0)
     assert(streaming === batch,
-      s"streaming full-outer must equal batch; only-in-streaming=${
+      s"$streamingName must equal $batchName; only-in-streaming=${
         (streaming.keySet -- batch.keySet).take(5)}, only-in-batch=${
         (batch.keySet -- streaming.keySet).take(5)}")
-    // and the outer semantics are real: both null-padded orientations exist
+    streaming
+  }
+
+  test("j3_streaming (full-outer through the engine) equals the batch full-outer join") {
+    val streaming = assertStreamingEqualsBatch("j3_streaming", "j3_ss_outer")
+    // the outer semantics are real: both null-padded orientations exist
     assert(streaming.keys.exists(_._1.isEmpty), "right-only rows must be null-padded")
     assert(streaming.keys.exists(_._2.isEmpty), "left-only rows must be null-padded")
+  }
+
+  test("j2_streaming (left-outer through the engine) equals the batch left join") {
+    val streaming = assertStreamingEqualsBatch("j2_streaming", "j2_ss_left")
+    assert(streaming.keys.exists(_._2.isEmpty), "left-only rows must be null-padded")
+    assert(!streaming.keys.exists(_._1.isEmpty), "a LEFT join emits no right-only rows")
   }
 }
