@@ -1048,8 +1048,11 @@ object CoreQueries {
       StreamingQueries.runWithStateCleanup(s, d, "events", "t4_counts",
         _.groupBy(col("event_type").as("key")).agg(count(lit(1)).as("cnt")))),
 
+    // CERTIFIED since r6 (was rows-only): the counts the query delivered
+    // BEFORE the graceful stop hash-match the oracle — drained state is
+    // complete, nothing was lost in the close — and the stop outcome
+    // itself rides as a boolean the oracle states as TRUE.
     "t5_graceful_shutdown" -> ((s, d) => {
-      import s.implicits._
       val q = StreamingQueries.readStreamParquet(s, d, "events")
         .groupBy("event_type").count()
         .writeStream.format("memory").queryName("t5_counts")
@@ -1058,7 +1061,9 @@ object CoreQueries {
         .start()
       q.awaitTermination()
       q.stop() // graceful close (reference's streams.close(10s))
-      Seq(("stopped", q.isActive)).toDF("status", "active")
+      s.table("t5_counts")
+        .select(col("event_type").as("key"), col("count").as("cnt"),
+          lit(!q.isActive).as("stopped"))
     }),
 
     "f_scalars" -> ((s, d) =>
@@ -1109,6 +1114,11 @@ object CoreQueries {
          FROM agg, w2 WHERE ws + 300000000 <= w2.wm""",
     "t4_state_cleanup" ->
       "SELECT event_type AS key, count(*) AS cnt FROM events GROUP BY 1",
+    // t5: the drained pre-stop counts are exact; `stopped` is the
+    // graceful-close outcome, TRUE on the oracle side (a failed stop
+    // flips the engine-side literal and fails the hash)
+    "t5_graceful_shutdown" ->
+      "SELECT event_type AS key, count(*) AS cnt, TRUE AS stopped FROM events GROUP BY 1",
     "f_scalars" ->
       """SELECT p_partkey, lower(p_name) AS lo, upper(p_brand) AS up, length(p_type) AS len,
                 substring(p_name, 1, 3) AS sub3, p_brand || '#' || p_type AS cat,
