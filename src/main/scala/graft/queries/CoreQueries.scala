@@ -706,6 +706,20 @@ object CoreQueries {
       StreamingQueries.runAppendToMemory(s, "j4s_join", joined)
     }),
 
+    // J5 through the real streaming engine: stream-static LEFT join —
+    // unlike the stream-stream outers, a stream-static left join pads
+    // un-matched stream rows IMMEDIATELY (the static side is complete
+    // per micro-batch, no watermark wait), so no sentinel staging is
+    // needed; same oracle as the batch j5_st_left
+    "j5_streaming" -> ((s, d) => {
+      val ordersStream = StreamingQueries.readStreamParquet(s, d, "orders")
+      val joined = Joins.streamTableJoin(ordersStream,
+          Graft.customer(s, d).where(col("c_nationkey") < 10),
+          "o_custkey", "c_custkey", "left")
+        .select("o_orderkey", "c_mktsegment", "o_totalprice")
+      StreamingQueries.runAppendToMemory(s, "j5s_join", joined)
+    }),
+
     // J1 through the real streaming engine: two watermarked file streams,
     // native event-time interval join (Spark's stream-stream join keeps
     // per-key state bounded by watermark + range), append-mode memory
@@ -818,6 +832,9 @@ object CoreQueries {
     "j1_streaming" -> ssJoinOracle("INNER"),
     "j4_streaming" ->
       "SELECT o_orderkey, c_mktsegment, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey",
+    "j5_streaming" ->
+      """SELECT o_orderkey, c_mktsegment, o_totalprice
+         FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_nationkey < 10) c ON o_custkey = c_custkey""",
     "j2_ss_left" -> ssJoinOracle("LEFT"),
     "j3_ss_outer" -> ssJoinOracle("FULL"),
     // the sentinel staging makes the streaming append results converge
