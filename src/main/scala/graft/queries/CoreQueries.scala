@@ -259,6 +259,22 @@ object CoreQueries {
         Seq(round(sum("amount"), 2).as("total")))
     }),
 
+    // A6 through the real streaming engine: the table re-aggregation's
+    // RETRACTION semantics (adder + subtractor,
+    // DSLStatefulTransformation.scala:105-111) ride the foreachBatch
+    // upsert loop — when a later batch upserts a key into a different
+    // group, the recomputed snapshot moves its amount between groups
+    // (old group sum shrinks: the subtractor's effect, without needing
+    // one). Final snapshot = batch answer, SAME oracle as a6.
+    "a6_streaming" -> ((s, d) => {
+      val ev = Graft.eventsStream(s, d).select("key", "value", "amount", "ts_us", "event_id")
+      StreamingQueries.runUpsertSnapshots(s, ev, pmod(col("event_id"), lit(3)), "a6") { acc =>
+        TableView.regroupAndAgg(
+          TableView.latestPerKey(acc, Seq("key"), col("ts_us"), col("event_id")),
+          col("value"), Seq(round(sum("amount"), 2).as("total")))
+      }._1
+    }),
+
     "a7_table_groupby" -> ((s, d) => {
       val latest = TableView.latestPerKey(
         Graft.eventsStream(s, d), Seq("key"), col("ts_us"), col("event_id"))
@@ -359,6 +375,10 @@ object CoreQueries {
     "a5_reduce" ->
       "SELECT CAST(user_id AS VARCHAR) AS key, max(value) AS max_amount FROM events GROUP BY 1",
     "a6_table_reduce" ->
+      """SELECT event_type AS key, round(sum(value), 2) AS total
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         WHERE rn = 1 GROUP BY 1""",
+    "a6_streaming" ->
       """SELECT event_type AS key, round(sum(value), 2) AS total
          FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
          WHERE rn = 1 GROUP BY 1""",
@@ -542,6 +562,29 @@ object CoreQueries {
     s"""SELECT coalesce(l.key, r.key) AS key, l.amount AS purchase_amount, r.amount AS view_amount
         FROM ${latestByTypeSql("purchase")} l $kind JOIN ${latestByTypeSql("view")} r ON l.key = r.key"""
 
+  /** J6-J8 through the real streaming engine: the events changelog is
+    * staged as three micro-batches and consumed by a foreachBatch upsert
+    * loop (StreamingQueries.runUpsertSnapshots) that recomputes the
+    * latest-per-key purchase/view tables and re-joins them per batch —
+    * the reference's "emit updated join output as either side upserts"
+    * (TableToTableJoinExample.scala:115-117). The final snapshot has seen
+    * the whole changelog, so it converges to the batch join and SHARES its
+    * oracle; mid-stream upsert updates are asserted in ProcessorsSpec.
+    */
+  private def ttJoinStreaming(s: SparkSession, d: String, joinType: String): DataFrame = {
+    val ev = Graft.eventsStream(s, d).select("key", "value", "amount", "ts_us", "event_id")
+    StreamingQueries.runUpsertSnapshots(s, ev, pmod(col("event_id"), lit(3)),
+        s"tt-$joinType") { acc =>
+      def side(tpe: String) = TableView.latestPerKey(
+        acc.where(col("value") === tpe).select("key", "event_id", "amount", "ts_us"),
+        Seq("key"), col("ts_us"), col("event_id"))
+      val l = side("purchase").select(col("key"), col("amount").as("purchase_amount"))
+      val r = side("view").select(col("key").as("rkey"), col("amount").as("view_amount"))
+      Joins.tableTableJoin(l, r, "key", "rkey", joinType)
+        .select(coalesce(col("key"), col("rkey")).as("key"), col("purchase_amount"), col("view_amount"))
+    }._1
+  }
+
   val joins: Map[String, Q] = Map(
     "j1_ss_inner" -> ((s, d) => ssJoin(s, d, "inner")),
     "j2_ss_left" -> ((s, d) => ssJoin(s, d, "left")),
@@ -561,6 +604,11 @@ object CoreQueries {
     "j6_tt_inner" -> ((s, d) => ttJoin(s, d, "inner")),
     "j7_tt_left" -> ((s, d) => ttJoin(s, d, "left")),
     "j8_tt_outer" -> ((s, d) => ttJoin(s, d, "outer")),
+    // J6-J8 driven through the streaming engine's foreachBatch upsert
+    // loop — same oracles as the batch forms (see ttJoinStreaming)
+    "j6_streaming" -> ((s, d) => ttJoinStreaming(s, d, "inner")),
+    "j7_streaming" -> ((s, d) => ttJoinStreaming(s, d, "left")),
+    "j8_streaming" -> ((s, d) => ttJoinStreaming(s, d, "outer")),
     // J9: the join type arrives as a runtime string, dispatched through
     // Joins.sparkJoinType — the reference's CLI inner|left|outer switch.
     // The oracle is pinned to FULL, matching the default; setting
@@ -849,6 +897,10 @@ object CoreQueries {
     "j6_tt_inner" -> ttJoinOracle("INNER"),
     "j7_tt_left" -> ttJoinOracle("LEFT"),
     "j8_tt_outer" -> ttJoinOracle("FULL"),
+    // the upsert loop converges to the batch join — SAME oracles
+    "j6_streaming" -> ttJoinOracle("INNER"),
+    "j7_streaming" -> ttJoinOracle("LEFT"),
+    "j8_streaming" -> ttJoinOracle("FULL"),
     "j9_dispatch" -> ttJoinOracle("FULL"),
     "j_salted" ->
       """WITH dim AS (SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_amount

@@ -15,10 +15,19 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingQueries {
 
+  // Staged stream dirs fill with parquet files after creation, so
+  // File.deleteOnExit (empty-dir only) would leak them; sweep the full
+  // trees once at JVM exit instead. Idempotent: deleteIfExists, and the
+  // hook tolerates dirs already removed by a test's own cleanup.
+  private val stagedDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    stagedDirs.forEach(p => try deleteRecursively(p) catch { case _: Exception => () })
+  }))
+
   private def tmpDir(tag: String): String = {
-    val d = Files.createTempDirectory(s"graft-$tag").toFile
-    d.deleteOnExit()
-    d.getAbsolutePath
+    val d = Files.createTempDirectory(s"graft-$tag")
+    stagedDirs.add(d)
+    d.toAbsolutePath.toString
   }
 
   /** Streaming read of a parquet "topic" with the batch-inferred schema.
@@ -70,8 +79,10 @@ object StreamingQueries {
       val tmp = Paths.get(tmpDir(s"stage-$i"))
       tagged.where(col("_b") === i).drop("_b")
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp)
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val listing = Files.list(tmp)
+      val part =
+        try listing.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
       val target = batchDir.resolve(s"batch-$i.parquet")
       Files.move(part, target)
       Files.setLastModifiedTime(target,
@@ -79,6 +90,49 @@ object StreamingQueries {
     }
     spark.readStream.schema(src.schema)
       .option("maxFilesPerTrigger", 1).parquet(batchDir.toString)
+  }
+
+  /** J6-J8 / A6 through the real streaming engine. A KTable is a
+    * changelog, and a table-table join (or table re-aggregation) emits an
+    * updated joined snapshot whenever either side upserts (reference:
+    * src/main/scala/com/github/hosnimed/TableToTableJoinExample.scala:115-117).
+    * Spark mapping (SURVEY §1.1): `foreachBatch` accumulates the changelog
+    * per micro-batch and recomputes the latest-per-key `snapshot` —
+    * update-by-recompute, so no subtractor is needed and replaced values
+    * are never counted. Each batch's snapshot lands in
+    * `<snapRoot>/batch-<i>` so mid-stream updates (e.g. a key moving
+    * groups on upsert) are observable; the last one is the converged
+    * table. Returns (finalSnapshot, snapshotRoot).
+    *
+    * 100 TB note: the recompute is one shuffle per micro-batch over the
+    * accumulated changelog — the right default while snapshots fit a
+    * batch job's budget; past that a deployment would compact the
+    * changelog (the parquet dir here stands in for a compacted topic)
+    * or move the state into transformWithState.
+    */
+  def runUpsertSnapshots(
+      spark: SparkSession,
+      src: DataFrame,
+      batchOf: org.apache.spark.sql.Column,
+      tag: String)(snapshot: DataFrame => DataFrame): (DataFrame, String) = {
+    val stream = stageStreamBatched(spark, src, batchOf, tag)
+    val changelog = tmpDir(s"changelog-$tag")
+    val snapRoot = tmpDir(s"snap-$tag")
+    val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val q = stream.writeStream
+      .option("checkpointLocation", tmpDir(s"ckpt-upsert-$tag"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("append").parquet(changelog)
+        snapshot(spark.read.parquet(changelog))
+          .write.mode("overwrite").parquet(s"$snapRoot/batch-$id")
+        lastBatch.updateAndGet(prev => math.max(prev, id))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q.stop()
+    (spark.read.parquet(s"$snapRoot/batch-${lastBatch.get}"), snapRoot)
   }
 
   /** Run `transform` over a streaming read of `table`, aggregate to a
@@ -155,8 +209,10 @@ object StreamingQueries {
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
     }
   }
 

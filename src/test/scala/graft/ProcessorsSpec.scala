@@ -278,6 +278,63 @@ class ProcessorsSpec extends GraftTest {
     } finally q.stop()
   }
 
+  test("J6 streaming upsert: join output updates when a table side upserts (alice moves region)") {
+    import spark.implicits._
+    import graft.operators.TableView
+    import graft.streaming.StreamingQueries
+    // reference StreamToTableJoinTestData.scala:45-59 / TableToTableJoin-
+    // Example.scala:115-117 — alice starts in europe, later upserts to
+    // asia; the joined view must follow the upsert mid-stream.
+    val changelog = Seq(
+      (0, "user", "alice", "europe", 1L),
+      (0, "user", "bob", "americas", 1L),
+      (0, "region", "europe", "Europe", 1L),
+      (0, "region", "americas", "Americas", 1L),
+      (0, "region", "asia", "Asia", 1L),
+      (1, "user", "alice", "asia", 2L)
+    ).toDF("batch", "side", "key", "value", "ts")
+    val (finalSnap, snapRoot) = StreamingQueries.runUpsertSnapshots(
+        spark, changelog, col("batch"), "alice") { acc =>
+      def side(s: String) = TableView.latestPerKey(
+        acc.where(col("side") === s).select("key", "value", "ts"),
+        Seq("key"), col("ts"), col("value"))
+      val users = side("user").select(col("key").as("user"), col("value").as("region"))
+      val regions = side("region").select(col("key").as("rkey"), col("value").as("region_name"))
+      users.join(regions, col("region") === col("rkey"), "inner")
+        .select("user", "region", "region_name")
+    }
+    def snap(i: Int) = spark.read.parquet(s"$snapRoot/batch-$i")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(snap(0) === Set(("alice", "europe", "Europe"), ("bob", "americas", "Americas")))
+    // the upsert replaces alice's region — the old joined row is GONE
+    assert(snap(1) === Set(("alice", "asia", "Asia"), ("bob", "americas", "Americas")))
+    assert(finalSnap.count() === 2)
+  }
+
+  test("A6 streaming retraction: upsert moves a key's amount between groups") {
+    import spark.implicits._
+    import graft.operators.TableView
+    import graft.streaming.StreamingQueries
+    val changelog = Seq(
+      (0, "alice", "europe", 10.0, 1L),
+      (0, "bob", "europe", 5.0, 1L),
+      (1, "alice", "asia", 10.0, 2L)
+    ).toDF("batch", "user", "region", "amount", "ts")
+    val (_, snapRoot) = StreamingQueries.runUpsertSnapshots(
+        spark, changelog, col("batch"), "a6-retract") { acc =>
+      TableView.regroupAndAgg(
+        TableView.latestPerKey(acc.select("user", "region", "amount", "ts"),
+          Seq("user"), col("ts"), col("region")),
+        col("region"), Seq(round(sum("amount"), 2).as("total")))
+    }
+    def snap(i: Int) = spark.read.parquet(s"$snapRoot/batch-$i")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(snap(0) === Map("europe" -> 15.0))
+    // alice's 10 must be subtracted from europe (the reference's
+    // subtractor) and added to asia — recompute gives both for free
+    assert(snap(1) === Map("europe" -> 5.0, "asia" -> 10.0))
+  }
+
   test("T5 graceful stop leaves the query inactive and session healthy") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
