@@ -57,13 +57,7 @@ object Ann {
     // still PROBES into healthy neighboring buckets, so its cross-bucket
     // matches survive. Worst-case join-group size is then
     // (cluster size) × maxBucket — linear in the cluster, not quadratic.
-    val r0 =
-      if (maxBucket <= 0) base0
-      else {
-        val ok = base0.groupBy("b0").agg(count(lit(1)).as("_bsz"))
-          .where(col("_bsz") <= maxBucket).select("b0")
-        base0.join(ok, Seq("b0"), "left_semi")
-      }
+    val r0 = graft.dedup.Dedup.capBuckets(base0, Seq("b0"), maxBucket, "cosinePairs")
     val probes = array((lit(0) +: (0 until probeBits).map(b => lit(1 << b))): _*)
     val l = base0.select(col("vid").as("a"), col("v").as("va"),
       explode(transform(probes, f => col("b0").bitwiseXOR(f))).as("bucket"))
@@ -79,11 +73,21 @@ object Ann {
     // set — each unordered pair appears at most twice (once per
     // orientation: r keys by its ONE true bucket and l's probe set is
     // distinct values, so an orientation matches at most one bucket).
-    l.join(r, Seq("bucket")).where(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"),
-        round(cosineNative(corpus.sparkSession, "va", "vb"), 6).as("cos"))
-      .where(col("cos") >= threshold)
-      .distinct()
+    val paired = l.join(r, Seq("bucket")).where(col("a") =!= col("b"))
+    if (maxBucket <= 0)
+      // uncapped opt-out: every unordered pair appears exactly twice
+      // (once per orientation), so the single-orientation a<b filter is
+      // exact and skips the canonicalizing distinct's extra shuffle
+      paired.where(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          round(cosineNative(corpus.sparkSession, "va", "vb"), 6).as("cos"))
+        .where(col("cos") >= threshold)
+    else
+      paired
+        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"),
+          round(cosineNative(corpus.sparkSession, "va", "vb"), 6).as("cos"))
+        .where(col("cos") >= threshold)
+        .distinct()
   }
 
   /** Cross-corpus embedding near-dup: which new-batch vectors are near
@@ -107,13 +111,7 @@ object Ann {
     // cosinePairs(maxBucket)): an oversized corpus bucket is dropped, so
     // one batch probe can't pull a mega-cluster into a single task;
     // batch probes into healthy buckets are unaffected
-    val r =
-      if (maxBucket <= 0) r0
-      else {
-        val ok = r0.groupBy("bucket").agg(count(lit(1)).as("_bsz"))
-          .where(col("_bsz") <= maxBucket).select("bucket")
-        r0.join(ok, Seq("bucket"), "left_semi")
-      }
+    val r = graft.dedup.Dedup.capBuckets(r0, Seq("bucket"), maxBucket, "crossCosinePairs")
     // pairs are unique without a distinct(): corpus rows key by their one
     // bucket, batch probes are distinct bucket values
     l.join(r, Seq("bucket"))

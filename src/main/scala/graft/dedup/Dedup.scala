@@ -13,6 +13,38 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // ---- hot-bucket guard ----------------------------------------------------
+
+  private val capSeq = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Hot-bucket guard shared by every blocked pair generator: drop the
+    * groups of `df` whose row count over `keys` exceeds `maxBucket`
+    * (size aggregation + semi-join — no extra corpus pass). The guard
+    * defaults ON across the library, which silently changes results for
+    * oversized true clusters — so the loss is made OBSERVABLE for free:
+    * the plan carries an `observe` node named
+    * `graft.<op>.cap.<n>` with metrics `dropped_buckets` (groups over
+    * the cap), `dropped_rows` (their member rows) and `max_bucket`
+    * (largest group seen). Read them with a
+    * `QueryExecutionListener`, or `SparkListenerSQLExecutionEnd` —
+    * nonzero `dropped_buckets` means recall loss the cap traded away,
+    * and `max_bucket` says what cap would have kept everything. Names
+    * are sequence-suffixed so composed queries never collide.
+    */
+  def capBuckets(df: DataFrame, keys: Seq[String], maxBucket: Int,
+                 opName: String): DataFrame = {
+    if (maxBucket <= 0) df
+    else {
+      val sizes = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_bsz"))
+        .observe(s"graft.$opName.cap.${capSeq.incrementAndGet()}",
+          sum(when(col("_bsz") > maxBucket, lit(1L)).otherwise(lit(0L))).as("dropped_buckets"),
+          sum(when(col("_bsz") > maxBucket, col("_bsz")).otherwise(lit(0L))).as("dropped_rows"),
+          max(col("_bsz")).as("max_bucket"))
+      val ok = sizes.where(col("_bsz") <= maxBucket).select(keys.map(col): _*)
+      df.join(ok, keys, "left_semi")
+    }
+  }
+
   // ---- exact --------------------------------------------------------------
 
   /** Exact dedup: group on md5 of the raw content, keep the smallest id
@@ -178,15 +210,7 @@ object Dedup {
                    shingleK: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val sigs = minhashSigs(docs, id, text, numHashes, shingleK)
     val bandedAll = bandsOfSigs(sigs, numHashes, bands)
-    val banded =
-      if (maxBucket <= 0) bandedAll
-      else {
-        val ok = bandedAll.groupBy("band", "band_hash")
-          .agg(count(lit(1)).as("_bsz"))
-          .where(col("_bsz") <= maxBucket)
-          .select("band", "band_hash")
-        bandedAll.join(ok, Seq("band", "band_hash"), "left_semi")
-      }
+    val banded = capBuckets(bandedAll, Seq("band", "band_hash"), maxBucket, "minhashPairs")
     val l = banded.select(col("band"), col("band_hash"), col("doc").as("a"))
     val r = banded.select(col("band"), col("band_hash"), col("doc").as("b"))
     // candidate ids first (slim shuffle), signatures re-joined only for
@@ -232,15 +256,7 @@ object Dedup {
     // makes every matching batch doc pay the whole cluster in one task).
     // A batch doc whose match sits in a dropped bucket still surfaces
     // through the pair's other, less-degenerate bands.
-    val cb =
-      if (maxBucket <= 0) cbAll
-      else {
-        val ok = cbAll.groupBy("band", "band_hash")
-          .agg(count(lit(1)).as("_bsz"))
-          .where(col("_bsz") <= maxBucket)
-          .select("band", "band_hash")
-        cbAll.join(ok, Seq("band", "band_hash"), "left_semi")
-      }
+    val cb = capBuckets(cbAll, Seq("band", "band_hash"), maxBucket, "crossMinhashPairs")
     val cand = bb.join(cb, Seq("band", "band_hash"))
       .select("batch_id", "corpus_id").distinct()
     val withSigs = cand
@@ -339,16 +355,47 @@ object Dedup {
     * been truncated and cannot be recomputed"). `Some(dir)` switches
     * every round to a RELIABLE `checkpoint` against that directory
     * (HDFS/object store on a real cluster), which survives executor loss
-    * — the production mode. Superseded rounds' checkpoint files are
-    * deleted eagerly so the footprint stays at ~2 rounds of labels.
+    * — the production mode. When `None` but the session ALREADY has a
+    * checkpoint dir configured (`sc.setCheckpointDir` at app setup), the
+    * reliable mode is used automatically — a session that paid for a
+    * checkpoint store wants its long iterative jobs loss-proof.
+    * Superseded rounds' checkpoint files are deleted eagerly so the
+    * footprint stays at ~2 rounds of labels.
+    *
+    * Side effects of `Some(dir)`: `sc.setCheckpointDir(dir)` is a
+    * SparkContext-global mutation that persists after this call and is
+    * only applied when no checkpoint dir is configured yet — passing a
+    * DIFFERENT dir than the session's existing one throws rather than
+    * silently redirecting unrelated jobs' checkpoints. The final
+    * round's checkpoint files outlive the call (the returned DataFrame
+    * reads them); they are removed with the checkpoint dir's normal
+    * lifecycle, not eagerly.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           checkpointDir: Option[String] = None,
                           saltBuckets: Int = 0): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sc = pairs.sparkSession.sparkContext
-    checkpointDir.foreach(sc.setCheckpointDir)
-    val reliable = checkpointDir.isDefined
+    val existingDir = sc.getCheckpointDir
+    checkpointDir.foreach { d =>
+      existingDir match {
+        case Some(cur) =>
+          // setCheckpointDir stores <dir>/<uuid> fully qualified —
+          // compare the qualified parent against the qualified request
+          val curParent = new org.apache.hadoop.fs.Path(cur).getParent
+          val reqPath = new org.apache.hadoop.fs.Path(d)
+          val reqQ = reqPath.getFileSystem(sc.hadoopConfiguration).makeQualified(reqPath)
+          if (curParent != reqQ)
+            throw new IllegalArgumentException(
+              s"connectedComponents(checkpointDir=$d): session already checkpoints under " +
+                s"$curParent; refusing to redirect a SparkContext-global setting — " +
+                "pass None to reuse it")
+        case None => sc.setCheckpointDir(d)
+      }
+    }
+    // auto-reliable: a session that configured a checkpoint store gets
+    // executor-loss-proof rounds without opting in per call
+    val reliable = checkpointDir.isDefined || existingDir.isDefined
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct().persist(MEMORY_AND_DISK)
@@ -545,13 +592,7 @@ object Dedup {
       .select(col(id).as("doc"), col(text).as("str"),
         explode(deletionNeighborhood(col(text), maxDist)).as("v"))
       .select(col("doc"), col("str"), xxhash64(col("v")).as("vh"))
-    val variants =
-      if (maxBucket <= 0) variantsAll
-      else {
-        val ok = variantsAll.groupBy("vh").agg(count(lit(1)).as("_bsz"))
-          .where(col("_bsz") <= maxBucket).select("vh")
-        variantsAll.join(ok, Seq("vh"), "left_semi")
-      }
+    val variants = capBuckets(variantsAll, Seq("vh"), maxBucket, "editDistancePairs")
     variants.select(col("vh"), col("doc").as("a"), col("str").as("str_a"))
       .join(variants.select(col("vh"), col("doc").as("b"), col("str").as("str_b")), "vh")
       .where(col("a") < col("b"))
@@ -637,15 +678,7 @@ object Dedup {
     // same hot-bucket guard as minhashPairs(maxBucket): a mega-cluster of
     // identical signatures shares every chunk bucket → k²/2 pairs on one
     // task; oversized buckets drop before the self-join
-    val chunked =
-      if (maxBucket <= 0) chunkedAll
-      else {
-        val ok = chunkedAll.groupBy("chunk", "chunk_key")
-          .agg(count(lit(1)).as("_bsz"))
-          .where(col("_bsz") <= maxBucket)
-          .select("chunk", "chunk_key")
-        chunkedAll.join(ok, Seq("chunk", "chunk_key"), "left_semi")
-      }
+    val chunked = capBuckets(chunkedAll, Seq("chunk", "chunk_key"), maxBucket, "simhashPairs")
     val l = chunked.select(col("chunk"), col("chunk_key"), col("doc").as("a"), col("sh").as("sh_a"))
     val r = chunked.select(col("chunk"), col("chunk_key"), col("doc").as("b"), col("sh").as("sh_b"))
     // filter BEFORE the distinct: the Hamming verify is a per-row

@@ -63,12 +63,12 @@ object Joins {
         floorDiv(s"l_$tsUs + ${windowUs}L", windowUs))))
     val rb = r.withColumn("r_bucket", floorDiv(s"r_$tsUs", windowUs))
 
-    val inner = lb.join(
-        rb,
-        col("l_bucket") === col("r_bucket") &&
-          col(s"l_$key") === col(s"r_$key") &&
-          col(s"r_$tsUs").between(col(s"l_$tsUs") - windowUs, col(s"l_$tsUs") + windowUs))
-      .drop("l_bucket", "r_bucket")
+    val cond =
+      col("l_bucket") === col("r_bucket") &&
+        col(s"l_$key") === col(s"r_$key") &&
+        col(s"r_$tsUs").between(col(s"l_$tsUs") - windowUs, col(s"l_$tsUs") + windowUs)
+
+    val inner = lb.join(rb, cond).drop("l_bucket", "r_bucket")
 
     def nullPad(base: DataFrame, shape: DataFrame): DataFrame =
       shape.schema.fields.foldLeft(base)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
@@ -76,28 +76,28 @@ object Joins {
     sparkJoinType(joinType) match {
       case "inner" => inner
       case outerKind =>
-        // the bucketed join executes ONCE: `inner` is persisted, and both
-        // the union arm and the matched-id probes read the cache instead
-        // of re-running the join (the join is the expensive part; the id
-        // projections over it are cheap cache scans). `matched` is ALSO
-        // persisted — tiny, but full_outer probes it twice and each probe
-        // would otherwise re-run the distinct over the cached join output.
-        // Both caches are MEMORY_AND_DISK and are released by LRU eviction
-        // / context cleanup once the consumer's action completes (the
-        // frames are returned lazily, so an eager unpersist here would
-        // defeat the cache).
-        val innerP = inner.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val matched = innerP
-          .select(col(s"l_$idCol").as("ml"), col(s"r_$idCol").as("mr")).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val unmatchedL = l.join(matched.select(col("ml")).distinct(),
-          col(s"l_$idCol") === col("ml"), "left_anti")
-        val leftOuter = innerP.unionByName(nullPad(unmatchedL, r))
+        // matched ids come from bounded SEMI probes of the same bucketed
+        // join, NOT from persisting the inner output: per-(key,bucket)
+        // density makes the inner's row count grow QUADRATICALLY (d
+        // purchases x d views in a cell all pair up), so caching it
+        // spills that whole volume to disk before the padding arms can
+        // read it. A left-semi emits each probe row at most once and
+        // sort-merge early-outs on the first in-range match, keeping the
+        // padding arms linear in the INPUTS at any density; the inner
+        // arm streams straight to the consumer unpersisted. (The join
+        // runs once per arm — 3x probe work for full outer — but probe
+        // work is input-sized while the old cache was output-sized, the
+        // term that explodes under density.)
+        val matchedL = lb.join(rb, cond, "left_semi")
+          .select(col(s"l_$idCol").as("ml")).distinct() // ≤3 bucket copies/row
+        val unmatchedL = l.join(matchedL, col(s"l_$idCol") === col("ml"), "left_anti")
+        val leftOuter = inner.unionByName(nullPad(unmatchedL, r))
         outerKind match {
           case "left_outer" => leftOuter
           case "full_outer" =>
-            val unmatchedR = r.join(matched.select(col("mr")).distinct(),
-              col(s"r_$idCol") === col("mr"), "left_anti")
+            val matchedR = rb.join(lb, cond, "left_semi")
+              .select(col(s"r_$idCol").as("mr")).distinct()
+            val unmatchedR = r.join(matchedR, col(s"r_$idCol") === col("mr"), "left_anti")
             leftOuter.unionByName(nullPad(unmatchedR, l))
           case other => throw new IllegalArgumentException(s"unsupported joinType: $other")
         }

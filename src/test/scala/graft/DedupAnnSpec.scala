@@ -298,10 +298,51 @@ class DedupAnnSpec extends GraftTest {
       assert((100L to 160L).forall(n => reliable(n) == 100L),
         "61-node chain must fully collapse through reliable checkpoints")
     } finally {
+      // the call set the SparkContext-global checkpoint dir — clear it so
+      // later tests don't silently auto-switch to reliable mode against a
+      // deleted directory (null clears: SparkContext wraps in Option)
+      spark.sparkContext.setCheckpointDir(null)
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
       rm(dir)
+    }
+  }
+
+  test("connected components: session checkpoint dir auto-enables reliable mode; conflicts throw") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-autockpt-").toFile
+    val other = java.nio.file.Files.createTempDirectory("graft-otherckpt-").toFile
+    try {
+      spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
+      val pairs = ((1L, 2L) +: (100L until 120L).map(i => (i, i + 1))).toDF("a", "b")
+      // checkpointDir = None, but the session has a checkpoint store →
+      // rounds must go through it (reliable), visible as surviving
+      // final-round checkpoint files under the dir
+      val labels = Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((100L to 120L).forall(n => labels(n) == 100L))
+      def rddDirs(f: java.io.File): Int =
+        Option(f.listFiles()).map(_.count(_.getName.startsWith("rdd-"))).getOrElse(0)
+      val inner = Option(dir.listFiles()).toSeq.flatten.filter(_.isDirectory)
+      assert(inner.exists(rddDirs(_) > 0),
+        s"auto-reliable mode must checkpoint into the session dir; found ${inner.toSeq}")
+      // redirecting the global setting to a DIFFERENT dir must throw, not
+      // silently re-point unrelated jobs' checkpoints
+      intercept[IllegalArgumentException] {
+        Dedup.connectedComponents(pairs, checkpointDir = Some(other.getAbsolutePath))
+      }
+      // the SAME dir is accepted (no-op against the existing setting)
+      val again = Dedup.connectedComponents(pairs,
+          checkpointDir = Some(dir.getAbsolutePath)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(again === labels)
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir); rm(other)
     }
   }
 

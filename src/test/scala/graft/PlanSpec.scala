@@ -67,10 +67,18 @@ class PlanSpec extends GraftTest {
       "the one-row sketch must broadcast to the estimate side (never a driver collect):\n" + p.take(2000))
   }
 
-  test("outer windowed join reuses the cached inner join instead of re-executing it") {
+  test("outer windowed join derives padding from bounded semi probes, not a cached inner") {
     val p = plan("j3_ss_outer")
-    assert(p.contains("InMemoryTableScan"),
-      "inner join must be persisted and read back for the union + anti-join arms:\n" + p.take(3000))
+    // the old shape persisted the full inner output (quadratic in
+    // per-(key,bucket) density) to feed the padding arms; the scale-safe
+    // shape probes matched ids with semi joins (linear output) and
+    // anti-joins the originals
+    assert(p.contains("LeftSemi"),
+      "matched ids must come from semi probes:\n" + p.take(3000))
+    assert(p.contains("LeftAnti"),
+      "padding arms must anti-join the matched ids:\n" + p.take(3000))
+    assert(!p.contains("InMemoryTableScan"),
+      "the quadratic inner output must NOT be persisted:\n" + p.take(3000))
   }
 
   test("q_topn ranks in two phases (local per input partition, then tiny final)") {
