@@ -568,12 +568,17 @@ class DedupAnnSpec extends GraftTest {
     }
   }
 
-  test("certified LSH queries run with the bucket cap active (left-semi guard in plan)") {
+  test("certified LSH queries run with the bucket cap active (window guard in plan)") {
     for (q <- Seq("dd_minhash", "dd_simhash", "dd_embedding", "dd_fuzzy",
                   "dd_minhash_incremental", "ann_incremental")) {
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan.toString
-      assert(plan.contains("LeftSemi"),
-        s"$q must carry the maxBucket semi-join guard; plan:\n${plan.take(2000)}")
+      // the guard is a window count over the bucket keys (its exchange is
+      // reused by the self-join) filtered on _bsz, plus the observe node
+      // that reports dropped rows/buckets
+      assert(plan.contains("_bsz"),
+        s"$q must carry the maxBucket window guard; plan:\n${plan.take(2000)}")
+      assert(plan.contains("CollectMetrics") && plan.contains(".cap."),
+        s"$q must carry the cap observe metrics; plan:\n${plan.take(2000)}")
     }
   }
 
