@@ -842,7 +842,14 @@ object CoreQueries {
                                queryName: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val raw = s.read.parquet(s"$d/events.parquet")
-    val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
+    // sentinel ids and keys are DERIVED from the corpus, strictly below
+    // every real event_id / user_id — the old fixed -999/-998 keys only
+    // worked by the convention that the generator never emits negative
+    // ids; deriving the floor makes non-collision structural
+    val bounds = raw.agg(max(col("ts")),
+      least(min(col("event_id")), lit(0L)),
+      least(min(col("user_id")), lit(0L))).head()
+    val (maxTs, idFloor, userFloor) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
     def sentinel(id: Long, user: Long, tpe: String) =
       raw.orderBy(col("ts").desc).limit(1)
         .withColumn("event_id", lit(id))
@@ -850,10 +857,10 @@ object CoreQueries {
         .withColumn("event_type", lit(tpe))
         .withColumn("ts", lit(maxTs + 2L * 3600 * 1000000000L))
     val withSentinels = raw
-      .unionByName(sentinel(-1L, -999L, "purchase"))
-      .unionByName(sentinel(-2L, -998L, "view"))
+      .unionByName(sentinel(idFloor - 1L, userFloor - 1L, "purchase"))
+      .unionByName(sentinel(idFloor - 2L, userFloor - 2L, "view"))
     val batchCol =
-      when(col("event_id") < 0, lit(3))
+      when(col("event_id") <= lit(idFloor - 1L), lit(3))
         .otherwise(ntile(3).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
     def side(tag: String) =
       StreamingQueries.stageStreamBatched(s, withSentinels,

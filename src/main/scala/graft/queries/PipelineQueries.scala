@@ -902,6 +902,22 @@ object PipelineQueries {
          SELECT r.doc_id, r.dup2_ratio, r.dup3_ratio, tf.top_tok_frac FROM r JOIN tf USING (doc_id)""",
     "txt_fingerprint" ->
       "SELECT doc_id, substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16) AS fp16 FROM documents",
+    // replays the RollingHash Catalyst expression bit-for-bit: wrapping
+    // 64-bit polynomial h = 31*h + byte (seed 1125899906842597) in
+    // HUGEINT mod 2^64, re-signed at the end (ASCII corpus → ord ==
+    // UTF-8 byte); list_reduce folds the byte list with the seed
+    // prepended, so an empty text hashes to the seed like the kernel
+    "txt_rollinghash" ->
+      """SELECT doc_id,
+                CAST(CASE WHEN hh >= 9223372036854775808::HUGEINT
+                          THEN hh - 18446744073709551616::HUGEINT ELSE hh END AS BIGINT) AS rh
+         FROM (SELECT doc_id,
+                      list_reduce(
+                        list_prepend(1125899906842597::HUGEINT,
+                          list_transform(range(1, length(text)+1),
+                                         i -> ord(substr(text, i, 1))::HUGEINT)),
+                        (acc, b) -> (31::HUGEINT * acc + b) % 18446744073709551616::HUGEINT) AS hh
+               FROM documents)""",
     // replays TextFunctions.argmaxLang exactly: per-language marker hit
     // counts over the same tokenization; winner = first language in
     // alphabetical order (de,en,es,fr,zh) achieving the strict maximum,
