@@ -354,9 +354,17 @@ object Dedup {
     * takes a deterministic per-node salt, the unique-per-key side
     * explodes `saltBuckets` ways, and the join keys on (comp, salt) —
     * the cluster spreads over `saltBuckets` tasks at the cost of
-    * replicating the (slim, two-column) label frame. Off by default:
-    * below ~10⁶-member clusters the skew is cheaper than the
-    * replication.
+    * replicating the (slim, two-column) label frame. Off by default,
+    * and the crossover is MEASURED (SCALE.md "salting crossover"):
+    * on a planted star cluster — the maximal-skew shape — salting(8)
+    * wins 1.1-1.25x from 2²⁰ through 2²⁴ members, so it pays from
+    * ~10⁶-member clusters up and is a wash-to-small-loss below.
+    * Callers on the default CAPPED pair sources never get there (a
+    * bucket cap bounds any single bucket's cluster; the mega-cluster
+    * SCALE.md rows measure salted==unsalted) — enable it only for
+    * uncapped or chained pair sets whose cluster-size histogram
+    * ([[graft.operators.Profiling.histogram]]) shows ≥10⁶-member
+    * components.
     *
     * `checkpointDir` picks the checkpoint mode. `None` (default) uses
     * `localCheckpoint` — fastest, right for a single-box bench, but local

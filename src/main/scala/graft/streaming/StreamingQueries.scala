@@ -123,8 +123,11 @@ object StreamingQueries {
       .option("checkpointLocation", tmpDir(s"ckpt-upsert-$tag"))
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        batch.write.mode("append").parquet(changelog)
-        snapshot(spark.read.parquet(changelog))
+        // per-batch overwritten subdir, not a flat append: foreachBatch
+        // is at-least-once on task retry, and a retried append would
+        // double-count the batch's rows in the accumulated changelog
+        batch.write.mode("overwrite").parquet(s"$changelog/batch-$id")
+        snapshot(spark.read.option("recursiveFileLookup", "true").parquet(changelog))
           .write.mode("overwrite").parquet(s"$snapRoot/batch-$id")
         lastBatch.updateAndGet(prev => math.max(prev, id))
         ()
