@@ -123,12 +123,7 @@ object StreamingQueries {
       .option("checkpointLocation", tmpDir(s"ckpt-upsert-$tag"))
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        // per-batch overwritten subdir, not a flat append: foreachBatch
-        // is at-least-once on task retry, and a retried append would
-        // double-count the batch's rows in the accumulated changelog
-        batch.write.mode("overwrite").parquet(s"$changelog/batch-$id")
-        snapshot(spark.read.option("recursiveFileLookup", "true").parquet(changelog))
-          .write.mode("overwrite").parquet(s"$snapRoot/batch-$id")
+        upsertBatch(spark, batch, id, changelog, snapRoot)(snapshot)
         lastBatch.updateAndGet(prev => math.max(prev, id))
         ()
       }
@@ -136,6 +131,21 @@ object StreamingQueries {
     q.awaitTermination()
     q.stop()
     (spark.read.parquet(s"$snapRoot/batch-${lastBatch.get}"), snapRoot)
+  }
+
+  /** One upsert step of [[runUpsertSnapshots]], idempotent under
+    * foreachBatch's at-least-once contract: the batch lands in an
+    * OVERWRITTEN per-batch subdir (a task retry rewrites the same rows,
+    * never double-counts them in the accumulated changelog) and the
+    * snapshot is recomputed from the full changelog. Package-visible so
+    * the retry property is directly testable (ProcessorsSpec replays a
+    * batch and asserts the snapshot is unchanged).
+    */
+  private[graft] def upsertBatch(spark: SparkSession, batch: DataFrame, id: Long,
+      changelog: String, snapRoot: String)(snapshot: DataFrame => DataFrame): Unit = {
+    batch.write.mode("overwrite").parquet(s"$changelog/batch-$id")
+    snapshot(spark.read.option("recursiveFileLookup", "true").parquet(changelog))
+      .write.mode("overwrite").parquet(s"$snapRoot/batch-$id")
   }
 
   /** Run `transform` over a streaming read of `table`, aggregate to a

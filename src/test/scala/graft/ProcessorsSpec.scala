@@ -335,6 +335,29 @@ class ProcessorsSpec extends GraftTest {
     assert(snap(1) === Map("europe" -> 5.0, "asia" -> 10.0))
   }
 
+  test("upsert batch step is idempotent under foreachBatch retry (no double-count)") {
+    import spark.implicits._
+    import graft.streaming.StreamingQueries
+    import org.apache.spark.sql.DataFrame
+    val changelog = java.nio.file.Files.createTempDirectory("retry-changelog").toString
+    val snapRoot = java.nio.file.Files.createTempDirectory("retry-snap").toString
+    def snapshot(acc: DataFrame) =
+      acc.groupBy("k").agg(round(sum("v"), 2).as("total"))
+    val b0 = Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
+    val b1 = Seq(("a", 3.0)).toDF("k", "v")
+    StreamingQueries.upsertBatch(spark, b0, 0L, changelog, snapRoot)(snapshot)
+    StreamingQueries.upsertBatch(spark, b1, 1L, changelog, snapRoot)(snapshot)
+    def read(i: Int) = spark.read.parquet(s"$snapRoot/batch-$i")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val once = read(1)
+    assert(once === Map("a" -> 4.0, "b" -> 2.0))
+    // foreachBatch is at-least-once: Spark may re-run the batch body
+    // after a failure. A flat changelog APPEND would double batch 1's
+    // rows here; the overwritten per-batch subdir must not.
+    StreamingQueries.upsertBatch(spark, b1, 1L, changelog, snapRoot)(snapshot)
+    assert(read(1) === once)
+  }
+
   test("T5 graceful stop leaves the query inactive and session healthy") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
