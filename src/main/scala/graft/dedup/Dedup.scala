@@ -354,11 +354,15 @@ object Dedup {
     * takes a deterministic per-node salt, the unique-per-key side
     * explodes `saltBuckets` ways, and the join keys on (comp, salt) —
     * the cluster spreads over `saltBuckets` tasks at the cost of
-    * replicating the (slim, two-column) label frame. Off by default,
-    * and the crossover is MEASURED (SCALE.md "salting crossover"):
-    * on a planted star cluster — the maximal-skew shape — salting(8)
-    * wins 1.1-1.25x from 2²⁰ through 2²⁴ members, so it pays from
-    * ~10⁶-member clusters up and is a wash-to-small-loss below.
+    * replicating the referenced slice of the (slim, two-column) label
+    * frame — a left-semi prefilter keeps only label rows some comp
+    * actually references, which collapses to ~one row per cluster in
+    * the late rounds where the skew peaks. Off by default, and the
+    * crossover is MEASURED (SCALE.md "salting crossover"): on a
+    * planted star cluster — the maximal-skew shape — salting(8) wins
+    * 1.15-1.3x from 2²⁰ through 2²⁴ members, growing with cluster
+    * size, so it pays from ~10⁶-member clusters up and is a
+    * wash-to-small-loss below.
     * Callers on the default CAPPED pair sources never get there (a
     * bucket cap bounds any single bucket's cluster; the mega-cluster
     * SCALE.md rows measure salted==unsalted) — enable it only for
@@ -466,7 +470,14 @@ object Dedup {
         else {
           val lhs = stepped.as("x")
             .withColumn("_sl", pmod(xxhash64(col("x.node")), lit(saltBuckets)))
+          // replicate only label rows some lhs comp actually references:
+          // dropping a rhs row whose node is nobody's comp changes
+          // nothing (it could never match), and once clusters collapse
+          // the referenced set is ONE row per cluster — the
+          // saltBuckets-way explode then replicates almost nothing,
+          // exactly in the late rounds where the comp skew peaks
           val rhs = stepped.select(col("node").as("c"), col("comp").as("cc"))
+            .join(stepped.select(col("comp").as("c")).distinct(), Seq("c"), "left_semi")
             .withColumn("_sr",
               explode(array((0 until saltBuckets).map(lit(_)): _*)))
           lhs.join(rhs, col("x.comp") === col("c") && col("_sl") === col("_sr"), "left")
