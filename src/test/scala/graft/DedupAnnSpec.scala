@@ -106,6 +106,19 @@ class DedupAnnSpec extends GraftTest {
     }
   }
 
+  test("verifyJaccard membersOnly prefilter is result-identical") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .persist() // the mode's contract: pairs materialized by the caller
+    try {
+      val full = Dedup.verifyJaccard(pairs, docs, "doc_id", "text")
+        .collect().map(_.toSeq).toSet
+      val pre = Dedup.verifyJaccard(pairs, docs, "doc_id", "text",
+        membersOnly = true).collect().map(_.toSeq).toSet
+      assert(full.nonEmpty && pre === full,
+        "membersOnly is an execution-strategy switch, not a semantic one")
+    } finally { pairs.unpersist(); () }
+  }
+
   test("minhash LSH finds near-duplicates (recall on planted pairs)") {
     import spark.implicits._
     // plant near-dups: each base doc gets a copy with one word dropped →
