@@ -313,8 +313,8 @@ object Dedup {
     *
     * `membersOnly = true` shingles only PAIR MEMBERS: an id-only
     * left-semi prefilter runs before the gram projection, so the
-    * corpus-wide shingle pass (paid once per join side — the sets
-    * frame feeds two different exchanges, which Spark does not dedupe)
+    * corpus-wide shingle pass (paid ONCE — both join sides alias the
+    * same sets plan, so ReuseExchange shares the materialized shuffle)
     * shrinks to the candidate members. Flip it ON when `pairs` is
     * MATERIALIZED (a table, a persisted frame): candidates are a small
     * fraction of a corpus and the prefilter ships only ids. Leave it
@@ -339,13 +339,20 @@ object Dedup {
           .unionByName(pairs.select(col("b").as("vid"))).distinct(),
         Seq("vid"), "left_semi")
     val sets = filtered.select(col("vid"), grams.as("toks"))
+    // Both join sides reference the SAME sets plan (aliased, not
+    // pre-renamed): the two hash(vid) exchanges canonicalize identically,
+    // so ReuseExchange materializes the shingle pass ONCE and the second
+    // join reads the shuffle files — halving the dominant cost (corpus
+    // scan + shingle + shuffle) vs the rename-first shape, where the
+    // Projects differ and no reuse fires.
     pairs
-      .join(sets.withColumnRenamed("vid", "a").withColumnRenamed("toks", "toks_a"), "a")
-      .join(sets.withColumnRenamed("vid", "b").withColumnRenamed("toks", "toks_b"), "b")
+      .join(sets.as("sa"), col("a") === col("sa.vid"))
+      .join(sets.as("sb"), col("b") === col("sb.vid"))
       .withColumn("jaccard", round(
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-          size(array_union(col("toks_a"), col("toks_b"))).cast("double"), 4))
-      .drop("toks_a", "toks_b")
+        size(array_intersect(col("sa.toks"), col("sb.toks"))).cast("double") /
+          size(array_union(col("sa.toks"), col("sb.toks"))).cast("double"), 4))
+      .drop(col("sa.vid")).drop(col("sa.toks"))
+      .drop(col("sb.vid")).drop(col("sb.toks"))
   }
 
   // ---- duplicate-cluster resolution ---------------------------------------

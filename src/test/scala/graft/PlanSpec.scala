@@ -229,6 +229,29 @@ class PlanSpec extends GraftTest {
     }
   }
 
+  test("verifyJaccard shingles the corpus once — second join side reuses the exchange") {
+    import spark.implicits._
+    // pairs from literals so every documents scan in the plan belongs to
+    // the shingle-sets subtree; forbid broadcast so both sides must read
+    // the hash(vid) exchange — reuse means ONE materialization (and one
+    // corpus scan) feeds both joins, the property that halves the
+    // dominant cost at corpus scale
+    val docs = Graft.documents(spark, sf)
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val v = graft.dedup.Dedup.verifyJaccard(pairs, docs, "doc_id", "text")
+      v.collect() // finalize the adaptive plan
+      // the adaptive plan string appends an "== Initial Plan ==" section;
+      // assert on the final section only
+      val p = v.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+        "both join sides must share one sets exchange:\n" + p.take(3000))
+      val scans = "FileScan".r.findAllIn(p).size
+      assert(scans === 1,
+        s"expected a single documents scan in the final plan, saw $scans:\n" + p.take(3000))
+    }
+  }
+
   private def withConf[A](kv: (String, String))(body: => A): A = {
     val (k, v) = kv
     val old = spark.conf.getOption(k)
