@@ -473,6 +473,22 @@ object Dedup {
         p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
       }
     }
+    // Loop parallelism proportional to the measured edge volume (~64k
+    // edges per reducer), clamped at the session's configured width: a
+    // 100 TB pair set keeps every reducer, while a small candidate graph
+    // stops paying (width × stages × rounds) task-scheduling overhead —
+    // the checkpoint boundaries defeat AQE's cross-round coalescing, so
+    // the width must be chosen here. The count also forces the edge
+    // persist ONCE, before round-1 plans would otherwise race to build
+    // it twice. Session-conf override, restored in `finally` (the
+    // returned frame is checkpointed, so downstream consumers plan at
+    // the caller's width).
+    val nEdges = edges.count()
+    val conf = pairs.sparkSession.conf
+    val confParts = conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.max(1L, math.min(confParts.toLong, nEdges / 65536L + 1L))
+    conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try {
     var labels = ckpt(edges.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node")))
     var converged = false
@@ -525,6 +541,7 @@ object Dedup {
     }
     edges.unpersist()
     labels
+    } finally conf.set("spark.sql.shuffle.partitions", confParts)
   }
 
   /** End-to-end dedup resolution: given the corpus and a verified
