@@ -25,8 +25,9 @@ object PipelineQueries {
 
     "dd_minhash" -> ((s, d) =>
       // MinHash-LSH near-dup candidates (banded; shuffle on band hash).
-      // Hash-function-specific → verified against brute-force Jaccard in
-      // DedupSpec, not the SQL oracle. maxBucket is the hot-bucket skew
+      // Full hash oracle since r8: MinHashOracleSql replays XXH64 +
+      // permutations + banding bit-for-bit in DuckDB (plus brute-force
+      // Jaccard recall in DedupSpec). maxBucket is the hot-bucket skew
       // guard, ON in the certified path (measured: a 5000-copy
       // mega-cluster runs 1.4s capped vs 71.4s uncapped at 100×) —
       // 10-100x any expected true near-dup cluster, far above every
@@ -170,9 +171,9 @@ object PipelineQueries {
       // LSH candidates → exact token-Jaccard verify on candidates only →
       // connected components → drop non-canonical members. This is the
       // shape SCALE.md measures as dd_cc_pipeline; dd_resolve is its
-      // oracle-portable twin (blocking-join candidates so DuckDB can
-      // replay). LSH candidate sets are hash-specific → rows-only here,
-      // end-to-end behavior in DedupAnnSpec.
+      // oracle-portable twin via blocking-join candidates. Full hash
+      // oracle since r8: MinHashOracleSql.lshResolve replays LSH →
+      // verify → components in DuckDB; end-to-end recall in DedupAnnSpec.
       val docs = Graft.documents(s, d)
       val cand = Dedup.minhashPairs(docs, "doc_id", "text",
         threshold = 0.5, maxBucket = 1000).select("a", "b")
@@ -184,9 +185,9 @@ object PipelineQueries {
     "dd_minhash_incremental" -> ((s, d) => {
       // cross-corpus NEAR-dup for incremental ingestion: new batch (every
       // 10th doc) LSH-checked against the standing corpus — the fuzzy
-      // companion of dd_incremental's exact-hash check. Signature values
-      // are hash-specific → planted-pair test in DedupAnnSpec, rows-only
-      // here.
+      // companion of dd_incremental's exact-hash check. Full hash oracle
+      // since r8 (MinHashOracleSql.minhashIncremental) plus the
+      // planted-pair recall test in DedupAnnSpec.
       val docs = Graft.documents(s, d)
       Dedup.crossMinhashPairs(
         docs.where(pmod(col("doc_id"), lit(10)) === 0),
@@ -836,6 +837,11 @@ object PipelineQueries {
          FROM events GROUP BY 1""",
     "dd_exact" ->
       "SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
+    // full XXH64 + permutation + banding replay (MinHashOracleSql):
+    // the LSH pipeline is hash-checkable end-to-end, not rows-only
+    "dd_minhash" -> MinHashOracleSql.minhashPairs(),
+    "dd_minhash_incremental" -> MinHashOracleSql.minhashIncremental(),
+    "dd_lsh_resolve" -> MinHashOracleSql.lshResolve(),
     "dd_jaccard_verify" ->
       """WITH toks AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0)) AS tk,
                              lang, n_chars
