@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
   * Conventions (see SURVEY.md §1): a "KStream" is a DataFrame with at least
   * `key` (string) and `value` columns plus an event-time column `ts_us`
   * (epoch microseconds, BIGINT). Epoch-micros longs are used instead of
-  * TimestampType at the edges because the test corpus stores nanosecond
-  * parquet timestamps (Spark reads them via `nanosAsLong`; integer time
-  * survives engine roundtrips exactly).
+  * TimestampType at the edges because integer time survives engine
+  * roundtrips exactly. The corpus has shipped `events.ts` under two
+  * physical types — timestamp[ns] (Spark reads a raw nanos LONG via
+  * `nanosAsLong`) and timestamp[us] (Spark reads TimestampType) — so every
+  * events read goes through [[Graft.normalizeEventTs]], which canonicalizes
+  * `ts` to the epoch-nanos long the engine was built on.
   */
 object Graft {
 
@@ -71,11 +74,28 @@ object Graft {
     eventsStream(spark, dir).createOrReplaceTempView("events_stream")
   }
 
-  /** `events` with `ts` normalized: raw nanos long → `ts_us` epoch micros.
-    * Matches DuckDB's read of the same file (it truncates nanos to micros).
+  /** Canonicalize an events-schema frame's `ts` to epoch-NANOS long,
+    * whatever the physical parquet type: timestamp[us] corpora arrive as
+    * TimestampType (→ `unix_micros * 1000`); timestamp[ns] corpora arrive
+    * as a raw nanos long via `nanosAsLong` (→ unchanged). Pure projection,
+    * so it is safe on streaming frames too; frames without a `ts` column
+    * pass through untouched. Matches DuckDB's read of the same file
+    * (micros precision either way).
     */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampType |
+                org.apache.spark.sql.types.TimestampNTZType) =>
+        // NTZ → TZ cast interprets the wall clock in the session timezone,
+        // which the engine pins to UTC — exact, and the same reading DuckDB
+        // gives the file
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+      case _ => df
+    }
+
+  /** `events` with `ts` normalized: nanos long, plus `ts_us` epoch micros. */
   def events(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
+    normalizeEventTs(table(spark, dir, "events"))
       .withColumn("ts_us", expr("ts div 1000")) // integer div: double math loses µs at 1e18 ns
 
   /** `events` shaped as the canonical KStream[String,String]:

@@ -841,7 +841,7 @@ object CoreQueries {
   private def ssOuterStreaming(s: SparkSession, d: String, joinType: String,
                                queryName: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val raw = s.read.parquet(s"$d/events.parquet")
+    val raw = Graft.normalizeEventTs(s.read.parquet(s"$d/events.parquet"))
     // sentinel ids and keys are DERIVED from the corpus, strictly below
     // every real event_id / user_id — the old fixed -999/-998 keys only
     // worked by the convention that the generator never emits negative

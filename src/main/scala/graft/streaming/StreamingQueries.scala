@@ -1,6 +1,7 @@
 package graft.streaming
 
 import java.nio.file.{Files, Paths}
+import graft.Graft
 import org.apache.spark.sql.{DataFrame, ForeachWriter, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -44,7 +45,7 @@ object StreamingQueries {
       catch { case _: Exception => Files.copy(path, target) }
     }
     val schema = spark.read.parquet(path.toString).schema
-    spark.readStream.schema(schema).parquet(streamDir.toString)
+    Graft.normalizeEventTs(spark.readStream.schema(schema).parquet(streamDir.toString))
   }
 
   /** Stage a table as an N-FILE stream directory (file i = rows where
@@ -62,7 +63,8 @@ object StreamingQueries {
     */
   def readStreamBatched(spark: SparkSession, dir: String, table: String,
                         batchOf: org.apache.spark.sql.Column): DataFrame =
-    stageStreamBatched(spark, spark.read.parquet(s"$dir/$table.parquet"), batchOf, table)
+    stageStreamBatched(spark, Graft.normalizeEventTs(
+      spark.read.parquet(s"$dir/$table.parquet")), batchOf, table)
 
   /** [[readStreamBatched]] over an arbitrary batch DataFrame — lets a
     * caller stage a transformed/augmented frame (e.g. events plus a
