@@ -94,11 +94,22 @@ object Bench {
     // runs can BOTH carry the one-off (the r5 certified artifact showed
     // ann_brute at 11.28s where a clean re-run of the same jar/data
     // measured 0.23s — a 49x flap this pass is designed to remove).
+    // Sub-second queries flap hardest between whole bench runs (±80ms of
+    // scheduler jitter is a 1.3x ratio at 0.25s — pp_profile was the
+    // worst reproducibility row in BENCH_BUILDER_r7 at 1.32x), so they
+    // get two extra timed reps: the min converges and the added cost is
+    // bounded by the very shortness that triggers it.
+    val shortQuerySec = 0.5
     val results: Seq[(String, Either[String, Double])] =
       headline.filter(SparkEntry.queries.contains).map { n =>
         runOnce(n) // warm (untimed): discard result, keep only hard errors below
         (runOnce(n), runOnce(n)) match {
-          case (Right(a), Right(b)) => n -> Right(math.min(a, b))
+          case (Right(a), Right(b)) =>
+            val base = math.min(a, b)
+            val extra =
+              if (base >= shortQuerySec) Nil
+              else Seq(runOnce(n), runOnce(n)).collect { case Right(t) => t }
+            n -> Right((base +: extra).min)
           case (Right(a), Left(_))  => n -> Right(a) // keep the valid timing
           case (_, second)          => n -> second
         }

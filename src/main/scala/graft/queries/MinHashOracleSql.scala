@@ -32,17 +32,17 @@ package graft.queries
   */
 object MinHashOracleSql {
 
-  private val M: BigInt   = BigInt(1) << 64
-  private val M32: BigInt = BigInt(1) << 32
-  private val H63: BigInt = BigInt(1) << 63
+  private[queries] val M: BigInt   = BigInt(1) << 64
+  private[queries] val M32: BigInt = BigInt(1) << 32
+  private[queries] val H63: BigInt = BigInt(1) << 63
   private val P1 = BigInt("11400714785074694791")
   private val P2 = BigInt("14029467366897019727")
   private val P3 = BigInt("1609587929392839161")
   private val P4 = BigInt("9650029242287828579")
   private val P5 = BigInt("2870177450012600261")
-  private val Seed = "42::HUGEINT"
+  private[queries] val Seed = "42::HUGEINT"
 
-  private val HU = "::HUGEINT"
+  private[queries] val HU = "::HUGEINT"
 
   /** (a*b) mod 2^64; `b` a constant, split 32/32 so HUGEINT never overflows. */
   private def mulc(a: String, b: BigInt): String = {
@@ -96,7 +96,7 @@ object MinHashOracleSql {
   /** Full XXH64 over an ASCII string column (any length: 32-byte stripe
     * accumulators folded as 4-element HUGEINT lists, then 8-byte words,
     * 4-byte chunk, tail bytes, fmix). Result column: `{pfx}f5`. */
-  private def xxh64Str(s: String, seed: String, pfx: String): Seq[(String, String)] = {
+  private[queries] def xxh64Str(s: String, seed: String, pfx: String): Seq[(String, String)] = {
     val ln = s"${pfx}ln"
     val init4 = s"[${add(add(seed, s"$P1$HU"), s"$P2$HU")}, ${add(seed, s"$P2$HU")}, " +
       s"($seed)%$M$HU, ${add(seed, s"${M - P1}$HU")}]"
@@ -141,24 +141,24 @@ object MinHashOracleSql {
     s"${pfx}i2" -> add(mulc(rot(xor(s"${pfx}i1", s"((($x)*$P1$HU) % $M$HU)"), 23), P2), s"$P3$HU")
   ) ++ fmix(s"${pfx}i2", pfx)
 
-  private def signed(u: String): String =
+  private[queries] def signed(u: String): String =
     s"CAST(CASE WHEN ($u) >= $H63$HU THEN ($u) - $M$HU ELSE ($u) END AS BIGINT)"
 
-  private def unsigned(s: String): String =
+  private[queries] def unsigned(s: String): String =
     s"(CASE WHEN ($s) < 0 THEN ($s)$HU + $M$HU ELSE ($s)$HU END)"
 
   /** Stage each hash step as its own projection layer: DuckDB substitutes
     * lateral aliases textually, so chained aliases explode exponentially;
     * nested subselects bind each expression once. */
-  private def chain(base: String, aliases: Seq[(String, String)]): String =
+  private[queries] def chain(base: String, aliases: Seq[(String, String)]): String =
     aliases.foldLeft(base) { case (sql, (a, e)) => s"SELECT *, $e AS $a FROM ($sql)" }
 
-  private val toks =
+  private[queries] val toks =
     """list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0)"""
 
   /** documents rows with the loud non-ASCII guard (byte replay via
     * `ord(substr(...))` is only valid when codepoints == bytes). */
-  private val guardedDocs =
+  private[queries] val guardedDocs =
     "SELECT doc_id, CASE WHEN octet_length(encode(text)) <> length(text) " +
       "THEN error('minhash oracle: non-ASCII text, byte-level XXH64 replay invalid for doc ' || doc_id) " +
       "ELSE text END AS text FROM documents"

@@ -104,9 +104,11 @@ object PipelineQueries {
     }),
 
     "dd_simhash" -> ((s, d) =>
-      // SimHash near-dup pairs (chunk-blocked Hamming); engine-specific
-      // hashing → DedupSpec property tests. maxBucket = hot-bucket skew
-      // guard, ON in the certified path; inert at test SFs.
+      // SimHash near-dup pairs (chunk-blocked Hamming). Full hash oracle
+      // since r9: SimHashOracleSql replays the signatures in DuckDB and
+      // compares the all-pairs answer (blocking is pigeonhole-complete,
+      // cap inert at oracle scale). maxBucket = hot-bucket skew guard, ON
+      // in the certified path; inert at test SFs.
       Dedup.simhashPairs(Graft.documents(s, d), "doc_id", "text", maxHamming = 3,
         maxBucket = 1000)),
 
@@ -842,6 +844,10 @@ object PipelineQueries {
     "dd_minhash" -> MinHashOracleSql.minhashPairs(),
     "dd_minhash_incremental" -> MinHashOracleSql.minhashIncremental(),
     "dd_lsh_resolve" -> MinHashOracleSql.lshResolve(),
+    // all-pairs Hamming over SQL-replayed signatures — exact because the
+    // chunk blocking is pigeonhole-complete and the cap is inert at
+    // oracle scale (SimHashOracleSql scaladoc)
+    "dd_simhash" -> SimHashOracleSql.simhashPairs(),
     "dd_jaccard_verify" ->
       """WITH toks AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0)) AS tk,
                              lang, n_chars
