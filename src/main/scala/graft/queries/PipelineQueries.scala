@@ -873,6 +873,12 @@ object PipelineQueries {
          FROM grams l JOIN grams r ON l.lang = r.lang AND l.blk = r.blk AND l.doc_id < r.doc_id
          WHERE round(CAST(len(list_intersect(l.tk, r.tk)) AS DOUBLE) /
                      CAST(len(list_distinct(list_concat(l.tk, r.tk))) AS DOUBLE), 4) >= 0.3""",
+    // SRP bucket + probe + cap replay (EmbeddingOracleSql): the
+    // embedding-LSH family is hash-checkable end-to-end since r9
+    "dd_embedding" -> EmbeddingOracleSql.cosinePairs(threshold = 0.25),
+    "dd_embedding_resolve" -> EmbeddingOracleSql.cosineResolve(threshold = 0.95),
+    "ann_incremental" -> EmbeddingOracleSql.crossCosine(threshold = 0.25),
+    "ann_lsh" -> EmbeddingOracleSql.lshTopK(k = 10, nBits = 6, probeBits = 4),
     "ann_brute" ->
       """SELECT query_id, neighbor_id, rank, cos FROM (
            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
