@@ -41,6 +41,33 @@ object Windows {
         keys :+ unix_micros(col("session_window.start")).as("session_start_us")
              :+ col("count").as("cnt"): _*)
 
+  /** Batch-only gaps-and-islands alternative to [[sessionCount]]: lag +
+    * running sum over one per-key time sort, then a plain groupBy — same
+    * output granularity (key, session_start_us, cnt). MEASURED tradeoff
+    * (ScaleCheck w2 A/B, round 9): the built-in `session_window` wins
+    * through ~100× corpus density (1.17 vs 1.22 s) because its single
+    * merge pass beats two window passes; at EXTREME per-key densities the
+    * order flips (1000×: 10.75 vs 12.41 s, ~13% — the merge buffer's
+    * per-session state outgrows the second window scan). Prefer
+    * [[sessionCount]] by default — it is also the only streaming-capable
+    * form; reach for this one for batch sessionization of corpora whose
+    * `Profiling.histogram` shows ≥10⁵ events per key.
+    */
+  def sessionCountGaps(df: DataFrame, tsUs: String, gapUs: Long, keys: Column*): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col(tsUs))
+    df.select(keys :+ col(tsUs): _*)
+      .withColumn("_prev", lag(col(tsUs), 1).over(w))
+      .withColumn("_new",
+        // session_window ends are EXCLUSIVE: a gap of exactly gapUs does
+        // not overlap the previous event's [ts, ts+gap) window, so >=
+        when(col("_prev").isNull || col(tsUs) - col("_prev") >= gapUs, 1).otherwise(0))
+      .withColumn("_sid", sum("_new").over(w))
+      .groupBy(keys :+ col("_sid"): _*)
+      .agg(min(col(tsUs)).as("session_start_us"), count(lit(1)).as("cnt"))
+      .drop("_sid", "_prev", "_new")
+  }
+
   /** W3: windowed-key flattening — `key@[start : end]` string key, exactly
     * the reference's projection shape (DSLStatefulTransformation.scala:117-123)
     * with epoch seconds for the bounds.

@@ -24,6 +24,21 @@ object CoreQueries {
   private def tmp(tag: String): String =
     Files.createTempDirectory(s"graft-$tag").toAbsolutePath.toString
 
+  // Session-cached SETUP writes for queries whose operator-under-test is
+  // a read path over a specially laid-out table (partition pruning,
+  // bucketed co-location). Bench runs a query several times per process;
+  // rewriting the layout each rep times dirty-page write variance instead
+  // of the operator (BENCH_BUILDER_r9 run-to-run flap on
+  // s_partition_prune was 2.67x, entirely in the rewrite). Keyed by
+  // (tag, sfDir) so different corpora never alias.
+  private val setupDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def cachedSetup(tag: String, d: String)(build: String => Unit): String =
+    setupDirs.computeIfAbsent(s"$tag|$d", { _ =>
+      val path = tmp(tag)
+      build(path)
+      path
+    })
+
   // ---- S: sources & sinks -------------------------------------------------
 
   val sources: Map[String, Q] = Map(
@@ -687,26 +702,34 @@ object CoreQueries {
     // entry), so the scan never touches the other languages. The
     // scan-side complement of j_bucketed's join-side pruning.
     "s_partition_prune" -> ((s, d) => {
-      val path = tmp("part")
-      Sources.writePartitioned(
-        Graft.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
-        path, "lang")
+      val path = cachedSetup("part", d) { p =>
+        Sources.writePartitioned(
+          Graft.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+          p, "lang")
+      }
       s.read.parquet(path).where(col("lang") === "en")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
     }),
 
     "j_bucketed" -> ((s, d) => {
-      Sources.writeBucketed(Graft.lineitem(s, d).select(
-          col("l_orderkey"),
-          round(col("l_extendedprice") * 100).cast("long").as("price_c"),
-          round(col("l_discount") * 100).cast("long").as("disc_c")),
-        "graft_b_lineitem", "l_orderkey", nBuckets = 16,
-        overwriteOrphan = true)
-      Sources.writeBucketed(
-        Graft.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-        "graft_b_orders", "o_orderkey", nBuckets = 16,
-        overwriteOrphan = true)
+      // same session-cached-setup contract as s_partition_prune: the
+      // operator under test is the zero/one-exchange co-located join,
+      // not the bucketBy write (covered by BucketedJoinSpec + SourcesSpec).
+      // The artifact is CATALOG tables, so the key carries the session id
+      // — a fresh session must rebuild its catalog entries.
+      cachedSetup(s"bucketed-${System.identityHashCode(s)}", d) { _ =>
+        Sources.writeBucketed(Graft.lineitem(s, d).select(
+            col("l_orderkey"),
+            round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+            round(col("l_discount") * 100).cast("long").as("disc_c")),
+          "graft_b_lineitem", "l_orderkey", nBuckets = 16,
+          overwriteOrphan = true)
+        Sources.writeBucketed(
+          Graft.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          "graft_b_orders", "o_orderkey", nBuckets = 16,
+          overwriteOrphan = true)
+      }
       s.table("graft_b_lineitem")
         .join(s.table("graft_b_orders"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey"))

@@ -785,4 +785,16 @@ class FunctionsSpec extends GraftTest {
       assert(rel < 0.05, s"$g: est $est vs exact ${exact(g)}")
     }
   }
+
+  test("sessionCountGaps equals the built-in session_window form on the corpus") {
+    import graft.operators.Windows
+    val ev = Graft.events(spark, sf)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "session_start_us", "cnt").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val builtin = norm(Windows.sessionCount(ev, "ts_us", "1 hour", col("user_id")))
+    val gaps = norm(Windows.sessionCountGaps(ev, "ts_us", 3600000000L, col("user_id")))
+    assert(builtin.nonEmpty)
+    assert(gaps === builtin)
+  }
 }
