@@ -111,7 +111,23 @@ object Graft {
       col("props"))
 
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** `embeddings` with the vector column normalized to `array<float>` —
+    * the engine's native kernels (`srp_bucket`, `cosine_sim`) type-check
+    * on float vectors, and a corpus regeneration that ships doubles (the
+    * same class of drift that hit `events.ts` in round 9) would
+    * otherwise fail analysis. A float-typed corpus passes through
+    * untouched.
+    */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    val df = table(spark, dir, "embeddings")
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    df.schema.fields.find(_.name == "embedding").map(_.dataType) match {
+      case Some(ArrayType(FloatType, _)) => df
+      case Some(_: ArrayType) => df.withColumn("embedding", col("embedding").cast("array<float>"))
+      case _ => df
+    }
+  }
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
