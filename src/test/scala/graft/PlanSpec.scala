@@ -252,6 +252,18 @@ class PlanSpec extends GraftTest {
     }
   }
 
+  test("sessionCountGaps: one exchange serves both window passes and the groupBy") {
+    // the two window functions share hash(user_id); the (user_id, _sid)
+    // aggregation's ClusteredDistribution is satisfied by that same
+    // partitioning (subset key), so the whole operator is ONE shuffle
+    val df = graft.operators.Windows.sessionCountGaps(
+      Graft.events(spark, sf), "ts_us", 3600000000L, col("user_id"))
+    val p = df.queryExecution.executedPlan.toString
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(nExchanges == 1, s"expected exactly one shuffle, got $nExchanges:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"no global sort expected:\n$p")
+  }
+
   private def withConf[A](kv: (String, String))(body: => A): A = {
     val (k, v) = kv
     val old = spark.conf.getOption(k)
