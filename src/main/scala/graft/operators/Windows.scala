@@ -59,9 +59,11 @@ object Windows {
     df.select(keys :+ col(tsUs): _*)
       .withColumn("_prev", lag(col(tsUs), 1).over(w))
       .withColumn("_new",
-        // session_window ends are EXCLUSIVE: a gap of exactly gapUs does
-        // not overlap the previous event's [ts, ts+gap) window, so >=
-        when(col("_prev").isNull || col(tsUs) - col("_prev") >= gapUs, 1).otherwise(0))
+        // session_window merges an event landing exactly on the previous
+        // window's end (prev + gap): only a STRICTLY larger gap starts a
+        // new session (verified on Spark 4.1.2 — two events exactly gap
+        // apart yield one session), so the split condition is >.
+        when(col("_prev").isNull || col(tsUs) - col("_prev") > gapUs, 1).otherwise(0))
       .withColumn("_sid", sum("_new").over(w))
       .groupBy(keys :+ col("_sid"): _*)
       .agg(min(col(tsUs)).as("session_start_us"), count(lit(1)).as("cnt"))

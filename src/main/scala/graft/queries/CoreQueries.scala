@@ -493,7 +493,7 @@ object CoreQueries {
       """WITH o AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
               m AS (SELECT user_id, ts_us,
                            CASE WHEN lag(ts_us) OVER w IS NULL
-                                  OR ts_us - lag(ts_us) OVER w >= 3600000000 THEN 1 ELSE 0 END AS brk
+                                  OR ts_us - lag(ts_us) OVER w > 3600000000 THEN 1 ELSE 0 END AS brk
                     FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
               g AS (SELECT user_id, ts_us,
                            sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS grp
@@ -518,7 +518,7 @@ object CoreQueries {
       """WITH o AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
               m AS (SELECT user_id, ts_us,
                            CASE WHEN lag(ts_us) OVER w IS NULL
-                                  OR ts_us - lag(ts_us) OVER w >= 3600000000 THEN 1 ELSE 0 END AS brk
+                                  OR ts_us - lag(ts_us) OVER w > 3600000000 THEN 1 ELSE 0 END AS brk
                     FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
               g AS (SELECT user_id, ts_us,
                            sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS grp

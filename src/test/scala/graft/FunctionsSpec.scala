@@ -797,4 +797,26 @@ class FunctionsSpec extends GraftTest {
     assert(builtin.nonEmpty)
     assert(gaps === builtin)
   }
+
+  test("sessionCountGaps boundary: events exactly gap apart merge into one session") {
+    import graft.operators.Windows
+    import spark.implicits._
+    // Spark's session_window merges an event landing exactly on the
+    // previous window's end (prev + gap) — the corpus can't pin this
+    // (exact-microsecond boundary gaps essentially never occur), so use a
+    // synthetic fixture: gap = 10s; user 1 has events exactly 10s apart
+    // (one session), user 2 has events 10s + 1us apart (two sessions).
+    val gapUs = 10000000L
+    val df = Seq(
+      (1L, 0L), (1L, gapUs), (1L, 2 * gapUs),     // chained exact-gap → 1 session, cnt=3
+      (2L, 0L), (2L, gapUs + 1L)                  // strictly over gap → 2 sessions
+    ).toDF("user_id", "ts_us")
+    def norm(out: org.apache.spark.sql.DataFrame) =
+      out.select("user_id", "session_start_us", "cnt").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val builtin = norm(Windows.sessionCount(df, "ts_us", "10 seconds", col("user_id")))
+    val gaps = norm(Windows.sessionCountGaps(df, "ts_us", gapUs, col("user_id")))
+    assert(builtin === Seq((1L, 0L, 3L), (2L, 0L, 1L), (2L, gapUs + 1L, 1L)))
+    assert(gaps === builtin)
+  }
 }
