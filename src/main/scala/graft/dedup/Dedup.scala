@@ -298,6 +298,34 @@ object Dedup {
         TextFunctions.splitAssign(coalesce(col("comp"), col(id))).as("split"))
   }
 
+  // ---- blocking candidate generation --------------------------------------
+
+  /** Candidate pairs by attribute blocking: a capped self-join on the
+    * given block-key columns, emitting (a, b) with a < b — the candidate
+    * stage in front of [[verifyJaccard]] when blocking keys (language,
+    * length band, source, …) are cheaper than sketching. Block membership
+    * grows linearly with corpus size, so UNGUARDED blocking pairs grow
+    * quadratically — the same hot-bucket failure mode as LSH mega-buckets.
+    * [[capBuckets]]'s window count rides the self-join's own hash exchange
+    * on the block keys (zero extra shuffles, observable `dropped_buckets`
+    * metrics), and blocks larger than `maxBucket` are dropped whole:
+    * pairs that coarse can't be verified in bucket-quadratic time anyway —
+    * tighten the blocking key or switch to [[minhashPairs]] at that
+    * density.
+    */
+  def blockedPairs(docs: DataFrame, id: String, blocks: Seq[(String, Column)],
+                   maxBucket: Int = 1000): DataFrame = {
+    val keys = blocks.map(_._1)
+    val keyed = docs.select(blocks.map { case (n, c) => c.as(n) } :+ col(id).as("_bp_id"): _*)
+    val capped = capBuckets(keyed, keys, maxBucket, "blockedPairs")
+    // both sides alias the same capped plan → the two hash exchanges on
+    // the block keys canonicalize identically and ReuseExchange
+    // materializes the (scan + window-cap) pass once
+    capped.as("bl").join(capped.as("br"), keys)
+      .where(col("bl._bp_id") < col("br._bp_id"))
+      .select(col("bl._bp_id").as("a"), col("br._bp_id").as("b"))
+  }
+
   // ---- exact Jaccard verification ----------------------------------------
 
   /** Exact n-gram-set Jaccard for a candidate pair set (columns a, b):

@@ -38,12 +38,12 @@ object PipelineQueries {
     "dd_jaccard_verify" -> ((s, d) => {
       // blocking (lang, n_chars) + exact token-set Jaccard verify — the
       // verify stage of candidate-pair dedup, fully oracle-checkable.
-      // Blocking join is an equi-join on the block key, never a crossJoin.
+      // Blocking join is a CAPPED equi-join on the block key (blockedPairs:
+      // window-count guard riding the join's own exchange, inert at test
+      // SFs where no block approaches 1000 members).
       val docs = Graft.documents(s, d)
-      val l = docs.select(col("lang"), col("n_chars"), col("doc_id").as("a"))
-      val r = docs.select(col("lang"), col("n_chars"), col("doc_id").as("b"))
-      val pairs = l.join(r, Seq("lang", "n_chars")).where(col("a") < col("b"))
-        .select("a", "b")
+      val pairs = Dedup.blockedPairs(docs, "doc_id",
+        Seq("lang" -> col("lang"), "n_chars" -> col("n_chars")), maxBucket = 1000)
       Dedup.verifyJaccard(pairs, docs, "doc_id", "text")
         .where(col("jaccard") >= 0.5)
         .select("a", "b", "jaccard")
@@ -56,12 +56,13 @@ object PipelineQueries {
       // few edited characters, so exact-length blocking can never pair
       // them (measured at sf0.01: max 3-gram Jaccard 0.011 over exact-
       // length pairs vs 5 true pairs >= 0.5 under the 32-char bucket).
+      // Block membership grows linearly with corpus size → the self-join
+      // would be the suite's one quadratic plan; blockedPairs applies the
+      // library's default-ON maxBucket guard (inert at oracle SFs).
       val docs = Graft.documents(s, d)
-      val blk = (col("n_chars") / lit(32)).cast("int").as("blk")
-      val l = docs.select(col("lang"), blk, col("doc_id").as("a"))
-      val r = docs.select(col("lang"), blk, col("doc_id").as("b"))
-      val pairs = l.join(r, Seq("lang", "blk")).where(col("a") < col("b"))
-        .select("a", "b")
+      val pairs = Dedup.blockedPairs(docs, "doc_id",
+        Seq("lang" -> col("lang"), "blk" -> (col("n_chars") / lit(32)).cast("int")),
+        maxBucket = 1000)
       Dedup.verifyJaccard(pairs, docs, "doc_id", "text", ngram = 3)
         .where(col("jaccard") >= 0.3)
         .select("a", "b", "jaccard")

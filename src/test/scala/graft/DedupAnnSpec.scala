@@ -518,6 +518,25 @@ class DedupAnnSpec extends GraftTest {
     assert(uncapped.count { case (a, b) => a >= 1000L && b >= 1000L } === 400 * 399 / 2)
   }
 
+  test("blockedPairs caps an oversized block, keeps pairs from healthy blocks") {
+    import spark.implicits._
+    // one healthy 3-member block (lang=en, band 0) and one 150-member
+    // mega-block (lang=en, band 9): with maxBucket = 100 the mega-block's
+    // 150·149/2 pairs are dropped whole, the healthy block's 3 survive
+    val healthy = Seq((1L, "en", 10), (2L, "en", 12), (3L, "en", 20))
+    val mega = (100L until 250L).map(i => (i, "en", 300))
+    val docs = (healthy ++ mega).toDF("doc_id", "lang", "n_chars")
+    def pairs(cap: Int) = Dedup.blockedPairs(docs, "doc_id",
+        Seq("lang" -> col("lang"), "blk" -> (col("n_chars") / lit(32)).cast("int")),
+        maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairs(100)
+    val uncapped = pairs(0)
+    assert(capped === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(uncapped.size === 3 + 150 * 149 / 2,
+      "uncapped run emits the full quadratic mega-block (the shape the cap prevents)")
+  }
+
   test("SRP cap drops only intra-hot-bucket pairs; capped vectors still probe out") {
     import spark.implicits._
     import graft.functions.VectorFunctions
@@ -583,7 +602,8 @@ class DedupAnnSpec extends GraftTest {
 
   test("certified LSH queries run with the bucket cap active (window guard in plan)") {
     for (q <- Seq("dd_minhash", "dd_simhash", "dd_embedding", "dd_fuzzy",
-                  "dd_minhash_incremental", "ann_incremental")) {
+                  "dd_minhash_incremental", "ann_incremental",
+                  "dd_ngram_jaccard", "dd_jaccard_verify")) {
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan.toString
       // the guard is a window count over the bucket keys (its exchange is
       // reused by the self-join) filtered on _bsz, plus the observe node

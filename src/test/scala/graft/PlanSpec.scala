@@ -252,6 +252,31 @@ class PlanSpec extends GraftTest {
     }
   }
 
+  test("blockedPairs: the cap rides the self-join's own exchange (one shuffle, reused)") {
+    // capBuckets' window partitions by the block keys — exactly the
+    // distribution the self-join needs — and both join sides alias the
+    // same capped plan, so the physical plan has ONE hashpartitioning
+    // exchange on the keys plus a reuse, never a second corpus pass
+    val docs = Graft.documents(spark, sf)
+    val df = graft.dedup.Dedup.blockedPairs(docs, "doc_id",
+      Seq("lang" -> col("lang"), "blk" -> (col("n_chars") / lit(32)).cast("int")),
+      maxBucket = 1000)
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      // a ReusedExchange line repeats the reused exchange's description,
+      // so count only lines whose NODE is the exchange itself
+      val nExchanges = p.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+      assert(nExchanges == 1, s"expected exactly one shuffle, got $nExchanges:\n${p.take(3000)}")
+      assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+        "both self-join sides must share the cap's exchange:\n" + p.take(3000))
+      val scans = "FileScan".r.findAllIn(p).size
+      assert(scans === 1,
+        s"expected a single documents scan in the final plan, saw $scans:\n${p.take(3000)}")
+    }
+  }
+
   test("sessionCountGaps: one exchange serves both window passes and the groupBy") {
     // the two window functions share hash(user_id); the (user_id, _sid)
     // aggregation's ClusteredDistribution is satisfied by that same
