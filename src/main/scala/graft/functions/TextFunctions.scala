@@ -172,10 +172,15 @@ object TextFunctions {
     *
     * Scale shape: term frequencies are one shuffle on (doc, term) with
     * map-side partials; document frequencies aggregate the tf rows (one
-    * row per distinct (doc, term) — never re-reading the corpus); the idf
-    * table is vocabulary-sized and BROADCASTs back onto tf, and the
+    * row per distinct (doc, term) — never re-reading the corpus); the
     * corpus row count rides along as a broadcast one-row frame (no
-    * driver-side count). Output: (doc, term, tf, tfidf).
+    * driver-side count). The idf table is vocabulary-sized, and raw-token
+    * vocabulary grows with the corpus (Heaps' law: billions of distinct
+    * terms over a web-scale corpus — past Spark's broadcast limit and
+    * driver memory), so the idf join carries NO forced broadcast hint:
+    * AQE broadcasts it at runtime while the measured build side is small
+    * and falls back to a shuffle join when it isn't (both behaviors
+    * PlanSpec-pinned). Output: (doc, term, tf, tfidf).
     */
   def tfidf(docs: org.apache.spark.sql.DataFrame, id: String, text: String): org.apache.spark.sql.DataFrame = {
     val tf = docs
@@ -183,7 +188,7 @@ object TextFunctions {
       .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(broadcast(df_), "term").crossJoin(broadcast(n))
+    tf.join(df_, "term").crossJoin(broadcast(n))
       .select(col("doc"), col("term"), col("tf"),
         round(col("tf") *
           (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 4)
@@ -322,9 +327,13 @@ object TextFunctions {
     * log-likelihood. Low = common/fluent text; high = rare/garbled.
     *
     * Scale shape: (doc, term) counts in one map-side-combined shuffle
-    * (same as [[tfidf]]); the unigram table is vocabulary-sized and
-    * BROADCASTs back; the corpus token total rides as a one-row broadcast
-    * — the corpus shuffles once, nothing reaches the driver.
+    * (same as [[tfidf]]); the corpus token total rides as a one-row
+    * broadcast — the corpus shuffles once, nothing reaches the driver.
+    * The unigram table is vocabulary-sized, so (as in [[tfidf]]) its join
+    * back onto tf carries NO forced broadcast hint: AQE broadcasts the
+    * measured-small case at runtime and shuffle-joins past the threshold
+    * — a forced vocabulary broadcast would OOM the driver at web-corpus
+    * vocab sizes.
     *
     * Numerics — every step is layout- AND engine-invariant: per-term
     * surprisal ln(N/cnt) = [[detLn]](N) − [[detLn]](cnt) is bit-identical
@@ -345,7 +354,7 @@ object TextFunctions {
     val w = uni.crossJoin(broadcast(n)).select(col("term"),
       floor((detLn(col("n_total")) - detLn(col("cnt"))) * lit(1000000.0))
         .cast("long").as("w_micro"))
-    tf.join(broadcast(w), "term")
+    tf.join(w, "term")
       .groupBy("doc")
       .agg(sum("tf").as("n_tok"),
         sum(col("tf") * col("w_micro")).as("_sum_micro"))

@@ -96,10 +96,32 @@ class PlanSpec extends GraftTest {
       "eval grams must broadcast:\n" + p.take(2000))
   }
 
-  test("tfidf broadcasts the vocabulary-sized idf table and the one-row corpus count") {
-    val p = plan("txt_tfidf")
-    assert(p.contains("BroadcastHashJoin"), "idf join must broadcast:\n" + p.take(2000))
-    assert(!p.contains("SortMergeJoin"), "no sort-merge in the tfidf plan:\n" + p.take(2000))
+  test("tfidf/unigram vocab joins are size-gated: AQE broadcasts small, no forced hint") {
+    // Raw-token vocabulary grows with the corpus (Heaps' law), so a
+    // FORCED broadcast of the idf/unigram table is a driver-OOM at
+    // web-corpus scale. The gate: no hint — AQE broadcasts at runtime
+    // while the measured build side is small. Pin both directions:
+    for (q <- Seq("txt_tfidf", "txt_unigram_lp")) {
+      // (a) default conf: the test-scale vocab is tiny → the FINAL
+      //     adaptive plan must still take the broadcast fast path
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: AQE must broadcast the small vocab at test scale:\n" + p.take(3000))
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: no sort-merge at test scale:\n" + p.take(3000))
+      // (b) broadcasts disabled (stand-in for an over-threshold vocab):
+      //     the vocab join must fall back to a shuffle join — a forced
+      //     hint would broadcast regardless and fail this direction
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val df2 = SparkEntry.queries(q)(spark, sf)
+        df2.collect()
+        val p2 = df2.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+        assert(!p2.contains("BroadcastHashJoin"),
+          s"$q: vocab join must NOT broadcast past the threshold (forced hint?):\n" + p2.take(3000))
+      }
+    }
   }
 
   test("brute-force ANN is the one sanctioned nested-loop (broadcast small queries)") {
