@@ -5,6 +5,26 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** Trained IVF coarse quantizer: `nLists` unit-norm centroids. Training
+  * ([[Ann.trainIvf]]) is deterministic, so a frozen model is replayable
+  * bit-for-bit by an external oracle (graft.queries.AnnOracleSql).
+  */
+final case class IvfModel(centroids: Array[Array[Double]])
+
+/** Trained product quantizer: `m` sub-codebooks (each 2^bits centroids
+  * over one equal subspace slice) and the slice `bounds` (length m+1).
+  */
+final case class PqModel(books: Array[Array[Array[Double]]], bounds: Array[Int]) {
+  def m: Int = books.length
+  def kCent: Int = books(0).length
+}
+
+/** Trained IVFADC model: coarse centroids plus RESIDUAL sub-codebooks. */
+final case class IvfPqModel(centroids: Array[Array[Double]],
+                            books: Array[Array[Array[Double]]], bounds: Array[Int]) {
+  def kCent: Int = books(0).length
+}
+
 /** Approximate nearest-neighbor search over an embedding column.
   *
   * Two paths:
@@ -203,19 +223,32 @@ object Ann {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
               k: Int, nLists: Int = 16, nProbe: Int = 4,
-              trainCap: Int = 16384, maxIter: Int = 10): DataFrame = {
-    // training is the FIXED cost of IVF and must not scale with the
-    // corpus (the standard inverted-file recipe): run spherical k-means
-    // in memory over a [[boundedSample]] (≤ trainCap vectors, a few MB;
-    // bounded by construction, unlike a collect of corpus-sized state).
-    // Only the nLists × dim centroid matrix leaves the driver, as a
-    // broadcast. Centroid quality converges long before the full corpus
-    // is seen; recall comes from nProbe, not centroid perfection. (The
-    // previous form trained spark.ml KMeans over the full corpus:
-    // kmeans|| init plus per-iteration job rounds made TRAINING dominate
-    // query time.)
-    val sample = boundedSample(corpus, id, vec, trainCap)
-    val centroids = sphericalKMeans(sample, nLists, maxIter)
+              trainCap: Int = 16384, maxIter: Int = 10): DataFrame =
+    ivfTopK(corpus, queries, id, vec, k, nProbe,
+      trainIvf(corpus, id, vec, nLists, trainCap, maxIter))
+
+  /** Train the IVF coarse quantizer separately — the freeze-the-model
+    * seam: training is the FIXED cost of IVF and must not scale with the
+    * corpus (the standard inverted-file recipe): run spherical k-means
+    * in memory over a [[boundedSample]] (≤ trainCap vectors, a few MB;
+    * bounded by construction, unlike a collect of corpus-sized state).
+    * Only the nLists × dim centroid matrix leaves the driver, as a
+    * broadcast. Centroid quality converges long before the full corpus
+    * is seen; recall comes from nProbe, not centroid perfection. (The
+    * previous form trained spark.ml KMeans over the full corpus:
+    * kmeans-parallel init plus per-iteration job rounds made TRAINING
+    * dominate query time.)
+    * Deterministic end-to-end (hash-ordered draw, first-k init, fixed
+    * tie-breaks), so a frozen model is replayable by an external oracle.
+    */
+  def trainIvf(corpus: DataFrame, id: String, vec: String, nLists: Int = 16,
+               trainCap: Int = 16384, maxIter: Int = 10): IvfModel =
+    IvfModel(sphericalKMeans(boundedSample(corpus, id, vec, trainCap), nLists, maxIter))
+
+  /** [[ivfTopK]] with a pre-trained (frozen) coarse quantizer. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+              k: Int, nProbe: Int, model: IvfModel): DataFrame = {
+    val centroids = model.centroids
 
     // the centroid matrix ships ONCE per executor as a Spark broadcast and
     // the plan carries a single udf node, so plan size is O(1) in nLists.
@@ -334,8 +367,16 @@ object Ann {
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
              k: Int, m: Int = 8, codebookBits: Int = 6, refineK: Int = 50,
-             trainCap: Int = 16384, maxIter: Int = 10): DataFrame = {
-    val spark = corpus.sparkSession
+             trainCap: Int = 16384, maxIter: Int = 10): DataFrame =
+    pqTopK(corpus, queries, id, vec, k, refineK,
+      trainPq(corpus, id, vec, m, codebookBits, trainCap, maxIter))
+
+  /** Train the PQ sub-codebooks separately — the freeze-the-model seam
+    * (deterministic: hash-ordered sample, first-k init, fixed ties).
+    */
+  def trainPq(corpus: DataFrame, id: String, vec: String, m: Int = 8,
+              codebookBits: Int = 6, trainCap: Int = 16384,
+              maxIter: Int = 10): PqModel = {
     val kCent = 1 << codebookBits
     val sample = boundedSample(corpus, id, vec, trainCap)
     require(sample.nonEmpty, "PQ training needs a non-empty corpus")
@@ -347,7 +388,15 @@ object Ann {
         sample.map(v => java.util.Arrays.copyOfRange(unitVec(v), bounds(s), bounds(s + 1))),
         kCent, maxIter)
     }
-    val bc = spark.sparkContext.broadcast((books, bounds))
+    PqModel(books, bounds)
+  }
+
+  /** [[pqTopK]] with a pre-trained (frozen) product quantizer. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+             k: Int, refineK: Int, model: PqModel): DataFrame = {
+    val spark = corpus.sparkSession
+    val kCent = model.kCent
+    val bc = spark.sparkContext.broadcast((model.books, model.bounds))
 
     // corpus row → (m codes, reconstruction norm); nearest sub-centroid by
     // L2 over the unit-normalized vector, ties to the lower code
@@ -474,31 +523,41 @@ object Ann {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
                 k: Int, nLists: Int = 16, nProbe: Int = 4, m: Int = 8,
                 codebookBits: Int = 6, refineK: Int = 50,
-                trainCap: Int = 16384, maxIter: Int = 10): DataFrame = {
-    val spark = corpus.sparkSession
+                trainCap: Int = 16384, maxIter: Int = 10): DataFrame =
+    ivfPqTopK(corpus, queries, id, vec, k, nProbe, refineK,
+      trainIvfPq(corpus, id, vec, nLists, m, codebookBits, trainCap, maxIter))
+
+  /** Argmax-dot list assignment (ties to the lower list id) — shared by
+    * IVFADC training and encode.
+    */
+  private def nearestList(cents: Array[Array[Double]], u: Array[Double]): Int = {
+    var best = 0; var bestS = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val ctr = cents(c)
+      var dot = 0.0; var j = 0
+      while (j < u.length && j < ctr.length) { dot += u(j) * ctr(j); j += 1 }
+      if (dot > bestS) { bestS = dot; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Train the IVFADC model separately — the freeze-the-model seam:
+    * coarse quantizer (unit-norm centroids, argmax-dot assignment, ties
+    * to the lower list id — identical contract to ivfTopK), then
+    * residual codebooks: k-means per subspace over (u − c_list) of the
+    * training sample. Deterministic end-to-end.
+    */
+  def trainIvfPq(corpus: DataFrame, id: String, vec: String,
+                 nLists: Int = 16, m: Int = 8, codebookBits: Int = 6,
+                 trainCap: Int = 16384, maxIter: Int = 10): IvfPqModel = {
     val kCent = 1 << codebookBits
     val sample = boundedSample(corpus, id, vec, trainCap)
     require(sample.nonEmpty, "IVFADC training needs a non-empty corpus")
     val dim = sample(0).length
     require(dim >= m, s"dim $dim < m $m")
-
-    // coarse quantizer (unit-norm centroids, argmax-dot assignment,
-    // ties to the lower list id — identical contract to ivfTopK)
     val centroids = sphericalKMeans(sample, nLists, maxIter)
-    def nearestList(cents: Array[Array[Double]], u: Array[Double]): Int = {
-      var best = 0; var bestS = Double.NegativeInfinity
-      var c = 0
-      while (c < cents.length) {
-        val ctr = cents(c)
-        var dot = 0.0; var j = 0
-        while (j < u.length && j < ctr.length) { dot += u(j) * ctr(j); j += 1 }
-        if (dot > bestS) { bestS = dot; best = c }
-        c += 1
-      }
-      best
-    }
-    // residual codebooks: k-means per subspace over (u − c_list) of the
-    // training sample
     val bounds = (0 to m).map(s => s * dim / m).toArray
     val residuals = sample.map { v =>
       val u = unitVec(v)
@@ -510,6 +569,17 @@ object Ann {
         residuals.map(r => java.util.Arrays.copyOfRange(r, bounds(s), bounds(s + 1))),
         kCent, maxIter)
     }
+    IvfPqModel(centroids, books, bounds)
+  }
+
+  /** [[ivfPqTopK]] with a pre-trained (frozen) IVFADC model. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+                k: Int, nProbe: Int, refineK: Int, model: IvfPqModel): DataFrame = {
+    val spark = corpus.sparkSession
+    val kCent = model.kCent
+    val centroids = model.centroids
+    val books = model.books
+    val bounds = model.bounds
     val bc = spark.sparkContext.broadcast((centroids, books, bounds))
 
     // corpus row → (list, m codes, reconstruction norm): nearest

@@ -1,0 +1,244 @@
+package graft.queries
+
+import graft.ann.{IvfModel, IvfPqModel, PqModel}
+
+/** DuckDB-SQL replay of the TRAINED-quantizer ANN searches — the
+  * freeze-the-model oracles for `ann_ivf` / `ann_pq` / `ann_ivfpq`.
+  *
+  * Lloyd's float k-means TRAINING has no tractable SQL replay, but the
+  * oracle does not need to train: the query entry trains the model once
+  * (deterministically — hash-ordered sample, first-k init, fixed
+  * tie-breaks), hands the SAME frozen model to both the Spark searcher
+  * and this generator, and the generator embeds the centroids/codebooks
+  * as double literals (the device [[EmbeddingOracleSql]] uses for the
+  * SRP sign matrix). What remains — list assignment, PQ encode, ADC
+  * lookup, exact re-rank — is deterministic arithmetic DuckDB replays
+  * bit-for-bit:
+  *
+  *  - every Spark-side loop is a SEQUENTIAL double fold; `list_reduce`
+  *    over `list_prepend(0.0, …)` replays the same IEEE order;
+  *  - literals render via shortest-round-trip decimal + `e0` (so DuckDB
+  *    types them DOUBLE, never DECIMAL) and parse back bit-identical;
+  *  - argmin/argmax with strict-inequality updates ≡ `row_number` over
+  *    (score, id) — ties to the lower id on both sides;
+  *  - the exact re-rank cosine reuses the `list_cosine_similarity`
+  *    equivalence already hash-proven by the `ann_brute` oracle.
+  *
+  * Registration: the PipelineQueries entries call [[register]] at query
+  * BUILD time (training happens eagerly there), and
+  * `PipelineQueries.oracles` appends [[registered]] — so `Verify`, which
+  * dumps oracle_sql.json AFTER running the queries, ships SQL whose
+  * literals are the very model the dumped parquet was computed with.
+  */
+object AnnOracleSql {
+
+  private val reg = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def register(name: String, sql: String): Unit = reg.put(name, sql)
+
+  def registered: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    reg.asScala.toMap
+  }
+
+  /** Shortest round-trip decimal + `e0` marker: parses back to the
+    * identical double in any engine, and the exponent marker makes DuckDB
+    * type it DOUBLE rather than DECIMAL (same device as
+    * TextFunctions.sqlDouble).
+    */
+  private def d(x: Double): String = {
+    val s = java.lang.Double.toString(x)
+    if (s.contains("E") || s.contains("e")) s else s + "e0"
+  }
+
+  private def arr(a: Array[Double]): String = a.map(d).mkString("[", ", ", "]")
+
+  /** Sequential left fold `0.0 + x_1 + x_2 + …` — Scala's
+    * `Array[Double].sum` / the UDFs' `while` accumulators in the same
+    * IEEE order.
+    */
+  private def foldSum(listExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $listExpr), (a, b) -> a + b)"
+
+  /** Dim-guarded corpus CTE (loud failure on a corpus-dimension drift —
+    * the literals are generated for exactly `dim`).
+    */
+  private def embCte(dim: Int): String =
+    s"""e AS (SELECT vec_id,
+               CASE WHEN len(embedding) <> $dim
+                    THEN error('ann oracle: expected dim $dim, got ' || len(embedding) || ' for vec ' || vec_id)
+                    ELSE CAST(embedding AS DOUBLE[]) END AS v
+             FROM embeddings)"""
+
+  /** Unit-normalization CTE over `e` — replays `unitVec` (norm from the
+    * sequential square fold; zero-norm vectors pass through).
+    */
+  private def unitCte: String =
+    s"""u AS (SELECT vec_id,
+               CASE WHEN nrm = 0 THEN v ELSE list_transform(v, x -> x / nrm) END AS u
+             FROM (SELECT vec_id, v, sqrt(${foldSum("list_transform(v, x -> x * x)")}) AS nrm FROM e))"""
+
+  /** Oracle for `ann_ivf`: frozen centroids (+ their precomputed norms,
+    * exactly the values the Spark broadcast carries) → cosine list
+    * assignment / probing → in-list exact cosine top-k. Queries are
+    * `vec_id < 10`, as in the PipelineQueries entry.
+    */
+  def ivfTopK(model: IvfModel, k: Int, nProbe: Int): String = {
+    val dim = model.centroids(0).length
+    val cent = model.centroids.zipWithIndex.map { case (c, i) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      s"($i, ${arr(c)}, ${d(cn)})"
+    }.mkString(",\n               ")
+    s"""WITH ${embCte(dim)},
+          cent AS (SELECT * FROM (VALUES
+               $cent) t(list, c, cn)),
+          n AS (SELECT vec_id, v, sqrt(${foldSum("list_transform(v, x -> x * x)")}) AS vn FROM e),
+          sc AS (SELECT vec_id, v, list,
+                   CASE WHEN vn = 0 OR cn = 0 THEN CAST(0.0 AS DOUBLE)
+                        ELSE ${foldSum(s"list_transform(generate_series(1, $dim), i -> v[i] * c[i])")} / (vn * cn)
+                   END AS s
+                 FROM n CROSS JOIN cent),
+          asg AS (SELECT vec_id AS neighbor_id, v AS cv, list FROM
+                    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS r FROM sc)
+                  WHERE r = 1),
+          prb AS (SELECT vec_id AS query_id, v AS qv, list FROM
+                    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS r
+                     FROM sc WHERE vec_id < 10)
+                  WHERE r <= $nProbe),
+          scored AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cosr
+                     FROM prb JOIN asg USING (list)
+                     WHERE neighbor_id <> query_id)
+       SELECT query_id, neighbor_id, rank, cos FROM (
+         SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosr DESC, neighbor_id ASC) AS rank,
+                round(cosr, 6) AS cos
+         FROM scored)
+       WHERE rank <= $k"""
+  }
+
+  /** Oracle for `ann_pq`: frozen sub-codebooks → unit-normalize → encode
+    * (per-subspace argmin L2, reconstruction norm via the flattened
+    * chosen-centroid fold — the UDF's exact element order) → per-query
+    * LUT → ADC estimate → top-refineK → exact cosine re-rank.
+    */
+  def pqTopK(model: PqModel, k: Int, refineK: Int): String = {
+    val dim = model.bounds.last
+    val sub = dim / model.m
+    val pq = (for {
+      s <- model.books.indices
+      c <- model.books(s).indices
+    } yield s"($s, $c, ${arr(model.books(s)(c))})").mkString(",\n               ")
+    val cap = math.max(refineK, k)
+    s"""WITH ${embCte(dim)},
+          pq AS (SELECT * FROM (VALUES
+               $pq) t(s, c, ctr)),
+          $unitCte,
+          dist AS (SELECT u.vec_id, pq.s, pq.c, pq.ctr,
+                     ${foldSum(s"list_transform(generate_series(1, $sub), j -> (u[s * $sub + j] - ctr[j]) * (u[s * $sub + j] - ctr[j]))")} AS dd
+                   FROM u CROSS JOIN pq),
+          code AS (SELECT vec_id, s, c, ctr FROM
+                     (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd ASC, c ASC) AS r FROM dist)
+                   WHERE r = 1),
+          enc AS (SELECT vec_id,
+                    sqrt(${foldSum("list_transform(flatten(list(ctr ORDER BY s)), x -> x * x)")}) AS xnorm
+                  FROM code GROUP BY vec_id),
+          lut AS (SELECT q.vec_id AS query_id, pq.s, pq.c,
+                    ${foldSum(s"list_transform(generate_series(1, $sub), j -> uq[s * $sub + j] * ctr[j])")} AS dt
+                  FROM (SELECT vec_id, u AS uq FROM u WHERE vec_id < 10) q CROSS JOIN pq),
+          acc AS (SELECT l.query_id, cd.vec_id AS neighbor_id,
+                    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.dt ORDER BY cd.s)), (a, b) -> a + b) AS accv
+                  FROM code cd JOIN lut l ON l.s = cd.s AND l.c = cd.c
+                  WHERE cd.vec_id <> l.query_id
+                  GROUP BY l.query_id, cd.vec_id),
+          est AS (SELECT query_id, neighbor_id,
+                    CASE WHEN xnorm = 0 THEN CAST(0.0 AS DOUBLE) ELSE accv / xnorm END AS est
+                  FROM acc JOIN enc ON enc.vec_id = acc.neighbor_id),
+          cand AS (SELECT query_id, neighbor_id FROM
+                     (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY est DESC, neighbor_id ASC) AS r FROM est)
+                   WHERE r <= $cap),
+          ref AS (SELECT cand.query_id, cand.neighbor_id,
+                    list_cosine_similarity(qe.v, ne.v) AS cosr
+                  FROM cand
+                  JOIN e qe ON qe.vec_id = cand.query_id
+                  JOIN e ne ON ne.vec_id = cand.neighbor_id)
+       SELECT query_id, neighbor_id, rank, cos FROM (
+         SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosr DESC, neighbor_id ASC) AS rank,
+                round(cosr, 6) AS cos
+         FROM ref)
+       WHERE rank <= $k"""
+  }
+
+  /** Oracle for `ann_ivfpq`: frozen coarse centroids + residual
+    * codebooks → argmax-dot list assignment → residual PQ encode (recon
+    * norm over c_list + chosen residual centroids) → nProbe probing with
+    * the query-centroid dot carried → ADC estimate seeded at qdotc →
+    * top-refineK → exact cosine re-rank.
+    */
+  def ivfPqTopK(model: IvfPqModel, k: Int, nProbe: Int, refineK: Int): String = {
+    val dim = model.bounds.last
+    val sub = dim / model.books.length
+    val cent = model.centroids.zipWithIndex
+      .map { case (c, i) => s"($i, ${arr(c)})" }.mkString(",\n               ")
+    val pq = (for {
+      s <- model.books.indices
+      c <- model.books(s).indices
+    } yield s"($s, $c, ${arr(model.books(s)(c))})").mkString(",\n               ")
+    val cap = math.max(refineK, k)
+    s"""WITH ${embCte(dim)},
+          cent AS (SELECT * FROM (VALUES
+               $cent) t(list, cl)),
+          pq AS (SELECT * FROM (VALUES
+               $pq) t(s, c, ctr)),
+          $unitCte,
+          qd AS (SELECT vec_id, u, list, cl,
+                   ${foldSum(s"list_transform(generate_series(1, $dim), i -> u[i] * cl[i])")} AS dt
+                 FROM u CROSS JOIN cent),
+          asg AS (SELECT vec_id, u, list, cl FROM
+                    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dt DESC, list ASC) AS r FROM qd)
+                  WHERE r = 1),
+          rdist AS (SELECT a.vec_id, pq.s, pq.c, pq.ctr,
+                      ${foldSum(s"list_transform(generate_series(1, $sub), j -> ((u[s * $sub + j] - cl[s * $sub + j]) - ctr[j]) * ((u[s * $sub + j] - cl[s * $sub + j]) - ctr[j]))")} AS dd
+                    FROM asg a CROSS JOIN pq),
+          code AS (SELECT vec_id, s, c, ctr FROM
+                     (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd ASC, c ASC) AS r FROM rdist)
+                   WHERE r = 1),
+          enc AS (SELECT ch.vec_id, a.list,
+                    sqrt(${foldSum(s"list_transform(generate_series(1, $dim), i -> (cl[i] + chv[i]) * (cl[i] + chv[i]))")}) AS xnorm
+                  FROM (SELECT vec_id, flatten(list(ctr ORDER BY s)) AS chv FROM code GROUP BY vec_id) ch
+                  JOIN asg a USING (vec_id)),
+          prb AS (SELECT vec_id AS query_id, list, dt AS qdotc FROM
+                    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dt DESC, list ASC) AS r
+                     FROM qd WHERE vec_id < 10)
+                  WHERE r <= $nProbe),
+          lut AS (SELECT q.vec_id AS query_id, pq.s, pq.c,
+                    ${foldSum(s"list_transform(generate_series(1, $sub), j -> uq[s * $sub + j] * ctr[j])")} AS dt
+                  FROM (SELECT vec_id, u AS uq FROM u WHERE vec_id < 10) q CROSS JOIN pq),
+          pairs AS (SELECT p.query_id, en.vec_id AS neighbor_id, p.qdotc, en.xnorm
+                    FROM prb p JOIN enc en USING (list)
+                    WHERE en.vec_id <> p.query_id),
+          acc AS (SELECT pr.query_id, pr.neighbor_id, pr.qdotc, pr.xnorm,
+                    list_reduce(list_prepend(pr.qdotc, list(l.dt ORDER BY cd.s)), (a, b) -> a + b) AS accv
+                  FROM pairs pr
+                  JOIN code cd ON cd.vec_id = pr.neighbor_id
+                  JOIN lut l ON l.query_id = pr.query_id AND l.s = cd.s AND l.c = cd.c
+                  GROUP BY pr.query_id, pr.neighbor_id, pr.qdotc, pr.xnorm),
+          est AS (SELECT query_id, neighbor_id,
+                    CASE WHEN xnorm = 0 THEN CAST(0.0 AS DOUBLE) ELSE accv / xnorm END AS est
+                  FROM acc),
+          cand AS (SELECT query_id, neighbor_id FROM
+                     (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY est DESC, neighbor_id ASC) AS r FROM est)
+                   WHERE r <= $cap),
+          ref AS (SELECT cand.query_id, cand.neighbor_id,
+                    list_cosine_similarity(qe.v, ne.v) AS cosr
+                  FROM cand
+                  JOIN e qe ON qe.vec_id = cand.query_id
+                  JOIN e ne ON ne.vec_id = cand.neighbor_id)
+       SELECT query_id, neighbor_id, rank, cos FROM (
+         SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosr DESC, neighbor_id ASC) AS rank,
+                round(cosr, 6) AS cos
+         FROM ref)
+       WHERE rank <= $k"""
+  }
+}

@@ -477,30 +477,45 @@ object PipelineQueries {
 
     "ann_ivf" -> ((s, d) => {
       // IVF: KMeans-learned inverted lists, nProbe-cell search —
-      // data-adaptive scale path (recall vs brute force in AnnSpec)
+      // data-adaptive scale path (recall vs brute force in AnnSpec).
+      // Freeze-the-model full oracle: training is deterministic, so the
+      // entry trains ONCE and hands the same frozen model to the Spark
+      // searcher and to AnnOracleSql, which replays the SEARCH (list
+      // assignment, in-list exact cosine top-k) in DuckDB with the
+      // centroids embedded as literals.
       val emb = Graft.embeddings(s, d)
+      val model = Ann.trainIvf(emb, "vec_id", "embedding", nLists = 16)
+      AnnOracleSql.register("ann_ivf", AnnOracleSql.ivfTopK(model, k = 10, nProbe = 4))
       Ann.ivfTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
-        k = 10, nLists = 16, nProbe = 4)
+        k = 10, nProbe = 4, model)
     }),
 
     "ann_pq" -> ((s, d) => {
       // product-quantization ANN: broadcast codebooks, m-byte codes, O(m)
       // ADC scoring, exact re-rank of the refine set — the
       // memory-compression scale path (full-refine == brute force and
-      // recall bounds asserted in AnnSpec; rows-only here)
+      // recall bounds asserted in AnnSpec). Freeze-the-model full oracle:
+      // AnnOracleSql replays encode → LUT → ADC → re-rank from the
+      // frozen codebooks.
       val emb = Graft.embeddings(s, d)
+      val model = Ann.trainPq(emb, "vec_id", "embedding", m = 8, codebookBits = 6)
+      AnnOracleSql.register("ann_pq", AnnOracleSql.pqTopK(model, k = 10, refineK = 50))
       Ann.pqTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
-        k = 10, m = 8, codebookBits = 6, refineK = 50)
+        k = 10, refineK = 50, model)
     }),
 
     "ann_ivfpq" -> ((s, d) => {
       // IVFADC: inverted lists scope the search, residual PQ compresses
       // the in-cell scan, exact re-rank on the refine set — the full
       // production ANN composition (recall + exact-degradation asserted
-      // in DedupAnnSpec; rows-only here)
+      // in DedupAnnSpec). Freeze-the-model full oracle as above.
       val emb = Graft.embeddings(s, d)
+      val model = Ann.trainIvfPq(emb, "vec_id", "embedding",
+        nLists = 16, m = 8, codebookBits = 6)
+      AnnOracleSql.register("ann_ivfpq",
+        AnnOracleSql.ivfPqTopK(model, k = 10, nProbe = 6, refineK = 50))
       Ann.ivfPqTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
-        k = 10, nLists = 16, nProbe = 6, m = 8, codebookBits = 6, refineK = 50)
+        k = 10, nProbe = 6, refineK = 50, model)
     }),
 
     "ann_recall_report" -> ((s, d) => {
@@ -794,7 +809,17 @@ object PipelineQueries {
               .as("cms_within_eps"))
       }))
 
-  val oracles: Map[String, String] = Map(
+  /** Static oracles plus the freeze-the-model ANN oracles: the latter
+    * are registered by the ann_ivf/ann_pq/ann_ivfpq entries at query
+    * BUILD time (their literals are the trained model), and Verify dumps
+    * oracle_sql.json after running the queries — so evaluation order
+    * guarantees the SQL ships exactly the model the parquet was computed
+    * with. Before the entries run, the map simply lacks those keys
+    * (rows-only fallback).
+    */
+  def oracles: Map[String, String] = staticOracles ++ AnnOracleSql.registered
+
+  private val staticOracles: Map[String, String] = Map(
     // sk_quantiles: discrete (ANSI percentile_disc) exact quantiles are
     // actual data elements — no interpolation arithmetic — so they
     // hash-match across engines; okXX is the sketch's rank-error-bound
