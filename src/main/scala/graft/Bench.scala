@@ -86,33 +86,38 @@ object Bench {
     }
     val calStart = calibrate()
 
-    // per query: one UNTIMED warm pass, then two timed runs, report the
-    // min. The warm pass absorbs the one-off costs that min-of-2 alone
-    // cannot: whole-stage/expression codegen compiles for this query's
-    // kernels, broadcast builds, and the first cold read of any parquet
-    // the corpus warm-up loop missed. Without it, back-to-back timed
-    // runs can BOTH carry the one-off (the r5 certified artifact showed
-    // ann_brute at 11.28s where a clean re-run of the same jar/data
-    // measured 0.23s — a 49x flap this pass is designed to remove).
-    // Sub-second queries flap hardest between whole bench runs (±80ms of
-    // scheduler jitter is a 1.3x ratio at 0.25s — pp_profile was the
-    // worst reproducibility row in BENCH_BUILDER_r7 at 1.32x), so they
-    // get two extra timed reps: the min converges and the added cost is
-    // bounded by the very shortness that triggers it.
-    val shortQuerySec = 0.5
+    // per query: one UNTIMED warm pass, then timed reps until the
+    // measurement CONVERGES — the two best reps agree within 25% — or a
+    // rep cap of 5. The warm pass absorbs the one-off costs repetition
+    // alone cannot: whole-stage/expression codegen compiles for this
+    // query's kernels, broadcast builds, and the first cold read of any
+    // parquet the corpus warm-up loop missed (the r5 certified artifact
+    // showed ann_brute at 11.28s where a clean re-run measured 0.23s).
+    // Convergence (not a duration threshold) decides extra reps: the old
+    // policy skipped them whenever min-of-2 exceeded 0.5s, so a pair of
+    // cold ~2.4s reps of txt_unigram_lp could ship as the artifact while
+    // the warm cost was 0.76s (the r9 driver/builder 3x disagreement).
+    // A stable expensive query still pays exactly 2 reps; only
+    // still-flapping measurements buy more, and the cap bounds the cost.
     val results: Seq[(String, Either[String, Double])] =
       headline.filter(SparkEntry.queries.contains).map { n =>
         runOnce(n) // warm (untimed): discard result, keep only hard errors below
-        (runOnce(n), runOnce(n)) match {
-          case (Right(a), Right(b)) =>
-            val base = math.min(a, b)
-            val extra =
-              if (base >= shortQuerySec) Nil
-              else Seq(runOnce(n), runOnce(n)).collect { case Right(t) => t }
-            n -> Right((base +: extra).min)
-          case (Right(a), Left(_))  => n -> Right(a) // keep the valid timing
-          case (_, second)          => n -> second
+        val maxReps = 5
+        var reps = 0
+        var times = List.empty[Double]
+        var lastErr: Option[String] = None
+        var converged = false
+        while (!converged && reps < maxReps) {
+          reps += 1
+          runOnce(n) match {
+            case Right(t) => times ::= t
+            case Left(e)  => lastErr = Some(e)
+          }
+          val best = times.sorted.take(2)
+          converged = best.size == 2 && best(1) <= best(0) * 1.25
         }
+        if (times.nonEmpty) n -> Right(times.min)
+        else n -> Left(lastErr.getOrElse("no successful rep"))
       }
 
     val calEnd = calibrate()

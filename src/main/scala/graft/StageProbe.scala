@@ -18,10 +18,23 @@ import org.apache.spark.sql.functions._
   * not extrapolated.
   */
 object StageProbe {
+
+  /** Recursive delete of the factor>1 replicated-corpus temp dir — a
+    * multi-GB parquet directory at large factors that must not outlive
+    * the probe run.
+    */
+  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(dir)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally walk.close()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = if (args.nonEmpty) args(0).toInt else 1
     val spark = Graft.session()
+    var probeDir: Option[java.nio.file.Path] = None
     Graft.tableNames.foreach { t =>
       try Graft.table(spark, sfDir, t).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
@@ -42,7 +55,9 @@ object StageProbe {
             regexp_replace(col("text"), lit("(\\w+)"),
               concat(lit("$1x"), col("_r").cast("string"))).as("text"),
             col("lang"), col("source"), col("n_chars"))
-        val dir = java.nio.file.Files.createTempDirectory(s"probe-docs$factor").toString
+        val p = java.nio.file.Files.createTempDirectory(s"probe-docs$factor")
+        probeDir = Some(p)
+        val dir = p.toString
         big.write.mode("overwrite").parquet(dir)
         spark.read.parquet(dir)
       }
@@ -82,5 +97,6 @@ object StageProbe {
     println(f"SP factor=$factor rename ${math.min(r1, r2)}%.3f s (runs $r1%.3f $r2%.3f)")
     println("SP n_edges " + aliasArm().count())
     spark.stop()
+    probeDir.foreach(deleteRecursively)
   }
 }

@@ -70,6 +70,30 @@ object Windows {
       .drop("_sid", "_prev", "_new")
   }
 
+  /** Density-dispatched batch sessionization (the measured w2 A/B,
+    * SCALE.md round 9, turned into an entry point): the built-in
+    * [[sessionCount]] wins through ~100× corpus density, the
+    * gaps-and-islands form wins ~13% from ~10⁵ events per key — so this
+    * probes the maximum per-key event count (one slim count-per-key
+    * aggregation) and picks the form. `gap` and `gapUs` must denote the
+    * same duration (the two forms take different types).
+    *
+    * The probe itself costs a corpus pass, so the dispatch pays off only
+    * when that pass is cheap relative to the sessionization (wide rows,
+    * cached input) or the choice is reused across runs; for a one-shot
+    * query on a corpus whose density is KNOWN, call the explicit form
+    * directly — both stay primary API. Streaming always uses
+    * [[sessionCount]] (the only streaming-capable form).
+    */
+  def sessionCountAuto(df: DataFrame, tsUs: String, gap: String, gapUs: Long,
+                       keys: Column*): DataFrame = {
+    val gapsFrom = 100000L // measured crossover: ScaleCheck w2 A/B, ~13% win at 1000x density
+    val probe = df.groupBy(keys: _*).count().agg(max("count")).collect()(0)
+    val maxPerKey = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+    if (maxPerKey >= gapsFrom) sessionCountGaps(df, tsUs, gapUs, keys: _*)
+    else sessionCount(df, tsUs, gap, keys: _*)
+  }
+
   /** W3: windowed-key flattening — `key@[start : end]` string key, exactly
     * the reference's projection shape (DSLStatefulTransformation.scala:117-123)
     * with epoch seconds for the bounds.

@@ -61,13 +61,16 @@ object AnnOracleSql {
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $listExpr), (a, b) -> a + b)"
 
   /** Dim-guarded corpus CTE (loud failure on a corpus-dimension drift —
-    * the literals are generated for exactly `dim`).
+    * the literals are generated for exactly `dim`). The FLOAT[] hop
+    * mirrors Graft.embeddings' defensive double→float narrowing: if a
+    * double-typed corpus ever ships, both engines see the same narrowed
+    * values (identity on today's float corpus).
     */
   private def embCte(dim: Int): String =
     s"""e AS (SELECT vec_id,
                CASE WHEN len(embedding) <> $dim
                     THEN error('ann oracle: expected dim $dim, got ' || len(embedding) || ' for vec ' || vec_id)
-                    ELSE CAST(embedding AS DOUBLE[]) END AS v
+                    ELSE CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]) END AS v
              FROM embeddings)"""
 
   /** Unit-normalization CTE over `e` — replays `unitVec` (norm from the

@@ -39,6 +39,25 @@ object CoreQueries {
       path
     })
 
+  // Guaranteed-unique per-session token for setup-cache keys whose
+  // artifact is SESSION state (catalog tables): identityHashCode is not
+  // unique — after GC a new session can reuse a dead session's identity
+  // hash and would skip rebuilding its catalog entries. Weak keys let
+  // dead sessions unpin their tokens.
+  private val sessionTokens =
+    new java.util.WeakHashMap[SparkSession, String]()
+  private val sessionSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def sessionToken(s: SparkSession): String =
+    sessionTokens.synchronized {
+      val existing = sessionTokens.get(s)
+      if (existing != null) existing
+      else {
+        val t = s"s${sessionSeq.incrementAndGet()}"
+        sessionTokens.put(s, t)
+        t
+      }
+    }
+
   // ---- S: sources & sinks -------------------------------------------------
 
   val sources: Map[String, Q] = Map(
@@ -716,9 +735,10 @@ object CoreQueries {
       // same session-cached-setup contract as s_partition_prune: the
       // operator under test is the zero/one-exchange co-located join,
       // not the bucketBy write (covered by BucketedJoinSpec + SourcesSpec).
-      // The artifact is CATALOG tables, so the key carries the session id
-      // — a fresh session must rebuild its catalog entries.
-      cachedSetup(s"bucketed-${System.identityHashCode(s)}", d) { _ =>
+      // The artifact is CATALOG tables, so the key carries a
+      // guaranteed-unique session token — a fresh session must rebuild
+      // its catalog entries (identityHashCode could collide after GC).
+      cachedSetup(s"bucketed-${sessionToken(s)}", d) { _ =>
         Sources.writeBucketed(Graft.lineitem(s, d).select(
             col("l_orderkey"),
             round(col("l_extendedprice") * 100).cast("long").as("price_c"),

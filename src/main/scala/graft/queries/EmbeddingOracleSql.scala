@@ -54,7 +54,9 @@ object EmbeddingOracleSql {
              FROM (SELECT vec_id,
                      CASE WHEN len(embedding) <> $dim
                           THEN error('srp oracle: expected dim $dim, got ' || len(embedding) || ' for vec ' || vec_id)
-                          ELSE CAST(embedding AS DOUBLE[]) END AS e
+                          -- FLOAT[] hop mirrors Graft.embeddings' defensive
+                          -- double→float narrowing (identity on a float corpus)
+                          ELSE CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]) END AS e
                    FROM embeddings))"""
   }
 

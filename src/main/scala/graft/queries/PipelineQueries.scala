@@ -906,12 +906,14 @@ object PipelineQueries {
     "ann_incremental" -> EmbeddingOracleSql.crossCosine(threshold = 0.25),
     "ann_lsh" -> EmbeddingOracleSql.lshTopK(k = 10, nBits = 6, probeBits = 4),
     "ann_brute" ->
+      // the FLOAT[] hop mirrors Graft.embeddings' defensive double→float
+      // narrowing (identity on today's float corpus)
       """SELECT query_id, neighbor_id, rank, cos FROM (
            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                   row_number() OVER (PARTITION BY q.vec_id
-                                     ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC,
+                                     ORDER BY list_cosine_similarity(CAST(CAST(q.embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(e.embedding AS FLOAT[]) AS DOUBLE[])) DESC,
                                               e.vec_id ASC) AS rank,
-                  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos
+                  round(list_cosine_similarity(CAST(CAST(q.embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(e.embedding AS FLOAT[]) AS DOUBLE[])), 6) AS cos
            FROM embeddings q, embeddings e
            WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
          WHERE rank <= 10""",

@@ -798,6 +798,29 @@ class FunctionsSpec extends GraftTest {
     assert(gaps === builtin)
   }
 
+  test("sessionCountAuto dispatches by per-key density, results equal either way") {
+    import graft.operators.Windows
+    import spark.implicits._
+    def planOf(df: org.apache.spark.sql.DataFrame) = df.queryExecution.optimizedPlan.toString
+    // sparse corpus (max events/key far below 1e5) → built-in session_window
+    val sparse = Seq((1L, 0L), (1L, 5000000L), (2L, 0L)).toDF("user_id", "ts_us")
+    val viaSparse = Windows.sessionCountAuto(sparse, "ts_us", "10 seconds", 10000000L, col("user_id"))
+    assert(planOf(viaSparse).contains("session_window"),
+      "sparse corpus must dispatch to the built-in merge form")
+    // dense corpus (one key at the 1e5 crossover) → gaps-and-islands
+    val dense = spark.range(100000)
+      .select(lit(7L).as("user_id"), (col("id") * 1000L).as("ts_us"))
+    val viaDense = Windows.sessionCountAuto(dense, "ts_us", "10 seconds", 10000000L, col("user_id"))
+    assert(!planOf(viaDense).contains("session_window") && planOf(viaDense).contains("lag"),
+      "dense corpus must dispatch to the gaps form")
+    // both dispatch targets agree (the equality the A/B rests on)
+    def norm(out: org.apache.spark.sql.DataFrame) =
+      out.select("user_id", "session_start_us", "cnt").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(norm(viaSparse) ===
+      norm(Windows.sessionCountGaps(sparse, "ts_us", 10000000L, col("user_id"))))
+  }
+
   test("sessionCountGaps boundary: events exactly gap apart merge into one session") {
     import graft.operators.Windows
     import spark.implicits._

@@ -78,4 +78,28 @@ class SourcesSpec extends GraftTest {
       "split predicate must prune partitions:\n" + p.take(2000))
     assert(trainScan.count() === corpus.where(col("split") === "train").count())
   }
+
+  test("kafka source/sink builders pin their failure shape against this Spark version") {
+    // The kafka transport is environment-blocked (no spark-sql-kafka jar,
+    // zero egress — README carries the deployment runbook). This pin
+    // keeps the blocked path from rotting silently: the builders must
+    // either analyze (jar present in a real deployment) or fail with
+    // EXACTLY the missing-data-source error — any other failure shape
+    // (an option rename, an API change in a Spark upgrade) turns this
+    // test red instead of surfacing first on a user's cluster.
+    try {
+      val df = Sources.kafkaStream(spark, "localhost:9092", "graft-in")
+      // jar present: the plan must analyze to the canonical record shape
+      assert(df.schema.fieldNames.toSeq === Seq("key", "value", "ts_us"))
+      assert(df.isStreaming)
+      val sink = Sources.writeKafka(df, "localhost:9092", "graft-out", "/tmp/graft-kafka-ckpt")
+      assert(sink != null) // builder-level: start() needs the broker
+    } catch {
+      case e: Exception =>
+        val msg = Option(e.getMessage).getOrElse("")
+        assert(msg.contains("DATA_SOURCE_NOT_FOUND") ||
+               msg.toLowerCase.contains("failed to find") && msg.toLowerCase.contains("kafka"),
+          s"kafka builder failed with an unexpected shape (API rot?): $e")
+    }
+  }
 }
