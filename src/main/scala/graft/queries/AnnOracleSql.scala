@@ -172,6 +172,33 @@ object AnnOracleSql {
        WHERE rank <= $k"""
   }
 
+  /** Oracle for `ann_recall_report`: recall@k of every approximate path
+    * against exact brute force, composed from the per-method replay SQL
+    * (each already hash-proven equal to its Spark search, so the
+    * intersection counts — and therefore the recall values — match by
+    * construction). Sub-queries nest as CTE subselects; truth∩approx is
+    * an inner join on (query_id, neighbor_id) (both sides duplicate-free
+    * top-k sets).
+    */
+  def recallReport(bruteSql: String, methods: Seq[(String, String)]): String = {
+    val sel = methods.map { case (name, sql) =>
+      s"SELECT '$name' AS method, query_id, neighbor_id FROM ($sql)"
+    }.mkString("\n          UNION ALL ")
+    val names = methods.map { case (n, _) => s"('$n')" }.mkString(", ")
+    s"""WITH truth AS (SELECT query_id, neighbor_id FROM ($bruteSql)),
+          sel AS (
+          $sel),
+          hits AS (SELECT method, count(*) AS n_hit
+                   FROM sel JOIN truth USING (query_id, neighbor_id)
+                   GROUP BY method),
+          n AS (SELECT count(*) AS n_truth FROM truth)
+       SELECT m.method,
+              round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / n.n_truth, 4) AS recall_at_10
+       FROM (VALUES $names) m(method)
+       LEFT JOIN hits h ON h.method = m.method
+       CROSS JOIN n"""
+  }
+
   /** Oracle for `ann_ivfpq`: frozen coarse centroids + residual
     * codebooks → argmax-dot list assignment → residual PQ encode (recon
     * norm over c_list + chosen residual centroids) → nProbe probing with

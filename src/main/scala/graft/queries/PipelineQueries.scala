@@ -521,28 +521,39 @@ object PipelineQueries {
     "ann_recall_report" -> ((s, d) => {
       // recall@10 of every approximate ANN path against the exact brute
       // force, computed INSIDE Spark over the same parameterizations as
-      // the certified ann_* queries — one row per method. Moves the
-      // recall claim from ScalaTest into the driver-visible contract
-      // (rows-only: recall depends on the engine's hash/quantizer
-      // internals, no SQL-oracle form exists; DedupAnnSpec asserts
-      // floors on these same numbers). Scale shape: the truth set is
-      // |queries|·k rows; every comparison is an equi-join on
-      // (query_id, neighbor_id); the searches themselves keep their own
-      // certified plans.
+      // the certified ann_* queries — one row per method. FULL oracle
+      // since r10: each method's search replay is individually
+      // hash-proven (EmbeddingOracleSql / AnnOracleSql), so the recall
+      // computation composes them — the entry trains the quantizer
+      // models itself (deterministic, same parameterizations as the
+      // ann_* entries) and registers the composed SQL with those frozen
+      // models embedded. Scale shape: the truth set is |queries|·k rows;
+      // every comparison is an equi-join on (query_id, neighbor_id); the
+      // searches themselves keep their own certified plans.
       import s.implicits._
       val emb = Graft.embeddings(s, d)
       val q = emb.where(col("vec_id") < 10)
+      val ivfModel = Ann.trainIvf(emb, "vec_id", "embedding", nLists = 16)
+      val pqModel = Ann.trainPq(emb, "vec_id", "embedding", m = 8, codebookBits = 6)
+      val ivfPqModel = Ann.trainIvfPq(emb, "vec_id", "embedding",
+        nLists = 16, m = 8, codebookBits = 6)
+      AnnOracleSql.register("ann_recall_report", AnnOracleSql.recallReport(
+        annBruteSql, Seq(
+          "lsh" -> EmbeddingOracleSql.lshTopK(k = 10, nBits = 6, probeBits = 4),
+          "ivf" -> AnnOracleSql.ivfTopK(ivfModel, k = 10, nProbe = 4),
+          "pq" -> AnnOracleSql.pqTopK(pqModel, k = 10, refineK = 50),
+          "ivfpq" -> AnnOracleSql.ivfPqTopK(ivfPqModel, k = 10, nProbe = 6, refineK = 50))))
       val truth = Ann.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10)
         .select("query_id", "neighbor_id")
       val methods: Seq[(String, DataFrame)] = Seq(
         "lsh" -> Ann.lshTopK(emb, q, "vec_id", "embedding",
           k = 10, nBits = 6, probeBits = 4),
         "ivf" -> Ann.ivfTopK(emb, q, "vec_id", "embedding",
-          k = 10, nLists = 16, nProbe = 4),
+          k = 10, nProbe = 4, ivfModel),
         "pq" -> Ann.pqTopK(emb, q, "vec_id", "embedding",
-          k = 10, m = 8, codebookBits = 6, refineK = 50),
+          k = 10, refineK = 50, pqModel),
         "ivfpq" -> Ann.ivfPqTopK(emb, q, "vec_id", "embedding",
-          k = 10, nLists = 16, nProbe = 6, m = 8, codebookBits = 6, refineK = 50))
+          k = 10, nProbe = 6, refineK = 50, ivfPqModel))
       val approx = methods.map { case (m, df) =>
         df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
       }.reduce(_ unionByName _)
@@ -819,6 +830,22 @@ object PipelineQueries {
     */
   def oracles: Map[String, String] = staticOracles ++ AnnOracleSql.registered
 
+  /** Exact brute-force top-k replay — shared by the `ann_brute` oracle
+    * and the composed `ann_recall_report` oracle's truth set. The
+    * FLOAT[] hop mirrors Graft.embeddings' defensive double→float
+    * narrowing (identity on today's float corpus).
+    */
+  private val annBruteSql: String =
+    """SELECT query_id, neighbor_id, rank, cos FROM (
+         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY q.vec_id
+                                   ORDER BY list_cosine_similarity(CAST(CAST(q.embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(e.embedding AS FLOAT[]) AS DOUBLE[])) DESC,
+                                            e.vec_id ASC) AS rank,
+                round(list_cosine_similarity(CAST(CAST(q.embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(e.embedding AS FLOAT[]) AS DOUBLE[])), 6) AS cos
+         FROM embeddings q, embeddings e
+         WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
+       WHERE rank <= 10"""
+
   private val staticOracles: Map[String, String] = Map(
     // sk_quantiles: discrete (ANSI percentile_disc) exact quantiles are
     // actual data elements — no interpolation arithmetic — so they
@@ -905,18 +932,7 @@ object PipelineQueries {
     "dd_embedding_resolve" -> EmbeddingOracleSql.cosineResolve(threshold = 0.95),
     "ann_incremental" -> EmbeddingOracleSql.crossCosine(threshold = 0.25),
     "ann_lsh" -> EmbeddingOracleSql.lshTopK(k = 10, nBits = 6, probeBits = 4),
-    "ann_brute" ->
-      // the FLOAT[] hop mirrors Graft.embeddings' defensive double→float
-      // narrowing (identity on today's float corpus)
-      """SELECT query_id, neighbor_id, rank, cos FROM (
-           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-                  row_number() OVER (PARTITION BY q.vec_id
-                                     ORDER BY list_cosine_similarity(CAST(CAST(q.embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(e.embedding AS FLOAT[]) AS DOUBLE[])) DESC,
-                                              e.vec_id ASC) AS rank,
-                  round(list_cosine_similarity(CAST(CAST(q.embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(e.embedding AS FLOAT[]) AS DOUBLE[])), 6) AS cos
-           FROM embeddings q, embeddings e
-           WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
-         WHERE rank <= 10""",
+    "ann_brute" -> annBruteSql,
     "txt_quality" ->
       """WITH t AS (SELECT doc_id, text,
                            list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0) AS toks
