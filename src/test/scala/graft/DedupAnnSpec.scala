@@ -537,6 +537,28 @@ class DedupAnnSpec extends GraftTest {
       "uncapped run emits the full quadratic mega-block (the shape the cap prevents)")
   }
 
+  test("blockedPairs(uncapped) equals brute-force within-block pairing") {
+    // deterministic pseudo-random fixture: 200 docs hashed into 3 langs
+    // x 10 length bands; the uncapped operator must emit EXACTLY the
+    // brute-force set { (a, b) | a < b, same (lang, band) }
+    val docs = spark.range(200).select(
+      col("id").as("doc_id"),
+      pmod(xxhash64(col("id")), lit(3)).cast("string").as("lang"),
+      pmod(xxhash64(col("id"), lit(7)), lit(320)).as("n_chars"))
+    val got = Dedup.blockedPairs(docs, "doc_id",
+        Seq("lang" -> col("lang"), "blk" -> (col("n_chars") / lit(32)).cast("int")),
+        maxBucket = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = docs.collect().map(r =>
+      (r.getLong(0), r.getString(1), (r.getLong(2).toDouble / 32).toInt))
+    val expect = (for {
+      (a, la, ba) <- rows; (b, lb, bb) <- rows
+      if a < b && la == lb && ba == bb
+    } yield (a, b)).toSet
+    assert(expect.nonEmpty, "fixture must produce at least one within-block pair")
+    assert(got === expect)
+  }
+
   test("SRP cap drops only intra-hot-bucket pairs; capped vectors still probe out") {
     import spark.implicits._
     import graft.functions.VectorFunctions
