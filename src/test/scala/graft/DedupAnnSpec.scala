@@ -537,6 +537,24 @@ class DedupAnnSpec extends GraftTest {
       "uncapped run emits the full quadratic mega-block (the shape the cap prevents)")
   }
 
+  test("quantizer training is bit-deterministic across independent runs") {
+    // the freeze-the-model oracles rest on this: the entry and the
+    // generator can train independently and still describe the same
+    // model, because the draw is hash-ordered and k-means ties are fixed
+    val emb = Graft.embeddings(spark, sf)
+    val iv1 = Ann.trainIvf(emb, "vec_id", "embedding", nLists = 8)
+    val iv2 = Ann.trainIvf(emb, "vec_id", "embedding", nLists = 8)
+    assert(iv1.centroids.map(_.toSeq).toSeq === iv2.centroids.map(_.toSeq).toSeq)
+    val pq1 = Ann.trainPq(emb, "vec_id", "embedding", m = 4, codebookBits = 4)
+    val pq2 = Ann.trainPq(emb, "vec_id", "embedding", m = 4, codebookBits = 4)
+    assert(pq1.books.map(_.map(_.toSeq).toSeq).toSeq === pq2.books.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(pq1.bounds.toSeq === pq2.bounds.toSeq)
+    val ip1 = Ann.trainIvfPq(emb, "vec_id", "embedding", nLists = 8, m = 4, codebookBits = 4)
+    val ip2 = Ann.trainIvfPq(emb, "vec_id", "embedding", nLists = 8, m = 4, codebookBits = 4)
+    assert(ip1.centroids.map(_.toSeq).toSeq === ip2.centroids.map(_.toSeq).toSeq)
+    assert(ip1.books.map(_.map(_.toSeq).toSeq).toSeq === ip2.books.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
   test("blockedPairs(uncapped) equals brute-force within-block pairing") {
     // deterministic pseudo-random fixture: 200 docs hashed into 3 langs
     // x 10 length bands; the uncapped operator must emit EXACTLY the
