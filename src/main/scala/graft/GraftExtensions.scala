@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CanonicalUrl, CosineSimilarity, LangScores, MinHashAgg, RepetitionStats, RollingHash, ShingleHashes, SimHashAgg, SrpBucket, TextStats, TokenHashes}
+import graft.functions.{CanonicalUrl, CdcChunks, CosineSimilarity, LangScores, MinHashAgg, RepetitionStats, RollingHash, ShingleHashes, SimHashAgg, SrpBucket, TextStats, TokenHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -77,6 +77,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         requireArity("canonical_url", children, 1)
         CanonicalUrl(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+      (children: Seq[Expression]) => {
+        requireArity("cdc_chunks", children, 3)
+        CdcChunks(children.head,
+          literalInt("cdc_chunks", children(1)),
+          literalInt("cdc_chunks", children(2)))
       }))
     ext.injectFunction((
       FunctionIdentifier("simhash_agg"),

@@ -298,6 +298,74 @@ object Dedup {
         TextFunctions.splitAssign(coalesce(col("comp"), col(id))).as("split"))
   }
 
+  // ---- chunk-level (passage) dedup ----------------------------------------
+
+  /** Content-defined chunk-level exact dedup — the passage/boilerplate
+    * removal pass a training pipeline runs alongside document-level
+    * dedup (CCNet-style): a passage repeated across documents is kept at
+    * its FIRST occurrence and dropped everywhere else, even when the
+    * surrounding documents are otherwise distinct.
+    *
+    * Boundaries are CONTENT-DEFINED: a split lands after every position
+    * whose trailing `windowBytes`-char rolling hash ≡ 0 (mod `divisor`),
+    * so expected chunk length ≈ divisor chars and — unlike fixed-stride
+    * chunking — an edit relocates only boundaries whose window covers
+    * it; identical passages chunk identically wherever they appear.
+    * The window hash folds (31·h + codepoint) mod 2^48 (stays in signed
+    * 64-bit range pre-mod, so plain integer arithmetic replays it in any
+    * engine — no wrapping-multiply needed; both engines index by
+    * CHARACTER, so the rule is consistent beyond ASCII too).
+    *
+    * Output: (id, chunk_idx, chunk, keep) — one row per non-empty chunk;
+    * `keep` marks the corpus-wide canonical instance (smallest
+    * (id, chunk_idx) for that content). Documents shorter than the
+    * window are a single chunk.
+    *
+    * Scale shape: chunking is ONE scan — the native `cdc_chunks` kernel
+    * ([[graft.functions.CdcChunks]]) does the O(n·windowChars) hash work
+    * as a compiled loop inside whole-stage codegen (the Column
+    * higher-order-function fallback is semantically identical but
+    * evaluates interpreted — ~3 orders of magnitude slower on the scan;
+    * bit-equality asserted in FunctionsSpec); the keeper is ONE hash
+    * exchange partitioned by the chunk content with an in-partition sort
+    * (row_number) — per-group work is linear in the duplicate count, so
+    * a mega-duplicated boilerplate chunk costs its instance count, never
+    * a quadratic pairing.
+    */
+  def chunkDedup(docs: DataFrame, id: String, text: String,
+                 windowChars: Int = 8, divisor: Int = 32): DataFrame = {
+    require(windowChars >= 1 && divisor >= 2, "windowChars >= 1, divisor >= 2")
+    val chunks =
+      if (docs.sparkSession.catalog.functionExists("cdc_chunks"))
+        call_function("cdc_chunks", col(text), lit(windowChars), lit(divisor))
+      else cdcChunksColumns(col(text), windowChars, divisor)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("chunk").orderBy(col(id), col("chunk_idx"))
+    docs.select(col(id), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      .where(length(col("chunk")) > 0)
+      .select(col(id), col("chunk_idx").cast("long").as("chunk_idx"), col("chunk"))
+      .withColumn("keep", row_number().over(w) === 1)
+  }
+
+  /** Extension-free Column form of [[graft.functions.CdcChunks]] — the
+    * same boundary rule from built-in higher-order functions (which run
+    * interpreted: correct everywhere, slow at corpus scale). Kept as the
+    * dispatch fallback and the kernel's equality witness.
+    */
+  private[graft] def cdcChunksColumns(txt: Column, windowChars: Int, divisor: Int): Column = {
+    val mod = 1L << 48
+    val n = length(txt)
+    val bounds = when(n >= windowChars,
+      filter(sequence(lit(windowChars), n), i =>
+        pmod(aggregate(sequence(i - (windowChars - 1), i), lit(0L),
+          (h, j) => pmod(h * lit(31L) + ascii(txt.substr(j, lit(1))).cast("long"), lit(mod))),
+          lit(divisor.toLong)) === 0L))
+      .otherwise(array().cast("array<int>"))
+    val starts = concat(array(lit(0)), bounds)
+    val ends = concat(bounds, array(n))
+    zip_with(starts, ends, (s, e) => txt.substr(s + 1, e - s))
+  }
+
   // ---- blocking candidate generation --------------------------------------
 
   /** Candidate pairs by attribute blocking: a capped self-join on the

@@ -68,6 +68,13 @@ object PipelineQueries {
         .select("a", "b", "jaccard")
     }),
 
+    "dd_chunk" -> ((s, d) =>
+      // content-defined chunk-level (passage) dedup: CCNet-style
+      // boilerplate removal — repeated passages keep only their first
+      // occurrence corpus-wide. Fully oracle-checkable: the window hash
+      // folds mod 2^48 so plain 64-bit arithmetic replays it in DuckDB.
+      Dedup.chunkDedup(Graft.documents(s, d), "doc_id", "text")),
+
     "dd_embedding" -> ((s, d) =>
       // embedding-cosine near-dup: SRP-bucketed pair generation + cosine
       // verify (bucket join, no all-pairs product); hash-bucket-specific
@@ -892,6 +899,31 @@ object PipelineQueries {
          FROM events GROUP BY 1""",
     "dd_exact" ->
       "SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
+    // content-defined chunking replay: trailing 8-char window hash
+    // (31·h + codepoint) mod 2^48 — in signed-64 range, so plain BIGINT
+    // arithmetic matches Spark's fold exactly; boundary where hash % 32
+    // = 0; chunk_idx assigned over ALL spans (0-based) before the
+    // empty-chunk filter, exactly like the posexplode-then-filter shape
+    "dd_chunk" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+            b AS (SELECT doc_id, text, n,
+                    CASE WHEN n >= 8 THEN list_filter(range(8, n + 1),
+                      i -> list_reduce(
+                             list_prepend(0::BIGINT,
+                               list_transform(range(i - 7, i + 1), j -> ord(substr(text, j::INT, 1))::BIGINT)),
+                             (h, x) -> (31 * h + x) % 281474976710656) % 32 = 0)
+                    ELSE [] END AS bnd
+                  FROM d),
+            c0 AS (SELECT doc_id, text, n, bnd, unnest(range(1, len(bnd) + 2)) AS x FROM b),
+            c AS (SELECT doc_id, (x - 1)::BIGINT AS chunk_idx,
+                    substr(text,
+                      ((CASE WHEN x = 1 THEN 0 ELSE bnd[(x - 1)::INT] END) + 1)::INT,
+                      ((CASE WHEN x > len(bnd) THEN n ELSE bnd[x::INT] END)
+                        - (CASE WHEN x = 1 THEN 0 ELSE bnd[(x - 1)::INT] END))::INT) AS chunk
+                  FROM c0)
+         SELECT doc_id, chunk_idx, chunk,
+                (row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) = 1) AS keep
+         FROM c WHERE len(chunk) > 0""",
     // full XXH64 + permutation + banding replay (MinHashOracleSql):
     // the LSH pipeline is hash-checkable end-to-end, not rows-only
     "dd_minhash" -> MinHashOracleSql.minhashPairs(),

@@ -537,6 +537,36 @@ class DedupAnnSpec extends GraftTest {
       "uncapped run emits the full quadratic mega-block (the shape the cap prevents)")
   }
 
+  test("chunkDedup: chunks reassemble to the document; shared passages dedup to first occurrence") {
+    import spark.implicits._
+    // ~300-char passage shared verbatim by two otherwise-distinct docs:
+    // content-defined boundaries inside the shared region land at the
+    // same relative positions in both docs, so its interior chunks are
+    // byte-identical and must dedup to the first (smaller doc_id) copy
+    val shared = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor " * 4
+    val fixture = Seq(
+      (1L, "unique prefix one " + shared + " unique suffix one"),
+      (2L, "completely different preamble " + shared + " another ending"))
+    val docs = fixture.toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, "doc_id", "text").collect()
+    // spans are a partition of the document: chunks in idx order
+    // concatenate back to the original text
+    for ((id, txt) <- fixture) {
+      val rows = out.filter(_.getLong(0) == id).sortBy(_.getLong(1))
+      assert(rows.map(_.getString(2)).mkString === txt, s"doc $id must reassemble")
+    }
+    // exactly one keeper per content, at the smallest (doc_id, chunk_idx)
+    out.groupBy(_.getString(2)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r.getLong(0), r.getLong(1)))
+      assert(sorted.head.getBoolean(3), "first instance must keep")
+      assert(sorted.tail.forall(!_.getBoolean(3)), "later instances must drop")
+    }
+    assert(out.exists(r => !r.getBoolean(3)), "the shared passage must produce dropped chunks")
+    // non-vacuity on the corpus at test SF: repeated passages exist
+    val corpus = Dedup.chunkDedup(Graft.documents(spark, sf), "doc_id", "text")
+    assert(corpus.where(!col("keep")).count() > 0)
+  }
+
   test("quantizer training is bit-deterministic across independent runs") {
     // the freeze-the-model oracles rest on this: the entry and the
     // generator can train independently and still describe the same

@@ -798,6 +798,29 @@ class FunctionsSpec extends GraftTest {
     assert(gaps === builtin)
   }
 
+  test("cdc_chunks kernel is bit-equal to the Column fallback over the corpus") {
+    import graft.dedup.Dedup
+    val docs = Graft.documents(spark, sf)
+    assert(spark.catalog.functionExists("cdc_chunks"), "extensions must be loaded")
+    def chunksOf(c: org.apache.spark.sql.Column) =
+      docs.select(col("doc_id"), c.as("c")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val native = chunksOf(call_function("cdc_chunks", col("text"), lit(8), lit(32)))
+    val fallback = chunksOf(Dedup.cdcChunksColumns(col("text"), 8, 32))
+    assert(native.nonEmpty)
+    assert(native === fallback)
+    // plus a boundary-shape fixture: empty text and sub-window text are
+    // single chunks in both forms
+    import spark.implicits._
+    val tiny = Seq((1L, ""), (2L, "short")).toDF("doc_id", "text")
+    def tinyChunks(c: org.apache.spark.sql.Column) =
+      tiny.select(col("doc_id"), c.as("c")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val tn = tinyChunks(call_function("cdc_chunks", col("text"), lit(8), lit(32)))
+    assert(tn === tinyChunks(Dedup.cdcChunksColumns(col("text"), 8, 32)))
+    assert(tn(1L) === Seq("") && tn(2L) === Seq("short"))
+  }
+
   test("sessionCountAuto dispatches by per-key density, results equal either way") {
     import graft.operators.Windows
     import spark.implicits._
