@@ -22,12 +22,12 @@ object Bench {
     "j1_ss_inner", "j3_ss_outer", "j4_st_inner", "j6_tt_inner", "aj_asof", "j_salted", "j_range",
     "aj_forward", "j_bucketed", "s_partition_prune",
     "d2_stream_to_table",
-    "dd_exact", "dd_chunk", "dd_incremental", "dd_minhash", "dd_minhash_incremental", "dd_simhash",
+    "dd_exact", "dd_chunk", "dd_span", "dd_incremental", "dd_minhash", "dd_minhash_incremental", "dd_simhash",
     "dd_ngram_jaccard", "dd_embedding", "dd_fuzzy", "dd_lsh_resolve",
     "dd_embedding_resolve",
     "ann_brute", "ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq",
     "txt_quality", "txt_langid", "txt_fingerprint", "txt_tfidf", "txt_repetition",
-    "txt_unigram_lp", "txt_diversity",
+    "txt_unigram_lp", "txt_diversity", "txt_classifier",
     "pp_shuffle", "pp_mix", "pp_temperature", "pp_chunk", "pp_pack", "pp_interleave",
     "pp_weights", "pp_profile", "pp_histogram", "pp_topquality", "pp_sample_n",
     "pp_sample_weighted",

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CanonicalUrl, CdcChunks, CosineSimilarity, LangScores, MinHashAgg, RepetitionStats, RollingHash, ShingleHashes, SimHashAgg, SrpBucket, TextStats, TokenHashes}
+import graft.functions.{CanonicalUrl, CdcChunks, CosineSimilarity, LangScores, LinearScore, MinHashAgg, RepetitionStats, RollingHash, ShingleHashes, SimHashAgg, SrpBucket, TextStats, TokenHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -86,6 +86,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CdcChunks(children.head,
           literalInt("cdc_chunks", children(1)),
           literalInt("cdc_chunks", children(2)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("linear_score"),
+      new ExpressionInfo(classOf[LinearScore].getName, "linear_score"),
+      (children: Seq[Expression]) => {
+        requireArity("linear_score", children, 2)
+        LinearScore(children.head, literalInt("linear_score", children(1)))
       }))
     ext.injectFunction((
       FunctionIdentifier("simhash_agg"),

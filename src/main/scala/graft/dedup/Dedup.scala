@@ -366,6 +366,55 @@ object Dedup {
     zip_with(starts, ends, (s, e) => txt.substr(s + 1, e - s))
   }
 
+  // ---- cross-document duplicated-span statistics --------------------------
+
+  /** Per-document duplicated-span fraction: for each document, the share
+    * of its distinct word `k`-grams that also occur in at least one OTHER
+    * document — the exact-substring duplication signal (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better") at
+    * k-gram granularity. Where [[chunkDedup]] removes repeated passages
+    * at content-defined boundaries, this measures span-level overlap at
+    * EVERY token position, so it catches repeated spans whose chunk
+    * boundaries differ; downstream, `dup_frac >= x` is the standard
+    * drop/reweight gate for boilerplate-dominated documents.
+    *
+    * Output: (id, n_grams, n_dup, dup_frac) for EVERY input row —
+    * `n_grams` distinct k-gram hashes in the doc (docs shorter than k
+    * tokens fall back to token hashes, matching the shingle kernel),
+    * `n_dup` of them shared with another doc, `dup_frac` their ratio
+    * (0.0 for token-less docs). Intra-document repetition deliberately
+    * does NOT count ([[graft.functions.RepetitionStats]] owns that
+    * signal): gram sets are per-doc distinct before counting.
+    *
+    * Scale shape: one shingle scan (the single-pass `shingle_hashes`
+    * kernel when registered) + explode; the corpus frequency of each gram
+    * is a WINDOW count riding the exploded rows' one hash exchange on the
+    * gram (the same device as [[capBuckets]] — an aggregate-and-join-back
+    * would shingle the corpus twice, because column pruning specializes
+    * the two subtrees out of ReuseExchange eligibility); then one
+    * count-style aggregate per doc. Everything is group-by on an 8-byte
+    * key — linear end to end, no self-join, so no bucket cap is needed:
+    * a 100k-copy boilerplate span costs its instance count, never a
+    * quadratic pairing.
+    */
+  def spanStats(docs: DataFrame, id: String, text: String, k: Int = 8): DataFrame = {
+    require(k >= 1, s"gram size must be >= 1, got $k")
+    val grams = docs.select(col(id).as("_sp_id"),
+      explode(shingleHashesNative(docs.sparkSession, text, k)).as("gram"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    val perDoc = grams.withColumn("n_docs", count(lit(1)).over(w))
+      .groupBy("_sp_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup"))
+    docs.select(col(id))
+      .join(perDoc, col(id) === col("_sp_id"), "left")
+      .select(col(id),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_frac", when(col("n_grams") === 0, lit(0.0))
+        .otherwise(round(col("n_dup").cast("double") / col("n_grams"), 4)))
+  }
+
   // ---- blocking candidate generation --------------------------------------
 
   /** Candidate pairs by attribute blocking: a capped self-join on the

@@ -362,6 +362,56 @@ object TextFunctions {
         expr("_sum_micro div n_tok").as("avg_nll_micro"))
   }
 
+  /** Extension-free Column form of [[graft.functions.LinearScore]]:
+    * struct(n_tokens, score_milli) from built-in expressions — per-token
+    * xxhash64 into one of `buckets` hashing-trick feature slots, the
+    * slot's frozen integer milli-weight summed (the weight rule is
+    * documented on the kernel). Semantically identical to the kernel but
+    * the HOF lambda evaluates interpreted; kept as the dispatch fallback
+    * and the kernel's FunctionsSpec equality witness.
+    */
+  def linearScoreParts(text: Column, buckets: Int): Column = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val th = transform(tokens(text), t => xxhash64(t))
+    val w = (c: Column) =>
+      (pmod(c, lit(buckets.toLong)) * lit(2654435761L) + lit(104729L)) % lit(2001L) - lit(1000L)
+    struct(
+      size(th).as("n_tokens"),
+      aggregate(th, lit(0L), (acc, h) => acc + w(h)).as("score_milli"))
+  }
+
+  /** Model-based quality filtering — the classifier stage of a training
+    * pipeline (fastText / CCNet / DCLM-style): a frozen linear model over
+    * hashed token features scores every document, and the keep decision
+    * compares the document's MEAN token weight to `thrMilli` milli-units.
+    * The comparison is pure integer cross-multiplication
+    * (`score_milli >= thrMilli * n_tokens` — no division, no floats), so
+    * the decision is bit-identical on any engine and any partitioning;
+    * token-less documents are dropped (nothing to score ⇒ no evidence of
+    * quality — the dead-letter path, as in [[qualityOk]]'s length gate).
+    *
+    * Output: (id, n_tokens, score_milli, kept) for every input row.
+    *
+    * Scale shape: ONE scan, zero shuffles, no model artifact to
+    * distribute — the native `linear_score` kernel hashes and scores in
+    * a single codegen'd pass ([[graft.functions.LinearScore]]; a real
+    * trained weight vector would broadcast O(buckets) longs instead of
+    * the functional weight rule, leaving the plan shape unchanged).
+    */
+  def classifierScore(docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+                      buckets: Int = 1 << 20,
+                      thrMilli: Long = 0L): org.apache.spark.sql.DataFrame = {
+    val parts =
+      if (docs.sparkSession.catalog.functionExists("linear_score"))
+        call_function("linear_score", col(text), lit(buckets))
+      else linearScoreParts(col(text), buckets)
+    docs.select(col(id), parts.as("_ls"))
+      .select(col(id), col("_ls.n_tokens").as("n_tokens"),
+        col("_ls.score_milli").as("score_milli"))
+      .withColumn("kept",
+        col("n_tokens") > 0 && col("score_milli") >= lit(thrMilli) * col("n_tokens"))
+  }
+
   /** Stratified deterministic sampling: keep each row with a per-stratum
     * rate (e.g. downsample over-represented languages when rebalancing a
     * corpus), decided by the same md5 hash-bucket machinery as

@@ -128,7 +128,7 @@ object MinHashOracleSql {
   }
 
   /** XXH64.hashLong — one link of Spark's multi-argument `xxhash64` chain. */
-  private def xxh64Long(x: String, seed: String, pfx: String): Seq[(String, String)] = Seq(
+  private[queries] def xxh64Long(x: String, seed: String, pfx: String): Seq[(String, String)] = Seq(
     s"${pfx}g1" -> mulc(x, P2),
     s"${pfx}g2" -> rot(s"${pfx}g1", 31),
     s"${pfx}g3" -> mulc(s"${pfx}g2", P1),

@@ -75,6 +75,14 @@ object PipelineQueries {
       // folds mod 2^48 so plain 64-bit arithmetic replays it in DuckDB.
       Dedup.chunkDedup(Graft.documents(s, d), "doc_id", "text")),
 
+    "dd_span" -> ((s, d) =>
+      // cross-document duplicated-span fraction (exact-substring signal
+      // at word-8-gram granularity, Lee et al. 2022): per doc, the share
+      // of its distinct 8-grams occurring in another doc. Pure group-
+      // by/join on gram hashes — linear, no self-join, no cap needed.
+      // Full oracle: SpanOracleSql chains 8 xxh64 links per position.
+      Dedup.spanStats(Graft.documents(s, d), "doc_id", "text", k = 8)),
+
     "dd_embedding" -> ((s, d) =>
       // embedding-cosine near-dup: SRP-bucketed pair generation + cosine
       // verify (bucket join, no all-pairs product); hash-bucket-specific
@@ -613,6 +621,15 @@ object PipelineQueries {
       TextFunctions.unigramLmScore(Graft.documents(s, d), "doc_id", "text")
         .withColumnRenamed("doc", "doc_id")),
 
+    "txt_classifier" -> ((s, d) =>
+      // model-based quality filtering (fastText/CCNet/DCLM-style): a
+      // frozen hashed-linear model scores every doc in ONE codegen'd
+      // scan (native linear_score kernel), keep decision by integer
+      // cross-multiplication — fully oracle-checkable (ClassifierOracleSql
+      // replays token XXH64 + the weight rule in BIGINT arithmetic)
+      TextFunctions.classifierScore(Graft.documents(s, d), "doc_id", "text",
+        buckets = 1 << 20, thrMilli = 0L)),
+
     "txt_diversity" -> ((s, d) =>
       // Gini-Simpson token diversity quality signal — rational arithmetic
       // only, so it replays bit-exactly cross-engine (Shannon entropy's
@@ -924,6 +941,10 @@ object PipelineQueries {
          SELECT doc_id, chunk_idx, chunk,
                 (row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) = 1) AS keep
          FROM c WHERE len(chunk) > 0""",
+    // duplicated-span replay: token XXH64 + 8-link running-hashLong
+    // chain per gram position (SpanOracleSql) — the exact-substring
+    // signal is hash-checkable end-to-end
+    "dd_span" -> SpanOracleSql.spanStats(k = 8),
     // full XXH64 + permutation + banding replay (MinHashOracleSql):
     // the LSH pipeline is hash-checkable end-to-end, not rows-only
     "dd_minhash" -> MinHashOracleSql.minhashPairs(),
@@ -1064,6 +1085,9 @@ object PipelineQueries {
                 CAST(CAST(sum(tf.tf * w.w_micro) AS BIGINT) // CAST(sum(tf.tf) AS BIGINT) AS BIGINT) AS avg_nll_micro
          FROM tf JOIN w USING (term)
          GROUP BY tf.doc_id""",
+    // frozen hashed-linear classifier replay: token XXH64 + BIGINT
+    // weight rule + integer keep decision (ClassifierOracleSql)
+    "txt_classifier" -> ClassifierOracleSql.classifierScore(buckets = 1 << 20, thrMilli = 0L),
     "txt_diversity" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0) AS toks
                     FROM documents),

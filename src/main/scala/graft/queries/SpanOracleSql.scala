@@ -1,0 +1,59 @@
+package graft.queries
+
+import MinHashOracleSql.{chain, guardedDocs, signed, unsigned, xxh64Long, xxh64Str, Seed}
+
+/** DuckDB-SQL replay of [[graft.dedup.Dedup.spanStats]], bit-for-bit.
+  *
+  * Same replay machinery as [[MinHashOracleSql]] (token XXH64 via the
+  * HUGEINT-mod-2⁶⁴ device, k-gram running `hashLong` chain), generalized
+  * from the MinHash shingle size 3 to the span gram size `k`: each of the
+  * k links is one `xxh64Long` projection layer seeded on the previous
+  * link's result, exactly Spark's multi-argument `xxhash64` and exactly
+  * the loop in `ShingleHashes.compute`. Per-doc gram sets are DISTINCT
+  * (the kernel's LinkedHashSet), docs with fewer than k tokens fall back
+  * to their distinct token hashes, and token-less docs surface with
+  * `n_grams = 0, dup_frac = 0.0` via the left join from `documents` —
+  * all mirroring the Spark operator clause for clause.
+  */
+object SpanOracleSql {
+
+  /** Oracle for `dd_span`: (doc_id, n_grams, n_dup, dup_frac). */
+  def spanStats(k: Int = 8): String = {
+    require(k >= 2, s"the k-gram replay needs k >= 2, got $k")
+    val tokRows = chain(
+      s"""SELECT doc_id, unnest(toks) AS tok, unnest(generate_series(0, len(toks) - 1)) AS tok_idx
+         FROM (SELECT doc_id, ${MinHashOracleSql.toks} AS toks FROM ($guardedDocs))""",
+      xxh64Str("tok", Seed, "t_"))
+    val thList =
+      s"""SELECT doc_id, list(th ORDER BY tok_idx) AS ths
+         FROM (SELECT doc_id, tok_idx, ${signed("t_f5")} AS th FROM ($tokRows))
+         GROUP BY doc_id"""
+    // k-gram running hashLong chain, one projection layer per link;
+    // prefixes k0_, k1_, ... — each seeded on the previous link's f5
+    val xCols = (1 to k).map(j => s"${unsigned(s"ths[g+${j - 1}]")} AS x$j").mkString(", ")
+    val links = (0 until k).flatMap { j =>
+      xxh64Long(s"x${j + 1}", if (j == 0) Seed else s"k${j - 1}_f5", s"k${j}_")
+    }
+    val gramRows = chain(
+      s"""SELECT doc_id, $xCols
+         FROM (SELECT doc_id, ths, unnest(generate_series(1, len(ths) - ${k - 1})) AS g
+               FROM ($thList) WHERE len(ths) >= $k)""",
+      links)
+    val grams =
+      s"""SELECT DISTINCT doc_id, gh FROM (
+           SELECT doc_id, ${signed(s"k${k - 1}_f5")} AS gh FROM ($gramRows)
+           UNION ALL
+           SELECT doc_id, unnest(ths) AS gh FROM ($thList) WHERE len(ths) < $k)"""
+    s"""WITH g AS ($grams),
+          cnt AS (SELECT gh, count(*) AS n_docs FROM g GROUP BY gh),
+          per AS (SELECT doc_id, count(*) AS n_grams,
+                         CAST(sum(CASE WHEN cnt.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+                  FROM g JOIN cnt USING (gh) GROUP BY doc_id)
+       SELECT d.doc_id,
+              CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+              CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup,
+              CASE WHEN coalesce(per.n_grams, 0) = 0 THEN 0.0
+                   ELSE round(CAST(per.n_dup AS DOUBLE) / per.n_grams, 4) END AS dup_frac
+       FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""
+  }
+}

@@ -567,6 +567,39 @@ class DedupAnnSpec extends GraftTest {
     assert(corpus.where(!col("keep")).count() > 0)
   }
 
+  test("spanStats equals brute-force string-gram counting; zero/short/dup docs behave") {
+    import spark.implicits._
+    val span = "the quick brown fox jumps over the lazy sleeping dog tonight" // 11 tokens
+    val fixture = Seq(
+      (1L, "intro words here " + span + " closing remark alpha"),
+      (2L, "different opening phrase " + span + " other tail beta"),
+      (3L, "an entirely unique document with plenty of its own words to form many grams"),
+      (4L, "an entirely unique document with plenty of its own words to form many grams"),
+      (5L, "tiny short doc"), // < 8 tokens → distinct-token fallback
+      (6L, ""))               // token-less → n_grams 0, dup_frac 0.0
+    val out = Dedup.spanStats(fixture.toDF("doc_id", "text"), "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // brute-force expectation over gram STRINGS (hash counts must agree
+    // unless xxhash64 collides, impossible to matter at fixture size)
+    val grams = fixture.map { case (id, txt) =>
+      val toks = txt.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+      id -> (if (toks.length >= 8) toks.sliding(8).map(_.mkString(" ")).toSet
+             else toks.toSet)
+    }.toMap
+    for ((id, gs) <- grams) {
+      val nDup = gs.count(g => grams.exists { case (o, og) => o != id && og.contains(g) })
+      val frac = if (gs.isEmpty) 0.0
+        else BigDecimal(nDup.toDouble / gs.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out(id) === ((gs.size.toLong, nDup.toLong, frac)), s"doc $id")
+    }
+    assert(out(1L)._2 > 0 && out(2L)._2 > 0, "the planted shared span must count on both sides")
+    assert(out(3L) === out(4L) && out(3L)._3 === 1.0, "exact duplicates are fully span-covered")
+    assert(out(5L)._2 === 0L && out(6L) === ((0L, 0L, 0.0)))
+    // corpus non-vacuity at test SF: duplicated spans exist
+    assert(Dedup.spanStats(docs, "doc_id", "text").where(col("n_dup") > 0).count() > 0)
+  }
+
   test("quantizer training is bit-deterministic across independent runs") {
     // the freeze-the-model oracles rest on this: the entry and the
     // generator can train independently and still describe the same

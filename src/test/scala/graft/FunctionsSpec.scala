@@ -385,6 +385,43 @@ class FunctionsSpec extends GraftTest {
       s"native:\n${ne.collect().mkString("\n")}\ncolumnar:\n${ce.collect().mkString("\n")}")
   }
 
+  test("native linear_score equals the columnar classifier over corpus + edges; weights pin") {
+    import spark.implicits._
+    val docs = Graft.documents(spark, sf)
+    val k = 1 << 20
+    val native = TextFunctions.classifierScore(docs, "doc_id", "text", buckets = k)
+    assert(native.queryExecution.executedPlan.toString.contains("linear_score"),
+      "session with extensions must dispatch the native kernel")
+    def columnarScore(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id"), TextFunctions.linearScoreParts(col("text"), k).as("_ls"))
+      .select(col("doc_id"), col("_ls.n_tokens").as("n_tokens"),
+        col("_ls.score_milli").as("score_milli"))
+      .withColumn("kept", col("n_tokens") > 0 && col("score_milli") >= lit(0L) * col("n_tokens"))
+    val columnar = columnarScore(docs)
+    assert(native.except(columnar).count() === 0 && columnar.except(native).count() === 0)
+    // edges: empty, whitespace-only, punctuation soup, single token, case
+    // folding (HELLO == hello token hash), underscore/digit tokens
+    val edges = Seq("", "   \t\n ", "!!! ??? ,,,", "x", "HELLO hello",
+      "ab_1 cd_2 99 _")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val ne = TextFunctions.classifierScore(edges, "doc_id", "text", buckets = k)
+    val ce = columnarScore(edges)
+    assert(ne.except(ce).count() === 0 && ce.except(ne).count() === 0,
+      s"native:\n${ne.collect().mkString("\n")}\ncolumnar:\n${ce.collect().mkString("\n")}")
+    // hand-pinned arithmetic: one known token scored through the public
+    // weight rule from the raw xxhash64 — and a case-folding consequence
+    val row = ne.collect().map(r => r.getLong(0) -> r).toMap
+    val helloHash = Seq(("hello")).toDF("t").select(xxhash64(col("t"))).head().getLong(0)
+    assert(row(4L).getLong(2) === 2 * graft.functions.LinearScore.weight(helloHash, k),
+      "HELLO and hello must hash to the same feature slot")
+    assert(row(0L).getInt(1) === 0 && !row(0L).getBoolean(3), "empty doc drops")
+    // threshold semantics: raising the threshold can only shrink the kept set
+    val keptLo = native.where(col("kept")).count()
+    val keptHi = TextFunctions.classifierScore(docs, "doc_id", "text", buckets = k,
+      thrMilli = 200L).where(col("kept")).count()
+    assert(keptHi <= keptLo && keptLo > 0, s"kept monotone in threshold: $keptHi <= $keptLo")
+  }
+
   test("native lang_scores equals the columnar argmax over the corpus + tie/edge cases") {
     import spark.implicits._
     val docs = Graft.documents(spark, sf)

@@ -299,6 +299,28 @@ class PlanSpec extends GraftTest {
     }
   }
 
+  test("spanStats: gram frequency is a window count on one shingle scan, no self-join") {
+    // the corpus frequency of each gram rides the exploded rows' one hash
+    // exchange on the gram (capBuckets' device) — an aggregate-and-join-
+    // back would shingle the corpus twice (column pruning specializes the
+    // two subtrees out of ReuseExchange eligibility, measured). The only
+    // other corpus read is the id-only left-join side.
+    val docs = Graft.documents(spark, sf)
+    val df = graft.dedup.Dedup.spanStats(docs, "doc_id", "text")
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val textScans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("text"))
+      assert(textScans === 1,
+        s"the text column must be scanned (and shingled) exactly once, saw $textScans:\n${p.take(3000)}")
+      val gramExchanges = p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning(gram"))
+      assert(gramExchanges === 1,
+        s"the window count must ride ONE gram exchange, saw $gramExchanges:\n${p.take(3000)}")
+      assert(!p.contains("CartesianProduct"), "no all-pairs anywhere:\n" + p.take(3000))
+    }
+  }
+
   test("sessionCountGaps: one exchange serves both window passes and the groupBy") {
     // the two window functions share hash(user_id); the (user_id, _sid)
     // aggregation's ClusteredDistribution is satisfied by that same
