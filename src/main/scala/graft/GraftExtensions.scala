@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CanonicalUrl, CdcChunks, CosineSimilarity, LangScores, LinearScore, MinHashAgg, RepetitionStats, RollingHash, ShingleHashes, SimHashAgg, SrpBucket, TextStats, TokenHashes}
+import graft.functions.{CanonicalUrl, CdcChunks, CosineSimilarity, GramHashes, LangScores, LinearScore, MinHashAgg, RepetitionStats, RollingHash, ShingleHashes, SimHashAgg, SrpBucket, TextStats, TokenHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -42,6 +42,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         requireArity("shingle_hashes", children, 2)
         ShingleHashes(children.head, literalInt("shingle_hashes", children(1)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("gram_hashes"),
+      new ExpressionInfo(classOf[GramHashes].getName, "gram_hashes"),
+      (children: Seq[Expression]) => {
+        requireArity("gram_hashes", children, 2)
+        GramHashes(children.head, literalInt("gram_hashes", children(1)))
       }))
     ext.injectFunction((
       FunctionIdentifier("token_hashes"),

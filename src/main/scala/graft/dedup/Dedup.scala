@@ -415,6 +415,96 @@ object Dedup {
         .otherwise(round(col("n_dup").cast("double") / col("n_grams"), 4)))
   }
 
+  /** Cross-document duplicated-span REMOVAL — the full exact-substring
+    * dedup of Lee et al. 2022 at word-`k`-gram granularity: every span
+    * duplicated across documents survives only in the document with the
+    * SMALLEST id; every other document loses exactly the tokens covered
+    * by a cross-document-duplicated gram, and its text is rebuilt from
+    * the kept tokens. Where [[spanStats]] measures and gates whole
+    * documents, this SALVAGES them: a good document wrapped in shared
+    * boilerplate keeps its unique content.
+    *
+    * Output: (id, n_tokens, n_removed, text_kept) for EVERY input row.
+    * `text_kept` is TOKEN-NORMALIZED (lowercased word tokens re-joined
+    * with single spaces — the same canonical form every downstream dedup
+    * and scoring stage tokenizes back to); docs shorter than k tokens
+    * pass through untouched (token-normalized), token-less docs emit
+    * (0, 0, ""). Intra-document repetition is never removed (the
+    * canonical document keeps ALL its copies; [[graft.functions.RepetitionStats]]
+    * flags those).
+    *
+    * Scale shape: one scan builds tokens + per-position gram hashes (the
+    * single-pass `gram_hashes` kernel when registered) and explodes to
+    * one row per token; the cross-document test and canonical-document
+    * choice are window min/max over the gram value — ONE hash exchange on
+    * the gram (positions past the last gram start carry a per-row unique
+    * null-discriminator key, so they can never cluster into a skewed
+    * partition or distort another gram's min/max); token coverage is a
+    * trailing `RANGE k-1 PRECEDING` window and the text rebuild a
+    * groupBy, both riding ONE exchange on the doc id (ClusteredDistribution
+    * reuse, as in sessionCountGaps). No self-join anywhere: a 100k-copy
+    * boilerplate span costs its instance count, never a pairing.
+    */
+  def spanRemove(docs: DataFrame, id: String, text: String, k: Int = 8): DataFrame = {
+    require(k >= 2, s"gram size must be >= 2, got $k")
+    val spark = docs.sparkSession
+    val tokArr = TextFunctions.tokens(col(text))
+    val gramArr =
+      if (spark.catalog.functionExists("gram_hashes"))
+        call_function("gram_hashes", col(text), lit(k))
+      else positionalGramHashes(col(text), k)
+    // pad the gram array to token length with nulls so ONE zip + explode
+    // yields (pos, tok, gram-starting-here?) without carrying whole
+    // arrays into every exploded row
+    val base = docs.select(col(id).as("_sr_id"), tokArr.as("_toks"), gramArr.as("_grams"))
+      .select(col("_sr_id"), arrays_zip(
+        col("_toks").as("tok"),
+        concat(col("_grams"),
+          array_repeat(lit(null).cast("long"), size(col("_toks")) - size(col("_grams"))))
+          .as("gram")).as("_z"))
+    val rows = base.select(col("_sr_id"), posexplode(col("_z")).as(Seq("pos", "z")))
+      .select(col("_sr_id"), col("pos"), col("z.tok").as("tok"), col("z.gram").as("gram"))
+      // null-gram rows (positions with no gram start) get a unique
+      // two-column discriminator so the gram window never groups them
+      .withColumn("_d1", when(col("gram").isNull, col("_sr_id")).otherwise(lit(0L)))
+      .withColumn("_d2", when(col("gram").isNull, col("pos")).otherwise(lit(0)))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("gram", "_d1", "_d2")
+    val flagged = rows
+      .withColumn("_mn", min(col("_sr_id")).over(wg))
+      .withColumn("_mx", max(col("_sr_id")).over(wg))
+      .withColumn("_rm",
+        when(col("gram").isNotNull && col("_mn") =!= col("_mx") && col("_sr_id") =!= col("_mn"), 1)
+          .otherwise(0))
+    val wcov = org.apache.spark.sql.expressions.Window.partitionBy("_sr_id").orderBy("pos")
+      .rangeBetween(-(k - 1), 0)
+    val covered = flagged.withColumn("_cov", max(col("_rm")).over(wcov) === 1)
+    val perDoc = covered.groupBy("_sr_id").agg(
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("_cov"), 1L).otherwise(0L)).as("n_removed"),
+      array_join(transform(
+        array_sort(collect_list(when(!col("_cov"), struct(col("pos"), col("tok"))))),
+        s => s.getField("tok")), " ").as("text_kept"))
+    docs.select(col(id))
+      .join(perDoc, col(id) === col("_sr_id"), "left")
+      .select(col(id),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
+  /** Extension-free Column form of [[graft.functions.GramHashes]]: the
+    * per-position k-gram hash array (no distinct, no short-doc fallback,
+    * empty for docs under k tokens) — [[shingleHashes]] minus its set
+    * semantics. Dispatch fallback and the kernel's equality witness.
+    */
+  private[graft] def positionalGramHashes(txt: Column, k: Int): Column = {
+    val th = transform(TextFunctions.tokens(txt), t => xxhash64(t))
+    val n = size(th)
+    val zipped = arrays_zip(
+      (0 until k).map(j => slice(th, lit(j + 1), greatest(n - (k - 1), lit(0))).as(s"t$j")): _*)
+    transform(zipped, s => xxhash64((0 until k).map(j => s.getField(s"t$j")): _*))
+  }
+
   // ---- blocking candidate generation --------------------------------------
 
   /** Candidate pairs by attribute blocking: a capped self-join on the

@@ -73,6 +73,37 @@ case class TokenHashes(child: Expression) extends UnaryExpression {
   override def prettyName: String = "token_hashes"
 }
 
+/** PER-POSITION k-gram hashes, duplicates preserved, document order —
+  * one entry per gram start (empty for docs shorter than k tokens):
+  * the span-removal scan kernel ([[graft.dedup.Dedup.spanRemove]] needs
+  * every occurrence's position, where [[ShingleHashes]] dedups for set
+  * semantics). Same single-pass tokenizer and running-XXH64 combine.
+  * SQL: `gram_hashes(text, k)`.
+  */
+case class GramHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"gram size must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gram_hashes requires a string argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(ShingleHashes.gramHashArray(input.asInstanceOf[UTF8String], k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.ShingleHashes.gramHashArray($c, $k))")
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "gram_hashes"
+}
+
 object ShingleHashes {
 
   private final val Seed = 42L
@@ -114,6 +145,29 @@ object ShingleHashes {
     }
     if (nTokens == tokenHashes.length) tokenHashes
     else java.util.Arrays.copyOf(tokenHashes, nTokens)
+  }
+
+  /** Per-position gram hashes for [[GramHashes]]: gram g covers token
+    * hashes [g, g+k), combined with the same running XXH64 as
+    * [[compute]] — but every position kept, in order, no fallback.
+    */
+  def gramHashArray(text: UTF8String, k: Int): Array[Long] = {
+    val tokenHashes = tokenHashArray(text)
+    val nTokens = tokenHashes.length
+    if (nTokens < k) return Array.emptyLongArray
+    val out = new Array[Long](nTokens - k + 1)
+    var g = 0
+    while (g <= nTokens - k) {
+      var h = Seed
+      var j = 0
+      while (j < k) {
+        h = XXH64.hashLong(tokenHashes(g + j), h)
+        j += 1
+      }
+      out(g) = h
+      g += 1
+    }
+    out
   }
 
   /** Kernel shared by interpreted eval and generated code. */

@@ -83,6 +83,14 @@ object PipelineQueries {
       // Full oracle: SpanOracleSql chains 8 xxh64 links per position.
       Dedup.spanStats(Graft.documents(s, d), "doc_id", "text", k = 8)),
 
+    "dd_span_remove" -> ((s, d) =>
+      // the REMOVAL form of the exact-substring dedup: spans duplicated
+      // across docs survive only in the smallest-id doc; other docs keep
+      // their unique content with the span cut out (token-normalized
+      // rebuild). Window min/max on the gram + trailing coverage window
+      // — two exchanges, no self-join. Full oracle replay.
+      Dedup.spanRemove(Graft.documents(s, d), "doc_id", "text", k = 8)),
+
     "dd_embedding" -> ((s, d) =>
       // embedding-cosine near-dup: SRP-bucketed pair generation + cosine
       // verify (bucket join, no all-pairs product); hash-bucket-specific
@@ -945,6 +953,7 @@ object PipelineQueries {
     // chain per gram position (SpanOracleSql) — the exact-substring
     // signal is hash-checkable end-to-end
     "dd_span" -> SpanOracleSql.spanStats(k = 8),
+    "dd_span_remove" -> SpanOracleSql.spanRemove(k = 8),
     // full XXH64 + permutation + banding replay (MinHashOracleSql):
     // the LSH pipeline is hash-checkable end-to-end, not rows-only
     "dd_minhash" -> MinHashOracleSql.minhashPairs(),

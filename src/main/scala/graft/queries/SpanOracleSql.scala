@@ -17,6 +17,56 @@ import MinHashOracleSql.{chain, guardedDocs, signed, unsigned, xxh64Long, xxh64S
   */
 object SpanOracleSql {
 
+  /** Oracle for `dd_span_remove`: (doc_id, n_tokens, n_removed,
+    * text_kept) — the removal replay: per-position gram chain, window
+    * min/max over the gram value for the cross-doc/canonical test, a
+    * trailing RANGE k-1 PRECEDING coverage window per doc, and the
+    * filtered ordered string_agg rebuild; left join keeps token-less
+    * docs as (0, 0, '').
+    */
+  def spanRemove(k: Int = 8): String = {
+    require(k >= 2, s"the k-gram replay needs k >= 2, got $k")
+    val tokRows = chain(
+      s"""SELECT doc_id, unnest(toks) AS tok, unnest(generate_series(0, len(toks) - 1)) AS tok_idx
+         FROM (SELECT doc_id, ${MinHashOracleSql.toks} AS toks FROM ($guardedDocs))""",
+      xxh64Str("tok", Seed, "t_"))
+    val thList =
+      s"""SELECT doc_id, list(tok ORDER BY tok_idx) AS toks, list(th ORDER BY tok_idx) AS ths
+         FROM (SELECT doc_id, tok_idx, tok, ${signed("t_f5")} AS th FROM ($tokRows))
+         GROUP BY doc_id"""
+    val xCols = (1 to k).map(j => s"${unsigned(s"ths[g+${j - 1}]")} AS x$j").mkString(", ")
+    val links = (0 until k).flatMap { j =>
+      xxh64Long(s"x${j + 1}", if (j == 0) Seed else s"k${j - 1}_f5", s"k${j}_")
+    }
+    val gramRows = chain(
+      s"""SELECT doc_id, g, $xCols
+         FROM (SELECT doc_id, ths, unnest(generate_series(1, len(ths) - ${k - 1})) AS g
+               FROM th WHERE len(ths) >= $k)""",
+      links)
+    s"""WITH th AS ($thList),
+          gr AS (SELECT doc_id, g, ${signed(s"k${k - 1}_f5")} AS gh FROM ($gramRows)),
+          fl AS (SELECT doc_id, g,
+                        CASE WHEN min(doc_id) OVER w <> max(doc_id) OVER w
+                              AND doc_id <> min(doc_id) OVER w THEN 1 ELSE 0 END AS rm
+                 FROM gr WINDOW w AS (PARTITION BY gh)),
+          tr AS (SELECT doc_id, tok_idx + 1 AS p, tok
+                 FROM (SELECT doc_id, unnest(toks) AS tok, unnest(generate_series(0, len(toks) - 1)) AS tok_idx
+                       FROM th)),
+          cv AS (SELECT tr.doc_id, tr.p, tr.tok,
+                        max(coalesce(fl.rm, 0)) OVER (PARTITION BY tr.doc_id ORDER BY tr.p
+                          RANGE BETWEEN ${k - 1} PRECEDING AND CURRENT ROW) AS cov
+                 FROM tr LEFT JOIN fl ON tr.doc_id = fl.doc_id AND tr.p = fl.g),
+          per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                         CAST(sum(cov) AS BIGINT) AS n_removed,
+                         coalesce(string_agg(tok, ' ' ORDER BY p) FILTER (WHERE cov = 0), '') AS text_kept
+                  FROM cv GROUP BY doc_id)
+       SELECT d.doc_id,
+              CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+              CAST(coalesce(per.n_removed, 0) AS BIGINT) AS n_removed,
+              coalesce(per.text_kept, '') AS text_kept
+       FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""
+  }
+
   /** Oracle for `dd_span`: (doc_id, n_grams, n_dup, dup_frac). */
   def spanStats(k: Int = 8): String = {
     require(k >= 2, s"the k-gram replay needs k >= 2, got $k")

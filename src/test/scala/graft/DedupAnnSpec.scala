@@ -600,6 +600,49 @@ class DedupAnnSpec extends GraftTest {
     assert(Dedup.spanStats(docs, "doc_id", "text").where(col("n_dup") > 0).count() > 0)
   }
 
+  test("spanRemove equals brute-force span surgery; canonical doc keeps, copies lose the span") {
+    import spark.implicits._
+    val k = 8
+    val span = "the quick brown fox jumps over the lazy sleeping dog tonight" // 11 tokens
+    val fixture = Seq(
+      (1L, "Intro words HERE " + span + " closing remark alpha"),  // canonical: untouched
+      (2L, "different opening phrase " + span + " other tail beta"), // loses exactly the span
+      (3L, "an entirely unique document with plenty of its own words to form many grams"),
+      (4L, "an entirely unique document with plenty of its own words to form many grams"), // loses ALL
+      (5L, "tiny short doc"),  // < k tokens → token-normalized pass-through
+      (6L, ""))                // token-less → (0, 0, "")
+    val out = Dedup.spanRemove(fixture.toDF("doc_id", "text"), "doc_id", "text", k = k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // brute force over gram STRINGS, mirroring the documented semantics
+    val toks = fixture.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq }.toMap
+    val gramDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+    for ((id, ts) <- toks if ts.length >= k; g <- ts.sliding(k))
+      gramDocs.updateWith(g.mkString(" "))(s => Some(s.getOrElse(Set.empty) + id))
+    for ((id, ts) <- toks) {
+      val rm = (0 to ts.length - k).map { p =>
+        val docs = gramDocs(ts.slice(p, p + k).mkString(" "))
+        docs.size > 1 && id != docs.min
+      }
+      val covered = ts.indices.map(t =>
+        (math.max(0, t - k + 1) to math.min(t, ts.length - k)).exists(p => p >= 0 && rm(p)))
+      val keptTxt = ts.indices.filterNot(covered).map(ts).mkString(" ")
+      assert(out(id) === ((ts.length.toLong, covered.count(identity).toLong, keptTxt)), s"doc $id")
+    }
+    assert(out(1L)._2 === 0L, "the canonical (min-id) holder of the span keeps everything")
+    assert(out(2L)._2 === 11L && !out(2L)._3.contains("quick"),
+      "the later doc loses exactly the 11 shared-span tokens")
+    assert(out(2L)._3.startsWith("different opening phrase") && out(2L)._3.endsWith("other tail beta"),
+      "unique content around the removed span survives")
+    assert(out(4L) === ((14L, 14L, "")), "an exact duplicate doc is fully removed")
+    assert(out(5L) === ((3L, 0L, "tiny short doc")) && out(6L) === ((0L, 0L, "")))
+    // corpus non-vacuity + conservation: removal only ever shrinks
+    val corpus = Dedup.spanRemove(docs, "doc_id", "text")
+    assert(corpus.where(col("n_removed") > 0).count() > 0)
+    assert(corpus.where(col("n_removed") > col("n_tokens")).count() === 0)
+  }
+
   test("quantizer training is bit-deterministic across independent runs") {
     // the freeze-the-model oracles rest on this: the entry and the
     // generator can train independently and still describe the same

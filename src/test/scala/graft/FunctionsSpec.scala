@@ -187,6 +187,16 @@ class FunctionsSpec extends GraftTest {
           transform(TextFunctions.tokens(col("text")), t => xxhash64(t)).as("h"))
         .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
       assert(nativeTok === hofTok, "token_hashes mismatch")
+      // gram_hashes: PER-POSITION grams, duplicates preserved, empty
+      // under k tokens — spanRemove's scan kernel vs its Column fallback
+      for (k <- Seq(2, 8)) {
+        val nativeGram = spark.sql(s"SELECT doc_id, gram_hashes(text, $k) AS h FROM sh_in")
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        val hofGram = df.select(col("doc_id"),
+            graft.dedup.Dedup.positionalGramHashes(col("text"), k).as("h"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        assert(nativeGram === hofGram, s"gram_hashes k=$k mismatch")
+      }
     }
   }
 

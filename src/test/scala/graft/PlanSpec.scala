@@ -321,6 +321,31 @@ class PlanSpec extends GraftTest {
     }
   }
 
+  test("spanRemove: one gram exchange, one shared doc exchange, single text scan") {
+    // the cross-doc/canonical window shuffles once on the gram key; the
+    // coverage window and the rebuild groupBy share hash(_sr_id)
+    // (ClusteredDistribution reuse); the only other corpus read is the
+    // id-only left-join side
+    val docs = Graft.documents(spark, sf)
+    val df = graft.dedup.Dedup.spanRemove(docs, "doc_id", "text")
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val textScans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("text"))
+      assert(textScans === 1,
+        s"the text column must be scanned exactly once, saw $textScans:\n${p.take(3000)}")
+      val gramExchanges = p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning(gram"))
+      assert(gramExchanges === 1,
+        s"the gram window must ride ONE exchange, saw $gramExchanges:\n${p.take(3000)}")
+      val docExchanges = p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning(_sr_id"))
+      assert(docExchanges === 1,
+        s"cover window and rebuild groupBy must share ONE doc exchange, saw $docExchanges:\n${p.take(3000)}")
+      assert(!p.contains("CartesianProduct"), "no all-pairs anywhere:\n" + p.take(3000))
+    }
+  }
+
   test("sessionCountGaps: one exchange serves both window passes and the groupBy") {
     // the two window functions share hash(user_id); the (user_id, _sid)
     // aggregation's ClusteredDistribution is satisfied by that same

@@ -114,6 +114,33 @@ class ProcessorsSpec extends GraftTest {
     } finally q.stop()
   }
 
+  test("classifier scoring runs unchanged inside a streaming query (stateless scan)") {
+    // classifierScore is select/withColumn only — no shuffle, no state —
+    // so the SAME operator filters a stream at ingest time; streaming
+    // rows must score exactly as the batch oracle-certified path
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val scored = graft.functions.TextFunctions.classifierScore(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    assert(scored.isStreaming, "the scored frame must still be a streaming frame")
+    val q = scored.writeStream
+      .format("memory").queryName("cls_stream").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      val rows = Seq((1L, "some ordinary words to score"), (2L, ""), (3L, "more text here"))
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("cls_stream").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3))).toSet
+      val want = graft.functions.TextFunctions.classifierScore(
+          rows.toDF("doc_id", "text"), "doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3))).toSet
+      assert(got === want, "streaming scores must equal the batch path")
+      assert(got.exists(!_._4) && got.exists(_._4), "fixture exercises both decisions")
+    } finally q.stop()
+  }
+
   test("X1 with pre-populated store: counts continue from seeded state") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
