@@ -143,6 +143,32 @@ object CoreQueries {
       val region = Graft.region(s, d)
       region.write.mode("overwrite").format(avroFormat).save(out)
       s.read.format(avroFormat).schema(region.schema).load(out)
+    }),
+
+    "s_jsonl" -> ((s, d) => {
+      // JSONL (newline-delimited JSON) roundtrip — the standard corpus
+      // interchange format for web-scale text datasets: write documents
+      // as JSONL shards, plant a garbage line alongside them, read back
+      // with the EXPLICIT schema (schema inference over 100 TB is a
+      // second full scan) in PERMISSIVE mode with a corrupt-record
+      // column — clean rows survive bit-identically (JSON escapes
+      // embedded newlines, so line-delimited framing is safe for any
+      // text), the garbage line routes to the dead-letter filter (T2's
+      // log-and-continue at the format boundary, like s_corrupt_skip
+      // for parquet shards).
+      val out = tmp("jsonl")
+      val docs = Graft.documents(s, d)
+      docs.write.mode("overwrite").json(out)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(out, "zz-corrupt.json"),
+        "{this is not json\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val schema = docs.schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+        .where(col("_corrupt_record").isNull)
+        .select(docs.columns.map(col): _*)
     }))
 
   val sourceOracles: Map[String, String] = Map(
@@ -167,7 +193,8 @@ object CoreQueries {
     "s9_csv_source" -> "SELECT * FROM region",
     "s10_ddl" ->
       "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey",
-    "s_avro_roundtrip" -> "SELECT * FROM region")
+    "s_avro_roundtrip" -> "SELECT * FROM region",
+    "s_jsonl" -> "SELECT * FROM documents")
 
   // ---- P: stateless transforms -------------------------------------------
 

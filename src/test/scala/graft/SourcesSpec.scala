@@ -79,6 +79,36 @@ class SourcesSpec extends GraftTest {
     assert(trainScan.count() === corpus.where(col("split") === "train").count())
   }
 
+  test("JSONL roundtrip: corrupt line SURFACES in PERMISSIVE mode, then dead-letters out") {
+    // s_jsonl's mechanism, pinned at the row level (the driver query only
+    // proves the net 500-row identity): the planted garbage line must
+    // appear as a _corrupt_record row — not be silently skipped — and
+    // embedded newlines must survive the line-delimited framing
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-jsonl").toFile.getAbsolutePath
+    val docs = Seq((1L, "plain text"), (2L, "line one\nline two\ttabbed"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").json(dir)
+    Files.write(java.nio.file.Paths.get(dir, "zz-corrupt.json"),
+      "{this is not json\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val schema = docs.schema.add("_corrupt_record", StringType)
+    // Spark disallows raw-file queries whose only referenced column is
+    // the corrupt record (SPARK-21610) — cache the parsed result first,
+    // exactly as the error message prescribes
+    val all = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir).cache()
+    try {
+      assert(all.count() === 3, "the corrupt line must surface as a row, not vanish")
+      assert(all.where(col("_corrupt_record").isNotNull).count() === 1)
+      val clean = all.where(col("_corrupt_record").isNull)
+        .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(clean === Set((1L, "plain text"), (2L, "line one\nline two\ttabbed")),
+        "clean rows roundtrip bit-identically incl. embedded newlines/tabs")
+    } finally all.unpersist()
+  }
+
   test("kafka source/sink builders pin their failure shape against this Spark version") {
     // The kafka transport is environment-blocked (no spark-sql-kafka jar,
     // zero egress — README carries the deployment runbook). This pin
