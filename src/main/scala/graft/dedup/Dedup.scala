@@ -462,7 +462,14 @@ object Dedup {
         concat(col("_grams"),
           array_repeat(lit(null).cast("long"), size(col("_toks")) - size(col("_grams"))))
           .as("gram")).as("_z"))
-    val rows = base.select(col("_sr_id"), posexplode(col("_z")).as(Seq("pos", "z")))
+    // posexplode_OUTER, then drop the one null row an empty array emits:
+    // a plain posexplode lets InferFiltersFromGenerate clone the whole
+    // tokenize+gram_hashes+zip expression into a non-codegen Filter below
+    // the Generate (the scan work evaluated ~3x per doc — measured in the
+    // EXPLAIN); the outer form infers nothing and the null rows cost one
+    // cheap IsNotNull after the Generate
+    val rows = base.select(col("_sr_id"), posexplode_outer(col("_z")).as(Seq("pos", "z")))
+      .where(col("pos").isNotNull)
       .select(col("_sr_id"), col("pos"), col("z.tok").as("tok"), col("z.gram").as("gram"))
       // null-gram rows (positions with no gram start) get a unique
       // two-column discriminator so the gram window never groups them

@@ -343,6 +343,13 @@ class PlanSpec extends GraftTest {
       assert(docExchanges === 1,
         s"cover window and rebuild groupBy must share ONE doc exchange, saw $docExchanges:\n${p.take(3000)}")
       assert(!p.contains("CartesianProduct"), "no all-pairs anywhere:\n" + p.take(3000))
+      // the O(n·k) gram scan must be evaluated ONCE: a plain posexplode
+      // lets InferFiltersFromGenerate clone tokenize+gram_hashes into a
+      // non-codegen Filter below the Generate (~3 evaluations per doc);
+      // the outer-generate form keeps exactly one occurrence in the plan
+      val gramEvals = "gram_hashes".r.findAllIn(p).size
+      assert(gramEvals === 1,
+        s"gram_hashes must appear exactly once in the final plan, saw $gramEvals:\n${p.take(4000)}")
     }
   }
 
