@@ -444,9 +444,22 @@ object Dedup {
     * groupBy, both riding ONE exchange on the doc id (ClusteredDistribution
     * reuse, as in sessionCountGaps). No self-join anywhere: a 100k-copy
     * boilerplate span costs its instance count, never a pairing.
+    *
+    * `minSpanTokens` is Lee et al.'s span-length threshold (they use 50):
+    * only MAXIMAL runs of duplicated grams spanning at least that many
+    * tokens are removed — an incidental shared 8-gram (a common phrase)
+    * survives; only genuinely duplicated passages go. A run of r
+    * consecutive duplicated gram starts covers r + k - 1 tokens, so the
+    * gate is r >= minSpanTokens - k + 1, computed by a gaps-and-islands
+    * pass (cumulative-count group id + per-run count) that rides the SAME
+    * doc exchange as the coverage window — the threshold adds sorts, not
+    * shuffles. The default `minSpanTokens = k` keeps every duplicated
+    * gram (threshold inert).
     */
-  def spanRemove(docs: DataFrame, id: String, text: String, k: Int = 8): DataFrame = {
+  def spanRemove(docs: DataFrame, id: String, text: String, k: Int = 8,
+                 minSpanTokens: Int = 0): DataFrame = {
     require(k >= 2, s"gram size must be >= 2, got $k")
+    val minSpan = math.max(minSpanTokens, k)
     val spark = docs.sparkSession
     val tokArr = TextFunctions.tokens(col(text))
     val gramArr =
@@ -482,9 +495,27 @@ object Dedup {
       .withColumn("_rm",
         when(col("gram").isNotNull && col("_mn") =!= col("_mx") && col("_sr_id") =!= col("_mn"), 1)
           .otherwise(0))
+    // span-length gate: group consecutive duplicated gram starts
+    // (gaps-and-islands: pos minus the running rm count is constant
+    // within a run) and keep only runs covering >= minSpan tokens.
+    // All three windows partition by (at least) _sr_id, so one hash
+    // exchange serves them; the extra passes are per-partition sorts.
+    val minRun = minSpan - k + 1
+    val thresholded =
+      if (minRun <= 1) flagged.withColumn("_rmEff", col("_rm"))
+      else {
+        val wcum = org.apache.spark.sql.expressions.Window.partitionBy("_sr_id").orderBy("pos")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val wrun = org.apache.spark.sql.expressions.Window.partitionBy(col("_sr_id"), col("_grp"))
+        flagged
+          .withColumn("_grp", col("pos") - sum(col("_rm")).over(wcum))
+          .withColumn("_runLen", sum(col("_rm")).over(wrun))
+          .withColumn("_rmEff",
+            when(col("_rm") === 1 && col("_runLen") >= minRun, 1).otherwise(0))
+      }
     val wcov = org.apache.spark.sql.expressions.Window.partitionBy("_sr_id").orderBy("pos")
       .rangeBetween(-(k - 1), 0)
-    val covered = flagged.withColumn("_cov", max(col("_rm")).over(wcov) === 1)
+    val covered = thresholded.withColumn("_cov", max(col("_rmEff")).over(wcov) === 1)
     val perDoc = covered.groupBy("_sr_id").agg(
       count(lit(1)).as("n_tokens"),
       sum(when(col("_cov"), 1L).otherwise(0L)).as("n_removed"),

@@ -87,9 +87,13 @@ object PipelineQueries {
       // the REMOVAL form of the exact-substring dedup: spans duplicated
       // across docs survive only in the smallest-id doc; other docs keep
       // their unique content with the span cut out (token-normalized
-      // rebuild). Window min/max on the gram + trailing coverage window
-      // — two exchanges, no self-join. Full oracle replay.
-      Dedup.spanRemove(Graft.documents(s, d), "doc_id", "text", k = 8)),
+      // rebuild). minSpanTokens = 16 is the Lee-et-al span-length gate
+      // (they use 50 at web scale): a shared idiom survives, a
+      // duplicated passage goes. Window min/max on the gram + the
+      // gaps-and-islands run gate + trailing coverage window — two
+      // exchanges, no self-join. Full oracle replay incl. the gate.
+      Dedup.spanRemove(Graft.documents(s, d), "doc_id", "text", k = 8,
+        minSpanTokens = 16)),
 
     "dd_embedding" -> ((s, d) =>
       // embedding-cosine near-dup: SRP-bucketed pair generation + cosine
@@ -953,7 +957,7 @@ object PipelineQueries {
     // chain per gram position (SpanOracleSql) — the exact-substring
     // signal is hash-checkable end-to-end
     "dd_span" -> SpanOracleSql.spanStats(k = 8),
-    "dd_span_remove" -> SpanOracleSql.spanRemove(k = 8),
+    "dd_span_remove" -> SpanOracleSql.spanRemove(k = 8, minSpanTokens = 16),
     // full XXH64 + permutation + banding replay (MinHashOracleSql):
     // the LSH pipeline is hash-checkable end-to-end, not rows-only
     "dd_minhash" -> MinHashOracleSql.minhashPairs(),

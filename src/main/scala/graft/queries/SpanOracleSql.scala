@@ -19,13 +19,17 @@ object SpanOracleSql {
 
   /** Oracle for `dd_span_remove`: (doc_id, n_tokens, n_removed,
     * text_kept) — the removal replay: per-position gram chain, window
-    * min/max over the gram value for the cross-doc/canonical test, a
+    * min/max over the gram value for the cross-doc/canonical test, the
+    * gaps-and-islands span-length gate (runs of consecutive duplicated
+    * gram starts shorter than `minSpanTokens - k + 1` grams survive —
+    * grouping replayed with the same pos-minus-running-count device), a
     * trailing RANGE k-1 PRECEDING coverage window per doc, and the
     * filtered ordered string_agg rebuild; left join keeps token-less
     * docs as (0, 0, '').
     */
-  def spanRemove(k: Int = 8): String = {
+  def spanRemove(k: Int = 8, minSpanTokens: Int = 0): String = {
     require(k >= 2, s"the k-gram replay needs k >= 2, got $k")
+    val minRun = math.max(minSpanTokens, k) - k + 1
     val tokRows = chain(
       s"""SELECT doc_id, unnest(toks) AS tok, unnest(generate_series(0, len(toks) - 1)) AS tok_idx
          FROM (SELECT doc_id, ${MinHashOracleSql.toks} AS toks FROM ($guardedDocs))""",
@@ -43,12 +47,24 @@ object SpanOracleSql {
          FROM (SELECT doc_id, ths, unnest(generate_series(1, len(ths) - ${k - 1})) AS g
                FROM th WHERE len(ths) >= $k)""",
       links)
+    val spanGate =
+      if (minRun <= 1) "fl AS (SELECT doc_id, g, rm FROM fl0)"
+      else
+        s"""fl1 AS (SELECT doc_id, g, rm,
+                          g - sum(rm) OVER (PARTITION BY doc_id ORDER BY g
+                                            ROWS UNBOUNDED PRECEDING) AS grp
+                   FROM fl0),
+           fl AS (SELECT doc_id, g,
+                         CASE WHEN rm = 1 AND sum(rm) OVER (PARTITION BY doc_id, grp) >= $minRun
+                              THEN 1 ELSE 0 END AS rm
+                  FROM fl1)"""
     s"""WITH th AS ($thList),
           gr AS (SELECT doc_id, g, ${signed(s"k${k - 1}_f5")} AS gh FROM ($gramRows)),
-          fl AS (SELECT doc_id, g,
+          fl0 AS (SELECT doc_id, g,
                         CASE WHEN min(doc_id) OVER w <> max(doc_id) OVER w
                               AND doc_id <> min(doc_id) OVER w THEN 1 ELSE 0 END AS rm
                  FROM gr WINDOW w AS (PARTITION BY gh)),
+          $spanGate,
           tr AS (SELECT doc_id, tok_idx + 1 AS p, tok
                  FROM (SELECT doc_id, unnest(toks) AS tok, unnest(generate_series(0, len(toks) - 1)) AS tok_idx
                        FROM th)),

@@ -643,6 +643,58 @@ class DedupAnnSpec extends GraftTest {
     assert(corpus.where(col("n_removed") > col("n_tokens")).count() === 0)
   }
 
+  test("spanRemove minSpanTokens: short shared phrases survive, long spans still go") {
+    import spark.implicits._
+    val k = 8
+    // an 11-token shared span: 4 consecutive duplicated gram starts →
+    // covers 11 tokens. Threshold 12 must keep it; threshold 10 removes.
+    val span = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    val fixture = Seq(
+      (1L, "intro words here " + span + " closing remark alpha"),
+      (2L, "different opening phrase " + span + " other tail beta"),
+      (3L, "an entirely unique document with plenty of its own words to form many grams"),
+      (4L, "an entirely unique document with plenty of its own words to form many grams"))
+    val df = fixture.toDF("doc_id", "text")
+    def run(minSpan: Int) = Dedup.spanRemove(df, "doc_id", "text", k = k,
+        minSpanTokens = minSpan)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    // brute force with the run-length gate
+    val toks = fixture.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq }.toMap
+    val gramDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+    for ((id, ts) <- toks if ts.length >= k; g <- ts.sliding(k))
+      gramDocs.updateWith(g.mkString(" "))(s => Some(s.getOrElse(Set.empty) + id))
+    def brute(minSpan: Int): Map[Long, (Long, String)] = toks.map { case (id, ts) =>
+      val rm = (0 to ts.length - k).map { p =>
+        val ds = gramDocs(ts.slice(p, p + k).mkString(" "))
+        ds.size > 1 && id != ds.min
+      }
+      // maximal runs of rm gram starts; keep only runs >= minSpan-k+1
+      val rmEff = Array.fill(rm.length)(false)
+      var p = 0
+      while (p < rm.length) {
+        if (rm(p)) {
+          var q = p; while (q + 1 < rm.length && rm(q + 1)) q += 1
+          if (q - p + 1 >= minSpan - k + 1) (p to q).foreach(rmEff(_) = true)
+          p = q + 1
+        } else p += 1
+      }
+      val covered = ts.indices.map(t =>
+        (math.max(0, t - k + 1) to math.min(t, ts.length - k)).exists(x => x >= 0 && rmEff(x)))
+      id -> ((covered.count(identity).toLong,
+        ts.indices.filterNot(covered).map(ts).mkString(" ")))
+    }
+    for (minSpan <- Seq(8, 10, 12, 16)) {
+      assert(run(minSpan) === brute(minSpan), s"minSpanTokens=$minSpan")
+    }
+    // the boundary claims, stated directly
+    assert(run(10)(2L)._1 === 11L, "an 11-token span goes at threshold 10")
+    assert(run(12)(2L)._1 === 0L, "an 11-token span SURVIVES threshold 12")
+    assert(run(12)(4L)._2 === "", "a full-duplicate doc is removed at any threshold <= its length")
+    assert(run(8) === brute(8) && run(0)(2L)._1 === 11L,
+      "default threshold is inert (every duplicated gram goes)")
+  }
+
   test("quantizer training is bit-deterministic across independent runs") {
     // the freeze-the-model oracles rest on this: the entry and the
     // generator can train independently and still describe the same
