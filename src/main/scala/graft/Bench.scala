@@ -24,13 +24,13 @@ object Bench {
     "d2_stream_to_table",
     "dd_exact", "dd_chunk", "dd_span", "dd_span_remove", "dd_incremental", "dd_minhash", "dd_minhash_incremental", "dd_simhash",
     "dd_ngram_jaccard", "dd_embedding", "dd_fuzzy", "dd_lsh_resolve",
-    "dd_embedding_resolve",
+    "dd_embedding_resolve", "dd_semantic",
     "ann_brute", "ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq",
     "txt_quality", "txt_langid", "txt_fingerprint", "txt_tfidf", "txt_repetition",
     "txt_unigram_lp", "txt_diversity", "txt_classifier",
     "pp_shuffle", "pp_mix", "pp_temperature", "pp_chunk", "pp_pack", "pp_interleave",
     "pp_weights", "pp_profile", "pp_histogram", "pp_topquality", "pp_sample_n",
-    "pp_sample_weighted",
+    "pp_sample_weighted", "pp_dsir",
     "pp_pipeline", "pp_dedup_report", "dd_url", "mm_features", "mm_resize",
     "sk_cms", "sk_hll_merge", "sk_hll_overlap")
 

@@ -140,6 +140,94 @@ object Ann {
       .where(col("cos") >= threshold)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): a frozen spherical-k-means coarse quantizer
+    * ([[trainIvf]]) assigns every vector to a cluster, candidate pairs
+    * are generated ONLY within a cluster, and of any pair with cosine ≥
+    * `threshold` the member with LOWER similarity to its centroid is
+    * kept — the paper's keeper rule (retain the cluster's less
+    * prototypical example), ties by lower id. Output: one row per input
+    * vector — (vec_id, cluster, keep).
+    *
+    * This is the data-adaptive complement to [[cosinePairs]]: SRP
+    * buckets are fixed hyperplane cells, k-means cells follow the
+    * embedding distribution, so clustered corpora get far better
+    * recall-per-candidate at the same candidate budget — the reason
+    * SemDeDup scales to web corpora.
+    *
+    * Scale shape: training is bounded ([[boundedSample]] inside
+    * [[trainIvf]]); the centroid matrix ships once as a broadcast;
+    * assignment is one scan; the within-cluster pair join shuffles on
+    * cluster id ONCE and both sides reuse that single exchange (the
+    * assignment scan and its UDF run once — PlanSpec-pinned); the
+    * default-ON `maxCluster` window-count guard rides the same exchange
+    * and bounds the per-cluster quadratic verify (oversized clusters
+    * drop whole, observable via the `observe` metrics, same contract as
+    * every capped pair source). At 100 TB, nLists grows ~√N so clusters
+    * stay bounded; the cap is the backstop for pathological mega-
+    * clusters. Deterministic end-to-end — the frozen model replays in
+    * DuckDB (graft.queries.AnnOracleSql.semanticDedup).
+    */
+  def semanticDedup(corpus: DataFrame, id: String, vec: String, threshold: Double,
+                    model: IvfModel, maxCluster: Int = 2000): DataFrame = {
+    val spark = corpus.sparkSession
+    val bcCent = spark.sparkContext.broadcast(
+      model.centroids.map(c => (c, math.sqrt(c.map(x => x * x).sum))))
+
+    // vector → (argmax-cosine cluster, that cosine); ties to the lower
+    // cluster id — the exact ivfTopK assignment contract, plus the
+    // centroid similarity the keeper rule needs
+    val assign = udf { (v: Seq[Double]) =>
+      if (v == null) null
+      else {
+        val arr = v.toArray
+        val vn = math.sqrt(arr.map(x => x * x).sum)
+        val cents = bcCent.value
+        var best = 0; var bestS = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          val (ctr, cn) = cents(c)
+          var dot = 0.0; var j = 0
+          while (j < arr.length && j < ctr.length) { dot += arr(j) * ctr(j); j += 1 }
+          val s = if (vn == 0.0 || cn == 0.0) 0.0 else dot / (vn * cn)
+          if (s > bestS) { bestS = s; best = c }
+          c += 1
+        }
+        (best, bestS)
+      }
+    }
+
+    // one explicit cluster exchange BOTH pair-join sides hang off: the l
+    // projection and the capped r projection keep the identical column
+    // set, so column pruning cannot specialize the subtrees apart and
+    // ReuseExchange keeps the scan + assignment UDF single-run
+    val asg = corpus
+      .select(col(id).as("vec_id"), col(vec).as("v"))
+      .where(col("v").isNotNull)
+      .withColumn("_a", assign(col("v").cast("array<double>")))
+      .select(col("vec_id"), col("v"), col("_a._1").as("cluster"), col("_a._2").as("cdot"))
+      .repartition(col("cluster"))
+    val l = asg
+    val r = graft.dedup.Dedup.capBuckets(asg, Seq("cluster"), maxCluster, "semanticDedup")
+      .select(col("vec_id").as("uid"), col("v").as("vb"),
+        col("cluster").as("_rc"), col("cdot").as("cb"))
+
+    // LEFT join: l drives (every vector reaches the output exactly once
+    // after the keep agg), r supplies potential dominators — u dominates
+    // v iff same cluster, cosine ≥ threshold, and (u.cdot, u.id) <
+    // (v.cdot, v.id). Cap on the r side only: an oversized cluster
+    // loses its dominators, so its members are all kept (bounded loss,
+    // observable) rather than funneled into one quadratic task.
+    val dominated = l.join(r,
+      col("cluster") === col("_rc") && col("uid") =!= col("vec_id") &&
+        (col("cb") < col("cdot") ||
+          (col("cb") === col("cdot") && col("uid") < col("vec_id"))) &&
+        round(cosineNative(spark, col("v"), col("vb")), 6) >= threshold,
+      "left")
+    dominated.groupBy(col("vec_id"), col("cluster"))
+      .agg((count(col("uid")) === 0).as("keep"))
+  }
+
   /** Spherical k-means (Lloyd on cosine similarity) over an in-memory
     * sample: vectors normalize to the unit sphere, assignment is argmax
     * dot product (ties → lower list id), centroids are renormalized

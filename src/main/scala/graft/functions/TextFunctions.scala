@@ -362,6 +362,72 @@ object TextFunctions {
         expr("_sum_micro div n_tok").as("avg_nll_micro"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169 —
+    * Data Selection via Importance Resampling): fit hashed n-gram
+    * (unigram + bigram) bag-of-words models on a TARGET corpus and on
+    * the RAW pool, then score every raw document with its importance
+    * log-weight Σ_grams [ln p̂_target(bucket) − ln p̂_raw(bucket)]
+    * (add-one smoothing over `buckets` hash cells). High weight = looks
+    * like the target distribution — the principled replacement for
+    * hand-tuned quality filters when curating pretraining mixtures.
+    *
+    * Scale shape: ONE tokenize+explode scan per corpus feeding a
+    * map-side-combined (doc, bucket) count shuffle; the raw side's
+    * exchange is consumed twice (bucket totals and the per-doc score) —
+    * ReuseExchange keeps it one scan. The model is the point at 100 TB:
+    * the HASHING TRICK bounds it to ≤ `buckets` rows regardless of
+    * corpus size, so — unlike a raw vocabulary ([[tfidf]]'s size-gated
+    * join) — broadcasting the log-ratio table is safe BY CONSTRUCTION,
+    * and the corpus-total denominators ride a one-row broadcast.
+    *
+    * Numerics: bit-portable end-to-end — each log quantizes to integer
+    * micro-nats via [[detLn]] BEFORE any sum (the [[unigramLmScore]]
+    * device), so per-doc weights are exact long sums, layout- and
+    * engine-invariant. Output: (doc, n_grams, logw_micro); gram-less
+    * docs score (0, 0).
+    */
+  def dsirWeights(raw: org.apache.spark.sql.DataFrame,
+                  target: org.apache.spark.sql.DataFrame, id: String,
+                  text: String, buckets: Int = 8192): org.apache.spark.sql.DataFrame = {
+    def gramBuckets(df: org.apache.spark.sql.DataFrame) = {
+      val nbi = greatest(size(col("toks")) - lit(1), lit(0))
+      df.select(col(id).as("doc"), tokens(col(text)).as("toks"))
+        .select(col("doc"), explode(concat(col("toks"),
+          zip_with(slice(col("toks"), lit(1), nbi), slice(col("toks"), lit(2), nbi),
+            (a, b) => concat(a, lit(" "), b)))).as("gram"))
+        .select(col("doc"), pmod(xxhash64(col("gram")), lit(buckets.toLong)).as("bkt"))
+    }
+    def q6(c: Column): Column = floor(detLn(c) * lit(1000000.0)).cast("long")
+
+    // raw side: per-(doc, bucket) counts once; bucket totals ride a
+    // second (tiny) agg over the same exchange
+    val rtf = gramBuckets(raw).groupBy("doc", "bkt").agg(count(lit(1)).as("tf"))
+    val cr = rtf.groupBy("bkt").agg(sum("tf").as("cr"))
+    val ct = gramBuckets(target).groupBy("bkt").agg(count(lit(1)).as("ct"))
+
+    // per-bucket micro-nat log-ratio — ≤ `buckets` rows by construction
+    val lam = cr.join(ct, Seq("bkt"), "full_outer")
+      .select(col("bkt"),
+        (q6(coalesce(col("ct"), lit(0L)) + lit(1L)) -
+          q6(coalesce(col("cr"), lit(0L)) + lit(1L))).as("lam_micro"))
+    // smoothing denominators: one row, from the already-aggregated counts
+    val denom = cr.agg(sum("cr").as("n_r"))
+      .crossJoin(ct.agg(sum("ct").as("n_t")))
+      .select((q6(col("n_r") + lit(buckets.toLong)) -
+        q6(col("n_t") + lit(buckets.toLong))).as("const_micro"))
+
+    val perDoc = rtf.join(broadcast(lam), Seq("bkt"))
+      .groupBy("doc")
+      .agg(sum("tf").as("n_grams"), sum(col("tf") * col("lam_micro")).as("_s"))
+    raw.select(col(id).as("doc"))
+      .join(perDoc, Seq("doc"), "left")
+      .crossJoin(broadcast(denom))
+      .select(col("doc"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        (coalesce(col("_s"), lit(0L)) +
+          coalesce(col("n_grams"), lit(0L)) * col("const_micro")).as("logw_micro"))
+  }
+
   /** Extension-free Column form of [[graft.functions.LinearScore]]:
     * struct(n_tokens, score_milli) from built-in expressions — per-token
     * xxhash64 into one of `buckets` hashing-trick feature slots, the

@@ -28,9 +28,16 @@ object VectorFunctions {
     * paths resolve identically on both branches.
     */
   def cosineNative(spark: org.apache.spark.sql.SparkSession, aCol: String, bCol: String): Column =
+    cosineNative(spark, col(aCol), col(bCol))
+
+  /** [[cosineNative]] over explicit Columns — for call sites (e.g. join
+    * conditions in a self-join) where bare column names would be
+    * ambiguous between the two sides.
+    */
+  def cosineNative(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column =
     if (spark.catalog.functionExists("cosine_sim"))
-      call_function("cosine_sim", col(aCol), col(bCol))
-    else cosine(col(aCol), col(bCol))
+      call_function("cosine_sim", a, b)
+    else cosine(a, b)
 
   /** SRP bucket with the same native-or-fallback dispatch (bit-exact
     * either way — see graft.functions.SrpBucket).

@@ -119,6 +119,47 @@ object AnnOracleSql {
        WHERE rank <= $k"""
   }
 
+  /** Oracle for `dd_semantic` (SemDeDup): frozen centroids → argmax-
+    * cosine cluster assignment (carrying the centroid similarity the
+    * keeper rule compares) → within-cluster dominator join — u drops v
+    * iff same cluster, round(cos, 6) ≥ threshold and (u.cdot, u.id) <
+    * (v.cdot, v.id) — with the `maxCluster` cap replayed as a cluster-
+    * size window count on the dominator side only, exactly the Spark
+    * operator's r-side-only contract. cdot values are bit-identical on
+    * both engines (same sequential folds as the ivf assignment, already
+    * hash-proven), so the float comparisons in the dominance rule can
+    * never diverge.
+    */
+  def semanticDedup(model: IvfModel, threshold: Double, maxCluster: Int): String = {
+    val dim = model.centroids(0).length
+    val cent = model.centroids.zipWithIndex.map { case (c, i) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      s"($i, ${arr(c)}, ${d(cn)})"
+    }.mkString(",\n               ")
+    s"""WITH ${embCte(dim)},
+          cent AS (SELECT * FROM (VALUES
+               $cent) t(list, c, cn)),
+          n AS (SELECT vec_id, v, sqrt(${foldSum("list_transform(v, x -> x * x)")}) AS vn FROM e),
+          sc AS (SELECT vec_id, v, list,
+                   CASE WHEN vn = 0 OR cn = 0 THEN CAST(0.0 AS DOUBLE)
+                        ELSE ${foldSum(s"list_transform(generate_series(1, $dim), i -> v[i] * c[i])")} / (vn * cn)
+                   END AS s
+                 FROM n CROSS JOIN cent),
+          asg AS (SELECT vec_id, v, list AS cluster, s AS cdot FROM
+                    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS r FROM sc)
+                  WHERE r = 1),
+          capd AS (SELECT vec_id, v, cluster, cdot FROM
+                     (SELECT *, count(*) OVER (PARTITION BY cluster) AS bsz FROM asg)
+                   WHERE bsz <= $maxCluster),
+          drp AS (SELECT DISTINCT a.vec_id
+                  FROM asg a JOIN capd u
+                    ON u.cluster = a.cluster AND u.vec_id <> a.vec_id
+                   AND (u.cdot < a.cdot OR (u.cdot = a.cdot AND u.vec_id < a.vec_id))
+                   AND round(list_cosine_similarity(u.v, a.v), 6) >= ${d(threshold)})
+       SELECT a.vec_id, a.cluster, (dr.vec_id IS NULL) AS keep
+       FROM asg a LEFT JOIN drp dr ON dr.vec_id = a.vec_id"""
+  }
+
   /** Oracle for `ann_pq`: frozen sub-codebooks → unit-normalize → encode
     * (per-subspace argmin L2, reconstruction norm via the flattened
     * chosen-centroid fold — the UDF's exact element order) → per-query

@@ -145,6 +145,19 @@ object CoreQueries {
       s.read.format(avroFormat).schema(region.schema).load(out)
     }),
 
+    "s_orc" -> ((s, d) => {
+      // ORC roundtrip — the other columnar interchange format (Hive /
+      // Trino warehouse corpora ship as ORC about as often as parquet):
+      // write documents as ORC, read back with the EXPLICIT schema
+      // (same no-inference-scan rule as s_jsonl), identity vs the plain
+      // table. Spark's vectorized ORC reader gets the same
+      // pushdown/pruning treatment as parquet — pinned in SourcesSpec.
+      val out = tmp("orc")
+      val docs = Graft.documents(s, d)
+      docs.write.mode("overwrite").orc(out)
+      s.read.schema(docs.schema).orc(out)
+    }),
+
     "s_jsonl" -> ((s, d) => {
       // JSONL (newline-delimited JSON) roundtrip — the standard corpus
       // interchange format for web-scale text datasets: write documents
@@ -194,6 +207,7 @@ object CoreQueries {
     "s10_ddl" ->
       "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey",
     "s_avro_roundtrip" -> "SELECT * FROM region",
+    "s_orc" -> "SELECT * FROM documents",
     "s_jsonl" -> "SELECT * FROM documents")
 
   // ---- P: stateless transforms -------------------------------------------

@@ -118,6 +118,26 @@ object PipelineQueries {
       Dedup.resolve(emb.select("vec_id", "label"), verified, "vec_id")
     }),
 
+    "dd_semantic" -> ((s, d) => {
+      // SemDeDup (Abbas et al. 2023): frozen spherical-k-means clusters
+      // scope the pair search, keeper = the pair member with LOWER
+      // centroid similarity (the paper's rule), ties lower id. The
+      // data-adaptive complement to dd_embedding's fixed SRP cells.
+      // Freeze-the-model full oracle: the entry trains ONCE and hands
+      // the same model to the Spark operator and to AnnOracleSql, which
+      // replays assignment + dominance + the cap in DuckDB.
+      // threshold 0.35 sits at the synthetic corpus's within-cluster
+      // p99 (max pair cos is ~0.49 — no planted near-identical pairs),
+      // so the keep decision is non-vacuous AND discriminating here:
+      // 75 of 500 vectors drop at sf0.01. A real web corpus runs ~0.95.
+      val emb = Graft.embeddings(s, d)
+      val model = Ann.trainIvf(emb, "vec_id", "embedding", nLists = 16)
+      AnnOracleSql.register("dd_semantic",
+        AnnOracleSql.semanticDedup(model, threshold = 0.35, maxCluster = 2000))
+      Ann.semanticDedup(emb, "vec_id", "embedding", threshold = 0.35,
+        model, maxCluster = 2000)
+    }),
+
     "ann_incremental" -> ((s, d) => {
       // cross-corpus embedding near-dup (incremental ingestion): vec_id
       // % 10 == 0 stands in for the new batch; bucket-join only,
@@ -325,6 +345,23 @@ object PipelineQueries {
         .orderBy(col("_sc"), col("doc_id"))
         .limit(100)
         .select("doc_id", "lang")),
+
+    "pp_dsir" -> ((s, d) => {
+      // DSIR importance resampling (Xie et al. 2023): hashed n-gram LM
+      // ratio weights — target = the English slice, raw = the full
+      // multilingual pool — then keep the top-100 by weight
+      // (deterministic variant of the paper's Gumbel-top-k; the
+      // integer micro-nat weights are the contract). orderBy+limit
+      // plans as TakeOrderedAndProject (per-partition heaps), and the
+      // hashed model is broadcast-safe BY CONSTRUCTION (≤ buckets
+      // rows at any corpus size — the hashing trick's point).
+      val docs = Graft.documents(s, d)
+      TextFunctions.dsirWeights(docs, docs.where(col("lang") === "en"),
+          "doc_id", "text", buckets = 8192)
+        .orderBy(col("logw_micro").desc, col("doc").asc)
+        .limit(100)
+        .select(col("doc").as("doc_id"), col("n_grams"), col("logw_micro"))
+    }),
 
     "pp_topquality" -> ((s, d) =>
       // global "best N documents" selection: orderBy+limit plans as
@@ -1136,6 +1173,8 @@ object PipelineQueries {
                        ${TextFunctions.weightedSampleScoreSql("g.h1", "g.w")} AS sc
                     FROM g)
          SELECT doc_id, lang FROM s ORDER BY sc, doc_id LIMIT 100""",
+    "pp_dsir" -> DsirOracleSql.dsirWeights(buckets = 8192,
+      targetPredicate = "lang = 'en'", topN = 100),
     "pp_topquality" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0) AS toks
                     FROM documents),

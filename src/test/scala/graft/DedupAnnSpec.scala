@@ -86,6 +86,78 @@ class DedupAnnSpec extends GraftTest {
     assert(hits.forall { case (b, c) => b >= 1000L && c < 1000L })
   }
 
+  test("semanticDedup equals brute-force within-cluster dominance (SemDeDup keeper rule)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(24)(rnd.nextGaussian().toFloat)
+    val base = (0 until 60).map(i => (i.toLong, vec()))
+    // plant an exact duplicate of 7 and a near-duplicate of 19
+    val rows = base ++ Seq((60L, base(7)._2.clone()),
+                           (61L, base(19)._2.map(x => x + 0.01f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val model = Ann.trainIvf(df, "vec_id", "embedding", nLists = 4)
+    val out = Ann.semanticDedup(df, "vec_id", "embedding", threshold = 0.9, model)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+
+    // brute force: the operator's exact assignment math and dominance rule
+    val cents = model.centroids.map(c => (c, math.sqrt(c.map(x => x * x).sum)))
+    def assignOf(v: Array[Float]): (Int, Double) = {
+      val arr = v.map(_.toDouble)
+      val vn = math.sqrt(arr.map(x => x * x).sum)
+      var best = 0; var bestS = Double.NegativeInfinity
+      for (c <- cents.indices) {
+        val (ctr, cn) = cents(c)
+        var dot = 0.0; var j = 0
+        while (j < arr.length && j < ctr.length) { dot += arr(j) * ctr(j); j += 1 }
+        val s = if (vn == 0.0 || cn == 0.0) 0.0 else dot / (vn * cn)
+        if (s > bestS) { bestS = s; best = c }
+      }
+      (best, bestS)
+    }
+    def cos6(a: Array[Float], b: Array[Float]): BigDecimal = {
+      val x = a.map(_.toDouble); val y = b.map(_.toDouble)
+      val dot = x.zip(y).map { case (p, q) => p * q }.sum
+      val na = math.sqrt(x.map(v => v * v).sum)
+      val nb = math.sqrt(y.map(v => v * v).sum)
+      BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val asg = rows.map { case (idv, v) => (idv, assignOf(v), v) }
+    val expected = asg.map { case (idv, (cl, cd), v) =>
+      val dropped = asg.exists { case (ju, (cu, cud), u) =>
+        ju != idv && cu == cl &&
+          (cud < cd || (cud == cd && ju < idv)) &&
+          cos6(u, v) >= BigDecimal("0.9")
+      }
+      (idv, cl, !dropped)
+    }.toSet
+    assert(out === expected)
+
+    // planted pairs: the exact duplicate keeps the lower id (identical
+    // cdot → id tie-break); the near-duplicate pair loses exactly one
+    val keep = out.map(t => t._1 -> t._3).toMap
+    assert(keep(7L) && !keep(60L), "exact dup: lower id keeps, copy drops")
+    assert(keep(19L) ^ keep(61L), "near-dup pair must lose exactly one member")
+  }
+
+  test("semanticDedup maxCluster cap drops dominators from oversized clusters only") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(12)
+    val rows = (0 until 40).map(i =>
+      (i.toLong, Array.fill(24)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val model = Ann.trainIvf(df, "vec_id", "embedding", nLists = 4)
+    // cap=1: every multi-member cluster is capped away on the dominator
+    // side, so nothing can drop — the observable bounded-loss contract
+    val capped = Ann.semanticDedup(df, "vec_id", "embedding", threshold = 0.0,
+      model, maxCluster = 1)
+    assert(capped.collect().forall(_.getBoolean(2)), "capped clusters must keep all members")
+    // uncapped at threshold 0: everything except per-cluster keepers drops
+    val open = Ann.semanticDedup(df, "vec_id", "embedding", threshold = -1.0,
+      model, maxCluster = 0)
+    val kept = open.collect().filter(_.getBoolean(2)).map(_.getInt(1))
+    assert(kept.length === kept.distinct.length, "exactly one keeper per cluster at threshold -1")
+  }
+
   test("imperative minhash_agg signatures equal the columnar min-aggregate form") {
     val a = Dedup.minhashSigs(docs, "doc_id", "text").withColumnRenamed("sig", "sa")
     val b = Dedup.minhashSigsColumnar(docs, "doc_id", "text").withColumnRenamed("sig", "sb")

@@ -643,6 +643,58 @@ class FunctionsSpec extends GraftTest {
     assert(got(3L)._2 < got(4L)._2)
   }
 
+  test("dsirWeights matches an in-memory reference and is layout-invariant") {
+    import spark.implicits._
+    val rawRows = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "stocks fell sharply"),
+      (3L, "the cat sat"),
+      (4L, ""),
+      (5L, "sat cat the"))
+    val tgtRows = Seq((100L, "the cat sat on a mat"), (101L, "a cat sat"))
+    val raw = rawRows.toDF("doc_id", "text")
+    val target = tgtRows.toDF("doc_id", "text")
+    val B = 4096
+    val got = TextFunctions.dsirWeights(raw, target, "doc_id", "text", buckets = B)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // layout invariance — exact long equality across partitionings
+    val got7 = TextFunctions.dsirWeights(raw.repartition(7), target.repartition(3),
+        "doc_id", "text", buckets = B)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === got7)
+
+    // reference: gram-bucket ids come from Spark's own xxhash64 (hash
+    // parity is MinHashOracleSql's proven territory); counts and the
+    // micro-nat quantization replay in plain Scala via detLnRef
+    def grams(t: String): Seq[String] = {
+      val ts = t.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+      ts ++ ts.zip(ts.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    val rawG = rawRows.map { case (id, t) => id -> grams(t) }
+    val tgtG = tgtRows.map { case (id, t) => id -> grams(t) }
+    val distinctGrams = (rawG ++ tgtG).flatMap(_._2).distinct
+    val bkt: Map[String, Long] = distinctGrams.toDF("gram")
+      .select(col("gram"), pmod(xxhash64(col("gram")), lit(B.toLong)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def q6(k: Long): Long = math.floor(TextFunctions.detLnRef(k) * 1e6).toLong
+    val cr = rawG.flatMap(_._2).groupBy(bkt).view.mapValues(_.size.toLong).toMap
+    val ct = tgtG.flatMap(_._2).groupBy(bkt).view.mapValues(_.size.toLong).toMap
+    val const = q6(cr.values.sum + B) - q6(ct.values.sum + B)
+    def lam(b: Long): Long = q6(ct.getOrElse(b, 0L) + 1L) - q6(cr.getOrElse(b, 0L) + 1L)
+    rawG.foreach { case (id, gs) =>
+      val expect = (gs.size.toLong, gs.map(g => lam(bkt(g))).sum + gs.size * const)
+      assert(got(id) === expect, s"doc $id: got ${got(id)}, want $expect")
+    }
+    // gram-less doc scores (0, 0); a target-like doc outranks a
+    // disjoint-token doc of equal gram count (3 "the cat sat" vs 2
+    // "stocks fell sharply" — both 5 grams)
+    assert(got(4L) === ((0L, 0L)))
+    assert(got(3L)._1 === got(2L)._1 && got(3L)._2 > got(2L)._2)
+    // bigram sensitivity: same unigrams, different order (5 vs 3) must
+    // land in different bigram buckets and so score differently
+    assert(got(5L)._2 !== got(3L)._2)
+  }
+
   test("weightedSampleScore: deterministic, layout-stable, weights shift the draw") {
     import spark.implicits._
     val docs = Graft.documents(spark, sf)

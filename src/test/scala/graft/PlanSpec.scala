@@ -299,6 +299,27 @@ class PlanSpec extends GraftTest {
     }
   }
 
+  test("semanticDedup: both pair-join sides reuse one cluster exchange, single scan") {
+    // the assignment scan (with its per-row centroid UDF) must run ONCE:
+    // l and the capped r keep identical column sets so pruning cannot
+    // specialize them apart, and the explicit cluster repartition is the
+    // one exchange the cap's window and the pair join both ride
+    val emb = Graft.embeddings(spark, sf)
+    val model = graft.ann.Ann.trainIvf(emb, "vec_id", "embedding", nLists = 4)
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = graft.ann.Ann.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.35, model)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+        "pair-join sides must share the assignment exchange:\n" + p.take(3000))
+      val scans = "FileScan".r.findAllIn(p).size
+      assert(scans === 1,
+        s"expected a single embeddings scan in the final plan, saw $scans:\n${p.take(3000)}")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
   test("spanStats: gram frequency is a window count on one shingle scan, no self-join") {
     // the corpus frequency of each gram rides the exploded rows' one hash
     // exchange on the gram (capBuckets' device) — an aggregate-and-join-

@@ -109,6 +109,28 @@ class SourcesSpec extends GraftTest {
     } finally all.unpersist()
   }
 
+  test("ORC roundtrip is the identity and the reader pushes filters + prunes columns") {
+    // s_orc's mechanism plus the scale contract the driver query can't
+    // see: Spark's ORC scan must behave like the parquet scan — the
+    // predicate reaches the reader (PushedFilters) and a 2-column
+    // projection never reads the text column
+    val dir = Files.createTempDirectory("graft-orc").toFile.getAbsolutePath
+    val docs = Graft.documents(spark, sf)
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.schema(docs.schema).orc(dir)
+    assert(back.count() === docs.count())
+    val q = back.where(col("n_chars") > 500).select("doc_id", "n_chars")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [") && p.contains("n_chars"),
+      "ORC scan must push the n_chars predicate:\n" + p.take(2000))
+    assert(p.contains("ReadSchema") && !p.contains("text"),
+      "2-column projection must not read text:\n" + p.take(2000))
+    // identity at the value level on a sample
+    val a = docs.orderBy("doc_id").limit(5).collect().toSeq
+    val b = back.orderBy("doc_id").limit(5).collect().toSeq
+    assert(a === b)
+  }
+
   test("kafka source/sink builders pin their failure shape against this Spark version") {
     // The kafka transport is environment-blocked (no spark-sql-kafka jar,
     // zero egress — README carries the deployment runbook). This pin
