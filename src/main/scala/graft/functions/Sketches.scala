@@ -29,6 +29,48 @@ object Sketches {
       .select(col("key"), col("exact_cnt"), est(col("_sk"), col("key")).as("cms_est"))
   }
 
+  /** Heavy hitters (frequent items) via the mergeable DataSketches
+    * frequent-items aggregate (`approx_top_k`) — the missing member of
+    * the sketch family next to CMS point queries and HLL distincts: "which
+    * values dominate this column" (stopword discovery, hot-key detection
+    * before sizing a shuffle, boilerplate tokens) without a
+    * vocabulary-sized structure anywhere. The sketch aggregate combines
+    * map-side, ships a fixed ≤ `maxTracked`-entry summary per partition,
+    * and at 100 TB is the ONLY part a production probe runs; the exact
+    * per-item counts here are the certification side (the [[cmsEstimate]]
+    * exact+sketch device), priced at one extra map-combined shuffle.
+    *
+    * Output: one row per TRUE heavy hitter — exact_cnt · thrDenom ≥ N,
+    * the θ = 1/thrDenom frequent-items definition, integer
+    * cross-multiplication so the cut is engine-exact — with the sketch's
+    * guarantees as oracle-asserted booleans: `surfaced` (an item above
+    * θN must be in the summary whenever 3.5/maxTracked < θ — the
+    * a-priori error bound; size maxTracked accordingly) and
+    * `est_in_bound` (|est − exact| ≤ 3.5·N/maxTracked, again as integer
+    * cross-multiplication). The raw sketch estimate is deliberately NOT
+    * in the output: merging partial summaries in a different partition
+    * order can shift individual estimates within the bound, so only the
+    * bound-checked booleans are layout-invariant.
+    */
+  def heavyHitters(df: DataFrame, value: Column, thrDenom: Long = 200,
+                   maxTracked: Int = 1024): DataFrame = {
+    val vals = df.select(value.cast("string").as("item")).where(col("item").isNotNull)
+    val sk = vals.agg(
+      call_function("approx_top_k", col("item"), lit(maxTracked), lit(maxTracked)).as("top"),
+      count(lit(1)).as("n_total"))
+    val est = sk.select(explode(col("top")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").as("est"))
+    val exact = vals.groupBy("item").agg(count(lit(1)).as("exact_cnt"))
+    exact.join(broadcast(sk.select("n_total")))
+      .where(col("exact_cnt") * lit(thrDenom) >= col("n_total"))
+      .join(broadcast(est), Seq("item"), "left")
+      .select(col("item"), col("exact_cnt"),
+        col("est").isNotNull.as("surfaced"),
+        (col("est").isNotNull &&
+          abs(col("est") - col("exact_cnt")) * lit(2L * maxTracked) <= col("n_total") * lit(7L))
+          .as("est_in_bound"))
+  }
+
   /** Mergeable distinct-count sketches (DataSketches HLL), the
     * store-and-merge pattern a 100 TB pipeline runs on: build ONE small
     * sketch per (stratum, shard) — e.g. per (event_type, day) — which in

@@ -891,7 +891,20 @@ object PipelineQueries {
             (col("cms_est") >= col("exact_cnt")).as("cms_no_undercount"),
             (col("cms_est") <= col("exact_cnt") + col("_n") * lit(0.001))
               .as("cms_within_eps"))
-      }))
+      }),
+
+    "sk_heavy" -> ((s, d) =>
+      // heavy hitters over corpus tokens (stopword/boilerplate
+      // discovery, hot-key detection): the mergeable frequent-items
+      // sketch is the production probe, the exact counts are the
+      // certification side — same exact+booleans device as sk_cms.
+      // θ = 1/200 with maxTracked = 1024 satisfies the sizing rule
+      // 3.5/maxTracked < θ, so both guarantee booleans MUST hold; a
+      // sketch violation flips them engine-side and fails the hash.
+      graft.functions.Sketches.heavyHitters(
+        Graft.documents(s, d)
+          .select(explode(TextFunctions.tokens(col("text"))).as("tok")),
+        col("tok"))))
 
   /** Static oracles plus the freeze-the-model ANN oracles: the latter
     * are registered by the ann_ivf/ann_pq/ann_ivfpq entries at query
@@ -934,6 +947,13 @@ object PipelineQueries {
       """SELECT event_type AS key, count(*) AS exact_cnt,
                 TRUE AS cms_no_undercount, TRUE AS cms_within_eps
          FROM events WHERE event_type IS NOT NULL GROUP BY 1""",
+    "sk_heavy" ->
+      """WITH t AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0)) AS item
+                    FROM documents),
+              c AS (SELECT item, count(*) AS exact_cnt FROM t GROUP BY item),
+              nn AS (SELECT CAST(sum(exact_cnt) AS BIGINT) AS tot FROM c)
+         SELECT item, exact_cnt, TRUE AS surfaced, TRUE AS est_in_bound
+         FROM c, nn WHERE exact_cnt * 200 >= tot""",
     "sk_hll_merge" ->
       """SELECT event_type, count(DISTINCT epoch_us(ts) // 86400000000) AS n_shards,
                 count(DISTINCT user_id) AS n_exact, TRUE AS hll_ok

@@ -858,6 +858,28 @@ class FunctionsSpec extends GraftTest {
       s"sketch overlap estimate drifted out of bound: $out")
   }
 
+  test("heavyHitters: guarantees hold under eviction pressure, layout-invariant") {
+    import spark.implicits._
+    // 5000 distinct singleton noise values against maxTracked = 256 —
+    // the summary MUST evict constantly — plus two planted heavies far
+    // above the a-priori error (3.5·N/256 ≈ 77): the sketch is
+    // genuinely approximate here, and the guarantee booleans still must
+    // hold for every true heavy hitter
+    val rows = Seq.fill(400)("hot_a") ++ Seq.fill(250)("hot_b") ++
+      (0 until 5000).map(i => s"noise_$i")
+    val df = rows.toDF("v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.functions.Sketches.heavyHitters(d, col("v"), thrDenom = 50, maxTracked = 256)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3))).toSet
+    val got = run(df)
+    // exact heavy set at θ = 1/50 (N = 5650, θN = 113): the two planted
+    // values only, both surfaced and in-bound
+    assert(got === Set(("hot_a", 400L, true, true), ("hot_b", 250L, true, true)))
+    // merge order must not change the OUTPUT (raw estimates may shift
+    // within the bound — they are deliberately not in the output)
+    assert(run(df.repartition(13)) === got)
+  }
+
   test("hllMergeDistinct: shard-union == single-shot sketch, near exact") {
     import spark.implicits._
     val n = 5000L
