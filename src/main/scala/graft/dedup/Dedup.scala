@@ -85,6 +85,31 @@ object Dedup {
       .join(corpusHashes, Seq("content_md5"), "left_anti")
   }
 
+  /** Corpus snapshot diff — the "what changed since yesterday's build"
+    * report a versioned-dataset pipeline runs before deciding what to
+    * re-process: per id, `added` (only in the new snapshot), `removed`
+    * (only in the old), `changed` (present in both with different
+    * content). Unchanged rows are omitted — at 100 TB the diff is the
+    * small output, the snapshots are the big inputs.
+    *
+    * Scale shape: both sides reduce to (id, 16-byte content hash)
+    * BEFORE the join — same ethos as [[incremental]]: the full-outer
+    * join moves 24-byte rows, never text. One map-side-combined shuffle
+    * per side on id; the join itself reuses that hash partitioning.
+    */
+  def snapshotDelta(oldDocs: DataFrame, newDocs: DataFrame, id: String,
+                    text: String): DataFrame = {
+    val o = oldDocs.select(col(id).as("_id"), md5(col(text)).as("_oh"))
+    val n = newDocs.select(col(id).as("_id"), md5(col(text)).as("_nh"))
+    o.join(n, Seq("_id"), "full_outer")
+      .select(col("_id").as(id),
+        when(col("_oh").isNull, lit("added"))
+          .when(col("_nh").isNull, lit("removed"))
+          .when(col("_oh") =!= col("_nh"), lit("changed"))
+          .as("status"))
+      .where(col("status").isNotNull)
+  }
+
   // ---- MinHash + LSH ------------------------------------------------------
 
   /** Word-shingle hashes: k-gram shingles over word tokens, each hashed to

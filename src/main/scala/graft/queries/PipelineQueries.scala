@@ -346,6 +346,21 @@ object PipelineQueries {
         .limit(100)
         .select("doc_id", "lang")),
 
+    "pp_delta" -> ((s, d) => {
+      // corpus snapshot diff: yesterday = docs without the %10==3
+      // slice, today = docs without the %10==7 slice and with every
+      // %5==0 doc revised — added/removed/changed per id, unchanged
+      // omitted. Both sides hash-reduce before the full-outer join
+      // (24-byte rows on the wire, never text).
+      val docs = Graft.documents(s, d)
+      val old = docs.where(pmod(col("doc_id"), lit(10)) =!= 3)
+      val neu = docs.where(pmod(col("doc_id"), lit(10)) =!= 7)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(5)) === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")))
+      Dedup.snapshotDelta(old, neu, "doc_id", "text")
+    }),
+
     "pp_dsir" -> ((s, d) => {
       // DSIR importance resampling (Xie et al. 2023): hashed n-gram LM
       // ratio weights — target = the English slice, raw = the full
@@ -1193,6 +1208,16 @@ object PipelineQueries {
                        ${TextFunctions.weightedSampleScoreSql("g.h1", "g.w")} AS sc
                     FROM g)
          SELECT doc_id, lang FROM s ORDER BY sc, doc_id LIMIT 100""",
+    "pp_delta" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 <> 3),
+              n AS (SELECT doc_id, md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END) AS h
+                    FROM documents WHERE doc_id % 10 <> 7)
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                CASE WHEN o.doc_id IS NULL THEN 'added'
+                     WHEN n.doc_id IS NULL THEN 'removed'
+                     WHEN o.h <> n.h THEN 'changed' END AS status
+         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+         WHERE (o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h)""",
     "pp_dsir" -> DsirOracleSql.dsirWeights(buckets = 8192,
       targetPredicate = "lang = 'en'", topN = 100),
     "pp_topquality" ->

@@ -86,6 +86,15 @@ class DedupAnnSpec extends GraftTest {
     assert(hits.forall { case (b, c) => b >= 1000L && c < 1000L })
   }
 
+  test("snapshotDelta classifies added/removed/changed and omits unchanged") {
+    import spark.implicits._
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val neu = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("doc_id", "text")
+    val got = Dedup.snapshotDelta(old, neu, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
+
   test("semanticDedup equals brute-force within-cluster dominance (SemDeDup keeper rule)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
