@@ -391,11 +391,21 @@ object TextFunctions {
                   text: String, buckets: Int = 8192): org.apache.spark.sql.DataFrame = {
     def gramBuckets(df: org.apache.spark.sql.DataFrame) = {
       val nbi = greatest(size(col("toks")) - lit(1), lit(0))
-      df.select(col(id).as("doc"), tokens(col(text)).as("toks"))
+      // both explicit filters are inert (ids are non-null keys, pmod of
+      // xxhash64 is never null) but REQUIRED for the single-scan plan:
+      // the final left join infers isnotnull(doc) and the lam inner
+      // join infers isnotnull(bkt) onto the per-doc subtree only —
+      // without matching filters here the two rtf consumers' subtrees
+      // differ by exactly those inferred filters and ReuseExchange
+      // cannot deduplicate the gram scan (the InferFilters class of
+      // reuse-breakers dd_span hit)
+      df.where(col(id).isNotNull)
+        .select(col(id).as("doc"), tokens(col(text)).as("toks"))
         .select(col("doc"), explode(concat(col("toks"),
           zip_with(slice(col("toks"), lit(1), nbi), slice(col("toks"), lit(2), nbi),
             (a, b) => concat(a, lit(" "), b)))).as("gram"))
         .select(col("doc"), pmod(xxhash64(col("gram")), lit(buckets.toLong)).as("bkt"))
+        .where(col("bkt").isNotNull)
     }
     def q6(c: Column): Column = floor(detLn(c) * lit(1000000.0)).cast("long")
 

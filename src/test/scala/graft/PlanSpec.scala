@@ -320,6 +320,25 @@ class PlanSpec extends GraftTest {
     }
   }
 
+  test("dsirWeights: raw corpus is tokenized once — model consumers reuse the exchange") {
+    // the raw gram scan (tokenize + bigram explode + hash) is the
+    // dominant cost; the per-doc score and the bucket-count model both
+    // consume the same (doc, bucket) exchange. The operator carries
+    // explicit isnotnull(doc)/isnotnull(bkt) filters matching the ones
+    // the downstream joins infer — without them the subtrees differ and
+    // the corpus is tokenized twice (how this pin was earned)
+    val docs = Graft.documents(spark, sf)
+    val df = graft.functions.TextFunctions.dsirWeights(
+      docs, docs.where(col("lang") === "en"), "doc_id", "text")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val gramScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("text") && !l.contains("lang"))
+    assert(gramScans === 1,
+      s"raw corpus must be tokenized once, saw $gramScans gram scans:\n${p.take(3000)}")
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"))
+  }
+
   test("spanStats: gram frequency is a window count on one shingle scan, no self-join") {
     // the corpus frequency of each gram rides the exploded rows' one hash
     // exchange on the gram (capBuckets' device) — an aggregate-and-join-
