@@ -31,7 +31,7 @@ object Bench {
     "pp_shuffle", "pp_mix", "pp_temperature", "pp_chunk", "pp_pack", "pp_interleave",
     "pp_weights", "pp_profile", "pp_histogram", "pp_topquality", "pp_sample_n",
     "pp_sample_weighted", "pp_dsir", "pp_delta",
-    "pp_pipeline", "pp_dedup_report", "dd_url", "mm_features", "mm_resize",
+    "pp_pipeline", "pp_dedup_report", "dd_url", "mm_features", "mm_resize", "mm_quantize",
     "sk_cms", "sk_hll_merge", "sk_hll_overlap", "sk_heavy")
 
   def main(args: Array[String]): Unit = {

@@ -727,6 +727,32 @@ object PipelineQueries {
       Multimodal.extractFeatures(
         Multimodal.toAssets(Graft.documents(s, d), "doc_id", "text"))),
 
+    "mm_quantize" -> ((s, d) => {
+      // int8 scalar quantization of the embedding store — the 4x
+      // float32→byte codec every 100 TB vector corpus runs before
+      // anything else. Pure per-row codegen'd scan (no shuffle, no
+      // UDF); fidelity certified per vector as the cosine between the
+      // original and its dequantized reconstruction. Codes surface as
+      // exact integer aggregates (sum, L1) rather than the raw array —
+      // hash-friendly and dimension-independent.
+      import graft.functions.VectorFunctions
+      val emb = Graft.embeddings(s, d)
+      val q = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"),
+        VectorFunctions.quantizeInt8(col("embedding")).as("_q"))
+      val dq = VectorFunctions.dequantizeInt8(col("_q"))
+      val dot = aggregate(zip_with(col("v"), dq, (a, b) => a * b), lit(0.0), (x, y) => x + y)
+      def nrm(c: org.apache.spark.sql.Column) =
+        sqrt(aggregate(transform(c, x => x * x), lit(0.0), (x, y) => x + y))
+      q.select(col("vec_id"),
+        size(col("_q.codes")).as("n_dims"),
+        round(col("_q.scale"), 6).as("scale6"),
+        aggregate(col("_q.codes"), lit(0L), (a, c) => a + c).as("codes_sum"),
+        aggregate(col("_q.codes"), lit(0L), (a, c) => a + abs(c)).as("codes_l1"),
+        round(when(nrm(col("v")) === 0.0 || nrm(dq) === 0.0, lit(0.0))
+          .otherwise(dot / (nrm(col("v")) * nrm(dq))), 6).as("cos_fid6"))
+    }),
+
     "mm_frames" -> ((s, d) =>
       // video-shaped frame sampling over binary payloads (every 4th
       // 32-byte frame); frames decoded to string for the oracle compare
@@ -1523,6 +1549,38 @@ object PipelineQueries {
                     FROM documents)
          SELECT doc_id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
          FROM v""",
+    // mm_quantize: every step replays the Spark HOFs' exact double
+    // arithmetic — max is exact, the scale division and half-away-from-
+    // zero rounding are single ops, and the cosine folds run in the
+    // same sequential order as aggregate()'s left fold
+    "mm_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]) AS v FROM embeddings),
+              q AS (SELECT vec_id, v,
+                           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(v, x -> abs(x))),
+                                       (a, b) -> CASE WHEN b > a THEN b ELSE a END) / 127.0 AS s
+                    FROM e),
+              c AS (SELECT vec_id, v, s,
+                           CASE WHEN s = 0 THEN list_transform(v, x -> 0)
+                                ELSE list_transform(v, x -> CAST(round(x / s) AS INTEGER)) END AS codes
+                    FROM q),
+              d AS (SELECT vec_id, v, s, codes,
+                           list_transform(codes, x -> CAST(x AS DOUBLE) * s) AS dq
+                    FROM c),
+              m AS (SELECT vec_id,
+                           CAST(len(codes) AS INTEGER) AS n_dims,
+                           round(s, 6) AS scale6,
+                           CAST(list_sum(codes) AS BIGINT) AS codes_sum,
+                           CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT) AS codes_l1,
+                           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                             list_transform(generate_series(1, len(v)), i -> v[i] * dq[i])), (a, b) -> a + b) AS dot,
+                           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                             list_transform(v, x -> x * x)), (a, b) -> a + b)) AS na,
+                           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                             list_transform(dq, x -> x * x)), (a, b) -> a + b)) AS nb
+                    FROM d)
+         SELECT vec_id, n_dims, scale6, codes_sum, codes_l1,
+                round(CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (na * nb) END, 6) AS cos_fid6
+         FROM m""",
     "mm_frames" ->
       """SELECT doc_id AS asset_id, i AS frame_idx, substring(text, i * 32 + 1, 32) AS frame_str
          FROM documents, UNNEST(generate_series(0, CAST(strlen(text) // 32 AS INT) - 1, 4)) AS t(i)""",

@@ -858,6 +858,36 @@ class FunctionsSpec extends GraftTest {
       s"sketch overlap estimate drifted out of bound: $out")
   }
 
+  test("quantizeInt8: hand-checked codes, bounds, zero vector, high fidelity") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, -2.0f, 0.5f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = df.select(col("vec_id"),
+        graft.functions.VectorFunctions.quantizeInt8(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q.scale"), col("q.codes"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Int](2))).toMap
+    // scale = max|x|/127; codes = round(x/s): 63.5 rounds HALF_UP to 64
+    assert(q(1L)._1 === 2.0 / 127.0)
+    assert(q(1L)._2 === Seq(64, -127, 32))
+    assert(q(2L) === ((0.0, Seq(0, 0, 0))))
+    // random vectors: every code in [-127, 127], reconstruction cosine
+    // ≥ 0.999 (the int8 codec's fidelity envelope at dim 64)
+    val rnd = new scala.util.Random(3)
+    val big = (0 until 50).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val vf = graft.functions.VectorFunctions
+    val rows = big.select(
+        vf.quantizeInt8(col("embedding")).as("q"),
+        col("embedding").cast("array<double>").as("v"))
+      .select(col("q.codes"),
+        graft.functions.VectorFunctions.cosine(col("v"),
+          vf.dequantizeInt8(col("q"))).as("fid"))
+      .collect()
+    assert(rows.forall(_.getSeq[Int](0).forall(c => c >= -127 && c <= 127)))
+    assert(rows.forall(_.getDouble(1) >= 0.999))
+  }
+
   test("heavyHitters: guarantees hold under eviction pressure, layout-invariant") {
     import spark.implicits._
     // 5000 distinct singleton noise values against maxTracked = 256 —
