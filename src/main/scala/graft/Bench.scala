@@ -32,7 +32,7 @@ object Bench {
     "pp_weights", "pp_profile", "pp_histogram", "pp_topquality", "pp_sample_n",
     "pp_sample_weighted", "pp_dsir", "pp_delta",
     "pp_pipeline", "pp_dedup_report", "dd_url", "mm_features", "mm_resize", "mm_quantize",
-    "sk_cms", "sk_hll_merge", "sk_hll_overlap", "sk_heavy")
+    "sk_cms", "sk_hll_merge", "sk_hll_overlap", "sk_heavy", "sk_heavy_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

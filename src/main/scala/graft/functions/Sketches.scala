@@ -71,6 +71,50 @@ object Sketches {
           .as("est_in_bound"))
   }
 
+  /** Store-and-merge heavy hitters — the [[hllMergeDistinct]] pattern
+    * for frequent items: build ONE ≤ `maxTracked`-entry summary per
+    * (stratum, shard) with `approx_top_k_accumulate` (in production
+    * persisted next to the raw data), then answer "which values
+    * dominate each stratum" by `approx_top_k_combine` over the shard
+    * summaries WITHOUT re-reading raw rows — a new day of data
+    * re-sketches only that day. Both levels combine map-side; shuffles
+    * carry fixed-size summaries.
+    *
+    * Certification follows [[heavyHitters]] exactly: output one row per
+    * TRUE per-stratum heavy hitter (exact_cnt · thrDenom ≥ N_stratum)
+    * with the merged sketch's guarantees as oracle-asserted booleans,
+    * and the merge-order-dependent raw estimates kept OUT of the
+    * output. Output: (stratum, item, exact_cnt, n_shards, surfaced,
+    * est_in_bound).
+    */
+  def heavyHittersMerge(df: DataFrame, stratum: String, shard: Column,
+                        value: Column, thrDenom: Long = 200,
+                        maxTracked: Int = 1024): DataFrame = {
+    val vals = df.select(col(stratum).as("stratum"), shard.as("_shard"),
+        value.cast("string").as("item"))
+      .where(col("item").isNotNull)
+    val perShard = vals.groupBy("stratum", "_shard")
+      .agg(call_function("approx_top_k_accumulate", col("item"), lit(maxTracked)).as("_sk"))
+    val merged = perShard.groupBy("stratum")
+      .agg(count(lit(1)).as("n_shards"),
+        call_function("approx_top_k_combine", col("_sk"), lit(maxTracked)).as("_skm"))
+      .select(col("stratum"), col("n_shards"),
+        call_function("approx_top_k_estimate", col("_skm"), lit(maxTracked)).as("_top"))
+    val est = merged.select(col("stratum"), explode(col("_top")).as("e"))
+      .select(col("stratum"), col("e.item").as("item"), col("e.count").as("est"))
+    val exact = vals.groupBy("stratum", "item").agg(count(lit(1)).as("exact_cnt"))
+    val totals = exact.groupBy("stratum").agg(sum("exact_cnt").as("n_total"))
+    exact.join(broadcast(totals), Seq("stratum"))
+      .where(col("exact_cnt") * lit(thrDenom) >= col("n_total"))
+      .join(broadcast(merged.select("stratum", "n_shards")), Seq("stratum"))
+      .join(broadcast(est), Seq("stratum", "item"), "left")
+      .select(col("stratum"), col("item"), col("exact_cnt"), col("n_shards"),
+        col("est").isNotNull.as("surfaced"),
+        (col("est").isNotNull &&
+          abs(col("est") - col("exact_cnt")) * lit(2L * maxTracked) <= col("n_total") * lit(7L))
+          .as("est_in_bound"))
+  }
+
   /** Mergeable distinct-count sketches (DataSketches HLL), the
     * store-and-merge pattern a 100 TB pipeline runs on: build ONE small
     * sketch per (stratum, shard) — e.g. per (event_type, day) — which in

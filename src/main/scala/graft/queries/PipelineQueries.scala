@@ -934,6 +934,17 @@ object PipelineQueries {
               .as("cms_within_eps"))
       }),
 
+    "sk_heavy_merge" -> ((s, d) =>
+      // store-and-merge heavy hitters: one summary per (lang, source)
+      // — the persisted-shard pattern — merged per lang; a new source
+      // re-sketches only itself. Same exact+booleans certification as
+      // sk_heavy, per stratum.
+      graft.functions.Sketches.heavyHittersMerge(
+        Graft.documents(s, d)
+          .select(col("lang"), col("source"),
+            explode(TextFunctions.tokens(col("text"))).as("tok")),
+        "lang", col("source"), col("tok"))),
+
     "sk_heavy" -> ((s, d) =>
       // heavy hitters over corpus tokens (stopword/boilerplate
       // discovery, hot-key detection): the mergeable frequent-items
@@ -995,6 +1006,18 @@ object PipelineQueries {
               nn AS (SELECT CAST(sum(exact_cnt) AS BIGINT) AS tot FROM c)
          SELECT item, exact_cnt, TRUE AS surfaced, TRUE AS est_in_bound
          FROM c, nn WHERE exact_cnt * 200 >= tot""",
+    "sk_heavy_merge" ->
+      """WITH t AS (SELECT lang, source,
+                           unnest(list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0)) AS item
+                    FROM documents),
+              c AS (SELECT lang AS stratum, item, count(*) AS exact_cnt FROM t GROUP BY 1, 2),
+              nn AS (SELECT stratum, CAST(sum(exact_cnt) AS BIGINT) AS tot FROM c GROUP BY stratum),
+              sh AS (SELECT lang AS stratum, CAST(count(DISTINCT source) AS BIGINT) AS n_shards
+                     FROM t GROUP BY 1)
+         SELECT c.stratum, c.item, c.exact_cnt, sh.n_shards,
+                TRUE AS surfaced, TRUE AS est_in_bound
+         FROM c JOIN nn USING (stratum) JOIN sh USING (stratum)
+         WHERE c.exact_cnt * 200 >= nn.tot""",
     "sk_hll_merge" ->
       """SELECT event_type, count(DISTINCT epoch_us(ts) // 86400000000) AS n_shards,
                 count(DISTINCT user_id) AS n_exact, TRUE AS hll_ok

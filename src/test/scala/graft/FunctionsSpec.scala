@@ -910,6 +910,30 @@ class FunctionsSpec extends GraftTest {
     assert(run(df.repartition(13)) === got)
   }
 
+  test("heavyHittersMerge: shard-merged guarantees hold under eviction, correct shard counts") {
+    import spark.implicits._
+    // heavies SPREAD ACROSS SHARDS (no single shard sees the full
+    // count) + per-stratum distinct noise well past maxTracked = 256:
+    // the per-shard summaries evict, the combine must still recover
+    // every true per-stratum heavy hitter within the bound
+    val rows =
+      (0 until 400).map(i => ("g1", s"s${i % 4}", "hot_a")) ++
+      (0 until 3000).map(i => ("g1", s"s${i % 4}", s"na_$i")) ++
+      (0 until 300).map(i => ("g2", s"s${i % 3}", "hot_b")) ++
+      (0 until 2000).map(i => ("g2", s"s${i % 3}", s"nb_$i"))
+    val df = rows.toDF("g", "shard", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.functions.Sketches.heavyHittersMerge(d, "g", col("shard"), col("v"),
+          thrDenom = 50, maxTracked = 256)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4), r.getBoolean(5))).toSet
+    val got = run(df)
+    // θ = 1/50: g1 N = 3400 → θN = 68 (only hot_a); g2 N = 2300 → 46
+    assert(got === Set(("g1", "hot_a", 400L, 4L, true, true),
+                       ("g2", "hot_b", 300L, 3L, true, true)))
+    assert(run(df.repartition(11)) === got)
+  }
+
   test("hllMergeDistinct: shard-union == single-shot sketch, near exact") {
     import spark.implicits._
     val n = 5000L
