@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Frozen byte-pair-encoding model: `merges` in training order. */
+final case class BpeModel(merges: Seq[(String, String)])
+
+/** Learned BPE subword tokenization — the real version of the
+  * [[TextFunctions.subwordCount]] estimate: train a merge list on the
+  * corpus, then count true BPE subwords per document (the number that
+  * drives context budgeting, packing, and mixture token accounting).
+  *
+  * TRAINING is the freeze-the-model seam (the [[graft.ann.Ann.trainIvf]]
+  * recipe): word frequencies aggregate map-side, only the top
+  * `vocabCap` (word, count) rows reach the driver — frequency-truncated
+  * vocabulary training, the standard practice; the tail it drops
+  * contributes negligible pair mass — and the merge loop runs in
+  * memory. Deterministic end-to-end: the vocabulary cut is a total
+  * order (count desc, word asc), pair counting is exact integer
+  * arithmetic, and the best-pair tie-break is lexicographic — so a
+  * frozen model is replayable by an external oracle.
+  *
+  * APPLY is one codegen'd per-row expression chain with NO per-row
+  * model lookup: the document lowercases, delimiter runs collapse to
+  * `#`, every word char wraps as `<c>`, and each merge (a, b) is one
+  * literal `replace("<a><b>" -> "<ab>")`. String replace scans
+  * left-to-right non-overlapping — exactly BPE's greedy merge order —
+  * and word boundaries (`#`) can never match inside a pair, so merges
+  * cannot cross words. The same chain replays bit-for-bit in DuckDB
+  * (replace/regexp_replace semantics agree; the corpus ASCII guard
+  * covers the char class). Subword count = number of `<` markers left.
+  */
+object Bpe {
+
+  /** Greedy left-to-right merge of one pair inside a symbol sequence. */
+  private def mergePair(s: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += (a + b); i += 2 }
+      else { out += s(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  def train(docs: DataFrame, text: String, nMerges: Int = 64,
+            vocabCap: Int = 50000): BpeModel = {
+    val wc = docs
+      .select(explode(TextFunctions.tokens(col(text))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc) // total order → deterministic cut
+      .limit(vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(Array[String], Long)] =
+      wc.map { case (w, c) => (w.split("").filter(_.nonEmpty), c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < nMerges) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- words; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        pairCounts(k) = pairCounts.getOrElse(k, 0L) + c
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        // max count; ties → lexicographically smallest pair
+        val ((a, b), _) = pairCounts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+        merges += ((a, b))
+        words = words.map { case (syms, c) => (mergePair(syms, a, b), c) }
+      }
+    }
+    BpeModel(merges.toSeq)
+  }
+
+  /** The wrapped-char working form: delimiters → `#`, word char c →
+    * `<c>`. `<`, `>`, `#` are all non-word chars, so any occurrence in
+    * the source text is itself collapsed to `#` first — the markers can
+    * never collide with content.
+    */
+  private def wrapped(text: Column): Column =
+    regexp_replace(regexp_replace(lower(text), "\\W+", "#"), "(\\w)", "<$1>")
+
+  /** Apply the frozen merges; returns the merged working form. */
+  private def applied(text: Column, model: BpeModel): Column =
+    model.merges.foldLeft(wrapped(text)) { case (c, (a, b)) =>
+      replace(c, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+    }
+
+  /** True BPE subword count per document under the frozen model. */
+  def subwordCountBpe(text: Column, model: BpeModel): Column = {
+    val m = applied(text, model)
+    (length(m) - length(replace(m, lit("<"), lit("")))).cast("long")
+  }
+}

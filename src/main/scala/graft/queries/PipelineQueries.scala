@@ -346,6 +346,22 @@ object PipelineQueries {
         .limit(100)
         .select("doc_id", "lang")),
 
+    "txt_bpe" -> ((s, d) => {
+      // learned BPE subword counting — the real version of the
+      // subwordCount pre-tokenizer estimate: train 64 merges on the
+      // corpus (bounded, deterministic: top-vocabCap word frequencies
+      // reach the driver, lexicographic tie-breaks), then count true
+      // subwords per doc in ONE codegen'd replace-chain scan. The
+      // count that drives context budgeting and packing. Frozen model
+      // → full oracle (BpeOracleSql embeds the merges as literals).
+      val docs = Graft.documents(s, d)
+      val model = graft.functions.Bpe.train(docs, "text", nMerges = 64)
+      AnnOracleSql.register("txt_bpe", BpeOracleSql.subwordCount(model))
+      docs.select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).as("n_words"),
+        graft.functions.Bpe.subwordCountBpe(col("text"), model).as("n_subwords"))
+    }),
+
     "pp_delta" -> ((s, d) => {
       // corpus snapshot diff: yesterday = docs without the %10==3
       // slice, today = docs without the %10==7 slice and with every

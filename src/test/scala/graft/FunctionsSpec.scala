@@ -858,6 +858,37 @@ class FunctionsSpec extends GraftTest {
       s"sketch overlap estimate drifted out of bound: $out")
   }
 
+  test("Bpe: hand-checked merges on the classic fixture; greedy apply; layout-invariant") {
+    import spark.implicits._
+    // classic BPE example: 3 x low + lower + lowest
+    val docs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val model = graft.functions.Bpe.train(docs, "text", nMerges = 3)
+    // (l,o) ties (o,w) at 5 → lexicographic; then (lo,w) at 5; then (low,e) at 2
+    assert(model.merges === Seq(("l", "o"), ("lo", "w"), ("low", "e")))
+    // apply: low → 1 subword; lower → [lowe, r] = 2; lowest → [lowe, s, t] = 3
+    val counts = Seq((1L, "low"), (2L, "lower"), (3L, "lowest"), (4L, ""), (5L, "!!"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.Bpe.subwordCountBpe(col("text"), model).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 0L, 5L -> 0L))
+    // greedy left-to-right: "aaa" under merge (a,a) → [aa, a] = 2, not 1
+    val m2 = graft.functions.BpeModel(Seq(("a", "a")))
+    val aaa = Seq((1L, "aaa")).toDF("doc_id", "text")
+      .select(graft.functions.Bpe.subwordCountBpe(col("text"), m2)).collect()(0).getLong(0)
+    assert(aaa === 2L)
+    // merges never cross word boundaries
+    val ab = graft.functions.BpeModel(Seq(("a", "b")))
+    val sep = Seq((1L, "a b ab")).toDF("doc_id", "text")
+      .select(graft.functions.Bpe.subwordCountBpe(col("text"), ab)).collect()(0).getLong(0)
+    assert(sep === 3L, "a|b stay separate across the space; 'ab' merges to one")
+    // training is layout-invariant: same model from a repartitioned corpus
+    val corpus = Graft.documents(spark, sf)
+    val mA = graft.functions.Bpe.train(corpus, "text", nMerges = 16)
+    val mB = graft.functions.Bpe.train(corpus.repartition(7), "text", nMerges = 16)
+    assert(mA === mB)
+  }
+
   test("quantizeInt8: hand-checked codes, bounds, zero vector, high fidelity") {
     import spark.implicits._
     val df = Seq(
