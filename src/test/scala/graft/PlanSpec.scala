@@ -320,6 +320,19 @@ class PlanSpec extends GraftTest {
     }
   }
 
+  test("BPE apply is an exchange-free scan (training cost lives outside the plan)") {
+    // the frozen merges are plan literals; counting subwords must stay
+    // a pure per-row projection over one corpus scan — no shuffle, no
+    // per-row model lookup
+    val docs = Graft.documents(spark, sf)
+    val model = graft.functions.Bpe.train(docs, "text", nMerges = 16)
+    val df = docs.select(col("doc_id"),
+      graft.functions.Bpe.subwordCountBpe(col("text"), model).as("n_subwords"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "BPE apply must not shuffle:\n" + p.take(2000))
+    assert("FileScan".r.findAllIn(p).size === 1)
+  }
+
   test("dsirWeights: raw corpus is tokenized once — model consumers reuse the exchange") {
     // the raw gram scan (tokenize + bigram explode + hash) is the
     // dominant cost; the per-doc score and the bucket-count model both
