@@ -55,19 +55,24 @@ object Sketches {
   def heavyHitters(df: DataFrame, value: Column, thrDenom: Long = 200,
                    maxTracked: Int = 1024): DataFrame = {
     val vals = df.select(value.cast("string").as("item")).where(col("item").isNotNull)
+    // the one-row summary has exactly ONE consumer (the broadcast), and
+    // n_total derives from the already-aggregated exact side — the
+    // sketch-for-est + sketch-for-total split evaluated the sketch
+    // aggregate twice (3 corpus scans; this shape is 2, the minimum for
+    // a certification query that needs both sketch and truth)
     val sk = vals.agg(
-      call_function("approx_top_k", col("item"), lit(maxTracked), lit(maxTracked)).as("top"),
-      count(lit(1)).as("n_total"))
-    val est = sk.select(explode(col("top")).as("e"))
-      .select(col("e.item").as("item"), col("e.count").as("est"))
+      call_function("approx_top_k", col("item"), lit(maxTracked), lit(maxTracked)).as("top"))
     val exact = vals.groupBy("item").agg(count(lit(1)).as("exact_cnt"))
-    exact.join(broadcast(sk.select("n_total")))
+    val totals = exact.agg(sum("exact_cnt").as("n_total"))
+    val est = element_at(
+      filter(col("top"), e => e.getField("item") === col("item")), 1).getField("count")
+    exact.join(broadcast(totals))
       .where(col("exact_cnt") * lit(thrDenom) >= col("n_total"))
-      .join(broadcast(est), Seq("item"), "left")
+      .join(broadcast(sk))
       .select(col("item"), col("exact_cnt"),
-        col("est").isNotNull.as("surfaced"),
-        (col("est").isNotNull &&
-          abs(col("est") - col("exact_cnt")) * lit(2L * maxTracked) <= col("n_total") * lit(7L))
+        est.isNotNull.as("surfaced"),
+        (est.isNotNull &&
+          abs(est - col("exact_cnt")) * lit(2L * maxTracked) <= col("n_total") * lit(7L))
           .as("est_in_bound"))
   }
 
@@ -95,23 +100,26 @@ object Sketches {
       .where(col("item").isNotNull)
     val perShard = vals.groupBy("stratum", "_shard")
       .agg(call_function("approx_top_k_accumulate", col("item"), lit(maxTracked)).as("_sk"))
+    // one per-stratum row carrying BOTH the merged summary and the
+    // shard count — a single consumer (the broadcast), so the combine
+    // aggregate is evaluated once (splitting n_shards and estimates
+    // into separate frames re-evaluates it; see heavyHitters)
     val merged = perShard.groupBy("stratum")
       .agg(count(lit(1)).as("n_shards"),
         call_function("approx_top_k_combine", col("_sk"), lit(maxTracked)).as("_skm"))
       .select(col("stratum"), col("n_shards"),
         call_function("approx_top_k_estimate", col("_skm"), lit(maxTracked)).as("_top"))
-    val est = merged.select(col("stratum"), explode(col("_top")).as("e"))
-      .select(col("stratum"), col("e.item").as("item"), col("e.count").as("est"))
     val exact = vals.groupBy("stratum", "item").agg(count(lit(1)).as("exact_cnt"))
     val totals = exact.groupBy("stratum").agg(sum("exact_cnt").as("n_total"))
+    val est = element_at(
+      filter(col("_top"), e => e.getField("item") === col("item")), 1).getField("count")
     exact.join(broadcast(totals), Seq("stratum"))
       .where(col("exact_cnt") * lit(thrDenom) >= col("n_total"))
-      .join(broadcast(merged.select("stratum", "n_shards")), Seq("stratum"))
-      .join(broadcast(est), Seq("stratum", "item"), "left")
+      .join(broadcast(merged), Seq("stratum"))
       .select(col("stratum"), col("item"), col("exact_cnt"), col("n_shards"),
-        col("est").isNotNull.as("surfaced"),
-        (col("est").isNotNull &&
-          abs(col("est") - col("exact_cnt")) * lit(2L * maxTracked) <= col("n_total") * lit(7L))
+        est.isNotNull.as("surfaced"),
+        (est.isNotNull &&
+          abs(est - col("exact_cnt")) * lit(2L * maxTracked) <= col("n_total") * lit(7L))
           .as("est_in_bound"))
   }
 

@@ -320,6 +320,27 @@ class PlanSpec extends GraftTest {
     }
   }
 
+  test("heavy hitters: sketch aggregate evaluated once — two scans, the minimum") {
+    // certification needs both the sketch and the exact truth (2 scans);
+    // the summary must have ONE consumer (the broadcast row, estimates
+    // looked up by array filter) — routing n_total/n_shards through the
+    // sketch frame re-evaluated the sketch aggregate (3 scans)
+    val docs = Graft.documents(spark, sf)
+    for (df <- Seq(
+      graft.functions.Sketches.heavyHitters(
+        docs.select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok")),
+        col("tok")),
+      graft.functions.Sketches.heavyHittersMerge(
+        docs.select(col("lang"), col("source"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok")),
+        "lang", col("source"), col("tok")))) {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val scans = "FileScan".r.findAllIn(p).size
+      assert(scans === 2, s"expected 2 scans (sketch + exact), got $scans:\n${p.take(2000)}")
+    }
+  }
+
   test("BPE apply is an exchange-free scan (training cost lives outside the plan)") {
     // the frozen merges are plan literals; counting subwords must stay
     // a pure per-row projection over one corpus scan — no shuffle, no
