@@ -147,7 +147,9 @@ object Ann {
     * `threshold` the member with LOWER similarity to its centroid is
     * kept — the paper's keeper rule (retain the cluster's less
     * prototypical example), ties by lower id. Output: one row per input
-    * vector — (vec_id, cluster, keep).
+    * vector with a non-null embedding — (vec_id, cluster, keep); null
+    * vectors are excluded (they have no position to compare, and the
+    * oracle applies the same filter).
     *
     * This is the data-adaptive complement to [[cosinePairs]]: SRP
     * buckets are fixed hyperplane cells, k-means cells follow the

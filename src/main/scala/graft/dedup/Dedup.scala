@@ -96,16 +96,23 @@ object Dedup {
     * BEFORE the join — same ethos as [[incremental]]: the full-outer
     * join moves 24-byte rows, never text. One map-side-combined shuffle
     * per side on id; the join itself reuses that hash partitioning.
+    * Contract: `id` is a key within each snapshot (a duplicate id would
+    * fan out through the full-outer join) — run [[exact]] first if the
+    * snapshot is not keyed.
     */
   def snapshotDelta(oldDocs: DataFrame, newDocs: DataFrame, id: String,
                     text: String): DataFrame = {
-    val o = oldDocs.select(col(id).as("_id"), md5(col(text)).as("_oh"))
-    val n = newDocs.select(col(id).as("_id"), md5(col(text)).as("_nh"))
+    // presence is carried by explicit marker columns, NOT hash nullness:
+    // a present row with NULL text has a NULL md5, which would otherwise
+    // misread as "absent" (added/removed instead of changed/unchanged);
+    // content comparison is null-safe for the same reason
+    val o = oldDocs.select(col(id).as("_id"), md5(col(text)).as("_oh"), lit(true).as("_op"))
+    val n = newDocs.select(col(id).as("_id"), md5(col(text)).as("_nh"), lit(true).as("_np"))
     o.join(n, Seq("_id"), "full_outer")
       .select(col("_id").as(id),
-        when(col("_oh").isNull, lit("added"))
-          .when(col("_nh").isNull, lit("removed"))
-          .when(col("_oh") =!= col("_nh"), lit("changed"))
+        when(col("_op").isNull, lit("added"))
+          .when(col("_np").isNull, lit("removed"))
+          .when(!(col("_oh") <=> col("_nh")), lit("changed"))
           .as("status"))
       .where(col("status").isNotNull)
   }

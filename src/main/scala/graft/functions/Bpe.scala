@@ -30,6 +30,13 @@ final case class BpeModel(merges: Seq[(String, String)])
   * cannot cross words. The same chain replays bit-for-bit in DuckDB
   * (replace/regexp_replace semantics agree; the corpus ASCII guard
   * covers the char class). Subword count = number of `<` markers left.
+  *
+  * Intended regime: apply cost is O(nMerges × doc length) — right for
+  * the modest merge lists this trains (tens to hundreds; SCALE.md
+  * measures 64 merges at 6.4x per 100x data). A production 32k-merge
+  * tokenizer would instead compile the frozen vocab into a trie
+  * matcher (a custom Expression — the LinearScore kernel pattern);
+  * the training seam and the count contract stay the same.
   */
 object Bpe {
 

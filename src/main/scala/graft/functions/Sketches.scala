@@ -95,9 +95,14 @@ object Sketches {
   def heavyHittersMerge(df: DataFrame, stratum: String, shard: Column,
                         value: Column, thrDenom: Long = 200,
                         maxTracked: Int = 1024): DataFrame = {
+    // NULL strata are excluded EXPLICITLY: groupBy would keep a
+    // null-keyed group but the downstream equi-joins on "stratum" never
+    // match null keys, which would silently drop that group's heavy
+    // hitters — the same null-key rule as cmsEstimate, now a documented
+    // filter instead of a join artifact
     val vals = df.select(col(stratum).as("stratum"), shard.as("_shard"),
         value.cast("string").as("item"))
-      .where(col("item").isNotNull)
+      .where(col("item").isNotNull && col("stratum").isNotNull)
     val perShard = vals.groupBy("stratum", "_shard")
       .agg(call_function("approx_top_k_accumulate", col("item"), lit(maxTracked)).as("_sk"))
     // one per-stratum row carrying BOTH the merged summary and the

@@ -136,10 +136,14 @@ object AnnOracleSql {
       val cn = math.sqrt(c.map(x => x * x).sum)
       s"($i, ${arr(c)}, ${d(cn)})"
     }.mkString(",\n               ")
+    // maxCluster <= 0 is capBuckets' uncapped opt-out — the bsz filter
+    // must vanish, not drop everything
+    val capFilter = if (maxCluster > 0) s"WHERE bsz <= $maxCluster" else ""
     s"""WITH ${embCte(dim)},
           cent AS (SELECT * FROM (VALUES
                $cent) t(list, c, cn)),
-          n AS (SELECT vec_id, v, sqrt(${foldSum("list_transform(v, x -> x * x)")}) AS vn FROM e),
+          n AS (SELECT vec_id, v, sqrt(${foldSum("list_transform(v, x -> x * x)")}) AS vn
+                FROM e WHERE v IS NOT NULL),
           sc AS (SELECT vec_id, v, list,
                    CASE WHEN vn = 0 OR cn = 0 THEN CAST(0.0 AS DOUBLE)
                         ELSE ${foldSum(s"list_transform(generate_series(1, $dim), i -> v[i] * c[i])")} / (vn * cn)
@@ -150,7 +154,7 @@ object AnnOracleSql {
                   WHERE r = 1),
           capd AS (SELECT vec_id, v, cluster, cdot FROM
                      (SELECT *, count(*) OVER (PARTITION BY cluster) AS bsz FROM asg)
-                   WHERE bsz <= $maxCluster),
+                   $capFilter),
           drp AS (SELECT DISTINCT a.vec_id
                   FROM asg a JOIN capd u
                     ON u.cluster = a.cluster AND u.vec_id <> a.vec_id

@@ -1280,9 +1280,9 @@ object PipelineQueries {
          SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
                 CASE WHEN o.doc_id IS NULL THEN 'added'
                      WHEN n.doc_id IS NULL THEN 'removed'
-                     WHEN o.h <> n.h THEN 'changed' END AS status
+                     WHEN o.h IS DISTINCT FROM n.h THEN 'changed' END AS status
          FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
-         WHERE (o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h)""",
+         WHERE (o.doc_id IS NULL OR n.doc_id IS NULL OR o.h IS DISTINCT FROM n.h)""",
     "pp_dsir" -> DsirOracleSql.dsirWeights(buckets = 8192,
       targetPredicate = "lang = 'en'", topN = 100),
     "pp_topquality" ->

@@ -88,11 +88,18 @@ class DedupAnnSpec extends GraftTest {
 
   test("snapshotDelta classifies added/removed/changed and omits unchanged") {
     import spark.implicits._
-    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
-    val neu = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("doc_id", "text")
+    // rows 5/6 pin the NULL-text contract: presence comes from marker
+    // columns, not hash nullness — a present row with NULL text must
+    // read as changed (vs content) or unchanged (vs NULL), never as
+    // added/removed
+    val nul: String = null
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, nul), (6L, nul))
+      .toDF("doc_id", "text")
+    val neu = Seq((1L, "a"), (2L, "B"), (4L, "d"), (5L, "x"), (6L, nul))
+      .toDF("doc_id", "text")
     val got = Dedup.snapshotDelta(old, neu, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(got === Set((2L, "changed"), (3L, "removed"), (4L, "added")))
+    assert(got === Set((2L, "changed"), (3L, "removed"), (4L, "added"), (5L, "changed")))
   }
 
   test("semanticDedup equals brute-force within-cluster dominance (SemDeDup keeper rule)") {
