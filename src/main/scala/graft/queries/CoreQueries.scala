@@ -158,6 +158,21 @@ object CoreQueries {
       s.read.schema(docs.schema).orc(out)
     }),
 
+    "s_zorder" -> ((s, d) => {
+      // Z-ordered layout roundtrip: events written sorted along the
+      // (user_id, ts_us) Z-curve — every row group's footer stats form
+      // a tight 2D bounding box, so user+time box predicates skip most
+      // groups at scan (the lakehouse data-skipping layout for
+      // multi-dimensional filters; single-column sort helps only its
+      // own column). Content identity is the oracle; the bounding-box
+      // property is pinned in SourcesSpec.
+      val out = tmp("zorder")
+      val ev = Graft.events(s, d)
+        .select("event_id", "user_id", "ts_us", "event_type", "value")
+      Sources.writeZOrdered(ev, out, "user_id", "ts_us")
+      s.read.schema(ev.schema).parquet(out)
+    }),
+
     "s_jsonl" -> ((s, d) => {
       // JSONL (newline-delimited JSON) roundtrip — the standard corpus
       // interchange format for web-scale text datasets: write documents
@@ -207,6 +222,8 @@ object CoreQueries {
     "s10_ddl" ->
       "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey",
     "s_avro_roundtrip" -> "SELECT * FROM region",
+    "s_zorder" ->
+      "SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events",
     "s_orc" -> "SELECT * FROM documents",
     "s_jsonl" -> "SELECT * FROM documents")
 

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.types.StructType
@@ -121,6 +121,54 @@ object Sources {
     df.write.mode("overwrite")
       .partitionBy(partitionCol)
       .parquet(path)
+
+  /** Z-value of two numeric columns: each normalizes to a `bits`-bit
+    * rank inside its [min, max] span (the one-row bounds frame
+    * broadcasts), then the bits interleave — points close in BOTH
+    * dimensions get close z-values. Pure integer arithmetic, exact and
+    * engine-portable.
+    */
+  def zValue(a: Column, b: Column, aMin: Column, aMax: Column,
+             bMin: Column, bMax: Column, bits: Int = 16): Column = {
+    val top = (1L << bits) - 1
+    def norm(x: Column, lo: Column, hi: Column): Column =
+      when(hi === lo, lit(0L)).otherwise(
+        ((x.cast("double") - lo.cast("double")) * lit(top.toDouble) /
+          (hi.cast("double") - lo.cast("double"))).cast("long"))
+    val an = norm(a, aMin, aMax)
+    val bn = norm(b, bMin, bMax)
+    (0 until bits).map { i =>
+      shiftleft(shiftright(an, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(bn, i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+  }
+
+  /** Z-ORDERED layout: sort the table along the Z-curve of two columns
+    * before writing, so every parquet row group's min/max footer stats
+    * form a tight bounding box in BOTH dimensions — a 2D box predicate
+    * (user AND time range, key AND size band) then skips most row
+    * groups at scan time, where a single-column sort helps only its own
+    * column. The standard lakehouse data-skipping layout for multi-
+    * dimensional filters, as a plain two-pass parquet write: one
+    * bounds aggregation (one row, broadcast), then
+    * repartitionByRange(zval) + sortWithinPartitions(zval) — a RANGE
+    * exchange, parallel everywhere, never a single-reducer global sort.
+    * The z-value is layout metadata only; the written schema is the
+    * input schema.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    numFiles: Int = 8, bits: Int = 16): Unit = {
+    val bounds = df.agg(
+      min(col(colA)).as("_amin"), max(col(colA)).as("_amax"),
+      min(col(colB)).as("_bmin"), max(col(colB)).as("_bmax"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("_z", zValue(col(colA), col(colB),
+        col("_amin"), col("_amax"), col("_bmin"), col("_bmax"), bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_amin", "_amax", "_bmin", "_bmax", "_z")
+      .write.mode("overwrite").parquet(path)
+  }
 
   /** Streaming load generator (records/sec), shaped like the canonical
     * stream — for soak/load tests where the reference used inline

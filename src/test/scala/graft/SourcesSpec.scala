@@ -131,6 +131,32 @@ class SourcesSpec extends GraftTest {
     assert(a === b)
   }
 
+  test("z-ordered layout: per-file bounding boxes tight in BOTH dimensions; identity") {
+    import spark.implicits._
+    // 64x64 uniform grid → 16 z-range files should each cover ~1/4 of
+    // each dimension's span; a single-column sort would leave every
+    // file spanning the FULL other dimension — the property that makes
+    // 2D box predicates skip row groups under z-order and not under a
+    // linear sort
+    val grid = for { a <- 0 until 64; b <- 0 until 64 } yield (a.toLong * 64 + b, a.toLong, b.toLong)
+    val df = grid.toDF("id", "a", "b")
+    val dir = Files.createTempDirectory("graft-zorder").toFile.getAbsolutePath
+    Sources.writeZOrdered(df, dir, "a", "b", numFiles = 16)
+    val back = spark.read.schema(df.schema).parquet(dir)
+    // identity on content
+    assert(back.count() === 4096)
+    assert(back.except(df).count() === 0 && df.except(back).count() === 0)
+    // per-file spans: every file's box must be narrow in BOTH dims
+    val spans = back.groupBy(input_file_name().as("f"))
+      .agg((max("a") - min("a")).as("sa"), (max("b") - min("b")).as("sb"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(spans.length >= 8, s"expected multiple files, got ${spans.length}")
+    spans.foreach { case (sa, sb) =>
+      assert(sa <= 40 && sb <= 40,
+        s"z-file bounding box must be tight in both dims, got span ($sa, $sb) of 63")
+    }
+  }
+
   test("kafka source/sink builders pin their failure shape against this Spark version") {
     // The kafka transport is environment-blocked (no spark-sql-kafka jar,
     // zero egress — README carries the deployment runbook). This pin
