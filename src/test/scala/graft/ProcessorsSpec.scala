@@ -385,6 +385,55 @@ class ProcessorsSpec extends GraftTest {
     assert(read(1) === once)
   }
 
+  test("heavy-hitters sketch accumulates incrementally across micro-batches") {
+    import spark.implicits._
+    // the streaming-ingest shape for frequent items: each micro-batch
+    // accumulates ONE bounded summary (approx_top_k_accumulate inside
+    // foreachBatch in production; here the batch step directly), the
+    // summaries persist, and "who dominates so far" is a combine over
+    // the stored summaries — never a re-read of past batches. The
+    // combined answer must match a single-shot sketch over the union.
+    val batches = Seq(
+      Seq.fill(50)("hot") ++ (0 until 300).map(i => s"a_$i"),
+      Seq.fill(70)("hot") ++ (0 until 300).map(i => s"b_$i"),
+      Seq.fill(30)("hot") ++ Seq.fill(40)("warm") ++ (0 until 300).map(i => s"c_$i"))
+    val accs = batches.zipWithIndex.map { case (rows, i) =>
+      rows.toDF("v").agg(
+        call_function("approx_top_k_accumulate", col("v"), lit(64)).as("sk"),
+        count(lit(1)).as("n")).withColumn("batch", lit(i))
+    }
+    val stored = accs.reduce(_ union _) // stands in for the persisted per-batch summaries
+    val merged = stored.agg(
+        call_function("approx_top_k_combine", col("sk"), lit(64)).as("skm"),
+        sum("n").as("n_total"))
+      .select(explode(call_function("approx_top_k_estimate", col("skm"), lit(10))).as("e"))
+      .select(col("e.item"), col("e.count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact totals: hot = 150, warm = 40 over N = 1190. Per-batch
+    // eviction (300+ distinct vs 64-entry maps) shifts estimates by a
+    // bounded offset, so assert the sketch's actual contract: both
+    // heavies SURFACE, never undercount, and sit within the a-priori
+    // 3.5N/m envelope (~65 here)
+    val bound = 7L * 1190L / (2L * 64L)
+    def ok(m: Map[String, Long], item: String, exact: Long): Unit = {
+      assert(m.contains(item), s"$item must surface; got $m")
+      assert(m(item) >= exact && m(item) <= exact + bound,
+        s"$item estimate ${m(item)} outside [$exact, ${exact + bound}]")
+    }
+    ok(merged, "hot", 150L)
+    ok(merged, "warm", 40L)
+    // out-of-order arrival: combining the summaries in reverse order
+    // preserves the same guarantees (estimates may shift within the
+    // bound — merge order matters, the contract does not)
+    val rev = accs.reverse.reduce(_ union _).agg(
+        call_function("approx_top_k_combine", col("sk"), lit(64)).as("skm"))
+      .select(explode(call_function("approx_top_k_estimate", col("skm"), lit(10))).as("e"))
+      .select(col("e.item"), col("e.count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    ok(rev, "hot", 150L)
+    ok(rev, "warm", 40L)
+  }
+
   test("T5 graceful stop leaves the query inactive and session healthy") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
