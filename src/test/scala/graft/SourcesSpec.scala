@@ -131,6 +131,28 @@ class SourcesSpec extends GraftTest {
     assert(a === b)
   }
 
+  test("zValue: hand-checked bit interleave, degenerate span, negative ranges") {
+    import spark.implicits._
+    // bits=2: normalized ranks in [0,3]; z = interleave(a hi, b lo)
+    // hand-check: (a,b) rank pairs (0,0)->0, (3,3)->15, (3,0)->10, (0,3)->5
+    val df = Seq((0L, 0L), (3L, 3L), (3L, 0L), (0L, 3L)).toDF("a", "b")
+    val z = df.select(col("a"), col("b"),
+        Sources.zValue(col("a"), col("b"), lit(0L), lit(3L), lit(0L), lit(3L), bits = 2).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(z === Map((0L, 0L) -> 0L, (3L, 3L) -> 15L, (3L, 0L) -> 10L, (0L, 3L) -> 5L))
+    // degenerate span (min == max) normalizes to rank 0, never divides by zero
+    val zc = df.select(Sources.zValue(col("a"), col("b"), lit(2L), lit(2L), lit(0L), lit(3L), bits = 2))
+      .collect().map(_.getLong(0)).toSet
+    // a's bits live at odd positions (1, 3) — a collapsed a-span must
+    // leave them zero; b still contributes at even positions (0, 2)
+    assert(zc.forall(z => (z & 0xAL) === 0L), "collapsed dimension contributes 0 bits")
+    // negative ranges normalize like any other span
+    val zn = Seq((-10L, -10L), (10L, 10L)).toDF("a", "b")
+      .select(Sources.zValue(col("a"), col("b"), lit(-10L), lit(10L), lit(-10L), lit(10L), bits = 2))
+      .collect().map(_.getLong(0)).toSeq
+    assert(zn === Seq(0L, 15L))
+  }
+
   test("z-ordered layout: per-file bounding boxes tight in BOTH dimensions; identity") {
     import spark.implicits._
     // 64x64 uniform grid → 16 z-range files should each cover ~1/4 of
