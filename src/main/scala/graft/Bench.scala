@@ -24,7 +24,7 @@ object Bench {
     "d2_stream_to_table",
     "dd_exact", "dd_chunk", "dd_span", "dd_span_remove", "dd_incremental", "dd_minhash", "dd_minhash_incremental", "dd_simhash",
     "dd_ngram_jaccard", "dd_embedding", "dd_fuzzy", "dd_lsh_resolve",
-    "dd_embedding_resolve", "dd_semantic",
+    "dd_embedding_resolve", "dd_semantic", "dd_semantic_resolve",
     "ann_brute", "ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq",
     "txt_quality", "txt_langid", "txt_fingerprint", "txt_tfidf", "txt_repetition",
     "txt_unigram_lp", "txt_diversity", "txt_classifier", "txt_bpe",

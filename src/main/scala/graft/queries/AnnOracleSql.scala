@@ -164,6 +164,15 @@ object AnnOracleSql {
        FROM asg a LEFT JOIN drp dr ON dr.vec_id = a.vec_id"""
   }
 
+  /** Oracle for `dd_semantic_resolve`: the [[semanticDedup]] replay's
+    * keepers joined back to the corpus — the end-to-end removal form.
+    */
+  def semanticResolve(model: IvfModel, threshold: Double, maxCluster: Int): String = {
+    val base = semanticDedup(model, threshold, maxCluster)
+    s"""SELECT emb.vec_id, emb.label
+       FROM embeddings emb JOIN ($base) k ON k.vec_id = emb.vec_id AND k.keep"""
+  }
+
   /** Oracle for `ann_pq`: frozen sub-codebooks → unit-normalize → encode
     * (per-subspace argmin L2, reconstruction norm via the flattened
     * chosen-centroid fold — the UDF's exact element order) → per-query

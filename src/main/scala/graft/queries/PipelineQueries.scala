@@ -138,6 +138,21 @@ object PipelineQueries {
         model, maxCluster = 2000)
     }),
 
+    "dd_semantic_resolve" -> ((s, d) => {
+      // SemDeDup end-to-end: the keep decision applied — survivors with
+      // their labels, the removal form every other dedup family also
+      // ships (cf. dd_lsh_resolve / dd_embedding_resolve). Same frozen
+      // model and oracle machinery as dd_semantic.
+      val emb = Graft.embeddings(s, d)
+      val model = Ann.trainIvf(emb, "vec_id", "embedding", nLists = 16)
+      AnnOracleSql.register("dd_semantic_resolve",
+        AnnOracleSql.semanticResolve(model, threshold = 0.35, maxCluster = 2000))
+      val keep = Ann.semanticDedup(emb, "vec_id", "embedding", threshold = 0.35,
+          model, maxCluster = 2000)
+        .where(col("keep")).select("vec_id")
+      emb.select("vec_id", "label").join(keep, Seq("vec_id"), "left_semi")
+    }),
+
     "ann_incremental" -> ((s, d) => {
       // cross-corpus embedding near-dup (incremental ingestion): vec_id
       // % 10 == 0 stands in for the new batch; bucket-join only,
