@@ -35,6 +35,10 @@ object StageProbe {
     val factor = if (args.nonEmpty) args(0).toInt else 1
     val spark = Graft.session()
     var probeDir: Option[java.nio.file.Path] = None
+    // the replicated corpus must not survive a failed probe (disk
+    // exhaustion at large factors is precisely when arms throw) — same
+    // try/finally contract as ScaleCheck.runFactor
+    try {
     Graft.tableNames.foreach { t =>
       try Graft.table(spark, sfDir, t).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
@@ -97,6 +101,6 @@ object StageProbe {
     println(f"SP factor=$factor rename ${math.min(r1, r2)}%.3f s (runs $r1%.3f $r2%.3f)")
     println("SP n_edges " + aliasArm().count())
     spark.stop()
-    probeDir.foreach(deleteRecursively)
+    } finally probeDir.foreach(deleteRecursively)
   }
 }

@@ -75,8 +75,11 @@ object Windows {
     * [[sessionCount]] wins through ~100× corpus density, the
     * gaps-and-islands form wins ~13% from ~10⁵ events per key — so this
     * probes the maximum per-key event count (one slim count-per-key
-    * aggregation) and picks the form. `gap` and `gapUs` must denote the
-    * same duration (the two forms take different types).
+    * aggregation) and picks the form. The gap is given ONCE as the
+    * interval string both forms must agree on — the microsecond value
+    * the gaps form needs derives from it here (the earlier two-argument
+    * shape let a mismatched pair silently flip session semantics with
+    * data volume).
     *
     * The probe itself costs a corpus pass, so the dispatch pays off only
     * when that pass is cheap relative to the sessionization (wide rows,
@@ -85,8 +88,15 @@ object Windows {
     * directly — both stay primary API. Streaming always uses
     * [[sessionCount]] (the only streaming-capable form).
     */
-  def sessionCountAuto(df: DataFrame, tsUs: String, gap: String, gapUs: Long,
+  def sessionCountAuto(df: DataFrame, tsUs: String, gap: String,
                        keys: Column*): DataFrame = {
+    // the same parser session_window's duration string goes through;
+    // calendar months have no fixed microsecond length → refuse loudly
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(iv.months == 0,
+      s"sessionCountAuto: gap '$gap' uses calendar months — no fixed microsecond length")
+    val gapUs = iv.days * 86400000000L + iv.microseconds
     val gapsFrom = 100000L // measured crossover: ScaleCheck w2 A/B, ~13% win at 1000x density
     val probe = df.groupBy(keys: _*).count().agg(max("count")).collect()(0)
     val maxPerKey = if (probe.isNullAt(0)) 0L else probe.getLong(0)

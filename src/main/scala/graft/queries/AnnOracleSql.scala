@@ -180,18 +180,21 @@ object AnnOracleSql {
     */
   def pqTopK(model: PqModel, k: Int, refineK: Int): String = {
     val dim = model.bounds.last
-    val sub = dim / model.m
+    // per-subspace (lo, ln) come from the model's OWN bounds — trainPq
+    // uses floor-based slicing (s*dim/m), so slices are UNEQUAL whenever
+    // dim % m != 0; a fixed dim/m stride would replay wrong offsets
     val pq = (for {
       s <- model.books.indices
       c <- model.books(s).indices
-    } yield s"($s, $c, ${arr(model.books(s)(c))})").mkString(",\n               ")
+    } yield s"($s, $c, ${model.bounds(s)}, ${model.bounds(s + 1) - model.bounds(s)}, ${arr(model.books(s)(c))})")
+      .mkString(",\n               ")
     val cap = math.max(refineK, k)
     s"""WITH ${embCte(dim)},
           pq AS (SELECT * FROM (VALUES
-               $pq) t(s, c, ctr)),
+               $pq) t(s, c, lo, ln, ctr)),
           $unitCte,
           dist AS (SELECT u.vec_id, pq.s, pq.c, pq.ctr,
-                     ${foldSum(s"list_transform(generate_series(1, $sub), j -> (u[s * $sub + j] - ctr[j]) * (u[s * $sub + j] - ctr[j]))")} AS dd
+                     ${foldSum(s"list_transform(generate_series(1, pq.ln), j -> (u[pq.lo + j] - ctr[j]) * (u[pq.lo + j] - ctr[j]))")} AS dd
                    FROM u CROSS JOIN pq),
           code AS (SELECT vec_id, s, c, ctr FROM
                      (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd ASC, c ASC) AS r FROM dist)
@@ -200,7 +203,7 @@ object AnnOracleSql {
                     sqrt(${foldSum("list_transform(flatten(list(ctr ORDER BY s)), x -> x * x)")}) AS xnorm
                   FROM code GROUP BY vec_id),
           lut AS (SELECT q.vec_id AS query_id, pq.s, pq.c,
-                    ${foldSum(s"list_transform(generate_series(1, $sub), j -> uq[s * $sub + j] * ctr[j])")} AS dt
+                    ${foldSum(s"list_transform(generate_series(1, pq.ln), j -> uq[pq.lo + j] * ctr[j])")} AS dt
                   FROM (SELECT vec_id, u AS uq FROM u WHERE vec_id < 10) q CROSS JOIN pq),
           acc AS (SELECT l.query_id, cd.vec_id AS neighbor_id,
                     list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.dt ORDER BY cd.s)), (a, b) -> a + b) AS accv
@@ -261,19 +264,21 @@ object AnnOracleSql {
     */
   def ivfPqTopK(model: IvfPqModel, k: Int, nProbe: Int, refineK: Int): String = {
     val dim = model.bounds.last
-    val sub = dim / model.books.length
     val cent = model.centroids.zipWithIndex
       .map { case (c, i) => s"($i, ${arr(c)})" }.mkString(",\n               ")
+    // per-subspace (lo, ln) from the model's bounds — see pqTopK: slices
+    // are unequal whenever dim % m != 0
     val pq = (for {
       s <- model.books.indices
       c <- model.books(s).indices
-    } yield s"($s, $c, ${arr(model.books(s)(c))})").mkString(",\n               ")
+    } yield s"($s, $c, ${model.bounds(s)}, ${model.bounds(s + 1) - model.bounds(s)}, ${arr(model.books(s)(c))})")
+      .mkString(",\n               ")
     val cap = math.max(refineK, k)
     s"""WITH ${embCte(dim)},
           cent AS (SELECT * FROM (VALUES
                $cent) t(list, cl)),
           pq AS (SELECT * FROM (VALUES
-               $pq) t(s, c, ctr)),
+               $pq) t(s, c, lo, ln, ctr)),
           $unitCte,
           qd AS (SELECT vec_id, u, list, cl,
                    ${foldSum(s"list_transform(generate_series(1, $dim), i -> u[i] * cl[i])")} AS dt
@@ -282,7 +287,7 @@ object AnnOracleSql {
                     (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dt DESC, list ASC) AS r FROM qd)
                   WHERE r = 1),
           rdist AS (SELECT a.vec_id, pq.s, pq.c, pq.ctr,
-                      ${foldSum(s"list_transform(generate_series(1, $sub), j -> ((u[s * $sub + j] - cl[s * $sub + j]) - ctr[j]) * ((u[s * $sub + j] - cl[s * $sub + j]) - ctr[j]))")} AS dd
+                      ${foldSum(s"list_transform(generate_series(1, pq.ln), j -> ((u[pq.lo + j] - cl[pq.lo + j]) - ctr[j]) * ((u[pq.lo + j] - cl[pq.lo + j]) - ctr[j]))")} AS dd
                     FROM asg a CROSS JOIN pq),
           code AS (SELECT vec_id, s, c, ctr FROM
                      (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd ASC, c ASC) AS r FROM rdist)
@@ -296,7 +301,7 @@ object AnnOracleSql {
                      FROM qd WHERE vec_id < 10)
                   WHERE r <= $nProbe),
           lut AS (SELECT q.vec_id AS query_id, pq.s, pq.c,
-                    ${foldSum(s"list_transform(generate_series(1, $sub), j -> uq[s * $sub + j] * ctr[j])")} AS dt
+                    ${foldSum(s"list_transform(generate_series(1, pq.ln), j -> uq[pq.lo + j] * ctr[j])")} AS dt
                   FROM (SELECT vec_id, u AS uq FROM u WHERE vec_id < 10) q CROSS JOIN pq),
           pairs AS (SELECT p.query_id, en.vec_id AS neighbor_id, p.qdotc, en.xnorm
                     FROM prb p JOIN enc en USING (list)

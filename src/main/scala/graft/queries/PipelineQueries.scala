@@ -18,6 +18,20 @@ object PipelineQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The dd_ngram_jaccard composition, shared with the scale audit so
+    * the audited shape can never drift from the certified one (the
+    * Sketches precedent): capped (lang, n_chars/32) blocking →
+    * exact 3-gram Jaccard verify at 0.3.
+    */
+  def ngramJaccard(docs: DataFrame): DataFrame = {
+    val pairs = Dedup.blockedPairs(docs, "doc_id",
+      Seq("lang" -> col("lang"), "blk" -> (col("n_chars") / lit(32)).cast("int")),
+      maxBucket = 1000)
+    Dedup.verifyJaccard(pairs, docs, "doc_id", "text", ngram = 3)
+      .where(col("jaccard") >= 0.3)
+      .select("a", "b", "jaccard")
+  }
+
   val all: Map[String, Q] = Map(
     // ---- deduplication ----------------------------------------------------
     "dd_exact" -> ((s, d) =>
@@ -59,13 +73,7 @@ object PipelineQueries {
       // Block membership grows linearly with corpus size → the self-join
       // would be the suite's one quadratic plan; blockedPairs applies the
       // library's default-ON maxBucket guard (inert at oracle SFs).
-      val docs = Graft.documents(s, d)
-      val pairs = Dedup.blockedPairs(docs, "doc_id",
-        Seq("lang" -> col("lang"), "blk" -> (col("n_chars") / lit(32)).cast("int")),
-        maxBucket = 1000)
-      Dedup.verifyJaccard(pairs, docs, "doc_id", "text", ngram = 3)
-        .where(col("jaccard") >= 0.3)
-        .select("a", "b", "jaccard")
+      ngramJaccard(Graft.documents(s, d))
     }),
 
     "dd_chunk" -> ((s, d) =>

@@ -86,6 +86,28 @@ class DedupAnnSpec extends GraftTest {
     assert(hits.forall { case (b, c) => b >= 1000L && c < 1000L })
   }
 
+  test("ngram blocking cap is provably inert at both certified SFs") {
+    // dd_ngram_jaccard / dd_jaccard_verify ship CAPPED (blockedPairs
+    // maxBucket = 1000) while their DuckDB oracles replay the UNCAPPED
+    // full pairing — sound only while no block reaches the cap at the
+    // certified SFs. This pin turns a corpus regeneration that breaks
+    // that premise into a clear failure here instead of a confusing
+    // oracle hash mismatch at the driver.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = Graft.documents(spark, dir)
+      val maxBlk = docs
+        .groupBy(col("lang"), (col("n_chars") / lit(32)).cast("int"))
+        .count().agg(max("count")).collect()(0).getLong(0)
+      assert(maxBlk < 1000,
+        s"$dir: max (lang, n_chars/32) block $maxBlk reaches the cap — " +
+          "the uncapped oracles no longer certify the capped queries")
+      // dd_jaccard_verify's exact-length blocking is strictly finer
+      val maxExact = docs.groupBy(col("lang"), col("n_chars"))
+        .count().agg(max("count")).collect()(0).getLong(0)
+      assert(maxExact <= maxBlk)
+    }
+  }
+
   test("snapshotDelta classifies added/removed/changed and omits unchanged") {
     import spark.implicits._
     // rows 5/6 pin the NULL-text contract: presence comes from marker

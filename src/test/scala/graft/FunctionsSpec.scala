@@ -1033,13 +1033,13 @@ class FunctionsSpec extends GraftTest {
     def planOf(df: org.apache.spark.sql.DataFrame) = df.queryExecution.optimizedPlan.toString
     // sparse corpus (max events/key far below 1e5) → built-in session_window
     val sparse = Seq((1L, 0L), (1L, 5000000L), (2L, 0L)).toDF("user_id", "ts_us")
-    val viaSparse = Windows.sessionCountAuto(sparse, "ts_us", "10 seconds", 10000000L, col("user_id"))
+    val viaSparse = Windows.sessionCountAuto(sparse, "ts_us", "10 seconds", col("user_id"))
     assert(planOf(viaSparse).contains("session_window"),
       "sparse corpus must dispatch to the built-in merge form")
     // dense corpus (one key at the 1e5 crossover) → gaps-and-islands
     val dense = spark.range(100000)
       .select(lit(7L).as("user_id"), (col("id") * 1000L).as("ts_us"))
-    val viaDense = Windows.sessionCountAuto(dense, "ts_us", "10 seconds", 10000000L, col("user_id"))
+    val viaDense = Windows.sessionCountAuto(dense, "ts_us", "10 seconds", col("user_id"))
     assert(!planOf(viaDense).contains("session_window") && planOf(viaDense).contains("lag"),
       "dense corpus must dispatch to the gaps form")
     // both dispatch targets agree (the equality the A/B rests on)
