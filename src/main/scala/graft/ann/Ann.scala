@@ -1,9 +1,11 @@
 package graft.ann
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import graft.functions.{IvfAssign, IvfNearestLists, IvfPqAdc, IvfPqEncode, IvfPqLut, IvfPqProbes, PqAdc, PqEncode, PqLut}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Trained IVF coarse quantizer: `nLists` unit-norm centroids. Training
   * ([[Ann.trainIvf]]) is deterministic, so a frozen model is replayable
@@ -39,6 +41,16 @@ final case class IvfPqModel(centroids: Array[Array[Double]],
   *    is on bucket id; per-task state is one bucket — the 100 TB path.
   */
 object Ann {
+
+  /** Build a model-kernel expression over `v.cast("array<double>")` and
+    * wrap it as a Column — the construction path for the ANN quantizer
+    * kernels (graft.functions.AnnKernels), whose Broadcast model handle
+    * cannot ride the SQL function registry.
+    */
+  private def kernelCol(
+      build: org.apache.spark.sql.catalyst.expressions.Expression => org.apache.spark.sql.catalyst.expressions.Expression,
+      v: Column): Column =
+    ColumnBridge.column(build(ColumnBridge.expression(v.cast("array<double>"))))
 
   /** Exact top-k neighbors for each query row (excluding self-matches).
     * Output: query_id, neighbor_id, rank, cosine (rounded 6dp).
@@ -176,37 +188,18 @@ object Ann {
     val bcCent = spark.sparkContext.broadcast(
       model.centroids.map(c => (c, math.sqrt(c.map(x => x * x).sum))))
 
-    // vector → (argmax-cosine cluster, that cosine); ties to the lower
-    // cluster id — the exact ivfTopK assignment contract, plus the
-    // centroid similarity the keeper rule needs
-    val assign = udf { (v: Seq[Double]) =>
-      if (v == null) null
-      else {
-        val arr = v.toArray
-        val vn = math.sqrt(arr.map(x => x * x).sum)
-        val cents = bcCent.value
-        var best = 0; var bestS = Double.NegativeInfinity
-        var c = 0
-        while (c < cents.length) {
-          val (ctr, cn) = cents(c)
-          var dot = 0.0; var j = 0
-          while (j < arr.length && j < ctr.length) { dot += arr(j) * ctr(j); j += 1 }
-          val s = if (vn == 0.0 || cn == 0.0) 0.0 else dot / (vn * cn)
-          if (s > bestS) { bestS = s; best = c }
-          c += 1
-        }
-        (best, bestS)
-      }
-    }
-
     // one explicit cluster exchange BOTH pair-join sides hang off: the l
     // projection and the capped r projection keep the identical column
     // set, so column pruning cannot specialize the subtrees apart and
-    // ReuseExchange keeps the scan + assignment UDF single-run
+    // ReuseExchange keeps the scan + assignment kernel single-run.
+    // Assignment (argmax-cosine cluster + that cosine, ties to the lower
+    // cluster id — the exact ivfTopK contract) runs as the codegen'd
+    // graft.functions.IvfAssign kernel; AnnUdfWitness.ivfAssign is the
+    // retired UDF form, bit-equality pinned in AnnKernelSpec.
     val asg = corpus
       .select(col(id).as("vec_id"), col(vec).as("v"))
       .where(col("v").isNotNull)
-      .withColumn("_a", assign(col("v").cast("array<double>")))
+      .withColumn("_a", kernelCol(IvfAssign(_, bcCent), col("v")))
       .select(col("vec_id"), col("v"), col("_a._1").as("cluster"), col("_a._2").as("cdot"))
       .repartition(col("cluster"))
     val l = asg
@@ -298,7 +291,7 @@ object Ann {
       .select("_sv")
       .collect().map(_.getSeq[Double](0).toArray)
 
-  private def unitVec(v: Array[Double]): Array[Double] = {
+  private[ann] def unitVec(v: Array[Double]): Array[Double] = {
     val n = math.sqrt(v.map(x => x * x).sum)
     if (n == 0.0) v.clone() else v.map(_ / n)
   }
@@ -351,25 +344,16 @@ object Ann {
     val bcCent = corpus.sparkSession.sparkContext.broadcast(
       centroids.map(c => (c, math.sqrt(c.map(x => x * x).sum))))
 
-    // nearest-`n` centroid ids by cosine (ties broken by lower list id)
-    def nearestLists(n: Int) = udf { (v: Seq[Double]) =>
-      if (v == null) null
-      else {
-        val arr = v.toArray
-        val vn = math.sqrt(arr.map(x => x * x).sum)
-        bcCent.value.zipWithIndex.map { case ((c, cn), i) =>
-          var dot = 0.0
-          var j = 0
-          while (j < arr.length && j < c.length) { dot += arr(j) * c(j); j += 1 }
-          (if (vn == 0.0 || cn == 0.0) 0.0 else dot / (vn * cn), i)
-        }.sortBy { case (s, i) => (-s, i) }.take(n).map(_._2).toSeq
-      }
-    }
-
+    // nearest-`n` centroid ids by cosine (ties broken by lower list id):
+    // the codegen'd graft.functions.IvfNearestLists kernel — the
+    // assignment scan is IVF's corpus-dominant cost. The retired UDF form
+    // lives in AnnUdfWitness, bit-equality pinned in AnnKernelSpec.
     val assigned = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"))
-      .withColumn("list", nearestLists(1)(col("cv").cast("array<double>")).getItem(0))
+      .withColumn("list",
+        kernelCol(IvfNearestLists(_, bcCent, 1), col("cv")).getItem(0))
     val probed = queries.select(col(id).as("query_id"), col(vec).as("qv"))
-      .withColumn("list", explode(nearestLists(nProbe)(col("qv").cast("array<double>"))))
+      .withColumn("list",
+        explode(kernelCol(IvfNearestLists(_, bcCent, nProbe), col("qv"))))
 
     // every corpus vector lives in exactly ONE list and each query's
     // nProbe lists are distinct, so (query, neighbor) candidates are
@@ -488,88 +472,28 @@ object Ann {
     val kCent = model.kCent
     val bc = spark.sparkContext.broadcast((model.books, model.bounds))
 
-    // corpus row → (m codes, reconstruction norm); nearest sub-centroid by
-    // L2 over the unit-normalized vector, ties to the lower code
-    val encode = udf { (v: Seq[Double]) =>
-      if (v == null) null
-      else {
-        val (bks, bds) = bc.value
-        val u = {
-          val arr = v.toArray
-          val n = math.sqrt(arr.map(x => x * x).sum)
-          if (n == 0.0) arr else arr.map(_ / n)
-        }
-        var normSq = 0.0
-        val codes = new Array[Int](bks.length)
-        var s = 0
-        while (s < bks.length) {
-          val book = bks(s); val lo = bds(s); val hi = bds(s + 1)
-          var best = 0; var bestD = Double.PositiveInfinity
-          var c = 0
-          while (c < book.length) {
-            val ctr = book(c)
-            var d = 0.0; var j = lo
-            while (j < hi) { val t = u(j) - ctr(j - lo); d += t * t; j += 1 }
-            if (d < bestD) { bestD = d; best = c }
-            c += 1
-          }
-          codes(s) = best
-          val ctr = book(best)
-          var j = 0
-          while (j < ctr.length) { normSq += ctr(j) * ctr(j); j += 1 }
-          s += 1
-        }
-        (codes.toSeq, math.sqrt(normSq))
-      }
-    }
-
-    // query row → flattened m × 2^bits table of sub-dot-products
-    val lutUdf = udf { (v: Seq[Double]) =>
-      if (v == null) null
-      else {
-        val (bks, bds) = bc.value
-        val u = {
-          val arr = v.toArray
-          val n = math.sqrt(arr.map(x => x * x).sum)
-          if (n == 0.0) arr else arr.map(_ / n)
-        }
-        val lut = new Array[Double](bks.length * kCent)
-        var s = 0
-        while (s < bks.length) {
-          val book = bks(s); val lo = bds(s)
-          var c = 0
-          while (c < book.length) {
-            val ctr = book(c)
-            var dot = 0.0; var j = 0
-            while (j < ctr.length) { dot += u(lo + j) * ctr(j); j += 1 }
-            lut(s * kCent + c) = dot
-            c += 1
-          }
-          s += 1
-        }
-        lut.toSeq
-      }
-    }
-
-    // ADC: m lookups + one divide per candidate pair
-    val adc = udf { (codes: Seq[Int], xnorm: Double, lut: Seq[Double]) =>
-      var acc = 0.0
-      var s = 0
-      while (s < codes.length) { acc += lut(s * kCent + codes(s)); s += 1 }
-      if (xnorm == 0.0) 0.0 else acc / xnorm
-    }
-
+    // encode (corpus row → m codes + reconstruction norm; nearest
+    // sub-centroid by L2 over the unit-normalized vector, ties to the
+    // lower code), per-query LUT build, and ADC scoring all run as
+    // codegen'd kernels (graft.functions.{PqEncode, PqLut, PqAdc}) — the
+    // encode scan is PQ's dominant cost at corpus scale and the ADC is
+    // the per-candidate inner loop. Retired UDF forms: AnnUdfWitness,
+    // bit-equality pinned in AnnKernelSpec.
     val encoded = corpus
-      .select(col(id).as("neighbor_id"), encode(col(vec).cast("array<double>")).as("_e"))
+      .select(col(id).as("neighbor_id"),
+        kernelCol(PqEncode(_, bc), col(vec)).as("_e"))
       .where(col("_e").isNotNull)
       .select(col("neighbor_id"), col("_e._1").as("codes"), col("_e._2").as("xnorm"))
     val q = broadcast(queries
-      .select(col(id).as("query_id"), lutUdf(col(vec).cast("array<double>")).as("lut"))
+      .select(col(id).as("query_id"), kernelCol(PqLut(_, bc), col(vec)).as("lut"))
       .where(col("lut").isNotNull))
     val est = encoded.crossJoin(q) // broadcast nested loop over the small query set
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        adc(col("codes"), col("xnorm"), col("lut")).as("est"))
+        ColumnBridge.column(PqAdc(
+          ColumnBridge.expression(col("codes")),
+          ColumnBridge.expression(col("xnorm")),
+          ColumnBridge.expression(col("lut")), kCent)).as("est"))
     val wEst = Window.partitionBy("query_id").orderBy(col("est").desc, col("neighbor_id").asc)
     val cand = est.withColumn("_r", row_number().over(wEst))
       .where(col("_r") <= math.max(refineK, k))
@@ -620,7 +544,7 @@ object Ann {
   /** Argmax-dot list assignment (ties to the lower list id) — shared by
     * IVFADC training and encode.
     */
-  private def nearestList(cents: Array[Array[Double]], u: Array[Double]): Int = {
+  private[ann] def nearestList(cents: Array[Array[Double]], u: Array[Double]): Int = {
     var best = 0; var bestS = Double.NegativeInfinity
     var c = 0
     while (c < cents.length) {
@@ -667,98 +591,18 @@ object Ann {
                 k: Int, nProbe: Int, refineK: Int, model: IvfPqModel): DataFrame = {
     val spark = corpus.sparkSession
     val kCent = model.kCent
-    val centroids = model.centroids
-    val books = model.books
-    val bounds = model.bounds
-    val bc = spark.sparkContext.broadcast((centroids, books, bounds))
+    val bc = spark.sparkContext.broadcast((model.centroids, model.books, model.bounds))
 
-    // corpus row → (list, m codes, reconstruction norm): nearest
-    // sub-centroid by L2 over the residual, x̂ = c_list + ĉ(codes)
-    val encode = udf { (v: Seq[Double]) =>
-      if (v == null) null
-      else {
-        val (cents, bks, bds) = bc.value
-        val u = unitVec(v.toArray)
-        val lst = nearestList(cents, u)
-        val cl = cents(lst)
-        val recon = cl.clone()
-        val codes = new Array[Int](bks.length)
-        var s = 0
-        while (s < bks.length) {
-          val book = bks(s); val lo = bds(s); val hi = bds(s + 1)
-          var best = 0; var bestD = Double.PositiveInfinity
-          var c = 0
-          while (c < book.length) {
-            val ctr = book(c)
-            var d = 0.0; var j = lo
-            while (j < hi) { val t = (u(j) - cl(j)) - ctr(j - lo); d += t * t; j += 1 }
-            if (d < bestD) { bestD = d; best = c }
-            c += 1
-          }
-          codes(s) = best
-          val ctr = book(best)
-          var j = lo
-          while (j < hi) { recon(j) += ctr(j - lo); j += 1 }
-          s += 1
-        }
-        var normSq = 0.0
-        var j = 0
-        while (j < recon.length) { normSq += recon(j) * recon(j); j += 1 }
-        (lst, codes.toSeq, math.sqrt(normSq))
-      }
-    }
-
-    // query row → nProbe (list, dot(u_q, c_list)) probes, by descending
-    // centroid similarity (ties to the lower list id)
-    val probeUdf = udf { (v: Seq[Double]) =>
-      if (v == null) null
-      else {
-        val (cents, _, _) = bc.value
-        val u = unitVec(v.toArray)
-        cents.zipWithIndex.map { case (c, i) =>
-          var dot = 0.0; var j = 0
-          while (j < u.length && j < c.length) { dot += u(j) * c(j); j += 1 }
-          (dot, i)
-        }.sortBy { case (s, i) => (-s, i) }.take(nProbe)
-          .map { case (d, i) => (i, d) }.toSeq
-      }
-    }
-
-    // query row → residual LUT (list-independent: lut[s][c] = dot of the
-    // query's subspace slice with residual sub-centroid c)
-    val lutUdf = udf { (v: Seq[Double]) =>
-      if (v == null) null
-      else {
-        val (_, bks, bds) = bc.value
-        val u = unitVec(v.toArray)
-        val lut = new Array[Double](bks.length * kCent)
-        var s = 0
-        while (s < bks.length) {
-          val book = bks(s); val lo = bds(s)
-          var c = 0
-          while (c < book.length) {
-            val ctr = book(c)
-            var dot = 0.0; var j = 0
-            while (j < ctr.length) { dot += u(lo + j) * ctr(j); j += 1 }
-            lut(s * kCent + c) = dot
-            c += 1
-          }
-          s += 1
-        }
-        lut.toSeq
-      }
-    }
-
-    // ADC: cos-estimate = (dot(q, c_list) + Σ_s lut[s][code_s]) / ‖x̂‖
-    val adc = udf { (codes: Seq[Int], xnorm: Double, qdotc: Double, lut: Seq[Double]) =>
-      var acc = qdotc
-      var s = 0
-      while (s < codes.length) { acc += lut(s * kCent + codes(s)); s += 1 }
-      if (xnorm == 0.0) 0.0 else acc / xnorm
-    }
-
+    // encode (corpus row → list + m residual codes + reconstruction norm,
+    // x̂ = c_list + ĉ(codes)), probe selection (nProbe lists by descending
+    // centroid dot, ties to the lower list id), list-independent residual
+    // LUT, and ADC scoring all run as codegen'd kernels
+    // (graft.functions.{IvfPqEncode, IvfPqProbes, IvfPqLut, IvfPqAdc}) —
+    // the encode scan is IVFADC's dominant cost at corpus scale. Retired
+    // UDF forms: AnnUdfWitness, bit-equality pinned in AnnKernelSpec.
     val encoded = corpus
-      .select(col(id).as("neighbor_id"), encode(col(vec).cast("array<double>")).as("_e"))
+      .select(col(id).as("neighbor_id"),
+        kernelCol(IvfPqEncode(_, bc), col(vec)).as("_e"))
       .where(col("_e").isNotNull)
       .select(col("neighbor_id"), col("_e._1").as("list"),
         col("_e._2").as("codes"), col("_e._3").as("xnorm"))
@@ -769,12 +613,13 @@ object Ann {
     // and the one-row-per-query (query_id, lut) frame joins on AFTER it,
     // so each LUT crosses the wire once.
     val qProbes = queries
-      .select(col(id).as("query_id"), probeUdf(col(vec).cast("array<double>")).as("_p"))
+      .select(col(id).as("query_id"),
+        kernelCol(IvfPqProbes(_, bc, nProbe), col(vec)).as("_p"))
       .where(col("_p").isNotNull)
       .select(col("query_id"), explode(col("_p")).as("_pe"))
       .select(col("query_id"), col("_pe._1").as("list"), col("_pe._2").as("qdotc"))
     val qLut = queries
-      .select(col(id).as("query_id"), lutUdf(col(vec).cast("array<double>")).as("lut"))
+      .select(col(id).as("query_id"), kernelCol(IvfPqLut(_, bc), col(vec)).as("lut"))
       .where(col("lut").isNotNull)
     // candidates are unique without a distinct(): each corpus vector
     // lives in exactly ONE list and a query's probed lists are distinct
@@ -782,7 +627,11 @@ object Ann {
       .where(col("neighbor_id") =!= col("query_id"))
       .join(broadcast(qLut), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        adc(col("codes"), col("xnorm"), col("qdotc"), col("lut")).as("est"))
+        ColumnBridge.column(IvfPqAdc(
+          ColumnBridge.expression(col("codes")),
+          ColumnBridge.expression(col("xnorm")),
+          ColumnBridge.expression(col("qdotc")),
+          ColumnBridge.expression(col("lut")), kCent)).as("est"))
     val wEst = Window.partitionBy("query_id").orderBy(col("est").desc, col("neighbor_id").asc)
     val cand = est.withColumn("_r", row_number().over(wEst))
       .where(col("_r") <= math.max(refineK, k))
@@ -823,4 +672,217 @@ object Ann {
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
   }
+}
+
+/** The RETIRED Scala-UDF forms of the ANN quantizer hot loops, kept
+  * verbatim as equality witnesses: AnnKernelSpec proves each codegen'd
+  * kernel in graft.functions.AnnKernels matches its UDF twin bit-for-bit
+  * on the real embeddings table (same model broadcast, same rows). No
+  * query path uses these — [[Ann]] always builds the native kernels.
+  */
+private[graft] object AnnUdfWitness {
+  import org.apache.spark.broadcast.Broadcast
+  import org.apache.spark.sql.expressions.UserDefinedFunction
+  import org.apache.spark.sql.functions.udf
+
+  /** Witness for graft.functions.IvfAssign (SemDeDup assignment). */
+  def ivfAssign(bcCent: Broadcast[Array[(Array[Double], Double)]]): UserDefinedFunction =
+    udf { (v: Seq[Double]) =>
+      if (v == null) null
+      else {
+        val arr = v.toArray
+        val vn = math.sqrt(arr.map(x => x * x).sum)
+        val cents = bcCent.value
+        var best = 0; var bestS = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          val (ctr, cn) = cents(c)
+          var dot = 0.0; var j = 0
+          while (j < arr.length && j < ctr.length) { dot += arr(j) * ctr(j); j += 1 }
+          val s = if (vn == 0.0 || cn == 0.0) 0.0 else dot / (vn * cn)
+          if (s > bestS) { bestS = s; best = c }
+          c += 1
+        }
+        (best, bestS)
+      }
+    }
+
+  /** Witness for graft.functions.IvfNearestLists (IVF assignment/probes). */
+  def ivfNearestLists(bcCent: Broadcast[Array[(Array[Double], Double)]],
+                      n: Int): UserDefinedFunction =
+    udf { (v: Seq[Double]) =>
+      if (v == null) null
+      else {
+        val arr = v.toArray
+        val vn = math.sqrt(arr.map(x => x * x).sum)
+        bcCent.value.zipWithIndex.map { case ((c, cn), i) =>
+          var dot = 0.0
+          var j = 0
+          while (j < arr.length && j < c.length) { dot += arr(j) * c(j); j += 1 }
+          (if (vn == 0.0 || cn == 0.0) 0.0 else dot / (vn * cn), i)
+        }.sortBy { case (s, i) => (-s, i) }.take(n).map(_._2).toSeq
+      }
+    }
+
+  /** Witness for graft.functions.PqEncode. */
+  def pqEncode(bc: Broadcast[(Array[Array[Array[Double]]], Array[Int])]): UserDefinedFunction =
+    udf { (v: Seq[Double]) =>
+      if (v == null) null
+      else {
+        val (bks, bds) = bc.value
+        val u = {
+          val arr = v.toArray
+          val n = math.sqrt(arr.map(x => x * x).sum)
+          if (n == 0.0) arr else arr.map(_ / n)
+        }
+        var normSq = 0.0
+        val codes = new Array[Int](bks.length)
+        var s = 0
+        while (s < bks.length) {
+          val book = bks(s); val lo = bds(s); val hi = bds(s + 1)
+          var best = 0; var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < book.length) {
+            val ctr = book(c)
+            var d = 0.0; var j = lo
+            while (j < hi) { val t = u(j) - ctr(j - lo); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          codes(s) = best
+          val ctr = book(best)
+          var j = 0
+          while (j < ctr.length) { normSq += ctr(j) * ctr(j); j += 1 }
+          s += 1
+        }
+        (codes.toSeq, math.sqrt(normSq))
+      }
+    }
+
+  /** Witness for graft.functions.PqLut. */
+  def pqLut(bc: Broadcast[(Array[Array[Array[Double]]], Array[Int])],
+            kCent: Int): UserDefinedFunction =
+    udf { (v: Seq[Double]) =>
+      if (v == null) null
+      else {
+        val (bks, bds) = bc.value
+        val u = {
+          val arr = v.toArray
+          val n = math.sqrt(arr.map(x => x * x).sum)
+          if (n == 0.0) arr else arr.map(_ / n)
+        }
+        val lut = new Array[Double](bks.length * kCent)
+        var s = 0
+        while (s < bks.length) {
+          val book = bks(s); val lo = bds(s)
+          var c = 0
+          while (c < book.length) {
+            val ctr = book(c)
+            var dot = 0.0; var j = 0
+            while (j < ctr.length) { dot += u(lo + j) * ctr(j); j += 1 }
+            lut(s * kCent + c) = dot
+            c += 1
+          }
+          s += 1
+        }
+        lut.toSeq
+      }
+    }
+
+  /** Witness for graft.functions.PqAdc. */
+  def pqAdc(kCent: Int): UserDefinedFunction =
+    udf { (codes: Seq[Int], xnorm: Double, lut: Seq[Double]) =>
+      var acc = 0.0
+      var s = 0
+      while (s < codes.length) { acc += lut(s * kCent + codes(s)); s += 1 }
+      if (xnorm == 0.0) 0.0 else acc / xnorm
+    }
+
+  /** Witness for graft.functions.IvfPqEncode. */
+  def ivfPqEncode(bc: Broadcast[(Array[Array[Double]], Array[Array[Array[Double]]], Array[Int])]): UserDefinedFunction =
+    udf { (v: Seq[Double]) =>
+      if (v == null) null
+      else {
+        val (cents, bks, bds) = bc.value
+        val u = Ann.unitVec(v.toArray)
+        val lst = Ann.nearestList(cents, u)
+        val cl = cents(lst)
+        val recon = cl.clone()
+        val codes = new Array[Int](bks.length)
+        var s = 0
+        while (s < bks.length) {
+          val book = bks(s); val lo = bds(s); val hi = bds(s + 1)
+          var best = 0; var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < book.length) {
+            val ctr = book(c)
+            var d = 0.0; var j = lo
+            while (j < hi) { val t = (u(j) - cl(j)) - ctr(j - lo); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          codes(s) = best
+          val ctr = book(best)
+          var j = lo
+          while (j < hi) { recon(j) += ctr(j - lo); j += 1 }
+          s += 1
+        }
+        var normSq = 0.0
+        var j = 0
+        while (j < recon.length) { normSq += recon(j) * recon(j); j += 1 }
+        (lst, codes.toSeq, math.sqrt(normSq))
+      }
+    }
+
+  /** Witness for graft.functions.IvfPqProbes. */
+  def ivfPqProbes(bc: Broadcast[(Array[Array[Double]], Array[Array[Array[Double]]], Array[Int])],
+                  nProbe: Int): UserDefinedFunction =
+    udf { (v: Seq[Double]) =>
+      if (v == null) null
+      else {
+        val (cents, _, _) = bc.value
+        val u = Ann.unitVec(v.toArray)
+        cents.zipWithIndex.map { case (c, i) =>
+          var dot = 0.0; var j = 0
+          while (j < u.length && j < c.length) { dot += u(j) * c(j); j += 1 }
+          (dot, i)
+        }.sortBy { case (s, i) => (-s, i) }.take(nProbe)
+          .map { case (d, i) => (i, d) }.toSeq
+      }
+    }
+
+  /** Witness for graft.functions.IvfPqLut. */
+  def ivfPqLut(bc: Broadcast[(Array[Array[Double]], Array[Array[Array[Double]]], Array[Int])],
+               kCent: Int): UserDefinedFunction =
+    udf { (v: Seq[Double]) =>
+      if (v == null) null
+      else {
+        val (_, bks, bds) = bc.value
+        val u = Ann.unitVec(v.toArray)
+        val lut = new Array[Double](bks.length * kCent)
+        var s = 0
+        while (s < bks.length) {
+          val book = bks(s); val lo = bds(s)
+          var c = 0
+          while (c < book.length) {
+            val ctr = book(c)
+            var dot = 0.0; var j = 0
+            while (j < ctr.length) { dot += u(lo + j) * ctr(j); j += 1 }
+            lut(s * kCent + c) = dot
+            c += 1
+          }
+          s += 1
+        }
+        lut.toSeq
+      }
+    }
+
+  /** Witness for graft.functions.IvfPqAdc. */
+  def ivfPqAdc(kCent: Int): UserDefinedFunction =
+    udf { (codes: Seq[Int], xnorm: Double, qdotc: Double, lut: Seq[Double]) =>
+      var acc = qdotc
+      var s = 0
+      while (s < codes.length) { acc += lut(s * kCent + codes(s)); s += 1 }
+      if (xnorm == 0.0) 0.0 else acc / xnorm
+    }
 }

@@ -299,6 +299,24 @@ class PlanSpec extends GraftTest {
     }
   }
 
+  test("ANN quantizer hot loops run as native kernels — no Scala UDF in the plans") {
+    // the r11 port: IVF assignment, PQ/IVFADC encode, LUT build and ADC
+    // scoring are codegen'd Expressions (graft.functions.AnnKernels);
+    // a ScalaUDF reappearing on these scans would reintroduce the boxed
+    // Seq[Double] conversion on the corpus-dominant path
+    for ((q, kernels) <- Seq(
+      "ann_ivf" -> Seq("ivf_nearest_lists"),
+      "ann_pq" -> Seq("pq_encode", "pq_lut", "pq_adc"),
+      "ann_ivfpq" -> Seq("ivfpq_encode", "ivfpq_probes", "ivfpq_lut", "ivfpq_adc"),
+      "dd_semantic" -> Seq("ivf_assign"))) {
+      val p = plan(q)
+      kernels.foreach(kn => assert(p.contains(kn),
+        s"$q plan must carry native kernel $kn:\n${p.take(3000)}"))
+      assert(!p.contains("UDF("),
+        s"$q plan must not fall back to a Scala UDF:\n${p.take(3000)}")
+    }
+  }
+
   test("semanticDedup: both pair-join sides reuse one cluster exchange, single scan") {
     // the assignment scan (with its per-row centroid UDF) must run ONCE:
     // l and the capped r keep identical column sets so pruning cannot
