@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the BPE replace-CHAIN witness at 1024 merges is a ~1024-deep Column
+  // tree; Spark's per-node-recursive Column→Expression converter (and
+  // the optimizer walking it) needs more than the 1 MB default stack.
+  // Library code never builds such trees (the trie kernel is the
+  // production path) — this is for the witness tests and probes only.
+  "-Xss32m",
 )

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Targeted A/B for the r11 BPE trie-apply kernel (VERDICT r10 #2):
+  * subword counting under frozen merge lists of 64 / 256 / 1024 merges,
+  * timed as (a) the Aho–Corasick trie kernel
+  * (graft.functions.BpeSubwordCount — cost flat in nMerges) vs (b) the
+  * literal replace chain (graft.functions.Bpe.subwordCountChain — cost
+  * linear in nMerges), on the SAME replicated corpus from the same
+  * parquet. Models train once on the digit-enriched base corpus (the
+  * txt_bpe_big device) and are shared by both arms, so the measured
+  * curve is pure apply cost.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.BpeProbe [factor]
+  */
+object BpeProbe {
+
+  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(dir)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally walk.close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = if (args.nonEmpty) args(0).toInt else 20
+    val spark = Graft.session()
+    var probeDir: Option[java.nio.file.Path] = None
+    try {
+      val docs0 = Graft.documents(spark, sfDir)
+      val enrich = (df: DataFrame) => df.withColumn("btext",
+        concat(col("text"), lit(" "), col("doc_id").cast("string"), lit(" "),
+          ((col("doc_id") * lit(2654435761L)) % lit(1000000007L)).cast("string")))
+      val base = enrich(docs0)
+      val models = Seq(64, 256, 1024).map { n =>
+        n -> graft.functions.Bpe.train(base, "btext", nMerges = n, vocabCap = 2000)
+      }
+      models.foreach { case (n, m) => require(m.merges.length == n,
+        s"corpus pair capacity exhausted at ${m.merges.length} < $n merges") }
+
+      val dir = java.nio.file.Files.createTempDirectory("graft_bpe_probe")
+      probeDir = Some(dir)
+      val corpusPath = dir.resolve("corpus").toString
+      val off = 1000000000000L
+      enrich(docs0.crossJoin(broadcast(spark.range(factor.toLong).select(col("id").as("_r"))))
+          .select((col("doc_id") + col("_r") * off).as("doc_id"), col("text")))
+        .select("doc_id", "btext")
+        .repartition(64)
+        .write.mode("overwrite").parquet(corpusPath)
+      val corpus = spark.read.parquet(corpusPath)
+      println(s"BPEPROBE corpus rows=${corpus.count()} factor=$factor")
+
+      def time(tag: String)(df: => DataFrame): Double = {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          df.write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once() // warm
+        val t = math.min(once(), once())
+        println(f"BPEPROBE $tag%-18s ${t}%8.3f s")
+        t
+      }
+
+      val results = models.flatMap { case (n, m) =>
+        val k = time(s"kernel_$n")(corpus.select(
+          graft.functions.Bpe.subwordCountBpe(col("btext"), m).as("c")))
+        val c = time(s"chain_$n")(corpus.select(
+          graft.functions.Bpe.subwordCountChain(col("btext"), m).as("c")))
+        Seq((s"kernel_$n", k), (s"chain_$n", c))
+      }.toMap
+      println(f"BPEPROBE kernel flatness 1024/64 = ${results("kernel_1024") / results("kernel_64")}%5.2fx" +
+        f" (chain grows ${results("chain_1024") / results("chain_64")}%5.2fx)")
+      println(f"BPEPROBE speedup at 1024 merges = ${results("chain_1024") / results("kernel_1024")}%5.2fx")
+    } finally {
+      probeDir.foreach(deleteRecursively)
+      spark.stop()
+    }
+  }
+}

@@ -21,22 +21,29 @@ final case class BpeModel(merges: Seq[(String, String)])
   * arithmetic, and the best-pair tie-break is lexicographic — so a
   * frozen model is replayable by an external oracle.
   *
-  * APPLY is one codegen'd per-row expression chain with NO per-row
-  * model lookup: the document lowercases, delimiter runs collapse to
-  * `#`, every word char wraps as `<c>`, and each merge (a, b) is one
+  * APPLY (the default, [[subwordCountBpe]]) is the trie-compiled
+  * [[BpeSubwordCount]] kernel: an Aho–Corasick automaton over the merge
+  * concatenations finds each word's possible merges in one scan, then
+  * applies just those in merge-list order — O(doc length + matches),
+  * FLAT in the merge count, the production-size path (a 32k-merge
+  * tokenizer costs the same per byte as a 64-merge one).
+  *
+  * The SEMANTICS both the kernel and the DuckDB oracle implement is the
+  * wrapped replace chain ([[subwordCountChain]], kept as the kernel's
+  * equality witness): the document lowercases, delimiter runs collapse
+  * to `#`, every word char wraps as `<c>`, and each merge (a, b) is one
   * literal `replace("<a><b>" -> "<ab>")`. String replace scans
   * left-to-right non-overlapping — exactly BPE's greedy merge order —
   * and word boundaries (`#`) can never match inside a pair, so merges
-  * cannot cross words. The same chain replays bit-for-bit in DuckDB
+  * cannot cross words. The chain replays bit-for-bit in DuckDB
   * (replace/regexp_replace semantics agree; the corpus ASCII guard
-  * covers the char class). Subword count = number of `<` markers left.
-  *
-  * Intended regime: apply cost is O(nMerges × doc length) — right for
-  * the modest merge lists this trains (tens to hundreds; SCALE.md
-  * measures 64 merges at 6.4x per 100x data). A production 32k-merge
-  * tokenizer would instead compile the frozen vocab into a trie
-  * matcher (a custom Expression — the LinearScore kernel pattern);
-  * the training seam and the count contract stay the same.
+  * covers the char class — and [[train]] splits by code point, so a
+  * non-ASCII word could at worst train an inert merge, never a
+  * divergent one). Subword count = number of `<` markers left. The
+  * chain's apply cost is O(nMerges × doc length) — fine as a witness at
+  * tens-to-hundreds of merges, which is why the kernel is the default
+  * (BpeProbe measures the flat-vs-linear curve; FunctionsSpec pins
+  * kernel == chain).
   */
 object Bpe {
 
@@ -59,8 +66,15 @@ object Bpe {
       .orderBy(col("c").desc, col("w").asc) // total order → deterministic cut
       .limit(vocabCap)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    // split by CODE POINT, not UTF-16 unit: tokens() words are ASCII by
+    // construction (Java-regex \w), but if a caller feeds pre-tokenized
+    // non-ASCII text a supplementary char must stay one symbol — split("")
+    // would halve it into surrogates and train merges the apply side
+    // (which works in code points) could never match (ADVICE r10)
     var words: Array[(Array[String], Long)] =
-      wc.map { case (w, c) => (w.split("").filter(_.nonEmpty), c) }
+      wc.map { case (w, c) =>
+        (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))), c)
+      }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (!done && merges.length < nMerges) {
@@ -94,8 +108,20 @@ object Bpe {
       replace(c, lit(s"<$a><$b>"), lit(s"<$a$b>"))
     }
 
-  /** True BPE subword count per document under the frozen model. */
+  /** True BPE subword count per document under the frozen model — the
+    * trie kernel ([[BpeSubwordCount]]): flat in nMerges, the default.
+    */
   def subwordCountBpe(text: Column, model: BpeModel): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val bc = spark.sparkContext.broadcast(model.merges.toArray)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      BpeSubwordCount(org.apache.spark.sql.graft.ColumnBridge.expression(text), bc))
+  }
+
+  /** The literal replace-chain form — O(nMerges × len), kept as the
+    * kernel's equality witness and the oracle-side semantics reference.
+    */
+  def subwordCountChain(text: Column, model: BpeModel): Column = {
     val m = applied(text, model)
     (length(m) - length(replace(m, lit("<"), lit("")))).cast("long")
   }

@@ -385,6 +385,33 @@ object PipelineQueries {
         graft.functions.Bpe.subwordCountBpe(col("text"), model).as("n_subwords"))
     }),
 
+    "txt_bpe_big" -> ((s, d) => {
+      // production-size merge list: 1024 merges through the trie-apply
+      // kernel (BpeSubwordCount) — apply cost flat in nMerges, which is
+      // the point (the replace chain would pay 16x the txt_bpe scans;
+      // BpeProbe measures the curve). The synthetic corpus's 31-word
+      // vocabulary exhausts its pair structure at ~89 merges, so the
+      // training/apply text appends the doc-id digit string — the
+      // deterministic stand-in for the long-tail token diversity a real
+      // corpus has, giving digit-sequence merges real work at every
+      // rank (id + a portable pseudo-hash digit token per doc: measured
+      // pair capacity ≥ 1300 at the smallest SF). vocabCap 2000 bounds
+      // the training draw; the oracle is the same frozen-model chain
+      // replay over the same enriched text, CTE-blocked so DuckDB's
+      // max_expression_depth (1000) never sees 1024 nested replaces.
+      val docs = Graft.documents(s, d)
+      val enriched = docs.withColumn("btext",
+        concat(col("text"), lit(" "), col("doc_id").cast("string"), lit(" "),
+          ((col("doc_id") * lit(2654435761L)) % lit(1000000007L)).cast("string")))
+      val model = graft.functions.Bpe.train(enriched, "btext",
+        nMerges = 1024, vocabCap = 2000)
+      AnnOracleSql.register("txt_bpe_big", BpeOracleSql.subwordCount(model,
+        includeWords = false, textSql = "text || ' ' || CAST(doc_id AS VARCHAR)" +
+          " || ' ' || CAST((doc_id * 2654435761) % 1000000007 AS VARCHAR)"))
+      enriched.select(col("doc_id"),
+        graft.functions.Bpe.subwordCountBpe(col("btext"), model).as("n_subwords"))
+    }),
+
     "pp_delta" -> ((s, d) => {
       // corpus snapshot diff: yesterday = docs without the %10==3
       // slice, today = docs without the %10==7 slice and with every

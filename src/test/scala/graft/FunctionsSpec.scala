@@ -889,6 +889,50 @@ class FunctionsSpec extends GraftTest {
     assert(mA === mB)
   }
 
+  test("Bpe trie kernel == replace chain on the real corpus, 64 and 1024 merges") {
+    val corpus = Graft.documents(spark, sf)
+    def mismatches(m: graft.functions.BpeModel) = corpus.select(
+        graft.functions.Bpe.subwordCountBpe(col("text"), m).as("k"),
+        graft.functions.Bpe.subwordCountChain(col("text"), m).as("c"))
+      .where(col("k") =!= col("c")).count()
+    val m64 = graft.functions.Bpe.train(corpus, "text", nMerges = 64)
+    assert(mismatches(m64) === 0L, "kernel diverged from chain at 64 merges")
+    // production size: the regime the trie kernel exists for — trained
+    // on the digit-enriched text (txt_bpe_big's device: the 31-word
+    // synthetic vocabulary exhausts at ~89 merges, doc-id digit strings
+    // supply the long tail)
+    val enriched = corpus.withColumn("btext",
+      concat(col("text"), lit(" "), col("doc_id").cast("string"), lit(" "),
+        ((col("doc_id") * lit(2654435761L)) % lit(1000000007L)).cast("string")))
+    val m1k = graft.functions.Bpe.train(enriched, "btext", nMerges = 1024, vocabCap = 2000)
+    assert(m1k.merges.length === 1024,
+      s"enriched corpus must support 1024 real merges, got ${m1k.merges.length}")
+    val mism1k = enriched.select(
+        graft.functions.Bpe.subwordCountBpe(col("btext"), m1k).as("k"),
+        graft.functions.Bpe.subwordCountChain(col("btext"), m1k).as("c"))
+      .where(col("k") =!= col("c")).count()
+    assert(mism1k === 0L, "kernel diverged from chain at 1024 merges")
+  }
+
+  test("Bpe trie kernel == chain for ARBITRARY merge lists (no training invariant)") {
+    import spark.implicits._
+    // adversarial list a trainer can't produce: "abc" reachable both as
+    // ("a","bc") [rank 1] and ("ab","c") [rank 3], with ("x","abc")
+    // in between — a min-rank-iterating applier would fire ("x","abc")
+    // after the rank-3 merge creates a second "abc"; the chain (and the
+    // kernel, which applies candidates in list order) must not
+    val tricky = graft.functions.BpeModel(
+      Seq(("b", "c"), ("a", "bc"), ("x", "abc"), ("a", "b"), ("ab", "c")))
+    val docs = Seq((1L, "xabc abc ab xab c abcabc"), (2L, "xxabc bcbc a"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = docs.select(
+        graft.functions.Bpe.subwordCountBpe(col("text"), tricky).as("k"),
+        graft.functions.Bpe.subwordCountChain(col("text"), tricky).as("c"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1),
+      s"kernel ${r.getLong(0)} != chain ${r.getLong(1)}"))
+  }
+
   test("quantizeInt8: hand-checked codes, bounds, zero vector, high fidelity") {
     import spark.implicits._
     val df = Seq(
