@@ -98,7 +98,11 @@ object Dedup {
     * per side on id; the join itself reuses that hash partitioning.
     * Contract: `id` is a key within each snapshot (a duplicate id would
     * fan out through the full-outer join) — run [[exact]] first if the
-    * snapshot is not keyed.
+    * snapshot is not keyed. The contract is CERTIFIED, not assumed
+    * (ADVICE r10): each side carries a per-id count window that rides
+    * the hash exchange the full-outer join needs anyway, and a
+    * duplicate id fails the job loudly via `assert_true` instead of
+    * producing silently inflated delta rows.
     */
   def snapshotDelta(oldDocs: DataFrame, newDocs: DataFrame, id: String,
                     text: String): DataFrame = {
@@ -106,8 +110,17 @@ object Dedup {
     // a present row with NULL text has a NULL md5, which would otherwise
     // misread as "absent" (added/removed instead of changed/unchanged);
     // content comparison is null-safe for the same reason
-    val o = oldDocs.select(col(id).as("_id"), md5(col(text)).as("_oh"), lit(true).as("_op"))
-    val n = newDocs.select(col(id).as("_id"), md5(col(text)).as("_nh"), lit(true).as("_np"))
+    def keyed(df: DataFrame, side: String, h: String, p: String) = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("_id")
+      df.select(col(id).as("_id"), md5(col(text)).as(h), lit(true).as(p))
+        .withColumn("_k", count(lit(1)).over(w))
+        .where(assert_true(col("_k") === 1,
+          lit(s"snapshotDelta: duplicate id in the $side snapshot — " +
+            "the id must be a key; run exact() first")).isNull)
+        .drop("_k")
+    }
+    val o = keyed(oldDocs, "old", "_oh", "_op")
+    val n = keyed(newDocs, "new", "_nh", "_np")
     o.join(n, Seq("_id"), "full_outer")
       .select(col("_id").as(id),
         when(col("_op").isNull, lit("added"))

@@ -54,6 +54,13 @@ object Sketches {
     */
   def heavyHitters(df: DataFrame, value: Column, thrDenom: Long = 200,
                    maxTracked: Int = 1024): DataFrame = {
+    // the surfaced/est_in_bound guarantees are only a-priori TRUE when
+    // the sketch error 3.5/maxTracked sits below the threshold
+    // 1/thrDenom; a mis-sized call must fail here, not as a confusing
+    // legitimately-false boolean at oracle-compare time (ADVICE r10)
+    require(3.5 * thrDenom < maxTracked,
+      s"heavyHitters: guarantees need 3.5*thrDenom < maxTracked " +
+        s"(got thrDenom=$thrDenom, maxTracked=$maxTracked) — raise maxTracked")
     val vals = df.select(value.cast("string").as("item")).where(col("item").isNotNull)
     // the one-row summary has exactly ONE consumer (the broadcast), and
     // n_total derives from the already-aggregated exact side — the
@@ -95,6 +102,10 @@ object Sketches {
   def heavyHittersMerge(df: DataFrame, stratum: String, shard: Column,
                         value: Column, thrDenom: Long = 200,
                         maxTracked: Int = 1024): DataFrame = {
+    // same sizing rule as heavyHitters: fail loudly at construction
+    require(3.5 * thrDenom < maxTracked,
+      s"heavyHittersMerge: guarantees need 3.5*thrDenom < maxTracked " +
+        s"(got thrDenom=$thrDenom, maxTracked=$maxTracked) — raise maxTracked")
     // NULL strata are excluded EXPLICITLY: groupBy would keep a
     // null-keyed group but the downstream equi-joins on "stratum" never
     // match null keys, which would silently drop that group's heavy

@@ -429,7 +429,13 @@ object TextFunctions {
     val perDoc = rtf.join(broadcast(lam), Seq("bkt"))
       .groupBy("doc")
       .agg(sum("tf").as("n_grams"), sum(col("tf") * col("lam_micro")).as("_s"))
-    raw.select(col(id).as("doc"))
+    // the same null-id filter gramBuckets applies: a null-id raw row
+    // must not surface as a (null, 0, n·const) output row the keyed
+    // oracle never produces (ADVICE r10) — and the matching filter keeps
+    // the inferred-isnotnull symmetry the ReuseExchange note above
+    // relies on
+    raw.where(col(id).isNotNull)
+      .select(col(id).as("doc"))
       .join(perDoc, Seq("doc"), "left")
       .crossJoin(broadcast(denom))
       .select(col("doc"),

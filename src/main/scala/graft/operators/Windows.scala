@@ -81,15 +81,27 @@ object Windows {
     * shape let a mismatched pair silently flip session semantics with
     * data volume).
     *
-    * The probe itself costs a corpus pass, so the dispatch pays off only
-    * when that pass is cheap relative to the sessionization (wide rows,
-    * cached input) or the choice is reused across runs; for a one-shot
-    * query on a corpus whose density is KNOWN, call the explicit form
-    * directly — both stay primary API. Streaming always uses
-    * [[sessionCount]] (the only streaming-capable form).
+    * The probe is a PLANNING-TIME aid, priced accordingly: one
+    * map-side-combined count shuffle over the pruned key columns —
+    * sublinear in bytes (keys only, never the payload) but still a
+    * corpus pass, so it pays off when that pass is cheap relative to
+    * the sessionization (wide rows, cached input) or when the choice is
+    * amortized across runs. To amortize explicitly, pass the known
+    * density via `maxPerKeyHint` (e.g. from a cached
+    * [[graft.operators.Profiling]] run) and the probe is skipped
+    * entirely; for a one-shot query on a corpus whose density is KNOWN,
+    * call the explicit form directly — both stay primary API. Streaming
+    * always uses [[sessionCount]] (the only streaming-capable form).
     */
   def sessionCountAuto(df: DataFrame, tsUs: String, gap: String,
-                       keys: Column*): DataFrame = {
+                       keys: Column*): DataFrame =
+    sessionCountAuto(df, tsUs, gap, None, keys: _*)
+
+  /** [[sessionCountAuto]] with the probe amortized away: `maxPerKeyHint`
+    * (when given) stands in for the probed maximum per-key event count.
+    */
+  def sessionCountAuto(df: DataFrame, tsUs: String, gap: String,
+                       maxPerKeyHint: Option[Long], keys: Column*): DataFrame = {
     // the same parser session_window's duration string goes through;
     // calendar months have no fixed microsecond length → refuse loudly
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
@@ -98,8 +110,10 @@ object Windows {
       s"sessionCountAuto: gap '$gap' uses calendar months — no fixed microsecond length")
     val gapUs = iv.days * 86400000000L + iv.microseconds
     val gapsFrom = 100000L // measured crossover: ScaleCheck w2 A/B, ~13% win at 1000x density
-    val probe = df.groupBy(keys: _*).count().agg(max("count")).collect()(0)
-    val maxPerKey = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+    val maxPerKey = maxPerKeyHint.getOrElse {
+      val probe = df.groupBy(keys: _*).count().agg(max("count")).collect()(0)
+      if (probe.isNullAt(0)) 0L else probe.getLong(0)
+    }
     if (maxPerKey >= gapsFrom) sessionCountGaps(df, tsUs, gapUs, keys: _*)
     else sessionCount(df, tsUs, gap, keys: _*)
   }

@@ -933,6 +933,47 @@ class FunctionsSpec extends GraftTest {
       s"kernel ${r.getLong(0)} != chain ${r.getLong(1)}"))
   }
 
+  test("r11 guards: sketch sizing, snapshotDelta keyed contract, dsir null ids, auto-session hint") {
+    import spark.implicits._
+    // mis-sized heavy-hitter sketch fails at construction (the
+    // surfaced/est_in_bound guarantees would be legitimately false)
+    intercept[IllegalArgumentException] {
+      graft.functions.Sketches.heavyHitters(Seq("x").toDF("v"), col("v"),
+        thrDenom = 500, maxTracked = 1024)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.Sketches.heavyHittersMerge(Seq(("g", "s", "x")).toDF("g", "s", "v"),
+        "g", col("s"), col("v"), thrDenom = 500, maxTracked = 1024)
+    }
+    // a duplicate id in a snapshot fails loudly instead of fanning out
+    // inflated delta rows through the full-outer join
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("doc_id", "text")
+    val ok = Seq((1L, "a")).toDF("doc_id", "text")
+    val ex = intercept[Throwable] {
+      graft.dedup.Dedup.snapshotDelta(dup, ok, "doc_id", "text").collect()
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("duplicate id")), msgs(ex).mkString(" | "))
+    // keyed snapshots still work
+    assert(graft.dedup.Dedup.snapshotDelta(ok, Seq((1L, "b")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().map(_.getString(1)).toSeq === Seq("changed"))
+    // a null-id raw row must not produce a (null, 0, n*const) output row
+    val rawN = Seq((Option(1L), "the cat"), (Option.empty[Long], "ghost doc"))
+      .toDF("doc_id", "text")
+    val tgt = Seq((100L, "the cat")).toDF("doc_id", "text")
+    val outN = TextFunctions.dsirWeights(rawN, tgt, "doc_id", "text")
+    assert(outN.where(col("doc").isNull).count() === 0L)
+    assert(outN.count() === 1L)
+    // the density hint skips the probe and dispatches identically
+    val ev = Seq((1000000L, "k"), (2000000L, "k")).toDF("ts_us", "key")
+    val a = graft.operators.Windows
+      .sessionCountAuto(ev, "ts_us", "10 seconds", Some(5L), col("key")).collect()
+    val b = graft.operators.Windows
+      .sessionCountAuto(ev, "ts_us", "10 seconds", col("key")).collect()
+    assert(a === b)
+  }
+
   test("quantizeInt8: hand-checked codes, bounds, zero vector, high fidelity") {
     import spark.implicits._
     val df = Seq(

@@ -299,6 +299,19 @@ class PlanSpec extends GraftTest {
     }
   }
 
+  test("sk_bloom_prune builds and probes the bloom entirely in-plan") {
+    // r11: BloomFilterAggregate as a scalar subquery + codegen'd
+    // might_contain — ONE job; the retired stat.bloomFilter form ran a
+    // separate driver-side build action and probed through a boxed UDF
+    val p = plan("sk_bloom_prune")
+    assert(p.contains("bloom_filter_agg") || p.contains("BloomFilterAggregate"),
+      "bloom must build as an in-plan aggregate:\n" + p.take(3000))
+    assert(p.contains("might_contain"),
+      "probe must be the native might_contain predicate:\n" + p.take(3000))
+    assert(!p.contains("UDF("),
+      "no wrapper UDF on the probe path:\n" + p.take(3000))
+  }
+
   test("ANN quantizer hot loops run as native kernels — no Scala UDF in the plans") {
     // the r11 port: IVF assignment, PQ/IVFADC encode, LUT build and ADC
     // scoring are codegen'd Expressions (graft.functions.AnnKernels);
