@@ -933,6 +933,61 @@ class FunctionsSpec extends GraftTest {
       s"kernel ${r.getLong(0)} != chain ${r.getLong(1)}"))
   }
 
+  test("Codec: golden BMP/WAV headers, round trips, chunk walk, malformed-input safety") {
+    import graft.multimodal.Multimodal.Codec
+    // golden BMP 2x1 @24bpp: row = 6 bytes + 2 pad; 54-byte header
+    val b = Codec.bmp(2, 1, i => i.toByte)
+    assert(b.length === 62)
+    assert(b(0) === 'B'.toByte && b(1) === 'M'.toByte)
+    assert((b(2) & 0xff) === 62 && b(3) === 0) // file size LE
+    assert((b(10) & 0xff) === 54)              // pixel offset
+    assert((b(14) & 0xff) === 40)              // biSize
+    assert((b(18) & 0xff) === 2 && (b(22) & 0xff) === 1) // width, height
+    assert((b(26) & 0xff) === 1 && (b(28) & 0xff) === 24) // planes, bpp
+    assert((b(30) & 0xff) === 0)               // BI_RGB
+    assert(Codec.decodeBmp(b) === Some(Codec.BmpInfo(2, 1, 24)))
+    // golden WAV: 8 kHz mono 16-bit, 4 data bytes = 2 samples
+    val w = Codec.wav(8000, 1, 16, Array[Byte](1, 2, 3, 4))
+    assert(w.length === 48)
+    assert(new String(w, 0, 4, "US-ASCII") === "RIFF")
+    assert((w(4) & 0xff) === 40)               // riff size = 36 + 4
+    assert(new String(w, 8, 4, "US-ASCII") === "WAVE")
+    assert((w(20) & 0xff) === 1)               // PCM
+    assert((w(24) & 0xff) === 0x40 && (w(25) & 0xff) === 0x1f) // 8000 LE
+    assert((w(28) & 0xff) === 0x80 && (w(29) & 0xff) === 0x3e) // byte rate 16000
+    assert((w(32) & 0xff) === 2 && (w(34) & 0xff) === 16)      // block align, bits
+    assert((w(40) & 0xff) === 4)               // data length
+    assert(Codec.decodeWav(w) === Some(Codec.WavInfo(1, 8000, 16, 2L)))
+    // chunk walk: an unknown odd-sized chunk before fmt must be skipped
+    // with RIFF word alignment
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 9, 9, 9, 0) // 3 bytes + pad
+    val spliced = w.take(12) ++ extra ++ w.drop(12)
+    // fix the RIFF size for the inserted chunk
+    val riffSize = spliced.length - 8
+    spliced(4) = (riffSize & 0xff).toByte; spliced(5) = ((riffSize >> 8) & 0xff).toByte
+    assert(Codec.decodeWav(spliced) === Some(Codec.WavInfo(1, 8000, 16, 2L)))
+    // malformed inputs surface as None, never throw
+    assert(Codec.decodeBmp(Array[Byte]('B', 'M', 1)) === None)
+    assert(Codec.decodeBmp("nope".getBytes) === None)
+    assert(Codec.decodeWav(w.take(30)) === None) // truncated mid-fmt
+    assert(Codec.decodeWav("RIFFxxxxNOPE".getBytes) === None)
+    val badW = b.clone(); badW(18) = 0 // zero width
+    assert(Codec.decodeBmp(badW) === None)
+  }
+
+  test("mm_decode: both kinds decode ok through the real parsers") {
+    val out = graft.queries.PipelineQueries.all("mm_decode")(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Boolean]("ok")), "every generated asset must parse")
+    val kinds = out.map(_.getAs[String]("kind")).toSet
+    assert(kinds === Set("bmp", "wav"), s"both formats must be exercised, got $kinds")
+    // spot-check the arithmetic contract on one row of each kind
+    out.find(_.getAs[String]("kind") === "wav").foreach { r =>
+      val id = r.getAs[Long]("asset_id")
+      assert(r.getAs[Int]("sample_rate") === 8000 + 1000 * (id % 5).toInt)
+    }
+  }
+
   test("r11 guards: sketch sizing, snapshotDelta keyed contract, dsir null ids, auto-session hint") {
     import spark.implicits._
     // mis-sized heavy-hitter sketch fails at construction (the
