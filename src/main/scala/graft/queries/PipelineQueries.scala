@@ -585,6 +585,23 @@ object PipelineQueries {
           TextFunctions.splitAssign(col("doc_id")).as("split"))
     }),
 
+    "pp_ingest_streaming" -> ((s, d) => {
+      // the SAME ingest chain driven through the real streaming engine
+      // (foreachBatch micro-batches, cross-batch content-hash state,
+      // at-least-once-idempotent per-batch stores — see
+      // StreamingQueries.runIngestStream). Micro-batches partition the
+      // new docs into ascending doc_id thirds, so first-accepted ==
+      // keep-min and the converged output equals the batch chain: the
+      // entry shares pp_ingest's oracle verbatim.
+      val docs = Graft.documents(s, d)
+      val batch = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      val maxId = batch.agg(max("doc_id")).head().getLong(0)
+      val batchOf = least(floor(col("doc_id") * 3 / (maxId + 1)), lit(2)).cast("int")
+      graft.streaming.StreamingQueries.runIngestStream(
+        s, batch, corpus, docs, batchOf, jaccardMin = 0.5, tag = "ppingest")
+    }),
+
     "pp_pipeline" -> ((s, d) => {
       // the whole corpus-preparation pipeline, composed end-to-end from
       // the library's own stages: quality gate (scan-pushed filter) →
@@ -1095,6 +1112,32 @@ object PipelineQueries {
          WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
        WHERE rank <= 10"""
 
+  // the pp_ingest replay, shared verbatim by the batch entry and the
+  // streaming composition (which converges to the identical result)
+  private val ppIngestSql: String =
+      """WITH batch AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+              corp AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+              ch AS (SELECT DISTINCT md5(text) AS h FROM corp),
+              ke AS (SELECT min(doc_id) AS doc_id FROM batch
+                     WHERE md5(text) NOT IN (SELECT h FROM ch)
+                     GROUP BY md5(text)),
+              toks AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0)) AS tk,
+                              lang, n_chars
+                       FROM documents),
+              nd AS (SELECT DISTINCT b.doc_id AS doc_id
+                     FROM toks b JOIN toks c
+                       ON b.lang = c.lang AND b.n_chars = c.n_chars
+                      AND b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+                     WHERE round(CAST(len(list_intersect(b.tk, c.tk)) AS DOUBLE) /
+                                 CAST(len(list_distinct(list_concat(b.tk, c.tk))) AS DOUBLE), 4) >= 0.5),
+              vv AS (SELECT doc_id,
+                            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bkt
+                     FROM batch
+                     WHERE doc_id IN (SELECT doc_id FROM ke)
+                       AND doc_id NOT IN (SELECT doc_id FROM nd))
+         SELECT doc_id, CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
+         FROM vv"""
+
   private val staticOracles: Map[String, String] = Map(
     // sk_quantiles: discrete (ANSI percentile_disc) exact quantiles are
     // actual data elements — no interpolation arithmetic — so they
@@ -1585,29 +1628,11 @@ object PipelineQueries {
                            sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
                     FROM t)
          SELECT doc_id, n_tok, CAST((cum - n_tok) // 512 AS BIGINT) AS bin FROM c""",
-    "pp_ingest" ->
-      """WITH batch AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
-              corp AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
-              ch AS (SELECT DISTINCT md5(text) AS h FROM corp),
-              ke AS (SELECT min(doc_id) AS doc_id FROM batch
-                     WHERE md5(text) NOT IN (SELECT h FROM ch)
-                     GROUP BY md5(text)),
-              toks AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0)) AS tk,
-                              lang, n_chars
-                       FROM documents),
-              nd AS (SELECT DISTINCT b.doc_id AS doc_id
-                     FROM toks b JOIN toks c
-                       ON b.lang = c.lang AND b.n_chars = c.n_chars
-                      AND b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
-                     WHERE round(CAST(len(list_intersect(b.tk, c.tk)) AS DOUBLE) /
-                                 CAST(len(list_distinct(list_concat(b.tk, c.tk))) AS DOUBLE), 4) >= 0.5),
-              vv AS (SELECT doc_id,
-                            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bkt
-                     FROM batch
-                     WHERE doc_id IN (SELECT doc_id FROM ke)
-                       AND doc_id NOT IN (SELECT doc_id FROM nd))
-         SELECT doc_id, CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
-         FROM vv""",
+    "pp_ingest" -> ppIngestSql,
+    // the streaming composition converges to the identical result
+    // (ascending-range micro-batches make first-accepted == keep-min),
+    // so it certifies against the same replay
+    "pp_ingest_streaming" -> ppIngestSql,
     "pp_pipeline" ->
       """WITH t AS (SELECT doc_id, text,
                            len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS n_tokens,

@@ -150,6 +150,94 @@ object StreamingQueries {
       .write.mode("overwrite").parquet(s"$snapRoot/batch-$id")
   }
 
+  /** The pp_ingest chain driven THROUGH the real streaming engine (r10
+    * verdict #5): new-batch docs arrive as micro-batches (one staged file
+    * per trigger), and each `foreachBatch` invocation runs the library's
+    * own ingest stages against the standing corpus AND the cross-batch
+    * dedup state:
+    *   1. exact dedup — drop content whose md5 is already in the corpus
+    *      hash store OR was seen in any earlier micro-batch; keep-min
+    *      doc_id within the micro-batch;
+    *   2. near-dup gate — (lang, n_chars)-blocked candidates against the
+    *      corpus, `Dedup.verifyJaccard` ≥ `jaccardMin` drops;
+    *   3. deterministic split assignment for survivors.
+    * Cross-batch state is a per-batch parquet changelog of content
+    * hashes (the persisted-store shape a deployment would keep in a
+    * compacted topic / state table), written OVERWRITE per batch id so
+    * foreachBatch's at-least-once retries are idempotent — the
+    * [[upsertBatch]] contract, pinned for this path in ProcessorsSpec.
+    * When `batchOf` partitions the ingest into ascending doc_id ranges,
+    * first-accepted == keep-min and the converged output EQUALS the
+    * batch `pp_ingest` chain, so the entry shares its oracle verbatim.
+    * Expects columns (doc_id, text, lang, n_chars); returns
+    * (doc_id, split).
+    */
+  def runIngestStream(spark: SparkSession, batchDocs: DataFrame, corpus: DataFrame,
+                      allDocs: DataFrame, batchOf: org.apache.spark.sql.Column,
+                      jaccardMin: Double, tag: String): DataFrame = {
+    val stream = stageStreamBatched(spark, batchDocs, batchOf, tag)
+    val seenRoot = tmpDir(s"ingest-seen-$tag")
+    val outRoot = tmpDir(s"ingest-out-$tag")
+    val corpusHashDir = tmpDir(s"ingest-corpus-$tag")
+    corpus.select(md5(col("text")).as("h")).distinct()
+      .write.mode("overwrite").parquet(corpusHashDir)
+
+    // earlier micro-batches' hash stores — strictly BEFORE `id`, so a
+    // retried batch never sees its own (overwritten) store
+    def seenBefore(id: Long): Seq[String] = {
+      val root = Paths.get(seenRoot)
+      if (!Files.exists(root)) Seq.empty
+      else {
+        val l = Files.list(root)
+        try {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          l.forEach { p =>
+            val n = p.getFileName.toString
+            if (n.startsWith("seen-") && n.stripPrefix("seen-").toLong < id)
+              out += p.toString
+          }
+          out.toSeq
+        } finally l.close()
+      }
+    }
+
+    val q = stream.writeStream
+      .option("checkpointLocation", tmpDir(s"ckpt-ingest-$tag"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val corpusHashes = spark.read.parquet(corpusHashDir)
+        val priorDirs = seenBefore(id)
+        val seen =
+          if (priorDirs.isEmpty) corpusHashes.limit(0)
+          else spark.read.parquet(priorDirs: _*)
+        val hashed = b.withColumn("_h", md5(col("text")))
+        val keptIds = hashed
+          .join(corpusHashes.withColumnRenamed("h", "_h"), Seq("_h"), "left_anti")
+          .join(seen.withColumnRenamed("h", "_h"), Seq("_h"), "left_anti")
+          .groupBy("_h").agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        val fresh = b.join(keptIds, Seq("doc_id"), "left_semi")
+        val cand = fresh.select(col("lang"), col("n_chars"), col("doc_id").as("a"))
+          .join(corpus.select(col("lang"), col("n_chars"), col("doc_id").as("b")),
+            Seq("lang", "n_chars"))
+          .select("a", "b")
+        val nearDup = graft.dedup.Dedup.verifyJaccard(cand, allDocs, "doc_id", "text")
+          .where(col("jaccard") >= jaccardMin)
+          .select(col("a").as("doc_id")).distinct()
+        fresh.join(nearDup, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.splitAssign(col("doc_id")).as("split"))
+          .write.mode("overwrite").parquet(s"$outRoot/batch-$id")
+        hashed.select(col("_h").as("h")).distinct()
+          .write.mode("overwrite").parquet(s"$seenRoot/seen-$id")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.read.option("recursiveFileLookup", "true").parquet(outRoot)
+  }
+
   /** Run `transform` over a streaming read of `table`, aggregate to a
     * named in-memory sink in complete mode, checkpointed (X4), and return
     * the final result table. `confs` lets callers pick the state-store

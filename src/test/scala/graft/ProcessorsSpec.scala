@@ -434,6 +434,45 @@ class ProcessorsSpec extends GraftTest {
     ok(rev, "warm", 40L)
   }
 
+  test("runIngestStream: cross-batch dedup state, near-dup gate, batch-chain parity") {
+    import spark.implicits._
+    // 0 and 20 share content but arrive TWO micro-batches apart (the
+    // cross-batch state must drop 20); 10 is a (lang, n_chars)-blocked
+    // near-dup of corpus doc 1 (jaccard {a,b,c,e}/{a,b,c,d} = 0.6);
+    // 30 is genuinely fresh
+    val batch = Seq(
+      (0L, "x y z", "en", 5L),
+      (10L, "a b c e", "en", 7L),
+      (20L, "x y z", "en", 5L),
+      (30L, "unique fresh words", "en", 18L)).toDF("doc_id", "text", "lang", "n_chars")
+    val corpus = Seq(
+      (1L, "a b c d", "en", 7L),
+      (2L, "other corpus doc", "en", 16L)).toDF("doc_id", "text", "lang", "n_chars")
+    val all = batch.unionByName(corpus)
+    val batchOf = least(col("doc_id") / 10, lit(2)).cast("int") // ascending thirds
+    val out = graft.streaming.StreamingQueries
+      .runIngestStream(spark, batch, corpus, all, batchOf, jaccardMin = 0.5, tag = "spec")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out.map(_._1) === Set(0L, 30L),
+      s"expected 20 dropped by cross-batch state and 10 by the near-dup gate, got $out")
+    // parity: the streaming composition converges to the batch chain
+    val keptExact = graft.dedup.Dedup.incremental(batch, corpus, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val cand = batch.select(col("lang"), col("n_chars"), col("doc_id").as("a"))
+      .join(corpus.select(col("lang"), col("n_chars"), col("doc_id").as("b")),
+        Seq("lang", "n_chars"))
+      .select("a", "b")
+    val nearDup = graft.dedup.Dedup.verifyJaccard(cand, all, "doc_id", "text")
+      .where(col("jaccard") >= 0.5)
+      .select(col("a").as("doc_id")).distinct()
+    val batchRes = batch.join(keptExact, Seq("doc_id"), "left_semi")
+      .join(nearDup, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.splitAssign(col("doc_id")).as("split"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === batchRes)
+  }
+
   test("T5 graceful stop leaves the query inactive and session healthy") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
