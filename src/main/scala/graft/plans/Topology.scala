@@ -47,13 +47,17 @@ final class Topology {
   /** The terminal DataFrame (its queryExecution is the optimized plan). */
   def build: DataFrame = current.getOrElse(sys.error("empty topology"))._2
 
+  /** The named-DAG half of [[describe]] — a pure function of the builder
+    * calls, byte-stable and therefore oracle-stateable where the raw
+    * plan TEXT below it is Spark-version-volatile (the r10 x8 ask).
+    */
+  def dagString: String = nodes.map { case (n, k, p) =>
+    if (p.isEmpty) s"$k: $n" else s"$k: $n <- $p"
+  }.mkString("\n")
+
   /** X8: topology description — named DAG plus the Catalyst physical plan
     * (the honest `describe()`: Spark's plan is the real execution graph).
     */
-  def describe(): String = {
-    val dag = nodes.map { case (n, k, p) =>
-      if (p.isEmpty) s"$k: $n" else s"$k: $n <- $p"
-    }.mkString("\n")
-    dag + "\n--- physical plan ---\n" + build.queryExecution.executedPlan.toString
-  }
+  def describe(): String =
+    dagString + "\n--- physical plan ---\n" + build.queryExecution.executedPlan.toString
 }

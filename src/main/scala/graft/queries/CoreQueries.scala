@@ -1111,11 +1111,24 @@ object CoreQueries {
     }),
 
     "x8_describe" -> ((s, d) => {
+      // FULL-oracle form since r11 (the one rows-only entry retired):
+      // the named DAG is a pure function of the builder calls (byte-
+      // stable, oracle-stated as a literal) and the physical shape
+      // reduces to coarse booleans — does the optimized plan aggregate /
+      // shuffle — which are stable across Spark versions where the raw
+      // plan TEXT is not. describe() still produces the full text dump
+      // for users (has_plan_text certifies it is non-trivial; the exact
+      // text stays out of the hash by design).
       import s.implicits._
       val t = new Topology()
         .addSource("events-source", Graft.eventsStream(s, d))
         .addProcessor("count-by-key", _.groupBy("key").count())
-      Seq(t.describe()).toDF("topology")
+      val full = t.describe()
+      val phys = full.substring(t.dagString.length)
+      Seq((t.dagString, t.dagString.split("\n").length,
+          phys.contains("Aggregate"), phys.contains("Exchange"),
+          phys.length > 40))
+        .toDF("topology_dag", "n_nodes", "has_aggregate", "has_exchange", "has_plan_text")
     }),
 
     "x9_passthrough" -> ((s, d) =>
@@ -1158,7 +1171,13 @@ object CoreQueries {
     "x5_x6_rocksdb_state" ->
       "SELECT user_id, count(*) AS cnt FROM events GROUP BY 1",
     "x10_lifecycle_foreach" ->
-      "SELECT event_type AS key, count(*) AS cnt FROM events GROUP BY 1")
+      "SELECT event_type AS key, count(*) AS cnt FROM events GROUP BY 1",
+    // the DAG literal is what the builder calls deterministically
+    // produce; the booleans state the coarse physical shape any Spark
+    // version plans for a groupBy-count (aggregate + shuffle)
+    "x8_describe" ->
+      """SELECT 'source: events-source' || chr(10) || 'processor: count-by-key <- events-source' AS topology_dag,
+                2 AS n_nodes, TRUE AS has_aggregate, TRUE AS has_exchange, TRUE AS has_plan_text""")
 
   // ---- T: time & error handling ------------------------------------------
 

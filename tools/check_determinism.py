@@ -12,8 +12,9 @@ Usage: python3 tools/check_determinism.py <outDirA> <outDirB> [allow,list]
 
 Allowlist entries are for outputs that DESCRIBE the layout itself or are
 approximate with order-dependent merges — they must be rows-only entries
-at the driver, never hash-compared. Known: `x8_describe` (a topology/plan
-dump legitimately embeds the shuffle partition count). Everything else —
+at the driver, never hash-compared. Since r11 there are NONE: x8_describe
+now emits the stable (dag, shape-boolean) fingerprint instead of raw plan
+text, so it is layout-invariant and the allowlist may be empty. Everything —
 including the GK quantile sketches and all LSH outputs — measured
 byte-identical across layouts at sf0.001 (103/104, 2026-08-12).
 """
