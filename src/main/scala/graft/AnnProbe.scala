@@ -2,10 +2,8 @@ package graft
 
 import graft.ann.{Ann, AnnUdfWitness}
 import graft.functions.{IvfNearestLists, IvfPqEncode, PqEncode}
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.ColumnBridge
 
 /** Targeted A/B for the r11 ANN kernel port (VERDICT r10 #1): the PQ /
   * IVFADC encode and IVF assignment scans — the corpus-dominant cost of
@@ -22,16 +20,6 @@ import org.apache.spark.sql.graft.ColumnBridge
   * vectors unchanged — encode cost is rows × dims, value-independent).
   */
 object AnnProbe {
-
-  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
-    val walk = java.nio.file.Files.walk(dir)
-    try walk.sorted(java.util.Comparator.reverseOrder())
-      .forEach(f => java.nio.file.Files.deleteIfExists(f))
-    finally walk.close()
-  }
-
-  private def kcol(build: Expression => Expression, v: Column): Column =
-    ColumnBridge.column(build(ColumnBridge.expression(v.cast("array<double>"))))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -62,39 +50,27 @@ object AnnProbe {
       val bcCent = spark.sparkContext.broadcast(
         ivf.centroids.map(c => (c, math.sqrt(c.map(x => x * x).sum))))
 
-      def time(tag: String)(df: => DataFrame): Double = {
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          df.write.mode("overwrite").format("noop").save()
-          (System.nanoTime() - t0) / 1e9
-        }
-        once() // warm
-        val t = math.min(once(), once())
-        println(f"ANNPROBE $tag%-28s ${t}%8.3f s")
-        t
-      }
-
       val arms = Seq(
         ("pq_encode_kernel", () => corpus.select(col("vec_id"),
-          kcol(PqEncode(_, bcPq), col("embedding")).as("e"))),
+          Ann.kernelCol(PqEncode(_, bcPq), col("embedding")).as("e"))),
         ("pq_encode_udf", () => corpus.select(col("vec_id"),
           AnnUdfWitness.pqEncode(bcPq)(col("embedding").cast("array<double>")).as("e"))),
         ("ivfpq_encode_kernel", () => corpus.select(col("vec_id"),
-          kcol(IvfPqEncode(_, bcIvfPq), col("embedding")).as("e"))),
+          Ann.kernelCol(IvfPqEncode(_, bcIvfPq), col("embedding")).as("e"))),
         ("ivfpq_encode_udf", () => corpus.select(col("vec_id"),
           AnnUdfWitness.ivfPqEncode(bcIvfPq)(col("embedding").cast("array<double>")).as("e"))),
         ("ivf_assign_kernel", () => corpus.select(col("vec_id"),
-          kcol(IvfNearestLists(_, bcCent, 1), col("embedding")).getItem(0).as("list"))),
+          Ann.kernelCol(IvfNearestLists(_, bcCent, 1), col("embedding")).getItem(0).as("list"))),
         ("ivf_assign_udf", () => corpus.select(col("vec_id"),
           AnnUdfWitness.ivfNearestLists(bcCent, 1)(
             col("embedding").cast("array<double>")).getItem(0).as("list"))))
-      val times = arms.map { case (tag, df) => tag -> time(tag)(df()) }.toMap
+      val times = arms.map { case (tag, df) => tag -> ProbeUtil.timeNoop("ANNPROBE", tag)(df()) }.toMap
       Seq("pq_encode", "ivfpq_encode", "ivf_assign").foreach { fam =>
         val k = times(s"${fam}_kernel"); val u = times(s"${fam}_udf")
         println(f"ANNPROBE $fam%-14s speedup ${u / k}%5.2fx (udf ${u}%.3f s / kernel ${k}%.3f s)")
       }
     } finally {
-      probeDir.foreach(deleteRecursively)
+      probeDir.foreach(ProbeUtil.deleteRecursively)
       spark.stop()
     }
   }

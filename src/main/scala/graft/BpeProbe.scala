@@ -17,13 +17,6 @@ import org.apache.spark.sql.functions._
   */
 object BpeProbe {
 
-  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
-    val walk = java.nio.file.Files.walk(dir)
-    try walk.sorted(java.util.Comparator.reverseOrder())
-      .forEach(f => java.nio.file.Files.deleteIfExists(f))
-    finally walk.close()
-  }
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = if (args.nonEmpty) args(0).toInt else 20
@@ -53,22 +46,10 @@ object BpeProbe {
       val corpus = spark.read.parquet(corpusPath)
       println(s"BPEPROBE corpus rows=${corpus.count()} factor=$factor")
 
-      def time(tag: String)(df: => DataFrame): Double = {
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          df.write.mode("overwrite").format("noop").save()
-          (System.nanoTime() - t0) / 1e9
-        }
-        once() // warm
-        val t = math.min(once(), once())
-        println(f"BPEPROBE $tag%-18s ${t}%8.3f s")
-        t
-      }
-
       val results = models.flatMap { case (n, m) =>
-        val k = time(s"kernel_$n")(corpus.select(
+        val k = ProbeUtil.timeNoop("BPEPROBE", s"kernel_$n")(corpus.select(
           graft.functions.Bpe.subwordCountBpe(col("btext"), m).as("c")))
-        val c = time(s"chain_$n")(corpus.select(
+        val c = ProbeUtil.timeNoop("BPEPROBE", s"chain_$n")(corpus.select(
           graft.functions.Bpe.subwordCountChain(col("btext"), m).as("c")))
         Seq((s"kernel_$n", k), (s"chain_$n", c))
       }.toMap
@@ -76,7 +57,7 @@ object BpeProbe {
         f" (chain grows ${results("chain_1024") / results("chain_64")}%5.2fx)")
       println(f"BPEPROBE speedup at 1024 merges = ${results("chain_1024") / results("kernel_1024")}%5.2fx")
     } finally {
-      probeDir.foreach(deleteRecursively)
+      probeDir.foreach(ProbeUtil.deleteRecursively)
       spark.stop()
     }
   }

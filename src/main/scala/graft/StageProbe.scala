@@ -19,17 +19,6 @@ import org.apache.spark.sql.functions._
   */
 object StageProbe {
 
-  /** Recursive delete of the factor>1 replicated-corpus temp dir — a
-    * multi-GB parquet directory at large factors that must not outlive
-    * the probe run.
-    */
-  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
-    val walk = java.nio.file.Files.walk(dir)
-    try walk.sorted(java.util.Comparator.reverseOrder())
-      .forEach(f => java.nio.file.Files.deleteIfExists(f))
-    finally walk.close()
-  }
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = if (args.nonEmpty) args(0).toInt else 1
@@ -101,6 +90,6 @@ object StageProbe {
     println(f"SP factor=$factor rename ${math.min(r1, r2)}%.3f s (runs $r1%.3f $r2%.3f)")
     println("SP n_edges " + aliasArm().count())
     spark.stop()
-    } finally probeDir.foreach(deleteRecursively)
+    } finally probeDir.foreach(ProbeUtil.deleteRecursively)
   }
 }

@@ -45,9 +45,10 @@ object Ann {
   /** Build a model-kernel expression over `v.cast("array<double>")` and
     * wrap it as a Column — the construction path for the ANN quantizer
     * kernels (graft.functions.AnnKernels), whose Broadcast model handle
-    * cannot ride the SQL function registry.
+    * cannot ride the SQL function registry. Package-visible: AnnProbe
+    * and AnnKernelSpec build the same columns through this one helper.
     */
-  private def kernelCol(
+  private[graft] def kernelCol(
       build: org.apache.spark.sql.catalyst.expressions.Expression => org.apache.spark.sql.catalyst.expressions.Expression,
       v: Column): Column =
     ColumnBridge.column(build(ColumnBridge.expression(v.cast("array<double>"))))

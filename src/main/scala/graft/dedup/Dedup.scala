@@ -112,8 +112,12 @@ object Dedup {
     // content comparison is null-safe for the same reason
     def keyed(df: DataFrame, side: String, h: String, p: String) = {
       val w = org.apache.spark.sql.expressions.Window.partitionBy("_id")
+      // NULL ids bypass the guard: the full-outer join never matches
+      // null keys, so null-id rows cannot fan out (each surfaces as its
+      // own added/removed row) — only real duplicate KEYS abort
       df.select(col(id).as("_id"), md5(col(text)).as(h), lit(true).as(p))
-        .withColumn("_k", count(lit(1)).over(w))
+        .withColumn("_k",
+          when(col("_id").isNull, lit(1L)).otherwise(count(lit(1)).over(w)))
         .where(assert_true(col("_k") === 1,
           lit(s"snapshotDelta: duplicate id in the $side snapshot — " +
             "the id must be a key; run exact() first")).isNull)

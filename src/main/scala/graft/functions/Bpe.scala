@@ -108,12 +108,32 @@ object Bpe {
       replace(c, lit(s"<$a><$b>"), lit(s"<$a$b>"))
     }
 
+  // ONE broadcast per frozen model per SparkContext: repeated
+  // applications of the same model (probe arms, two branches of one
+  // query) share a single handle — a per-call broadcast churned the
+  // driver AND made equal-model BpeSubwordCount expressions
+  // non-canonically-equal, defeating subtree dedup/ReuseExchange (the
+  // silent-double-scan class). Weak keys: when the caller drops the
+  // model the entry clears and the ContextCleaner reclaims the
+  // broadcast; the stored context reference guards against a handle
+  // from a stopped session leaking into a new one.
+  private val bcCache = new java.util.WeakHashMap[BpeModel,
+    (org.apache.spark.SparkContext, org.apache.spark.broadcast.Broadcast[Array[(String, String)]])]()
+
   /** True BPE subword count per document under the frozen model — the
     * trie kernel ([[BpeSubwordCount]]): flat in nMerges, the default.
     */
   def subwordCountBpe(text: Column, model: BpeModel): Column = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    val bc = spark.sparkContext.broadcast(model.merges.toArray)
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    val bc = bcCache.synchronized {
+      bcCache.get(model) match {
+        case (cachedSc, cached) if cachedSc eq sc => cached
+        case _ =>
+          val b = sc.broadcast(model.merges.toArray)
+          bcCache.put(model, (sc, b))
+          b
+      }
+    }
     org.apache.spark.sql.graft.ColumnBridge.column(
       BpeSubwordCount(org.apache.spark.sql.graft.ColumnBridge.expression(text), bc))
   }

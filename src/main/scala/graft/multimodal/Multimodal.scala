@@ -135,7 +135,9 @@ object Multimodal {
       if (rd32(b, 14) < 40) return None // pre-BITMAPINFOHEADER cores unsupported
       val w = rd32(b, 18)
       val h = rd32(b, 22)
-      if (w <= 0 || h == 0 || rd16(b, 26) != 1) return None
+      // h == Int.MinValue would survive math.abs unchanged (abs(MinValue)
+      // == MinValue) and leak a negative height through an ok=true row
+      if (w <= 0 || h == 0 || h == Int.MinValue || rd16(b, 26) != 1) return None
       Some(BmpInfo(w, math.abs(h), rd16(b, 28))) // negative height = top-down raster
     }
 
@@ -153,7 +155,10 @@ object Multimodal {
       while (p + 8 <= b.length && (fmt.isEmpty || dataLen < 0)) {
         val id = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
         val size = rd32(b, p + 4)
-        if (size < 0 || p + 8 + size > b.length) return None
+        // bound arithmetic in Long: a crafted size near Int.MaxValue
+        // would wrap p + 8 + size negative and crash the scan — corrupt
+        // assets must surface as None, never throw
+        if (size < 0 || p.toLong + 8L + size > b.length) return None
         if (id == "fmt " && size >= 16) {
           if (rd16(b, p + 8) != 1) return None // PCM only
           fmt = Some((rd16(b, p + 10), rd32(b, p + 12), rd16(b, p + 22), rd16(b, p + 20)))

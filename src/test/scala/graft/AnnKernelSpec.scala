@@ -20,7 +20,7 @@ class AnnKernelSpec extends GraftTest {
   private lazy val emb = Graft.embeddings(spark, sf)
 
   private def kcol(build: Expression => Expression, v: Column): Column =
-    ColumnBridge.column(build(ColumnBridge.expression(v.cast("array<double>"))))
+    Ann.kernelCol(build, v)
 
   private def bits(d: Double): Long = java.lang.Double.doubleToRawLongBits(d)
 

@@ -973,6 +973,21 @@ class FunctionsSpec extends GraftTest {
     assert(Codec.decodeWav("RIFFxxxxNOPE".getBytes) === None)
     val badW = b.clone(); badW(18) = 0 // zero width
     assert(Codec.decodeBmp(badW) === None)
+    // crafted RIFF chunk size near Int.MaxValue must not wrap the bound
+    // arithmetic (would crash the scan instead of surfacing as None)
+    val huge = w.clone()
+    huge(16) = 0xff.toByte; huge(17) = 0xff.toByte
+    huge(18) = 0xff.toByte; huge(19) = 0x7f.toByte // fmt size = Int.MaxValue
+    assert(Codec.decodeWav(huge) === None)
+    // BMP height = Int.MinValue survives math.abs unchanged — must reject
+    val minH = b.clone()
+    minH(22) = 0; minH(23) = 0; minH(24) = 0; minH(25) = 0x80.toByte
+    assert(Codec.decodeBmp(minH) === None)
+    // ordinary top-down (negative-height) raster still decodes
+    val topDown = b.clone()
+    topDown(22) = 0xff.toByte; topDown(23) = 0xff.toByte
+    topDown(24) = 0xff.toByte; topDown(25) = 0xff.toByte // height = -1
+    assert(Codec.decodeBmp(topDown) === Some(Codec.BmpInfo(2, 1, 24)))
   }
 
   test("mm_decode: both kinds decode ok through the real parsers") {
@@ -1013,6 +1028,14 @@ class FunctionsSpec extends GraftTest {
     // keyed snapshots still work
     assert(graft.dedup.Dedup.snapshotDelta(ok, Seq((1L, "b")).toDF("doc_id", "text"),
       "doc_id", "text").collect().map(_.getString(1)).toSeq === Seq("changed"))
+    // null ids bypass the guard: they never fan out through the
+    // full-outer join (null keys don't match), so two null-id rows are
+    // each their own removed row, not a "duplicate"
+    val withNulls = Seq((Option(1L), "a"), (Option.empty[Long], "n1"),
+      (Option.empty[Long], "n2")).toDF("doc_id", "text")
+    val delta = graft.dedup.Dedup.snapshotDelta(
+      withNulls, Seq((1L, "a")).toDF("doc_id", "text"), "doc_id", "text").collect()
+    assert(delta.count(_.getString(1) == "removed") === 2)
     // a null-id raw row must not produce a (null, 0, n*const) output row
     val rawN = Seq((Option(1L), "the cat"), (Option.empty[Long], "ghost doc"))
       .toDF("doc_id", "text")
