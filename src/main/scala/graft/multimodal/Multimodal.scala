@@ -184,6 +184,32 @@ object Multimodal {
       width: Option[Int], height: Option[Int], bits: Option[Int],
       channels: Option[Int], sample_rate: Option[Int], n_samples: Option[Long])
 
+  /** Deterministic real-format asset generator over (doc_id, n_chars) —
+    * the `mm_decode` fixture, shared by the certified query and
+    * ScaleCheck: even ids become 24-bpp BMPs, odd ids PCM WAVs, with
+    * header fields derived from integer formulas over (doc_id, n_chars)
+    * that the DuckDB oracle replays arithmetically. Generation is a
+    * partition-local scan (no shuffle, no driver involvement).
+    */
+  def syntheticMediaAssets(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)].mapPartitions { it =>
+      it.map { case (id, nc) =>
+        if (id % 2 == 0) {
+          val w = 1 + (nc % 31).toInt
+          val h = 1 + (id % 17).toInt
+          (id, Codec.bmp(w, h, i => ((i * 31 + id) & 0xff).toByte))
+        } else {
+          val sr = 8000 + 1000 * (id % 5).toInt
+          val ch = 1 + ((id / 2) % 2).toInt
+          val ns = 1 + (nc % 100).toInt
+          (id, Codec.wav(sr, ch, 16, new Array[Byte](ns * ch * 2)))
+        }
+      }
+    }.toDF("asset_id", "payload")
+  }
+
   def decodeMedia(assets: DataFrame): DataFrame = {
     import org.apache.spark.sql.Encoder
     implicit val enc: Encoder[MediaInfo] = Encoders.product[MediaInfo]

@@ -867,23 +867,7 @@ object PipelineQueries {
       // format itself, so builder+parser can't be wrong together.)
       // Scale shape: generation and decode are both partition-local
       // scans — no shuffle, no driver involvement.
-      import s.implicits._
-      val assets = Graft.documents(s, d).select(col("doc_id"), col("n_chars"))
-        .as[(Long, Long)].mapPartitions { it =>
-          it.map { case (id, nc) =>
-            if (id % 2 == 0) {
-              val w = 1 + (nc % 31).toInt
-              val h = 1 + (id % 17).toInt
-              (id, Multimodal.Codec.bmp(w, h, i => ((i * 31 + id) & 0xff).toByte))
-            } else {
-              val sr = 8000 + 1000 * (id % 5).toInt
-              val ch = 1 + ((id / 2) % 2).toInt
-              val ns = 1 + (nc % 100).toInt
-              (id, Multimodal.Codec.wav(sr, ch, 16, new Array[Byte](ns * ch * 2)))
-            }
-          }
-        }.toDF("asset_id", "payload")
-      Multimodal.decodeMedia(assets)
+      Multimodal.decodeMedia(Multimodal.syntheticMediaAssets(Graft.documents(s, d)))
     }),
 
     "mm_audio" -> ((s, d) =>
