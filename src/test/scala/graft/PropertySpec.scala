@@ -213,4 +213,25 @@ class PropertySpec extends AnyFunSuite {
       native == canonicalChainRef(u)
     }, tests = 500)
   }
+
+  // ---- ANN kernel selection order vs the Scala sortBy it replaced ---------
+
+  test("property: AnnKernels.topIdx == indices.sortBy((neg(i), i)).take(n), incl ±0.0/NaN/dups") {
+    // the kernels replay the retired UDFs' `sortBy { case (s,i) => (-s,i) }`
+    // selection; the comparator must match Scala's total Double order on
+    // the NEGATED key exactly — ±0.0 asymmetry and NaN placement included
+    val genVal = Gen.frequency(
+      (8, Gen.chooseNum(-10.0, 10.0)),
+      (1, Gen.oneOf(0.0, -0.0, Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)),
+      (2, Gen.chooseNum(-3, 3).map(_.toDouble))) // dups force index ties
+    val gen = for {
+      xs <- Gen.listOf(genVal)
+      n <- Gen.chooseNum(1, 20)
+    } yield (xs.toArray, n)
+    checkProp(Prop.forAll(gen) { case (neg, n) =>
+      val expected = neg.indices.sortBy(i => (neg(i), i)).take(n)
+      val got = graft.functions.AnnKernels.topIdx(neg, n).toSeq
+      got == expected
+    }, tests = 500)
+  }
 }
