@@ -183,8 +183,21 @@ object TextFunctions {
     * PlanSpec-pinned). Output: (doc, term, tf, tfidf).
     */
   def tfidf(docs: org.apache.spark.sql.DataFrame, id: String, text: String): org.apache.spark.sql.DataFrame = {
+    // inert explicit filters keep tf's two consumers (idf aggregation,
+    // final join) filter-symmetric — the unigramLmScore/dsirWeights
+    // inferred-isnotnull rule. The tokenize scan still runs twice here:
+    // the idf branch only counts (doc, term) GROUPS, so aggregate
+    // pruning drops the tf count from that branch's partial aggregate
+    // and the exchanges canonicalize apart (the OTHER reuse-breaker
+    // class). The single-consumer alternative — df as a count window
+    // over the tf frame partitioned by term — is skew-UNSAFE at corpus
+    // scale (a stopword's window partition is every document containing
+    // it, materialized in one task), so the map-side-combined second
+    // aggregation is the right trade and the double scan is accepted.
     val tf = docs
+      .where(col(id).isNotNull)
       .select(col(id).as("doc"), explode(tokens(col(text))).as("term"))
+      .where(col("term").isNotNull)
       .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -346,8 +359,17 @@ object TextFunctions {
     */
   def unigramLmScore(docs: org.apache.spark.sql.DataFrame, id: String,
                      text: String): org.apache.spark.sql.DataFrame = {
+    // both explicit filters are inert (ids are non-null keys, tokens are
+    // non-null strings) but REQUIRED for the single-scan plan: the final
+    // term join infers isnotnull(term) and a downstream id join infers
+    // isnotnull(doc) onto ONE tf consumer's subtree only — without
+    // matching filters here the consumers differ by exactly those
+    // inferred filters and ReuseExchange cannot deduplicate the
+    // tokenize scan (the dsirWeights / dd_span reuse-breaker class)
     val tf = docs
+      .where(col(id).isNotNull)
       .select(col(id).as("doc"), explode(tokens(col(text))).as("term"))
+      .where(col("term").isNotNull)
       .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
     val uni = tf.groupBy("term").agg(sum("tf").as("cnt"))
     val n = uni.agg(sum("cnt").as("n_total"))
@@ -360,6 +382,67 @@ object TextFunctions {
         sum(col("tf") * col("w_micro")).as("_sum_micro"))
       .select(col("doc"), col("n_tok"),
         expr("_sum_micro div n_tok").as("avg_nll_micro"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359): assign every document to the head / middle /
+    * tail tercile of its LANGUAGE's perplexity distribution — the
+    * curation device CCNet popularized (train on head, inspect middle,
+    * drop tail). The score is [[unigramLmScore]]'s layout-invariant
+    * integer micro-nat surprisal; token-less documents land in an
+    * explicit `empty` bucket.
+    *
+    * Thresholds are EXACT per-language discrete terciles computed the
+    * scalable way: never a per-language in-memory percentile buffer and
+    * never a window over raw documents (one giant language would funnel
+    * into a single task). Instead: groupBy (lang, score) with map-side
+    * combine → a cumulative-count window over the DISTINCT (lang,
+    * score) rows only (tiny) → threshold = min score whose cumulative
+    * count crosses n/3 (resp. 2n/3) by integer cross-multiplication
+    * `3·cum ≥ n` — no float fractions, so the cut replays bit-exactly
+    * in DuckDB. Both thresholds come from ONE aggregation over the
+    * cumulative frame (single consumer — the shared-aggregate
+    * ReuseExchange rule), and the per-language threshold table is
+    * broadcast back onto the scored frame.
+    */
+  def perplexityBuckets(docs: org.apache.spark.sql.DataFrame, id: String,
+                        text: String, lang: String): org.apache.spark.sql.DataFrame = {
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("avg_nll_micro")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    val lm = unigramLmScore(docs, id, text).select(col("doc"), col("avg_nll_micro"))
+    // ONE inner-join frame feeds BOTH the threshold aggregation and the
+    // final bucket projection, and both consumers prune it to subtree
+    // shapes whose child exchanges canonicalize equal (lm side → (doc,
+    // avg), docs side → (doc, lang) in each), so ReuseExchange keeps the
+    // expensive LM chain single-run — the dsirWeights symmetry rule.
+    // Token-less (and null-id) docs come from a cheap direct docs scan
+    // instead of an anti-join, which would have been a THIRD lm consumer.
+    val inner = docs.select(col(id).as("doc"), col(lang).as("lang"))
+      .join(lm, Seq("doc"))
+    // per-lang total rides a second window over the SAME (lang)-ordered
+    // exchange the cumulative sum needs — no separate count aggregation
+    val th = inner.groupBy("lang", "avg_nll_micro").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("nl", sum("c").over(wAll))
+      .groupBy("lang").agg(
+        min(when(col("cum") * 3 >= col("nl"), col("avg_nll_micro"))).as("t1"),
+        min(when(col("cum") * 3 >= col("nl") * 2, col("avg_nll_micro"))).as("t2"))
+    val bucketed = inner.join(broadcast(th), Seq("lang"), "left")
+      .select(col("doc"), col("lang"), col("avg_nll_micro"),
+        when(col("avg_nll_micro") <= col("t1"), lit("head"))
+          .when(col("avg_nll_micro") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+    // lm contains exactly the docs with ≥1 token; a null id never
+    // matches the inner join, so it routes here too (the LEFT-join
+    // semantics the oracle states)
+    val empties = docs
+      .where(col(id).isNull || size(tokens(col(text))) === 0)
+      .select(col(id).as("doc"), col(lang).as("lang"),
+        lit(null).cast("long").as("avg_nll_micro"), lit("empty").as("ppl_bucket"))
+    bucketed.unionByName(empties)
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169 —

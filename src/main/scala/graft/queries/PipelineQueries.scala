@@ -768,6 +768,17 @@ object PipelineQueries {
       TextFunctions.unigramLmScore(Graft.documents(s, d), "doc_id", "text")
         .withColumnRenamed("doc", "doc_id")),
 
+    "txt_ppl_buckets" -> ((s, d) =>
+      // CCNet-style head/middle/tail perplexity terciles per language
+      // (Wenzek et al. 2020) — the curation cut CCNet popularized,
+      // composed from the unigram LM's integer micro-nat surprisal.
+      // Thresholds are exact discrete terciles via the cumulative
+      // (lang, score) histogram with integer cross-multiplied cuts
+      // (3·cum ≥ n) — scalable (window over distinct scores only) and
+      // bit-portable (no float fractions, no percentile buffers).
+      TextFunctions.perplexityBuckets(Graft.documents(s, d), "doc_id", "text", "lang")
+        .withColumnRenamed("doc", "doc_id")),
+
     "txt_classifier" -> ((s, d) =>
       // model-based quality filtering (fastText/CCNet/DCLM-style): a
       // frozen hashed-linear model scores every doc in ONE codegen'd
@@ -1096,6 +1107,21 @@ object PipelineQueries {
          WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
        WHERE rank <= 10"""
 
+  // the unigram-LM replay CTEs (toks -> tf -> uni -> n -> w -> lm),
+  // shared by txt_unigram_lp and the CCNet tercile buckets built on it
+  private val unigramLmCtes: String =
+    s"""toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\W+'), w -> len(w) > 0)) AS term
+                 FROM documents WHERE doc_id IS NOT NULL),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        uni AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY term),
+        n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM uni),
+        w AS (SELECT term, CAST(floor((${TextFunctions.detLnSql("n.n_total")} - ${TextFunctions.detLnSql("uni.cnt")}) * 1000000.0e0) AS BIGINT) AS w_micro
+              FROM uni CROSS JOIN n),
+        lm AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tok,
+                      CAST(CAST(sum(tf.tf * w.w_micro) AS BIGINT) // CAST(sum(tf.tf) AS BIGINT) AS BIGINT) AS avg_nll_micro
+               FROM tf JOIN w USING (term)
+               GROUP BY tf.doc_id)"""
+
   // the pp_ingest replay, shared verbatim by the batch entry and the
   // streaming composition (which converges to the identical result)
   private val ppIngestSql: String =
@@ -1335,7 +1361,7 @@ object PipelineQueries {
          FROM s""",
     "txt_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0)) AS term
-                       FROM documents),
+                       FROM documents WHERE doc_id IS NOT NULL),
               tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
               df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
               n AS (SELECT count(*) AS n_docs FROM documents)
@@ -1346,17 +1372,34 @@ object PipelineQueries {
     // floor(·1e6) micro-nat quantization can never straddle a boundary
     // cross-engine; the mean is BIGINT division, no double round at all
     "txt_unigram_lp" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\W+'), w -> len(w) > 0)) AS term
-                       FROM documents),
-              tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
-              uni AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY term),
-              n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM uni),
-              w AS (SELECT term, CAST(floor((${TextFunctions.detLnSql("n.n_total")} - ${TextFunctions.detLnSql("uni.cnt")}) * 1000000.0e0) AS BIGINT) AS w_micro
-                    FROM uni CROSS JOIN n)
-         SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tok,
-                CAST(CAST(sum(tf.tf * w.w_micro) AS BIGINT) // CAST(sum(tf.tf) AS BIGINT) AS BIGINT) AS avg_nll_micro
-         FROM tf JOIN w USING (term)
-         GROUP BY tf.doc_id""",
+      s"""WITH $unigramLmCtes
+         SELECT doc_id, n_tok, avg_nll_micro FROM lm""",
+    // CCNet head/middle/tail terciles per language: the lm CTE feeds a
+    // cumulative (lang, score) histogram; cuts are integer
+    // cross-multiplications (3*cum >= n), identical to the Spark side
+    "txt_ppl_buckets" ->
+      s"""WITH $unigramLmCtes,
+              scored AS (SELECT d.doc_id, d.lang, lm.avg_nll_micro
+                         FROM documents d LEFT JOIN lm USING (doc_id)),
+              counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl FROM scored
+                         WHERE avg_nll_micro IS NOT NULL GROUP BY lang),
+              hist AS (SELECT lang, avg_nll_micro, CAST(count(*) AS BIGINT) AS c FROM scored
+                       WHERE avg_nll_micro IS NOT NULL GROUP BY lang, avg_nll_micro),
+              cum AS (SELECT h.lang, h.avg_nll_micro,
+                             sum(h.c) OVER (PARTITION BY h.lang ORDER BY h.avg_nll_micro
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                             c2.nl
+                      FROM hist h JOIN counts c2 USING (lang)),
+              th AS (SELECT lang,
+                            min(CASE WHEN cum * 3 >= nl THEN avg_nll_micro END) AS t1,
+                            min(CASE WHEN cum * 3 >= 2 * nl THEN avg_nll_micro END) AS t2
+                     FROM cum GROUP BY lang)
+         SELECT s.doc_id, s.lang, s.avg_nll_micro,
+                CASE WHEN s.avg_nll_micro IS NULL THEN 'empty'
+                     WHEN s.avg_nll_micro <= th.t1 THEN 'head'
+                     WHEN s.avg_nll_micro <= th.t2 THEN 'middle'
+                     ELSE 'tail' END AS ppl_bucket
+         FROM scored s LEFT JOIN th USING (lang)""",
     // frozen hashed-linear classifier replay: token XXH64 + BIGINT
     // weight rule + integer keep decision (ClassifierOracleSql)
     "txt_classifier" -> ClassifierOracleSql.classifierScore(buckets = 1 << 20, thrMilli = 0L),

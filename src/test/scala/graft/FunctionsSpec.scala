@@ -1003,6 +1003,37 @@ class FunctionsSpec extends GraftTest {
     }
   }
 
+  test("perplexityBuckets: balanced per-lang terciles, head strictly below tail, empty routed") {
+    import spark.implicits._
+    val out = graft.queries.PipelineQueries.all("txt_ppl_buckets")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val nonEmpty = out.filter(_.getAs[String]("ppl_bucket") != "empty")
+    nonEmpty.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val n = rows.length
+      def cnt(b: String) = rows.count(_.getAs[String]("ppl_bucket") == b)
+      assert(cnt("head") + cnt("middle") + cnt("tail") === n, s"$lang buckets don't partition")
+      // discrete terciles: each bucket within a couple of rows of n/3
+      // (score ties can shift the cut by the tie-group size; the
+      // synthetic corpus has near-distinct scores)
+      assert(math.abs(cnt("head") - n / 3) <= 2, s"$lang head=${cnt("head")} n=$n")
+      assert(math.abs(cnt("tail") - n / 3) <= 2, s"$lang tail=${cnt("tail")} n=$n")
+      // the CCNet ordering contract: every head doc scores strictly
+      // below every tail doc within its language
+      val headMax = rows.filter(_.getAs[String]("ppl_bucket") == "head")
+        .map(_.getAs[Long]("avg_nll_micro")).max
+      val tailMin = rows.filter(_.getAs[String]("ppl_bucket") == "tail")
+        .map(_.getAs[Long]("avg_nll_micro")).min
+      assert(headMax < tailMin, s"$lang head max $headMax !< tail min $tailMin")
+    }
+    // empty bucket: token-less docs route there with a null score
+    val e = Seq((1L, "real words here", "en"), (2L, "", "en"), (3L, "!!!", "en"))
+      .toDF("doc_id", "text", "lang")
+    val eOut = TextFunctions.perplexityBuckets(e, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(eOut(2L) === "empty" && eOut(3L) === "empty")
+    assert(eOut(1L) !== "empty")
+  }
+
   test("r11 guards: sketch sizing, snapshotDelta keyed contract, dsir null ids, auto-session hint") {
     import spark.implicits._
     // mis-sized heavy-hitter sketch fails at construction (the

@@ -299,6 +299,22 @@ class PlanSpec extends GraftTest {
     }
   }
 
+  test("unigram LM: ONE tokenize scan; ppl buckets stay within the intrinsic consumers") {
+    // r11: the inert id/term isnotnull filters keep every tf consumer
+    // filter-symmetric, so ReuseExchange deduplicates the tokenize scan
+    // (previously the term join's inferred isnotnull specialized one
+    // subtree apart — the dsirWeights/dd_span breaker class)
+    for ((q, maxScans) <- Seq("txt_unigram_lp" -> 1, "txt_ppl_buckets" -> 4)) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val scans = "Scan parquet".r.findAllIn(p).size
+      assert(scans <= maxScans,
+        s"$q: expected ≤$maxScans documents scans, saw $scans:\n${p.take(3000)}")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
   test("sk_bloom_prune builds and probes the bloom entirely in-plan") {
     // r11: BloomFilterAggregate as a scalar subquery + codegen'd
     // might_contain — ONE job; the retired stat.bloomFilter form ran a
