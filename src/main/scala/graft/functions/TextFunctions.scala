@@ -622,9 +622,20 @@ object TextFunctions {
     * → even blocks), matching what range partitioning would give.
     */
   def packBins(docs: org.apache.spark.sql.DataFrame, id: String, text: String,
-               tokenBudget: Int): org.apache.spark.sql.DataFrame = {
+               tokenBudget: Int): org.apache.spark.sql.DataFrame =
+    packBins(docs, id, text, tokenBudget, None)
+
+  /** [[packBins]] with a custom per-document token counter — e.g. the
+    * TRUE BPE subword count ([[Bpe.subwordCountBpe]]) instead of the
+    * whitespace estimate: the number that actually bounds a training
+    * batch. Defaults to [[wsTokenCount]].
+    */
+  def packBins(docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+               tokenBudget: Int,
+               tokenCount: Option[Column]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = docs.select(col(id), wsTokenCount(col(text)).cast("long").as("n_tok"))
+    val base = docs.select(col(id),
+      tokenCount.getOrElse(wsTokenCount(col(text))).cast("long").as("n_tok"))
     val bounds = base.agg(min(col(id)).cast("long"), max(col(id)).cast("long")).head()
     if (bounds.isNullAt(0))
       return base.withColumn("bin", lit(null).cast("long")).where(lit(false))

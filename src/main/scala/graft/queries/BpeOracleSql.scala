@@ -22,6 +22,39 @@ import graft.functions.BpeModel
   */
 object BpeOracleSql {
 
+  /** The merged-working-form CTE chain (b0 → bN in 32-replace blocks) —
+    * shared by every oracle that needs the per-doc chain result.
+    * Returns (cte fragment, last cte name).
+    */
+  private def chainCtes(model: BpeModel, textSql: String): (String, String) = {
+    val wrappedSql =
+      s"""regexp_replace(regexp_replace(lower($textSql), '\\W+', '#', 'g'), '(\\w)', '<\\1>', 'g')"""
+    val blocks = model.merges.grouped(32).toList
+    val ctes = new StringBuilder(
+      s"b0 AS (SELECT doc_id, text, $wrappedSql AS m FROM documents)")
+    blocks.zipWithIndex.foreach { case (blk, i) =>
+      val merged = blk.foldLeft("m") { case (s, (a, b)) =>
+        s"replace($s, '<$a><$b>', '<$a$b>')"
+      }
+      ctes.append(s", b${i + 1} AS (SELECT doc_id, text, $merged AS m FROM b$i)")
+    }
+    (ctes.toString, s"b${blocks.length}")
+  }
+
+  /** Oracle for `pp_pack_bpe`: packBins' deterministic prefix-sum
+    * binning with the TRUE BPE subword count as the token measure —
+    * the chain replay feeds the identical cumulative arithmetic.
+    */
+  def packBins(model: BpeModel, budget: Int): String = {
+    val (ctes, last) = chainCtes(model, "text")
+    s"""WITH $ctes,
+            t AS (SELECT doc_id, CAST(length(m) - length(replace(m, '<', '')) AS BIGINT) AS n_tok FROM $last),
+            c AS (SELECT doc_id, n_tok,
+                         sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM t)
+       SELECT doc_id, n_tok, CAST((cum - n_tok) // $budget AS BIGINT) AS bin FROM c"""
+  }
+
   /** Oracle for `txt_bpe` (includeWords = true) and `txt_bpe_big`
     * (includeWords = false, enriched textSql): doc_id [, n_words],
     * n_subwords. `textSql` is the DuckDB expression for the text the
@@ -29,18 +62,8 @@ object BpeOracleSql {
     */
   def subwordCount(model: BpeModel, includeWords: Boolean = true,
                    textSql: String = "text"): String = {
-    val wrappedSql =
-      s"""regexp_replace(regexp_replace(lower($textSql), '\\W+', '#', 'g'), '(\\w)', '<\\1>', 'g')"""
-    val blocks = model.merges.grouped(32).toList
-    val ctes = new StringBuilder(
-      s"WITH b0 AS (SELECT doc_id, text, $wrappedSql AS m FROM documents)")
-    blocks.zipWithIndex.foreach { case (blk, i) =>
-      val merged = blk.foldLeft("m") { case (s, (a, b)) =>
-        s"replace($s, '<$a><$b>', '<$a$b>')"
-      }
-      ctes.append(s", b${i + 1} AS (SELECT doc_id, text, $merged AS m FROM b$i)")
-    }
-    val last = s"b${blocks.length}"
+    val (ctesStr, last) = chainCtes(model, textSql)
+    val ctes = new StringBuilder("WITH " + ctesStr)
     val wordsCol = if (includeWords)
       """CAST(len(list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0)) AS INTEGER) AS n_words,
          """

@@ -511,6 +511,20 @@ object PipelineQueries {
       // deterministic by doc_id order — fully oracle-expressible
       TextFunctions.packBins(Graft.documents(s, d), "doc_id", "text", tokenBudget = 512)),
 
+    "pp_pack_bpe" -> ((s, d) => {
+      // tokenizer-aware sequence packing: the bins budget by the TRUE
+      // BPE subword count (trie kernel) instead of the whitespace
+      // estimate — the number that actually bounds a training batch.
+      // Same two-phase parallel prefix sum as pp_pack; frozen model →
+      // full oracle (the chain replay feeds the identical cumulative
+      // binning arithmetic).
+      val docs = Graft.documents(s, d)
+      val model = graft.functions.Bpe.train(docs, "text", nMerges = 64)
+      AnnOracleSql.register("pp_pack_bpe", BpeOracleSql.packBins(model, budget = 512))
+      TextFunctions.packBins(docs, "doc_id", "text", tokenBudget = 512,
+        Some(graft.functions.Bpe.subwordCountBpe(col("text"), model)))
+    }),
+
     "pp_mix" -> ((s, d) =>
       // balanced mixture: every language downsampled to the smallest
       // language's size, rates derived from per-stratum counts (broadcast
