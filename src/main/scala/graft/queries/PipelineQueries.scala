@@ -666,6 +666,24 @@ object PipelineQueries {
         k = 10, nProbe = 4, model)
     }),
 
+    "ann_ivf_saved" -> ((s, d) => {
+      // the production artifact seam, driver-certified: train → SAVE the
+      // frozen model (ModelIO parquet artifact) → LOAD → search with the
+      // LOADED model. The round trip is bit-exact (ModelIOSpec raw-bit
+      // proof), so the loaded model registers the same frozen-model
+      // oracle replay ann_ivf uses — a persistence bug breaks the hash.
+      val emb = Graft.embeddings(s, d)
+      val model = Ann.trainIvf(emb, "vec_id", "embedding", nLists = 16)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-artifact")
+      dir.toFile.deleteOnExit()
+      graft.ann.ModelIO.saveIvf(s, model, dir.toAbsolutePath.toString)
+      val loaded = graft.ann.ModelIO.loadIvf(s, dir.toAbsolutePath.toString)
+      AnnOracleSql.register("ann_ivf_saved",
+        AnnOracleSql.ivfTopK(loaded, k = 10, nProbe = 4))
+      Ann.ivfTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+        k = 10, nProbe = 4, loaded)
+    }),
+
     "ann_pq" -> ((s, d) => {
       // product-quantization ANN: broadcast codebooks, m-byte codes, O(m)
       // ADC scoring, exact re-rank of the refine set — the
