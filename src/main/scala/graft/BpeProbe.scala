@@ -24,9 +24,7 @@ object BpeProbe {
     var probeDir: Option[java.nio.file.Path] = None
     try {
       val docs0 = Graft.documents(spark, sfDir)
-      val enrich = (df: DataFrame) => df.withColumn("btext",
-        concat(col("text"), lit(" "), col("doc_id").cast("string"), lit(" "),
-          ((col("doc_id") * lit(2654435761L)) % lit(1000000007L)).cast("string")))
+      val enrich = (df: DataFrame) => graft.functions.Bpe.enrichWithIdTokens(df)
       val base = enrich(docs0)
       val models = Seq(64, 256, 1024).map { n =>
         n -> graft.functions.Bpe.train(base, "btext", nMerges = n, vocabCap = 2000)

@@ -9,6 +9,23 @@ import org.apache.spark.sql.DataFrame
   */
 object ProbeUtil {
 
+  // dirs registered by scratchDir: swept recursively at JVM exit
+  // (File.deleteOnExit is an empty-dir-only no-op once parquet lands
+  // inside — the r11 review's artifact-leak finding)
+  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    tracked.forEach(p => try deleteRecursively(p) catch { case _: Exception => () })
+  }))
+
+  /** A temp dir swept RECURSIVELY at JVM exit — for model artifacts and
+    * other outputs that fill with files after creation.
+    */
+  def scratchDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-$tag")
+    tracked.add(d)
+    d.toAbsolutePath.toString
+  }
+
   /** Recursive delete of a probe's replicated-corpus temp dir — multi-GB
     * at large factors, must not outlive the run (including failed runs).
     */

@@ -138,6 +138,23 @@ object Bpe {
       BpeSubwordCount(org.apache.spark.sql.graft.ColumnBridge.expression(text), bc))
   }
 
+  /** The digit-enrichment device `txt_bpe_big`, BpeProbe, ScaleCheck and
+    * FunctionsSpec share: append the doc id and a portable pseudo-hash
+    * digit token so the synthetic corpus's 31-word vocabulary gains the
+    * long-tail pair structure a real corpus has (measured capacity
+    * ≥ 1300 merges at the smallest SF). ONE definition plus its SQL twin
+    * — the certified query, the probes and the scale case stay in
+    * lockstep by construction.
+    */
+  def enrichWithIdTokens(df: DataFrame, id: String = "doc_id",
+                         text: String = "text", out: String = "btext"): DataFrame =
+    df.withColumn(out, concat(col(text), lit(" "), col(id).cast("string"), lit(" "),
+      ((col(id) * lit(2654435761L)) % lit(1000000007L)).cast("string")))
+
+  /** DuckDB expression twin of [[enrichWithIdTokens]]. */
+  def enrichWithIdTokensSql(id: String = "doc_id", text: String = "text"): String =
+    s"$text || ' ' || CAST($id AS VARCHAR) || ' ' || CAST(($id * 2654435761) % 1000000007 AS VARCHAR)"
+
   /** The literal replace-chain form — O(nMerges × len), kept as the
     * kernel's equality witness and the oracle-side semantics reference.
     */

@@ -435,11 +435,12 @@ object TextFunctions {
         when(col("avg_nll_micro") <= col("t1"), lit("head"))
           .when(col("avg_nll_micro") <= col("t2"), lit("middle"))
           .otherwise(lit("tail")).as("ppl_bucket"))
-    // lm contains exactly the docs with ≥1 token; a null id never
-    // matches the inner join, so it routes here too (the LEFT-join
-    // semantics the oracle states)
+    // lm contains exactly the docs with ≥1 token; null ids never match
+    // the inner join and NULL text yields no tokens (but size() on null
+    // is -1/null, never 0 — it needs its own clause), so both route
+    // here too — the LEFT-join semantics the oracle states
     val empties = docs
-      .where(col(id).isNull || size(tokens(col(text))) === 0)
+      .where(col(id).isNull || col(text).isNull || size(tokens(col(text))) === 0)
       .select(col(id).as("doc"), col(lang).as("lang"),
         lit(null).cast("long").as("avg_nll_micro"), lit("empty").as("ppl_bucket"))
     bucketed.unionByName(empties)
@@ -643,11 +644,25 @@ object TextFunctions {
     val span = hi - lo + 1
     val nBlocks = math.min(4096L, span)
     val blockSpan = (span + nBlocks - 1) / nBlocks
+    // the explicit isnotnull is inert (a null _blk means a null id,
+    // whose row the inner _blk join below silently drops today anyway)
+    // but REQUIRED for the single-scan plan: the join infers
+    // isnotnull(_blk) into one consumer's subtree only, which would
+    // specialize the window exchange apart from the offsets branch's
     val blocked = base.withColumn("_blk",
       expr(s"(cast(`$id` as bigint) - ${lo}L) div ${blockSpan}L"))
+      .where(col("_blk").isNotNull)
     val wLocal = Window.partitionBy("_blk").orderBy(col(id))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = blocked.withColumn("_local_cum", sum(col("n_tok")).over(wLocal))
+      // both consumers below (the offsets aggregation and the final
+      // join's left side) hang off THIS window frame, so the token-count
+      // expression — expensive when it is the BPE trie kernel
+      // (pp_pack_bpe) — evaluates below the single _blk exchange both
+      // reuse, instead of once per consumer (the r11 review finding:
+      // the old offsets branch aggregated the PRE-window frame, whose
+      // partially-aggregated exchange could never canonicalize with the
+      // window's)
     // per-block totals: tiny (≤4096 rows), so the ordered window over
     // them is a trivially small single-partition job. The partition key
     // is an always-zero expression of _blk — NON-foldable, so Catalyst
@@ -656,7 +671,10 @@ object TextFunctions {
     // every run) — while still hashing every row to one partition.
     val wOff = Window.partitionBy(expr("_blk * 0L")).orderBy(col("_blk"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = blocked.groupBy("_blk").agg(sum("n_tok").as("_btotal"))
+    // a block's total == its LAST local cumulative value, so the totals
+    // come from the shared window frame (max of the running sum), not a
+    // second pass over the raw counts
+    val offsets = local.groupBy("_blk").agg(max("_local_cum").as("_btotal"))
       .withColumn("_offset", sum(col("_btotal")).over(wOff) - col("_btotal"))
       .select("_blk", "_offset")
     local.join(broadcast(offsets), "_blk")

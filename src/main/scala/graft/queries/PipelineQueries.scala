@@ -400,14 +400,11 @@ object PipelineQueries {
       // replay over the same enriched text, CTE-blocked so DuckDB's
       // max_expression_depth (1000) never sees 1024 nested replaces.
       val docs = Graft.documents(s, d)
-      val enriched = docs.withColumn("btext",
-        concat(col("text"), lit(" "), col("doc_id").cast("string"), lit(" "),
-          ((col("doc_id") * lit(2654435761L)) % lit(1000000007L)).cast("string")))
+      val enriched = graft.functions.Bpe.enrichWithIdTokens(docs)
       val model = graft.functions.Bpe.train(enriched, "btext",
         nMerges = 1024, vocabCap = 2000)
       AnnOracleSql.register("txt_bpe_big", BpeOracleSql.subwordCount(model,
-        includeWords = false, textSql = "text || ' ' || CAST(doc_id AS VARCHAR)" +
-          " || ' ' || CAST((doc_id * 2654435761) % 1000000007 AS VARCHAR)"))
+        includeWords = false, textSql = graft.functions.Bpe.enrichWithIdTokensSql()))
       enriched.select(col("doc_id"),
         graft.functions.Bpe.subwordCountBpe(col("btext"), model).as("n_subwords"))
     }),
@@ -674,10 +671,9 @@ object PipelineQueries {
       // oracle replay ann_ivf uses — a persistence bug breaks the hash.
       val emb = Graft.embeddings(s, d)
       val model = Ann.trainIvf(emb, "vec_id", "embedding", nLists = 16)
-      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-artifact")
-      dir.toFile.deleteOnExit()
-      graft.ann.ModelIO.saveIvf(s, model, dir.toAbsolutePath.toString)
-      val loaded = graft.ann.ModelIO.loadIvf(s, dir.toAbsolutePath.toString)
+      val dir = graft.ProbeUtil.scratchDir("ivf-artifact") // swept recursively at exit
+      graft.ann.ModelIO.saveIvf(s, model, dir)
+      val loaded = graft.ann.ModelIO.loadIvf(s, dir)
       AnnOracleSql.register("ann_ivf_saved",
         AnnOracleSql.ivfTopK(loaded, k = 10, nProbe = 4))
       Ann.ivfTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",

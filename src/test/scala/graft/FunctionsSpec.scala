@@ -901,9 +901,7 @@ class FunctionsSpec extends GraftTest {
     // on the digit-enriched text (txt_bpe_big's device: the 31-word
     // synthetic vocabulary exhausts at ~89 merges, doc-id digit strings
     // supply the long tail)
-    val enriched = corpus.withColumn("btext",
-      concat(col("text"), lit(" "), col("doc_id").cast("string"), lit(" "),
-        ((col("doc_id") * lit(2654435761L)) % lit(1000000007L)).cast("string")))
+    val enriched = graft.functions.Bpe.enrichWithIdTokens(corpus)
     val m1k = graft.functions.Bpe.train(enriched, "btext", nMerges = 1024, vocabCap = 2000)
     assert(m1k.merges.length === 1024,
       s"enriched corpus must support 1024 real merges, got ${m1k.merges.length}")
@@ -1010,8 +1008,13 @@ class FunctionsSpec extends GraftTest {
     val nonEmpty = out.filter(_.getAs[String]("ppl_bucket") != "empty")
     nonEmpty.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
       val n = rows.length
+      // a language too small (or tie-collapsed) for three buckets would
+      // pass the balance asserts vacuously and then crash .max on an
+      // empty head/tail — fail with a diagnostic instead
+      assert(n >= 9, s"$lang has only $n scored docs — tercile test needs more")
       def cnt(b: String) = rows.count(_.getAs[String]("ppl_bucket") == b)
       assert(cnt("head") + cnt("middle") + cnt("tail") === n, s"$lang buckets don't partition")
+      assert(cnt("head") > 0 && cnt("tail") > 0, s"$lang produced an empty tercile")
       // discrete terciles: each bucket within a couple of rows of n/3
       // (score ties can shift the cut by the tie-group size; the
       // synthetic corpus has near-distinct scores)
@@ -1025,12 +1028,16 @@ class FunctionsSpec extends GraftTest {
         .map(_.getAs[Long]("avg_nll_micro")).min
       assert(headMax < tailMin, s"$lang head max $headMax !< tail min $tailMin")
     }
-    // empty bucket: token-less docs route there with a null score
-    val e = Seq((1L, "real words here", "en"), (2L, "", "en"), (3L, "!!!", "en"))
+    // empty bucket: token-less AND null-text docs route there with a
+    // null score (size(tokens(null)) is -1/null, never 0 — the r11
+    // review's null-text drop)
+    val e = Seq((1L, Option("real words here"), "en"), (2L, Option(""), "en"),
+      (3L, Option("!!!"), "en"), (4L, Option.empty[String], "en"))
       .toDF("doc_id", "text", "lang")
     val eOut = TextFunctions.perplexityBuckets(e, "doc_id", "text", "lang")
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
-    assert(eOut(2L) === "empty" && eOut(3L) === "empty")
+    assert(eOut.keySet === Set(1L, 2L, 3L, 4L), "every input doc must surface")
+    assert(eOut(2L) === "empty" && eOut(3L) === "empty" && eOut(4L) === "empty")
     assert(eOut(1L) !== "empty")
   }
 

@@ -11,11 +11,7 @@ import org.apache.spark.sql.functions._
   */
 class ModelIOSpec extends GraftTest {
 
-  private def tmp(tag: String): String = {
-    val d = java.nio.file.Files.createTempDirectory(s"graft-modelio-$tag")
-    d.toFile.deleteOnExit()
-    d.toAbsolutePath.toString
-  }
+  private def tmp(tag: String): String = ProbeUtil.scratchDir(s"modelio-$tag")
 
   private def bits(d: Double): Long = java.lang.Double.doubleToRawLongBits(d)
 

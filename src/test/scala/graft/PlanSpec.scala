@@ -304,7 +304,11 @@ class PlanSpec extends GraftTest {
     // filter-symmetric, so ReuseExchange deduplicates the tokenize scan
     // (previously the term join's inferred isnotnull specialized one
     // subtree apart — the dsirWeights/dd_span breaker class)
-    for ((q, maxScans) <- Seq("txt_unigram_lp" -> 1, "txt_ppl_buckets" -> 4)) {
+    // pp_pack_bpe: the BPE count expression must evaluate below the ONE
+    // _blk exchange both packBins consumers reuse (offsets aggregate
+    // from the shared window frame) — a single tokenize/count scan
+    for ((q, maxScans) <- Seq("txt_unigram_lp" -> 1, "txt_ppl_buckets" -> 4,
+        "pp_pack_bpe" -> 1, "pp_pack" -> 1)) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
       val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
