@@ -663,6 +663,25 @@ object PipelineQueries {
         k = 10, nProbe = 4, model)
     }),
 
+    "ann_quantized" -> ((s, d) => {
+      // search over the QUANTIZED store: the int8 codec (mm_quantize)
+      // composed with exact search — corpus vectors round-trip through
+      // (scale, codes) and rank by cosine against the raw queries, the
+      // production pattern where only the 4×-smaller store is resident.
+      // Dequantized values hop back through FLOAT (the storage dtype);
+      // the oracle replays quantize → dequant → float hop → the same
+      // cosine fold ann_brute hash-proved. Certifies the end-to-end
+      // fidelity claim mm_quantize's per-vector cosine makes: top-k
+      // under the codec matches the oracle bit-for-bit.
+      val emb = Graft.embeddings(s, d)
+      val store = emb.select(col("vec_id"),
+        graft.functions.VectorFunctions.dequantizeInt8(
+          graft.functions.VectorFunctions.quantizeInt8(col("embedding")))
+          .cast("array<float>").as("embedding"))
+      Ann.bruteForceTopK(store, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 10)
+    }),
+
     "ann_ivf_saved" -> ((s, d) => {
       // the production artifact seam, driver-certified: train → SAVE the
       // frozen model (ModelIO parquet artifact) → LOAD → search with the
@@ -1312,6 +1331,32 @@ object PipelineQueries {
     "ann_incremental" -> EmbeddingOracleSql.crossCosine(threshold = 0.25),
     "ann_lsh" -> EmbeddingOracleSql.lshTopK(k = 10, nBits = 6, probeBits = 4),
     "ann_brute" -> annBruteSql,
+    // quantize → dequant → FLOAT storage hop → the same cosine fold:
+    // the store CTEs are mm_quantize's replay verbatim
+    "ann_quantized" ->
+      """WITH e AS (SELECT vec_id, CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]) AS v FROM embeddings),
+              q AS (SELECT vec_id, v,
+                           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(v, x -> abs(x))),
+                                       (a, b) -> CASE WHEN b > a THEN b ELSE a END) / 127.0 AS s
+                    FROM e),
+              c AS (SELECT vec_id, v, s,
+                           CASE WHEN s = 0 THEN list_transform(v, x -> 0)
+                                ELSE list_transform(v, x -> CAST(round(x / s) AS INTEGER)) END AS codes
+                    FROM q),
+              store AS (SELECT vec_id,
+                               CAST(CAST(list_transform(codes, x -> CAST(x AS DOUBLE) * s) AS FLOAT[]) AS DOUBLE[]) AS se
+                        FROM c),
+              qs AS (SELECT vec_id, CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]) AS qe
+                     FROM embeddings WHERE vec_id < 10)
+         SELECT query_id, neighbor_id, rank, cos FROM (
+           SELECT qs.vec_id AS query_id, store.vec_id AS neighbor_id,
+                  row_number() OVER (PARTITION BY qs.vec_id
+                                     ORDER BY list_cosine_similarity(qs.qe, store.se) DESC,
+                                              store.vec_id ASC) AS rank,
+                  round(list_cosine_similarity(qs.qe, store.se), 6) AS cos
+           FROM qs, store
+           WHERE store.vec_id <> qs.vec_id)
+         WHERE rank <= 10""",
     "txt_quality" ->
       """WITH t AS (SELECT doc_id, text,
                            list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0) AS toks

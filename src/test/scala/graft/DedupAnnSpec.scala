@@ -1054,4 +1054,19 @@ class DedupAnnSpec extends GraftTest {
       assert(sims.zip(sims.tail).forall { case (x, y) => x >= y }, "ranks ordered by cosine")
     }
   }
+
+  test("ann_quantized: top-k through the int8 store keeps >=90% recall vs raw brute force") {
+    // per-vector dequant fidelity is ~0.99995 cosine (mm_quantize's
+    // certified bound); this asserts the codec's effect on the actual
+    // SEARCH answer — near-identical neighbor sets
+    val truth = graft.queries.PipelineQueries.all("ann_brute")(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = graft.queries.PipelineQueries.all("ann_quantized")(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val recall = (truth & quant).size.toDouble / truth.size
+    assert(recall >= 0.9, f"quantized-store recall $recall%.3f < 0.9")
+  }
 }
