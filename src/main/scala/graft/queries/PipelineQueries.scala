@@ -673,11 +673,17 @@ object PipelineQueries {
       // cosine fold ann_brute hash-proved. Certifies the end-to-end
       // fidelity claim mm_quantize's per-vector cosine makes: top-k
       // under the codec matches the oracle bit-for-bit.
+      // Two-step quantize-then-dequantize (the mm_quantize pattern):
+      // projecting the struct to `_q` first evaluates the O(d) scale
+      // aggregate once per row; inlining the composition would replay
+      // it inside every per-element HOF lambda (O(d^2) per row).
       val emb = Graft.embeddings(s, d)
-      val store = emb.select(col("vec_id"),
-        graft.functions.VectorFunctions.dequantizeInt8(
-          graft.functions.VectorFunctions.quantizeInt8(col("embedding")))
-          .cast("array<float>").as("embedding"))
+      val store = emb
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.quantizeInt8(col("embedding")).as("_q"))
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.dequantizeInt8(col("_q"))
+            .cast("array<float>").as("embedding"))
       Ann.bruteForceTopK(store, emb.where(col("vec_id") < 10),
         "vec_id", "embedding", k = 10)
     }),
@@ -1154,6 +1160,21 @@ object PipelineQueries {
          WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
        WHERE rank <= 10"""
 
+  // the int8-quantization replay CTEs (e -> q -> c: float hop, exact
+  // max scale, half-away-from-zero codes), shared by mm_quantize and
+  // the quantized-store search ann_quantized so the two oracles can't
+  // drift apart (the unigramLmCtes precedent)
+  private val int8QuantizeCtes: String =
+    """e AS (SELECT vec_id, CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]) AS v FROM embeddings),
+       q AS (SELECT vec_id, v,
+                    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(v, x -> abs(x))),
+                                (a, b) -> CASE WHEN b > a THEN b ELSE a END) / 127.0 AS s
+             FROM e),
+       c AS (SELECT vec_id, v, s,
+                    CASE WHEN s = 0 THEN list_transform(v, x -> 0)
+                         ELSE list_transform(v, x -> CAST(round(x / s) AS INTEGER)) END AS codes
+             FROM q)"""
+
   // the unigram-LM replay CTEs (toks -> tf -> uni -> n -> w -> lm),
   // shared by txt_unigram_lp and the CCNet tercile buckets built on it
   private val unigramLmCtes: String =
@@ -1332,17 +1353,9 @@ object PipelineQueries {
     "ann_lsh" -> EmbeddingOracleSql.lshTopK(k = 10, nBits = 6, probeBits = 4),
     "ann_brute" -> annBruteSql,
     // quantize → dequant → FLOAT storage hop → the same cosine fold:
-    // the store CTEs are mm_quantize's replay verbatim
+    // the store CTEs are the shared int8QuantizeCtes replay
     "ann_quantized" ->
-      """WITH e AS (SELECT vec_id, CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]) AS v FROM embeddings),
-              q AS (SELECT vec_id, v,
-                           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(v, x -> abs(x))),
-                                       (a, b) -> CASE WHEN b > a THEN b ELSE a END) / 127.0 AS s
-                    FROM e),
-              c AS (SELECT vec_id, v, s,
-                           CASE WHEN s = 0 THEN list_transform(v, x -> 0)
-                                ELSE list_transform(v, x -> CAST(round(x / s) AS INTEGER)) END AS codes
-                    FROM q),
+      s"""WITH $int8QuantizeCtes,
               store AS (SELECT vec_id,
                                CAST(CAST(list_transform(codes, x -> CAST(x AS DOUBLE) * s) AS FLOAT[]) AS DOUBLE[]) AS se
                         FROM c),
@@ -1813,15 +1826,7 @@ object PipelineQueries {
     // zero rounding are single ops, and the cosine folds run in the
     // same sequential order as aggregate()'s left fold
     "mm_quantize" ->
-      """WITH e AS (SELECT vec_id, CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]) AS v FROM embeddings),
-              q AS (SELECT vec_id, v,
-                           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(v, x -> abs(x))),
-                                       (a, b) -> CASE WHEN b > a THEN b ELSE a END) / 127.0 AS s
-                    FROM e),
-              c AS (SELECT vec_id, v, s,
-                           CASE WHEN s = 0 THEN list_transform(v, x -> 0)
-                                ELSE list_transform(v, x -> CAST(round(x / s) AS INTEGER)) END AS codes
-                    FROM q),
+      s"""WITH $int8QuantizeCtes,
               d AS (SELECT vec_id, v, s, codes,
                            list_transform(codes, x -> CAST(x AS DOUBLE) * s) AS dq
                     FROM c),

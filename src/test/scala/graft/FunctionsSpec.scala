@@ -931,6 +931,30 @@ class FunctionsSpec extends GraftTest {
       s"kernel ${r.getLong(0)} != chain ${r.getLong(1)}"))
   }
 
+  test("Bpe trie kernel == chain for RANDOM merge lists and text (seeded fuzz)") {
+    import spark.implicits._
+    // the corpus equality tests use TRAINED models and the adversarial
+    // test a hand-built list; this fuzzes arbitrary merge lists against
+    // random ASCII text including repeats, overlaps and punctuation runs
+    val rnd = new scala.util.Random(42)
+    def randSym(maxLen: Int): String =
+      (1 to (1 + rnd.nextInt(maxLen))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    (0 until 8).foreach { trial =>
+      val merges = (0 until (1 + rnd.nextInt(12))).map(_ => (randSym(3), randSym(3)))
+      val model = graft.functions.BpeModel(merges)
+      val texts = (0 until 150).map { i =>
+        val words = (0 until rnd.nextInt(6)).map(_ => randSym(8))
+        (i.toLong, words.mkString(Seq(" ", "  ", "! ", ", ")(rnd.nextInt(4))))
+      }
+      val df = texts.toDF("doc_id", "text")
+      val mism = df.select(
+          graft.functions.Bpe.subwordCountBpe(col("text"), model).as("k"),
+          graft.functions.Bpe.subwordCountChain(col("text"), model).as("c"))
+        .where(col("k") =!= col("c")).count()
+      assert(mism === 0L, s"trial $trial: kernel != chain for merges $merges")
+    }
+  }
+
   test("Codec: golden BMP/WAV headers, round trips, chunk walk, malformed-input safety") {
     import graft.multimodal.Multimodal.Codec
     // golden BMP 2x1 @24bpp: row = 6 bytes + 2 pad; 54-byte header

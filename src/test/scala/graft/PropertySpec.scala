@@ -235,32 +235,4 @@ class PropertySpec extends AnyFunSuite {
     }, tests = 500)
   }
 
-  // ---- BPE trie kernel vs chain on random models and random text ----------
-
-  test("property: BpeSubwordCount kernel == replace chain for random merge lists and text") {
-    // the corpus equality tests use TRAINED models; this fuzzes ARBITRARY
-    // merge lists (which the kernel promises to handle chain-equal, no
-    // training invariant) against random ASCII text including repeats,
-    // overlaps and punctuation runs
-    val spark = graft.Graft.session("4")
-    import spark.implicits._
-    import org.apache.spark.sql.functions.col
-    val rnd = new scala.util.Random(42)
-    def randSym(maxLen: Int): String =
-      (1 to (1 + rnd.nextInt(maxLen))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
-    (0 until 8).foreach { trial =>
-      val merges = (0 until (1 + rnd.nextInt(12))).map(_ => (randSym(3), randSym(3)))
-      val model = graft.functions.BpeModel(merges)
-      val texts = (0 until 150).map { i =>
-        val words = (0 until rnd.nextInt(6)).map(_ => randSym(8))
-        (i.toLong, words.mkString(Seq(" ", "  ", "! ", ", ")(rnd.nextInt(4))))
-      }
-      val df = texts.toDF("doc_id", "text")
-      val mism = df.select(
-          graft.functions.Bpe.subwordCountBpe(col("text"), model).as("k"),
-          graft.functions.Bpe.subwordCountChain(col("text"), model).as("c"))
-        .where(col("k") =!= col("c")).count()
-      assert(mism === 0L, s"trial $trial: kernel != chain for merges $merges")
-    }
-  }
 }
