@@ -592,6 +592,70 @@ object Dedup {
     transform(zipped, s => xxhash64((0 until k).map(j => s.getField(s"t$j")): _*))
   }
 
+  // ---- corpus-frequent line (boilerplate) removal --------------------------
+
+  /** CCNet/RefinedWeb-style boilerplate removal: segment each document
+    * into positional `lineWords`-token pseudo-lines (the synthetic corpus
+    * has no physical line breaks; on real data segment on newline
+    * upstream and pass `lineWords` large), count each line's document
+    * frequency across the corpus, and strip lines seen in at least
+    * `maxDfFrac` of documents — navigation chrome, cookie banners and
+    * license headers repeat near-verbatim across pages while body text
+    * does not. The threshold denominator is ALL keyed documents (so the
+    * count never needs a tokenize pass); documents with no tokens carry
+    * no lines and drop out of the OUTPUT,
+    * like the other tokenized-corpus operators. Returns one row per doc:
+    * (id, n_lines, n_removed, text_clean) with lines rejoined in
+    * original order.
+    *
+    * Scale shape (100 TB): one tokenize scan → explode to lines; the df
+    * table is ONE hash aggregation on the line text (two-phase distinct
+    * count, map-side partial); the boilerplate set is the head of the
+    * line-frequency distribution above df ≥ maxDfFrac·N — small by
+    * construction, so AQE broadcasts the flag join without a forced
+    * hint (the tfidf/unigram-LM precedent); reassembly is one groupBy
+    * on the doc id with an `array_sort` over (idx, line) structs, so
+    * output is layout-invariant regardless of collect_list order. Every
+    * stage is linear in corpus tokens — no pair joins anywhere.
+    */
+  def boilerplateRemove(docs: DataFrame, id: String, text: String,
+                        lineWords: Int = 2, maxDfFrac: Double = 0.05): DataFrame = {
+    require(lineWords > 0, "boilerplateRemove: lineWords must be positive")
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      "boilerplateRemove: maxDfFrac must be in (0, 1]")
+    val base = docs.where(col(id).isNotNull)
+      .select(col(id).as("_doc"), TextFunctions.tokens(col(text)).as("_w"))
+      .where(size(col("_w")) > 0)
+    // threshold denominator = ALL keyed docs, not just tokenized ones:
+    // a metadata-only count (no third tokenize pass — parquet answers it
+    // from row counts), and "fraction of the corpus" is the CCNet
+    // semantics anyway. 1-row scalar broadcast, the sk_cms/pp_mix pattern.
+    val nDocs = docs.where(col(id).isNotNull).agg(count(lit(1)).as("_n"))
+    val segArr = transform(
+      sequence(lit(0), (ceil(size(col("_w")).cast("double") / lineWords) - 1).cast("int")),
+      i => array_join(slice(col("_w"), i * lineWords + 1, lit(lineWords)), " "))
+    val segs = base.select(col("_doc"), posexplode(segArr).as(Seq("line_idx", "line")))
+    // df ≥ max(ceil(maxDfFrac·N), 2): a line must repeat across at
+    // least two docs to ever count as boilerplate
+    val boiler = segs.groupBy("line")
+      .agg(countDistinct("_doc").as("df"))
+      .crossJoin(nDocs)
+      .where(col("df") >= greatest(ceil(col("_n") * maxDfFrac), lit(2L)))
+      .select(col("line"), lit(true).as("_rm"))
+    val flagged = segs.join(boiler, Seq("line"), "left")
+      .select(col("_doc"), col("line_idx"), col("line"),
+        coalesce(col("_rm"), lit(false)).as("_rm"))
+    flagged.groupBy(col("_doc"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("_rm"), lit(1L)).otherwise(lit(0L))).as("n_removed"),
+        // removed lines collect as null (no otherwise) and vanish from
+        // the list; array_sort on (line_idx, line) restores doc order
+        array_join(transform(array_sort(collect_list(
+            when(!col("_rm"), struct(col("line_idx"), col("line"))))),
+          s => s.getField("line")), " ").as("text_clean"))
+      .select(col("_doc").as(id), col("n_lines"), col("n_removed"), col("text_clean"))
+  }
+
   // ---- blocking candidate generation --------------------------------------
 
   /** Candidate pairs by attribute blocking: a capped self-join on the

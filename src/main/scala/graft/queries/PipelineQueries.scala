@@ -103,6 +103,16 @@ object PipelineQueries {
       Dedup.spanRemove(Graft.documents(s, d), "doc_id", "text", k = 8,
         minSpanTokens = 16)),
 
+    "dd_boilerplate" -> ((s, d) =>
+      // CCNet-style corpus-frequent line removal: positional 2-token
+      // pseudo-lines, df across docs, strip lines in ≥5% of the corpus,
+      // rejoin in order. Linear scans only: one df hash-agg on the line
+      // text, AQE-broadcast flag join (boilerplate set = distribution
+      // head, small by construction), one reassembly groupBy. Full
+      // oracle: exact string/count replay, line order via ORDER BY idx.
+      Dedup.boilerplateRemove(Graft.documents(s, d), "doc_id", "text",
+        lineWords = 2, maxDfFrac = 0.05)),
+
     "dd_embedding" -> ((s, d) =>
       // embedding-cosine near-dup: SRP-bucketed pair generation + cosine
       // verify (bucket join, no all-pairs product); hash-bucket-specific
@@ -1311,6 +1321,26 @@ object PipelineQueries {
     // signal is hash-checkable end-to-end
     "dd_span" -> SpanOracleSql.spanStats(k = 8),
     "dd_span_remove" -> SpanOracleSql.spanRemove(k = 8, minSpanTokens = 16),
+    // positional 2-token pseudo-lines → line document frequency →
+    // strip df ≥ max(ceil(0.05·N), 2) → rejoin ORDER BY line_idx;
+    // exact strings and counts, engine-portable end-to-end
+    "dd_boilerplate" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0) AS w
+                    FROM documents WHERE doc_id IS NOT NULL),
+              b AS (SELECT doc_id, w FROM t WHERE len(w) > 0),
+              n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id IS NOT NULL),
+              seg AS (SELECT doc_id, CAST(i AS INT) AS line_idx,
+                             list_aggregate(w[(i*2+1):((i+1)*2)], 'string_agg', ' ') AS line
+                      FROM b, UNNEST(generate_series(0, CAST(ceil(len(w) / 2.0) AS BIGINT) - 1)) AS u(i)),
+              df AS (SELECT line, count(DISTINCT doc_id) AS df FROM seg GROUP BY line),
+              bo AS (SELECT df.line FROM df, n
+                     WHERE df.df >= greatest(CAST(ceil(n.n_docs * 0.05) AS BIGINT), 2)),
+              fl AS (SELECT s.doc_id, s.line_idx, s.line, (bo.line IS NOT NULL) AS rm
+                     FROM seg s LEFT JOIN bo ON s.line = bo.line)
+         SELECT doc_id, count(*) AS n_lines,
+                CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                coalesce(string_agg(CASE WHEN NOT rm THEN line END, ' ' ORDER BY line_idx), '') AS text_clean
+         FROM fl GROUP BY doc_id""",
     // full XXH64 + permutation + banding replay (MinHashOracleSql):
     // the LSH pipeline is hash-checkable end-to-end, not rows-only
     "dd_minhash" -> MinHashOracleSql.minhashPairs(),

@@ -753,6 +753,40 @@ class DedupAnnSpec extends GraftTest {
     assert(corpus.where(col("n_removed") > col("n_tokens")).count() === 0)
   }
 
+  test("boilerplateRemove strips corpus-frequent lines, keeps body text in order") {
+    import spark.implicits._
+    // 20 docs share the 2-line header "cookie banner accept all"; bodies
+    // are unique. maxDfFrac 0.5 of 23 keyed docs (the token-less doc
+    // counts in the denominator) → threshold 12 ≤ 21: the header goes,
+    // the bodies stay, in original order.
+    val fixture =
+      (1L to 20L).map(i => (i, s"cookie banner accept all body$i text$i tail$i extra$i")) ++
+      Seq((21L, "cookie banner accept all"),            // all-boilerplate → ""
+          (22L, "completely unique content right here"),
+          (23L, ""))                                    // token-less → drops out
+    val out = Dedup.boilerplateRemove(fixture.toDF("doc_id", "text"), "doc_id", "text",
+        lineWords = 2, maxDfFrac = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(!out.contains(23L), "a token-less doc carries no lines")
+    assert(out(1L) === ((4L, 2L, "body1 text1 tail1 extra1")),
+      "both header lines removed, body kept in order")
+    (2L to 20L).foreach(i => assert(out(i) === ((4L, 2L, s"body$i text$i tail$i extra$i"))))
+    assert(out(21L) === ((2L, 2L, "")), "an all-boilerplate doc empties out")
+    assert(out(22L) === ((3L, 0L, "completely unique content right here")),
+      "below-threshold lines survive untouched (incl. the odd 1-word tail line)")
+    // threshold edge: at maxDfFrac = 1.0 the bar is N = 23, and the
+    // header's df of 21 (docs 1-20 plus doc 21) is short — survives
+    val kept = Dedup.boilerplateRemove(fixture.toDF("doc_id", "text"), "doc_id", "text",
+        lineWords = 2, maxDfFrac = 1.0)
+      .agg(org.apache.spark.sql.functions.sum("n_removed")).collect()(0).getLong(0)
+    assert(kept === 0L, "df=21 < threshold 23: nothing removed")
+    // corpus non-vacuity + conservation at test SF
+    val corpus = Dedup.boilerplateRemove(docs, "doc_id", "text")
+    assert(corpus.where(col("n_removed") > 0).count() > 0)
+    assert(corpus.where(col("n_removed") > col("n_lines")).count() === 0)
+  }
+
   test("spanRemove minSpanTokens: short shared phrases survive, long spans still go") {
     import spark.implicits._
     val k = 8
