@@ -369,6 +369,37 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Cluster-balanced deterministic sample: assign every corpus vector
+    * to its nearest frozen k-means list ([[trainIvf]]) and keep exactly
+    * `nPer` vectors per list, ranked by the engine-portable md5 60-bit
+    * prefix of the id (ties by id — pp_sample_n's device). The curation
+    * pass that cuts volume while keeping the embedding space covered:
+    * a uniform sample inherits the corpus's density (dominant clusters
+    * stay dominant), a cluster-balanced one flattens it, the standard
+    * diversity-preserving selection step (SemDeDup-adjacent). Lists
+    * smaller than `nPer` keep all members.
+    *
+    * Scale shape: assignment is the codegen'd IvfNearestLists scan
+    * (centroids ride ONE broadcast, plan size O(1) in nLists); the
+    * per-list top-N is [[graft.operators.Aggregates.topKPerGroup]] —
+    * per-partition pre-rank caps each task's contribution at nPer before
+    * the single exchange on list id, so the wide shuffle carries
+    * ≤ nPer·partitions rows per list, not the corpus.
+    */
+  def clusterSample(corpus: DataFrame, id: String, vec: String, nPer: Int,
+                    model: IvfModel): DataFrame = {
+    require(nPer > 0, "clusterSample: nPer must be positive")
+    val bcCent = corpus.sparkSession.sparkContext.broadcast(
+      model.centroids.map(c => (c, math.sqrt(c.map(x => x * x).sum))))
+    val assigned = corpus.select(col(id), col(vec).as("_cv"))
+      .withColumn("list", kernelCol(IvfNearestLists(_, bcCent, 1), col("_cv")).getItem(0))
+      .withColumn("_h",
+        conv(substring(md5(col(id).cast("string")), 1, 15), 16, 10).cast("long"))
+    graft.operators.Aggregates.topKPerGroup(assigned, Seq("list"),
+        Seq(col("_h").asc, col(id).asc), nPer, rankCol = "rank_in_list")
+      .select(col("list"), col(id), col("rank_in_list"))
+  }
+
   /** Euclidean k-means on an in-memory sample (Lloyd). Deterministic:
     * init takes the first k sample vectors, assignment ties go to the
     * lower centroid id, empty clusters keep their previous centroid.

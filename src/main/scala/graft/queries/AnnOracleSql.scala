@@ -173,6 +173,40 @@ object AnnOracleSql {
        FROM embeddings emb JOIN ($base) k ON k.vec_id = emb.vec_id AND k.keep"""
   }
 
+  /** Oracle for `pp_cluster_sample`: frozen centroids → cosine list
+    * assignment (the [[ivfTopK]] replay, bit-proven) → per-list
+    * exactly-`nPer` deterministic sample ranked by the md5 60-bit
+    * prefix of the id, ties by id — pp_sample_n's engine-portable hash
+    * inside the assignment replay.
+    */
+  def clusterSample(model: IvfModel, nPer: Int): String = {
+    val dim = model.centroids(0).length
+    val cent = model.centroids.zipWithIndex.map { case (c, i) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      s"($i, ${arr(c)}, ${d(cn)})"
+    }.mkString(",\n               ")
+    s"""WITH ${embCte(dim)},
+          cent AS (SELECT * FROM (VALUES
+               $cent) t(list, c, cn)),
+          n AS (SELECT vec_id, v, sqrt(${foldSum("list_transform(v, x -> x * x)")}) AS vn FROM e),
+          sc AS (SELECT vec_id, list,
+                   CASE WHEN vn = 0 OR cn = 0 THEN CAST(0.0 AS DOUBLE)
+                        ELSE ${foldSum(s"list_transform(generate_series(1, $dim), i -> v[i] * c[i])")} / (vn * cn)
+                   END AS s
+                 FROM n CROSS JOIN cent),
+          asg AS (SELECT vec_id, list FROM
+                    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS r FROM sc)
+                  WHERE r = 1),
+          h AS (SELECT list, vec_id,
+                  ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hk
+                FROM asg)
+       SELECT list, vec_id, rank_in_list FROM (
+         SELECT list, vec_id,
+                row_number() OVER (PARTITION BY list ORDER BY hk, vec_id) AS rank_in_list
+         FROM h)
+       WHERE rank_in_list <= $nPer"""
+  }
+
   /** Oracle for `ann_pq`: frozen sub-codebooks → unit-normalize → encode
     * (per-subspace argmin L2, reconstruction norm via the flattened
     * chosen-centroid fold — the UDF's exact element order) → per-query

@@ -379,6 +379,21 @@ object PipelineQueries {
         .limit(100)
         .select("doc_id", "lang")),
 
+    "pp_cluster_sample" -> ((s, d) => {
+      // cluster-balanced curation sample: frozen spherical-k-means lists
+      // scope a per-cluster exactly-nPer draw (md5-ranked, pp_sample_n's
+      // portable hash) — cut corpus volume while keeping the embedding
+      // space covered (a uniform sample inherits cluster density; this
+      // flattens it). Freeze-the-model full oracle: same frozen
+      // centroids replay the assignment (ann_ivf's bit-proven machinery)
+      // and the ranked draw in DuckDB.
+      val emb = Graft.embeddings(s, d)
+      val model = Ann.trainIvf(emb, "vec_id", "embedding", nLists = 16)
+      AnnOracleSql.register("pp_cluster_sample",
+        AnnOracleSql.clusterSample(model, nPer = 20))
+      Ann.clusterSample(emb, "vec_id", "embedding", nPer = 20, model)
+    }),
+
     "txt_bpe" -> ((s, d) => {
       // learned BPE subword counting — the real version of the
       // subwordCount pre-tokenizer estimate: train 64 merges on the

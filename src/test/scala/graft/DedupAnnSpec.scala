@@ -548,6 +548,46 @@ class DedupAnnSpec extends GraftTest {
     assert(rPartial >= 0.2 && rPartial <= rFull, s"partial probe recall $rPartial")
   }
 
+  test("clusterSample: exactly nPer per list (or the whole list), brute-rank equal, flattens density") {
+    val emb = Graft.embeddings(spark, sf)
+    val model = Ann.trainIvf(emb, "vec_id", "embedding", nLists = 8)
+    val nPer = 10
+    val out = Ann.clusterSample(emb, "vec_id", "embedding", nPer, model)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+    // brute-force replay: assignment via full-probe ivfTopK machinery is
+    // overkill — recompute assignment with the same frozen centroids
+    val cents = model.centroids.map(c => (c, math.sqrt(c.map(x => x * x).sum)))
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+    def assign(v: Array[Double]): Int = {
+      val vn = math.sqrt(v.map(x => x * x).sum)
+      cents.zipWithIndex.map { case ((c, cn), i) =>
+        val s = if (vn == 0 || cn == 0) 0.0
+                else v.indices.map(j => v(j) * c(j)).foldLeft(0.0)(_ + _) / (vn * cn)
+        (-s, i)
+      }.min._2
+    }
+    def h(id: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5").digest(id.toString.getBytes)
+          .map("%02x".format(_)).mkString.take(15), 16)
+    val expected = vecs.groupBy { case (_, v) => assign(v) }.toSeq.flatMap { case (list, members) =>
+      members.map(_._1).sortBy(id => (h(id), id)).take(nPer)
+        .zipWithIndex.map { case (id, i) => (list, id, i + 1) }
+    }.toSet
+    assert(out.toSet === expected, "sample must equal the brute-force per-list ranked draw")
+    // each list keeps min(nPer, |list|) members
+    val sizes = vecs.groupBy { case (_, v) => assign(v) }.view.mapValues(_.length).toMap
+    val got = out.groupBy(_._1).view.mapValues(_.length).toMap
+    sizes.foreach { case (l, n) => assert(got.getOrElse(l, 0) === math.min(nPer, n), s"list $l") }
+    // density flattening: the sample's largest-list share never exceeds
+    // the corpus's largest-list share (the point of the operator)
+    val corpusShare = sizes.values.max.toDouble / vecs.length
+    val sampleShare = got.values.max.toDouble / out.length
+    assert(sampleShare <= corpusShare + 1e-9,
+      s"balanced sample share $sampleShare must not exceed corpus share $corpusShare")
+  }
+
   test("IVFADC: full probe + corpus-sized refine degrades to exact brute force") {
     val emb = Graft.embeddings(spark, sf)
     val queries = emb.where(col("vec_id") < 10)
