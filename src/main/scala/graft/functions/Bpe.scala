@@ -120,12 +120,13 @@ object Bpe {
   private val bcCache = new java.util.WeakHashMap[BpeModel,
     (org.apache.spark.SparkContext, org.apache.spark.broadcast.Broadcast[Array[(String, String)]])]()
 
-  /** True BPE subword count per document under the frozen model — the
-    * trie kernel ([[BpeSubwordCount]]): flat in nMerges, the default.
+  /** The per-model per-context broadcast handle both kernel forms
+    * ([[subwordCountBpe]], [[encodeBpe]]) share.
     */
-  def subwordCountBpe(text: Column, model: BpeModel): Column = {
+  private def modelBroadcast(model: BpeModel)
+      : org.apache.spark.broadcast.Broadcast[Array[(String, String)]] = {
     val sc = org.apache.spark.sql.SparkSession.active.sparkContext
-    val bc = bcCache.synchronized {
+    bcCache.synchronized {
       bcCache.get(model) match {
         case (cachedSc, cached) if cachedSc eq sc => cached
         case _ =>
@@ -134,9 +135,15 @@ object Bpe {
           b
       }
     }
-    org.apache.spark.sql.graft.ColumnBridge.column(
-      BpeSubwordCount(org.apache.spark.sql.graft.ColumnBridge.expression(text), bc))
   }
+
+  /** True BPE subword count per document under the frozen model — the
+    * trie kernel ([[BpeSubwordCount]]): flat in nMerges, the default.
+    */
+  def subwordCountBpe(text: Column, model: BpeModel): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      BpeSubwordCount(org.apache.spark.sql.graft.ColumnBridge.expression(text),
+        modelBroadcast(model)))
 
   /** The digit-enrichment device `txt_bpe_big`, BpeProbe, ScaleCheck and
     * FunctionsSpec share: append the doc id and a portable pseudo-hash
@@ -161,5 +168,43 @@ object Bpe {
   def subwordCountChain(text: Column, model: BpeModel): Column = {
     val m = applied(text, model)
     (length(m) - length(replace(m, lit("<"), lit("")))).cast("long")
+  }
+
+  /** String-keyed vocabulary of the frozen model: the fixed 37-slot base
+    * alphabet ('0'-'9' → 0-9, '_' → 10, 'a'-'z' → 11-36; ASCII order
+    * over the post-lowercase `\w` class, so ids are stable as merges
+    * grow) then distinct merge PRODUCTS in first-occurrence order from
+    * 37 up — one id per distinct string, the GPT-2-style vocab (two
+    * merges with the same product share the id). The single definition
+    * the kernel ([[BpeEncode]]), the chain witness and the DuckDB
+    * oracle all derive from.
+    */
+  def vocabIds(model: BpeModel): Seq[(String, Int)] = {
+    val base = (('0' to '9').map(_.toString) :+ "_") ++ ('a' to 'z').map(_.toString)
+    base.zipWithIndex ++
+      model.merges.map { case (a, b) => a + b }.distinct.zipWithIndex
+        .map { case (p, i) => (p, base.length + i) }
+  }
+
+  /** Token-id encoding per document under the frozen model — the
+    * [[BpeEncode]] trie kernel (flat in nMerges): the actual tokenizer
+    * output (array of vocabulary ids in document order) a training
+    * pipeline feeds the model, where [[subwordCountBpe]] only budgets.
+    */
+  def encodeBpe(text: Column, model: BpeModel): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      BpeEncode(org.apache.spark.sql.graft.ColumnBridge.expression(text),
+        modelBroadcast(model)))
+
+  /** Replace-chain twin of [[encodeBpe]] — O(nMerges × len), the
+    * kernel's equality witness: extract the merged working form's
+    * `<sym>` groups and map each through the [[vocabIds]] literal map.
+    */
+  def encodeChain(text: Column, model: BpeModel): Column = {
+    val m = applied(text, model)
+    val syms = regexp_extract_all(m, lit("<([0-9a-z_]+)>"), lit(1))
+    val vocab = map(vocabIds(model).flatMap { case (s, i) =>
+      Seq(lit(s), lit(i)) }: _*)
+    transform(syms, s => element_at(vocab, s))
   }
 }

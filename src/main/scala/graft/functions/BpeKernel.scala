@@ -137,13 +137,15 @@ private[functions] final class BpeAutomaton(merges: Array[(String, String)]) {
     (children.toArray, out.map(_.toArray).toArray)
   }
 
-  /** Subword count of one word (`bytes[start, end)`) under the frozen
-    * merges: AC scan collects candidate merge ids, candidates apply in
-    * merge-list order, each left-to-right non-overlapping.
+  /** Boundary array of one word (`bytes[start, end)`) under the frozen
+    * merges, or null when every char stays its own segment (no merges,
+    * or no candidate matched): AC scan collects candidate merge ids,
+    * candidates apply in merge-list order, each left-to-right
+    * non-overlapping. bound(k) = a segment starts at word offset k.
     */
-  def countWord(bytes: Array[Byte], start: Int, end: Int): Int = {
+  private def boundArray(bytes: Array[Byte], start: Int, end: Int): Array[Boolean] = {
     val len = end - start
-    if (nPat == 0) return len
+    if (nPat == 0) return null
     // candidate collection (dedup via sort; counts are tiny per word)
     var cands: Array[Int] = null
     var nc = 0
@@ -162,10 +164,9 @@ private[functions] final class BpeAutomaton(merges: Array[(String, String)]) {
       }
       i += 1
     }
-    if (nc == 0) return len
+    if (nc == 0) return null
     java.util.Arrays.sort(cands, 0, nc)
 
-    // boundary array: bound(k) = a segment starts at word offset k
     val bound = new Array[Boolean](len + 1)
     java.util.Arrays.fill(bound, true)
     var ci = 0
@@ -188,10 +189,60 @@ private[functions] final class BpeAutomaton(merges: Array[(String, String)]) {
       }
       ci += 1
     }
+    bound
+  }
+
+  /** Subword count of one word — segment count from [[boundArray]]. */
+  def countWord(bytes: Array[Byte], start: Int, end: Int): Int = {
+    val len = end - start
+    val bound = boundArray(bytes, start, end)
+    if (bound == null) return len
     var cnt = 0
     var k = 0
     while (k < len) { if (bound(k)) cnt += 1; k += 1 }
     cnt
+  }
+
+  // vocabulary for token-id encoding: merge PRODUCTS (a+b) in
+  // first-occurrence order get ids after the 37-slot base alphabet —
+  // one id per distinct string, the GPT-2-style string-keyed vocab
+  // (two merges with the same product share the id)
+  private lazy val productIds: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    var i = 0
+    var next = BpeAutomaton.BaseVocabSize
+    while (i < nPat) {
+      val p = new String(aBytes(i), java.nio.charset.StandardCharsets.US_ASCII) +
+        new String(bBytes(i), java.nio.charset.StandardCharsets.US_ASCII)
+      if (!m.containsKey(p)) { m.put(p, next); next += 1 }
+      i += 1
+    }
+    m
+  }
+
+  /** Token ids of one word appended to `out` — segmentation from
+    * [[boundArray]], single chars via the fixed base alphabet, merged
+    * segments via the model vocabulary (always present: a multi-char
+    * segment is by construction some merge's product).
+    */
+  def encodeWord(bytes: Array[Byte], start: Int, end: Int,
+                 out: scala.collection.mutable.ArrayBuffer[Int]): Unit = {
+    val len = end - start
+    val bound = boundArray(bytes, start, end)
+    if (bound == null) {
+      var k = 0
+      while (k < len) { out += BpeAutomaton.baseId(bytes(start + k)); k += 1 }
+    } else {
+      var k = 0
+      while (k < len) {
+        var j = k + 1
+        while (j < len && !bound(j)) j += 1
+        if (j - k == 1) out += BpeAutomaton.baseId(bytes(start + k))
+        else out += productIds.get(
+          new String(bytes, start + k, j - k, java.nio.charset.StandardCharsets.US_ASCII))
+        k = j
+      }
+    }
   }
 
   /** The segment starting at word offset `off` is exactly `pat`: bytes
@@ -217,4 +268,65 @@ private[functions] object BpeAutomaton {
   def isWordByte(b: Byte): Boolean =
     (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') ||
       (b >= 'A' && b <= 'Z') || b == '_'
+
+  /** Fixed base alphabet for token-id encoding, ASCII order over the
+    * post-lowercase `\w` class: '0'-'9' → 0-9, '_' → 10, 'a'-'z' →
+    * 11-36. Model-independent, so ids are stable as merges grow.
+    */
+  val BaseVocabSize: Int = 37
+
+  def baseId(b: Byte): Int =
+    if (b >= '0' && b <= '9') b - '0'
+    else if (b == '_') 10
+    else 11 + (b - 'a')
+}
+
+/** Token-id encoding under the frozen merges — the [[BpeSubwordCount]]
+  * automaton emitting the segmentation as vocabulary ids instead of a
+  * count: base alphabet ids 0-36 ([[BpeAutomaton.baseId]]), merge
+  * products (distinct, first-occurrence order) from 37 up. The actual
+  * tokenizer output a training pipeline feeds the model, flat in the
+  * merge count like the counting kernel.
+  */
+case class BpeEncode(child: Expression,
+    bc: Broadcast[Array[(String, String)]]) extends UnaryExpression {
+
+  override def dataType: DataType =
+    DataTypes.createArrayType(DataTypes.IntegerType, false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode requires a string argument, got ${child.dataType.catalogString}")
+
+  @transient private lazy val auto = new BpeAutomaton(bc.value)
+
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      if (!BpeAutomaton.isWordByte(bytes(i))) i += 1
+      else {
+        var j = i
+        while (j < n && BpeAutomaton.isWordByte(bytes(j))) j += 1
+        auto.encodeWord(bytes, i, j, out)
+        i = j
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncode", this, classOf[BpeEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_encode"
 }

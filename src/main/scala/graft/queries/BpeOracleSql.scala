@@ -55,6 +55,25 @@ object BpeOracleSql {
        SELECT doc_id, n_tok, CAST((cum - n_tok) // $budget AS BIGINT) AS bin FROM c"""
   }
 
+  /** Oracle for `txt_bpe_encode`: the chain replay's merged working
+    * form → extract the `<sym>` groups in order → map each symbol
+    * through the frozen vocabulary ([[graft.functions.Bpe.vocabIds]],
+    * embedded as a VALUES table) → one (doc_id, pos, token_id) row per
+    * token, pos 0-based like Spark's posexplode.
+    */
+  def encode(model: BpeModel): String = {
+    val (ctes, last) = chainCtes(model, "text")
+    val vocabRows = graft.functions.Bpe.vocabIds(model)
+      .map { case (s, i) => s"('$s', $i)" }.mkString(", ")
+    s"""WITH $ctes,
+            tk AS (SELECT doc_id, regexp_extract_all(m, '<([0-9a-z_]+)>', 1) AS syms FROM $last),
+            p AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, syms[i] AS sym
+                  FROM tk, UNNEST(generate_series(1, len(syms))) AS u(i)),
+            v AS (SELECT * FROM (VALUES $vocabRows) t(sym, id))
+       SELECT p.doc_id, p.pos, CAST(v.id AS INTEGER) AS token_id
+       FROM p JOIN v ON p.sym = v.sym"""
+  }
+
   /** Oracle for `txt_bpe` (includeWords = true) and `txt_bpe_big`
     * (includeWords = false, enriched textSql): doc_id [, n_words],
     * n_subwords. `textSql` is the DuckDB expression for the text the

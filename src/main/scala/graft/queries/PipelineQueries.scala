@@ -410,6 +410,21 @@ object PipelineQueries {
         graft.functions.Bpe.subwordCountBpe(col("text"), model).as("n_subwords"))
     }),
 
+    "txt_bpe_encode" -> ((s, d) => {
+      // the tokenizer OUTPUT, not just the budget: per-doc token-id
+      // sequences under the frozen model (BpeEncode trie kernel — one
+      // codegen'd scan, flat in nMerges), exploded to relational
+      // (doc_id, pos, token_id) rows. Vocab = fixed 37-slot base
+      // alphabet + distinct merge products (Bpe.vocabIds, the single
+      // definition the kernel, chain witness and oracle share).
+      val docs = Graft.documents(s, d)
+      val model = graft.functions.Bpe.train(docs, "text", nMerges = 64)
+      AnnOracleSql.register("txt_bpe_encode", BpeOracleSql.encode(model))
+      docs.select(col("doc_id"),
+          posexplode(graft.functions.Bpe.encodeBpe(col("text"), model))
+            .as(Seq("pos", "token_id")))
+    }),
+
     "txt_bpe_big" -> ((s, d) => {
       // production-size merge list: 1024 merges through the trie-apply
       // kernel (BpeSubwordCount) — apply cost flat in nMerges, which is

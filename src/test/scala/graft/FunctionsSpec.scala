@@ -931,6 +931,46 @@ class FunctionsSpec extends GraftTest {
       s"kernel ${r.getLong(0)} != chain ${r.getLong(1)}"))
   }
 
+  test("BpeEncode kernel == chain witness; ids decode back; count consistency") {
+    import spark.implicits._
+    // hand example: merges (t,h)(th,e) → vocab th=37, the=38; base ids
+    // '0'-'9'=0-9, '_'=10, 'a'-'z'=11-36
+    val m = graft.functions.BpeModel(Seq(("t", "h"), ("th", "e")))
+    val one = Seq((1L, "The cat_9!")).toDF("doc_id", "text")
+      .select(graft.functions.Bpe.encodeBpe(col("text"), m)).collect()(0).getSeq[Int](0)
+    assert(one === Seq(38, 13, 11, 30, 10, 9), "the→38, c a t → 13 11 30, _→10, 9→9")
+    // kernel == chain on the real corpus under a trained model
+    val corpus = Graft.documents(spark, sf)
+    val trained = graft.functions.Bpe.train(corpus, "text", nMerges = 64)
+    def mismatches(model: graft.functions.BpeModel, df: org.apache.spark.sql.DataFrame) =
+      df.select(
+          graft.functions.Bpe.encodeBpe(col("text"), model).as("k"),
+          graft.functions.Bpe.encodeChain(col("text"), model).as("c"))
+        .where(not(col("k") <=> col("c"))).count()
+    assert(mismatches(trained, corpus) === 0L, "encode kernel diverged from chain on corpus")
+    // and under the adversarial shared-product list (th fires via BOTH
+    // ("a","bc") and ("ab","c") → one string-keyed id)
+    val tricky = graft.functions.BpeModel(
+      Seq(("b", "c"), ("a", "bc"), ("x", "abc"), ("a", "b"), ("ab", "c")))
+    val docs = Seq((1L, "xabc abc ab xab c abcabc"), (2L, "xxabc bcbc a"), (3L, ""))
+      .toDF("doc_id", "text")
+    assert(mismatches(tricky, docs) === 0L, "encode kernel diverged on adversarial merges")
+    // token count consistency: |encode| == subwordCountBpe everywhere
+    val bad = corpus.select(
+        size(graft.functions.Bpe.encodeBpe(col("text"), trained)).cast("long").as("n"),
+        graft.functions.Bpe.subwordCountBpe(col("text"), trained).as("c"))
+      .where(col("n") =!= col("c")).count()
+    assert(bad === 0L, "encode length must equal the subword count")
+    // decode round-trip: reversing vocabIds reconstructs the word chars
+    val rev = graft.functions.Bpe.vocabIds(trained).map(_.swap).toMap
+    val sample = corpus.limit(20).select(col("text"),
+        graft.functions.Bpe.encodeBpe(col("text"), trained).as("ids")).collect()
+    sample.foreach { r =>
+      val wordChars = r.getString(0).toLowerCase.replaceAll("\\W+", "")
+      assert(r.getSeq[Int](1).map(rev).mkString === wordChars, "ids must decode to the text")
+    }
+  }
+
   test("Bpe trie kernel == chain for RANDOM merge lists and text (seeded fuzz)") {
     import spark.implicits._
     // the corpus equality tests use TRAINED models and the adversarial
