@@ -196,6 +196,29 @@ object Bpe {
       BpeEncode(org.apache.spark.sql.graft.ColumnBridge.expression(text),
         modelBroadcast(model)))
 
+  /** Fixed-`ctx` context windows over a token-id array — the training-
+    * example split, built entirely inside the scan (sequence → slice →
+    * per-window fold): an array of (n_ids, ids_sum, first_id, last_id)
+    * structs, one per window, empty for an empty id array. Zero
+    * exchanges: window membership is derivable per row, so no groupBy
+    * is ever needed.
+    */
+  def ctxWindows(ids: Column, ctx: Int): Column = {
+    require(ctx > 0, "ctxWindows: ctx must be positive")
+    when(size(ids) === 0,
+        array().cast(s"array<struct<n_ids:int,ids_sum:bigint,first_id:int,last_id:int>>"))
+      .otherwise(transform(
+        sequence(lit(0), (ceil(size(ids).cast("double") / ctx) - 1).cast("int")),
+        w => {
+          val s = slice(ids, w * ctx + 1, lit(ctx))
+          struct(
+            size(s).as("n_ids"),
+            aggregate(s, lit(0L), (a, x) => a + x).as("ids_sum"),
+            element_at(s, 1).as("first_id"),
+            element_at(s, -1).as("last_id"))
+        }))
+  }
+
   /** Replace-chain twin of [[encodeBpe]] — O(nMerges × len), the
     * kernel's equality witness: extract the merged working form's
     * `<sym>` groups and map each through the [[vocabIds]] literal map.

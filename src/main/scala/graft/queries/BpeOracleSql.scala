@@ -74,6 +74,22 @@ object BpeOracleSql {
        FROM p JOIN v ON p.sym = v.sym"""
   }
 
+  /** Oracle for `pp_ctx_windows`: the [[encode]] token rows grouped into
+    * fixed `ctx`-id windows by integer position division — count, sum
+    * and the positional first/last id per window (arg_min/arg_max over
+    * the unique pos, deterministic).
+    */
+  def ctxWindows(model: BpeModel, ctx: Int): String = {
+    val enc = encode(model)
+    s"""WITH enc AS ($enc)
+       SELECT doc_id, CAST(pos // $ctx AS INTEGER) AS window_idx,
+              CAST(count(*) AS INTEGER) AS n_ids,
+              CAST(sum(token_id) AS BIGINT) AS ids_sum,
+              arg_min(token_id, pos) AS first_id,
+              arg_max(token_id, pos) AS last_id
+       FROM enc GROUP BY doc_id, pos // $ctx"""
+  }
+
   /** Oracle for `txt_bpe` (includeWords = true) and `txt_bpe_big`
     * (includeWords = false, enriched textSql): doc_id [, n_words],
     * n_subwords. `textSql` is the DuckDB expression for the text the

@@ -425,6 +425,27 @@ object PipelineQueries {
             .as(Seq("pos", "token_id")))
     }),
 
+    "pp_ctx_windows" -> ((s, d) => {
+      // training-example construction, the pipeline's last step: each
+      // doc's token-id sequence splits into fixed 128-id context
+      // windows. ZERO exchanges — the windows build inside the encode
+      // scan via array HOFs (sequence → slice → per-window fold), then
+      // posexplode; no groupBy, because window membership is derivable
+      // per row. Windows surface as exact integer summaries (count,
+      // sum, first/last id) — hash-friendly, dimension-independent,
+      // and enough to certify the split arithmetic end to end.
+      val docs = Graft.documents(s, d)
+      val model = graft.functions.Bpe.train(docs, "text", nMerges = 64)
+      AnnOracleSql.register("pp_ctx_windows",
+        BpeOracleSql.ctxWindows(model, ctx = 128))
+      val wins = graft.functions.Bpe.ctxWindows(
+        graft.functions.Bpe.encodeBpe(col("text"), model), ctx = 128)
+      docs.select(col("doc_id"), posexplode(wins).as(Seq("window_idx", "w")))
+        .select(col("doc_id"), col("window_idx"),
+          col("w.n_ids").as("n_ids"), col("w.ids_sum").as("ids_sum"),
+          col("w.first_id").as("first_id"), col("w.last_id").as("last_id"))
+    }),
+
     "txt_bpe_big" -> ((s, d) => {
       // production-size merge list: 1024 merges through the trie-apply
       // kernel (BpeSubwordCount) — apply cost flat in nMerges, which is

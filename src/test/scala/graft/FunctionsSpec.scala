@@ -971,6 +971,39 @@ class FunctionsSpec extends GraftTest {
     }
   }
 
+  test("ctxWindows splits id arrays into exact fixed-size windows, zero exchanges") {
+    import spark.implicits._
+    // hand case at ctx=4: 10 ids → windows [4,4,2], exact sums/ends
+    val df = Seq(
+        (1L, Seq(5, 1, 2, 3, 9, 8, 7, 6, 4, 0)),
+        (2L, Seq(42)),
+        (3L, Seq.empty[Int]))
+      .toDF("doc_id", "ids")
+    val out = df.select(col("doc_id"),
+        posexplode(graft.functions.Bpe.ctxWindows(col("ids"), 4)).as(Seq("w", "s")))
+      .select(col("doc_id"), col("w"), col("s.n_ids"), col("s.ids_sum"),
+        col("s.first_id"), col("s.last_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4), r.getInt(5)))
+    assert(out.toSet === Set(
+      (1L, 0, 4, 11L, 5, 3), (1L, 1, 4, 30L, 9, 6), (1L, 2, 2, 4L, 4, 0),
+      (2L, 0, 1, 42L, 42, 42)), "doc 3 (empty) emits no windows")
+    // corpus invariants under the real encode: per-doc window count is
+    // ceil(n_tok/128), total n_ids equals the subword count, and the
+    // plan carries no exchange (scan-local by construction)
+    val corpus = Graft.documents(spark, sf)
+    val model = graft.functions.Bpe.train(corpus, "text", nMerges = 64)
+    val ids = graft.functions.Bpe.encodeBpe(col("text"), model)
+    val win = corpus.select(col("doc_id"),
+        graft.functions.Bpe.subwordCountBpe(col("text"), model).as("c"),
+        graft.functions.Bpe.ctxWindows(ids, 128).as("w"))
+    val bad = win.where(
+      (size(col("w")) =!= ceil(col("c").cast("double") / 128).cast("int")) ||
+      (aggregate(col("w"), lit(0L), (a, s) => a + s.getField("n_ids")) =!= col("c"))).count()
+    assert(bad === 0L, "window count/total must match the subword count")
+    val plan = win.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "ctxWindows must stay exchange-free")
+  }
+
   test("Bpe trie kernel == chain for RANDOM merge lists and text (seeded fuzz)") {
     import spark.implicits._
     // the corpus equality tests use TRAINED models and the adversarial
