@@ -508,7 +508,65 @@ object Dedup {
   def spanRemove(docs: DataFrame, id: String, text: String, k: Int = 8,
                  minSpanTokens: Int = 0): DataFrame = {
     require(k >= 2, s"gram size must be >= 2, got $k")
-    val minSpan = math.max(minSpanTokens, k)
+    val rows = tokenGramRows(docs, id, text, k)
+      // null-gram rows (positions with no gram start) get a unique
+      // two-column discriminator so the gram window never groups them
+      .withColumn("_d1", when(col("gram").isNull, col("_sr_id")).otherwise(lit(0L)))
+      .withColumn("_d2", when(col("gram").isNull, col("pos")).otherwise(lit(0)))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("gram", "_d1", "_d2")
+    val flagged = rows
+      .withColumn("_mn", min(col("_sr_id")).over(wg))
+      .withColumn("_mx", max(col("_sr_id")).over(wg))
+      .withColumn("_rm",
+        when(col("gram").isNotNull && col("_mn") =!= col("_mx") && col("_sr_id") =!= col("_mn"), 1)
+          .otherwise(0))
+    spanSurgery(flagged, docs, id, k, math.max(minSpanTokens, k))
+  }
+
+  /** Surgical benchmark decontamination — [[spanRemove]]'s span surgery
+    * with the removal test swapped from "duplicated across the corpus"
+    * to "present in the EVAL SET": every corpus span whose `k`-gram
+    * occurs anywhere in `evalSet` is removed (no canonical keeper — the
+    * benchmark is the canary, every corpus occurrence goes), and the
+    * corpus text is rebuilt from the kept tokens. Where
+    * [[contaminatedIds]] drops whole contaminated documents, this
+    * SALVAGES them: a good document quoting one benchmark passage keeps
+    * everything else — the Lee-et-al-style surgical alternative when
+    * dropping would cost too much good text. Output: (id, n_tokens,
+    * n_removed, text_kept) for every corpus row, token-normalized like
+    * [[spanRemove]].
+    *
+    * Scale shape: the eval side reduces to DISTINCT gram hashes —
+    * benchmark-sized (thousands of docs), so the membership join
+    * AQE-broadcasts and the corpus NEVER shuffles on the gram; the only
+    * corpus exchange is the shared doc-id hash the gate/coverage
+    * windows and the rebuild groupBy ride (the [[spanRemove]] device).
+    * `minSpanTokens` gates incidental shared phrases exactly as in
+    * [[spanRemove]].
+    */
+  def decontamSpans(corpus: DataFrame, evalSet: DataFrame, id: String, text: String,
+                    k: Int = 8, minSpanTokens: Int = 0): DataFrame = {
+    require(k >= 2, s"gram size must be >= 2, got $k")
+    val spark = corpus.sparkSession
+    val evalGramArr =
+      if (spark.catalog.functionExists("gram_hashes"))
+        call_function("gram_hashes", col(text), lit(k))
+      else positionalGramHashes(col(text), k)
+    val evalGrams = evalSet.select(explode(evalGramArr).as("gram")).distinct()
+      .withColumn("_hit", lit(true))
+    // left join on the gram: null grams (positions past the last gram
+    // start) never equi-match, so they flag 0 with no discriminator
+    val flagged = tokenGramRows(corpus, id, text, k)
+      .join(evalGrams, Seq("gram"), "left")
+      .withColumn("_rm", when(col("_hit").isNotNull, 1).otherwise(0))
+    spanSurgery(flagged, corpus, id, k, math.max(minSpanTokens, k))
+  }
+
+  /** (shared by [[spanRemove]] / [[decontamSpans]]) one row per corpus
+    * token: (_sr_id, pos, tok, gram) with gram null at positions past
+    * the last gram start — a single text scan.
+    */
+  private def tokenGramRows(docs: DataFrame, id: String, text: String, k: Int): DataFrame = {
     val spark = docs.sparkSession
     val tokArr = TextFunctions.tokens(col(text))
     val gramArr =
@@ -530,20 +588,17 @@ object Dedup {
     // the Generate (the scan work evaluated ~3x per doc — measured in the
     // EXPLAIN); the outer form infers nothing and the null rows cost one
     // cheap IsNotNull after the Generate
-    val rows = base.select(col("_sr_id"), posexplode_outer(col("_z")).as(Seq("pos", "z")))
+    base.select(col("_sr_id"), posexplode_outer(col("_z")).as(Seq("pos", "z")))
       .where(col("pos").isNotNull)
       .select(col("_sr_id"), col("pos"), col("z.tok").as("tok"), col("z.gram").as("gram"))
-      // null-gram rows (positions with no gram start) get a unique
-      // two-column discriminator so the gram window never groups them
-      .withColumn("_d1", when(col("gram").isNull, col("_sr_id")).otherwise(lit(0L)))
-      .withColumn("_d2", when(col("gram").isNull, col("pos")).otherwise(lit(0)))
-    val wg = org.apache.spark.sql.expressions.Window.partitionBy("gram", "_d1", "_d2")
-    val flagged = rows
-      .withColumn("_mn", min(col("_sr_id")).over(wg))
-      .withColumn("_mx", max(col("_sr_id")).over(wg))
-      .withColumn("_rm",
-        when(col("gram").isNotNull && col("_mn") =!= col("_mx") && col("_sr_id") =!= col("_mn"), 1)
-          .otherwise(0))
+  }
+
+  /** (shared tail of [[spanRemove]] / [[decontamSpans]]) span-length
+    * gate + trailing coverage window + ordered text rebuild over token
+    * rows carrying `_rm` (1 = the gram starting here is removable).
+    */
+  private def spanSurgery(flagged: DataFrame, docs: DataFrame, id: String,
+                          k: Int, minSpan: Int): DataFrame = {
     // span-length gate: group consecutive duplicated gram starts
     // (gaps-and-islands: pos minus the running rm count is constant
     // within a run) and keep only runs covering >= minSpan tokens.

@@ -548,6 +548,21 @@ object PipelineQueries {
         "doc_id", "text", n = 8)
     }),
 
+    "pp_decontam_spans" -> ((s, d) => {
+      // SURGICAL decontamination: where pp_decontam drops whole
+      // contaminated docs, this removes exactly the eval-set spans
+      // (≥16 tokens via the span gate) and keeps the rest of the doc.
+      // Same splits as pp_decontam; eval grams reduce to a DISTINCT
+      // hash set (benchmark-sized → AQE broadcast), corpus never
+      // shuffles on the gram — its one exchange is the shared doc-id
+      // hash of the gate/coverage/rebuild windows.
+      val docs = Graft.documents(s, d)
+      Dedup.decontamSpans(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", k = 8, minSpanTokens = 16)
+    }),
+
     "pp_split" -> ((s, d) =>
       // deterministic train/val/test assignment: md5-bucketed key, stable
       // across runs/engines/partitioning
@@ -1372,6 +1387,7 @@ object PipelineQueries {
     // signal is hash-checkable end-to-end
     "dd_span" -> SpanOracleSql.spanStats(k = 8),
     "dd_span_remove" -> SpanOracleSql.spanRemove(k = 8, minSpanTokens = 16),
+    "pp_decontam_spans" -> SpanOracleSql.decontamSpans(k = 8, minSpanTokens = 16),
     // positional 2-token pseudo-lines → line document frequency →
     // strip df ≥ max(ceil(0.05·N), 2) → rejoin ORDER BY line_idx;
     // exact strings and counts, engine-portable end-to-end

@@ -827,6 +827,43 @@ class DedupAnnSpec extends GraftTest {
     assert(corpus.where(col("n_removed") > col("n_lines")).count() === 0)
   }
 
+  test("decontamSpans removes exactly the eval spans, salvages the rest, gates short quotes") {
+    import spark.implicits._
+    val k = 8
+    val passage = "the held out benchmark answer passage nobody should ever train on verbatim text" // 13 tokens
+    val longQuote = passage + " plus three more tokens" // 17 tokens > gate 16
+    val shortQuote = "one shared eight gram phrase right here now" // 8 tokens < gate
+    val eval = Seq((100L, s"$longQuote and $shortQuote")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"unique intro alpha beta $longQuote unique outro gamma delta"),  // loses the 17
+      (2L, "a totally unrelated document with plenty of original words in it"), // untouched
+      (3L, s"$longQuote and $shortQuote"),                                    // exact eval copy → ""
+      (4L, s"my own framing words then $shortQuote then my conclusion words"), // short quote survives
+      (5L, ""))                                                                // token-less
+    val out = Dedup.decontamSpans(corpus.toDF("doc_id", "text"), eval, "doc_id", "text",
+        k = k, minSpanTokens = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L)._2 === 17L && !out(1L)._3.contains("benchmark"),
+      "doc 1 loses exactly the 17 quoted tokens")
+    assert(out(1L)._3.startsWith("unique intro alpha beta") &&
+      out(1L)._3.endsWith("unique outro gamma delta"), "unique content survives around the span")
+    assert(out(2L)._2 === 0L, "untainted doc untouched")
+    assert(out(3L) === ((26L, 26L, "")), "an exact eval copy is fully removed — no canonical keeper")
+    assert(out(4L)._2 === 0L && out(4L)._3.contains("shared eight gram"),
+      "a sub-gate quote survives (span gate)")
+    assert(out(5L) === ((0L, 0L, "")))
+    // the salvage contrast: contaminatedIds would DROP docs 1, 3 and 4
+    val dropped = Dedup.contaminatedIds(corpus.toDF("doc_id", "text"), eval,
+      "doc_id", "text", n = k).collect().map(_.getLong(0)).toSet
+    assert(dropped === Set(1L, 3L, 4L), "whole-doc decontam loses all three")
+    // corpus non-vacuity + conservation at test SF
+    val cs = Dedup.decontamSpans(docs.where(col("doc_id") % 10 =!= 0),
+      docs.where(col("doc_id") % 10 === 0), "doc_id", "text", k = k, minSpanTokens = 16)
+    assert(cs.where(col("n_removed") > 0).count() > 0)
+    assert(cs.where(col("n_removed") > col("n_tokens")).count() === 0)
+  }
+
   test("spanRemove minSpanTokens: short shared phrases survive, long spans still go") {
     import spark.implicits._
     val k = 8
