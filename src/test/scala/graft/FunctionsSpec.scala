@@ -910,6 +910,12 @@ class FunctionsSpec extends GraftTest {
         graft.functions.Bpe.subwordCountChain(col("btext"), m1k).as("c"))
       .where(col("k") =!= col("c")).count()
     assert(mism1k === 0L, "kernel diverged from chain at 1024 merges")
+    // the ENCODE kernel holds at production size too (ids, not counts)
+    val mismEnc = enriched.select(
+        graft.functions.Bpe.encodeBpe(col("btext"), m1k).as("k"),
+        graft.functions.Bpe.encodeChain(col("btext"), m1k).as("c"))
+      .where(not(col("k") <=> col("c"))).count()
+    assert(mismEnc === 0L, "encode kernel diverged from chain at 1024 merges")
   }
 
   test("Bpe trie kernel == chain for ARBITRARY merge lists (no training invariant)") {

@@ -141,6 +141,36 @@ class ProcessorsSpec extends GraftTest {
     } finally q.stop()
   }
 
+  test("BPE token-id encoding runs unchanged inside a streaming query (stateless scan)") {
+    // encodeBpe is a codegen'd per-row kernel with a broadcast-held
+    // frozen model — no shuffle, no state — so tokenize-at-ingest uses
+    // the SAME operator; streaming ids must equal the batch
+    // oracle-certified path token for token
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val model = graft.functions.Bpe.train(Graft.documents(spark, sf), "text", nMerges = 64)
+    val in = MemoryStream[(Long, String)]
+    val enc = in.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.Bpe.encodeBpe(col("text"), model).as("ids"))
+    assert(enc.isStreaming, "the encoded frame must still be a streaming frame")
+    val q = enc.writeStream
+      .format("memory").queryName("bpe_stream").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      val rows = Seq((1L, "the fast table scan joins the stream"), (2L, ""), (3L, "window merge sort"))
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("bpe_stream").collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+      val want = rows.toDF("doc_id", "text")
+        .select(col("doc_id"), graft.functions.Bpe.encodeBpe(col("text"), model).as("ids"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+      assert(got === want, "streaming token ids must equal the batch path")
+      assert(got.exists(_._2.nonEmpty) && got.exists(_._2.isEmpty),
+        "fixture exercises tokens and the empty doc")
+    } finally q.stop()
+  }
+
   test("X1 with pre-populated store: counts continue from seeded state") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
