@@ -391,7 +391,10 @@ object Ann {
     require(nPer > 0, "clusterSample: nPer must be positive")
     val bcCent = corpus.sparkSession.sparkContext.broadcast(
       model.centroids.map(c => (c, math.sqrt(c.map(x => x * x).sum))))
-    val assigned = corpus.select(col(id), col(vec).as("_cv"))
+    // null-embedding rows are excluded explicitly: the kernel
+    // null-propagates, and without the filter a null list would form
+    // its own ranked group (the oracle guards with v IS NOT NULL)
+    val assigned = corpus.where(col(vec).isNotNull).select(col(id), col(vec).as("_cv"))
       .withColumn("list", kernelCol(IvfNearestLists(_, bcCent, 1), col("_cv")).getItem(0))
       .withColumn("_h",
         conv(substring(md5(col(id).cast("string")), 1, 15), 16, 10).cast("long"))

@@ -547,12 +547,8 @@ object Dedup {
   def decontamSpans(corpus: DataFrame, evalSet: DataFrame, id: String, text: String,
                     k: Int = 8, minSpanTokens: Int = 0): DataFrame = {
     require(k >= 2, s"gram size must be >= 2, got $k")
-    val spark = corpus.sparkSession
-    val evalGramArr =
-      if (spark.catalog.functionExists("gram_hashes"))
-        call_function("gram_hashes", col(text), lit(k))
-      else positionalGramHashes(col(text), k)
-    val evalGrams = evalSet.select(explode(evalGramArr).as("gram")).distinct()
+    val evalGrams = evalSet
+      .select(explode(gramHashArr(corpus.sparkSession, text, k)).as("gram")).distinct()
       .withColumn("_hit", lit(true))
     // left join on the gram: null grams (positions past the last gram
     // start) never equi-match, so they flag 0 with no discriminator
@@ -566,13 +562,19 @@ object Dedup {
     * token: (_sr_id, pos, tok, gram) with gram null at positions past
     * the last gram start — a single text scan.
     */
+  /** Kernel-or-fallback dispatch for the positional gram-hash array —
+    * ONE definition so the corpus and eval sides of [[decontamSpans]]
+    * can never disagree on which hash they computed.
+    */
+  private def gramHashArr(spark: org.apache.spark.sql.SparkSession,
+                          text: String, k: Int): Column =
+    if (spark.catalog.functionExists("gram_hashes"))
+      call_function("gram_hashes", col(text), lit(k))
+    else positionalGramHashes(col(text), k)
+
   private def tokenGramRows(docs: DataFrame, id: String, text: String, k: Int): DataFrame = {
-    val spark = docs.sparkSession
     val tokArr = TextFunctions.tokens(col(text))
-    val gramArr =
-      if (spark.catalog.functionExists("gram_hashes"))
-        call_function("gram_hashes", col(text), lit(k))
-      else positionalGramHashes(col(text), k)
+    val gramArr = gramHashArr(docs.sparkSession, text, k)
     // pad the gram array to token length with nulls so ONE zip + explode
     // yields (pos, tok, gram-starting-here?) without carrying whole
     // arrays into every exploded row

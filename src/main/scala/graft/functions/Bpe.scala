@@ -205,18 +205,24 @@ object Bpe {
     */
   def ctxWindows(ids: Column, ctx: Int): Column = {
     require(ctx > 0, "ctxWindows: ctx must be positive")
-    when(size(ids) === 0,
+    // null routes with empty: under legacy sizeOfNull, size(null) = -1
+    // would slip past the === 0 guard and drive sequence(0, -1) into
+    // two garbage windows (the size(tokens(null)) hazard class)
+    when(ids.isNull || size(ids) === 0,
         array().cast(s"array<struct<n_ids:int,ids_sum:bigint,first_id:int,last_id:int>>"))
       .otherwise(transform(
-        sequence(lit(0), (ceil(size(ids).cast("double") / ctx) - 1).cast("int")),
-        w => {
-          val s = slice(ids, w * ctx + 1, lit(ctx))
-          struct(
-            size(s).as("n_ids"),
-            aggregate(s, lit(0L), (a, x) => a + x).as("ids_sum"),
-            element_at(s, 1).as("first_id"),
-            element_at(s, -1).as("last_id"))
-        }))
+        // inner transform materializes each window's slice ONCE; folding
+        // slice(...) into every struct field would evaluate the O(ctx)
+        // slice 4x per window (HOF lambdas run outside codegen CSE —
+        // the ann_quantized replay-inside-lambda class)
+        transform(
+          sequence(lit(0), (ceil(size(ids).cast("double") / ctx) - 1).cast("int")),
+          w => slice(ids, w * ctx + 1, lit(ctx))),
+        s => struct(
+          size(s).as("n_ids"),
+          aggregate(s, lit(0L), (a, x) => a + x).as("ids_sum"),
+          element_at(s, 1).as("first_id"),
+          element_at(s, -1).as("last_id"))))
   }
 
   /** Replace-chain twin of [[encodeBpe]] — O(nMerges × len), the

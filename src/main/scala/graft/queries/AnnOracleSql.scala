@@ -81,6 +81,31 @@ object AnnOracleSql {
                CASE WHEN nrm = 0 THEN v ELSE list_transform(v, x -> x / nrm) END AS u
              FROM (SELECT vec_id, v, sqrt(${foldSum("list_transform(v, x -> x * x)")}) AS nrm FROM e))"""
 
+  /** The shared frozen-centroid cosine-assignment CTE prefix (cent → n
+    * → sc) every assignment replay builds on — ONE definition so the
+    * ivfTopK / semanticDedup / clusterSample twins can't drift apart
+    * (the int8QuantizeCtes precedent). `nullGuard` adds the
+    * `v IS NOT NULL` filter for oracles whose Spark twin excludes
+    * null-embedding rows explicitly (the kernel null-propagates; inner
+    * joins drop those rows for free in ivfTopK, the others must guard).
+    */
+  private def assignmentCtes(model: IvfModel, nullGuard: Boolean): String = {
+    val dim = model.centroids(0).length
+    val cent = model.centroids.zipWithIndex.map { case (c, i) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      s"($i, ${arr(c)}, ${d(cn)})"
+    }.mkString(",\n               ")
+    val guard = if (nullGuard) " WHERE v IS NOT NULL" else ""
+    s"""cent AS (SELECT * FROM (VALUES
+               $cent) t(list, c, cn)),
+          n AS (SELECT vec_id, v, sqrt(${foldSum("list_transform(v, x -> x * x)")}) AS vn FROM e$guard),
+          sc AS (SELECT vec_id, v, list,
+                   CASE WHEN vn = 0 OR cn = 0 THEN CAST(0.0 AS DOUBLE)
+                        ELSE ${foldSum(s"list_transform(generate_series(1, $dim), i -> v[i] * c[i])")} / (vn * cn)
+                   END AS s
+                 FROM n CROSS JOIN cent)"""
+  }
+
   /** Oracle for `ann_ivf`: frozen centroids (+ their precomputed norms,
     * exactly the values the Spark broadcast carries) → cosine list
     * assignment / probing → in-list exact cosine top-k. Queries are
@@ -88,19 +113,8 @@ object AnnOracleSql {
     */
   def ivfTopK(model: IvfModel, k: Int, nProbe: Int): String = {
     val dim = model.centroids(0).length
-    val cent = model.centroids.zipWithIndex.map { case (c, i) =>
-      val cn = math.sqrt(c.map(x => x * x).sum)
-      s"($i, ${arr(c)}, ${d(cn)})"
-    }.mkString(",\n               ")
     s"""WITH ${embCte(dim)},
-          cent AS (SELECT * FROM (VALUES
-               $cent) t(list, c, cn)),
-          n AS (SELECT vec_id, v, sqrt(${foldSum("list_transform(v, x -> x * x)")}) AS vn FROM e),
-          sc AS (SELECT vec_id, v, list,
-                   CASE WHEN vn = 0 OR cn = 0 THEN CAST(0.0 AS DOUBLE)
-                        ELSE ${foldSum(s"list_transform(generate_series(1, $dim), i -> v[i] * c[i])")} / (vn * cn)
-                   END AS s
-                 FROM n CROSS JOIN cent),
+          ${assignmentCtes(model, nullGuard = false)},
           asg AS (SELECT vec_id AS neighbor_id, v AS cv, list FROM
                     (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS r FROM sc)
                   WHERE r = 1),
@@ -132,23 +146,11 @@ object AnnOracleSql {
     */
   def semanticDedup(model: IvfModel, threshold: Double, maxCluster: Int): String = {
     val dim = model.centroids(0).length
-    val cent = model.centroids.zipWithIndex.map { case (c, i) =>
-      val cn = math.sqrt(c.map(x => x * x).sum)
-      s"($i, ${arr(c)}, ${d(cn)})"
-    }.mkString(",\n               ")
     // maxCluster <= 0 is capBuckets' uncapped opt-out — the bsz filter
     // must vanish, not drop everything
     val capFilter = if (maxCluster > 0) s"WHERE bsz <= $maxCluster" else ""
     s"""WITH ${embCte(dim)},
-          cent AS (SELECT * FROM (VALUES
-               $cent) t(list, c, cn)),
-          n AS (SELECT vec_id, v, sqrt(${foldSum("list_transform(v, x -> x * x)")}) AS vn
-                FROM e WHERE v IS NOT NULL),
-          sc AS (SELECT vec_id, v, list,
-                   CASE WHEN vn = 0 OR cn = 0 THEN CAST(0.0 AS DOUBLE)
-                        ELSE ${foldSum(s"list_transform(generate_series(1, $dim), i -> v[i] * c[i])")} / (vn * cn)
-                   END AS s
-                 FROM n CROSS JOIN cent),
+          ${assignmentCtes(model, nullGuard = true)},
           asg AS (SELECT vec_id, v, list AS cluster, s AS cdot FROM
                     (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS r FROM sc)
                   WHERE r = 1),
@@ -181,19 +183,8 @@ object AnnOracleSql {
     */
   def clusterSample(model: IvfModel, nPer: Int): String = {
     val dim = model.centroids(0).length
-    val cent = model.centroids.zipWithIndex.map { case (c, i) =>
-      val cn = math.sqrt(c.map(x => x * x).sum)
-      s"($i, ${arr(c)}, ${d(cn)})"
-    }.mkString(",\n               ")
     s"""WITH ${embCte(dim)},
-          cent AS (SELECT * FROM (VALUES
-               $cent) t(list, c, cn)),
-          n AS (SELECT vec_id, v, sqrt(${foldSum("list_transform(v, x -> x * x)")}) AS vn FROM e),
-          sc AS (SELECT vec_id, list,
-                   CASE WHEN vn = 0 OR cn = 0 THEN CAST(0.0 AS DOUBLE)
-                        ELSE ${foldSum(s"list_transform(generate_series(1, $dim), i -> v[i] * c[i])")} / (vn * cn)
-                   END AS s
-                 FROM n CROSS JOIN cent),
+          ${assignmentCtes(model, nullGuard = true)},
           asg AS (SELECT vec_id, list FROM
                     (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS r FROM sc)
                   WHERE r = 1),

@@ -983,8 +983,9 @@ class FunctionsSpec extends GraftTest {
     val df = Seq(
         (1L, Seq(5, 1, 2, 3, 9, 8, 7, 6, 4, 0)),
         (2L, Seq(42)),
-        (3L, Seq.empty[Int]))
-      .toDF("doc_id", "ids")
+        (3L, Seq.empty[Int]),
+        (4L, null.asInstanceOf[Seq[Int]])) // null ids → no windows (the
+      .toDF("doc_id", "ids")               // legacy size(null) = -1 hazard)
     val out = df.select(col("doc_id"),
         posexplode(graft.functions.Bpe.ctxWindows(col("ids"), 4)).as(Seq("w", "s")))
       .select(col("doc_id"), col("w"), col("s.n_ids"), col("s.ids_sum"),
@@ -992,7 +993,7 @@ class FunctionsSpec extends GraftTest {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4), r.getInt(5)))
     assert(out.toSet === Set(
       (1L, 0, 4, 11L, 5, 3), (1L, 1, 4, 30L, 9, 6), (1L, 2, 2, 4L, 4, 0),
-      (2L, 0, 1, 42L, 42, 42)), "doc 3 (empty) emits no windows")
+      (2L, 0, 1, 42L, 42, 42)), "docs 3 (empty) and 4 (null) emit no windows")
     // corpus invariants under the real encode: per-doc window count is
     // ceil(n_tok/128), total n_ids equals the subword count, and the
     // plan carries no exchange (scan-local by construction)
