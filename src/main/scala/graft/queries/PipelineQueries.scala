@@ -4,6 +4,7 @@ import graft.Graft
 import graft.ann.Ann
 import graft.dedup.Dedup
 import graft.functions.TextFunctions
+import graft.operators.Aggregates
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -378,6 +379,20 @@ object PipelineQueries {
         .orderBy(col("_sc"), col("doc_id"))
         .limit(100)
         .select("doc_id", "lang")),
+
+    "pp_domain_cap" -> ((s, d) =>
+      // head-domain capping (C4/RefinedWeb curation): keep at most
+      // maxPer docs per source so head domains can't dominate the mix,
+      // the deterministic md5-ranked draw (pp_sample_n's portable hash,
+      // ties by id) through topKPerGroup — per-partition pre-rank caps
+      // each task's contribution before the single source exchange.
+      Aggregates.topKPerGroup(
+          Graft.documents(s, d).select(col("source"), col("doc_id"),
+            conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+              .cast("long").as("_h")),
+          Seq("source"), Seq(col("_h").asc, col("doc_id").asc),
+          k = 15, rankCol = "rank_in_source")
+        .select(col("source"), col("doc_id"), col("rank_in_source"))),
 
     "pp_cluster_sample" -> ((s, d) => {
       // cluster-balanced curation sample: frozen spherical-k-means lists
@@ -1388,6 +1403,14 @@ object PipelineQueries {
     "dd_span" -> SpanOracleSql.spanStats(k = 8),
     "dd_span_remove" -> SpanOracleSql.spanRemove(k = 8, minSpanTokens = 16),
     "pp_decontam_spans" -> SpanOracleSql.decontamSpans(k = 8, minSpanTokens = 16),
+    "pp_domain_cap" ->
+      """SELECT source, doc_id, rank_in_source FROM (
+           SELECT source, doc_id,
+                  CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id)
+                    AS INTEGER) AS rank_in_source
+           FROM documents)
+         WHERE rank_in_source <= 15""",
     // positional 2-token pseudo-lines → line document frequency →
     // strip df ≥ max(ceil(0.05·N), 2) → rejoin ORDER BY line_idx;
     // exact strings and counts, engine-portable end-to-end
