@@ -155,12 +155,19 @@ object Bpe {
     */
   def enrichWithIdTokens(df: DataFrame, id: String = "doc_id",
                          text: String = "text", out: String = "btext"): DataFrame =
+    // (ADVICE r11) reduce the id mod p BEFORE the multiply: pmod keeps the
+    // product < 1e9 * 2.65e9 ≈ 2.65e18 < Long.MaxValue, so replica-offset
+    // ids (~1e12) in the probes/ScaleCheck no longer wrap to negative
+    // digit tokens. For ids < p the value is unchanged — the certified
+    // small-SF query and its oracle are bit-identical.
     df.withColumn(out, concat(col(text), lit(" "), col(id).cast("string"), lit(" "),
-      ((col(id) * lit(2654435761L)) % lit(1000000007L)).cast("string")))
+      pmod(pmod(col(id), lit(1000000007L)) * lit(2654435761L), lit(1000000007L))
+        .cast("string")))
 
   /** DuckDB expression twin of [[enrichWithIdTokens]]. */
   def enrichWithIdTokensSql(id: String = "doc_id", text: String = "text"): String =
-    s"$text || ' ' || CAST($id AS VARCHAR) || ' ' || CAST(($id * 2654435761) % 1000000007 AS VARCHAR)"
+    s"$text || ' ' || CAST($id AS VARCHAR) || ' ' || " +
+      s"CAST((($id % 1000000007) * 2654435761) % 1000000007 AS VARCHAR)"
 
   /** The literal replace-chain form — O(nMerges × len), kept as the
     * kernel's equality witness and the oracle-side semantics reference.

@@ -390,7 +390,9 @@ object TextFunctions {
     * curation device CCNet popularized (train on head, inspect middle,
     * drop tail). The score is [[unigramLmScore]]'s layout-invariant
     * integer micro-nat surprisal; token-less documents land in an
-    * explicit `empty` bucket.
+    * explicit `empty` bucket, NULL-language documents with tokens in an
+    * explicit `unknown` bucket (ADVICE r11 — a null key can never match
+    * the per-language threshold join).
     *
     * Thresholds are EXACT per-language discrete terciles computed the
     * scalable way: never a per-language in-memory percentile buffer and
@@ -432,7 +434,12 @@ object TextFunctions {
         min(when(col("cum") * 3 >= col("nl") * 2, col("avg_nll_micro"))).as("t2"))
     val bucketed = inner.join(broadcast(th), Seq("lang"), "left")
       .select(col("doc"), col("lang"), col("avg_nll_micro"),
-        when(col("avg_nll_micro") <= col("t1"), lit("head"))
+        // (ADVICE r11) a NULL lang can never match the threshold join,
+        // so without this clause such docs fell through to 'tail'
+        // arbitrarily — route them to an explicit 'unknown' bucket
+        // (mirrored in the DuckDB oracle)
+        when(col("lang").isNull, lit("unknown"))
+          .when(col("avg_nll_micro") <= col("t1"), lit("head"))
           .when(col("avg_nll_micro") <= col("t2"), lit("middle"))
           .otherwise(lit("tail")).as("ppl_bucket"))
     // lm contains exactly the docs with ≥1 token; null ids never match

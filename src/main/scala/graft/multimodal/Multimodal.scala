@@ -138,7 +138,18 @@ object Multimodal {
       // h == Int.MinValue would survive math.abs unchanged (abs(MinValue)
       // == MinValue) and leak a negative height through an ok=true row
       if (w <= 0 || h == 0 || h == Int.MinValue || rd16(b, 26) != 1) return None
-      Some(BmpInfo(w, math.abs(h), rd16(b, 28))) // negative height = top-down raster
+      // (ADVICE r11) biCompression must be BI_RGB: RLE/bitfields rasters
+      // aren't the uncompressed layout this parser declares. And the
+      // buffer must actually hold the declared raster — a truncated file
+      // must surface as not-ok, not as a valid row. Long arithmetic: a
+      // crafted w near Int.MaxValue would wrap the row size in Int.
+      if (rd32(b, 30) != 0) return None // BI_RGB only
+      val bpp = rd16(b, 28)
+      val pixOff = rd32(b, 10)
+      val rowBytes = ((bpp.toLong * w + 31L) / 32L) * 4L
+      val raster = rowBytes * math.abs(h.toLong)
+      if (pixOff < 54 || pixOff.toLong + raster > b.length) return None
+      Some(BmpInfo(w, math.abs(h), bpp)) // negative height = top-down raster
     }
 
     /** Parse a WAV: RIFF/WAVE magic then a proper chunk walk (fmt/data

@@ -698,10 +698,17 @@ object PipelineQueries {
       val docs = Graft.documents(s, d)
       val batch = docs.where(pmod(col("doc_id"), lit(10)) === 0)
       val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
-      val maxId = batch.agg(max("doc_id")).head().getLong(0)
-      val batchOf = least(floor(col("doc_id") * 3 / (maxId + 1)), lit(2)).cast("int")
-      graft.streaming.StreamingQueries.runIngestStream(
-        s, batch, corpus, docs, batchOf, jaccardMin = 0.5, tag = "ppingest")
+      // (ADVICE r11) the max() is NULL when the batch slice is empty;
+      // short-circuit to an empty result instead of NPE-ing on getLong.
+      val maxRow = batch.agg(max("doc_id")).head()
+      if (maxRow.isNullAt(0)) {
+        batch.select(col("doc_id"), lit("train").as("split")).limit(0)
+      } else {
+        val maxId = maxRow.getLong(0)
+        val batchOf = least(floor(col("doc_id") * 3 / (maxId + 1)), lit(2)).cast("int")
+        graft.streaming.StreamingQueries.runIngestStream(
+          s, batch, corpus, docs, batchOf, jaccardMin = 0.5, tag = "ppingest")
+      }
     }),
 
     "pp_pipeline" -> ((s, d) => {
@@ -1602,6 +1609,7 @@ object PipelineQueries {
                      FROM cum GROUP BY lang)
          SELECT s.doc_id, s.lang, s.avg_nll_micro,
                 CASE WHEN s.avg_nll_micro IS NULL THEN 'empty'
+                     WHEN s.lang IS NULL THEN 'unknown'
                      WHEN s.avg_nll_micro <= th.t1 THEN 'head'
                      WHEN s.avg_nll_micro <= th.t2 THEN 'middle'
                      ELSE 'tail' END AS ppl_bucket

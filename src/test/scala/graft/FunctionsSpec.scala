@@ -1145,6 +1145,40 @@ class FunctionsSpec extends GraftTest {
     assert(eOut(1L) !== "empty")
   }
 
+  test("r12 guards (ADVICE r11): null-lang bucket, BMP compression/truncation, enrich overflow") {
+    import spark.implicits._
+    // 1. NULL-lang docs with tokens route to the explicit 'unknown'
+    // bucket (never a fall-through 'tail'); token-less null-lang docs
+    // still go to 'empty'
+    val d = Seq((1L, Option("real words here"), Option("en")),
+      (2L, Option("more real words"), Option.empty[String]),
+      (3L, Option(""), Option.empty[String]))
+      .toDF("doc_id", "text", "lang")
+    val out = TextFunctions.perplexityBuckets(d, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(2L) === "unknown", s"null-lang scored doc must be 'unknown', got ${out(2L)}")
+    assert(out(3L) === "empty")
+    assert(out(1L) != "unknown" && out(1L) != "empty")
+    // 2. decodeBmp rejects a compressed (BI_RLE8) header and a raster
+    // truncated below the declared size; the full golden still decodes
+    import graft.multimodal.Multimodal.Codec
+    val good = Codec.bmp(2, 2, i => i.toByte)
+    assert(Codec.decodeBmp(good) === Some(Codec.BmpInfo(2, 2, 24)))
+    val rle = good.clone(); rle(30) = 1 // BI_RLE8
+    assert(Codec.decodeBmp(rle) === None, "compressed BMP must not parse as ok")
+    assert(Codec.decodeBmp(good.dropRight(1)) === None, "truncated raster must not parse as ok")
+    // 3. enrichWithIdTokens: a replica-offset id (~1e12) must yield the
+    // SAME digit token as its mod-p reduction (no Long wrap → no
+    // negative tokens), and small ids keep the certified value
+    val big = 7L + 3L * 1000000000000L
+    val df = Seq((7L, "a"), (big, "a"), (big % 1000000007L, "a")).toDF("doc_id", "text")
+    val toks = graft.functions.Bpe.enrichWithIdTokens(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("btext").split(" ").last).toMap
+    assert(toks(7L) === ((7L * 2654435761L) % 1000000007L).toString)
+    assert(!toks(big).startsWith("-"), s"offset id wrapped negative: ${toks(big)}")
+    assert(toks(big) === toks(big % 1000000007L), "offset id must hash as its mod-p reduction")
+  }
+
   test("r11 guards: sketch sizing, snapshotDelta keyed contract, dsir null ids, auto-session hint") {
     import spark.implicits._
     // mis-sized heavy-hitter sketch fails at construction (the
