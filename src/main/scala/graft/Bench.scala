@@ -100,22 +100,34 @@ object Bench {
     // the warm cost was 0.76s (the r9 driver/builder 3x disagreement).
     // A stable expensive query still pays exactly 2 reps; only
     // still-flapping measurements buy more, and the cap bounds the cost.
+    // Tiny queries additionally get a MINIMUM of 4 timed reps (VERDICT
+    // r11 #4): for sub-quarter-second queries the dominant variance is
+    // scheduler/GC jitter of the same magnitude as the query itself, so
+    // a converged min-of-2 from one run and a converged min-of-2 from
+    // another can still disagree 1.5x (the r11 builder pair's
+    // pp_histogram). min-of-4 tightens the sampled minimum's tail at a
+    // cost of <1s across the whole suite.
     val results: Seq[(String, Either[String, Double])] =
       headline.filter(SparkEntry.queries.contains).map { n =>
         runOnce(n) // warm (untimed): discard result, keep only hard errors below
-        val maxReps = 5
+        val maxReps = 6
+        val tinySec = 0.25
+        val tinyMinReps = 4
         var reps = 0
         var times = List.empty[Double]
         var lastErr: Option[String] = None
-        var converged = false
-        while (!converged && reps < maxReps) {
+        var done = false
+        while (!done && reps < maxReps) {
           reps += 1
           runOnce(n) match {
             case Right(t) => times ::= t
             case Left(e)  => lastErr = Some(e)
           }
           val best = times.sorted.take(2)
-          converged = best.size == 2 && best(1) <= best(0) * 1.25
+          val converged = best.size == 2 && best(1) <= best(0) * 1.25
+          val needMoreTiny =
+            times.nonEmpty && times.min < tinySec && times.size < tinyMinReps
+          done = converged && !needMoreTiny
         }
         if (times.nonEmpty) n -> Right(times.min)
         else n -> Left(lastErr.getOrElse("no successful rep"))
