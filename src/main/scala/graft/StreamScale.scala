@@ -1,0 +1,217 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming-side scale audit (VERDICT r11 #6): drive the stateful
+  * streaming shapes (tumbling window agg, session window agg, interval
+  * stream-stream join) through the REAL engine at 1x and Nx and record,
+  * from the engine's own progress events, the `stateOperators` metrics —
+  * max state rows and state memory across micro-batches — next to wall
+  * time. SCALE.md's batch curves certify plan shape under growth; these
+  * rows certify STATE-STORE growth, the thing that actually kills a
+  * streaming job at 100 TB.
+  *
+  * Replication models follow the ScaleCheck discipline (match the model
+  * to the operator):
+  *   - `w1_dense` / `w2_dense`: same keys, timestamps jittered ±30 s —
+  *     N× the rows into the SAME key/window space. The certification is
+  *     that state rows stay ~flat (state ∝ keys × windows, never rows).
+  *   - `w2_disjoint` / `j1_disjoint`: replica-suffixed keys — N× the
+  *     key space. State rows should grow ~N× (linear in keys) and time
+  *     ~linear; the join uses the disjoint model because densified keys
+  *     would grow its OUTPUT quadratically (that measures the data, not
+  *     the engine).
+  *   - `w2_disjoint_rocksdb`: the same pipeline under the RocksDB
+  *     state-store provider — certifies the provider swap holds at the
+  *     grown key space.
+  *
+  * Each arm is staged as a 3-file time-tertile stream directory
+  * (maxFilesPerTrigger=1, AvailableNow) so the watermark advances across
+  * micro-batches and append-mode eviction actually exercises the store.
+  * Results append to SCALE.md.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> [SPARK_GRAFT_STREAM_FACTOR=N] runMain graft.StreamScale
+  */
+object StreamScale {
+
+  private case class Run(sec: Double, maxStateRows: Long, maxStateMB: Double, batches: Int)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_STREAM_FACTOR", "100").toInt
+    val spark = Graft.session()
+    val staged = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+
+    try {
+      val off = 1000000000000L
+      val ev = Graft.events(spark, sfDir)
+        .select(col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value"))
+      // dense replication: ids offset (replica recoverable), ts jittered
+      // ±30 s, keys untouched — the ScaleCheck evN model
+      def replicas = broadcast(spark.range(factor).select(col("id").as("_r")))
+      val evBig = ev.repartition(math.max(32, math.min(factor, 256)))
+        .crossJoin(replicas).select(
+          (col("event_id") + col("_r") * off).as("event_id"),
+          (col("ts_us") + (xxhash64(col("event_id"), col("_r")) % 30000000L)).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+
+      /** Stage `src` as a 3-file time-tertile stream dir; returns its path. */
+      def stage(src: DataFrame, tag: String): String = {
+        val mm = src.agg(min("ts_us"), max("ts_us")).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val dir = Files.createTempDirectory(s"sscale-$tag")
+        staged += dir
+        val now = System.currentTimeMillis()
+        (0 to 2).foreach { i =>
+          val slice = src.where(
+            least(floor((col("ts_us") - lit(lo)) * 3 / lit(hi - lo + 1)), lit(2)) === i)
+          val tmp = Files.createTempDirectory(s"sscale-part-$tag-$i")
+          staged += tmp
+          slice.write.mode("overwrite").parquet(tmp.toString)
+          // move ALL part files of the slice (a 100x tertile in one
+          // coalesced file would serialize the write); modification
+          // times pin batch order, oldest first
+          val l = Files.list(tmp)
+          try {
+            var j = 0
+            l.forEach { p =>
+              if (p.toString.endsWith(".parquet")) {
+                val t = dir.resolve(f"b$i%d-$j%04d.parquet")
+                Files.move(p, t)
+                Files.setLastModifiedTime(t,
+                  java.nio.file.attribute.FileTime.fromMillis(now - (2 - i) * 120000L))
+                j += 1
+              }
+            }
+          } finally l.close()
+        }
+        dir.toString
+      }
+
+      val schema = ev.schema
+      def read(dir: String, perTrigger: Int): DataFrame =
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", perTrigger).parquet(dir)
+
+      // one staged dir per arm size; per-trigger file count = the number
+      // of files a tertile produced, so both arms see exactly 3 batches
+      val smallDir = stage(ev, "small")
+      val bigDir = stage(evBig, "big")
+      def filesPerTertile(dir: String): Int = {
+        val l = Files.list(java.nio.file.Paths.get(dir))
+        try l.filter(p => p.getFileName.toString.startsWith("b0-")).count().toInt
+        finally l.close()
+      }
+      val smallPer = math.max(1, filesPerTertile(smallDir))
+      val bigPer = math.max(1, filesPerTertile(bigDir))
+
+      def timed(out: DataFrame, tag: String): Run = {
+        val ckpt = Files.createTempDirectory(s"sscale-ckpt-$tag")
+        staged += ckpt
+        val t0 = System.nanoTime()
+        val q = out.writeStream.format("noop")
+          .outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val progs = q.recentProgress
+        val rows = progs.map(p => p.stateOperators.map(_.numRowsTotal).sum)
+        val mem = progs.map(p => p.stateOperators.map(_.memoryUsedBytes).sum)
+        q.stop()
+        Run(sec,
+          if (rows.isEmpty) 0L else rows.max,
+          if (mem.isEmpty) 0.0 else mem.max / 1e6,
+          progs.count(_.numInputRows > 0))
+      }
+
+      def withKey(df: DataFrame, disjoint: Boolean): DataFrame =
+        if (disjoint)
+          df.withColumn("key",
+            concat(expr(s"event_id div ${off}L").cast("string"), lit("_"),
+              col("user_id").cast("string")))
+        else df.withColumn("key", col("user_id").cast("string"))
+
+      def w1(dir: String, per: Int): DataFrame =
+        read(dir, per)
+          .withColumn("event_time", timestamp_micros(col("ts_us")))
+          .withWatermark("event_time", "3 minutes")
+          .groupBy(window(col("event_time"), "5 minutes"), col("event_type")).count()
+
+      def w2(dir: String, per: Int, disjoint: Boolean): DataFrame =
+        withKey(read(dir, per), disjoint)
+          .withColumn("event_time", timestamp_micros(col("ts_us")))
+          .withWatermark("event_time", "3 minutes")
+          .groupBy(session_window(col("event_time"), "1 hour"), col("key")).count()
+
+      def j1(dir: String, per: Int): DataFrame = {
+        def side(tag: String) = withKey(read(dir, per), disjoint = true)
+          .select(col("event_id").as(s"${tag}_event_id"), col("key").as(s"${tag}_key"),
+            col("event_type").as(s"${tag}_type"), col("value").as(s"${tag}_amount"),
+            timestamp_micros(col("ts_us")).as(s"${tag}_time"))
+          .withWatermark(s"${tag}_time", "3 minutes")
+        val l = side("l").where(col("l_type") === "purchase")
+        val r = side("r").where(col("r_type") === "view")
+        l.join(r, expr(
+          "l_key = r_key AND r_time BETWEEN l_time - INTERVAL 1 HOUR AND l_time + INTERVAL 1 HOUR"))
+          .select(col("l_event_id"), col("r_event_id"), col("l_key"),
+            (col("l_amount") + col("r_amount")).as("combined"))
+      }
+
+      val rocksConf = "spark.sql.streaming.stateStore.providerClass"
+      val rocksVal = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      def withRocks[A](f: => A): A = {
+        spark.conf.set(rocksConf, rocksVal)
+        try f finally spark.conf.unset(rocksConf)
+      }
+
+      val cases: Seq[(String, String, () => Run, () => Run)] = Seq(
+        ("w1_dense (window agg, same keys)", "hdfs",
+          () => timed(w1(smallDir, smallPer), "w1s"),
+          () => timed(w1(bigDir, bigPer), "w1b")),
+        ("w2_dense (session agg, same keys)", "hdfs",
+          () => timed(w2(smallDir, smallPer, disjoint = false), "w2ds"),
+          () => timed(w2(bigDir, bigPer, disjoint = false), "w2db")),
+        ("w2_disjoint (session agg, Nx keys)", "hdfs",
+          () => timed(w2(smallDir, smallPer, disjoint = true), "w2js"),
+          () => timed(w2(bigDir, bigPer, disjoint = true), "w2jb")),
+        ("w2_disjoint (session agg, Nx keys)", "rocksdb",
+          () => withRocks(timed(w2(smallDir, smallPer, disjoint = true), "w2rs")),
+          () => withRocks(timed(w2(bigDir, bigPer, disjoint = true), "w2rb"))),
+        ("j1_disjoint (interval join, Nx keys)", "hdfs",
+          () => timed(j1(smallDir, smallPer), "j1s"),
+          () => timed(j1(bigDir, bigPer), "j1b")))
+
+      val sb = new StringBuilder
+      sb.append(s"\n## streaming state growth (factor $factor, real engine, 3 time-tertile micro-batches)\n\n")
+      sb.append("Metrics from the engine's own progress events (`stateOperators`):\n")
+      sb.append("max state rows / state memory across batches. Dense arms replicate\n")
+      sb.append("rows into the same key space (state must stay ~flat); disjoint arms\n")
+      sb.append(s"grow the key space ${factor}x (state should track keys, time ~linear).\n\n")
+      sb.append("| case | provider | 1x sec | ${f}x sec | time ratio | 1x state rows | ${f}x state rows | rows ratio | 1x state MB | ${f}x state MB |\n"
+        .replace("${f}", factor.toString))
+      sb.append("|---|---|---|---|---|---|---|---|---|---|\n")
+      cases.foreach { case (name, prov, small, big) =>
+        val s = small(); val b = big()
+        val row = f"| $name | $prov | ${s.sec}%.2f | ${b.sec}%.2f | ${b.sec / s.sec}%.1f | " +
+          f"${s.maxStateRows}%d | ${b.maxStateRows}%d | " +
+          f"${if (s.maxStateRows == 0) 0.0 else b.maxStateRows.toDouble / s.maxStateRows}%.1f | " +
+          f"${s.maxStateMB}%.1f | ${b.maxStateMB}%.1f |"
+        println(s"SS $row")
+        sb.append(row).append("\n")
+      }
+      val p = java.nio.file.Paths.get("SCALE.md")
+      if (Files.exists(p)) Files.writeString(p, Files.readString(p) + sb.toString)
+      else Files.writeString(p, sb.toString)
+      println("appended SCALE.md")
+    } finally {
+      staged.foreach(p => try ProbeUtil.deleteRecursively(p) catch { case _: Exception => () })
+      spark.stop()
+    }
+  }
+}
