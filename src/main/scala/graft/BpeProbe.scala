@@ -51,9 +51,24 @@ object BpeProbe {
           graft.functions.Bpe.subwordCountChain(col("btext"), m).as("c")))
         Seq((s"kernel_$n", k), (s"chain_$n", c))
       }.toMap
+      // r12: the production 32768-merge model (digit-token capacity
+      // corpus — txt_bpe_32k's trainer) applied to the SAME replicated
+      // full-text corpus. Kernel arm only: a 32k-deep replace-chain
+      // Column would overflow the ColumnNode converter stack; chain
+      // linearity is already measured on the 64→1024 arms.
+      val m32 = graft.functions.Bpe.train(
+        graft.functions.Bpe.digitTokens(docs0, 30), "dtext",
+        nMerges = 32768, vocabCap = 50000)
+      require(m32.merges.length == 32768, s"capacity ${m32.merges.length} < 32768")
+      val k32 = ProbeUtil.timeNoop("BPEPROBE", "kernel_32768")(corpus.select(
+        graft.functions.Bpe.subwordCountBpe(col("btext"), m32).as("c")))
       println(f"BPEPROBE kernel flatness 1024/64 = ${results("kernel_1024") / results("kernel_64")}%5.2fx" +
         f" (chain grows ${results("chain_1024") / results("chain_64")}%5.2fx)")
+      println(f"BPEPROBE kernel flatness 32768/64 = ${k32 / results("kernel_64")}%5.2fx" +
+        f" (512x the merges)")
       println(f"BPEPROBE speedup at 1024 merges = ${results("chain_1024") / results("kernel_1024")}%5.2fx")
+      println(f"BPEPROBE chain-extrapolated speedup at 32768 = " +
+        f"${results("chain_1024") / results("kernel_1024") * 32 / (k32 / results("kernel_1024"))}%5.0fx")
     } finally {
       probeDir.foreach(ProbeUtil.deleteRecursively)
       spark.stop()

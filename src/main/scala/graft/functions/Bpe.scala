@@ -66,15 +66,28 @@ object Bpe {
       .orderBy(col("c").desc, col("w").asc) // total order → deterministic cut
       .limit(vocabCap)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    // split by CODE POINT, not UTF-16 unit: tokens() words are ASCII by
-    // construction (Java-regex \w), but if a caller feeds pre-tokenized
-    // non-ASCII text a supplementary char must stay one symbol — split("")
-    // would halve it into surrogates and train merges the apply side
-    // (which works in code points) could never match (ADVICE r10)
+    trainLoop(wc, nMerges)
+  }
+
+  /** Split a word by CODE POINT, not UTF-16 unit: tokens() words are
+    * ASCII by construction (Java-regex \w), but if a caller feeds
+    * pre-tokenized non-ASCII text a supplementary char must stay one
+    * symbol — split("") would halve it into surrogates and train merges
+    * the apply side (which works in code points) could never match
+    * (ADVICE r10).
+    */
+  private def codePointSyms(w: String): Array[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
+  /** The r11 trainer loop — full pair recount + full scan per merge,
+    * O(nMerges × Σ word lengths): kept verbatim as the SEMANTICS
+    * REFERENCE [[trainLoop]] must equal (FunctionsSpec pins equality),
+    * usable directly for small merge counts.
+    */
+  private[graft] def trainLoopReference(wc: Array[(String, Long)],
+                                            nMerges: Int): BpeModel = {
     var words: Array[(Array[String], Long)] =
-      wc.map { case (w, c) =>
-        (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))), c)
-      }
+      wc.map { case (w, c) => (codePointSyms(w), c) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (!done && merges.length < nMerges) {
@@ -89,6 +102,110 @@ object Bpe {
         val ((a, b), _) = pairCounts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
         merges += ((a, b))
         words = words.map { case (syms, c) => (mergePair(syms, a, b), c) }
+      }
+    }
+    BpeModel(merges.toSeq)
+  }
+
+  /** Incremental trainer (r12): identical output to
+    * [[trainLoopReference]] — same vocabulary draw, same (count desc,
+    * pair asc) selection — but each merge touches only the WORDS
+    * CONTAINING the merged pair, with a lazy-deletion priority queue
+    * finding the next pair: O(Σ affected-word lengths + PQ traffic)
+    * instead of a full corpus recount per merge. This is what makes a
+    * production-size 16k–32k-merge model trainable in-process (the
+    * reference loop is quadratic-ish there: 32k merges × the whole
+    * vocabulary per merge).
+    *
+    * Lazy PQ invariant: every (pair → current count) state has a live
+    * queue entry (one is pushed on EVERY count change), so the first
+    * popped entry whose count matches the live map is the true maximum
+    * under (count desc, a asc, b asc) — exactly the reference's
+    * selection. A merged pair can never re-form (merges only fuse
+    * neighbors, they never recreate the fused boundary), so dropping
+    * its key outright is safe.
+    */
+  private[graft] def trainLoop(wc: Array[(String, Long)],
+                                   nMerges: Int): BpeModel = {
+    val words: Array[Array[String]] = wc.map { case (w, _) => codePointSyms(w) }
+    val counts: Array[Long] = wc.map(_._2)
+
+    val pairCount = new java.util.HashMap[(String, String), Long]()
+    val pairWords = new java.util.HashMap[(String, String), java.util.BitSet]()
+    val pq = new java.util.PriorityQueue[(Long, String, String)](64,
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(y._1, x._1) // count desc
+          if (c != 0) c
+          else {
+            val a = x._2.compareTo(y._2)
+            if (a != 0) a else x._3.compareTo(y._3)
+          }
+        }
+      })
+
+    def bump(p: (String, String), delta: Long, wid: Int): Unit = {
+      val cur = pairCount.getOrDefault(p, 0L)
+      val nxt = cur + delta
+      if (nxt <= 0L) pairCount.remove(p)
+      else {
+        pairCount.put(p, nxt)
+        pq.add((nxt, p._1, p._2))
+      }
+      if (delta > 0 && wid >= 0) {
+        var set = pairWords.get(p)
+        if (set == null) { set = new java.util.BitSet(); pairWords.put(p, set) }
+        set.set(wid)
+      }
+    }
+
+    var wid = 0
+    while (wid < words.length) {
+      val syms = words(wid); val c = counts(wid)
+      var i = 0
+      while (i < syms.length - 1) {
+        bump((syms(i), syms(i + 1)), c, wid)
+        i += 1
+      }
+      wid += 1
+    }
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (merges.length < nMerges && !pq.isEmpty) {
+      val (cnt, a, b) = pq.poll()
+      val key = (a, b)
+      if (pairCount.getOrDefault(key, 0L) == cnt) { // live entry → true max
+        merges += ((a, b))
+        val members = pairWords.remove(key)
+        pairCount.remove(key)
+        if (members != null) {
+          var w = members.nextSetBit(0)
+          while (w >= 0) {
+            val syms = words(w)
+            var has = false
+            var i = 0
+            while (!has && i < syms.length - 1) {
+              has = syms(i) == a && syms(i + 1) == b
+              i += 1
+            }
+            if (has) { // stale membership (already rewritten) skips
+              val c = counts(w)
+              var j = 0
+              while (j < syms.length - 1) {
+                bump((syms(j), syms(j + 1)), -c, -1)
+                j += 1
+              }
+              val merged = mergePair(syms, a, b)
+              words(w) = merged
+              j = 0
+              while (j < merged.length - 1) {
+                bump((merged(j), merged(j + 1)), c, w)
+                j += 1
+              }
+            }
+            w = members.nextSetBit(w + 1)
+          }
+        }
       }
     }
     BpeModel(merges.toSeq)
@@ -168,6 +285,49 @@ object Bpe {
   def enrichWithIdTokensSql(id: String = "doc_id", text: String = "text"): String =
     s"$text || ' ' || CAST($id AS VARCHAR) || ' ' || " +
       s"CAST((($id % 1000000007) * 2654435761) % 1000000007 AS VARCHAR)"
+
+  /** Fixed odd multipliers for [[digitTokens]] — xxhash/Murmur/LCG-class
+    * constants, all < 4.3e9 so (p−1) × M < 9.2e18 never wraps a Long.
+    */
+  private[graft] val DigitMultipliers: Seq[Long] = Seq(
+    2654435761L, 2246822519L, 3266489917L, 668265263L,
+    374761393L, 2127912214L, 2540483477L, 2448023537L,
+    3741260967L, 1812433253L, 2567483615L, 1103515245L,
+    3812015801L, 2891336453L, 1597334677L, 3267000013L,
+    2971215073L, 1181783497L, 3202034522L, 1865811235L,
+    2038074743L, 3628273133L, 1291394886L, 2685821657L,
+    1779033703L, 3144134277L, 1013904242L, 2773480762L,
+    1359893119L, 2600822924L, 528734635L, 1541459225L,
+    1160258022L, 3095810889L, 2226750861L, 2634986593L)
+
+  /** The 32k-model capacity device (VERDICT r11 #2): a per-doc string of
+    * k+1 digit tokens — the id plus k independent pseudo-hash digit
+    * tokens (`pmod(pmod(id, p) · M_j, p)`) — giving the 500-doc
+    * synthetic corpus the ~10k-distinct-word, long-tail pair structure
+    * a 16k–32k-merge tokenizer needs to train against. Deliberately id-
+    * only (no document text): a 32k-merge DuckDB chain oracle scans the
+    * apply text nMerges times, so the certified apply text stays a few
+    * hundred bytes while the merge list is full production size — the
+    * KERNEL is flat in merges either way (BpeProbe measures it on the
+    * full-text corpus).
+    */
+  def digitTokens(df: DataFrame, k: Int, id: String = "doc_id",
+                  out: String = "dtext"): DataFrame = {
+    require(k >= 1 && k <= DigitMultipliers.length,
+      s"digitTokens: k must be in [1, ${DigitMultipliers.length}], got $k")
+    val p = 1000000007L
+    val toks = col(id).cast("string") +: DigitMultipliers.take(k).map(m =>
+      pmod(pmod(col(id), lit(p)) * lit(m), lit(p)).cast("string"))
+    df.withColumn(out, concat_ws(" ", toks: _*))
+  }
+
+  /** DuckDB expression twin of [[digitTokens]]. */
+  def digitTokensSql(k: Int, id: String = "doc_id"): String = {
+    require(k >= 1 && k <= DigitMultipliers.length)
+    val p = 1000000007L
+    (s"CAST($id AS VARCHAR)" +: DigitMultipliers.take(k).map(m =>
+      s"CAST((($id % $p) * $m) % $p AS VARCHAR)")).mkString(" || ' ' || ")
+  }
 
   /** The literal replace-chain form — O(nMerges × len), kept as the
     * kernel's equality witness and the oracle-side semantics reference.

@@ -45,10 +45,12 @@ case class BpeSubwordCount(child: Expression,
     else TypeCheckResult.TypeCheckFailure(
       s"bpe_subword_count requires a string argument, got ${child.dataType.catalogString}")
 
-  // built once per deserialized instance (≈ once per executor core-batch);
-  // lazy val init is synchronized, compute() itself is allocation-local
-  // and thread-safe
-  @transient private lazy val auto = new BpeAutomaton(bc.value)
+  // shared per executor via the identity-keyed cache (r12): a
+  // production-size 32k-merge trie is ~10^2 MB — one per deserialized
+  // instance would multiply that by the task slots; the broadcast value
+  // is one array instance per executor, so identity keying shares one
+  // automaton across every task and both kernel forms
+  @transient private lazy val auto = BpeAutomaton.forMerges(bc.value)
 
   def compute(text: UTF8String): Long = {
     val bytes = text.toLowerCase.getBytes
@@ -262,6 +264,25 @@ private[functions] final class BpeAutomaton(merges: Array[(String, String)]) {
 }
 
 private[functions] object BpeAutomaton {
+
+  // one automaton per distinct merge-array INSTANCE (the broadcast
+  // deserializes once per executor, so identity keying — WeakHashMap's
+  // array equals — shares the build across tasks and kernel forms, and
+  // the weak key lets the ContextCleaner reclaim it with the broadcast)
+  private val cache =
+    new java.util.WeakHashMap[Array[(String, String)], BpeAutomaton]()
+
+  def forMerges(merges: Array[(String, String)]): BpeAutomaton =
+    cache.synchronized {
+      val got = cache.get(merges)
+      if (got != null) got
+      else {
+        val a = new BpeAutomaton(merges)
+        cache.put(merges, a)
+        a
+      }
+    }
+
   /** Java-regex `\w` (default flags): ASCII `[0-9A-Za-z_]`. Signed-byte
     * comparison rejects every multi-byte UTF-8 unit (all ≥ 0x80).
     */
@@ -299,7 +320,7 @@ case class BpeEncode(child: Expression,
     else TypeCheckResult.TypeCheckFailure(
       s"bpe_encode requires a string argument, got ${child.dataType.catalogString}")
 
-  @transient private lazy val auto = new BpeAutomaton(bc.value)
+  @transient private lazy val auto = BpeAutomaton.forMerges(bc.value)
 
   def compute(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
     val bytes = text.toLowerCase.getBytes

@@ -15,10 +15,15 @@ import graft.functions.BpeModel
   * literals never need escaping; the corpus ASCII guard keeps the `\w`
   * char classes identical across engines.
   *
-  * The chain nests in BLOCKS of 32 replaces chained through CTEs rather
-  * than one nMerges-deep expression: DuckDB's max_expression_depth
-  * defaults to 1000, which a production-size merge list
-  * (`txt_bpe_big`, 1024 merges) would exceed as a single nesting.
+  * The chain nests in BLOCKS of replaces chained through CTEs rather
+  * than one nMerges-deep expression. TWO DuckDB limits bound the block
+  * geometry (both measured, r12): per-expression binder recursion is
+  * 128 — so ≤ ~120 replaces may nest in one block — and the CTE CHAIN
+  * itself counts toward max_expression_depth (default 1000) — so
+  * ≤ ~990 blocks may chain. Default 32/block (the r11 geometry,
+  * `txt_bpe_big` at 1024 merges); the 32k-merge oracle uses 96/block
+  * (342 blocks — both limits comfortably cleared, capacity ≈ 990 × 120
+  * ≈ 118k merges).
   */
 object BpeOracleSql {
 
@@ -26,10 +31,11 @@ object BpeOracleSql {
     * shared by every oracle that needs the per-doc chain result.
     * Returns (cte fragment, last cte name).
     */
-  private def chainCtes(model: BpeModel, textSql: String): (String, String) = {
+  private def chainCtes(model: BpeModel, textSql: String,
+                        perBlock: Int = 32): (String, String) = {
     val wrappedSql =
       s"""regexp_replace(regexp_replace(lower($textSql), '\\W+', '#', 'g'), '(\\w)', '<\\1>', 'g')"""
-    val blocks = model.merges.grouped(32).toList
+    val blocks = model.merges.grouped(perBlock).toList
     val ctes = new StringBuilder(
       s"b0 AS (SELECT doc_id, text, $wrappedSql AS m FROM documents)")
     blocks.zipWithIndex.foreach { case (blk, i) =>
@@ -61,8 +67,9 @@ object BpeOracleSql {
     * embedded as a VALUES table) → one (doc_id, pos, token_id) row per
     * token, pos 0-based like Spark's posexplode.
     */
-  def encode(model: BpeModel): String = {
-    val (ctes, last) = chainCtes(model, "text")
+  def encode(model: BpeModel, textSql: String = "text",
+             perBlock: Int = 32): String = {
+    val (ctes, last) = chainCtes(model, textSql, perBlock)
     val vocabRows = graft.functions.Bpe.vocabIds(model)
       .map { case (s, i) => s"('$s', $i)" }.mkString(", ")
     s"""WITH $ctes,

@@ -485,6 +485,32 @@ object PipelineQueries {
         graft.functions.Bpe.subwordCountBpe(col("btext"), model).as("n_subwords"))
     }),
 
+    "txt_bpe_32k" -> ((s, d) => {
+      // PRODUCTION-size tokenizer (VERDICT r11 #2): a full 32768-merge
+      // model, trained in-process by the r12 incremental trainer
+      // (lazy-PQ + affected-words-only updates — the reference
+      // full-recount loop is quadratic-ish here) on the 31-digit-token
+      // capacity corpus (Bpe.digitTokens(30): ~15.5k distinct long-tail
+      // words, measured pair capacity 34.7k ≥ 32768). Certified as
+      // ENCODE — every token-id row under the full 32805-entry vocab —
+      // with the apply text a 7-token SUBSET of the training corpus:
+      // the trie kernel is flat in merges either way (BpeProbe's 32k
+      // arm measures it on the full-text corpus), while the DuckDB
+      // chain oracle pays nMerges scans of the apply text, so the
+      // certified text stays a few hundred bytes where the merge list
+      // is full production size. 96 replaces/CTE-block clears both
+      // measured DuckDB limits (BpeOracleSql doc).
+      val docs = Graft.documents(s, d)
+      val trainTxt = graft.functions.Bpe.digitTokens(docs, 30)
+      val model = graft.functions.Bpe.train(trainTxt, "dtext",
+        nMerges = 32768, vocabCap = 50000)
+      AnnOracleSql.register("txt_bpe_32k", BpeOracleSql.encode(model,
+        textSql = graft.functions.Bpe.digitTokensSql(6), perBlock = 96))
+      graft.functions.Bpe.digitTokens(docs, 6).select(col("doc_id"),
+        posexplode(graft.functions.Bpe.encodeBpe(col("dtext"), model))
+          .as(Seq("pos", "token_id")))
+    }),
+
     "pp_delta" -> ((s, d) => {
       // corpus snapshot diff: yesterday = docs without the %10==3
       // slice, today = docs without the %10==7 slice and with every

@@ -1035,6 +1035,43 @@ class FunctionsSpec extends GraftTest {
     }
   }
 
+  test("Bpe incremental trainer == reference loop: real corpus, fuzzed vocabularies, 32k capacity") {
+    import graft.functions.Bpe
+    val docs = Graft.documents(spark, sf)
+    // real corpus vocabulary (the txt_bpe_big draw) at 300 merges
+    val base = Bpe.enrichWithIdTokens(docs)
+    val wc = base.select(explode(TextFunctions.tokens(col("btext"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(2000)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(Bpe.trainLoop(wc, 300) === Bpe.trainLoopReference(wc, 300))
+    // exhaustion parity: both stop at the same model when capacity runs out
+    assert(Bpe.trainLoop(wc.take(50), 100000) === Bpe.trainLoopReference(wc.take(50), 100000))
+    // fuzz: random small vocabularies with colliding counts (the
+    // tie-break regime: most counts equal → lexicographic selection
+    // dominates, exactly where a lazy-PQ bug would diverge)
+    val rnd = new scala.util.Random(7)
+    (0 until 10).foreach { trial =>
+      val words = (0 until (5 + rnd.nextInt(40))).map { _ =>
+        val w = (1 to (1 + rnd.nextInt(10))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+        (w, 1L + rnd.nextInt(3))
+      }.distinct.toArray
+      val n = 1 + rnd.nextInt(60)
+      val f = Bpe.trainLoop(words, n)
+      val r = Bpe.trainLoopReference(words, n)
+      assert(f === r, s"trial $trial diverged at n=$n: first diff " +
+        f.merges.zip(r.merges).find { case (a, b) => a != b })
+    }
+    // the 32k device: digit-token corpus reaches full production size
+    val m32 = Bpe.train(Bpe.digitTokens(docs, 30), "dtext",
+      nMerges = 32768, vocabCap = 50000)
+    assert(m32.merges.length === 32768)
+    // and the digit-token column is parse-stable: k+1 space-separated
+    // non-negative integer tokens per doc
+    val tok = Bpe.digitTokens(docs, 6).select(col("dtext")).head().getString(0).split(" ")
+    assert(tok.length === 7 && tok.forall(t => t.nonEmpty && t.forall(_.isDigit)))
+  }
+
   test("Codec: golden BMP/WAV headers, round trips, chunk walk, malformed-input safety") {
     import graft.multimodal.Multimodal.Codec
     // golden BMP 2x1 @24bpp: row = 6 bytes + 2 pad; 54-byte header
