@@ -166,6 +166,34 @@ object AnnOracleSql {
        FROM asg a LEFT JOIN drp dr ON dr.vec_id = a.vec_id"""
   }
 
+  /** CTE fragment replaying [[graft.ann.Ann.crossSemanticDup]] over the
+    * embeddings table for an ingest chain (r12): frozen-centroid
+    * assignment of every vector, then `sem(doc_id)` = NEW-side ids
+    * (`newPred`) with any capped CORPUS-side (`corpusPred`) vector in
+    * the same cluster at round(cos, 6) ≥ threshold. The cap replays the
+    * Spark operator's corpus-side-only whole-bucket contract, with
+    * cluster sizes counted over the corpus subset (exactly what
+    * capBuckets sees there). Callers splice the fragment into a WITH
+    * chain and filter on `doc_id NOT IN (SELECT doc_id FROM sem)`.
+    */
+  def ingestSemanticCtes(model: IvfModel, threshold: Double, maxCluster: Int,
+                         newPred: String, corpusPred: String): String = {
+    val dim = model.centroids(0).length
+    s"""${embCte(dim)},
+          ${assignmentCtes(model, nullGuard = true)},
+          sasg AS (SELECT vec_id, v, list AS cluster FROM
+                     (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS r FROM sc)
+                   WHERE r = 1),
+          scapd AS (SELECT vec_id, v, cluster FROM
+                      (SELECT *, count(*) OVER (PARTITION BY cluster) AS bsz
+                       FROM sasg WHERE $corpusPred)
+                    WHERE bsz <= $maxCluster),
+          sem AS (SELECT DISTINCT b.vec_id AS doc_id
+                  FROM sasg b JOIN scapd u ON u.cluster = b.cluster
+                  WHERE $newPred
+                    AND round(list_cosine_similarity(b.v, u.v), 6) >= ${d(threshold)})"""
+  }
+
   /** Oracle for `dd_semantic_resolve`: the [[semanticDedup]] replay's
     * keepers joined back to the corpus — the end-to-end removal form.
     */

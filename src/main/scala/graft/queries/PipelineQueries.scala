@@ -737,6 +737,79 @@ object PipelineQueries {
       }
     }),
 
+    "pp_ingest_semantic" -> ((s, d) => {
+      // the FULL production ingest gate (VERDICT r11 #3): exact hash
+      // anti-join + fuzzy Jaccard + SemDeDup semantic near-dup — an
+      // incoming doc whose EMBEDDING sits in the same frozen cluster as
+      // a corpus vector at round(cos,6) ≥ 0.3 is dropped even when its
+      // text shares no tokens. Embeddings key by vec_id == doc_id;
+      // model frozen once (trainIvf, deterministic), corpus assignment
+      // via the codegen'd IvfAssign kernel, corpus side capped per
+      // cluster (capBuckets r-side-only). Threshold 0.3: the corpus's
+      // cross-pair p99.9 — drops are real but sparse (see spec).
+      val docs = Graft.documents(s, d)
+      val batch = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      val keptExact = Dedup.incremental(batch, corpus, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val cand = batch.select(col("lang"), col("n_chars"), col("doc_id").as("a"))
+        .join(corpus.select(col("lang"), col("n_chars"), col("doc_id").as("b")),
+          Seq("lang", "n_chars"))
+        .select("a", "b")
+      val nearDup = Dedup.verifyJaccard(cand, docs, "doc_id", "text")
+        .where(col("jaccard") >= 0.5)
+        .select(col("a").as("doc_id")).distinct()
+      val emb = Graft.embeddings(s, d)
+      val model = Ann.trainIvf(emb, "vec_id", "embedding", nLists = 16)
+      val asg = Ann.assignClusters(emb, "vec_id", "embedding", model)
+      val semDup = Ann.crossSemanticDup(
+          asg.where(pmod(col("vec_id"), lit(10)) === 0),
+          asg.where(pmod(col("vec_id"), lit(10)) =!= 0),
+          threshold = 0.3, maxCluster = 2000)
+        .select(col("vec_id").as("doc_id"))
+      AnnOracleSql.register("pp_ingest_semantic",
+        ppIngestSqlBuilder(Some(AnnOracleSql.ingestSemanticCtes(model,
+          threshold = 0.3, maxCluster = 2000,
+          newPred = "b.vec_id % 10 = 0", corpusPred = "vec_id % 10 <> 0"))))
+      batch.join(keptExact, Seq("doc_id"), "left_semi")
+        .join(nearDup, Seq("doc_id"), "left_anti")
+        .join(semDup, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          TextFunctions.splitAssign(col("doc_id")).as("split"))
+    }),
+
+    "pp_ingest_semantic_streaming" -> ((s, d) => {
+      // the semantic-gated ingest chain through the REAL streaming
+      // engine: runIngestStream's micro-batch composition with the
+      // SemDeDup stage spliced in — corpus assignment persisted once,
+      // each batch assigns only its fresh docs (IvfAssign kernel) and
+      // joins the persisted assignment. Corpus-scoped by design (the
+      // batch-chain-parity property), so the entry shares
+      // pp_ingest_semantic's oracle verbatim; cross-batch behavior is
+      // pinned in ProcessorsSpec.
+      val docs = Graft.documents(s, d)
+      val batch = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      val maxRow = batch.agg(max("doc_id")).head()
+      if (maxRow.isNullAt(0)) {
+        batch.select(col("doc_id"), lit("train").as("split")).limit(0)
+      } else {
+        val maxId = maxRow.getLong(0)
+        val batchOf = least(floor(col("doc_id") * 3 / (maxId + 1)), lit(2)).cast("int")
+        val emb = Graft.embeddings(s, d)
+        val model = Ann.trainIvf(emb, "vec_id", "embedding", nLists = 16)
+        // identical frozen model (trainIvf is deterministic) → the
+        // batch entry's oracle replays this run too
+        AnnOracleSql.register("pp_ingest_semantic_streaming",
+          ppIngestSqlBuilder(Some(AnnOracleSql.ingestSemanticCtes(model,
+            threshold = 0.3, maxCluster = 2000,
+            newPred = "b.vec_id % 10 = 0", corpusPred = "vec_id % 10 <> 0"))))
+        graft.streaming.StreamingQueries.runIngestStream(
+          s, batch, corpus, docs, batchOf, jaccardMin = 0.5, tag = "ppsem",
+          semantic = Some((emb, model, 0.3, 2000)))
+      }
+    }),
+
     "pp_pipeline" -> ((s, d) => {
       // the whole corpus-preparation pipeline, composed end-to-end from
       // the library's own stages: quality gate (scan-pushed filter) →
@@ -1316,14 +1389,24 @@ object PipelineQueries {
 
   // the pp_ingest replay, shared verbatim by the batch entry and the
   // streaming composition (which converges to the identical result)
-  private val ppIngestSql: String =
-      """WITH batch AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+  /** The ingest-chain replay, optionally extended with the SemDeDup
+    * gate (r12): `semanticCtes` splices
+    * [[AnnOracleSql.ingestSemanticCtes]]'s fragment (defining `sem`)
+    * into the WITH chain and adds the matching NOT IN filter. With
+    * None, the SQL is the r11 `pp_ingest` replay unchanged.
+    */
+  private def ppIngestSqlBuilder(semanticCtes: Option[String]): String = {
+    val semCte = semanticCtes.map(c => s""",
+              $c""").getOrElse("")
+    val semFilter = semanticCtes.map(_ => """
+                       AND doc_id NOT IN (SELECT doc_id FROM sem)""").getOrElse("")
+    s"""WITH batch AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
               corp AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
               ch AS (SELECT DISTINCT md5(text) AS h FROM corp),
               ke AS (SELECT min(doc_id) AS doc_id FROM batch
                      WHERE md5(text) NOT IN (SELECT h FROM ch)
                      GROUP BY md5(text)),
-              toks AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0)) AS tk,
+              toks AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\\W+'), w -> len(w) > 0)) AS tk,
                               lang, n_chars
                        FROM documents),
               nd AS (SELECT DISTINCT b.doc_id AS doc_id
@@ -1331,14 +1414,17 @@ object PipelineQueries {
                        ON b.lang = c.lang AND b.n_chars = c.n_chars
                       AND b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
                      WHERE round(CAST(len(list_intersect(b.tk, c.tk)) AS DOUBLE) /
-                                 CAST(len(list_distinct(list_concat(b.tk, c.tk))) AS DOUBLE), 4) >= 0.5),
+                                 CAST(len(list_distinct(list_concat(b.tk, c.tk))) AS DOUBLE), 4) >= 0.5)$semCte,
               vv AS (SELECT doc_id,
                             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bkt
                      FROM batch
                      WHERE doc_id IN (SELECT doc_id FROM ke)
-                       AND doc_id NOT IN (SELECT doc_id FROM nd))
+                       AND doc_id NOT IN (SELECT doc_id FROM nd)$semFilter)
          SELECT doc_id, CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
          FROM vv"""
+  }
+
+  private val ppIngestSql: String = ppIngestSqlBuilder(None)
 
   private val staticOracles: Map[String, String] = Map(
     // sk_quantiles: discrete (ANSI percentile_disc) exact quantiles are

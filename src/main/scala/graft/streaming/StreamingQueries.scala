@@ -171,16 +171,41 @@ object StreamingQueries {
     * batch `pp_ingest` chain, so the entry shares its oracle verbatim.
     * Expects columns (doc_id, text, lang, n_chars); returns
     * (doc_id, split).
+    *
+    * `semantic` (r12, VERDICT r11 #3) composes the SemDeDup stage into
+    * the micro-batch chain: (embeddings frame keyed vec_id == doc_id,
+    * frozen IVF model, cosine threshold, corpus-side cluster cap). The
+    * CORPUS assignment is computed ONCE with the
+    * [[graft.ann.Ann.assignClusters]] kernel and persisted (the
+    * standing-state shape — at 100 TB each batch joins the persisted
+    * assignment, never raw corpus vectors); each micro-batch assigns
+    * only its own fresh docs and drops those with a same-cluster corpus
+    * match at round(cos, 6) ≥ threshold
+    * ([[graft.ann.Ann.crossSemanticDup]]). The gate is CORPUS-scoped by
+    * design (a batch doc semantically close to an earlier ACCEPTED
+    * batch doc is kept — SemDeDup curates against standing content;
+    * cross-batch exact state still drops identical text), which is also
+    * what keeps the converged output equal to the batch chain.
     */
   def runIngestStream(spark: SparkSession, batchDocs: DataFrame, corpus: DataFrame,
                       allDocs: DataFrame, batchOf: org.apache.spark.sql.Column,
-                      jaccardMin: Double, tag: String): DataFrame = {
+                      jaccardMin: Double, tag: String,
+                      semantic: Option[(DataFrame, graft.ann.IvfModel, Double, Int)] = None): DataFrame = {
     val stream = stageStreamBatched(spark, batchDocs, batchOf, tag)
     val seenRoot = tmpDir(s"ingest-seen-$tag")
     val outRoot = tmpDir(s"ingest-out-$tag")
     val corpusHashDir = tmpDir(s"ingest-corpus-$tag")
     corpus.select(md5(col("text")).as("h")).distinct()
       .write.mode("overwrite").parquet(corpusHashDir)
+    // semantic stage setup: persist the corpus-side cluster assignment once
+    val semState = semantic.map { case (emb, model, thr, cap) =>
+      val dir = tmpDir(s"ingest-semasg-$tag")
+      graft.ann.Ann.assignClusters(
+          emb.join(corpus.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
+          "vec_id", "embedding", model)
+        .write.mode("overwrite").parquet(dir)
+      (dir, emb, model, thr, cap)
+    }
 
     // earlier micro-batches' hash stores — strictly BEFORE `id`, so a
     // retried batch never sees its own (overwritten) store
@@ -224,7 +249,22 @@ object StreamingQueries {
         val nearDup = graft.dedup.Dedup.verifyJaccard(cand, allDocs, "doc_id", "text")
           .where(col("jaccard") >= jaccardMin)
           .select(col("a").as("doc_id")).distinct()
-        fresh.join(nearDup, Seq("doc_id"), "left_anti")
+        val afterJac = fresh.join(nearDup, Seq("doc_id"), "left_anti")
+        // semantic gate: assign THIS batch's survivors, join the
+        // persisted corpus assignment, drop same-cluster matches
+        val surviving = semState match {
+          case Some((dir, emb, model, thr, cap)) =>
+            val freshAsg = graft.ann.Ann.assignClusters(
+              emb.join(afterJac.select(col("doc_id").as("vec_id")),
+                Seq("vec_id"), "left_semi"),
+              "vec_id", "embedding", model)
+            val semDrop = graft.ann.Ann
+              .crossSemanticDup(freshAsg, spark.read.parquet(dir), thr, cap)
+              .select(col("vec_id").as("doc_id"))
+            afterJac.join(semDrop, Seq("doc_id"), "left_anti")
+          case None => afterJac
+        }
+        surviving
           .select(col("doc_id"),
             graft.functions.TextFunctions.splitAssign(col("doc_id")).as("split"))
           .write.mode("overwrite").parquet(s"$outRoot/batch-$id")

@@ -503,6 +503,52 @@ class ProcessorsSpec extends GraftTest {
     assert(out === batchRes)
   }
 
+  test("runIngestStream semantic gate: corpus-scoped drops, accepted-batch docs don't gate, cross-batch state intact") {
+    import spark.implicits._
+    // hand-built frozen model: cluster 0 = +x hemisphere, cluster 1 = -x
+    val model = graft.ann.IvfModel(Array(Array(1.0, 0.0), Array(-1.0, 0.0)))
+    // d0: unique text but embedding ~ corpus c1 (same cluster, cos≈1) →
+    //     dropped by the SEMANTIC gate only;
+    // d10: far from all corpus vectors → kept;
+    // d20: exact text dup of d10, TWO batches later → dropped by the
+    //     cross-batch content-hash state (still active under the gate);
+    // d30: embedding ~ d10 (an ACCEPTED batch doc, not corpus) → KEPT —
+    //     the gate is corpus-scoped by design (batch-chain parity)
+    val batch = Seq(
+      (0L, "x y z", "en", 5L),
+      (10L, "p q r", "en", 5L),
+      (20L, "p q r", "en", 5L),
+      (30L, "m n o", "en", 5L)).toDF("doc_id", "text", "lang", "n_chars")
+    val corpus = Seq(
+      (1L, "a b c d", "en", 7L),
+      (2L, "other corpus doc", "en", 16L)).toDF("doc_id", "text", "lang", "n_chars")
+    val all = batch.unionByName(corpus)
+    val emb = Seq(
+      (0L, Array(0.95f, 0.05f)),   // ~ c1 → semantic drop
+      (10L, Array(-0.5f, -0.85f)), // cos vs c2 ≈ 0.41 < 0.95 → kept
+      (20L, Array(-0.6f, -0.8f)),
+      (30L, Array(-0.5f, -0.86f)), // ~ d10 (accepted, not corpus) → kept
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(-0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val batchOf = least(col("doc_id") / 10, lit(2)).cast("int")
+    val out = graft.streaming.StreamingQueries
+      .runIngestStream(spark, batch, corpus, all, batchOf, jaccardMin = 0.5,
+        tag = "semspec", semantic = Some((emb, model, 0.95, 100)))
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(10L, 30L),
+      s"expected 0 semantic-dropped, 20 state-dropped, 30 kept (corpus-scoped gate); got $out")
+    // the building blocks agree: assignment puts d0 with c1, and the
+    // cross gate flags exactly d0
+    val asg = graft.ann.Ann.assignClusters(emb, "vec_id", "embedding", model)
+    val cl = asg.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(cl(0L) === 0 && cl(1L) === 0 && cl(10L) === 1 && cl(30L) === 1)
+    val flagged = graft.ann.Ann.crossSemanticDup(
+        asg.where(col("vec_id") < 1000 && !col("vec_id").isin(1L, 2L)),
+        asg.where(col("vec_id").isin(1L, 2L)), threshold = 0.95, maxCluster = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged === Set(0L))
+  }
+
   test("T5 graceful stop leaves the query inactive and session healthy") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
