@@ -221,6 +221,72 @@ object Multimodal {
     }.toDF("asset_id", "payload")
   }
 
+  /** Deterministic baseline-JPEG asset generator over (doc_id, n_chars)
+    * — the `mm_decode_jpeg` fixture. Each doc becomes a real grayscale
+    * baseline JPEG (Annex-K Huffman tables, DQT, SOF0, restart markers
+    * on every third doc) whose blocks are flat with values from an
+    * integer formula: DC-only blocks under q00 = 8 make the LOSSY
+    * decode path bit-exact, so the DuckDB oracle can replay the decoded
+    * pixels arithmetically. Partition-local generation, no shuffle.
+    */
+  def syntheticJpegAssets(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q8 = Array.tabulate(64)(i => if (i == 0) 8 else 1 + (i % 15))
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)].mapPartitions { it =>
+      it.map { case (id, nc) =>
+        val wb = 1 + (id % 3).toInt
+        val hb = 1 + (nc % 2).toInt
+        val blocks = Array.tabulate(wb * hb) { bi =>
+          val bx = bi % wb
+          val by = bi / wb
+          val c = new Array[Int](64)
+          c(0) = ((id * 7 + bx * 13 + by * 31) % 256).toInt - 128 // v - 128, exact at q00=8
+          c
+        }
+        val ri = if (id % 3 == 0) 2 else 0
+        (id, Jpeg.encode(8 * wb, 8 * hb, Array(q8), Array(blocks), ri))
+      }
+    }.toDF("asset_id", "payload")
+  }
+
+  /** 3-component baseline-JPEG generator with formula-defined NONZERO
+    * AC coefficients — the `mm_jpeg_coefs` fixture certifying the
+    * general entropy layer exactly (it is lossless): interleaved MCUs,
+    * per-component DC predictors, luminance + chrominance Huffman
+    * tables, scattered ACs at zigzag positions 1-10 / 30-49 / 63 (the
+    * last forcing >15-zero runs through ZRL), restart resets on every
+    * fourth doc.
+    */
+  def syntheticJpegCoefAssets(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)].mapPartitions { it =>
+      it.map { case (id, nc) =>
+        val wb = 1 + (nc % 2).toInt
+        val hb = 1 + (id % 2).toInt
+        val quant = Array.tabulate(3)(c => Array.tabulate(64)(i => 1 + ((i + 3 * c) % 20)))
+        val planes = Array.tabulate(3) { c =>
+          Array.tabulate(wb * hb) { bi =>
+            val bx = bi % wb
+            val by = bi / wb
+            val blk = new Array[Int](64)
+            blk(0) = ((id * 5 + c * 17 + bx * 7 + by * 11) % 201).toInt - 100
+            val z1 = 1 + ((id + c) % 10).toInt
+            val z2 = 30 + ((id + bx + c) % 20).toInt
+            val a1 = (1 + ((id + c) % 9).toInt) * (if ((id + bx) % 2 == 0) 1 else -1)
+            blk(Jpeg.Zigzag(z1)) = a1
+            blk(Jpeg.Zigzag(z2)) = -(1 + ((by + c) % 5))
+            blk(Jpeg.Zigzag(63)) = 1 + (c % 3)
+            blk
+          }
+        }
+        val ri = if (id % 4 == 0) 3 else 0
+        (id, Jpeg.encode(8 * wb, 8 * hb, quant, planes, ri))
+      }
+    }.toDF("asset_id", "payload")
+  }
+
   def decodeMedia(assets: DataFrame): DataFrame = {
     import org.apache.spark.sql.Encoder
     implicit val enc: Encoder[MediaInfo] = Encoders.product[MediaInfo]
@@ -228,7 +294,13 @@ object Multimodal {
       rows.map { r: Row =>
         val id = r.getLong(0)
         val p = r.getAs[Array[Byte]](1)
-        if (p != null && p.length >= 2 && p(0) == 'B' && p(1) == 'M')
+        if (p != null && p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8)
+          Jpeg.decodeHeader(p) match {
+            case Some((w, h, nc)) => MediaInfo(id, "jpeg", ok = true, Some(w), Some(h),
+              Some(8), Some(nc), None, None)
+            case None => MediaInfo(id, "jpeg", ok = false, None, None, None, None, None, None)
+          }
+        else if (p != null && p.length >= 2 && p(0) == 'B' && p(1) == 'M')
           Codec.decodeBmp(p) match {
             case Some(i) => MediaInfo(id, "bmp", ok = true, Some(i.width), Some(i.height),
               Some(i.bitsPerPixel), None, None, None)
@@ -241,6 +313,80 @@ object Multimodal {
             case None => MediaInfo(id, "wav", ok = false, None, None, None, None, None, None)
           }
         else MediaInfo(id, "unknown", ok = false, None, None, None, None, None, None)
+      }
+    }.toDF()
+  }
+
+  /** Per-block pixel extrema through the FULL JPEG decode path (entropy
+    * → dequant → IDCT → level shift): flat fixture blocks make min ==
+    * max == the formula value iff all 64 pixels decoded exactly. A
+    * decode failure emits a single all--1 sentinel row, which the
+    * oracle (expecting success everywhere) turns into a hash mismatch.
+    * Partition-local: decode runs inside the scan, no shuffle.
+    */
+  final case class JpegBlockPixels(asset_id: Long, width: Int, height: Int,
+      block_x: Int, block_y: Int, px_min: Int, px_max: Int)
+
+  def decodeJpegBlocks(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "payload").as[(Long, Array[Byte])].flatMap { case (id, bytes) =>
+      Jpeg.decode(bytes) match {
+        case Some(img) =>
+          val wb = img.width / 8
+          val hb = img.height / 8
+          for { by <- 0 until hb; bx <- 0 until wb } yield {
+            var mn = 256
+            var mx = -1
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                val p = img.planes(0)((by * 8 + y) * img.width + bx * 8 + x)
+                if (p < mn) mn = p
+                if (p > mx) mx = p
+                x += 1
+              }
+              y += 1
+            }
+            JpegBlockPixels(id, img.width, img.height, bx, by, mn, mx)
+          }
+        case None => Seq(JpegBlockPixels(id, -1, -1, -1, -1, -1, -1))
+      }
+    }.toDF()
+  }
+
+  /** Exact per-block coefficient statistics through the lossless entropy
+    * layer: DC (after prediction), count/sum of nonzero ACs, and the sum
+    * of their ZIGZAG positions (so a value landing at the wrong position
+    * breaks the hash even if the value set matches). Decode failure
+    * emits the all--1 sentinel row.
+    */
+  final case class JpegBlockCoefs(asset_id: Long, comp: Int, block_x: Int, block_y: Int,
+      dc: Int, n_ac: Int, ac_sum: Int, ac_pos_sum: Int)
+
+  def decodeJpegCoefStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "payload").as[(Long, Array[Byte])].flatMap { case (id, bytes) =>
+      Jpeg.decodeCoefficients(bytes) match {
+        case Some(cf) =>
+          for {
+            c <- 0 until cf.nComp
+            bi <- 0 until cf.planes(c).length
+          } yield {
+            val blk = cf.planes(c)(bi)
+            var nAc = 0
+            var acSum = 0
+            var posSum = 0
+            var i = 1
+            while (i < 64) {
+              if (blk(i) != 0) { nAc += 1; acSum += blk(i); posSum += Jpeg.ZigzagInv(i) }
+              i += 1
+            }
+            JpegBlockCoefs(id, c, bi % cf.wBlocks, bi / cf.wBlocks, blk(0), nAc, acSum, posSum)
+          }
+        case None => Seq(JpegBlockCoefs(id, -1, -1, -1, -1, -1, -1, -1))
       }
     }.toDF()
   }

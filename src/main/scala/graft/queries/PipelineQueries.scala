@@ -1131,6 +1131,40 @@ object PipelineQueries {
       Multimodal.decodeMedia(Multimodal.syntheticMediaAssets(Graft.documents(s, d)))
     }),
 
+    "mm_decode_jpeg" -> ((s, d) => {
+      // REAL compressed-format decode (r11 verdict #8): each doc becomes
+      // a spec-conformant baseline JPEG (Annex-K Huffman coding, DQT,
+      // SOF0, restart markers) and decodes back through the FULL
+      // pipeline — entropy decode → dequantize → IDCT → level shift →
+      // crop. Flat DC-only blocks under q00 = 8 make the lossy path
+      // bit-exact, so the oracle replays decoded pixels arithmetically;
+      // JpegSpec cross-validates the codec against the JDK's own
+      // ImageIO JPEG coder so builder+parser can't be wrong together.
+      // Scale shape: generation and decode are partition-local scans.
+      Multimodal.decodeJpegBlocks(Multimodal.syntheticJpegAssets(Graft.documents(s, d)))
+    }),
+
+    "mm_decode_jpeg_streaming" -> ((s, d) => {
+      // the JPEG decode under the REAL streaming engine: the same
+      // fixture generation + full decode pipeline mapped over a
+      // streaming parquet read of documents (stateless, append mode),
+      // drained via AvailableNow to a memory sink. Shares
+      // mm_decode_jpeg's oracle verbatim — decode-at-ingest parity.
+      val assets = Multimodal.syntheticJpegAssets(
+        graft.streaming.StreamingQueries.readStreamParquet(s, d, "documents"))
+      graft.streaming.StreamingQueries.runAppendToMemory(
+        s, "mm_decode_jpeg_streaming", Multimodal.decodeJpegBlocks(assets))
+    }),
+
+    "mm_jpeg_coefs" -> ((s, d) => {
+      // the general (lossless) JPEG entropy layer certified exactly:
+      // 3-component interleaved MCUs, per-component DC predictors,
+      // luminance + chrominance Huffman tables, formula-placed nonzero
+      // ACs incl. zigzag position 63 (forcing ZRL runs), restart resets.
+      // ac_pos_sum pins the zigzag POSITIONS, not just the value set.
+      Multimodal.decodeJpegCoefStats(Multimodal.syntheticJpegCoefAssets(Graft.documents(s, d)))
+    }),
+
     "mm_audio" -> ((s, d) =>
       // audio-shaped overlapping windows (64-byte window, 32-byte hop)
       // over binary payloads; windows decoded to string for the oracle
@@ -2125,5 +2159,59 @@ object PipelineQueries {
                 CASE WHEN doc_id % 2 = 1 THEN CAST(1 + (doc_id // 2) % 2 AS INTEGER) END AS channels,
                 CASE WHEN doc_id % 2 = 1 THEN CAST(8000 + 1000 * (doc_id % 5) AS INTEGER) END AS sample_rate,
                 CASE WHEN doc_id % 2 = 1 THEN CAST(1 + n_chars % 100 AS BIGINT) END AS n_samples
-         FROM documents""")
+         FROM documents""",
+
+    // the JPEG generator's integer formulas replayed per block: the
+    // Spark side must recover exactly these pixels by Huffman-decoding,
+    // dequantizing, and IDCT-ing real JPEG bytes — flat DC-only blocks
+    // make the lossy path exact, so min == max == the formula value
+    "mm_decode_jpeg" ->
+      """SELECT d.doc_id AS asset_id,
+                CAST(8 * (1 + d.doc_id % 3) AS INT) AS width,
+                CAST(8 * (1 + d.n_chars % 2) AS INT) AS height,
+                CAST(gx.i AS INT) AS block_x,
+                CAST(gy.i AS INT) AS block_y,
+                CAST((d.doc_id * 7 + gx.i * 13 + gy.i * 31) % 256 AS INT) AS px_min,
+                CAST((d.doc_id * 7 + gx.i * 13 + gy.i * 31) % 256 AS INT) AS px_max
+         FROM documents d,
+              UNNEST(generate_series(0, 2)) AS gx(i),
+              UNNEST(generate_series(0, 1)) AS gy(i)
+         WHERE gx.i <= d.doc_id % 3 AND gy.i <= d.n_chars % 2""",
+
+    // the streaming twin shares the batch oracle verbatim (same
+    // fixture formulas, same decode pipeline, real engine)
+    "mm_decode_jpeg_streaming" ->
+      """SELECT d.doc_id AS asset_id,
+                CAST(8 * (1 + d.doc_id % 3) AS INT) AS width,
+                CAST(8 * (1 + d.n_chars % 2) AS INT) AS height,
+                CAST(gx.i AS INT) AS block_x,
+                CAST(gy.i AS INT) AS block_y,
+                CAST((d.doc_id * 7 + gx.i * 13 + gy.i * 31) % 256 AS INT) AS px_min,
+                CAST((d.doc_id * 7 + gx.i * 13 + gy.i * 31) % 256 AS INT) AS px_max
+         FROM documents d,
+              UNNEST(generate_series(0, 2)) AS gx(i),
+              UNNEST(generate_series(0, 1)) AS gy(i)
+         WHERE gx.i <= d.doc_id % 3 AND gy.i <= d.n_chars % 2""",
+
+    // per-(component, block) coefficient stats of the 3-component AC
+    // fixture: dc after prediction, nonzero-AC count/sum, and the sum of
+    // their zigzag positions (1-10 + 30-49 + 63 by construction)
+    "mm_jpeg_coefs" ->
+      """SELECT d.doc_id AS asset_id,
+                CAST(c.i AS INT) AS comp,
+                CAST(gx.i AS INT) AS block_x,
+                CAST(gy.i AS INT) AS block_y,
+                CAST((d.doc_id * 5 + c.i * 17 + gx.i * 7 + gy.i * 11) % 201 - 100 AS INT) AS dc,
+                CAST(3 AS INT) AS n_ac,
+                CAST((1 + (d.doc_id + c.i) % 9) * (CASE WHEN (d.doc_id + gx.i) % 2 = 0 THEN 1 ELSE -1 END)
+                     - (1 + (gy.i + c.i) % 5)
+                     + (1 + c.i % 3) AS INT) AS ac_sum,
+                CAST((1 + (d.doc_id + c.i) % 10)
+                     + (30 + (d.doc_id + gx.i + c.i) % 20)
+                     + 63 AS INT) AS ac_pos_sum
+         FROM documents d,
+              UNNEST(generate_series(0, 2)) AS c(i),
+              UNNEST(generate_series(0, 1)) AS gx(i),
+              UNNEST(generate_series(0, 1)) AS gy(i)
+         WHERE gx.i <= d.n_chars % 2 AND gy.i <= d.doc_id % 2""")
 }
