@@ -208,6 +208,59 @@ object TextFunctions {
           .as("tfidf"))
   }
 
+  /** Okapi BM25 (k1 = 1.2, b = 0.75) of every document against a fixed
+    * query-term set, in LAYOUT-INVARIANT exact arithmetic so the scores
+    * hash-match a DuckDB oracle bit-for-bit (the retrieval-quality
+    * signal a CCNet-style pipeline ranks candidate documents with):
+    *
+    *   - idf(t) = ln((N − df + 0.5)/(df + 0.5)) becomes
+    *     detLn(2(N−df)+1) − detLn(2df+1) — integer-argument logs,
+    *     bit-identical on every engine ([[detLn]]);
+    *   - the tf-saturation term tf·(k1+1)/(tf + k1(1−b) + k1·b·dl/avgdl)
+    *     with k1 = 6/5, b = 3/4 and avgdl = tot/N reduces to the exact
+    *     integer rational 22·tot·tf / (10·tot·tf + 3·tot + 9·dl·N) —
+    *     ONE correctly-rounded IEEE division of exactly-representable
+    *     integers (exact while 22·tot·tf < 2^53; a 100 TB deployment
+    *     shards the corpus stats or accepts last-ulp float drift there);
+    *   - each term's contribution quantizes to integer micro-units
+    *     BEFORE the per-doc sum, so the aggregation is an
+    *     order-independent BIGINT sum — no float-summation-order hazard.
+    *
+    * N and dl count docs/tokens with ≥ 1 token (empty docs score no
+    * rows). Common terms (df > N/2) contribute negative idf, the
+    * standard Robertson behavior — kept, not clamped, and certified.
+    * Scale shape: one tokenize pass → (doc, term) tf partials → dl on
+    * the doc key; corpus stats are a 1-row broadcast, per-term idf a
+    * ≤|Q|-row broadcast; the final groupBy rides the dl join's doc-key
+    * exchange. Output: (doc_id, n_hit, bm25_micro).
+    */
+  def bm25(docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+           queryTerms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val tf = docs
+      .where(col(id).isNotNull)
+      .select(col(id).as("doc_id"), explode(tokens(col(text))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("long").as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("long").as("n"), sum("dl").as("tot"))
+    val dfT = tf.where(col("term").isin(queryTerms: _*))
+      .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    val idf = broadcast(dfT.crossJoin(broadcast(stats))
+      .withColumn("idf",
+        detLn(lit(2L) * (col("n") - col("df")) + lit(1L)) -
+          detLn(lit(2L) * col("df") + lit(1L))))
+    tf.where(col("term").isin(queryTerms: _*))
+      .join(dl, "doc_id")
+      .join(idf, "term")
+      .withColumn("ratio",
+        (lit(22L) * col("tot") * col("tf")).cast("double") /
+          (lit(10L) * col("tot") * col("tf") + lit(3L) * col("tot") +
+            lit(9L) * col("dl") * col("n")).cast("double"))
+      .withColumn("c_micro", floor(col("idf") * col("ratio") * lit(1000000.0)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_hit"), sum("c_micro").as("bm25_micro"))
+  }
+
   /** Atanh-series coefficients 1/3, 1/5, …, 1/31 for [[detLn]] — shared
     * between the Column builder and the oracle-SQL renderer so both engines
     * evaluate literally the same doubles in the same order.

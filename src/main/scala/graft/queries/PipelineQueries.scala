@@ -1011,6 +1011,46 @@ object PipelineQueries {
       TextFunctions.tfidf(Graft.documents(s, d), "doc_id", "text")
         .withColumnRenamed("doc", "doc_id")),
 
+    "txt_bm25" -> ((s, d) =>
+      // Okapi BM25 retrieval scoring (k1=1.2, b=0.75) against a fixed
+      // query-term set with mixed document frequencies (dup is rare →
+      // positive idf; the rest are corpus-common → negative idf, the
+      // standard Robertson behavior, certified not clamped). Exact
+      // arithmetic end to end: detLn idf, integer-rational saturation
+      // term, per-term micro-unit quantization BEFORE the
+      // order-independent BIGINT sum — fully oracle-checkable
+      TextFunctions.bm25(Graft.documents(s, d), "doc_id", "text",
+        Seq("dup", "spark", "merge", "vector"))),
+
+    "q_hybrid_retrieval" -> ((s, d) => {
+      // hybrid retrieval, the RAG-corpus curation shape: lexical BM25
+      // top-20 fused with semantic exact-cosine top-20 (query = vec 0)
+      // by Reciprocal Rank Fusion. Every fused score is exact integer
+      // arithmetic (1e6 div (60+rank)), so the whole composition hash-
+      // matches. Scale shape: the bm25 top-k arrives via orderBy+limit
+      // (TakeOrderedAndProject = per-partition heaps, no global sort);
+      // the single-partition rank window below touches <= 20 rows BY
+      // CONSTRUCTION (post-limit), the bounded-by-construction pattern
+      // Windows.scala's 1-row probes also use; the semantic side is the
+      // certified ann_brute broadcast shape.
+      import org.apache.spark.sql.expressions.Window
+      val lexTop = TextFunctions.bm25(Graft.documents(s, d), "doc_id", "text",
+          Seq("dup", "spark", "merge", "vector"))
+        .orderBy(col("bm25_micro").desc, col("doc_id").asc).limit(20)
+      val lw = Window.orderBy(col("bm25_micro").desc, col("doc_id").asc)
+      val lex = lexTop.withColumn("lex_rank", row_number().over(lw))
+        .select(col("doc_id"), col("lex_rank"))
+      val emb = Graft.embeddings(s, d)
+      val sem = Ann.bruteForceTopK(emb, emb.where(col("vec_id") === 0L),
+          "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("sem_rank"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_micro",
+          coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + sem_rank)"), lit(0L)))
+        .select("doc_id", "lex_rank", "sem_rank", "rrf_micro")
+    }),
+
     "txt_unigram_lp" -> ((s, d) =>
       // corpus-trained unigram LM scoring (perplexity proxy): integer
       // micro-nat summation keeps the per-doc sum layout-invariant —
@@ -1406,6 +1446,34 @@ object PipelineQueries {
                          ELSE list_transform(v, x -> CAST(round(x / s) AS INTEGER)) END AS codes
              FROM q)"""
 
+  // the BM25 replay CTEs (btoks -> btf -> bdl -> bstats -> bdfq ->
+  // bargs -> bidf -> bcontrib -> bm25), shared by txt_bm25 and the
+  // hybrid-retrieval fusion built on it so the two oracles cannot
+  // drift apart (the unigramLmCtes precedent). Every double is the
+  // same 64 bits as the Spark side: detLnSql idf difference, one
+  // correctly-rounded division of exact integers, left-assoc product
+  // before the micro floor.
+  private val bm25Ctes: String =
+    s"""btoks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\W+'), w -> len(w) > 0)) AS term
+                  FROM documents WHERE doc_id IS NOT NULL),
+        btf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM btoks GROUP BY doc_id, term),
+        bdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM btf GROUP BY doc_id),
+        bstats AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM bdl),
+        bdfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM btf
+                 WHERE term IN ('dup', 'spark', 'merge', 'vector') GROUP BY term),
+        bargs AS (SELECT d2.term, CAST(2 * (s.n - d2.df) + 1 AS BIGINT) AS a1,
+                         CAST(2 * d2.df + 1 AS BIGINT) AS a2
+                  FROM bdfq d2 CROSS JOIN bstats s),
+        bidf AS (SELECT term, (${TextFunctions.detLnSql("a1")} - ${TextFunctions.detLnSql("a2")}) AS idf FROM bargs),
+        bcontrib AS (SELECT btf.doc_id,
+                            CAST(floor(bidf.idf *
+                                 (CAST(22 * s.tot * btf.tf AS DOUBLE) /
+                                  CAST(10 * s.tot * btf.tf + 3 * s.tot + 9 * bdl.dl * s.n AS DOUBLE)) *
+                                 1000000.0e0) AS BIGINT) AS c_micro
+                     FROM btf JOIN bidf USING (term) JOIN bdl USING (doc_id) CROSS JOIN bstats s),
+        bm25 AS (SELECT doc_id, CAST(count(*) AS INT) AS n_hit, CAST(sum(c_micro) AS BIGINT) AS bm25_micro
+                 FROM bcontrib GROUP BY doc_id)"""
+
   // the unigram-LM replay CTEs (toks -> tf -> uni -> n -> w -> lm),
   // shared by txt_unigram_lp and the CCNet tercile buckets built on it
   private val unigramLmCtes: String =
@@ -1733,6 +1801,35 @@ object PipelineQueries {
     "txt_unigram_lp" ->
       s"""WITH $unigramLmCtes
          SELECT doc_id, n_tok, avg_nll_micro FROM lm""",
+    // BM25: idf as a DIFFERENCE of detLnSql integer logs (the x2 trick
+    // folds the 0.5 smoothing into odd integers), the k1=6/5 b=3/4
+    // saturation term as one correctly-rounded division of exact
+    // integers, and per-term micro-unit floors summed as BIGINTs —
+    // every double on both engines is the same 64 bits
+    "txt_bm25" ->
+      s"""WITH $bm25Ctes
+         SELECT doc_id, n_hit, bm25_micro FROM bm25""",
+
+    // hybrid retrieval: the lexical top-20 (bm25 rank, integer total
+    // order with id tie-break) fused with the semantic top-20 (exact
+    // cosine rank from the ann_brute replay) by Reciprocal Rank Fusion
+    // — 1e6 // (60 + rank) integer division, exact on both engines
+    "q_hybrid_retrieval" ->
+      s"""WITH $bm25Ctes,
+              lex AS (SELECT doc_id, lex_rank FROM (
+                        SELECT doc_id,
+                               CAST(row_number() OVER (ORDER BY bm25_micro DESC, doc_id ASC) AS INT) AS lex_rank
+                        FROM bm25) WHERE lex_rank <= 20),
+              sem AS (SELECT neighbor_id AS doc_id, sem_rank FROM (
+                        SELECT e.vec_id AS neighbor_id,
+                               CAST(row_number() OVER (ORDER BY list_cosine_similarity(CAST(CAST(q.embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(e.embedding AS FLOAT[]) AS DOUBLE[])) DESC,
+                                                       e.vec_id ASC) AS INT) AS sem_rank
+                        FROM embeddings q, embeddings e
+                        WHERE q.vec_id = 0 AND e.vec_id <> 0) WHERE sem_rank <= 20)
+         SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+                CAST(COALESCE(1000000 // (60 + l.lex_rank), 0) +
+                     COALESCE(1000000 // (60 + s.sem_rank), 0) AS BIGINT) AS rrf_micro
+         FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id""",
     // CCNet head/middle/tail terciles per language: the lm CTE feeds a
     // cumulative (lang, score) histogram; cuts are integer
     // cross-multiplications (3*cum >= n), identical to the Spark side

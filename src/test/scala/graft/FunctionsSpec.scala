@@ -615,6 +615,67 @@ class FunctionsSpec extends GraftTest {
     assert(rows.map(_.getLong(2)).distinct.length > 1)
   }
 
+  test("bm25: matches the classic Okapi formula and is layout-invariant") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark merge the table scan"), (2L, "merge merge merge dup"),
+      (3L, "vector dup window"), (4L, "the a key"), (5L, "spark spark merge vector vector vector"))
+    val terms = Seq("dup", "spark", "merge", "vector")
+    val got = TextFunctions.bm25(docs.toDF("doc_id", "text"), "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    // independent reference: plain-Scala classic BM25 (k1=1.2, b=0.75,
+    // libm log on the 0.5-smoothed idf) with per-term micro floors.
+    // libm vs detLn differ only in the last ulp, so per-term micro
+    // contributions can shift by at most 1 at a floor boundary.
+    val toks = docs.map { case (id, t) => id -> t.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq }
+    val n = toks.size.toLong
+    val tot = toks.map(_._2.size.toLong).sum
+    val avgdl = tot.toDouble / n
+    def df(t: String) = toks.count(_._2.contains(t)).toLong
+    toks.foreach { case (id, ts) =>
+      val dl = ts.size.toDouble
+      val contribs = terms.flatMap { t =>
+        val tf = ts.count(_ == t).toDouble
+        if (tf == 0) None
+        else {
+          val idf = math.log((n - df(t) + 0.5) / (df(t) + 0.5))
+          val sat = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+          Some(math.floor(idf * sat * 1e6).toLong)
+        }
+      }
+      if (contribs.isEmpty) assert(!got.contains(id), s"doc $id should have no row")
+      else {
+        val (nHit, micro) = got(id)
+        assert(nHit === contribs.size, s"doc $id n_hit")
+        assert(math.abs(micro - contribs.sum) <= contribs.size,
+          s"doc $id: got $micro, reference ${contribs.sum}")
+      }
+    }
+    // dup is rare (df=2 of 5) -> positive idf; merge is common in 3 of 5
+    assert(got(3)._2 > 0, "rare-term doc must score positive")
+    // exact layout invariance on the corpus (the certification property)
+    val corpus = Graft.documents(spark, sf)
+    val a = TextFunctions.bm25(corpus, "doc_id", "text", terms)
+    val b = TextFunctions.bm25(corpus.repartition(7), "doc_id", "text", terms)
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+  }
+
+  test("q_hybrid_retrieval: RRF fuses the two certified rankings exactly") {
+    val out = graft.queries.PipelineQueries.all("q_hybrid_retrieval")(spark, sf).collect()
+    assert(out.length >= 20 && out.length <= 40, s"20-40 fused rows, got ${out.length}")
+    out.foreach { r =>
+      val lex = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      val sem = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      assert(lex.isDefined || sem.isDefined, "a fused row must come from some list")
+      val expect = lex.map(k => 1000000L / (60 + k)).getOrElse(0L) +
+        sem.map(k => 1000000L / (60 + k)).getOrElse(0L)
+      assert(r.getLong(3) === expect, s"rrf mismatch on doc ${r.getLong(0)}")
+    }
+    // both lists contribute their full top-20 (ranks are a permutation)
+    assert(out.filter(!_.isNullAt(1)).map(_.getInt(1)).sorted.toSeq === (1 to 20))
+    assert(out.filter(!_.isNullAt(2)).map(_.getInt(2)).sorted.toSeq === (1 to 20))
+  }
+
   test("unigramLmScore matches an in-memory reference on a known corpus") {
     import spark.implicits._
     val docs = Seq(

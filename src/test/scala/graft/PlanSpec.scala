@@ -392,6 +392,17 @@ class PlanSpec extends GraftTest {
     }
   }
 
+  test("JPEG decode is an exchange-free partition-local scan") {
+    // fixture generation + full decode (entropy -> dequant -> IDCT) are
+    // both per-row work inside the scan partition: the 100 TB shape is
+    // one pass over the asset table, parallelism = input splits
+    val p = plan("mm_decode_jpeg")
+    assert(!p.contains("Exchange"), "JPEG decode must not shuffle:\n" + p.take(2000))
+    assert("FileScan".r.findAllIn(p).size === 1, "one corpus scan:\n" + p.take(2000))
+    val pc = plan("mm_jpeg_coefs")
+    assert(!pc.contains("Exchange"), "coef decode must not shuffle:\n" + pc.take(2000))
+  }
+
   test("BPE apply is an exchange-free scan (training cost lives outside the plan)") {
     // the frozen merges are plan literals; counting subwords must stay
     // a pure per-row projection over one corpus scan — no shuffle, no
