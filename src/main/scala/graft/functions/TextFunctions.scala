@@ -437,6 +437,46 @@ object TextFunctions {
         expr("_sum_micro div n_tok").as("avg_nll_micro"))
   }
 
+  /** Bigram language-model scoring — the next-order companion to
+    * [[unigramLmScore]]: each document's mean conditional surprisal
+    * −ln P(w₂|w₁) under the corpus-trained bigram model, in the same
+    * layout-invariant integer micro-nat arithmetic. P(w₂|w₁) =
+    * cnt(w₁w₂)/cnt₁(w₁) with cnt₁ the occurrences of w₁ as a bigram
+    * LEFT token, so nll = detLn(cnt₁) − detLn(cnt₁w₂) ≥ 0 — two
+    * integer-argument logs, bit-identical cross-engine; the per-doc
+    * mean is BIGINT division (no double rounding at all). Documents
+    * with < 2 tokens emit no row. A doc repeating one bigram scores
+    * near zero; rare transitions score high — the repetition-aware
+    * quality signal the unigram model cannot see.
+    *
+    * Scale shape: bigrams explode inside the tokenize scan (pairs from
+    * one array-HOF, no self-join); (doc,w1,w2) tf partials combine
+    * map-side; the model is (w1,w2)-keyed aggregates joined back on the
+    * bigram key — the same two-level shape as the unigram LM.
+    */
+  def bigramLmScore(docs: org.apache.spark.sql.DataFrame, id: String,
+                    text: String): org.apache.spark.sql.DataFrame = {
+    val bi = docs
+      .where(col(id).isNotNull)
+      .select(col(id).as("doc"), tokens(col(text)).as("ts"))
+      .where(size(col("ts")) >= 2)
+      .select(col("doc"), explode(expr(
+        "transform(slice(ts, 1, size(ts) - 1), (w, i) -> struct(w AS w1, element_at(ts, i + 2) AS w2))")).as("bg"))
+      .select(col("doc"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val tf2 = bi.groupBy("doc", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val cnt2 = tf2.groupBy("w1", "w2").agg(sum("tf").as("c2"))
+    val cnt1 = cnt2.groupBy("w1").agg(sum("c2").as("c1"))
+    val w = cnt2.join(cnt1, "w1").select(col("w1"), col("w2"),
+      floor((detLn(col("c1")) - detLn(col("c2"))) * lit(1000000.0))
+        .cast("long").as("w_micro"))
+    tf2.join(w, Seq("w1", "w2"))
+      .groupBy("doc")
+      .agg(sum("tf").as("n_bigrams"),
+        sum(col("tf") * col("w_micro")).as("_sum_micro"))
+      .select(col("doc"), col("n_bigrams"),
+        expr("_sum_micro div n_bigrams").as("avg_nll2_micro"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
     * arXiv:1911.00359): assign every document to the head / middle /
     * tail tercile of its LANGUAGE's perplexity distribution — the

@@ -448,6 +448,12 @@ object Jpeg {
               if (nc < 1 || nc > 3) throw JpegFail(s"unsupported component count $nc")
               if (bodyLen != 6 + 3 * nc) throw JpegFail("bad SOF length")
               if (st.width == 0 || st.height == 0) throw JpegFail("zero dimension")
+              // bound the frame BEFORE any nMcu-sized or w*h-sized
+              // allocation: 65535x65535 would overflow width*height in
+              // Int (NegativeArraySizeException past the catch) and a
+              // crafted header must not buy GB-scale allocations either
+              if (st.width.toLong * st.height > (1L << 28))
+                throw JpegFail("frame larger than 256 MP rejected")
               st.comps = Array.tabulate(nc) { i =>
                 val o = body + 6 + 3 * i
                 val hv = b(o + 1) & 0xff

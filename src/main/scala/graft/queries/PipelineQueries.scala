@@ -1058,6 +1058,13 @@ object PipelineQueries {
       TextFunctions.unigramLmScore(Graft.documents(s, d), "doc_id", "text")
         .withColumnRenamed("doc", "doc_id")),
 
+    "txt_bigram_lp" -> ((s, d) =>
+      // corpus-trained bigram LM scoring: mean conditional surprisal
+      // -ln P(w2|w1) in integer micro-nats — the repetition-aware
+      // next-order companion to txt_unigram_lp, fully oracle-checkable
+      TextFunctions.bigramLmScore(Graft.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("doc", "doc_id")),
+
     "txt_ppl_buckets" -> ((s, d) =>
       // CCNet-style head/middle/tail perplexity terciles per language
       // (Wenzek et al. 2020) — the curation cut CCNet popularized,
@@ -1830,6 +1837,26 @@ object PipelineQueries {
                 CAST(COALESCE(1000000 // (60 + l.lex_rank), 0) +
                      COALESCE(1000000 // (60 + s.sem_rank), 0) AS BIGINT) AS rrf_micro
          FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id""",
+    // bigram LM: conditional surprisal as a DIFFERENCE of detLnSql
+    // integer logs (left-count vs bigram count), micro-floors summed
+    // and divided as BIGINTs — the unigram device one order up
+    "txt_bigram_lp" ->
+      s"""WITH bt AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), w -> len(w) > 0) AS ts
+                      FROM documents WHERE doc_id IS NOT NULL),
+              bgi AS (SELECT doc_id, unnest(generate_series(1, len(ts) - 1)) AS i, ts
+                      FROM bt WHERE len(ts) >= 2),
+              bge AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2 FROM bgi),
+              tf2 AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf FROM bge GROUP BY doc_id, w1, w2),
+              c2t AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c2 FROM tf2 GROUP BY w1, w2),
+              c1t AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2t GROUP BY w1),
+              wt AS (SELECT c2t.w1, c2t.w2,
+                            CAST(floor((${TextFunctions.detLnSql("c1")} - ${TextFunctions.detLnSql("c2")}) * 1000000.0e0) AS BIGINT) AS w_micro
+                     FROM c2t JOIN c1t USING (w1))
+         SELECT tf2.doc_id, CAST(sum(tf2.tf) AS BIGINT) AS n_bigrams,
+                CAST(CAST(sum(tf2.tf * wt.w_micro) AS BIGINT) // CAST(sum(tf2.tf) AS BIGINT) AS BIGINT) AS avg_nll2_micro
+         FROM tf2 JOIN wt USING (w1, w2)
+         GROUP BY tf2.doc_id""",
+
     // CCNet head/middle/tail terciles per language: the lm CTE feeds a
     // cumulative (lang, score) histogram; cuts are integer
     // cross-multiplications (3*cum >= n), identical to the Spark side

@@ -676,6 +676,36 @@ class FunctionsSpec extends GraftTest {
     assert(out.filter(!_.isNullAt(2)).map(_.getInt(2)).sorted.toSeq === (1 to 20))
   }
 
+  test("bigramLmScore matches an in-memory reference; repetition scores near zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the cat the cat the cat"),
+      (3L, "dog"), (4L, "rare pair here"))
+    val got = TextFunctions.bigramLmScore(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!got.contains(3L), "single-token doc emits no row")
+    // reference: same arithmetic in plain Scala via detLnRef
+    val toks = docs.map { case (id, t) => id -> t.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq }
+    val bigrams = toks.flatMap { case (id, ts) => ts.zip(ts.drop(1)).map(b => (id, b)) }
+    val c2 = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val c1 = c2.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    def wMicro(b: (String, String)): Long =
+      math.floor((TextFunctions.detLnRef(c1(b._1)) - TextFunctions.detLnRef(c2(b))) * 1e6).toLong
+    toks.filter(_._2.size >= 2).foreach { case (id, ts) =>
+      val bs = ts.zip(ts.drop(1))
+      val expect = (bs.map(wMicro).sum / bs.size, bs.size.toLong)
+      assert(got(id) === ((expect._2, expect._1)), s"doc $id: got ${got(id)}, want $expect")
+    }
+    // doc 2 is one repeated loop: "the cat" and "cat the" dominate their
+    // left contexts, so its mean surprisal is far below doc 1's
+    assert(got(2L)._2 < got(1L)._2, "repetition must score low conditional surprisal")
+    // layout invariance on the corpus
+    val corpus = Graft.documents(spark, sf)
+    val a = TextFunctions.bigramLmScore(corpus, "doc_id", "text")
+    val b = TextFunctions.bigramLmScore(corpus.repartition(7), "doc_id", "text")
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+  }
+
   test("unigramLmScore matches an in-memory reference on a known corpus") {
     import spark.implicits._
     val docs = Seq(

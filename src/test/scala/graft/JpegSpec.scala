@@ -190,6 +190,51 @@ class JpegSpec extends AnyFunSuite {
     val corrupt = good.clone
     corrupt(good.length - 8) = 0x55
     Jpeg.decode(corrupt) // no exception = pass
+    // a crafted 65535x65535 SOF must fail fast at the header, before any
+    // frame-sized allocation (width*height would overflow Int)
+    val huge = good.clone
+    val sof0 = huge.indices.find(i => (huge(i) & 0xff) == 0xff && (huge(i + 1) & 0xff) == 0xc0).get
+    huge(sof0 + 5) = 0xff.toByte; huge(sof0 + 6) = 0xff.toByte // height
+    huge(sof0 + 7) = 0xff.toByte; huge(sof0 + 8) = 0xff.toByte // width
+    assert(Jpeg.decodeHeader(huge) === None, "oversized frame must be rejected at the header")
+    assert(Jpeg.decode(huge) === None)
+  }
+
+  test("fuzz: random corruption and truncation never throw out of the decoder") {
+    val rnd = new scala.util.Random(7)
+    val quant = Array.tabulate(3)(c => Array.tabulate(64)(i => 1 + ((i + c) % 17)))
+    val planes = Array.tabulate(3) { c =>
+      Array.tabulate(6) { bi =>
+        val blk = new Array[Int](64)
+        blk(0) = 50 * c - bi
+        blk(Jpeg.Zigzag(1 + bi)) = c + 1
+        blk
+      }
+    }
+    val good = Jpeg.encode(24, 16, quant, planes, restartInterval = 2)
+    // single-byte corruption at every position (headers, tables, entropy)
+    var pos = 0
+    while (pos < good.length) {
+      val mut = good.clone
+      mut(pos) = (mut(pos) ^ (1 + rnd.nextInt(255))).toByte
+      Jpeg.decode(mut)             // Option or bust — must never throw
+      Jpeg.decodeCoefficients(mut)
+      pos += 1
+    }
+    // every truncation length
+    var len = 0
+    while (len < good.length) {
+      Jpeg.decode(good.take(len))
+      len += 1
+    }
+    // random garbage of random lengths
+    for (_ <- 1 to 200) {
+      val b = new Array[Byte](rnd.nextInt(400))
+      rnd.nextBytes(b)
+      Jpeg.decode(b)
+      // garbage dressed in valid SOI so the marker walk engages
+      if (b.length >= 2) { b(0) = 0xff.toByte; b(1) = 0xd8.toByte; Jpeg.decode(b) }
+    }
   }
 
   test("decodeHeader: cheap SOF probe without entropy decode") {
