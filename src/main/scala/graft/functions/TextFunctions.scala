@@ -241,15 +241,27 @@ object TextFunctions {
       .where(col(id).isNotNull)
       .select(col(id).as("doc_id"), explode(tokens(col(text))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).cast("long").as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    bm25Score(
+      tf.where(col("term").isin(queryTerms: _*)),
+      tf.groupBy("doc_id").agg(sum("tf").as("dl")))
+  }
+
+  /** The BM25 scoring core over pre-computed statistics — ONE source of
+    * truth shared by [[bm25]] and the streaming path (which accumulates
+    * `qtf`/`dl` across micro-batches; docs are disjoint across batches,
+    * so df/N/tot are additive and the converged state reproduces the
+    * batch statistics exactly). `qtf` = (doc_id, term, tf) restricted
+    * to the query terms; `dl` = (doc_id, dl) over ALL terms.
+    */
+  def bm25Score(qtf: org.apache.spark.sql.DataFrame,
+                dl: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val stats = dl.agg(count(lit(1)).cast("long").as("n"), sum("dl").as("tot"))
-    val dfT = tf.where(col("term").isin(queryTerms: _*))
-      .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    val dfT = qtf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
     val idf = broadcast(dfT.crossJoin(broadcast(stats))
       .withColumn("idf",
         detLn(lit(2L) * (col("n") - col("df")) + lit(1L)) -
           detLn(lit(2L) * col("df") + lit(1L))))
-    tf.where(col("term").isin(queryTerms: _*))
+    qtf
       .join(dl, "doc_id")
       .join(idf, "term")
       .withColumn("ratio",

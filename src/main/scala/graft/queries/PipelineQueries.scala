@@ -1022,6 +1022,25 @@ object PipelineQueries {
       TextFunctions.bm25(Graft.documents(s, d), "doc_id", "text",
         Seq("dup", "spark", "merge", "vector"))),
 
+    "txt_bm25_streaming" -> ((s, d) => {
+      // BM25 under the REAL streaming engine: micro-batches (ascending
+      // doc_id thirds) each contribute their own per-doc stats to
+      // idempotent per-batch state stores; the converged accumulated
+      // state feeds literally the batch scoring core
+      // (TextFunctions.bm25Score), so the entry shares txt_bm25's
+      // oracle verbatim — retrieval-stats-at-ingest parity.
+      val docs = Graft.documents(s, d)
+      val maxRow = docs.agg(max("doc_id")).head()
+      if (maxRow.isNullAt(0)) {
+        docs.select(col("doc_id"), lit(0).as("n_hit"), lit(0L).as("bm25_micro")).limit(0)
+      } else {
+        val maxId = maxRow.getLong(0)
+        val batchOf = least(floor(col("doc_id") * 3 / (maxId + 1)), lit(2)).cast("int")
+        graft.streaming.StreamingQueries.runBm25Stream(
+          s, docs, batchOf, Seq("dup", "spark", "merge", "vector"), tag = "bm25")
+      }
+    }),
+
     "q_hybrid_retrieval" -> ((s, d) => {
       // hybrid retrieval, the RAG-corpus curation shape: lexical BM25
       // top-20 fused with semantic exact-cosine top-20 (query = vec 0)
@@ -1814,6 +1833,12 @@ object PipelineQueries {
     // integers, and per-term micro-unit floors summed as BIGINTs —
     // every double on both engines is the same 64 bits
     "txt_bm25" ->
+      s"""WITH $bm25Ctes
+         SELECT doc_id, n_hit, bm25_micro FROM bm25""",
+
+    // the streaming twin shares the batch oracle verbatim (accumulated
+    // per-batch stats reproduce the batch statistics exactly)
+    "txt_bm25_streaming" ->
       s"""WITH $bm25Ctes
          SELECT doc_id, n_hit, bm25_micro FROM bm25""",
 

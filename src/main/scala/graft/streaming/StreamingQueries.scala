@@ -187,6 +187,47 @@ object StreamingQueries {
     * cross-batch exact state still drops identical text), which is also
     * what keeps the converged output equal to the batch chain.
     */
+  /** BM25 under the real streaming engine — retrieval-stats
+    * accumulation at ingest: documents arrive in micro-batches, and
+    * each batch contributes ONLY its own per-doc statistics (query-term
+    * tf rows + doc lengths, both batch-local aggregations) to per-batch
+    * state stores, written idempotently (`b-<id>` overwrite, so an
+    * at-least-once retry replaces rather than double-counts). After the
+    * stream drains, scores compute from the ACCUMULATED state through
+    * `TextFunctions.bm25Score` — literally the batch scoring core, one
+    * source of truth. Docs are disjoint across batches, so df/N/tot are
+    * additive and the converged state reproduces the batch statistics
+    * exactly: the caller shares the batch oracle verbatim.
+    */
+  def runBm25Stream(spark: SparkSession, docs: DataFrame,
+                    batchOf: org.apache.spark.sql.Column,
+                    queryTerms: Seq[String], tag: String): DataFrame = {
+    val stream = stageStreamBatched(spark, docs, batchOf, tag)
+    val tfRoot = tmpDir(s"bm25-tf-$tag")
+    val dlRoot = tmpDir(s"bm25-dl-$tag")
+    val q = stream.writeStream
+      .option("checkpointLocation", tmpDir(s"ckpt-bm25-$tag"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val tf = b.where(col("doc_id").isNotNull)
+          .select(col("doc_id"),
+            explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).cast("long").as("tf"))
+          .localCheckpoint() // one tokenize per batch, two consumers below
+        tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+          .write.mode("overwrite").parquet(s"$dlRoot/b-$id")
+        tf.where(col("term").isin(queryTerms: _*))
+          .write.mode("overwrite").parquet(s"$tfRoot/b-$id")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q.stop()
+    graft.functions.TextFunctions.bm25Score(
+      spark.read.option("recursiveFileLookup", "true").parquet(tfRoot),
+      spark.read.option("recursiveFileLookup", "true").parquet(dlRoot))
+  }
+
   def runIngestStream(spark: SparkSession, batchDocs: DataFrame, corpus: DataFrame,
                       allDocs: DataFrame, batchOf: org.apache.spark.sql.Column,
                       jaccardMin: Double, tag: String,

@@ -549,6 +549,34 @@ class ProcessorsSpec extends GraftTest {
     assert(flagged === Set(0L))
   }
 
+  test("runBm25Stream: stats accumulate across micro-batches, batch parity exact") {
+    import spark.implicits._
+    // 'shared' occurs in all three micro-batches (its df must come from
+    // the ACCUMULATED state, not any single batch); 'rare' only in the
+    // first; doc 21 has no query term (no row); doc lengths differ so
+    // the dl normalization is exercised
+    val docs = Seq(
+      (1L, "shared rare words here"),
+      (2L, "plain filler text"),
+      (11L, "shared again with more filler tokens"),
+      (12L, "nothing relevant"),
+      (21L, "completely unrelated"),
+      (22L, "shared third time")).toDF("doc_id", "text")
+    val terms = Seq("shared", "rare")
+    val batchOf = least(col("doc_id") / 10, lit(2)).cast("int")
+    val streamed = graft.streaming.StreamingQueries
+      .runBm25Stream(spark, docs, batchOf, terms, tag = "bm25spec")
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+    val batch = graft.functions.TextFunctions.bm25(docs, "doc_id", "text", terms)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+    assert(streamed === batch, "converged streaming stats must reproduce batch BM25 exactly")
+    assert(streamed.keySet === Set(1L, 11L, 22L))
+    assert(streamed(1L)._1 === 2, "doc 1 hits both terms")
+    // df('shared') = 3 spans all batches: under any single batch's stats
+    // the idf (and so the score) would differ — parity proves the
+    // accumulated state, not a per-batch shortcut
+  }
+
   test("T5 graceful stop leaves the query inactive and session healthy") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
