@@ -241,6 +241,13 @@ object TextFunctions {
       .where(col(id).isNotNull)
       .select(col(id).as("doc_id"), explode(tokens(col(text))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).cast("long").as("tf"))
+      // (review r12) materialize ONCE: tf has four diverging consumers
+      // (qtf, dl, and through bm25Score the df and stats aggregations),
+      // and the isin pushdown de-canonicalizes the subtrees so
+      // ReuseExchange cannot deduplicate them — without this the corpus
+      // tokenize scan executed 4x (measured in the AQE-final plan). The
+      // same guard the streaming path already carried.
+      .localCheckpoint()
     bm25Score(
       tf.where(col("term").isin(queryTerms: _*)),
       tf.groupBy("doc_id").agg(sum("tf").as("dl")))

@@ -223,8 +223,10 @@ object Multimodal {
 
   /** Deterministic baseline-JPEG asset generator over (doc_id, n_chars)
     * — the `mm_decode_jpeg` fixture. Each doc becomes a real grayscale
-    * baseline JPEG (Annex-K Huffman tables, DQT, SOF0, restart markers
-    * on every third doc) whose blocks are flat with values from an
+    * baseline JPEG (Annex-K Huffman tables, DQT, SOF0; docs with
+    * id%3==1 carry DRI + real RSTn restart markers — their multi-MCU
+    * geometry guarantees the markers actually fire) whose blocks are
+    * flat with values from an
     * integer formula: DC-only blocks under q00 = 8 make the LOSSY
     * decode path bit-exact, so the DuckDB oracle can replay the decoded
     * pixels arithmetically. Partition-local generation, no shuffle.
@@ -244,7 +246,12 @@ object Multimodal {
           c(0) = ((id * 7 + bx * 13 + by * 31) % 256).toInt - 128 // v - 128, exact at q00=8
           c
         }
-        val ri = if (id % 3 == 0) 2 else 0
+        // (review r12) restart interval on the MULTI-MCU docs: id%3==1
+        // forces wb = 2, so nMcu ∈ {2, 4} and ri = 1 GUARANTEES RSTn
+        // markers + predictor resets in the certified bytes (the old
+        // id%3==0 gate forced wb = 1 → nMcu ≤ 2 < the 3 MCUs a ri=2
+        // restart needs, so only a dead DRI segment was ever written)
+        val ri = if (id % 3 == 1) 1 else 0
         (id, Jpeg.encode(8 * wb, 8 * hb, Array(q8), Array(blocks), ri))
       }
     }.toDF("asset_id", "payload")
@@ -255,8 +262,9 @@ object Multimodal {
     * general entropy layer exactly (it is lossless): interleaved MCUs,
     * per-component DC predictors, luminance + chrominance Huffman
     * tables, scattered ACs at zigzag positions 1-10 / 30-49 / 63 (the
-    * last forcing >15-zero runs through ZRL), restart resets on every
-    * fourth doc.
+    * last forcing >15-zero runs through ZRL); odd ids carry DRI + real
+    * RSTn restarts with per-component predictor resets (their hb = 2
+    * geometry guarantees the markers fire).
     */
   def syntheticJpegCoefAssets(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -281,7 +289,11 @@ object Multimodal {
             blk
           }
         }
-        val ri = if (id % 4 == 0) 3 else 0
+        // (review r12) odd ids have hb = 2 → nMcu ≥ 2, so ri = 1
+        // guarantees real RSTn markers + per-component predictor resets
+        // in the certified bytes (the old id%4==0 gate forced hb = 1 →
+        // nMcu ≤ 2 < the 4 MCUs a ri=3 restart needs — dead path)
+        val ri = if (id % 2 == 1) 1 else 0
         (id, Jpeg.encode(8 * wb, 8 * hb, quant, planes, ri))
       }
     }.toDF("asset_id", "payload")
@@ -317,14 +329,19 @@ object Multimodal {
     }.toDF()
   }
 
-  /** Per-block pixel extrema through the FULL JPEG decode path (entropy
-    * → dequant → IDCT → level shift): flat fixture blocks make min ==
-    * max == the formula value iff all 64 pixels decoded exactly. A
-    * decode failure emits a single all--1 sentinel row, which the
-    * oracle (expecting success everywhere) turns into a hash mismatch.
-    * Partition-local: decode runs inside the scan, no shuffle.
+  /** Per-(component, block) pixel extrema through the FULL JPEG decode
+    * path (entropy → dequant → IDCT → level shift → crop): flat fixture
+    * blocks make min == max == the formula value iff all 64 pixels
+    * decoded exactly. General over ANY decodable JPEG (review r12): the
+    * block grid is the ceil-grid decode itself used, every component
+    * emits its own rows, and edge blocks report extrema over their
+    * VISIBLE (cropped) region — nothing is silently dropped for
+    * non-multiple-of-8 or multi-component images. A decode failure
+    * emits a single all--1 sentinel row, which the oracle (expecting
+    * success everywhere) turns into a hash mismatch. Partition-local:
+    * decode runs inside the scan, no shuffle.
     */
-  final case class JpegBlockPixels(asset_id: Long, width: Int, height: Int,
+  final case class JpegBlockPixels(asset_id: Long, comp: Int, width: Int, height: Int,
       block_x: Int, block_y: Int, px_min: Int, px_max: Int)
 
   def decodeJpegBlocks(assets: DataFrame): DataFrame = {
@@ -333,25 +350,27 @@ object Multimodal {
     assets.select("asset_id", "payload").as[(Long, Array[Byte])].flatMap { case (id, bytes) =>
       Jpeg.decode(bytes) match {
         case Some(img) =>
-          val wb = img.width / 8
-          val hb = img.height / 8
-          for { by <- 0 until hb; bx <- 0 until wb } yield {
+          val wb = (img.width + 7) / 8
+          val hb = (img.height + 7) / 8
+          for { c <- 0 until img.nComp; by <- 0 until hb; bx <- 0 until wb } yield {
             var mn = 256
             var mx = -1
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 8) {
-                val p = img.planes(0)((by * 8 + y) * img.width + bx * 8 + x)
+            var y = by * 8
+            val yEnd = math.min(by * 8 + 8, img.height)
+            val xEnd = math.min(bx * 8 + 8, img.width)
+            while (y < yEnd) {
+              var x = bx * 8
+              while (x < xEnd) {
+                val p = img.planes(c)(y * img.width + x)
                 if (p < mn) mn = p
                 if (p > mx) mx = p
                 x += 1
               }
               y += 1
             }
-            JpegBlockPixels(id, img.width, img.height, bx, by, mn, mx)
+            JpegBlockPixels(id, c, img.width, img.height, bx, by, mn, mx)
           }
-        case None => Seq(JpegBlockPixels(id, -1, -1, -1, -1, -1, -1))
+        case None => Seq(JpegBlockPixels(id, -1, -1, -1, -1, -1, -1, -1))
       }
     }.toDF()
   }

@@ -2316,6 +2316,7 @@ object PipelineQueries {
     // make the lossy path exact, so min == max == the formula value
     "mm_decode_jpeg" ->
       """SELECT d.doc_id AS asset_id,
+                CAST(0 AS INT) AS comp,
                 CAST(8 * (1 + d.doc_id % 3) AS INT) AS width,
                 CAST(8 * (1 + d.n_chars % 2) AS INT) AS height,
                 CAST(gx.i AS INT) AS block_x,
@@ -2331,6 +2332,7 @@ object PipelineQueries {
     // fixture formulas, same decode pipeline, real engine)
     "mm_decode_jpeg_streaming" ->
       """SELECT d.doc_id AS asset_id,
+                CAST(0 AS INT) AS comp,
                 CAST(8 * (1 + d.doc_id % 3) AS INT) AS width,
                 CAST(8 * (1 + d.n_chars % 2) AS INT) AS height,
                 CAST(gx.i AS INT) AS block_x,

@@ -260,6 +260,24 @@ class JpegQuerySpec extends GraftTest {
     out.unpersist()
   }
 
+  test("certified fixtures really carry RSTn restart markers (review r12)") {
+    import spark.implicits._
+    def hasRst(b: Array[Byte]): Boolean =
+      b.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) >= 0xd0 && (p(1) & 0xff) <= 0xd7)
+    val docs = Graft.documents(spark, sf).limit(60)
+    val gray = multimodal.Multimodal.syntheticJpegAssets(docs)
+      .as[(Long, Array[Byte])].collect()
+    val grayRst = gray.filter(a => hasRst(a._2)).map(_._1)
+    assert(grayRst.nonEmpty, "grayscale fixture must emit restart markers")
+    assert(grayRst.forall(_ % 3 == 1), "exactly the id%3==1 docs carry RSTn")
+    assert(gray.filter(_._1 % 3 == 1).forall(a => hasRst(a._2)),
+      "EVERY id%3==1 doc must carry RSTn (multi-MCU geometry guaranteed)")
+    val coefs = multimodal.Multimodal.syntheticJpegCoefAssets(docs)
+      .as[(Long, Array[Byte])].collect()
+    assert(coefs.filter(_._1 % 2 == 1).forall(a => hasRst(a._2)),
+      "every odd-id coef fixture must carry RSTn")
+  }
+
   test("mm_jpeg_coefs: every block carries exactly the 3 planted ACs") {
     val out = queries.PipelineQueries.all("mm_jpeg_coefs")(spark, sf).cache()
     assert(out.where(col("comp") === -1).count() === 0, "no decode failures")
