@@ -11,10 +11,14 @@ import scala.collection.mutable.ArrayBuffer
   * as constants for the encoder), DC prediction, zigzag + run-length
   * (ZRL/EOB) AC coding, 0xFF byte stuffing, DRI/RSTn restart markers
   * with predictor reset, DQT dequantization, double-precision IDCT with
-  * level shift + clamp and edge crop. Progressive (SOF2), arithmetic
-  * coding, 12-bit, and subsampled layouts are rejected with `None` —
-  * corrupt or unsupported payloads surface as not-ok rows, never crash
-  * a scan.
+  * level shift + clamp and edge crop. Since r12 the layout layer is
+  * general over SUBSAMPLING too: per-component (h, v) sampling factors
+  * 1-4 (so 4:2:0 and 4:2:2 — the layouts real-world encoders emit —
+  * decode exactly) with the T.81 A.2.3 interleaved-MCU block order and
+  * per-component NATIVE-resolution sample planes. Progressive (SOF2),
+  * arithmetic coding, 12-bit, and subsampled single-component
+  * (non-interleaved) frames are rejected with `None` — corrupt or
+  * unsupported payloads surface as not-ok rows, never crash a scan.
   *
   * Certification story (mirrors the BMP/WAV precedent,
   * `Multimodal.Codec`): the encoder builds spec-conformant bytes whose
@@ -242,23 +246,38 @@ object Jpeg {
     * @param quant   one 64-entry quantization table per component,
     *                natural order (written zigzagged into DQT)
     * @param planes  planes(c)(blockIdx)(64): quantized coefficients in
-    *                natural order, blocks in raster order; all planes
-    *                must carry wBlocks*hBlocks blocks (4:4:4)
+    *                natural order, blocks raster-ordered over component
+    *                c's grid (sampling(c).h·mcusX) × (sampling(c).v·mcusY)
     * @param restartInterval 0 = no DRI; else RSTn every N MCUs
+    * @param sampling per-component (h, v) sampling factors, 1-4 each;
+    *                null = all 1×1 (4:4:4). (2,2)+(1,1)+(1,1) = 4:2:0.
     *
     * Component 0 uses the Annex-K luminance Huffman tables; components
     * 1-2 the chrominance tables (all four written via DHT).
     */
   def encode(width: Int, height: Int, quant: Array[Array[Int]],
-             planes: Array[Array[Array[Int]]], restartInterval: Int = 0): Array[Byte] = {
+             planes: Array[Array[Array[Int]]], restartInterval: Int = 0,
+             sampling: Array[(Int, Int)] = null): Array[Byte] = {
     val nComp = planes.length
     require(nComp >= 1 && nComp <= 3, s"1-3 components, got $nComp")
     require(quant.length == nComp, "one quant table per component")
     require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff)
-    val wb = (width + 7) / 8
-    val hb = (height + 7) / 8
-    val nMcu = wb * hb
-    planes.foreach(p => require(p.length == nMcu, s"plane must carry $nMcu blocks"))
+    val samp = if (sampling == null) Array.fill(nComp)((1, 1)) else sampling
+    require(samp.length == nComp, "one sampling pair per component")
+    samp.foreach { case (h, v) =>
+      require(h >= 1 && h <= 4 && v >= 1 && v <= 4, s"sampling ${h}x$v out of range")
+    }
+    require(nComp > 1 || samp(0) == ((1, 1)),
+      "subsampled single-component frames are non-interleaved - unsupported")
+    val hMax = samp.map(_._1).max
+    val vMax = samp.map(_._2).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    val nMcu = mcusX * mcusY
+    val cbw = Array.tabulate(nComp)(c => samp(c)._1 * mcusX)
+    val cbh = Array.tabulate(nComp)(c => samp(c)._2 * mcusY)
+    (0 until nComp).foreach(c => require(planes(c).length == cbw(c) * cbh(c),
+      s"plane $c must carry ${cbw(c) * cbh(c)} blocks (grid ${cbw(c)}x${cbh(c)}), got ${planes(c).length}"))
 
     val out = new ArrayBuffer[Byte](1024)
     out += 0xff.toByte; out += 0xd8.toByte // SOI
@@ -288,7 +307,7 @@ object Jpeg {
     c = 0
     while (c < nComp) {
       sof += (c + 1).toByte // component id
-      sof += 0x11.toByte    // 1x1 sampling
+      sof += ((samp(c)._1 << 4) | samp(c)._2).toByte
       sof += c.toByte       // quant table id
       c += 1
     }
@@ -334,38 +353,50 @@ object Jpeg {
         rstCount += 1
         java.util.Arrays.fill(pred, 0)
       }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
       c = 0
       while (c < nComp) {
-        val blk = planes(c)(mcu)
         val (dcT, acT) = if (c == 0) (DcLum, AcLum) else (DcChrom, AcChrom)
-        // DC: category + magnitude bits of the prediction difference
-        val diff = blk(0) - pred(c)
-        pred(c) = blk(0)
-        val t = category(diff)
-        require(t <= 11, s"DC diff $diff exceeds 11-bit category")
-        bw.put(dcT.codeOf(t), dcT.sizeOf(t))
-        if (t > 0) bw.put(magnitudeBits(diff, t), t)
-        // AC: (run, size) symbols over zigzag order with ZRL + EOB
-        var run = 0
-        var z = 1
-        while (z < 64) {
-          val v = blk(Zigzag(z))
-          if (v == 0) run += 1
-          else {
-            while (run > 15) {
-              bw.put(acT.codeOf(0xf0), acT.sizeOf(0xf0)) // ZRL
-              run -= 16
+        // T.81 A.2.3 MCU order: v×h blocks of this component, raster
+        // order within its own grid
+        var bv = 0
+        while (bv < samp(c)._2) {
+          var bhh = 0
+          while (bhh < samp(c)._1) {
+            val blk = planes(c)((my * samp(c)._2 + bv) * cbw(c) + (mx * samp(c)._1 + bhh))
+            // DC: category + magnitude bits of the prediction difference
+            val diff = blk(0) - pred(c)
+            pred(c) = blk(0)
+            val t = category(diff)
+            require(t <= 11, s"DC diff $diff exceeds 11-bit category")
+            bw.put(dcT.codeOf(t), dcT.sizeOf(t))
+            if (t > 0) bw.put(magnitudeBits(diff, t), t)
+            // AC: (run, size) symbols over zigzag order with ZRL + EOB
+            var run = 0
+            var z = 1
+            while (z < 64) {
+              val v = blk(Zigzag(z))
+              if (v == 0) run += 1
+              else {
+                while (run > 15) {
+                  bw.put(acT.codeOf(0xf0), acT.sizeOf(0xf0)) // ZRL
+                  run -= 16
+                }
+                val s = category(v)
+                require(s <= 10, s"AC value $v exceeds 10-bit category")
+                val sym = (run << 4) | s
+                bw.put(acT.codeOf(sym), acT.sizeOf(sym))
+                bw.put(magnitudeBits(v, s), s)
+                run = 0
+              }
+              z += 1
             }
-            val s = category(v)
-            require(s <= 10, s"AC value $v exceeds 10-bit category")
-            val sym = (run << 4) | s
-            bw.put(acT.codeOf(sym), acT.sizeOf(sym))
-            bw.put(magnitudeBits(v, s), s)
-            run = 0
+            if (run > 0) bw.put(acT.codeOf(0x00), acT.sizeOf(0x00)) // EOB
+            bhh += 1
           }
-          z += 1
+          bv += 1
         }
-        if (run > 0) bw.put(acT.codeOf(0x00), acT.sizeOf(0x00)) // EOB
         c += 1
       }
       mcu += 1
@@ -379,19 +410,32 @@ object Jpeg {
 
   /** Quantized coefficients as decoded from the entropy layer — exact
     * (entropy coding is lossless), the certification hook for
-    * `mm_jpeg_coefs`. planes(c)(blockIdx)(64) natural order.
+    * `mm_jpeg_coefs` / `mm_jpeg_420`. planes(c)(blockIdx)(64) natural
+    * order, blocks raster-ordered over component c's OWN grid
+    * `bw(c)×bh(c)` (= the MCU grid × that component's sampling factors
+    * — includes right/bottom padding blocks when the frame is not an
+    * MCU multiple, exactly as they sit in the stream). `wBlocks` /
+    * `hBlocks` remain component 0's grid for the 4:4:4 call sites.
     */
   final case class Coefs(width: Int, height: Int, nComp: Int,
       wBlocks: Int, hBlocks: Int,
-      planes: Array[Array[Array[Int]]], quant: Array[Array[Int]])
+      planes: Array[Array[Array[Int]]], quant: Array[Array[Int]],
+      bw: Array[Int], bh: Array[Int],
+      sampH: Array[Int], sampV: Array[Int])
 
-  /** Fully decoded image: per-component 8-bit sample planes, cropped to
-    * width×height. planes(c)(y*width + x) ∈ [0, 255].
+  /** Fully decoded image: per-component 8-bit sample planes at their
+    * NATIVE (subsampled) resolution, cropped to that component's own
+    * frame slice — `planes(c)(y * compW(c) + x)` ∈ [0, 255] with
+    * `compW(c) = ceil(width·sampH(c)/Hmax)` (so 4:4:4 components are
+    * width×height and 4:2:0 chroma is half-res each way). Callers
+    * wanting full-res chroma upsample explicitly; emitting native
+    * resolution keeps the decode output exact.
     */
   final case class Image(width: Int, height: Int, nComp: Int,
-      planes: Array[Array[Int]])
+      planes: Array[Array[Int]], compW: Array[Int], compH: Array[Int])
 
-  private final case class CompSpec(id: Int, tq: Int, var td: Int = 0, var ta: Int = 0)
+  private final case class CompSpec(id: Int, tq: Int, h: Int, v: Int,
+      var td: Int = 0, var ta: Int = 0)
 
   /** Parse just the SOF0 header: (width, height, nComponents). Cheap
     * dispatch probe for [[Multimodal.decodeMedia]].
@@ -457,9 +501,17 @@ object Jpeg {
               st.comps = Array.tabulate(nc) { i =>
                 val o = body + 6 + 3 * i
                 val hv = b(o + 1) & 0xff
-                if (hv != 0x11) throw JpegFail("only 4:4:4 (1x1 sampling) supported")
-                CompSpec(b(o) & 0xff, b(o + 2) & 0xff)
+                val h = hv >> 4
+                val v = hv & 0x0f
+                if (h < 1 || h > 4 || v < 1 || v > 4)
+                  throw JpegFail(s"sampling factors out of range: ${h}x$v")
+                CompSpec(b(o) & 0xff, b(o + 2) & 0xff, h, v)
               }
+              // single-component scans with sampling > 1x1 are coded
+              // NON-interleaved per T.81 A.2 — out of scope, reject
+              // rather than mis-decode
+              if (nc == 1 && (st.comps(0).h != 1 || st.comps(0).v != 1))
+                throw JpegFail("subsampled single-component frames unsupported")
               sofSeen = true
             case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
               throw JpegFail(f"unsupported SOF marker 0xFF$m%02X (progressive/arithmetic)")
@@ -530,12 +582,24 @@ object Jpeg {
     st
   }
 
+  /** MCU geometry for a parsed frame: (mcusX, mcusY, per-comp block
+    * grid widths/heights). With all-1×1 sampling this degenerates to
+    * the ceil-8 grid; with 4:2:0 the luma grid is the MCU grid × 2
+    * each way (padding blocks included, as in the stream).
+    */
+  private def geometry(st: ParseState): (Int, Int, Array[Int], Array[Int]) = {
+    val hMax = st.comps.map(_.h).max
+    val vMax = st.comps.map(_.v).max
+    val mcusX = (st.width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (st.height + 8 * vMax - 1) / (8 * vMax)
+    (mcusX, mcusY, st.comps.map(_.h * mcusX), st.comps.map(_.v * mcusY))
+  }
+
   private def decodeScan(b: Array[Byte], st: ParseState): Array[Array[Array[Int]]] = {
     val nComp = st.comps.length
-    val wb = (st.width + 7) / 8
-    val hb = (st.height + 7) / 8
-    val nMcu = wb * hb
-    val planes = Array.fill(nComp)(new Array[Array[Int]](nMcu))
+    val (mcusX, mcusY, bw, bh) = geometry(st)
+    val nMcu = mcusX * mcusY
+    val planes = Array.tabulate(nComp)(c => new Array[Array[Int]](bw(c) * bh(c)))
     val dcTab = st.comps.map { cs =>
       val t = st.huffDc(cs.td)
       if (t == null) throw JpegFail(s"missing DC table ${cs.td}")
@@ -556,29 +620,42 @@ object Jpeg {
         rstCount += 1
         java.util.Arrays.fill(pred, 0)
       }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
       var c = 0
       while (c < nComp) {
-        val blk = new Array[Int](64)
-        val t = br.decodeHuff(dcTab(c))
-        if (t > 11) throw JpegFail(s"bad DC category $t")
-        pred(c) += extend(br.receive(t), t)
-        blk(0) = pred(c)
-        var z = 1
-        while (z < 64) {
-          val rs = br.decodeHuff(acTab(c))
-          val run = rs >> 4
-          val size = rs & 0x0f
-          if (size == 0) {
-            if (run == 15) z += 16 // ZRL
-            else z = 64            // EOB
-          } else {
-            z += run
-            if (z > 63) throw JpegFail("AC run past end of block")
-            blk(Zigzag(z)) = extend(br.receive(size), size)
-            z += 1
+        val cs = st.comps(c)
+        // T.81 A.2.3: within an MCU, component c contributes v×h blocks
+        // in raster order of its own grid
+        var bv = 0
+        while (bv < cs.v) {
+          var bhh = 0
+          while (bhh < cs.h) {
+            val blk = new Array[Int](64)
+            val t = br.decodeHuff(dcTab(c))
+            if (t > 11) throw JpegFail(s"bad DC category $t")
+            pred(c) += extend(br.receive(t), t)
+            blk(0) = pred(c)
+            var z = 1
+            while (z < 64) {
+              val rs = br.decodeHuff(acTab(c))
+              val run = rs >> 4
+              val size = rs & 0x0f
+              if (size == 0) {
+                if (run == 15) z += 16 // ZRL
+                else z = 64            // EOB
+              } else {
+                z += run
+                if (z > 63) throw JpegFail("AC run past end of block")
+                blk(Zigzag(z)) = extend(br.receive(size), size)
+                z += 1
+              }
+            }
+            planes(c)((my * cs.v + bv) * bw(c) + (mx * cs.h + bhh)) = blk
+            bhh += 1
           }
+          bv += 1
         }
-        planes(c)(mcu) = blk
         c += 1
       }
       mcu += 1
@@ -607,8 +684,10 @@ object Jpeg {
         if (q == null) throw JpegFail(s"missing quant table ${cs.tq}")
         q
       }
+      val (_, _, bw, bh) = geometry(st)
       Some(Coefs(st.width, st.height, st.comps.length,
-        (st.width + 7) / 8, (st.height + 7) / 8, planes, quant))
+        bw(0), bh(0), planes, quant,
+        bw, bh, st.comps.map(_.h), st.comps.map(_.v)))
     } catch { case _: JpegFail | _: ArrayIndexOutOfBoundsException => None }
 
   private lazy val CosTable: Array[Array[Double]] =
@@ -662,12 +741,20 @@ object Jpeg {
     */
   def decode(b: Array[Byte]): Option[Image] =
     decodeCoefficients(b).map { cf =>
-      val wb = cf.wBlocks
+      val hMax = cf.sampH.max
+      val vMax = cf.sampV.max
+      // each component's native frame slice (T.81 A.1.1: ceil of the
+      // frame dims scaled by its sampling ratio)
+      val compW = Array.tabulate(cf.nComp)(c => (cf.width * cf.sampH(c) + hMax - 1) / hMax)
+      val compH = Array.tabulate(cf.nComp)(c => (cf.height * cf.sampV(c) + vMax - 1) / vMax)
       val planes = Array.tabulate(cf.nComp) { c =>
-        val plane = new Array[Int](cf.width * cf.height)
+        val cw = compW(c)
+        val ch = compH(c)
+        val plane = new Array[Int](cw * ch)
         val q = cf.quant(c)
         val deq = new Array[Int](64)
         val px = new Array[Int](64)
+        val wb = cf.bw(c)
         var bi = 0
         while (bi < cf.planes(c).length) {
           val blk = cf.planes(c)(bi)
@@ -679,11 +766,11 @@ object Jpeg {
           var y = 0
           while (y < 8) {
             val iy = by * 8 + y
-            if (iy < cf.height) {
+            if (iy < ch) {
               var x = 0
               while (x < 8) {
                 val ix = bx * 8 + x
-                if (ix < cf.width) plane(iy * cf.width + ix) = px(y * 8 + x)
+                if (ix < cw) plane(iy * cw + ix) = px(y * 8 + x)
                 x += 1
               }
             }
@@ -693,7 +780,7 @@ object Jpeg {
         }
         plane
       }
-      Image(cf.width, cf.height, cf.nComp, planes)
+      Image(cf.width, cf.height, cf.nComp, planes, compW, compH)
     }
 
   /** Forward 2-D DCT + quantization of one 8×8 sample block (test

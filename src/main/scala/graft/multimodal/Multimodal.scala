@@ -329,6 +329,43 @@ object Multimodal {
     }.toDF()
   }
 
+  /** 4:2:0 (luma 2×2, chroma 1×1) baseline-JPEG generator with
+    * formula-defined coefficients on each component's OWN grid — the
+    * `mm_jpeg_420` fixture certifying the SUBSAMPLED entropy layer
+    * exactly: interleaved MCUs carry 4 luma + 1 Cb + 1 Cr blocks in
+    * T.81 A.2.3 order, per-component predictors span the nested block
+    * walk, and odd ids carry DRI/RSTn (mcusY = 2 guarantees ≥ 2 MCUs,
+    * so the markers really fire). Frame: width 16 or 32 (doc parity),
+    * height 32 → luma grid (2·mcusX)×4, chroma grids mcusX×2.
+    */
+  def syntheticJpeg420Assets(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val samp = Array((2, 2), (1, 1), (1, 1))
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val mcusX = 1 + (id % 2).toInt
+        val quant = Array.tabulate(3)(c => Array.tabulate(64)(i => 1 + ((i + 5 * c) % 18)))
+        val planes = Array.tabulate(3) { c =>
+          val gw = if (c == 0) 2 * mcusX else mcusX
+          val gh = if (c == 0) 4 else 2
+          Array.tabulate(gw * gh) { bi =>
+            val bx = bi % gw
+            val by = bi / gw
+            val blk = new Array[Int](64)
+            blk(0) = ((id * 7 + c * 13 + bx * 5 + by * 3) % 129).toInt - 64
+            val z1 = 1 + ((id + c + bx) % 12).toInt
+            blk(Jpeg.Zigzag(z1)) =
+              (1 + ((id + by) % 6).toInt) * (if ((id + c) % 2 == 0) 1 else -1)
+            blk
+          }
+        }
+        val ri = if (id % 2 == 1) 1 else 0
+        (id, Jpeg.encode(16 * mcusX, 32, quant, planes, ri, samp))
+      }
+    }.toDF("asset_id", "payload")
+  }
+
   /** Per-(component, block) pixel extrema through the FULL JPEG decode
     * path (entropy → dequant → IDCT → level shift → crop): flat fixture
     * blocks make min == max == the formula value iff all 64 pixels
@@ -350,18 +387,22 @@ object Multimodal {
     assets.select("asset_id", "payload").as[(Long, Array[Byte])].flatMap { case (id, bytes) =>
       Jpeg.decode(bytes) match {
         case Some(img) =>
-          val wb = (img.width + 7) / 8
-          val hb = (img.height + 7) / 8
-          for { c <- 0 until img.nComp; by <- 0 until hb; bx <- 0 until wb } yield {
+          for {
+            c <- 0 until img.nComp
+            cw = img.compW(c)
+            ch = img.compH(c)
+            by <- 0 until (ch + 7) / 8
+            bx <- 0 until (cw + 7) / 8
+          } yield {
             var mn = 256
             var mx = -1
             var y = by * 8
-            val yEnd = math.min(by * 8 + 8, img.height)
-            val xEnd = math.min(bx * 8 + 8, img.width)
+            val yEnd = math.min(by * 8 + 8, ch)
+            val xEnd = math.min(bx * 8 + 8, cw)
             while (y < yEnd) {
               var x = bx * 8
               while (x < xEnd) {
-                val p = img.planes(c)(y * img.width + x)
+                val p = img.planes(c)(y * cw + x)
                 if (p < mn) mn = p
                 if (p > mx) mx = p
                 x += 1
@@ -403,7 +444,7 @@ object Multimodal {
               if (blk(i) != 0) { nAc += 1; acSum += blk(i); posSum += Jpeg.ZigzagInv(i) }
               i += 1
             }
-            JpegBlockCoefs(id, c, bi % cf.wBlocks, bi / cf.wBlocks, blk(0), nAc, acSum, posSum)
+            JpegBlockCoefs(id, c, bi % cf.bw(c), bi / cf.bw(c), blk(0), nAc, acSum, posSum)
           }
         case None => Seq(JpegBlockCoefs(id, -1, -1, -1, -1, -1, -1, -1))
       }

@@ -1231,6 +1231,16 @@ object PipelineQueries {
       Multimodal.decodeJpegCoefStats(Multimodal.syntheticJpegCoefAssets(Graft.documents(s, d)))
     }),
 
+    "mm_jpeg_420" -> ((s, d) => {
+      // the SUBSAMPLED (4:2:0) entropy layer certified exactly: luma
+      // 2x2 + chroma 1x1 interleaved MCUs, per-component grids of
+      // DIFFERENT sizes (luma 4x the chroma block count), predictors
+      // spanning the nested T.81 A.2.3 block walk, restart resets on
+      // odd ids. decodeJpegCoefStats walks each component's own grid,
+      // so a block landing at the wrong grid slot breaks the hash.
+      Multimodal.decodeJpegCoefStats(Multimodal.syntheticJpeg420Assets(Graft.documents(s, d)))
+    }),
+
     "mm_audio" -> ((s, d) =>
       // audio-shaped overlapping windows (64-byte window, 32-byte hop)
       // over binary payloads; windows decoded to string for the oracle
@@ -2343,6 +2353,27 @@ object PipelineQueries {
               UNNEST(generate_series(0, 2)) AS gx(i),
               UNNEST(generate_series(0, 1)) AS gy(i)
          WHERE gx.i <= d.doc_id % 3 AND gy.i <= d.n_chars % 2""",
+
+    // the 4:2:0 generator's formulas replayed over each component's OWN
+    // grid: luma (comp 0) spans a (2*mcusX) x 4 grid, chroma mcusX x 2 —
+    // the Spark side must place every entropy-decoded block at the right
+    // slot of the right grid through the interleaved MCU walk
+    "mm_jpeg_420" ->
+      """SELECT d.doc_id AS asset_id,
+                CAST(c.i AS INT) AS comp,
+                CAST(gx.i AS INT) AS block_x,
+                CAST(gy.i AS INT) AS block_y,
+                CAST((d.doc_id * 7 + c.i * 13 + gx.i * 5 + gy.i * 3) % 129 - 64 AS INT) AS dc,
+                CAST(1 AS INT) AS n_ac,
+                CAST((1 + (d.doc_id + gy.i) % 6) *
+                     (CASE WHEN (d.doc_id + c.i) % 2 = 0 THEN 1 ELSE -1 END) AS INT) AS ac_sum,
+                CAST(1 + (d.doc_id + c.i + gx.i) % 12 AS INT) AS ac_pos_sum
+         FROM documents d,
+              UNNEST(generate_series(0, 2)) AS c(i),
+              UNNEST(generate_series(0, 3)) AS gx(i),
+              UNNEST(generate_series(0, 3)) AS gy(i)
+         WHERE gx.i < (CASE WHEN c.i = 0 THEN 2 ELSE 1 END) * (1 + d.doc_id % 2)
+           AND gy.i < (CASE WHEN c.i = 0 THEN 4 ELSE 2 END)""",
 
     // per-(component, block) coefficient stats of the 3-component AC
     // fixture: dc after prediction, nonzero-AC count/sum, and the sum of

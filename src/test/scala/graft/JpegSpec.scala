@@ -200,6 +200,81 @@ class JpegSpec extends AnyFunSuite {
     assert(Jpeg.decode(huge) === None)
   }
 
+  test("4:2:0 entropy layer exact: per-component grids, interleaved MCU order, restarts") {
+    // 32x32 frame, luma 2x2, chroma 1x1: mcus 2x2, luma grid 4x4 (16
+    // blocks), chroma grids 2x2 (4 blocks each)
+    val samp = Array((2, 2), (1, 1), (1, 1))
+    val quant = Array.tabulate(3)(c => Array.tabulate(64)(i => 1 + ((i + 5 * c) % 18)))
+    val grids = Seq((4, 4), (2, 2), (2, 2))
+    val planes = Array.tabulate(3) { c =>
+      val (gw, gh) = grids(c)
+      Array.tabulate(gw * gh) { bi =>
+        val blk = new Array[Int](64)
+        blk(0) = 10 * c + bi - 20
+        blk(Jpeg.Zigzag(1 + (bi + c) % 10)) = 1 + c + bi % 3
+        blk
+      }
+    }
+    val bytes = Jpeg.encode(32, 32, quant, planes, restartInterval = 1, sampling = samp)
+    val cf = Jpeg.decodeCoefficients(bytes).getOrElse(fail("4:2:0 decode failed"))
+    assert(cf.sampH.toSeq === Seq(2, 1, 1) && cf.sampV.toSeq === Seq(2, 1, 1))
+    assert(cf.bw.toSeq === Seq(4, 2, 2) && cf.bh.toSeq === Seq(4, 2, 2))
+    for (c <- 0 until 3; bi <- planes(c).indices)
+      assert(cf.planes(c)(bi).toSeq === planes(c)(bi).toSeq, s"comp $c block $bi")
+    // restart markers really present (4 MCUs, ri=1 -> 3 markers)
+    val rst = bytes.sliding(2).count(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) >= 0xd0 && (p(1) & 0xff) <= 0xd7)
+    assert(rst === 3, s"expected 3 RSTn, got $rst")
+  }
+
+  test("4:2:0 pixel decode: native-resolution planes, flat blocks exact, odd dims crop") {
+    // 20x11: mcus (2,1); luma grid 4x2 cropped to 20x11; chroma grids
+    // 2x1 cropped to 10x6
+    val samp = Array((2, 2), (1, 1), (1, 1))
+    val q8 = Array.tabulate(64)(i => if (i == 0) 8 else 2 + (i % 9))
+    def flat(gw: Int, gh: Int, v: (Int, Int) => Int) = Array.tabulate(gw * gh) { bi =>
+      val c = new Array[Int](64); c(0) = v(bi % gw, bi / gw) - 128; c
+    }
+    val planes = Array(
+      flat(4, 2, (bx, by) => 40 + 30 * bx + 20 * by),
+      flat(2, 1, (bx, _) => 100 + 50 * bx),
+      flat(2, 1, (bx, _) => 90 - 40 * bx))
+    val bytes = Jpeg.encode(20, 11, Array(q8, q8, q8), planes, sampling = samp)
+    val img = Jpeg.decode(bytes).getOrElse(fail("decode failed"))
+    assert(img.compW.toSeq === Seq(20, 10, 10) && img.compH.toSeq === Seq(11, 6, 6))
+    for (y <- 0 until 11; x <- 0 until 20)
+      assert(img.planes(0)(y * 20 + x) === 40 + 30 * (x / 8) + 20 * (y / 8), s"luma ($x,$y)")
+    for (y <- 0 until 6; x <- 0 until 10) {
+      assert(img.planes(1)(y * 10 + x) === 100 + 50 * (x / 8), s"cb ($x,$y)")
+      assert(img.planes(2)(y * 10 + x) === 90 - 40 * (x / 8), s"cr ($x,$y)")
+    }
+  }
+
+  test("cross-validation: our decoder reads ImageIO's COLOR (4:2:0) JPEG output") {
+    // a flat mid-gray color image: JPEG loss is minimal and the JFIF
+    // luma of (R,G,B) is arithmetic we can check against
+    val w = 48; val h = 32
+    val src = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = src.createGraphics()
+    g.setColor(new java.awt.Color(120, 160, 80)); g.fillRect(0, 0, w, h); g.dispose()
+    val bos = new java.io.ByteArrayOutputStream
+    assert(javax.imageio.ImageIO.write(src, "jpg", bos))
+    val bytes = bos.toByteArray
+    val hdr = Jpeg.decodeHeader(bytes)
+    assert(hdr === Some((w, h, 3)), s"header: $hdr")
+    val img = Jpeg.decode(bytes).getOrElse(fail("our decoder rejected ImageIO's color JPEG"))
+    assert(img.nComp === 3)
+    // ImageIO writes 4:2:0 by default; whatever it chose, the luma
+    // plane is full-res and must sit near the JFIF luma of the color
+    assert(img.compW(0) === w && img.compH(0) === h)
+    val expY = math.round(0.299 * 120 + 0.587 * 160 + 0.114 * 80).toInt
+    for (y <- 2 until h - 2; x <- 2 until w - 2) // edges can ring slightly
+      assert(math.abs(img.planes(0)(y * img.compW(0) + x) - expY) <= 3,
+        s"flat-color luma ($x,$y): ${img.planes(0)(y * img.compW(0) + x)} vs $expY")
+    // chroma planes exist at their native (subsampled or not) resolution
+    assert(img.planes(1).length === img.compW(1) * img.compH(1))
+    assert(img.compW(1) == w || img.compW(1) == w / 2, s"chroma width ${img.compW(1)}")
+  }
+
   test("fuzz: random corruption and truncation never throw out of the decoder") {
     val rnd = new scala.util.Random(7)
     val quant = Array.tabulate(3)(c => Array.tabulate(64)(i => 1 + ((i + c) % 17)))
