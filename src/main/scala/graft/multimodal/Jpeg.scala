@@ -783,6 +783,43 @@ object Jpeg {
       Image(cf.width, cf.height, cf.nComp, planes, compW, compH)
     }
 
+  /** JFIF YCbCr → RGB conversion of a decoded 3-component image:
+    * nearest-neighbor (replication) chroma upsampling via the integer
+    * index map `cx = x·compW(c)/width` (exact for any sampling ratio,
+    * identity for full-res components), then the JFIF matrix with
+    * half-up rounding written as `floor(v + 0.5)` EXPLICITLY — DuckDB's
+    * round() is half-away-from-zero while Java's is half-up, so the
+    * oracle replays the floor form and both engines agree on every
+    * boundary. Returns (r, g, b) full-resolution planes; None unless
+    * the image has exactly 3 components.
+    */
+  def toRgb(img: Image): Option[(Array[Int], Array[Int], Array[Int])] =
+    if (img.nComp != 3) None
+    else {
+      val w = img.width
+      val h = img.height
+      val r = new Array[Int](w * h)
+      val g = new Array[Int](w * h)
+      val b = new Array[Int](w * h)
+      def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val yy = img.planes(0)((y * img.compH(0) / h) * img.compW(0) + (x * img.compW(0) / w))
+          val cb = img.planes(1)((y * img.compH(1) / h) * img.compW(1) + (x * img.compW(1) / w))
+          val cr = img.planes(2)((y * img.compH(2) / h) * img.compW(2) + (x * img.compW(2) / w))
+          val i = y * w + x
+          r(i) = clamp(math.floor(yy + 1.402 * (cr - 128) + 0.5).toInt)
+          g(i) = clamp(math.floor(yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5).toInt)
+          b(i) = clamp(math.floor(yy + 1.772 * (cb - 128) + 0.5).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      Some((r, g, b))
+    }
+
   /** Forward 2-D DCT + quantization of one 8×8 sample block (test
     * support for pixel-level round-trips; the fixture generators write
     * coefficients directly).

@@ -366,6 +366,75 @@ object Multimodal {
     }.toDF("asset_id", "payload")
   }
 
+  /** DC-only COLOR 4:2:0 generator — the `mm_jpeg_rgb` fixture: flat
+    * Y/Cb/Cr blocks under q00 = 8 make the full lossy pipeline exact,
+    * so the YCbCr → RGB conversion output is integer formulas the
+    * oracle replays (incl. the chroma upsampling alignment: each 8×8
+    * chroma block colors a 2×2 luma-block region). Same frame geometry
+    * as [[syntheticJpeg420Assets]]; restarts on odd ids.
+    */
+  def syntheticJpegColorAssets(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val samp = Array((2, 2), (1, 1), (1, 1))
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val mcusX = 1 + (id % 2).toInt
+        val q8 = Array.tabulate(64)(i => if (i == 0) 8 else 1 + (i % 15))
+        def flat(gw: Int, gh: Int, v: (Int, Int) => Long) = Array.tabulate(gw * gh) { bi =>
+          val c = new Array[Int](64)
+          c(0) = (v(bi % gw, bi / gw) % 256).toInt - 128
+          c
+        }
+        val planes = Array(
+          flat(2 * mcusX, 4, (bx, by) => id * 3 + bx * 7 + by * 11),
+          flat(mcusX, 2, (cx, cy) => id * 5 + cx * 9 + cy * 13),
+          flat(mcusX, 2, (cx, cy) => id * 7 + cx * 3 + cy * 5))
+        val ri = if (id % 2 == 1) 1 else 0
+        (id, Jpeg.encode(16 * mcusX, 32, Array(q8, q8, q8), planes, ri, samp))
+      }
+    }.toDF("asset_id", "payload")
+  }
+
+  /** Per-luma-block RGB extrema through decode + [[Jpeg.toRgb]]: flat
+    * color fixtures make min == max == the JFIF-converted formula value
+    * iff every pixel of the block (and the chroma upsampling behind it)
+    * converted exactly. Sentinel all--1 row on decode/convert failure.
+    */
+  final case class JpegRgbBlock(asset_id: Long, block_x: Int, block_y: Int,
+      r_min: Int, r_max: Int, g_min: Int, g_max: Int, b_min: Int, b_max: Int)
+
+  def jpegRgbBlocks(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "payload").as[(Long, Array[Byte])].flatMap { case (id, bytes) =>
+      Jpeg.decode(bytes).flatMap(img => Jpeg.toRgb(img).map((img, _))) match {
+        case Some((img, (r, g, b))) =>
+          for { by <- 0 until (img.height + 7) / 8; bx <- 0 until (img.width + 7) / 8 } yield {
+            var rMin = 256; var rMax = -1
+            var gMin = 256; var gMax = -1
+            var bMin = 256; var bMax = -1
+            var y = by * 8
+            val yEnd = math.min(by * 8 + 8, img.height)
+            val xEnd = math.min(bx * 8 + 8, img.width)
+            while (y < yEnd) {
+              var x = bx * 8
+              while (x < xEnd) {
+                val i = y * img.width + x
+                if (r(i) < rMin) rMin = r(i); if (r(i) > rMax) rMax = r(i)
+                if (g(i) < gMin) gMin = g(i); if (g(i) > gMax) gMax = g(i)
+                if (b(i) < bMin) bMin = b(i); if (b(i) > bMax) bMax = b(i)
+                x += 1
+              }
+              y += 1
+            }
+            JpegRgbBlock(id, bx, by, rMin, rMax, gMin, gMax, bMin, bMax)
+          }
+        case None => Seq(JpegRgbBlock(id, -1, -1, -1, -1, -1, -1, -1, -1))
+      }
+    }.toDF()
+  }
+
   /** Per-(component, block) pixel extrema through the FULL JPEG decode
     * path (entropy → dequant → IDCT → level shift → crop): flat fixture
     * blocks make min == max == the formula value iff all 64 pixels

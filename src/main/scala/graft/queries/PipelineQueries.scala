@@ -1257,6 +1257,17 @@ object PipelineQueries {
       Multimodal.decodeJpegCoefStats(Multimodal.syntheticJpeg420Assets(Graft.documents(s, d)))
     }),
 
+    "mm_jpeg_rgb" -> ((s, d) => {
+      // COLOR out: 4:2:0 decode + JFIF YCbCr->RGB with replication
+      // chroma upsampling, certified bit-exactly — flat DC-only
+      // Y/Cb/Cr blocks make the lossy path exact, and the conversion's
+      // half-up rounding is written floor(v + 0.5) on BOTH engines
+      // (DuckDB round() is half-away-from-zero — the floor form is the
+      // cross-engine-safe spelling). Each 8x8 chroma block colors a
+      // 2x2 luma-block region, so a misaligned upsample breaks the hash.
+      Multimodal.jpegRgbBlocks(Multimodal.syntheticJpegColorAssets(Graft.documents(s, d)))
+    }),
+
     "mm_audio" -> ((s, d) =>
       // audio-shaped overlapping windows (64-byte window, 32-byte hop)
       // over binary payloads; windows decoded to string for the oracle
@@ -2369,6 +2380,29 @@ object PipelineQueries {
               UNNEST(generate_series(0, 2)) AS gx(i),
               UNNEST(generate_series(0, 1)) AS gy(i)
          WHERE gx.i <= d.doc_id % 3 AND gy.i <= d.n_chars % 2""",
+
+    // the color generator's Y/Cb/Cr formulas pushed through the JFIF
+    // matrix with the SAME floor(v + 0.5) rounding and int clamps; the
+    // chroma index map bx//2, by//2 replays the replication upsample
+    "mm_jpeg_rgb" ->
+      """WITH cg AS (SELECT d.doc_id AS asset_id,
+                            CAST(gx.i AS INT) AS block_x,
+                            CAST(gy.i AS INT) AS block_y,
+                            CAST((d.doc_id * 3 + gx.i * 7 + gy.i * 11) % 256 AS INT) AS yv,
+                            CAST((d.doc_id * 5 + (gx.i // 2) * 9 + (gy.i // 2) * 13) % 256 AS INT) AS cb,
+                            CAST((d.doc_id * 7 + (gx.i // 2) * 3 + (gy.i // 2) * 5) % 256 AS INT) AS cr
+                     FROM documents d,
+                          UNNEST(generate_series(0, 3)) AS gx(i),
+                          UNNEST(generate_series(0, 3)) AS gy(i)
+                     WHERE gx.i < 2 * (1 + d.doc_id % 2))
+         SELECT asset_id, block_x, block_y,
+                LEAST(255, GREATEST(0, CAST(floor(yv + 1.402 * (cr - 128) + 0.5) AS INT))) AS r_min,
+                LEAST(255, GREATEST(0, CAST(floor(yv + 1.402 * (cr - 128) + 0.5) AS INT))) AS r_max,
+                LEAST(255, GREATEST(0, CAST(floor(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5) AS INT))) AS g_min,
+                LEAST(255, GREATEST(0, CAST(floor(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5) AS INT))) AS g_max,
+                LEAST(255, GREATEST(0, CAST(floor(yv + 1.772 * (cb - 128) + 0.5) AS INT))) AS b_min,
+                LEAST(255, GREATEST(0, CAST(floor(yv + 1.772 * (cb - 128) + 0.5) AS INT))) AS b_max
+         FROM cg""",
 
     // the 4:2:0 generator's formulas replayed over each component's OWN
     // grid: luma (comp 0) spans a (2*mcusX) x 4 grid, chroma mcusX x 2 —

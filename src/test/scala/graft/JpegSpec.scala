@@ -275,6 +275,43 @@ class JpegSpec extends AnyFunSuite {
     assert(img.compW(1) == w || img.compW(1) == w / 2, s"chroma width ${img.compW(1)}")
   }
 
+  test("toRgb matches ImageIO's color conversion within the integer-approximation band") {
+    // our own 4:2:0 color bytes, decoded by BOTH stacks: our
+    // decode+toRgb vs ImageIO's full pipeline. The JFIF matrix is
+    // float here and libjpeg-style fixed-point there, so allow ±2.
+    val samp = Array((2, 2), (1, 1), (1, 1))
+    val q8 = Array.tabulate(64)(i => if (i == 0) 8 else 1 + (i % 15))
+    def flat(gw: Int, gh: Int, v: (Int, Int) => Int) = Array.tabulate(gw * gh) { bi =>
+      val c = new Array[Int](64); c(0) = v(bi % gw, bi / gw) - 128; c
+    }
+    val planes = Array(
+      flat(4, 4, (bx, by) => (60 + 30 * bx + 25 * by) % 256),
+      flat(2, 2, (cx, cy) => (110 + 20 * cx + 15 * cy) % 256),
+      flat(2, 2, (cx, cy) => (140 - 10 * cx + 25 * cy) % 256))
+    val bytes = Jpeg.encode(32, 32, Array(q8, q8, q8), planes, sampling = samp)
+    val ours = Jpeg.decode(bytes).flatMap(Jpeg.toRgb).getOrElse(fail("toRgb failed"))
+    val theirs = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(theirs != null && theirs.getWidth === 32 && theirs.getHeight === 32)
+    // compare chroma-block INTERIOR pixels only: ImageIO upsamples
+    // chroma with triangular interpolation (libjpeg "fancy"), which
+    // blends ACROSS chroma-block boundaries where our replication holds
+    // the block value — interiors are constant under both schemes
+    def interior(v: Int): Boolean = { val m = v % 16; m >= 2 && m <= 13 }
+    var compared = 0
+    for (y <- 0 until 32 if interior(y); x <- 0 until 32 if interior(x)) {
+      val rgb = theirs.getRGB(x, y)
+      val i = y * 32 + x
+      assert(math.abs(ours._1(i) - ((rgb >> 16) & 0xff)) <= 2, s"R ($x,$y)")
+      assert(math.abs(ours._2(i) - ((rgb >> 8) & 0xff)) <= 2, s"G ($x,$y)")
+      assert(math.abs(ours._3(i) - (rgb & 0xff)) <= 2, s"B ($x,$y)")
+      compared += 1
+    }
+    assert(compared === 24 * 24, "interior coverage")
+    assert(Jpeg.toRgb(Jpeg.decode(
+      Jpeg.encode(8, 8, Array(q8), Array(flat(1, 1, (_, _) => 99)))).get) === None,
+      "grayscale has no RGB conversion")
+  }
+
   test("fuzz: random corruption and truncation never throw out of the decoder") {
     val rnd = new scala.util.Random(7)
     val quant = Array.tabulate(3)(c => Array.tabulate(64)(i => 1 + ((i + c) % 17)))
