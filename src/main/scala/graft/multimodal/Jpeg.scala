@@ -6,7 +6,7 @@ import scala.collection.mutable.ArrayBuffer
   * stretch: the multimodal decode seam gets a REAL compressed format
   * with zero new dependencies. Scope (honestly stated, checked on
   * decode): baseline sequential DCT (SOF0), 8-bit precision, 1–3
-  * components at 4:4:4 (all sampling factors 1×1), Huffman entropy
+  * components, Huffman entropy
   * coding with tables read from DHT (the standard Annex K tables ship
   * as constants for the encoder), DC prediction, zigzag + run-length
   * (ZRL/EOB) AC coding, 0xFF byte stuffing, DRI/RSTn restart markers
@@ -269,6 +269,12 @@ object Jpeg {
     }
     require(nComp > 1 || samp(0) == ((1, 1)),
       "subsampled single-component frames are non-interleaved - unsupported")
+    // T.81 B.2.3: an interleaved MCU may carry at most 10 data units —
+    // bytes beyond that are rejected by conformant decoders
+    // (libjpeg/ImageIO), so refusing to emit them keeps our output
+    // interoperable (review r12)
+    require(samp.map(p => p._1 * p._2).sum <= 10,
+      s"interleaved MCU would carry ${samp.map(p => p._1 * p._2).sum} blocks; T.81 B.2.3 caps it at 10")
     val hMax = samp.map(_._1).max
     val vMax = samp.map(_._2).max
     val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
@@ -298,7 +304,8 @@ object Jpeg {
       c += 1
     }
 
-    // SOF0: 8-bit, h, w, components with 1x1 sampling, quant table = comp idx
+    // SOF0: 8-bit, h, w, components with their (h,v) sampling factors,
+    // quant table = comp idx
     val sof = new ArrayBuffer[Byte]
     sof += 8
     sof += ((height >> 8) & 0xff).toByte; sof += (height & 0xff).toByte
@@ -340,7 +347,8 @@ object Jpeg {
     sos += 0; sos += 63; sos += 0 // Ss, Se, Ah/Al
     seg(out, 0xda, sos.toArray)
 
-    // entropy-coded scan: interleaved MCUs (one block per component),
+    // entropy-coded scan: interleaved MCUs (v×h blocks per component,
+    // T.81 A.2.3 order),
     // DC prediction per component, restart markers with predictor reset
     val bw = new BitWriter(out)
     val pred = new Array[Int](nComp)
@@ -432,7 +440,8 @@ object Jpeg {
     * resolution keeps the decode output exact.
     */
   final case class Image(width: Int, height: Int, nComp: Int,
-      planes: Array[Array[Int]], compW: Array[Int], compH: Array[Int])
+      planes: Array[Array[Int]], compW: Array[Int], compH: Array[Int],
+      sampH: Array[Int], sampV: Array[Int])
 
   private final case class CompSpec(id: Int, tq: Int, h: Int, v: Int,
       var td: Int = 0, var ta: Int = 0)
@@ -512,6 +521,10 @@ object Jpeg {
               // rather than mis-decode
               if (nc == 1 && (st.comps(0).h != 1 || st.comps(0).v != 1))
                 throw JpegFail("subsampled single-component frames unsupported")
+              // T.81 B.2.3: > 10 data units per interleaved MCU is
+              // non-conformant — reject rather than mis-decode (r12)
+              if (nc > 1 && st.comps.map(cs => cs.h * cs.v).sum > 10)
+                throw JpegFail("more than 10 blocks per MCU (T.81 B.2.3)")
               sofSeen = true
             case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
               throw JpegFail(f"unsupported SOF marker 0xFF$m%02X (progressive/arithmetic)")
@@ -780,35 +793,45 @@ object Jpeg {
         }
         plane
       }
-      Image(cf.width, cf.height, cf.nComp, planes, compW, compH)
+      Image(cf.width, cf.height, cf.nComp, planes, compW, compH, cf.sampH, cf.sampV)
     }
 
   /** JFIF YCbCr → RGB conversion of a decoded 3-component image:
-    * nearest-neighbor (replication) chroma upsampling via the integer
-    * index map `cx = x·compW(c)/width` (exact for any sampling ratio,
-    * identity for full-res components), then the JFIF matrix with
-    * half-up rounding written as `floor(v + 0.5)` EXPLICITLY — DuckDB's
-    * round() is half-away-from-zero while Java's is half-up, so the
-    * oracle replays the floor form and both engines agree on every
-    * boundary. Returns (r, g, b) full-resolution planes; None unless
-    * the image has exactly 3 components.
+    * nearest-neighbor (replication) chroma upsampling via the
+    * sampling-factor index map `cx = x·sampH(c)/Hmax` (review r12: the
+    * TRUE replication map — the earlier `x·compW/width` form drifted to
+    * the next sample near boundaries for ratios 3-4 with non-multiple
+    * widths; Long arithmetic so panorama-sized frames cannot wrap the
+    * index), then the JFIF matrix with half-up rounding written as
+    * `floor(v + 0.5)` EXPLICITLY — DuckDB's round() is
+    * half-away-from-zero while Java's is half-up, so the oracle replays
+    * the floor form and both engines agree on every boundary. Returns
+    * (r, g, b) full-resolution planes; None unless the image has
+    * exactly 3 components.
     */
   def toRgb(img: Image): Option[(Array[Int], Array[Int], Array[Int])] =
     if (img.nComp != 3) None
     else {
       val w = img.width
       val h = img.height
+      val hMax = img.sampH.max
+      val vMax = img.sampV.max
       val r = new Array[Int](w * h)
       val g = new Array[Int](w * h)
       val b = new Array[Int](w * h)
       def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+      def sample(c: Int, x: Int, y: Int): Int = {
+        val cx = (x.toLong * img.sampH(c) / hMax).toInt
+        val cy = (y.toLong * img.sampV(c) / vMax).toInt
+        img.planes(c)(cy * img.compW(c) + cx)
+      }
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          val yy = img.planes(0)((y * img.compH(0) / h) * img.compW(0) + (x * img.compW(0) / w))
-          val cb = img.planes(1)((y * img.compH(1) / h) * img.compW(1) + (x * img.compW(1) / w))
-          val cr = img.planes(2)((y * img.compH(2) / h) * img.compW(2) + (x * img.compW(2) / w))
+          val yy = sample(0, x, y)
+          val cb = sample(1, x, y)
+          val cr = sample(2, x, y)
           val i = y * w + x
           r(i) = clamp(math.floor(yy + 1.402 * (cr - 128) + 0.5).toInt)
           g(i) = clamp(math.floor(yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5).toInt)

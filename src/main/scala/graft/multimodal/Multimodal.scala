@@ -396,6 +396,29 @@ object Multimodal {
     }.toDF("asset_id", "payload")
   }
 
+  /** min/max over the VISIBLE (cropped) region of 8×8 block (bx, by) of
+    * a w×h sample plane — the one edge-crop walk shared by
+    * [[decodeJpegBlocks]] and [[jpegRgbBlocks]] (review r12).
+    */
+  private def blockExtrema(plane: Array[Int], w: Int, h: Int, bx: Int, by: Int): (Int, Int) = {
+    var mn = 256
+    var mx = -1
+    var y = by * 8
+    val yEnd = math.min(by * 8 + 8, h)
+    val xEnd = math.min(bx * 8 + 8, w)
+    while (y < yEnd) {
+      var x = bx * 8
+      while (x < xEnd) {
+        val p = plane(y * w + x)
+        if (p < mn) mn = p
+        if (p > mx) mx = p
+        x += 1
+      }
+      y += 1
+    }
+    (mn, mx)
+  }
+
   /** Per-luma-block RGB extrema through decode + [[Jpeg.toRgb]]: flat
     * color fixtures make min == max == the JFIF-converted formula value
     * iff every pixel of the block (and the chroma upsampling behind it)
@@ -411,23 +434,9 @@ object Multimodal {
       Jpeg.decode(bytes).flatMap(img => Jpeg.toRgb(img).map((img, _))) match {
         case Some((img, (r, g, b))) =>
           for { by <- 0 until (img.height + 7) / 8; bx <- 0 until (img.width + 7) / 8 } yield {
-            var rMin = 256; var rMax = -1
-            var gMin = 256; var gMax = -1
-            var bMin = 256; var bMax = -1
-            var y = by * 8
-            val yEnd = math.min(by * 8 + 8, img.height)
-            val xEnd = math.min(bx * 8 + 8, img.width)
-            while (y < yEnd) {
-              var x = bx * 8
-              while (x < xEnd) {
-                val i = y * img.width + x
-                if (r(i) < rMin) rMin = r(i); if (r(i) > rMax) rMax = r(i)
-                if (g(i) < gMin) gMin = g(i); if (g(i) > gMax) gMax = g(i)
-                if (b(i) < bMin) bMin = b(i); if (b(i) > bMax) bMax = b(i)
-                x += 1
-              }
-              y += 1
-            }
+            val (rMin, rMax) = blockExtrema(r, img.width, img.height, bx, by)
+            val (gMin, gMax) = blockExtrema(g, img.width, img.height, bx, by)
+            val (bMin, bMax) = blockExtrema(b, img.width, img.height, bx, by)
             JpegRgbBlock(id, bx, by, rMin, rMax, gMin, gMax, bMin, bMax)
           }
         case None => Seq(JpegRgbBlock(id, -1, -1, -1, -1, -1, -1, -1, -1))
@@ -463,21 +472,7 @@ object Multimodal {
             by <- 0 until (ch + 7) / 8
             bx <- 0 until (cw + 7) / 8
           } yield {
-            var mn = 256
-            var mx = -1
-            var y = by * 8
-            val yEnd = math.min(by * 8 + 8, ch)
-            val xEnd = math.min(bx * 8 + 8, cw)
-            while (y < yEnd) {
-              var x = bx * 8
-              while (x < xEnd) {
-                val p = img.planes(c)(y * cw + x)
-                if (p < mn) mn = p
-                if (p > mx) mx = p
-                x += 1
-              }
-              y += 1
-            }
+            val (mn, mx) = blockExtrema(img.planes(c), cw, ch, bx, by)
             JpegBlockPixels(id, c, img.width, img.height, bx, by, mn, mx)
           }
         case None => Seq(JpegBlockPixels(id, -1, -1, -1, -1, -1, -1, -1))

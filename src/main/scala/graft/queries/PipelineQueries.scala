@@ -33,11 +33,24 @@ object PipelineQueries {
       .select("a", "b", "jaccard")
   }
 
-  /** txt_bpe_32k's frozen (model, oracle SQL) per corpus dir — training
-    * is deterministic, so this is a pure memo (see the entry's comment).
+  /** txt_bpe_32k's frozen (model, oracle SQL) for the LAST corpus dir —
+    * training is deterministic, so this is a pure memo; single-entry
+    * (review r12) so a JVM iterating many dirs (scale factors, temp
+    * fixtures) never retains more than one ~2 MB artifact, the same
+    * bound `BpeAutomaton.forMerges`' identity cache keeps.
     */
   private val bpe32kCache =
-    new scala.collection.concurrent.TrieMap[String, (graft.functions.BpeModel, String)]()
+    new java.util.concurrent.atomic.AtomicReference[(String, (graft.functions.BpeModel, String))]()
+
+  private def bpe32kFor(d: String)(train: => (graft.functions.BpeModel, String)): (graft.functions.BpeModel, String) = {
+    val cur = bpe32kCache.get()
+    if (cur != null && cur._1 == d) cur._2
+    else {
+      val v = train
+      bpe32kCache.set((d, v))
+      v
+    }
+  }
 
   val all: Map[String, Q] = Map(
     // ---- deduplication ----------------------------------------------------
@@ -514,13 +527,13 @@ object PipelineQueries {
       // instead of re-deriving both every call (measured: 8.3 s/rep →
       // ~2.4 s warm). The BpeAutomaton.forMerges identity-cache
       // precedent, one level up.
-      val (model, oracleSql) = bpe32kCache.getOrElseUpdate(d, {
+      val (model, oracleSql) = bpe32kFor(d) {
         val trainTxt = graft.functions.Bpe.digitTokens(docs, 30)
         val m = graft.functions.Bpe.train(trainTxt, "dtext",
           nMerges = 32768, vocabCap = 50000)
         (m, BpeOracleSql.encode(m,
           textSql = graft.functions.Bpe.digitTokensSql(6), perBlock = 96))
-      })
+      }
       AnnOracleSql.register("txt_bpe_32k", oracleSql)
       graft.functions.Bpe.digitTokens(docs, 6).select(col("doc_id"),
         posexplode(graft.functions.Bpe.encodeBpe(col("dtext"), model))
