@@ -459,6 +459,28 @@ object PipelineQueries {
             .as(Seq("pos", "token_id")))
     }),
 
+    "txt_bpe_decode" -> ((s, d) => {
+      // the DETOKENIZER round-trip as a TWO-PATH certification: the
+      // Spark side encodes every doc to token ids (trie kernel), maps
+      // each id back through the vocab (dense array literal — ids are
+      // 0..|V|-1 by construction) and concatenates; the oracle derives
+      // the same string DIRECTLY from the raw text
+      // (lower + strip \W — exactly the tokenizer's normalization), so
+      // any id mapped to the wrong subword, any lost/duplicated token,
+      // or any normalization drift breaks the hash. Java and RE2 agree
+      // on \W over this ASCII corpus (both default \w = [0-9A-Za-z_]).
+      val docs = Graft.documents(s, d)
+      val model = graft.functions.Bpe.train(docs, "text", nMerges = 64)
+      val vocabArr = array(
+        graft.functions.Bpe.vocabIds(model).sortBy(_._2).map(t => lit(t._1)): _*)
+      docs.where(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          concat_ws("",
+            transform(graft.functions.Bpe.encodeBpe(col("text"), model),
+              id => element_at(vocabArr, id + 1))).as("decoded"))
+        .withColumn("n_norm", length(col("decoded")).cast("long"))
+    }),
+
     "pp_ctx_windows" -> ((s, d) => {
       // training-example construction, the pipeline's last step: each
       // doc's token-id sequence splits into fixed 128-id context
@@ -1912,6 +1934,16 @@ object PipelineQueries {
                 CAST(COALESCE(1000000 // (60 + l.lex_rank), 0) +
                      COALESCE(1000000 // (60 + s.sem_rank), 0) AS BIGINT) AS rrf_micro
          FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id""",
+    // the detokenizer's target derived from the RAW text: the
+    // tokenizer's normalization is lower + collapse \W (word
+    // separators carry no ids), so a faithful encode->decode round
+    // trip must reproduce exactly this string
+    "txt_bpe_decode" ->
+      """SELECT doc_id,
+                regexp_replace(lower(text), '\W+', '', 'g') AS decoded,
+                CAST(length(regexp_replace(lower(text), '\W+', '', 'g')) AS BIGINT) AS n_norm
+         FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL""",
+
     // bigram LM: conditional surprisal as a DIFFERENCE of detLnSql
     // integer logs (left-count vs bigram count), micro-floors summed
     // and divided as BIGINTs — the unigram device one order up

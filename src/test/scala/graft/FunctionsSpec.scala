@@ -615,6 +615,25 @@ class FunctionsSpec extends GraftTest {
     assert(rows.map(_.getLong(2)).distinct.length > 1)
   }
 
+  test("txt_bpe_decode: encode->decode reproduces the normalized text exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello, World! 42"), (2L, "a__b  ...  c"), (3L, "MERGE merge MeRgE"),
+      (4L, "!!!"), (5L, "tab\tand\nnewline")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("bpe_dec_docs")
+    val model = functions.Bpe.train(docs, "text", nMerges = 16)
+    val vocabArr = org.apache.spark.sql.functions.array(
+      functions.Bpe.vocabIds(model).sortBy(_._2).map(t => org.apache.spark.sql.functions.lit(t._1)): _*)
+    val out = docs.select(col("doc_id"),
+        concat_ws("", transform(functions.Bpe.encodeBpe(col("text"), model),
+          id => element_at(vocabArr, id + 1))).as("decoded"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = Map(
+      1L -> "helloworld42", 2L -> "a__bc", 3L -> "mergemergemerge",
+      4L -> "", 5L -> "tabandnewline")
+    assert(out === expect)
+  }
+
   test("bm25: matches the classic Okapi formula and is layout-invariant") {
     import spark.implicits._
     val docs = Seq(
