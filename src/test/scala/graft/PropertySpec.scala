@@ -235,4 +235,77 @@ class PropertySpec extends AnyFunSuite {
     }, tests = 500)
   }
 
+  // ---- JPEG entropy layer: lossless round-trip on ARBITRARY planes ------
+
+  test("property: JPEG entropy layer round-trips arbitrary coefficient planes") {
+    // generator-driven twin of JpegSpec's fixed cases: random frame
+    // geometry, sampling layout, quant tables, restart intervals, and
+    // sparse random coefficients must survive encode -> decodeCoefficients
+    // bit-exactly — the entropy layer is lossless BY CONTRACT for every
+    // conformant input, not just the certified fixtures
+    import graft.multimodal.Jpeg
+    val genCase = for {
+      nComp <- Gen.chooseNum(1, 3)
+      samp0 <- if (nComp == 1) Gen.const((1, 1))
+               else Gen.oneOf((1, 1), (2, 1), (1, 2), (2, 2))
+      mcusX <- Gen.chooseNum(1, 3)
+      mcusY <- Gen.chooseNum(1, 2)
+      ri <- Gen.chooseNum(0, 3)
+      qSeed <- Gen.chooseNum(1, 200)
+      coefSeed <- Gen.chooseNum(0L, Long.MaxValue)
+    } yield (nComp, samp0, mcusX, mcusY, ri, qSeed, coefSeed)
+    checkProp(Prop.forAll(genCase) { case (nComp, samp0, mcusX, mcusY, ri, qSeed, coefSeed) =>
+      val samp = Array.tabulate(nComp)(c => if (c == 0) samp0 else (1, 1))
+      val hMax = samp.map(_._1).max
+      val vMax = samp.map(_._2).max
+      val width = 8 * hMax * mcusX
+      val height = 8 * vMax * mcusY
+      val quant = Array.tabulate(nComp)(c =>
+        Array.tabulate(64)(i => 1 + ((i * 7 + qSeed + c) % 255)))
+      val rnd = new scala.util.Random(coefSeed)
+      val planes = Array.tabulate(nComp) { c =>
+        Array.tabulate(samp(c)._1 * mcusX * samp(c)._2 * mcusY) { _ =>
+          val blk = new Array[Int](64)
+          blk(0) = rnd.nextInt(1801) - 900
+          (0 until rnd.nextInt(6)).foreach { _ =>
+            blk(Jpeg.Zigzag(1 + rnd.nextInt(63))) = rnd.nextInt(1001) - 500
+          }
+          blk
+        }
+      }
+      val bytes = Jpeg.encode(width, height, quant, planes, ri, samp)
+      Jpeg.decodeCoefficients(bytes) match {
+        case Some(cf) =>
+          cf.width == width && cf.height == height && cf.nComp == nComp &&
+            (0 until nComp).forall { c =>
+              cf.quant(c).sameElements(quant(c)) &&
+                cf.planes(c).length == planes(c).length &&
+                cf.planes(c).indices.forall(bi => cf.planes(c)(bi).sameElements(planes(c)(bi)))
+            }
+        case None => false
+      }
+    }, tests = 200)
+  }
+
+  // ---- BM25 integer-rational algebra == the float Okapi formula ---------
+
+  test("property: the exact-integer BM25 saturation term equals the float Okapi form") {
+    // the certified query computes tf(k1+1)/(tf + k1(1-b) + k1·b·dl/avgdl)
+    // as 22·tot·tf / (10·tot·tf + 3·tot + 9·dl·N) with k1=6/5, b=3/4,
+    // avgdl=tot/N — the algebra must agree with the textbook float form
+    // to within float error for any positive inputs
+    val gen = for {
+      tf <- Gen.chooseNum(1L, 1000L)
+      dl <- Gen.chooseNum(1L, 100000L)
+      n <- Gen.chooseNum(1L, 1000000L)
+      avg <- Gen.chooseNum(1L, 10000L)
+    } yield (tf, dl, n, n * avg) // tot = n · avgdl keeps inputs consistent
+    checkProp(Prop.forAll(gen) { case (tf, dl, n, tot) =>
+      val rational = (22.0 * tot * tf) / (10.0 * tot * tf + 3.0 * tot + 9.0 * dl * n)
+      val avgdl = tot.toDouble / n
+      val okapi = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      math.abs(rational - okapi) <= 1e-9 * math.max(rational.abs, okapi.abs)
+    }, tests = 500)
+  }
+
 }
