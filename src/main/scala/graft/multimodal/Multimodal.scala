@@ -515,6 +515,87 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Deterministic PNG asset generator over (doc_id, n_chars) — the
+    * `mm_decode_png` fixture: even ids become 8-bit grayscale PNGs, odd
+    * ids 8-bit RGB, every pixel from the integer formula
+    * `(id*7 + x*3 + y*5 + c*11) % 256` the DuckDB oracle replays.
+    * Scanline y is filtered with tag `(id + y) % 5`, so all five PNG
+    * filters (None/Sub/Up/Average/Paeth) appear in certified bytes, and
+    * ids with id % 4 == 0 split the zlib stream across two IDAT chunks
+    * so multi-IDAT reassembly is certified. PNG is lossless end to end
+    * (filter + DEFLATE), so the pixels pin exactly. Partition-local
+    * generation, no shuffle.
+    */
+  def syntheticPngAssets(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)].mapPartitions { it =>
+      it.map { case (id, nc) =>
+        val w = 1 + (nc % 13).toInt
+        val h = 1 + (id % 11).toInt
+        val ch = if (id % 2 == 0) 1 else 3
+        val px = new Array[Byte](w * h * ch)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var c = 0
+            while (c < ch) {
+              px((y * w + x) * ch + c) = ((id * 7 + x * 3 + y * 5 + c * 11) % 256).toByte
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        (id, Png.encode(w, h, ch, px,
+          filterFor = y0 => ((id + y0) % 5).toInt,
+          idatSplit = if (id % 4 == 0) 2 else 1))
+      }
+    }.toDF("asset_id", "payload")
+  }
+
+  /** Per-(asset, channel) pixel statistics through the FULL PNG decode
+    * path (chunk walk → CRC-32 → inflate → unfilter): the plain sum
+    * pins the value multiset and the position-weighted sum
+    * `Σ px·(x + y·w)` pins every pixel to its coordinate — a transposed,
+    * mirrored, or off-by-one-unfiltered raster breaks the hash even
+    * when the value set survives. A decode failure emits a single
+    * all--1 sentinel row, which the oracle (expecting success
+    * everywhere) turns into a hash mismatch. Partition-local: decode
+    * runs inside the scan, no shuffle.
+    */
+  final case class PngChannelStats(asset_id: Long, channel: Int, width: Int, height: Int,
+      px_sum: Long, px_wsum: Long, px_min: Int, px_max: Int)
+
+  def decodePngChannels(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "payload").as[(Long, Array[Byte])].flatMap { case (id, bytes) =>
+      Png.decode(bytes) match {
+        case Some(img) =>
+          for (c <- 0 until img.channels) yield {
+            var s = 0L; var ws = 0L; var mn = 256; var mx = -1
+            var y = 0
+            while (y < img.height) {
+              var x = 0
+              while (x < img.width) {
+                val v = img.pixels((y * img.width + x) * img.channels + c) & 0xff
+                s += v
+                ws += v.toLong * (x + y.toLong * img.width)
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                x += 1
+              }
+              y += 1
+            }
+            PngChannelStats(id, c, img.width, img.height, s, ws, mn, mx)
+          }
+        case None => Seq(PngChannelStats(id, -1, -1, -1, -1, -1, -1, -1))
+      }
+    }.toDF()
+  }
+
   /** Frame sampling for video-shaped assets: treat the payload as a
     * sequence of fixed-size frames (a real pipeline would parse container
     * metadata — stubbed as fixed stride) and emit every `everyNth` frame

@@ -1303,6 +1303,34 @@ object PipelineQueries {
       Multimodal.jpegRgbBlocks(Multimodal.syntheticJpegColorAssets(Graft.documents(s, d)))
     }),
 
+    "mm_decode_png" -> ((s, d) => {
+      // REAL compressed-format decode #2 — PNG with a genuine
+      // general-purpose compressor: each doc becomes a spec-conformant
+      // 8-bit gray/RGB PNG (zlib/DEFLATE IDAT, CRC-32 chunks, filter
+      // tag (id+y)%5 so all five scanline filters — None/Sub/Up/
+      // Average/Paeth — appear in certified bytes; id%4==0 splits the
+      // stream across two IDAT chunks) and decodes back through the
+      // FULL pipeline: chunk walk → CRC verify → Inflater → unfilter.
+      // PNG is lossless, so the oracle replays every pixel exactly; the
+      // position-weighted sum pins pixels to coordinates. PngSpec
+      // cross-validates the codec against the JDK's own ImageIO PNG
+      // coder both ways so builder+parser can't be wrong together.
+      // Scale shape: generation and decode are partition-local scans.
+      Multimodal.decodePngChannels(Multimodal.syntheticPngAssets(Graft.documents(s, d)))
+    }),
+
+    "mm_decode_png_streaming" -> ((s, d) => {
+      // the PNG decode under the REAL streaming engine: same fixture
+      // generation + full decode pipeline mapped over a streaming
+      // parquet read of documents (stateless, append mode), drained via
+      // AvailableNow to a memory sink. Shares mm_decode_png's oracle
+      // verbatim — decode-at-ingest parity.
+      val assets = Multimodal.syntheticPngAssets(
+        graft.streaming.StreamingQueries.readStreamParquet(s, d, "documents"))
+      graft.streaming.StreamingQueries.runAppendToMemory(
+        s, "mm_decode_png_streaming", Multimodal.decodePngChannels(assets))
+    }),
+
     "mm_audio" -> ((s, d) =>
       // audio-shaped overlapping windows (64-byte window, 32-byte hop)
       // over binary payloads; windows decoded to string for the oracle
@@ -2448,6 +2476,51 @@ object PipelineQueries {
                 LEAST(255, GREATEST(0, CAST(floor(yv + 1.772 * (cb - 128) + 0.5) AS INT))) AS b_min,
                 LEAST(255, GREATEST(0, CAST(floor(yv + 1.772 * (cb - 128) + 0.5) AS INT))) AS b_max
          FROM cg""",
+
+    // the PNG generator's pixel formulas replayed per channel: the
+    // Spark side must recover exactly these pixels by CRC-checking,
+    // inflating, and unfiltering real PNG bytes (all five filter tags
+    // appear across scanlines); the position-weighted sum px*(x + y*w)
+    // pins every pixel to its coordinate, not just the value multiset
+    "mm_decode_png" ->
+      """SELECT d.doc_id AS asset_id,
+                CAST(ch.c AS INT) AS channel,
+                CAST(1 + d.n_chars % 13 AS INT) AS width,
+                CAST(1 + d.doc_id % 11 AS INT) AS height,
+                CAST(SUM((d.doc_id * 7 + gx.x * 3 + gy.y * 5 + ch.c * 11) % 256) AS BIGINT) AS px_sum,
+                CAST(SUM(((d.doc_id * 7 + gx.x * 3 + gy.y * 5 + ch.c * 11) % 256)
+                         * (gx.x + gy.y * (1 + d.n_chars % 13))) AS BIGINT) AS px_wsum,
+                CAST(MIN((d.doc_id * 7 + gx.x * 3 + gy.y * 5 + ch.c * 11) % 256) AS INT) AS px_min,
+                CAST(MAX((d.doc_id * 7 + gx.x * 3 + gy.y * 5 + ch.c * 11) % 256) AS INT) AS px_max
+         FROM documents d,
+              UNNEST(generate_series(0, 2)) AS ch(c),
+              UNNEST(generate_series(0, 12)) AS gx(x),
+              UNNEST(generate_series(0, 10)) AS gy(y)
+         WHERE ch.c < (CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 3 END)
+           AND gx.x < 1 + d.n_chars % 13
+           AND gy.y < 1 + d.doc_id % 11
+         GROUP BY 1, 2, 3, 4""",
+
+    // the streaming twin shares the batch oracle verbatim (same fixture
+    // formulas, same decode pipeline, real engine)
+    "mm_decode_png_streaming" ->
+      """SELECT d.doc_id AS asset_id,
+                CAST(ch.c AS INT) AS channel,
+                CAST(1 + d.n_chars % 13 AS INT) AS width,
+                CAST(1 + d.doc_id % 11 AS INT) AS height,
+                CAST(SUM((d.doc_id * 7 + gx.x * 3 + gy.y * 5 + ch.c * 11) % 256) AS BIGINT) AS px_sum,
+                CAST(SUM(((d.doc_id * 7 + gx.x * 3 + gy.y * 5 + ch.c * 11) % 256)
+                         * (gx.x + gy.y * (1 + d.n_chars % 13))) AS BIGINT) AS px_wsum,
+                CAST(MIN((d.doc_id * 7 + gx.x * 3 + gy.y * 5 + ch.c * 11) % 256) AS INT) AS px_min,
+                CAST(MAX((d.doc_id * 7 + gx.x * 3 + gy.y * 5 + ch.c * 11) % 256) AS INT) AS px_max
+         FROM documents d,
+              UNNEST(generate_series(0, 2)) AS ch(c),
+              UNNEST(generate_series(0, 12)) AS gx(x),
+              UNNEST(generate_series(0, 10)) AS gy(y)
+         WHERE ch.c < (CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 3 END)
+           AND gx.x < 1 + d.n_chars % 13
+           AND gy.y < 1 + d.doc_id % 11
+         GROUP BY 1, 2, 3, 4""",
 
     // the 4:2:0 generator's formulas replayed over each component's OWN
     // grid: luma (comp 0) spans a (2*mcusX) x 4 grid, chroma mcusX x 2 —
