@@ -156,13 +156,19 @@ object Multimodal {
       * in any order, unknown chunks skipped, word-aligned sizes); PCM
       * only. None on anything malformed or truncated.
       */
-    def decodeWav(b: Array[Byte]): Option[WavInfo] = {
+    def decodeWav(b: Array[Byte]): Option[WavInfo] = decodeWavData(b).map(_._1)
+
+    /** Same chunk walk as [[decodeWav]] but also returns the PCM data
+      * chunk bytes — the input the DSP layer ([[Dsp]]) frames and FFTs.
+      */
+    def decodeWavData(b: Array[Byte]): Option[(WavInfo, Array[Byte])] = {
       if (b == null || b.length < 12) return None
       if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F') return None
       if (b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
       var p = 12
       var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, bits, blockAlign
       var dataLen = -1L
+      var dataOff = -1
       while (p + 8 <= b.length && (fmt.isEmpty || dataLen < 0)) {
         val id = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
         val size = rd32(b, p + 4)
@@ -173,12 +179,13 @@ object Multimodal {
         if (id == "fmt " && size >= 16) {
           if (rd16(b, p + 8) != 1) return None // PCM only
           fmt = Some((rd16(b, p + 10), rd32(b, p + 12), rd16(b, p + 22), rd16(b, p + 20)))
-        } else if (id == "data") dataLen = size.toLong
+        } else if (id == "data") { dataLen = size.toLong; dataOff = p + 8 }
         p += 8 + size + (size % 2) // RIFF chunks are word-aligned
       }
       fmt match {
         case Some((ch, rate, bits, ba)) if dataLen >= 0 && ch > 0 && rate > 0 && ba > 0 =>
-          Some(WavInfo(ch, rate, bits, dataLen / ba))
+          Some((WavInfo(ch, rate, bits, dataLen / ba),
+            java.util.Arrays.copyOfRange(b, dataOff, dataOff + dataLen.toInt)))
         case _ => None
       }
     }
@@ -592,6 +599,72 @@ object Multimodal {
             PngChannelStats(id, c, img.width, img.height, s, ws, mn, mx)
           }
         case None => Seq(PngChannelStats(id, -1, -1, -1, -1, -1, -1, -1))
+      }
+    }.toDF()
+  }
+
+  /** Deterministic pure-tone WAV generator over doc_id — the
+    * `mm_audio_fft` fixture: each doc becomes a real mono 16-bit PCM WAV
+    * of `1 + id % 4` frames of 64 samples, frame f a pure sinusoid at
+    * INTEGER bin `k = 1 + (id + 3·f) % 31` (cycles per frame) with
+    * amplitude 12000. An integer-bin tone concentrates the frame's DFT
+    * at bin k exactly, so the FFT side recovers k as a hard integer the
+    * DuckDB oracle replays — the int16 rounding noise is 4 orders of
+    * magnitude under the peak. Partition-local generation, no shuffle.
+    */
+  def syntheticToneWavAssets(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val nFrames = 1 + (id % 4).toInt
+        val data = new Array[Byte](nFrames * 64 * 2)
+        var f = 0
+        while (f < nFrames) {
+          val k = 1 + ((id + 3 * f) % 31).toInt
+          var t = 0
+          while (t < 64) {
+            val v = math.round(12000.0 * math.sin(2.0 * math.Pi * k * t / 64.0)).toInt
+            val p = (f * 64 + t) * 2
+            data(p) = (v & 0xff).toByte
+            data(p + 1) = ((v >> 8) & 0xff).toByte
+            t += 1
+          }
+          f += 1
+        }
+        (id, Codec.wav(16000, 1, 16, data))
+      }
+    }.toDF("asset_id", "payload")
+  }
+
+  /** Frame-level spectral features through the REAL DSP path: WAV chunk
+    * walk → PCM int16 samples → per-frame radix-2 FFT ([[Dsp.fft]]) →
+    * dominant positive-frequency bin + tonal-purity flag. The fixture's
+    * integer-bin tones make `dominant_bin` a hard integer (and purity
+    * trivially true), so certification has NO cross-engine float
+    * surface — a wrong twiddle factor, a misframed sample, or a
+    * big-endian sample read all move the argmax and break the hash.
+    * Non-WAV / non-mono-16-bit payloads emit the all--1 sentinel row.
+    * Partition-local: the FFT runs inside the scan, no shuffle — at
+    * 100 TB this is embarrassingly parallel feature extraction.
+    */
+  final case class AudioFrameSpectrum(asset_id: Long, frame_idx: Int, frame_len: Int,
+      dominant_bin: Int, dominant_is_pure: Boolean)
+
+  def audioSpectralFrames(assets: DataFrame, frameLen: Int = 64): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "payload").as[(Long, Array[Byte])].flatMap { case (id, bytes) =>
+      Codec.decodeWavData(bytes) match {
+        case Some((info, data)) if info.channels == 1 && info.bitsPerSample == 16 =>
+          val samples = Dsp.pcm16Samples(data)
+          val nFrames = samples.length / frameLen
+          for (f <- 0 until nFrames) yield {
+            val frame = java.util.Arrays.copyOfRange(samples, f * frameLen, (f + 1) * frameLen)
+            val (bin, pure) = Dsp.dominantBin(frame)
+            AudioFrameSpectrum(id, f, frameLen, bin, pure)
+          }
+        case _ => Seq(AudioFrameSpectrum(id, -1, -1, -1, dominant_is_pure = false))
       }
     }.toDF()
   }

@@ -1331,6 +1331,31 @@ object PipelineQueries {
         s, "mm_decode_png_streaming", Multimodal.decodePngChannels(assets))
     }),
 
+    "mm_audio_fft" -> ((s, d) => {
+      // REAL DSP feature extraction: each doc becomes a mono 16-bit PCM
+      // WAV whose 64-sample frames are pure sinusoids at integer bins
+      // k = 1 + (id + 3f) % 31; the decode side chunk-walks the WAV,
+      // reads little-endian int16 samples, runs a radix-2 FFT per frame
+      // and reports argmax |X|² over the positive bins. Integer-bin
+      // tones make the argmax exactly k (int16 rounding noise is 4
+      // orders of magnitude down), so the oracle replays k
+      // arithmetically — no cross-engine float surface. DspSpec
+      // certifies the FFT kernel against a naive DFT, Parseval, and
+      // closed forms. Scale shape: partition-local scans end to end.
+      Multimodal.audioSpectralFrames(Multimodal.syntheticToneWavAssets(Graft.documents(s, d)))
+    }),
+
+    "mm_audio_fft_streaming" -> ((s, d) => {
+      // the FFT feature extraction under the REAL streaming engine
+      // (stateless map over a streaming parquet read, append mode,
+      // AvailableNow → memory sink); shares mm_audio_fft's oracle
+      // verbatim — featurize-at-ingest parity.
+      val assets = Multimodal.syntheticToneWavAssets(
+        graft.streaming.StreamingQueries.readStreamParquet(s, d, "documents"))
+      graft.streaming.StreamingQueries.runAppendToMemory(
+        s, "mm_audio_fft_streaming", Multimodal.audioSpectralFrames(assets))
+    }),
+
     "mm_audio" -> ((s, d) =>
       // audio-shaped overlapping windows (64-byte window, 32-byte hop)
       // over binary payloads; windows decoded to string for the oracle
@@ -2476,6 +2501,30 @@ object PipelineQueries {
                 LEAST(255, GREATEST(0, CAST(floor(yv + 1.772 * (cb - 128) + 0.5) AS INT))) AS b_min,
                 LEAST(255, GREATEST(0, CAST(floor(yv + 1.772 * (cb - 128) + 0.5) AS INT))) AS b_max
          FROM cg""",
+
+    // the tone generator's integer-bin formula replayed per frame: the
+    // Spark side must recover k by actually FFT-ing the PCM samples of
+    // real WAV bytes — a misframed read or wrong twiddle moves argmax
+    "mm_audio_fft" ->
+      """SELECT d.doc_id AS asset_id,
+                CAST(f.i AS INT) AS frame_idx,
+                CAST(64 AS INT) AS frame_len,
+                CAST(1 + (d.doc_id + 3 * f.i) % 31 AS INT) AS dominant_bin,
+                TRUE AS dominant_is_pure
+         FROM documents d,
+              UNNEST(generate_series(0, 3)) AS f(i)
+         WHERE f.i <= d.doc_id % 4""",
+
+    // the streaming twin shares the batch oracle verbatim
+    "mm_audio_fft_streaming" ->
+      """SELECT d.doc_id AS asset_id,
+                CAST(f.i AS INT) AS frame_idx,
+                CAST(64 AS INT) AS frame_len,
+                CAST(1 + (d.doc_id + 3 * f.i) % 31 AS INT) AS dominant_bin,
+                TRUE AS dominant_is_pure
+         FROM documents d,
+              UNNEST(generate_series(0, 3)) AS f(i)
+         WHERE f.i <= d.doc_id % 4""",
 
     // the PNG generator's pixel formulas replayed per channel: the
     // Spark side must recover exactly these pixels by CRC-checking,
