@@ -319,6 +319,12 @@ object Multimodal {
               Some(8), Some(nc), None, None)
             case None => MediaInfo(id, "jpeg", ok = false, None, None, None, None, None, None)
           }
+        else if (p != null && p.length >= 4 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G')
+          Png.decodeHeader(p) match {
+            case Some((w, h, nc)) => MediaInfo(id, "png", ok = true, Some(w), Some(h),
+              Some(8), Some(nc), None, None)
+            case None => MediaInfo(id, "png", ok = false, None, None, None, None, None, None)
+          }
         else if (p != null && p.length >= 2 && p(0) == 'B' && p(1) == 'M')
           Codec.decodeBmp(p) match {
             case Some(i) => MediaInfo(id, "bmp", ok = true, Some(i.width), Some(i.height),

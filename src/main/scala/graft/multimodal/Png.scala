@@ -197,6 +197,38 @@ object Png {
 
   // ---- decode --------------------------------------------------------------
 
+  /** Header-only probe for [[Multimodal.decodeMedia]]'s magic dispatch:
+    * signature + first chunk must be a CRC-valid, in-scope IHDR.
+    * Returns (width, height, channels) without touching the IDAT
+    * stream — a catalog scan over 100 TB of assets reads 33 bytes per
+    * file, not the raster.
+    */
+  def decodeHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (bytes == null || bytes.length < Signature.length + 25) return None
+    var i = 0
+    while (i < Signature.length) {
+      if (bytes(i) != Signature(i)) return None
+      i += 1
+    }
+    val p = Signature.length
+    if (rd32(bytes, p) != 13) return None
+    if (new String(bytes, p + 4, 4, java.nio.charset.StandardCharsets.US_ASCII) != "IHDR") return None
+    val crc = new CRC32
+    crc.update(bytes, p + 4, 17)
+    if (crc.getValue.toInt != rd32(bytes, p + 21)) return None
+    val w = rd32(bytes, p + 8)
+    val h = rd32(bytes, p + 12)
+    val depth = bytes(p + 16) & 0xff
+    val colorType = bytes(p + 17) & 0xff
+    if (w <= 0 || h <= 0 || depth != 8) return None
+    if ((bytes(p + 18) & 0xff) != 0 || (bytes(p + 19) & 0xff) != 0 || (bytes(p + 20) & 0xff) != 0) return None
+    colorType match {
+      case 0 => Some((w, h, 1))
+      case 2 => Some((w, h, 3))
+      case _ => None
+    }
+  }
+
   /** Full decode: signature → chunk walk with CRC-32 verification on
     * every chunk → IDAT concatenation → zlib inflate with an EXACT
     * output-size check → per-scanline unfilter. `None` on anything

@@ -110,6 +110,37 @@ class PngSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeHeader: 33-byte probe agrees with full decode; corrupt IHDR → None") {
+    val px = raster(6, 4, 3)((x, y, c) => x + y * 2 + c * 3)
+    val bytes = Png.encode(6, 4, 3, px)
+    assert(Png.decodeHeader(bytes) === Some((6, 4, 3)))
+    val gray = Png.encode(2, 9, 1, raster(2, 9, 1)((x, y, _) => x + y))
+    assert(Png.decodeHeader(gray) === Some((2, 9, 1)))
+    // the probe never needs bytes past the IHDR chunk
+    assert(Png.decodeHeader(java.util.Arrays.copyOf(bytes, 33)) === Some((6, 4, 3)))
+    // a flipped IHDR byte fails the probe's CRC check
+    val bad = bytes.clone(); bad(8 + 8 + 2) = 7
+    assert(Png.decodeHeader(bad).isEmpty)
+    assert(Png.decodeHeader(java.util.Arrays.copyOf(bytes, 32)).isEmpty, "too short")
+  }
+
+  test("decodeMedia dispatches PNG magic alongside BMP/WAV/JPEG") {
+    import org.apache.spark.sql.functions.col
+    val spark = Graft.session("4")
+    import spark.implicits._
+    val png = Png.encode(5, 3, 1, raster(5, 3, 1)((x, y, _) => x * y))
+    val bmp = graft.multimodal.Multimodal.Codec.bmp(4, 2, _ => 0)
+    val assets = Seq((1L, png), (2L, bmp), (3L, "nope".getBytes("US-ASCII")))
+      .toDF("asset_id", "payload")
+    val out = graft.multimodal.Multimodal.decodeMedia(assets)
+      .select("asset_id", "kind", "ok", "width", "height", "channels")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) === "png" && out(1L).getBoolean(2))
+    assert(out(1L).getInt(3) === 5 && out(1L).getInt(4) === 3 && out(1L).getInt(5) === 1)
+    assert(out(2L).getString(1) === "bmp" && out(2L).getBoolean(2))
+    assert(out(3L).getString(1) === "unknown" && !out(3L).getBoolean(2))
+  }
+
   test("corruption: CRC flip, truncation, bad signature → None, never throw") {
     val px = raster(8, 8, 1)((x, y, _) => x ^ y)
     val good = Png.encode(8, 8, 1, px, filterFor = y => y % 5)

@@ -308,4 +308,68 @@ class PropertySpec extends AnyFunSuite {
     }, tests = 500)
   }
 
+  // ---- PNG filter + DEFLATE layer round-trips any raster -----------------
+
+  test("property: PNG round-trips arbitrary rasters across filters, splits, color types") {
+    // generator-driven twin of PngSpec's fixed cases: random geometry,
+    // channel count, per-scanline filter assignment, and IDAT split must
+    // survive encode -> decode byte-exactly — PNG is lossless BY
+    // CONTRACT for every conformant input, not just the fixtures
+    import graft.multimodal.Png
+    val genCase = for {
+      w <- Gen.chooseNum(1, 24)
+      h <- Gen.chooseNum(1, 24)
+      ch <- Gen.oneOf(1, 3)
+      split <- Gen.chooseNum(1, 4)
+      filtSeed <- Gen.chooseNum(0, 1000)
+      pxSeed <- Gen.chooseNum(0L, Long.MaxValue)
+    } yield (w, h, ch, split, filtSeed, pxSeed)
+    checkProp(Prop.forAll(genCase) { case (w, h, ch, split, filtSeed, pxSeed) =>
+      val rnd = new scala.util.Random(pxSeed)
+      val px = Array.fill(w * h * ch)(rnd.nextInt(256).toByte)
+      val bytes = Png.encode(w, h, ch, px,
+        filterFor = y => (filtSeed + y * 7) % 5, idatSplit = split)
+      Png.decode(bytes) match {
+        case Some(img) =>
+          img.width == w && img.height == h && img.channels == ch &&
+            java.util.Arrays.equals(img.pixels, px) &&
+            Png.decodeHeader(bytes).contains((w, h, ch))
+        case None => false
+      }
+    }, tests = 300)
+  }
+
+  // ---- FFT kernel == naive DFT on arbitrary signals ----------------------
+
+  test("property: FFT matches the naive DFT and satisfies Parseval on random signals") {
+    import graft.multimodal.Dsp
+    val genCase = for {
+      logN <- Gen.chooseNum(1, 8) // n = 2..256
+      seed <- Gen.chooseNum(0L, Long.MaxValue)
+    } yield (1 << logN, seed)
+    checkProp(Prop.forAll(genCase) { case (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val x = Array.fill(n)(rnd.nextDouble() * 2 - 1)
+      val re = x.clone(); val im = new Array[Double](n)
+      Dsp.fft(re, im)
+      // naive DFT
+      var ok = true
+      var k = 0
+      while (ok && k < n) {
+        var er = 0.0; var ei = 0.0
+        var t = 0
+        while (t < n) {
+          val ang = -2.0 * math.Pi * k * t / n
+          er += x(t) * math.cos(ang); ei += x(t) * math.sin(ang)
+          t += 1
+        }
+        ok = math.abs(re(k) - er) < 1e-8 && math.abs(im(k) - ei) < 1e-8
+        k += 1
+      }
+      val lhs = n * x.map(v => v * v).sum
+      val rhs = (0 until n).map(i => re(i) * re(i) + im(i) * im(i)).sum
+      ok && math.abs(lhs - rhs) <= 1e-9 * math.max(lhs, 1.0)
+    }, tests = 200)
+  }
+
 }
