@@ -722,6 +722,61 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Deterministic MJPEG-AVI generator over doc_id — the
+    * `mm_video_mjpeg` fixture: each doc becomes a real single-stream
+    * AVI of `1 + id % 5` frames at 25 fps, frame f an 8×8 DC-only
+    * baseline JPEG with flat value `(id·7 + f·19) % 256` (exact under
+    * q00 = 8, the mm_decode_jpeg precedent). Partition-local
+    * generation, no shuffle.
+    */
+  def syntheticMjpegAviAssets(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q8 = Array.tabulate(64)(i => if (i == 0) 8 else 1 + (i % 15))
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val nFrames = 1 + (id % 5).toInt
+        val frames = (0 until nFrames).map { f =>
+          val blk = new Array[Int](64)
+          blk(0) = ((id * 7 + f * 19) % 256).toInt - 128
+          Jpeg.encode(8, 8, Array(q8), Array(Array(blk)), 0)
+        }
+        (id, Avi.encode(8, 8, 25, frames))
+      }
+    }.toDF("asset_id", "payload")
+  }
+
+  /** Every-Nth-frame sampling through the REAL video path: RIFF/AVI
+    * container walk → '00dc' MJPEG payloads → full baseline-JPEG decode
+    * of each SAMPLED frame (unsampled frames are never entropy-decoded
+    * — the point of frame sampling at 100 TB) → per-frame luma extrema.
+    * The flat fixture frames make min == max == the formula value iff
+    * container walk, frame order, and JPEG pipeline are all exact.
+    * Container or frame decode failure emits the all--1 sentinel row.
+    * Partition-local: both parsers run inside the scan, no shuffle.
+    */
+  final case class VideoFramePixels(asset_id: Long, frame_idx: Int, n_frames: Int,
+      width: Int, height: Int, px_min: Int, px_max: Int)
+
+  def mjpegSampledFrames(assets: DataFrame, everyNth: Int): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "payload").as[(Long, Array[Byte])].flatMap { case (id, bytes) =>
+      Avi.decode(bytes) match {
+        case Some((info, frames)) =>
+          (0 until frames.length by everyNth).map { f =>
+            Jpeg.decode(frames(f)) match {
+              case Some(img) =>
+                val (mn, mx) = blockExtrema(img.planes(0), img.compW(0), img.compH(0), 0, 0)
+                VideoFramePixels(id, f, info.nFrames, img.width, img.height, mn, mx)
+              case None => VideoFramePixels(id, -1, -1, -1, -1, -1, -1)
+            }
+          }
+        case None => Seq(VideoFramePixels(id, -1, -1, -1, -1, -1, -1))
+      }
+    }.toDF()
+  }
+
   /** Frame sampling for video-shaped assets: treat the payload as a
     * sequence of fixed-size frames (a real pipeline would parse container
     * metadata — stubbed as fixed stride) and emit every `everyNth` frame

@@ -1331,6 +1331,21 @@ object PipelineQueries {
         s, "mm_decode_png_streaming", Multimodal.decodePngChannels(assets))
     }),
 
+    "mm_video_mjpeg" -> ((s, d) => {
+      // REAL video decode + frame sampling: each doc becomes a genuine
+      // single-stream MJPEG AVI (nested RIFF LISTs: avih/strh/strf
+      // headers + a 'movi' list of '00dc' chunks, each an independent
+      // baseline JPEG); the decode side walks the container, samples
+      // every 2nd frame, and runs ONLY the sampled frames through the
+      // full JPEG pipeline — unsampled frames are never entropy-decoded,
+      // which is the point of frame sampling at 100 TB. Flat DC-only
+      // frames make the luma extrema exact, so the oracle replays the
+      // per-frame formula plus the avih-declared frame count.
+      // Scale shape: generation and decode are partition-local scans.
+      Multimodal.mjpegSampledFrames(
+        Multimodal.syntheticMjpegAviAssets(Graft.documents(s, d)), everyNth = 2)
+    }),
+
     "dd_image_phash" -> ((s, d) => {
       // image exact-dedup via perceptual hash: real PNGs decode through
       // the full pipeline, dHash samples a 9x8 grid with the exact
@@ -2518,6 +2533,22 @@ object PipelineQueries {
                 LEAST(255, GREATEST(0, CAST(floor(yv + 1.772 * (cb - 128) + 0.5) AS INT))) AS b_min,
                 LEAST(255, GREATEST(0, CAST(floor(yv + 1.772 * (cb - 128) + 0.5) AS INT))) AS b_max
          FROM cg""",
+
+    // the MJPEG fixture's per-frame formula replayed over the SAMPLED
+    // indices (0, 2, 4): the Spark side must walk the RIFF/AVI tree,
+    // keep frame order, and fully JPEG-decode each sampled frame;
+    // n_frames pins the avih header field independently of the payload
+    "mm_video_mjpeg" ->
+      """SELECT d.doc_id AS asset_id,
+                CAST(f.i AS INT) AS frame_idx,
+                CAST(1 + d.doc_id % 5 AS INT) AS n_frames,
+                CAST(8 AS INT) AS width,
+                CAST(8 AS INT) AS height,
+                CAST((d.doc_id * 7 + f.i * 19) % 256 AS INT) AS px_min,
+                CAST((d.doc_id * 7 + f.i * 19) % 256 AS INT) AS px_max
+         FROM documents d,
+              UNNEST(generate_series(0, 4)) AS f(i)
+         WHERE f.i <= d.doc_id % 5 AND f.i % 2 = 0""",
 
     // the dHash arithmetic replayed per asset — grid sampling via the
     // same integer nearest-neighbor map, gradient compare, 32/32 bit
