@@ -197,6 +197,22 @@ object CoreQueries {
         .json(out)
         .where(col("_corrupt_record").isNull)
         .select(docs.columns.map(col): _*)
+    }),
+
+    "s_jsonl_gz" -> ((s, d) => {
+      // GZIP-compressed JSONL roundtrip — how web-scale corpora actually
+      // ship (.jsonl.gz shards): write documents as gzip'd JSONL through
+      // Hadoop's GzipCodec, read back with the EXPLICIT schema. The
+      // 100-TB note that matters: gzip is NOT splittable, so one shard =
+      // one read task — parallelism is the shard count, which the WRITER
+      // controls (repartition before write; the 4-shard write here is
+      // the miniature of the many-small-shards layout real corpora use).
+      // Content identity vs the plain table is the oracle.
+      val out = tmp("jsonlgz")
+      val docs = Graft.documents(s, d)
+      docs.repartition(4).write.mode("overwrite")
+        .option("compression", "gzip").json(out)
+      s.read.schema(docs.schema).json(out)
     }))
 
   val sourceOracles: Map[String, String] = Map(
@@ -225,7 +241,8 @@ object CoreQueries {
     "s_zorder" ->
       "SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events",
     "s_orc" -> "SELECT * FROM documents",
-    "s_jsonl" -> "SELECT * FROM documents")
+    "s_jsonl" -> "SELECT * FROM documents",
+    "s_jsonl_gz" -> "SELECT * FROM documents")
 
   // ---- P: stateless transforms -------------------------------------------
 
