@@ -199,6 +199,39 @@ object CoreQueries {
         .select(docs.columns.map(col): _*)
     }),
 
+    "s_parquet_zstd" -> ((s, d) => {
+      // ZSTD-compressed parquet roundtrip — the modern default storage
+      // codec for analytics corpora (splittable at the row-group level,
+      // unlike gzip text, so a 100 TB corpus parallelizes by row group
+      // regardless of shard sizing): write documents with
+      // compression=zstd, read back, identity vs the plain table.
+      val out = tmp("zstd")
+      val docs = Graft.documents(s, d)
+      docs.write.mode("overwrite").option("compression", "zstd").parquet(out)
+      s.read.schema(docs.schema).parquet(out)
+    }),
+
+    "s_parquet_bloom" -> ((s, d) => {
+      // Parquet BLOOM FILTERS — the point-lookup data-skipping layout:
+      // written with a bloom filter on doc_id, an id-equality scan can
+      // skip whole row groups whose filter says "definitely absent"
+      // without reading the column data (footer stats only help on
+      // SORTED ids; blooms skip on arbitrary layout). At 100 TB this is
+      // the difference between touching every row group and touching
+      // ~the ones that contain the ids. Correctness: the IN-predicate
+      // read returns exactly the oracle rows; SourcesSpec opens the
+      // footer with parquet-mr and asserts the filter exists and
+      // answers might-contain correctly on planted/absent ids.
+      val out = tmp("bloom")
+      val docs = Graft.documents(s, d)
+      docs.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#doc_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#doc_id", "1000000")
+        .parquet(out)
+      s.read.schema(docs.schema).parquet(out)
+        .where(col("doc_id").isin(5L, 105L, 205L, 306L))
+    }),
+
     "s_jsonl_gz" -> ((s, d) => {
       // GZIP-compressed JSONL roundtrip — how web-scale corpora actually
       // ship (.jsonl.gz shards): write documents as gzip'd JSONL through
@@ -242,7 +275,9 @@ object CoreQueries {
       "SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events",
     "s_orc" -> "SELECT * FROM documents",
     "s_jsonl" -> "SELECT * FROM documents",
-    "s_jsonl_gz" -> "SELECT * FROM documents")
+    "s_jsonl_gz" -> "SELECT * FROM documents",
+    "s_parquet_zstd" -> "SELECT * FROM documents",
+    "s_parquet_bloom" -> "SELECT * FROM documents WHERE doc_id IN (5, 105, 205, 306)")
 
   // ---- P: stateless transforms -------------------------------------------
 

@@ -202,4 +202,32 @@ class SourcesSpec extends GraftTest {
           s"kafka builder failed with an unexpected shape (API rot?): $e")
     }
   }
+
+  test("parquet bloom filter: written, present in the footer, answers might-contain") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft-bloomspec").toString
+    val docs = Graft.documents(spark, sf).limit(200)
+    docs.coalesce(1).write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#doc_id", "true")
+      .option("parquet.bloom.filter.expected.ndv#doc_id", "1000000")
+      .parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get.getAbsolutePath
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), new org.apache.hadoop.conf.Configuration()))
+    try {
+      val block = reader.getRowGroups.get(0)
+      val cc = block.getColumns.asScala.find(_.getPath.toDotString == "doc_id").get
+      assert(cc.getBloomFilterOffset >= 0, "doc_id column chunk carries no bloom filter")
+      val bloom = reader.getBloomFilterDataReader(block).readBloomFilter(cc)
+      assert(bloom != null)
+      // every written id must answer might-contain = true (no false negatives)
+      val ids = docs.select("doc_id").collect().map(_.getLong(0))
+      ids.foreach(id => assert(bloom.findHash(bloom.hash(id)), s"false negative for $id"))
+      // a far-away id should answer false at this ndv/fpp (deterministic
+      // bytes for fixed input — this is a stable check, not a flaky one)
+      assert(!bloom.findHash(bloom.hash(987654321098L)), "expected definitely-absent")
+    } finally reader.close()
+  }
 }
