@@ -33,6 +33,22 @@ object PipelineQueries {
       .select("a", "b", "jaccard")
   }
 
+  /** The dd_image_phash composition, shared with the scale audit:
+    * decode + dHash once, then a WINDOW count over the hash — NOT a
+    * groupBy + self-join, which would run the expensive decode scan
+    * twice (the AQE plan builds each join side from its own parquet
+    * scan; at 100 TB that doubles the inflate/unfilter cost). The
+    * window form is one decode scan + ONE hash exchange; count-over-
+    * partition needs no ORDER BY, so no per-row ranking sort semantics
+    * enter the result (review r12, caught in the EXPLAIN audit).
+    */
+  def imagePhash(docs: DataFrame): DataFrame = {
+    val h = Multimodal.imageDHash(Multimodal.syntheticPngAssets(docs))
+    h.select(col("asset_id"), col("dhash_hi"), col("dhash_lo"),
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("dhash_hi", "dhash_lo")).as("n_dup"))
+  }
+
   /** txt_bpe_32k's frozen (model, oracle SQL) for the LAST corpus dir —
     * training is deterministic, so this is a pure memo; single-entry
     * (review r12) so a JVM iterating many dirs (scale factors, temp
@@ -1350,17 +1366,14 @@ object PipelineQueries {
       // image exact-dedup via perceptual hash: real PNGs decode through
       // the full pipeline, dHash samples a 9x8 grid with the exact
       // integer nearest-neighbor map and packs 64 gradient bits (as two
-      // 32-bit halves so no engine touches the sign bit), then ONE hash
-      // groupBy + join annotates every asset with its duplicate-cluster
-      // size — the dd_exact shape applied to images: linear output, one
-      // shuffle on the hash, rides executor count at 100 TB. The oracle
+      // 32-bit halves so no engine touches the sign bit), then a WINDOW
+      // count over the hash annotates every asset with its duplicate-
+      // cluster size — the dd_exact shape applied to images: ONE decode
+      // scan, ONE hash exchange, linear output (see imagePhash). The oracle
       // replays the grid/compare/pack arithmetic per asset AND the
       // cluster sizes (the sf0.01 fixture yields real collisions:
       // ~19k exact-hash pairs, so n_dup > 1 rows certify the grouping).
-      val h = Multimodal.imageDHash(Multimodal.syntheticPngAssets(Graft.documents(s, d)))
-      val sizes = h.groupBy("dhash_hi", "dhash_lo").agg(count(lit(1)).as("n_dup"))
-      h.join(sizes, Seq("dhash_hi", "dhash_lo"))
-        .select(col("asset_id"), col("dhash_hi"), col("dhash_lo"), col("n_dup"))
+      imagePhash(Graft.documents(s, d))
     }),
 
     "mm_audio_fft" -> ((s, d) => {
