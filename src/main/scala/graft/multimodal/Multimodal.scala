@@ -777,6 +777,51 @@ object Multimodal {
     }.toDF()
   }
 
+  /** 2×2 box-filter downsample over DECODED pixels — the real
+    * thumbnail/feature-input resize (vs [[resize2d]]'s byte-level
+    * nearest-neighbor plumbing): out(x, y) = ⌊(p(2x,2y) + p(2x+1,2y) +
+    * p(2x,2y+1) + p(2x+1,2y+1)) / 4⌋ per channel, integer arithmetic so
+    * the oracle replays it exactly. The output grid is ⌊w/2⌋×⌊h/2⌋ —
+    * only complete 2×2 blocks emit (documented contract; a 1-pixel-wide
+    * image yields no rows for that axis). Emits per-(asset, channel)
+    * sum + position-weighted sum over the downsampled raster, which
+    * pins every averaged value to its coordinate. Decode failure emits
+    * the all--1 sentinel row. Partition-local, no shuffle.
+    */
+  final case class PngBoxStats(asset_id: Long, channel: Int, out_w: Int, out_h: Int,
+      px_sum: Long, px_wsum: Long)
+
+  def boxDownsample(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "payload").as[(Long, Array[Byte])].flatMap { case (id, bytes) =>
+      Png.decode(bytes) match {
+        case Some(img) =>
+          val ow = img.width / 2
+          val oh = img.height / 2
+          for (c <- 0 until img.channels) yield {
+            var s = 0L; var ws = 0L
+            var oy = 0
+            while (oy < oh) {
+              var ox = 0
+              while (ox < ow) {
+                def p(x: Int, y: Int): Int =
+                  img.pixels((y * img.width + x) * img.channels + c) & 0xff
+                val v = (p(2 * ox, 2 * oy) + p(2 * ox + 1, 2 * oy) +
+                  p(2 * ox, 2 * oy + 1) + p(2 * ox + 1, 2 * oy + 1)) / 4
+                s += v
+                ws += v.toLong * (ox + oy.toLong * ow)
+                ox += 1
+              }
+              oy += 1
+            }
+            PngBoxStats(id, c, ow, oh, s, ws)
+          }
+        case None => Seq(PngBoxStats(id, -1, -1, -1, -1, -1))
+      }
+    }.toDF()
+  }
+
   /** Frame sampling for video-shaped assets: treat the payload as a
     * sequence of fixed-size frames (a real pipeline would parse container
     * metadata — stubbed as fixed stride) and emit every `everyNth` frame

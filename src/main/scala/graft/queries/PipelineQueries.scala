@@ -1347,6 +1347,27 @@ object PipelineQueries {
         s, "mm_decode_png_streaming", Multimodal.decodePngChannels(assets))
     }),
 
+    "mm_resize_box" -> ((s, d) => {
+      // the real thumbnail resize over DECODED pixels: full PNG decode,
+      // then a 2x2 box-filter average in integer arithmetic (floor
+      // division, so the oracle replays it exactly); output grid is
+      // floor(w/2) x floor(h/2) — only complete blocks emit, and a
+      // 1-pixel axis yields an explicit zero-sum row, never a silently
+      // missing one. Position-weighted sum pins each averaged value to
+      // its coordinate. Partition-local scan end to end.
+      Multimodal.boxDownsample(Multimodal.syntheticPngAssets(Graft.documents(s, d)))
+    }),
+
+    "mm_video_mjpeg_streaming" -> ((s, d) => {
+      // the video path under the REAL streaming engine (stateless map
+      // over a streaming parquet read, append mode, AvailableNow ->
+      // memory sink); shares mm_video_mjpeg's oracle verbatim.
+      val assets = Multimodal.syntheticMjpegAviAssets(
+        graft.streaming.StreamingQueries.readStreamParquet(s, d, "documents"))
+      graft.streaming.StreamingQueries.runAppendToMemory(
+        s, "mm_video_mjpeg_streaming", Multimodal.mjpegSampledFrames(assets, everyNth = 2))
+    }),
+
     "mm_video_mjpeg" -> ((s, d) => {
       // REAL video decode + frame sampling: each doc becomes a genuine
       // single-stream MJPEG AVI (nested RIFF LISTs: avih/strh/strf
@@ -2546,6 +2567,49 @@ object PipelineQueries {
                 LEAST(255, GREATEST(0, CAST(floor(yv + 1.772 * (cb - 128) + 0.5) AS INT))) AS b_min,
                 LEAST(255, GREATEST(0, CAST(floor(yv + 1.772 * (cb - 128) + 0.5) AS INT))) AS b_max
          FROM cg""",
+
+    // the 2x2 box average replayed in integer arithmetic per output
+    // cell; zero-area outputs (1-pixel axes) emit explicit zero-sum
+    // rows on BOTH engines via the LEFT JOIN + COALESCE
+    "mm_resize_box" ->
+      """WITH dims AS (
+           SELECT doc_id, 1 + n_chars % 13 AS w, 1 + doc_id % 11 AS h,
+                  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS nch
+           FROM documents),
+         cells AS (
+           SELECT m.doc_id, ch.c, ox.i AS ox, oy.i AS oy,
+                  (  (m.doc_id*7 + (2*ox.i)*3   + (2*oy.i)*5   + ch.c*11) % 256
+                   + (m.doc_id*7 + (2*ox.i+1)*3 + (2*oy.i)*5   + ch.c*11) % 256
+                   + (m.doc_id*7 + (2*ox.i)*3   + (2*oy.i+1)*5 + ch.c*11) % 256
+                   + (m.doc_id*7 + (2*ox.i+1)*3 + (2*oy.i+1)*5 + ch.c*11) % 256) // 4 AS val
+           FROM dims m,
+                UNNEST(generate_series(0, 2)) AS ch(c),
+                UNNEST(generate_series(0, 5)) AS ox(i),
+                UNNEST(generate_series(0, 4)) AS oy(i)
+           WHERE ch.c < m.nch AND ox.i < m.w // 2 AND oy.i < m.h // 2),
+         base AS (
+           SELECT m.doc_id, ch.c, m.w // 2 AS ow, m.h // 2 AS oh
+           FROM dims m, UNNEST(generate_series(0, 2)) AS ch(c)
+           WHERE ch.c < m.nch)
+         SELECT b.doc_id AS asset_id, CAST(b.c AS INT) AS channel,
+                CAST(b.ow AS INT) AS out_w, CAST(b.oh AS INT) AS out_h,
+                CAST(COALESCE(SUM(cl.val), 0) AS BIGINT) AS px_sum,
+                CAST(COALESCE(SUM(cl.val * (cl.ox + cl.oy * b.ow)), 0) AS BIGINT) AS px_wsum
+         FROM base b LEFT JOIN cells cl ON cl.doc_id = b.doc_id AND cl.c = b.c
+         GROUP BY 1, 2, 3, 4""",
+
+    // the streaming twin shares the batch oracle verbatim
+    "mm_video_mjpeg_streaming" ->
+      """SELECT d.doc_id AS asset_id,
+                CAST(f.i AS INT) AS frame_idx,
+                CAST(1 + d.doc_id % 5 AS INT) AS n_frames,
+                CAST(8 AS INT) AS width,
+                CAST(8 AS INT) AS height,
+                CAST((d.doc_id * 7 + f.i * 19) % 256 AS INT) AS px_min,
+                CAST((d.doc_id * 7 + f.i * 19) % 256 AS INT) AS px_max
+         FROM documents d,
+              UNNEST(generate_series(0, 4)) AS f(i)
+         WHERE f.i <= d.doc_id % 5 AND f.i % 2 = 0""",
 
     // the MJPEG fixture's per-frame formula replayed over the SAMPLED
     // indices (0, 2, 4): the Spark side must walk the RIFF/AVI tree,
