@@ -1068,6 +1068,30 @@ object PipelineQueries {
       // count) — fully oracle-checkable
       TextFunctions.repetitionSignals(Graft.documents(s, d), "doc_id", "text")),
 
+    "txt_sentences" -> ((s, d) => {
+      // sentence segmentation — the pre-chunking text op: split on
+      // terminal punctuation + whitespace. The synthetic corpus ships
+      // punctuation-free (the split would be vacuous), so the fixture
+      // step plants deterministic boundaries first — every 5th word
+      // gains a terminal '.' (the mm_* precedent: fixture-derived
+      // input, REAL operator mechanics certified). The character class
+      // is spelled EXPLICITLY ([ \t\n\r]) on both engines because Java
+      // regex \s includes \x0B where RE2's does not. sent_idx is the
+      // PRE-filter split position (stable under empty removal);
+      // whitespace-only fragments filter identically on both sides.
+      // Scale shape: per-row higher-order functions + explode inside
+      // the scan — no UDF, no shuffle.
+      val words = split(col("text"), " ")
+      val punct = concat_ws(" ",
+        transform(words, (w, i) =>
+          when(pmod(i + 1, lit(5)) === 0, concat(w, lit("."))).otherwise(w)))
+      Graft.documents(s, d)
+        .select(col("doc_id"), punct.as("ptext"))
+        .select(col("doc_id"),
+          posexplode(split(col("ptext"), "[.!?]+[ \\t\\n\\r]+")).as(Seq("sent_idx", "sentence")))
+        .where(length(trim(col("sentence"))) > 0)
+    }),
+
     "txt_fingerprint" -> ((s, d) =>
       Graft.documents(s, d).select(
         col("doc_id"),
@@ -1962,6 +1986,24 @@ object PipelineQueries {
               tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
               tf AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS top_tok_frac FROM tc GROUP BY doc_id)
          SELECT r.doc_id, r.dup2_ratio, r.dup3_ratio, tf.top_tok_frac FROM r JOIN tf USING (doc_id)""",
+    // the fixture boundary-plant replayed (every 5th word gains '.'),
+    // then the same explicit character class; RE2 and Java agree on it
+    "txt_sentences" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+         p AS (
+           SELECT doc_id,
+                  string_agg(CASE WHEN g.i % 5 = 0 THEN arr[g.i] || '.'
+                                  ELSE arr[g.i] END, ' ' ORDER BY g.i) AS ptext
+           FROM w, UNNEST(generate_series(1, len(arr))) AS g(i)
+           GROUP BY doc_id),
+         t AS (
+           SELECT doc_id, regexp_split_to_array(ptext, '[.!?]+[ \t\n\r]+') AS arr
+           FROM p)
+         SELECT doc_id, CAST(gs.i - 1 AS INT) AS sent_idx, arr[gs.i] AS sentence
+         FROM t, UNNEST(generate_series(1, len(arr))) AS gs(i)
+         WHERE length(trim(arr[gs.i])) > 0""",
+
     "txt_fingerprint" ->
       "SELECT doc_id, substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16) AS fp16 FROM documents",
     // replays the RollingHash Catalyst expression bit-for-bit: wrapping
