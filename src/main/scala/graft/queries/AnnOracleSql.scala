@@ -144,6 +144,19 @@ object AnnOracleSql {
     * hash-proven), so the float comparisons in the dominance rule can
     * never diverge.
     */
+  /** Oracle for the bare cluster-assignment op (`ann_assign_streaming`):
+    * frozen-centroid cosine argmax per vector, ties to the lowest list —
+    * exactly the IvfAssign kernel's fold order the other replays share.
+    */
+  def assignOnly(model: IvfModel): String = {
+    val dim = model.centroids(0).length
+    s"""WITH ${embCte(dim)},
+          ${assignmentCtes(model, nullGuard = true)}
+       SELECT vec_id, CAST(list AS INT) AS cluster FROM
+         (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS r FROM sc)
+       WHERE r = 1"""
+  }
+
   def semanticDedup(model: IvfModel, threshold: Double, maxCluster: Int): String = {
     val dim = model.centroids(0).length
     // maxCluster <= 0 is capBuckets' uncapped opt-out — the bsz filter

@@ -997,6 +997,24 @@ object PipelineQueries {
         k = 10, nProbe = 6, refineK = 50, model)
     }),
 
+    "ann_assign_streaming" -> ((s, d) => {
+      // index-at-ingest: assign every arriving embedding to its frozen
+      // IVF list THROUGH THE REAL STREAMING ENGINE (stateless map with
+      // the broadcast model, append mode, AvailableNow → memory sink) —
+      // the shape production ingest uses to keep the ANN index current:
+      // the model is frozen/persisted, each micro-batch only computes
+      // its own assignments and appends to the list partitions. Oracle:
+      // the frozen-centroid argmax replayed per vector (ties to the
+      // lowest list — the kernel's fold order).
+      val emb = Graft.embeddings(s, d)
+      val model = Ann.trainIvf(emb, "vec_id", "embedding", nLists = 16)
+      AnnOracleSql.register("ann_assign_streaming", AnnOracleSql.assignOnly(model))
+      val stream = graft.streaming.StreamingQueries.readStreamParquet(s, d, "embeddings")
+      graft.streaming.StreamingQueries.runAppendToMemory(s, "ann_assign_streaming",
+        Ann.assignClusters(stream, "vec_id", "embedding", model)
+          .select(col("vec_id"), col("cluster").cast("int").as("cluster")))
+    }),
+
     "ann_recall_report" -> ((s, d) => {
       // recall@10 of every approximate ANN path against the exact brute
       // force, computed INSIDE Spark over the same parameterizations as
