@@ -83,6 +83,9 @@ object Dsp {
     */
   def dominantBin(frame: Array[Double], purityFactor: Double = 16.0): (Int, Boolean) = {
     val n = frame.length
+    // below 4 samples the k = 1 .. n/2-1 scan range is empty — the
+    // "dominant bin" would be reported without ever being measured
+    require(n >= 4, s"dominantBin needs at least 4 samples: $n")
     val re = java.util.Arrays.copyOf(frame, n)
     val im = new Array[Double](n)
     fft(re, im)

@@ -156,12 +156,23 @@ object Multimodal {
       * in any order, unknown chunks skipped, word-aligned sizes); PCM
       * only. None on anything malformed or truncated.
       */
-    def decodeWav(b: Array[Byte]): Option[WavInfo] = decodeWavData(b).map(_._1)
+    def decodeWav(b: Array[Byte]): Option[WavInfo] = wavWalk(b).map(_._1)
 
     /** Same chunk walk as [[decodeWav]] but also returns the PCM data
       * chunk bytes — the input the DSP layer ([[Dsp]]) frames and FFTs.
+      * The copy happens ONLY here: header-probe callers ([[decodeWav]],
+      * decodeMedia's catalog scan) never pay a data-chunk allocation
+      * (review r12).
       */
-    def decodeWavData(b: Array[Byte]): Option[(WavInfo, Array[Byte])] = {
+    def decodeWavData(b: Array[Byte]): Option[(WavInfo, Array[Byte])] =
+      wavWalk(b).map { case (info, off, len) =>
+        (info, java.util.Arrays.copyOfRange(b, off, off + len))
+      }
+
+    /** The shared RIFF walk: parsed info + data chunk (offset, length),
+      * no allocation beyond the case class.
+      */
+    private def wavWalk(b: Array[Byte]): Option[(WavInfo, Int, Int)] = {
       if (b == null || b.length < 12) return None
       if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F') return None
       if (b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
@@ -184,8 +195,7 @@ object Multimodal {
       }
       fmt match {
         case Some((ch, rate, bits, ba)) if dataLen >= 0 && ch > 0 && rate > 0 && ba > 0 =>
-          Some((WavInfo(ch, rate, bits, dataLen / ba),
-            java.util.Arrays.copyOfRange(b, dataOff, dataOff + dataLen.toInt)))
+          Some((WavInfo(ch, rate, bits, dataLen / ba), dataOff, dataLen.toInt))
         case _ => None
       }
     }
@@ -658,6 +668,11 @@ object Multimodal {
       dominant_bin: Int, dominant_is_pure: Boolean)
 
   def audioSpectralFrames(assets: DataFrame, frameLen: Int = 64): DataFrame = {
+    // fail fast on the driver: a non-power-of-2 frameLen would throw in
+    // Dsp.fft inside the executor task, and frames shorter than 4
+    // samples have no measurable positive-frequency bins (review r12)
+    require(frameLen >= 4 && (frameLen & (frameLen - 1)) == 0,
+      s"frameLen must be a power of 2 >= 4: $frameLen")
     val spark = assets.sparkSession
     import spark.implicits._
     assets.select("asset_id", "payload").as[(Long, Array[Byte])].flatMap { case (id, bytes) =>
@@ -759,6 +774,9 @@ object Multimodal {
       width: Int, height: Int, px_min: Int, px_max: Int)
 
   def mjpegSampledFrames(assets: DataFrame, everyNth: Int): DataFrame = {
+    // fail fast on the driver: everyNth = 0 would throw "step cannot
+    // be 0" inside the executor task, crashing the scan (review r12)
+    require(everyNth > 0, s"everyNth must be positive: $everyNth")
     val spark = assets.sparkSession
     import spark.implicits._
     assets.select("asset_id", "payload").as[(Long, Array[Byte])].flatMap { case (id, bytes) =>

@@ -49,6 +49,24 @@ object PipelineQueries {
         .partitionBy("dhash_hi", "dhash_lo")).as("n_dup"))
   }
 
+  /** The txt_sentences composition, shared with the scale audit (the
+    * imagePhash precedent): deterministic boundary plant (every 5th
+    * word gains a terminal '.') over the punctuation-free corpus, then
+    * the split on terminal punctuation + EXPLICIT whitespace class
+    * ([ \t\n\r] — Java \s includes \x0B, RE2's does not), empties
+    * filtered identically on both engines.
+    */
+  def sentenceSegments(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val punct = concat_ws(" ",
+      transform(words, (w, i) =>
+        when(pmod(i + 1, lit(5)) === 0, concat(w, lit("."))).otherwise(w)))
+    docs.select(col("doc_id"), punct.as("ptext"))
+      .select(col("doc_id"),
+        posexplode(split(col("ptext"), "[.!?]+[ \\t\\n\\r]+")).as(Seq("sent_idx", "sentence")))
+      .where(length(trim(col("sentence"))) > 0)
+  }
+
   /** txt_bpe_32k's frozen (model, oracle SQL) for the LAST corpus dir —
     * training is deterministic, so this is a pure memo; single-entry
     * (review r12) so a JVM iterating many dirs (scale factors, temp
@@ -1098,16 +1116,9 @@ object PipelineQueries {
       // PRE-filter split position (stable under empty removal);
       // whitespace-only fragments filter identically on both sides.
       // Scale shape: per-row higher-order functions + explode inside
-      // the scan — no UDF, no shuffle.
-      val words = split(col("text"), " ")
-      val punct = concat_ws(" ",
-        transform(words, (w, i) =>
-          when(pmod(i + 1, lit(5)) === 0, concat(w, lit("."))).otherwise(w)))
-      Graft.documents(s, d)
-        .select(col("doc_id"), punct.as("ptext"))
-        .select(col("doc_id"),
-          posexplode(split(col("ptext"), "[.!?]+[ \\t\\n\\r]+")).as(Seq("sent_idx", "sentence")))
-        .where(length(trim(col("sentence"))) > 0)
+      // the scan — no UDF, no shuffle. Definition shared with the scale
+      // audit (sentenceSegments).
+      sentenceSegments(Graft.documents(s, d))
     }),
 
     "txt_fingerprint" -> ((s, d) =>
@@ -1663,6 +1674,64 @@ object PipelineQueries {
         Graft.documents(s, d)
           .select(explode(TextFunctions.tokens(col("text"))).as("tok")),
         col("tok"))))
+
+  // Batch/streaming twin oracles bound ONCE (review r12): each
+  // streaming entry shares its batch SQL by reference, so a formula
+  // tweak can never silently decouple the two certifications.
+  private val mmDecodeJpegSql: String =
+    """SELECT d.doc_id AS asset_id,
+                CAST(0 AS INT) AS comp,
+                CAST(8 * (1 + d.doc_id % 3) AS INT) AS width,
+                CAST(8 * (1 + d.n_chars % 2) AS INT) AS height,
+                CAST(gx.i AS INT) AS block_x,
+                CAST(gy.i AS INT) AS block_y,
+                CAST((d.doc_id * 7 + gx.i * 13 + gy.i * 31) % 256 AS INT) AS px_min,
+                CAST((d.doc_id * 7 + gx.i * 13 + gy.i * 31) % 256 AS INT) AS px_max
+         FROM documents d,
+              UNNEST(generate_series(0, 2)) AS gx(i),
+              UNNEST(generate_series(0, 1)) AS gy(i)
+         WHERE gx.i <= d.doc_id % 3 AND gy.i <= d.n_chars % 2"""
+
+  private val mmDecodePngSql: String =
+    """SELECT d.doc_id AS asset_id,
+                CAST(ch.c AS INT) AS channel,
+                CAST(1 + d.n_chars % 13 AS INT) AS width,
+                CAST(1 + d.doc_id % 11 AS INT) AS height,
+                CAST(SUM((d.doc_id * 7 + gx.x * 3 + gy.y * 5 + ch.c * 11) % 256) AS BIGINT) AS px_sum,
+                CAST(SUM(((d.doc_id * 7 + gx.x * 3 + gy.y * 5 + ch.c * 11) % 256)
+                         * (gx.x + gy.y * (1 + d.n_chars % 13))) AS BIGINT) AS px_wsum,
+                CAST(MIN((d.doc_id * 7 + gx.x * 3 + gy.y * 5 + ch.c * 11) % 256) AS INT) AS px_min,
+                CAST(MAX((d.doc_id * 7 + gx.x * 3 + gy.y * 5 + ch.c * 11) % 256) AS INT) AS px_max
+         FROM documents d,
+              UNNEST(generate_series(0, 2)) AS ch(c),
+              UNNEST(generate_series(0, 12)) AS gx(x),
+              UNNEST(generate_series(0, 10)) AS gy(y)
+         WHERE ch.c < (CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 3 END)
+           AND gx.x < 1 + d.n_chars % 13
+           AND gy.y < 1 + d.doc_id % 11
+         GROUP BY 1, 2, 3, 4"""
+
+  private val mmAudioFftSql: String =
+    """SELECT d.doc_id AS asset_id,
+                CAST(f.i AS INT) AS frame_idx,
+                CAST(64 AS INT) AS frame_len,
+                CAST(1 + (d.doc_id + 3 * f.i) % 31 AS INT) AS dominant_bin,
+                TRUE AS dominant_is_pure
+         FROM documents d,
+              UNNEST(generate_series(0, 3)) AS f(i)
+         WHERE f.i <= d.doc_id % 4"""
+
+  private val mmVideoMjpegSql: String =
+    """SELECT d.doc_id AS asset_id,
+                CAST(f.i AS INT) AS frame_idx,
+                CAST(1 + d.doc_id % 5 AS INT) AS n_frames,
+                CAST(8 AS INT) AS width,
+                CAST(8 AS INT) AS height,
+                CAST((d.doc_id * 7 + f.i * 19) % 256 AS INT) AS px_min,
+                CAST((d.doc_id * 7 + f.i * 19) % 256 AS INT) AS px_max
+         FROM documents d,
+              UNNEST(generate_series(0, 4)) AS f(i)
+         WHERE f.i <= d.doc_id % 5 AND f.i % 2 = 0"""
 
   /** Static oracles plus the freeze-the-model ANN oracles: the latter
     * are registered by the ann_ivf/ann_pq/ann_ivfpq entries at query
@@ -2575,35 +2644,11 @@ object PipelineQueries {
     // Spark side must recover exactly these pixels by Huffman-decoding,
     // dequantizing, and IDCT-ing real JPEG bytes — flat DC-only blocks
     // make the lossy path exact, so min == max == the formula value
-    "mm_decode_jpeg" ->
-      """SELECT d.doc_id AS asset_id,
-                CAST(0 AS INT) AS comp,
-                CAST(8 * (1 + d.doc_id % 3) AS INT) AS width,
-                CAST(8 * (1 + d.n_chars % 2) AS INT) AS height,
-                CAST(gx.i AS INT) AS block_x,
-                CAST(gy.i AS INT) AS block_y,
-                CAST((d.doc_id * 7 + gx.i * 13 + gy.i * 31) % 256 AS INT) AS px_min,
-                CAST((d.doc_id * 7 + gx.i * 13 + gy.i * 31) % 256 AS INT) AS px_max
-         FROM documents d,
-              UNNEST(generate_series(0, 2)) AS gx(i),
-              UNNEST(generate_series(0, 1)) AS gy(i)
-         WHERE gx.i <= d.doc_id % 3 AND gy.i <= d.n_chars % 2""",
+    "mm_decode_jpeg" -> mmDecodeJpegSql,
 
     // the streaming twin shares the batch oracle verbatim (same
     // fixture formulas, same decode pipeline, real engine)
-    "mm_decode_jpeg_streaming" ->
-      """SELECT d.doc_id AS asset_id,
-                CAST(0 AS INT) AS comp,
-                CAST(8 * (1 + d.doc_id % 3) AS INT) AS width,
-                CAST(8 * (1 + d.n_chars % 2) AS INT) AS height,
-                CAST(gx.i AS INT) AS block_x,
-                CAST(gy.i AS INT) AS block_y,
-                CAST((d.doc_id * 7 + gx.i * 13 + gy.i * 31) % 256 AS INT) AS px_min,
-                CAST((d.doc_id * 7 + gx.i * 13 + gy.i * 31) % 256 AS INT) AS px_max
-         FROM documents d,
-              UNNEST(generate_series(0, 2)) AS gx(i),
-              UNNEST(generate_series(0, 1)) AS gy(i)
-         WHERE gx.i <= d.doc_id % 3 AND gy.i <= d.n_chars % 2""",
+    "mm_decode_jpeg_streaming" -> mmDecodeJpegSql,
 
     // the color generator's Y/Cb/Cr formulas pushed through the JFIF
     // matrix with the SAME floor(v + 0.5) rounding and int clamps; the
@@ -2659,33 +2704,13 @@ object PipelineQueries {
          GROUP BY 1, 2, 3, 4""",
 
     // the streaming twin shares the batch oracle verbatim
-    "mm_video_mjpeg_streaming" ->
-      """SELECT d.doc_id AS asset_id,
-                CAST(f.i AS INT) AS frame_idx,
-                CAST(1 + d.doc_id % 5 AS INT) AS n_frames,
-                CAST(8 AS INT) AS width,
-                CAST(8 AS INT) AS height,
-                CAST((d.doc_id * 7 + f.i * 19) % 256 AS INT) AS px_min,
-                CAST((d.doc_id * 7 + f.i * 19) % 256 AS INT) AS px_max
-         FROM documents d,
-              UNNEST(generate_series(0, 4)) AS f(i)
-         WHERE f.i <= d.doc_id % 5 AND f.i % 2 = 0""",
+    "mm_video_mjpeg_streaming" -> mmVideoMjpegSql,
 
     // the MJPEG fixture's per-frame formula replayed over the SAMPLED
     // indices (0, 2, 4): the Spark side must walk the RIFF/AVI tree,
     // keep frame order, and fully JPEG-decode each sampled frame;
     // n_frames pins the avih header field independently of the payload
-    "mm_video_mjpeg" ->
-      """SELECT d.doc_id AS asset_id,
-                CAST(f.i AS INT) AS frame_idx,
-                CAST(1 + d.doc_id % 5 AS INT) AS n_frames,
-                CAST(8 AS INT) AS width,
-                CAST(8 AS INT) AS height,
-                CAST((d.doc_id * 7 + f.i * 19) % 256 AS INT) AS px_min,
-                CAST((d.doc_id * 7 + f.i * 19) % 256 AS INT) AS px_max
-         FROM documents d,
-              UNNEST(generate_series(0, 4)) AS f(i)
-         WHERE f.i <= d.doc_id % 5 AND f.i % 2 = 0""",
+    "mm_video_mjpeg" -> mmVideoMjpegSql,
 
     // the dHash arithmetic replayed per asset — grid sampling via the
     // same integer nearest-neighbor map, gradient compare, 32/32 bit
@@ -2716,71 +2741,21 @@ object PipelineQueries {
     // the tone generator's integer-bin formula replayed per frame: the
     // Spark side must recover k by actually FFT-ing the PCM samples of
     // real WAV bytes — a misframed read or wrong twiddle moves argmax
-    "mm_audio_fft" ->
-      """SELECT d.doc_id AS asset_id,
-                CAST(f.i AS INT) AS frame_idx,
-                CAST(64 AS INT) AS frame_len,
-                CAST(1 + (d.doc_id + 3 * f.i) % 31 AS INT) AS dominant_bin,
-                TRUE AS dominant_is_pure
-         FROM documents d,
-              UNNEST(generate_series(0, 3)) AS f(i)
-         WHERE f.i <= d.doc_id % 4""",
+    "mm_audio_fft" -> mmAudioFftSql,
 
     // the streaming twin shares the batch oracle verbatim
-    "mm_audio_fft_streaming" ->
-      """SELECT d.doc_id AS asset_id,
-                CAST(f.i AS INT) AS frame_idx,
-                CAST(64 AS INT) AS frame_len,
-                CAST(1 + (d.doc_id + 3 * f.i) % 31 AS INT) AS dominant_bin,
-                TRUE AS dominant_is_pure
-         FROM documents d,
-              UNNEST(generate_series(0, 3)) AS f(i)
-         WHERE f.i <= d.doc_id % 4""",
+    "mm_audio_fft_streaming" -> mmAudioFftSql,
 
     // the PNG generator's pixel formulas replayed per channel: the
     // Spark side must recover exactly these pixels by CRC-checking,
     // inflating, and unfiltering real PNG bytes (all five filter tags
     // appear across scanlines); the position-weighted sum px*(x + y*w)
     // pins every pixel to its coordinate, not just the value multiset
-    "mm_decode_png" ->
-      """SELECT d.doc_id AS asset_id,
-                CAST(ch.c AS INT) AS channel,
-                CAST(1 + d.n_chars % 13 AS INT) AS width,
-                CAST(1 + d.doc_id % 11 AS INT) AS height,
-                CAST(SUM((d.doc_id * 7 + gx.x * 3 + gy.y * 5 + ch.c * 11) % 256) AS BIGINT) AS px_sum,
-                CAST(SUM(((d.doc_id * 7 + gx.x * 3 + gy.y * 5 + ch.c * 11) % 256)
-                         * (gx.x + gy.y * (1 + d.n_chars % 13))) AS BIGINT) AS px_wsum,
-                CAST(MIN((d.doc_id * 7 + gx.x * 3 + gy.y * 5 + ch.c * 11) % 256) AS INT) AS px_min,
-                CAST(MAX((d.doc_id * 7 + gx.x * 3 + gy.y * 5 + ch.c * 11) % 256) AS INT) AS px_max
-         FROM documents d,
-              UNNEST(generate_series(0, 2)) AS ch(c),
-              UNNEST(generate_series(0, 12)) AS gx(x),
-              UNNEST(generate_series(0, 10)) AS gy(y)
-         WHERE ch.c < (CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 3 END)
-           AND gx.x < 1 + d.n_chars % 13
-           AND gy.y < 1 + d.doc_id % 11
-         GROUP BY 1, 2, 3, 4""",
+    "mm_decode_png" -> mmDecodePngSql,
 
     // the streaming twin shares the batch oracle verbatim (same fixture
     // formulas, same decode pipeline, real engine)
-    "mm_decode_png_streaming" ->
-      """SELECT d.doc_id AS asset_id,
-                CAST(ch.c AS INT) AS channel,
-                CAST(1 + d.n_chars % 13 AS INT) AS width,
-                CAST(1 + d.doc_id % 11 AS INT) AS height,
-                CAST(SUM((d.doc_id * 7 + gx.x * 3 + gy.y * 5 + ch.c * 11) % 256) AS BIGINT) AS px_sum,
-                CAST(SUM(((d.doc_id * 7 + gx.x * 3 + gy.y * 5 + ch.c * 11) % 256)
-                         * (gx.x + gy.y * (1 + d.n_chars % 13))) AS BIGINT) AS px_wsum,
-                CAST(MIN((d.doc_id * 7 + gx.x * 3 + gy.y * 5 + ch.c * 11) % 256) AS INT) AS px_min,
-                CAST(MAX((d.doc_id * 7 + gx.x * 3 + gy.y * 5 + ch.c * 11) % 256) AS INT) AS px_max
-         FROM documents d,
-              UNNEST(generate_series(0, 2)) AS ch(c),
-              UNNEST(generate_series(0, 12)) AS gx(x),
-              UNNEST(generate_series(0, 10)) AS gy(y)
-         WHERE ch.c < (CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 3 END)
-           AND gx.x < 1 + d.n_chars % 13
-           AND gy.y < 1 + d.doc_id % 11
-         GROUP BY 1, 2, 3, 4""",
+    "mm_decode_png_streaming" -> mmDecodePngSql,
 
     // the 4:2:0 generator's formulas replayed over each component's OWN
     // grid: luma (comp 0) spans a (2*mcusX) x 4 grid, chroma mcusX x 2 —
