@@ -501,6 +501,38 @@ class PlanSpec extends GraftTest {
     assert(!p.contains("Exchange rangepartitioning"), s"no global sort expected:\n$p")
   }
 
+  test("dd_image_phash: ONE parquet scan, ONE exchange — decode runs once") {
+    // the groupBy + self-join form built each join side from its own
+    // scan, running the PNG decode twice; the window form must keep a
+    // single scan feeding a single hash exchange (review r12)
+    val p = plan("dd_image_phash")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected exactly one corpus scan, got $scans:\n${p.take(3000)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected exactly one shuffle, got $exchanges:\n${p.take(3000)}")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      "no join expected in the window form")
+  }
+
+  test("scan-local multimodal decodes carry ZERO exchanges") {
+    // PNG decode, FFT features, video sampling, box resize: per-asset
+    // partition-local work — any Exchange would mean the codec path
+    // stopped riding executor count at 100 TB
+    for (name <- Seq("mm_decode_png", "mm_audio_fft", "mm_video_mjpeg", "mm_resize_box")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name must be shuffle-free:\n${p.take(2000)}")
+      assert("Scan parquet".r.findAllIn(p).size === 1, s"$name: one corpus scan")
+    }
+  }
+
+  test("txt_sentences: shuffle-free explode, text-only scan") {
+    val p = plan("txt_sentences")
+    assert(!p.contains("Exchange"), s"segmentation must be shuffle-free:\n${p.take(2000)}")
+    assert(p.contains("Generate"), "posexplode must stay in the scan partition")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan must prune to (doc_id, text):\n" + p.take(2000))
+  }
+
   private def withConf[A](kv: (String, String))(body: => A): A = {
     val (k, v) = kv
     val old = spark.conf.getOption(k)
