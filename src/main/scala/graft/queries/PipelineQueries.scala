@@ -1450,6 +1450,21 @@ object PipelineQueries {
       imagePhash(Graft.documents(s, d))
     }),
 
+    "dd_image_resolve" -> ((s, d) => {
+      // image dedup RESOLUTION: every asset maps to its cluster's
+      // canonical representative (lowest asset_id sharing the exact
+      // dHash — the deterministic survivor rule the text resolve family
+      // uses), and keep = (asset == canonical). Same single-scan +
+      // single-hash-exchange window shape as dd_image_phash; a 100 TB
+      // dedup pass keeps the keep=true rows and rewrites references
+      // through the (asset -> canonical) map.
+      val h = Multimodal.imageDHash(Multimodal.syntheticPngAssets(Graft.documents(s, d)))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("dhash_hi", "dhash_lo")
+      h.select(col("asset_id"),
+          min(col("asset_id")).over(w).as("canonical_id"))
+        .withColumn("keep", col("asset_id") === col("canonical_id"))
+    }),
+
     "mm_audio_fft" -> ((s, d) => {
       // REAL DSP feature extraction: each doc becomes a mono 16-bit PCM
       // WAV whose 64-sample frames are pure sinusoids at integer bins
@@ -2711,6 +2726,29 @@ object PipelineQueries {
     // keep frame order, and fully JPEG-decode each sampled frame;
     // n_frames pins the avih header field independently of the payload
     "mm_video_mjpeg" -> mmVideoMjpegSql,
+
+    // the dHash replay + per-cluster min — the canonical-survivor rule
+    "dd_image_resolve" ->
+      """WITH g AS (
+           SELECT d.doc_id AS asset_id, gx.x AS x, gy.y AS y,
+                  ((d.doc_id*7 + ((gx.x * (1 + d.n_chars % 13)) // 9) * 3
+                    + ((gy.y * (1 + d.doc_id % 11)) // 8) * 5) % 256) AS v0,
+                  ((d.doc_id*7 + (((gx.x+1) * (1 + d.n_chars % 13)) // 9) * 3
+                    + ((gy.y * (1 + d.doc_id % 11)) // 8) * 5) % 256) AS v1
+           FROM documents d,
+                UNNEST(generate_series(0, 7)) AS gx(x),
+                UNNEST(generate_series(0, 7)) AS gy(y)),
+         h AS (
+           SELECT asset_id,
+                  CAST(SUM(CASE WHEN v1 > v0 AND y*8+x >= 32
+                           THEN (CAST(1 AS BIGINT) << (y*8+x-32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+                  CAST(SUM(CASE WHEN v1 > v0 AND y*8+x < 32
+                           THEN (CAST(1 AS BIGINT) << (y*8+x)) ELSE 0 END) AS BIGINT) AS dhash_lo
+           FROM g GROUP BY 1)
+         SELECT asset_id,
+                MIN(asset_id) OVER (PARTITION BY dhash_hi, dhash_lo) AS canonical_id,
+                asset_id = MIN(asset_id) OVER (PARTITION BY dhash_hi, dhash_lo) AS keep
+         FROM h""",
 
     // the dHash arithmetic replayed per asset — grid sampling via the
     // same integer nearest-neighbor map, gradient compare, 32/32 bit
