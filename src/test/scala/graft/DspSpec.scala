@@ -108,6 +108,20 @@ class DspSpec extends AnyFunSuite {
     assert(!pure, "two equal tones must not flag as pure")
   }
 
+  test("size stress: 4096-point FFT matches the closed-form tone exactly") {
+    val n = 4096
+    val k = 137
+    val re = Array.tabulate(n)(t => math.cos(2.0 * math.Pi * k * t / n))
+    val im = new Array[Double](n)
+    val t0 = System.nanoTime()
+    Dsp.fft(re, im)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(math.abs(re(k) - n / 2.0) < 1e-6 && math.abs(re(n - k) - n / 2.0) < 1e-6)
+    for (j <- 0 until n if j != k && j != n - k)
+      assert(re(j) * re(j) + im(j) * im(j) < 1e-12, s"leakage at $j")
+    assert(ms < 1000, s"4096-point FFT took ${ms}ms")
+  }
+
   test("fft input contract: non-power-of-2 and length mismatch throw") {
     intercept[IllegalArgumentException](Dsp.fft(new Array[Double](6), new Array[Double](6)))
     intercept[IllegalArgumentException](Dsp.fft(new Array[Double](8), new Array[Double](4)))

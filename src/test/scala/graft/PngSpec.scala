@@ -141,6 +141,21 @@ class PngSpec extends AnyFunSuite {
     assert(out(3L).getString(1) === "unknown" && !out(3L).getBoolean(2))
   }
 
+  test("size stress: 512x512 RGB (786 KB raster) round-trips exactly and fast") {
+    val w = 512; val h = 512
+    val rnd = new scala.util.Random(99L)
+    val px = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+    val t0 = System.nanoTime()
+    val bytes = Png.encode(w, h, 3, px, filterFor = y => y % 5, idatSplit = 3)
+    val img = Png.decode(bytes).getOrElse(fail("512x512 decode failed"))
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(java.util.Arrays.equals(img.pixels, px), "pixel mismatch at 512x512")
+    // random pixels are incompressible: the stream must stay ~raster-sized,
+    // proving no quadratic buffer behavior hides at real image sizes
+    assert(ms < 5000, s"512x512 round-trip took ${ms}ms")
+    assert(bytes.length < px.length + px.length / 10 + 4096, "stream blew up")
+  }
+
   test("corruption: CRC flip, truncation, bad signature → None, never throw") {
     val px = raster(8, 8, 1)((x, y, _) => x ^ y)
     val good = Png.encode(8, 8, 1, px, filterFor = y => y % 5)
