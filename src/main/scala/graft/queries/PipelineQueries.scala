@@ -49,6 +49,17 @@ object PipelineQueries {
         .partitionBy("dhash_hi", "dhash_lo")).as("n_dup"))
   }
 
+  /** The dd_image_resolve composition, shared with the scale audit:
+    * decode + dHash once, per-cluster canonical (min asset_id) via the
+    * same single-exchange window shape as [[imagePhash]].
+    */
+  def imageResolve(docs: DataFrame): DataFrame = {
+    val h = Multimodal.imageDHash(Multimodal.syntheticPngAssets(docs))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("dhash_hi", "dhash_lo")
+    h.select(col("asset_id"), min(col("asset_id")).over(w).as("canonical_id"))
+      .withColumn("keep", col("asset_id") === col("canonical_id"))
+  }
+
   /** The txt_sentences composition, shared with the scale audit (the
     * imagePhash precedent): deterministic boundary plant (every 5th
     * word gains a terminal '.') over the punctuation-free corpus, then
@@ -1457,12 +1468,9 @@ object PipelineQueries {
       // uses), and keep = (asset == canonical). Same single-scan +
       // single-hash-exchange window shape as dd_image_phash; a 100 TB
       // dedup pass keeps the keep=true rows and rewrites references
-      // through the (asset -> canonical) map.
-      val h = Multimodal.imageDHash(Multimodal.syntheticPngAssets(Graft.documents(s, d)))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("dhash_hi", "dhash_lo")
-      h.select(col("asset_id"),
-          min(col("asset_id")).over(w).as("canonical_id"))
-        .withColumn("keep", col("asset_id") === col("canonical_id"))
+      // through the (asset -> canonical) map. Definition shared with
+      // the scale audit (imageResolve).
+      imageResolve(Graft.documents(s, d))
     }),
 
     "mm_audio_fft" -> ((s, d) => {
