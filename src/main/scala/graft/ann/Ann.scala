@@ -412,6 +412,46 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Contrastive training-pair mining — the embedding-model data op:
+    * for every query vector emit ONE positive (its best in-cluster
+    * neighbor: role 'pos', the highest-cosine vector from the query's
+    * OWN frozen IVF list) and `kNeg` HARD negatives (role 'neg': the
+    * highest-cosine vectors from the query's next `nProbe - 1` nearest
+    * FOREIGN lists — semantically close but cluster-distinct, the
+    * close-but-not-duplicate recipe hard-negative mining wants; random
+    * negatives would be trivially easy). Exclusion is structural: a
+    * candidate's home list is the join key, so "not the query's
+    * cluster" is just "probe ranks 2..nProbe" — no post-filter
+    * re-ranking subtleties. Same scale shape as [[ivfTopK]]: one
+    * broadcast of the frozen centroids, assignment scans, shuffle on
+    * list id only, per-query window top-k.
+    */
+  def contrastivePairs(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+                       kNeg: Int, nProbe: Int, model: IvfModel): DataFrame = {
+    require(kNeg > 0 && nProbe >= 2, s"need kNeg > 0 and nProbe >= 2: $kNeg, $nProbe")
+    val bcCent = corpus.sparkSession.sparkContext.broadcast(
+      model.centroids.map(c => (c, math.sqrt(c.map(x => x * x).sum))))
+    val assigned = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"))
+      .withColumn("list",
+        kernelCol(IvfNearestLists(_, bcCent, 1), col("cv")).getItem(0))
+    val probedBase = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+      .withColumn("lists", kernelCol(IvfNearestLists(_, bcCent, nProbe), col("qv")))
+    def branch(listsSlice: Column, role: String, topK: Int): DataFrame = {
+      val scored = probedBase.select(col("query_id"), col("qv"),
+          explode(listsSlice).as("list"))
+        .join(assigned, Seq("list"))
+        .where(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", cosineNative(corpus.sparkSession, "qv", "cv"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= topK)
+        .select(col("query_id"), lit(role).as("role"), col("neighbor_id"),
+          col("rank"), round(col("cos"), 6).as("cos"))
+    }
+    branch(slice(col("lists"), 1, 1), "pos", 1)
+      .unionByName(branch(slice(col("lists"), 2, nProbe - 1), "neg", kNeg))
+  }
+
   /** Cluster-balanced deterministic sample: assign every corpus vector
     * to its nearest frozen k-means list ([[trainIvf]]) and keep exactly
     * `nPer` vectors per list, ranked by the engine-portable md5 60-bit

@@ -144,6 +144,34 @@ object AnnOracleSql {
     * hash-proven), so the float comparisons in the dominance rule can
     * never diverge.
     */
+  /** Oracle for `ann_contrastive`: the ivfTopK replay split by probe
+    * rank — rank-1 probe (the query's own cluster) scores the 'pos'
+    * branch (top-1), ranks 2..nProbe score the 'neg' branch (top-kNeg
+    * hard negatives from cluster-foreign lists).
+    */
+  def contrastivePairs(model: IvfModel, kNeg: Int, nProbe: Int): String = {
+    val dim = model.centroids(0).length
+    s"""WITH ${embCte(dim)},
+          ${assignmentCtes(model, nullGuard = false)},
+          asg AS (SELECT vec_id AS neighbor_id, v AS cv, list FROM
+                    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS r FROM sc)
+                  WHERE r = 1),
+          prb AS (SELECT vec_id AS query_id, v AS qv, list, r FROM
+                    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list ASC) AS r
+                     FROM sc WHERE vec_id < 10)
+                  WHERE r <= $nProbe),
+          scored AS (SELECT query_id, CASE WHEN r = 1 THEN 'pos' ELSE 'neg' END AS role,
+                            neighbor_id, list_cosine_similarity(qv, cv) AS cosr
+                     FROM prb JOIN asg USING (list)
+                     WHERE neighbor_id <> query_id)
+       SELECT query_id, role, neighbor_id, rank, cos FROM (
+         SELECT query_id, role, neighbor_id,
+                row_number() OVER (PARTITION BY query_id, role ORDER BY cosr DESC, neighbor_id ASC) AS rank,
+                round(cosr, 6) AS cos
+         FROM scored)
+       WHERE (role = 'pos' AND rank <= 1) OR (role = 'neg' AND rank <= $kNeg)"""
+  }
+
   /** Oracle for the bare cluster-assignment op (`ann_assign_streaming`):
     * frozen-centroid cosine argmax per vector, ties to the lowest list —
     * exactly the IvfAssign kernel's fold order the other replays share.

@@ -1026,6 +1026,22 @@ object PipelineQueries {
         k = 10, nProbe = 6, refineK = 50, model)
     }),
 
+    "ann_contrastive" -> ((s, d) => {
+      // contrastive training-pair mining for embedding models: per
+      // query, ONE positive (best in-cluster neighbor) + 10 HARD
+      // negatives (highest-cosine vectors from the next 5 nearest
+      // FOREIGN lists — close but cluster-distinct; random negatives
+      // would be trivially easy). Exclusion is structural (probe ranks
+      // 2..nProbe), so no post-filter re-ranking subtleties. Frozen
+      // model → full oracle replaying both branches.
+      val emb = Graft.embeddings(s, d)
+      val model = Ann.trainIvf(emb, "vec_id", "embedding", nLists = 16)
+      AnnOracleSql.register("ann_contrastive",
+        AnnOracleSql.contrastivePairs(model, kNeg = 10, nProbe = 6))
+      Ann.contrastivePairs(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+        kNeg = 10, nProbe = 6, model)
+    }),
+
     "ann_assign_streaming" -> ((s, d) => {
       // index-at-ingest: assign every arriving embedding to its frozen
       // IVF list THROUGH THE REAL STREAMING ENGINE (stateless map with
