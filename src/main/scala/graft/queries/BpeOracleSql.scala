@@ -61,6 +61,24 @@ object BpeOracleSql {
        SELECT doc_id, n_tok, CAST((cum - n_tok) // $budget AS BIGINT) AS bin FROM c"""
   }
 
+  /** Oracle for `pp_pack_mm`: [[packBins]] with a per-doc EXTRA token
+    * term joined back from the documents table (`extraSql` may
+    * reference `dd.*`) — the multimodal budget where image patch
+    * tokens share the context window with text tokens.
+    */
+  def packBinsMm(model: BpeModel, budget: Int, extraSql: String): String = {
+    val (ctes, last) = chainCtes(model, "text")
+    s"""WITH $ctes,
+            t AS (SELECT x.doc_id,
+                         CAST(length(x.m) - length(replace(x.m, '<', '')) AS BIGINT)
+                         + CAST(($extraSql) AS BIGINT) AS n_tok
+                  FROM $last x JOIN documents dd ON dd.doc_id = x.doc_id),
+            c AS (SELECT doc_id, n_tok,
+                         sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM t)
+       SELECT doc_id, n_tok, CAST((cum - n_tok) // $budget AS BIGINT) AS bin FROM c"""
+  }
+
   /** Oracle for `txt_bpe_encode`: the chain replay's merged working
     * form → extract the `<sym>` groups in order → map each symbol
     * through the frozen vocabulary ([[graft.functions.Bpe.vocabIds]],

@@ -735,6 +735,24 @@ object PipelineQueries {
         Some(graft.functions.Bpe.subwordCountBpe(col("text"), model)))
     }),
 
+    "pp_pack_mm" -> ((s, d) => {
+      // MULTIMODAL sequence packing: each doc's budget is its true BPE
+      // subword count PLUS its image's patch-token count — vision
+      // tokens share the context window with text tokens (the
+      // vision-LM training-batch arithmetic). The patch count is
+      // ceil(w·h / 4) over the SAME image dims the PNG fixture
+      // certifies (w = 1 + n_chars % 13, h = 1 + doc_id % 11, 2×2
+      // patches), so the oracle replays both terms exactly. Same
+      // two-phase parallel prefix sum as pp_pack.
+      val docs = Graft.documents(s, d)
+      val model = graft.functions.Bpe.train(docs, "text", nMerges = 64)
+      AnnOracleSql.register("pp_pack_mm", BpeOracleSql.packBinsMm(model, budget = 512,
+        "((1 + dd.n_chars % 13) * (1 + dd.doc_id % 11) + 3) // 4"))
+      val patches = expr("((1 + n_chars % 13) * (1 + doc_id % 11) + 3) div 4")
+      TextFunctions.packBins(docs, "doc_id", "text", tokenBudget = 512,
+        Some(graft.functions.Bpe.subwordCountBpe(col("text"), model) + patches))
+    }),
+
     "pp_mix" -> ((s, d) =>
       // balanced mixture: every language downsampled to the smallest
       // language's size, rates derived from per-stratum counts (broadcast
