@@ -753,6 +753,29 @@ object PipelineQueries {
         Some(graft.functions.Bpe.subwordCountBpe(col("text"), model) + patches))
     }),
 
+    "pp_ingest_media" -> ((s, d) => {
+      // MEDIA ingest with image dedup at the gate, through the REAL
+      // streaming engine: per micro-batch, generate the slice's PNGs,
+      // run the full decode + dHash, drop hashes already in the
+      // persisted corpus store or earlier batches, keep lowest
+      // asset_id per hash (see StreamingQueries.runMediaIngestStream).
+      // Ascending-id micro-batches make first-accepted == keep-min, so
+      // the converged output equals the batch dedup the oracle states.
+      val docs = Graft.documents(s, d)
+      val batch = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      val maxRow = batch.agg(max("doc_id")).head()
+      if (maxRow.isNullAt(0)) {
+        batch.select(col("doc_id").as("asset_id"),
+          lit(0L).as("dhash_hi"), lit(0L).as("dhash_lo")).limit(0)
+      } else {
+        val maxId = maxRow.getLong(0)
+        val batchOf = least(floor(col("doc_id") * 3 / (maxId + 1)), lit(2)).cast("int")
+        graft.streaming.StreamingQueries.runMediaIngestStream(
+          s, batch, corpus, batchOf, tag = "ppmedia")
+      }
+    }),
+
     "pp_mix" -> ((s, d) =>
       // balanced mixture: every language downsampled to the smallest
       // language's size, rates derived from per-stratum counts (broadcast
@@ -2768,6 +2791,40 @@ object PipelineQueries {
     // keep frame order, and fully JPEG-decode each sampled frame;
     // n_frames pins the avih header field independently of the payload
     "mm_video_mjpeg" -> mmVideoMjpegSql,
+
+    // the converged media-ingest result: new assets (id % 10 = 0) kept
+    // iff their dHash is absent from the standing corpus (id % 10 <> 0)
+    // AND they are the lowest-id new asset with that hash — ascending
+    // micro-batches make first-accepted == keep-min, so the streaming
+    // chain's output equals this batch statement
+    "pp_ingest_media" ->
+      """WITH g AS (
+           SELECT d.doc_id AS asset_id, gx.x AS x, gy.y AS y,
+                  ((d.doc_id*7 + ((gx.x * (1 + d.n_chars % 13)) // 9) * 3
+                    + ((gy.y * (1 + d.doc_id % 11)) // 8) * 5) % 256) AS v0,
+                  ((d.doc_id*7 + (((gx.x+1) * (1 + d.n_chars % 13)) // 9) * 3
+                    + ((gy.y * (1 + d.doc_id % 11)) // 8) * 5) % 256) AS v1
+           FROM documents d,
+                UNNEST(generate_series(0, 7)) AS gx(x),
+                UNNEST(generate_series(0, 7)) AS gy(y)),
+         h AS (
+           SELECT asset_id,
+                  CAST(SUM(CASE WHEN v1 > v0 AND y*8+x >= 32
+                           THEN (CAST(1 AS BIGINT) << (y*8+x-32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+                  CAST(SUM(CASE WHEN v1 > v0 AND y*8+x < 32
+                           THEN (CAST(1 AS BIGINT) << (y*8+x)) ELSE 0 END) AS BIGINT) AS dhash_lo
+           FROM g GROUP BY 1),
+         corp AS (SELECT DISTINCT dhash_hi, dhash_lo FROM h WHERE asset_id % 10 <> 0),
+         newa AS (SELECT * FROM h WHERE asset_id % 10 = 0),
+         kept AS (SELECT asset_id, dhash_hi, dhash_lo,
+                         row_number() OVER (PARTITION BY dhash_hi, dhash_lo
+                                            ORDER BY asset_id) AS r
+                  FROM newa)
+         SELECT k.asset_id, k.dhash_hi, k.dhash_lo
+         FROM kept k
+         WHERE k.r = 1 AND NOT EXISTS (
+           SELECT 1 FROM corp c
+           WHERE c.dhash_hi = k.dhash_hi AND c.dhash_lo = k.dhash_lo)""",
 
     // the dHash replay + per-cluster min — the canonical-survivor rule
     "dd_image_resolve" ->

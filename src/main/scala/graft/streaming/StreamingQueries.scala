@@ -319,6 +319,74 @@ object StreamingQueries {
     spark.read.option("recursiveFileLookup", "true").parquet(outRoot)
   }
 
+  /** MEDIA ingest with image dedup at the gate, through the real
+    * streaming engine: each micro-batch generates its slice's PNG
+    * assets, decodes + dHashes them (the full codec path), drops any
+    * hash already present in the PERSISTED corpus hash store or in an
+    * EARLIER batch's store, and keeps the lowest asset_id per hash
+    * within the batch. Cross-batch state is the same
+    * at-least-once-idempotent per-batch parquet stores
+    * [[runIngestStream]] uses (a retried batch never sees its own
+    * overwritten store). With ascending-id micro-batches, first-accepted
+    * == keep-min-id globally, so the converged output equals the batch
+    * dedup and shares its oracle. At 100 TB: the corpus hash store is
+    * 16 bytes/asset and the per-batch joins are hash-equi — decode cost
+    * stays inside each batch's scan.
+    */
+  def runMediaIngestStream(spark: SparkSession, batchDocs: DataFrame,
+                           corpusDocs: DataFrame,
+                           batchOf: org.apache.spark.sql.Column,
+                           tag: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val stream = stageStreamBatched(spark, batchDocs, batchOf, tag)
+    val seenRoot = tmpDir(s"mingest-seen-$tag")
+    val outRoot = tmpDir(s"mingest-out-$tag")
+    val corpusHashDir = tmpDir(s"mingest-corpus-$tag")
+    Multimodal.imageDHash(Multimodal.syntheticPngAssets(corpusDocs))
+      .select("dhash_hi", "dhash_lo").distinct()
+      .write.mode("overwrite").parquet(corpusHashDir)
+    def seenBefore(id: Long): Seq[String] = {
+      val root = Paths.get(seenRoot)
+      if (!Files.exists(root)) Seq.empty
+      else {
+        val l = Files.list(root)
+        try {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          l.forEach { p =>
+            val n = p.getFileName.toString
+            if (n.startsWith("seen-") && n.stripPrefix("seen-").toLong < id)
+              out += p.toString
+          }
+          out.toSeq
+        } finally l.close()
+      }
+    }
+    val q = stream.writeStream
+      .option("checkpointLocation", tmpDir(s"ckpt-mingest-$tag"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val corpusHashes = spark.read.parquet(corpusHashDir)
+        val priorDirs = seenBefore(id)
+        val seen =
+          if (priorDirs.isEmpty) corpusHashes.limit(0)
+          else spark.read.parquet(priorDirs: _*)
+        val hashed = Multimodal.imageDHash(Multimodal.syntheticPngAssets(b))
+        hashed
+          .join(corpusHashes, Seq("dhash_hi", "dhash_lo"), "left_anti")
+          .join(seen, Seq("dhash_hi", "dhash_lo"), "left_anti")
+          .groupBy("dhash_hi", "dhash_lo").agg(min(col("asset_id")).as("asset_id"))
+          .select("asset_id", "dhash_hi", "dhash_lo")
+          .write.mode("overwrite").parquet(s"$outRoot/batch-$id")
+        hashed.select("dhash_hi", "dhash_lo").distinct()
+          .write.mode("overwrite").parquet(s"$seenRoot/seen-$id")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.read.option("recursiveFileLookup", "true").parquet(outRoot)
+  }
+
   /** Run `transform` over a streaming read of `table`, aggregate to a
     * named in-memory sink in complete mode, checkpointed (X4), and return
     * the final result table. `confs` lets callers pick the state-store
