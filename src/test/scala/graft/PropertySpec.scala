@@ -339,6 +339,34 @@ class PropertySpec extends AnyFunSuite {
     }, tests = 300)
   }
 
+  // ---- AVI container round-trips arbitrary frame payloads ----------------
+
+  test("property: MJPEG-AVI round-trips arbitrary frame payloads and geometry") {
+    // the container is payload-agnostic BY CONTRACT: any byte sequence
+    // (odd/even lengths — both word-alignment paths), any frame count,
+    // any declared geometry must survive encode -> decode byte-exactly
+    import graft.multimodal.Avi
+    val genCase = for {
+      w <- Gen.chooseNum(1, 4096)
+      h <- Gen.chooseNum(1, 4096)
+      fps <- Gen.chooseNum(1, 120)
+      nFrames <- Gen.chooseNum(1, 12)
+      seed <- Gen.chooseNum(0L, Long.MaxValue)
+    } yield (w, h, fps, nFrames, seed)
+    checkProp(Prop.forAll(genCase) { case (w, h, fps, nFrames, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val frames = Seq.fill(nFrames)(Array.fill(rnd.nextInt(600) + 1)(rnd.nextInt(256).toByte))
+      Avi.decode(Avi.encode(w, h, fps, frames)) match {
+        case Some((info, got)) =>
+          info.width == w && info.height == h && info.nFrames == nFrames &&
+            info.microSecPerFrame == 1000000 / fps &&
+            got.length == nFrames &&
+            got.zip(frames).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+        case None => false
+      }
+    }, tests = 300)
+  }
+
   // ---- FFT kernel == naive DFT on arbitrary signals ----------------------
 
   test("property: FFT matches the naive DFT and satisfies Parseval on random signals") {
