@@ -199,6 +199,20 @@ object CoreQueries {
         .select(docs.columns.map(col): _*)
     }),
 
+    "s_jsonl_bz2" -> ((s, d) => {
+      // BZIP2-compressed JSONL roundtrip — the one SPLITTABLE text
+      // codec in vanilla Hadoop (pure-Java BZip2Codec): unlike gzip
+      // (one shard = one task, writer-controlled parallelism), a bzip2
+      // text shard splits at block boundaries, so read parallelism is
+      // independent of how the corpus was sharded — the safer default
+      // for text corpora whose shard sizing the reader doesn't control.
+      val out = tmp("jsonlbz2")
+      val docs = Graft.documents(s, d)
+      docs.repartition(2).write.mode("overwrite")
+        .option("compression", "bzip2").json(out)
+      s.read.schema(docs.schema).json(out)
+    }),
+
     "s_parquet_zstd" -> ((s, d) => {
       // ZSTD-compressed parquet roundtrip — the modern default storage
       // codec for analytics corpora (splittable at the row-group level,
@@ -276,6 +290,7 @@ object CoreQueries {
     "s_orc" -> "SELECT * FROM documents",
     "s_jsonl" -> "SELECT * FROM documents",
     "s_jsonl_gz" -> "SELECT * FROM documents",
+    "s_jsonl_bz2" -> "SELECT * FROM documents",
     "s_parquet_zstd" -> "SELECT * FROM documents",
     "s_parquet_bloom" -> "SELECT * FROM documents WHERE doc_id IN (5, 105, 205, 306)")
 
