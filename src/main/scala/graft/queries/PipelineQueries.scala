@@ -60,6 +60,42 @@ object PipelineQueries {
       .withColumn("keep", col("asset_id") === col("canonical_id"))
   }
 
+  /** The dd_image_neardup composition, shared with the scale audit:
+    * NEAR-duplicate image pairs in Hamming space without a quadratic
+    * scan — exact-dedup to canonical hashes first, then split each
+    * 64-bit dHash into 8 bands of 8 bits and equi-join on (band index,
+    * band value): the pigeonhole principle guarantees any pair at
+    * Hamming distance ≤ 7 agrees on at least one whole band, so the
+    * banded candidate set provably CONTAINS every true pair at the
+    * ≤ 3 threshold — the same blocking-guarantee structure as the
+    * MinHash-LSH text path, in bit space. Exact `bit_count(xor)`
+    * re-verifies candidates; pairs dedup on (a, b) since two hashes
+    * can share several bands. At 100 TB: canonical hashes are 16
+    * bytes/cluster, the join key is 1 byte of band value — no raw
+    * image ever reaches the pair join.
+    */
+  def imageNearDup(docs: DataFrame, maxHam: Int = 3): DataFrame = {
+    require(maxHam <= 7, s"8 bands of 8 bits only guarantee recall through Hamming 7: $maxHam")
+    val h = Multimodal.imageDHash(Multimodal.syntheticPngAssets(docs))
+    val canon = h.groupBy("dhash_hi", "dhash_lo").agg(min(col("asset_id")).as("asset_id"))
+    val bandVals = array(
+      (0 until 4).map(k => shiftright(col("dhash_hi"), 8 * k).bitwiseAND(lit(255L))) ++
+      (0 until 4).map(k => shiftright(col("dhash_lo"), 8 * k).bitwiseAND(lit(255L))): _*)
+    val bands = canon.select(col("asset_id"), col("dhash_hi"), col("dhash_lo"),
+      posexplode(bandVals).as(Seq("band_idx", "band_val")))
+    val a = bands.select(col("band_idx"), col("band_val"), col("asset_id").as("asset_a"),
+      col("dhash_hi").as("a_hi"), col("dhash_lo").as("a_lo"))
+    val b = bands.select(col("band_idx"), col("band_val"), col("asset_id").as("asset_b"),
+      col("dhash_hi").as("b_hi"), col("dhash_lo").as("b_lo"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .where(col("asset_a") < col("asset_b"))
+      .select("asset_a", "asset_b", "a_hi", "a_lo", "b_hi", "b_lo").distinct()
+      .withColumn("hamming",
+        expr("bit_count(a_hi ^ b_hi) + bit_count(a_lo ^ b_lo)").cast("int"))
+      .where(col("hamming") <= maxHam)
+      .select("asset_a", "asset_b", "hamming")
+  }
+
   /** The txt_sentences composition, shared with the scale audit (the
     * imagePhash precedent): deterministic boundary plant (every 5th
     * word gains a terminal '.') over the punctuation-free corpus, then
@@ -1530,6 +1566,15 @@ object PipelineQueries {
       imageResolve(Graft.documents(s, d))
     }),
 
+    "dd_image_neardup" -> ((s, d) => {
+      // NEAR-dup image pairs in Hamming space: canonical dHashes → 8×8-bit
+      // band blocking (pigeonhole-complete through distance 7) → exact
+      // popcount verify at <= 3 (see imageNearDup — the MinHash-LSH
+      // structure in bit space; the oracle is the full O(n²) pair scan
+      // over canonical hashes, equal by the banding guarantee).
+      imageNearDup(Graft.documents(s, d))
+    }),
+
     "mm_audio_fft" -> ((s, d) => {
       // REAL DSP feature extraction: each doc becomes a mono 16-bit PCM
       // WAV whose 64-sample frames are pure sinusoids at integer bins
@@ -2825,6 +2870,35 @@ object PipelineQueries {
          WHERE k.r = 1 AND NOT EXISTS (
            SELECT 1 FROM corp c
            WHERE c.dhash_hi = k.dhash_hi AND c.dhash_lo = k.dhash_lo)""",
+
+    // the full O(n^2) pair scan over canonical hashes — the banded
+    // Spark plan must produce EXACTLY this set (pigeonhole guarantee)
+    "dd_image_neardup" ->
+      """WITH g AS (
+           SELECT d.doc_id AS asset_id, gx.x AS x, gy.y AS y,
+                  ((d.doc_id*7 + ((gx.x * (1 + d.n_chars % 13)) // 9) * 3
+                    + ((gy.y * (1 + d.doc_id % 11)) // 8) * 5) % 256) AS v0,
+                  ((d.doc_id*7 + (((gx.x+1) * (1 + d.n_chars % 13)) // 9) * 3
+                    + ((gy.y * (1 + d.doc_id % 11)) // 8) * 5) % 256) AS v1
+           FROM documents d,
+                UNNEST(generate_series(0, 7)) AS gx(x),
+                UNNEST(generate_series(0, 7)) AS gy(y)),
+         h AS (
+           SELECT asset_id,
+                  CAST(SUM(CASE WHEN v1 > v0 AND y*8+x >= 32
+                           THEN (CAST(1 AS BIGINT) << (y*8+x-32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+                  CAST(SUM(CASE WHEN v1 > v0 AND y*8+x < 32
+                           THEN (CAST(1 AS BIGINT) << (y*8+x)) ELSE 0 END) AS BIGINT) AS dhash_lo
+           FROM g GROUP BY 1),
+         c AS (SELECT MIN(asset_id) AS asset_id, dhash_hi, dhash_lo
+               FROM h GROUP BY dhash_hi, dhash_lo)
+         SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+                CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+                     + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS INT) AS hamming
+         FROM c a, c b
+         WHERE a.asset_id < b.asset_id
+           AND bit_count(xor(a.dhash_hi, b.dhash_hi))
+               + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 3""",
 
     // the dHash replay + per-cluster min — the canonical-survivor rule
     "dd_image_resolve" ->
