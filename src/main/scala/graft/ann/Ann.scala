@@ -434,22 +434,26 @@ object Ann {
     val assigned = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"))
       .withColumn("list",
         kernelCol(IvfNearestLists(_, bcCent, 1), col("cv")).getItem(0))
-    val probedBase = queries.select(col(id).as("query_id"), col(vec).as("qv"))
-      .withColumn("lists", kernelCol(IvfNearestLists(_, bcCent, nProbe), col("qv")))
-    def branch(listsSlice: Column, role: String, topK: Int): DataFrame = {
-      val scored = probedBase.select(col("query_id"), col("qv"),
-          explode(listsSlice).as("list"))
-        .join(assigned, Seq("list"))
-        .where(col("neighbor_id") =!= col("query_id"))
-        .withColumn("cos", cosineNative(corpus.sparkSession, "qv", "cv"))
-      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .where(col("rank") <= topK)
-        .select(col("query_id"), lit(role).as("role"), col("neighbor_id"),
-          col("rank"), round(col("cos"), 6).as("cos"))
-    }
-    branch(slice(col("lists"), 1, 1), "pos", 1)
-      .unionByName(branch(slice(col("lists"), 2, nProbe - 1), "neg", kNeg))
+    // SINGLE-PASS over both roles (review r12): a per-role union built
+    // two join subtrees, each streaming the full-corpus assignment scan
+    // — the dominant cost — twice per execution. Exploding the probe
+    // list WITH its rank lets one join carry both branches; the window
+    // partitions by (query, role) so each role ranks independently.
+    val probed = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+      .select(col("query_id"), col("qv"),
+        posexplode(kernelCol(IvfNearestLists(_, bcCent, nProbe), col("qv")))
+          .as(Seq("probe_rank", "list")))
+    val scored = probed.join(assigned, Seq("list"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("role", when(col("probe_rank") === 0, "pos").otherwise("neg"))
+      .withColumn("cos", cosineNative(corpus.sparkSession, "qv", "cv"))
+    val w = Window.partitionBy("query_id", "role")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where((col("role") === "pos" && col("rank") <= 1) ||
+             (col("role") === "neg" && col("rank") <= kNeg))
+      .select(col("query_id"), col("role"), col("neighbor_id"),
+        col("rank"), round(col("cos"), 6).as("cos"))
   }
 
   /** Cluster-balanced deterministic sample: assign every corpus vector

@@ -60,6 +60,30 @@ object PipelineQueries {
       .withColumn("keep", col("asset_id") === col("canonical_id"))
   }
 
+  /** The dHash-replay CTE prefix (g -> h) shared by every image-dedup
+    * oracle (dd_image_phash / dd_image_resolve / dd_image_neardup /
+    * pp_ingest_media) — ONE definition so the four certifications can
+    * never silently drift apart (the AnnOracleSql.assignmentCtes
+    * convention; review r12: was four hand-maintained copies).
+    */
+  private val dhashCtes: String =
+    """g AS (
+           SELECT d.doc_id AS asset_id, gx.x AS x, gy.y AS y,
+                  ((d.doc_id*7 + ((gx.x * (1 + d.n_chars % 13)) // 9) * 3
+                    + ((gy.y * (1 + d.doc_id % 11)) // 8) * 5) % 256) AS v0,
+                  ((d.doc_id*7 + (((gx.x+1) * (1 + d.n_chars % 13)) // 9) * 3
+                    + ((gy.y * (1 + d.doc_id % 11)) // 8) * 5) % 256) AS v1
+           FROM documents d,
+                UNNEST(generate_series(0, 7)) AS gx(x),
+                UNNEST(generate_series(0, 7)) AS gy(y)),
+         h AS (
+           SELECT asset_id,
+                  CAST(SUM(CASE WHEN v1 > v0 AND y*8+x >= 32
+                           THEN (CAST(1 AS BIGINT) << (y*8+x-32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+                  CAST(SUM(CASE WHEN v1 > v0 AND y*8+x < 32
+                           THEN (CAST(1 AS BIGINT) << (y*8+x)) ELSE 0 END) AS BIGINT) AS dhash_lo
+           FROM g GROUP BY 1)"""
+
   /** The dd_image_neardup composition, shared with the scale audit:
     * NEAR-duplicate image pairs in Hamming space without a quadratic
     * scan — exact-dedup to canonical hashes first, then split each
@@ -2843,22 +2867,7 @@ object PipelineQueries {
     // micro-batches make first-accepted == keep-min, so the streaming
     // chain's output equals this batch statement
     "pp_ingest_media" ->
-      """WITH g AS (
-           SELECT d.doc_id AS asset_id, gx.x AS x, gy.y AS y,
-                  ((d.doc_id*7 + ((gx.x * (1 + d.n_chars % 13)) // 9) * 3
-                    + ((gy.y * (1 + d.doc_id % 11)) // 8) * 5) % 256) AS v0,
-                  ((d.doc_id*7 + (((gx.x+1) * (1 + d.n_chars % 13)) // 9) * 3
-                    + ((gy.y * (1 + d.doc_id % 11)) // 8) * 5) % 256) AS v1
-           FROM documents d,
-                UNNEST(generate_series(0, 7)) AS gx(x),
-                UNNEST(generate_series(0, 7)) AS gy(y)),
-         h AS (
-           SELECT asset_id,
-                  CAST(SUM(CASE WHEN v1 > v0 AND y*8+x >= 32
-                           THEN (CAST(1 AS BIGINT) << (y*8+x-32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
-                  CAST(SUM(CASE WHEN v1 > v0 AND y*8+x < 32
-                           THEN (CAST(1 AS BIGINT) << (y*8+x)) ELSE 0 END) AS BIGINT) AS dhash_lo
-           FROM g GROUP BY 1),
+      s"""WITH $dhashCtes,
          corp AS (SELECT DISTINCT dhash_hi, dhash_lo FROM h WHERE asset_id % 10 <> 0),
          newa AS (SELECT * FROM h WHERE asset_id % 10 = 0),
          kept AS (SELECT asset_id, dhash_hi, dhash_lo,
@@ -2874,22 +2883,7 @@ object PipelineQueries {
     // the full O(n^2) pair scan over canonical hashes — the banded
     // Spark plan must produce EXACTLY this set (pigeonhole guarantee)
     "dd_image_neardup" ->
-      """WITH g AS (
-           SELECT d.doc_id AS asset_id, gx.x AS x, gy.y AS y,
-                  ((d.doc_id*7 + ((gx.x * (1 + d.n_chars % 13)) // 9) * 3
-                    + ((gy.y * (1 + d.doc_id % 11)) // 8) * 5) % 256) AS v0,
-                  ((d.doc_id*7 + (((gx.x+1) * (1 + d.n_chars % 13)) // 9) * 3
-                    + ((gy.y * (1 + d.doc_id % 11)) // 8) * 5) % 256) AS v1
-           FROM documents d,
-                UNNEST(generate_series(0, 7)) AS gx(x),
-                UNNEST(generate_series(0, 7)) AS gy(y)),
-         h AS (
-           SELECT asset_id,
-                  CAST(SUM(CASE WHEN v1 > v0 AND y*8+x >= 32
-                           THEN (CAST(1 AS BIGINT) << (y*8+x-32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
-                  CAST(SUM(CASE WHEN v1 > v0 AND y*8+x < 32
-                           THEN (CAST(1 AS BIGINT) << (y*8+x)) ELSE 0 END) AS BIGINT) AS dhash_lo
-           FROM g GROUP BY 1),
+      s"""WITH $dhashCtes,
          c AS (SELECT MIN(asset_id) AS asset_id, dhash_hi, dhash_lo
                FROM h GROUP BY dhash_hi, dhash_lo)
          SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
@@ -2902,22 +2896,7 @@ object PipelineQueries {
 
     // the dHash replay + per-cluster min — the canonical-survivor rule
     "dd_image_resolve" ->
-      """WITH g AS (
-           SELECT d.doc_id AS asset_id, gx.x AS x, gy.y AS y,
-                  ((d.doc_id*7 + ((gx.x * (1 + d.n_chars % 13)) // 9) * 3
-                    + ((gy.y * (1 + d.doc_id % 11)) // 8) * 5) % 256) AS v0,
-                  ((d.doc_id*7 + (((gx.x+1) * (1 + d.n_chars % 13)) // 9) * 3
-                    + ((gy.y * (1 + d.doc_id % 11)) // 8) * 5) % 256) AS v1
-           FROM documents d,
-                UNNEST(generate_series(0, 7)) AS gx(x),
-                UNNEST(generate_series(0, 7)) AS gy(y)),
-         h AS (
-           SELECT asset_id,
-                  CAST(SUM(CASE WHEN v1 > v0 AND y*8+x >= 32
-                           THEN (CAST(1 AS BIGINT) << (y*8+x-32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
-                  CAST(SUM(CASE WHEN v1 > v0 AND y*8+x < 32
-                           THEN (CAST(1 AS BIGINT) << (y*8+x)) ELSE 0 END) AS BIGINT) AS dhash_lo
-           FROM g GROUP BY 1)
+      s"""WITH $dhashCtes
          SELECT asset_id,
                 MIN(asset_id) OVER (PARTITION BY dhash_hi, dhash_lo) AS canonical_id,
                 asset_id = MIN(asset_id) OVER (PARTITION BY dhash_hi, dhash_lo) AS keep
@@ -2928,22 +2907,7 @@ object PipelineQueries {
     // packing — plus the exact-hash cluster sizes (real collisions at
     // sf0.01 make n_dup > 1 rows, so the grouping is certified too)
     "dd_image_phash" ->
-      """WITH g AS (
-           SELECT d.doc_id AS asset_id, gx.x AS x, gy.y AS y,
-                  ((d.doc_id*7 + ((gx.x * (1 + d.n_chars % 13)) // 9) * 3
-                    + ((gy.y * (1 + d.doc_id % 11)) // 8) * 5) % 256) AS v0,
-                  ((d.doc_id*7 + (((gx.x+1) * (1 + d.n_chars % 13)) // 9) * 3
-                    + ((gy.y * (1 + d.doc_id % 11)) // 8) * 5) % 256) AS v1
-           FROM documents d,
-                UNNEST(generate_series(0, 7)) AS gx(x),
-                UNNEST(generate_series(0, 7)) AS gy(y)),
-         h AS (
-           SELECT asset_id,
-                  CAST(SUM(CASE WHEN v1 > v0 AND y*8+x >= 32
-                           THEN (CAST(1 AS BIGINT) << (y*8+x-32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
-                  CAST(SUM(CASE WHEN v1 > v0 AND y*8+x < 32
-                           THEN (CAST(1 AS BIGINT) << (y*8+x)) ELSE 0 END) AS BIGINT) AS dhash_lo
-           FROM g GROUP BY 1)
+      s"""WITH $dhashCtes
          SELECT h.asset_id, h.dhash_hi, h.dhash_lo, CAST(c.n AS BIGINT) AS n_dup
          FROM h JOIN (SELECT dhash_hi, dhash_lo, count(*) AS n
                       FROM h GROUP BY 1, 2) c

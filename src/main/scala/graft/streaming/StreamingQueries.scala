@@ -248,24 +248,7 @@ object StreamingQueries {
       (dir, emb, model, thr, cap)
     }
 
-    // earlier micro-batches' hash stores — strictly BEFORE `id`, so a
-    // retried batch never sees its own (overwritten) store
-    def seenBefore(id: Long): Seq[String] = {
-      val root = Paths.get(seenRoot)
-      if (!Files.exists(root)) Seq.empty
-      else {
-        val l = Files.list(root)
-        try {
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          l.forEach { p =>
-            val n = p.getFileName.toString
-            if (n.startsWith("seen-") && n.stripPrefix("seen-").toLong < id)
-              out += p.toString
-          }
-          out.toSeq
-        } finally l.close()
-      }
-    }
+    def seenBefore(id: Long): Seq[String] = storesBefore(seenRoot, id)
 
     val q = stream.writeStream
       .option("checkpointLocation", tmpDir(s"ckpt-ingest-$tag"))
@@ -319,6 +302,28 @@ object StreamingQueries {
     spark.read.option("recursiveFileLookup", "true").parquet(outRoot)
   }
 
+  /** Earlier micro-batches' per-batch stores under `root` — strictly
+    * BEFORE `id`, so a retried batch never sees its own (overwritten)
+    * store. Shared by [[runIngestStream]] and [[runMediaIngestStream]]
+    * (review r12: was duplicated in both).
+    */
+  private def storesBefore(root: String, id: Long): Seq[String] = {
+    val rootPath = Paths.get(root)
+    if (!Files.exists(rootPath)) Seq.empty
+    else {
+      val l = Files.list(rootPath)
+      try {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        l.forEach { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("seen-") && n.stripPrefix("seen-").toLong < id)
+            out += p.toString
+        }
+        out.toSeq
+      } finally l.close()
+    }
+  }
+
   /** MEDIA ingest with image dedup at the gate, through the real
     * streaming engine: each micro-batch generates its slice's PNG
     * assets, decodes + dHashes them (the full codec path), drops any
@@ -345,40 +350,29 @@ object StreamingQueries {
     Multimodal.imageDHash(Multimodal.syntheticPngAssets(corpusDocs))
       .select("dhash_hi", "dhash_lo").distinct()
       .write.mode("overwrite").parquet(corpusHashDir)
-    def seenBefore(id: Long): Seq[String] = {
-      val root = Paths.get(seenRoot)
-      if (!Files.exists(root)) Seq.empty
-      else {
-        val l = Files.list(root)
-        try {
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          l.forEach { p =>
-            val n = p.getFileName.toString
-            if (n.startsWith("seen-") && n.stripPrefix("seen-").toLong < id)
-              out += p.toString
-          }
-          out.toSeq
-        } finally l.close()
-      }
-    }
     val q = stream.writeStream
       .option("checkpointLocation", tmpDir(s"ckpt-mingest-$tag"))
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, id: Long) =>
         val corpusHashes = spark.read.parquet(corpusHashDir)
-        val priorDirs = seenBefore(id)
+        val priorDirs = storesBefore(seenRoot, id)
         val seen =
           if (priorDirs.isEmpty) corpusHashes.limit(0)
           else spark.read.parquet(priorDirs: _*)
-        val hashed = Multimodal.imageDHash(Multimodal.syntheticPngAssets(b))
-        hashed
-          .join(corpusHashes, Seq("dhash_hi", "dhash_lo"), "left_anti")
-          .join(seen, Seq("dhash_hi", "dhash_lo"), "left_anti")
-          .groupBy("dhash_hi", "dhash_lo").agg(min(col("asset_id")).as("asset_id"))
-          .select("asset_id", "dhash_hi", "dhash_lo")
-          .write.mode("overwrite").parquet(s"$outRoot/batch-$id")
-        hashed.select("dhash_hi", "dhash_lo").distinct()
-          .write.mode("overwrite").parquet(s"$seenRoot/seen-$id")
+        // persist: the decode+hash scan is the dominant cost here
+        // (unlike runIngestStream's cheap md5) and BOTH writes below
+        // consume it (review r12)
+        val hashed = Multimodal.imageDHash(Multimodal.syntheticPngAssets(b)).persist()
+        try {
+          hashed
+            .join(corpusHashes, Seq("dhash_hi", "dhash_lo"), "left_anti")
+            .join(seen, Seq("dhash_hi", "dhash_lo"), "left_anti")
+            .groupBy("dhash_hi", "dhash_lo").agg(min(col("asset_id")).as("asset_id"))
+            .select("asset_id", "dhash_hi", "dhash_lo")
+            .write.mode("overwrite").parquet(s"$outRoot/batch-$id")
+          hashed.select("dhash_hi", "dhash_lo").distinct()
+            .write.mode("overwrite").parquet(s"$seenRoot/seen-$id")
+        } finally hashed.unpersist()
         ()
       }
       .start()
