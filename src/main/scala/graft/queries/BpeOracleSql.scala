@@ -61,6 +61,24 @@ object BpeOracleSql {
        SELECT doc_id, n_tok, CAST((cum - n_tok) // $budget AS BIGINT) AS bin FROM c"""
   }
 
+  /** Oracle for `txt_fertility`: the chain replay's per-doc token count
+    * joined back to documents for (lang, char length), aggregated per
+    * language — integer sums plus a milli-fertility in integer floor
+    * division, so no float crosses the engines.
+    */
+  def fertilityByLang(model: BpeModel): String = {
+    val (ctes, last) = chainCtes(model, "text")
+    s"""WITH $ctes,
+            t AS (SELECT x.doc_id, dd.lang, length(dd.text) AS n_ch,
+                         CAST(length(x.m) - length(replace(x.m, '<', '')) AS BIGINT) AS n_tok
+                  FROM $last x JOIN documents dd ON dd.doc_id = x.doc_id)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_ch) AS BIGINT) AS sum_chars,
+              CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+              CAST((sum(n_tok) * 1000) // sum(n_ch) AS BIGINT) AS fert_milli
+       FROM t GROUP BY lang"""
+  }
+
   /** Oracle for `pp_pack_mm`: [[packBins]] with a per-doc EXTRA token
     * term joined back from the documents table (`extraSql` may
     * reference `dd.*`) — the multimodal budget where image patch

@@ -1249,6 +1249,24 @@ object PipelineQueries {
       sentenceSegments(Graft.documents(s, d))
     }),
 
+    "txt_fertility" -> ((s, d) => {
+      // tokenizer FERTILITY per language — the multilingual
+      // tokenizer-quality metric (tokens per character; a tokenizer
+      // that fragments a language inflates its training cost and
+      // context usage): true BPE subword counts (trie kernel) summed
+      // per lang with char totals, plus an integer milli-fertility
+      // (floor of 1000·tokens/chars) so no float crosses the engines.
+      // One tokenize scan + one tiny groupBy on lang.
+      val docs = Graft.documents(s, d)
+      val model = graft.functions.Bpe.train(docs, "text", nMerges = 64)
+      AnnOracleSql.register("txt_fertility", BpeOracleSql.fertilityByLang(model))
+      docs.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_chars"),
+          sum(graft.functions.Bpe.subwordCountBpe(col("text"), model)).as("sum_tokens"))
+        .withColumn("fert_milli", expr("(sum_tokens * 1000) div sum_chars"))
+    }),
+
     "txt_fingerprint" -> ((s, d) =>
       Graft.documents(s, d).select(
         col("doc_id"),
