@@ -102,6 +102,61 @@ object Dsp {
     (best, second <= 0.0 || bestM > purityFactor * second)
   }
 
+  /** Triangular-filterbank band energies of one real frame, reported as
+    * integer MILLI-fractions of the total positive-frequency power:
+    * `out(m-1) = round(1000 · E_m / E_tot)` where
+    * `E_m = Σ_k w_m(k)·|X_k|²` over bins k = 1 .. n/2-1 (DC and Nyquist
+    * excluded, matching [[dominantBin]]'s convention) and `E_tot` is the
+    * unweighted sum over the same bins. `centers` are the filterbank's
+    * integer FFT-bin edges/peaks (HTK convention: filter m rises over
+    * (centers(m-1), centers(m)] and falls over (centers(m), centers(m+1)),
+    * so M = centers.length - 2 filters). Integer bin centers are exactly
+    * what HTK-style mel implementations use (mel-spaced frequencies
+    * rounded to the FFT grid); keeping them integral makes every
+    * triangular weight a small rational, so a pure integer-bin tone
+    * yields band fractions the oracle replays in exact integer
+    * arithmetic ((2000p + q) div 2q). round = floor(x + 1/2): the noise
+    * floor (int16 rounding, ~1e-10 relative) sits 6 orders of magnitude
+    * inside the nearest quantization boundary, so the milli values are
+    * hash-stable. A silent frame (E_tot = 0) reports all-zero bands.
+    */
+  def melBandMilli(frame: Array[Double], centers: Array[Int]): Array[Long] = {
+    val n = frame.length
+    require(centers.length >= 3, "need at least one filter (3 edge points)")
+    var ci = 1
+    while (ci < centers.length) {
+      require(centers(ci) > centers(ci - 1), s"centers must strictly increase: ${centers.mkString(",")}")
+      ci += 1
+    }
+    require(centers(0) >= 0 && centers.last <= n / 2,
+      s"centers must lie in [0, n/2]: ${centers.mkString(",")} vs n=$n")
+    val re = java.util.Arrays.copyOf(frame, n)
+    val im = new Array[Double](n)
+    fft(re, im)
+    val pow = new Array[Double](n / 2)
+    var eTot = 0.0
+    var k = 1
+    while (k < n / 2) {
+      pow(k) = re(k) * re(k) + im(k) * im(k)
+      eTot += pow(k)
+      k += 1
+    }
+    val nFilters = centers.length - 2
+    val out = new Array[Long](nFilters)
+    var m = 1
+    while (m <= nFilters) {
+      val a = centers(m - 1); val c = centers(m); val b = centers(m + 1)
+      var e = 0.0
+      var kk = math.max(1, a + 1)
+      while (kk <= c && kk < n / 2) { e += pow(kk) * (kk - a).toDouble / (c - a); kk += 1 }
+      kk = math.max(1, c + 1)
+      while (kk < b && kk < n / 2) { e += pow(kk) * (b - kk).toDouble / (b - c); kk += 1 }
+      out(m - 1) = if (eTot <= 0.0) 0L else math.floor(1000.0 * e / eTot + 0.5).toLong
+      m += 1
+    }
+    out
+  }
+
   /** Little-endian int16 samples of a PCM data chunk (mono layout —
     * callers pass the data of a 1-channel WAV).
     */

@@ -690,6 +690,55 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Mel-filterbank edge bins for 64-sample frames at 16 kHz (bin
+    * spacing 250 Hz): 8 points = 6 triangular filters spanning 0..8000 Hz
+    * on the mel scale (mel(f) = 2595·log10(1 + f/700), HTK convention),
+    * each mel-equidistant point rounded to its nearest FFT bin — the
+    * standard integer-grid snap every production mel frontend performs.
+    * DspSpec re-derives these from the formula so the constants can
+    * never drift from the definition.
+    */
+  val melCenters64: Array[Int] = Array(0, 1, 3, 5, 9, 14, 21, 32)
+
+  /** Frame-level MEL-FILTERBANK energies through the real DSP path
+    * (VERDICT r12 #4): WAV chunk walk → int16 PCM → per-frame radix-2
+    * FFT → triangular filterbank ([[Dsp.melBandMilli]]) → per-band
+    * energy as an integer milli-fraction of the frame's total
+    * positive-bin power. The fixture's integer-bin tones put ALL signal
+    * power at one bin k, so band m's fraction is exactly the triangular
+    * weight w_m(k) — a small rational the oracle replays in pure integer
+    * arithmetic ((2000p + q) div 2q); the int16 noise floor sits 6
+    * orders of magnitude inside every quantization boundary. One row per
+    * (asset, frame, band), mel_idx 1-based; non-decodable payloads emit
+    * the all--1 sentinel row. Scale shape: partition-local scan, zero
+    * exchanges — featurization rides executor count at 100 TB.
+    */
+  final case class AudioMelBand(asset_id: Long, frame_idx: Int, mel_idx: Int, mel_milli: Long)
+
+  def audioMelFrames(assets: DataFrame, frameLen: Int = 64,
+                     centers: Array[Int] = melCenters64): DataFrame = {
+    require(frameLen >= 4 && (frameLen & (frameLen - 1)) == 0,
+      s"frameLen must be a power of 2 >= 4: $frameLen")
+    require(centers.last <= frameLen / 2,
+      s"filterbank top edge ${centers.last} exceeds Nyquist bin ${frameLen / 2}")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "payload").as[(Long, Array[Byte])].flatMap { case (id, bytes) =>
+      Codec.decodeWavData(bytes) match {
+        case Some((info, data)) if info.channels == 1 && info.bitsPerSample == 16 =>
+          val samples = Dsp.pcm16Samples(data)
+          val nFrames = samples.length / frameLen
+          for {
+            f <- 0 until nFrames
+            frame = java.util.Arrays.copyOfRange(samples, f * frameLen, (f + 1) * frameLen)
+            milli = Dsp.melBandMilli(frame, centers)
+            m <- milli.indices
+          } yield AudioMelBand(id, f, m + 1, milli(m))
+        case _ => Seq(AudioMelBand(id, -1, -1, -1L))
+      }
+    }.toDF()
+  }
+
   /** Perceptual difference-hash (dHash) of a decoded image: sample a
     * 9×8 grid from the raster with the exact nearest-neighbor index map
     * `src = (grid · dim) / 9 (or /8)` (integer division — any source
@@ -733,6 +782,104 @@ object Multimodal {
           }
           ImageDHash(id, hi, lo)
         case None => ImageDHash(id, -1L, -1L)
+      }
+    }.toDF()
+  }
+
+  /** Fixed-point DCT-II basis for the 32-point transform, rows u = 0..7
+    * (pHash keeps only the low-frequency 8×8 corner):
+    * `dctCos32(u)(j) = round(4096 · cos((2j+1)·u·π/64))` — the
+    * libjpeg-style scaled-integer DCT device. Keeping the basis integral
+    * makes the whole pHash pipeline EXACT integer arithmetic on both
+    * engines (coefficients ≤ 32·4096·255·32·4096 ≈ 4.4e12, well inside
+    * BIGINT), so the median threshold — the decision a floating DCT
+    * would smear across summation orders — can never flip cross-engine.
+    * The oracle embeds THIS table as a VALUES literal, generated from
+    * the same constant.
+    */
+  val dctCos32: Array[Array[Long]] = Array.tabulate(8, 32)((u, j) =>
+    math.round(4096.0 * math.cos((2 * j + 1) * u * math.Pi / 64.0)))
+
+  /** Perceptual DCT hash (pHash) of a decoded image (VERDICT r12 #6):
+    * grayscale (channel 0) → nearest-neighbor resize to 32×32
+    * (`src = x·dim / 32`, integer division — the dHash index map) →
+    * separable fixed-point 32-point DCT keeping the top-left 8×8
+    * low-frequency block → median of the 63 AC coefficients (exact
+    * order statistic: the 32nd smallest) → bit (u·8+v) set iff
+    * coef > median. Versus dHash (adjacent-gradient), pHash thresholds
+    * global LOW-FREQUENCY structure, so it survives rescaling, smoothing
+    * and re-encode noise that flip gradient bits. Packed as two unsigned
+    * 32-bit halves in BIGINT like [[imageDHash]], so the SAME banded-
+    * Hamming join (8 bands × 8 bits, pigeonhole-complete through
+    * Hamming 7) consumes it unchanged. Decode failure emits the all--1
+    * sentinel row. Partition-local: decode + DCT run inside the scan,
+    * zero exchanges.
+    */
+  final case class ImagePHashDct(asset_id: Long, phash_hi: Long, phash_lo: Long)
+
+  def imagePHashDct(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "payload").as[(Long, Array[Byte])].map { case (id, bytes) =>
+      Png.decode(bytes) match {
+        case Some(img) =>
+          // nearest-neighbor 32×32 grayscale grid
+          val g = new Array[Long](32 * 32)
+          var y = 0
+          while (y < 32) {
+            val sy = y * img.height / 32
+            var x = 0
+            while (x < 32) {
+              val sx = x * img.width / 32
+              g(y * 32 + x) = (img.pixels((sy * img.width + sx) * img.channels) & 0xff).toLong
+              x += 1
+            }
+            y += 1
+          }
+          // separable fixed-point DCT: rows first (u over x), then columns
+          val t = new Array[Long](8 * 32) // t(u, y) = Σ_x c(u,x)·g(y,x)
+          var u = 0
+          while (u < 8) {
+            val row = dctCos32(u)
+            y = 0
+            while (y < 32) {
+              var s = 0L
+              var x = 0
+              while (x < 32) { s += row(x) * g(y * 32 + x); x += 1 }
+              t(u * 32 + y) = s
+              y += 1
+            }
+            u += 1
+          }
+          val coef = new Array[Long](64) // coef(u*8+v) = Σ_y c(v,y)·t(u,y)
+          u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              val row = dctCos32(v)
+              var s = 0L
+              var yy = 0
+              while (yy < 32) { s += row(yy) * t(u * 32 + yy); yy += 1 }
+              coef(u * 8 + v) = s
+              v += 1
+            }
+            u += 1
+          }
+          // exact AC median: 32nd smallest of the 63 (percentile_disc 0.5)
+          val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
+          java.util.Arrays.sort(ac)
+          val med = ac(31)
+          var hi = 0L
+          var lo = 0L
+          var b = 0
+          while (b < 64) {
+            if (coef(b) > med) {
+              if (b >= 32) hi |= 1L << (b - 32) else lo |= 1L << b
+            }
+            b += 1
+          }
+          ImagePHashDct(id, hi, lo)
+        case None => ImagePHashDct(id, -1L, -1L)
       }
     }.toDF()
   }

@@ -284,8 +284,12 @@ object Png {
       p += 12 + len
     }
     if (!sawIhdr) return None
-    // bound the raster in Long before allocating: a crafted IHDR with
-    // width*height near Int.MaxValue must surface as None, never OOM
+    // bound the pixel count BEFORE any size multiply: with
+    // width=height=0x7FFFFFFF, (rowBytes+1)*height overflows Long and
+    // wraps negative, sneaking past a rawLen-only check into a negative
+    // allocation (ADVICE r12). 2^26 pixels caps the raster well under
+    // the 64 MiB budget and keeps every later product in Int range.
+    if (width.toLong * height > (1L << 26)) return None
     val rowBytes = width.toLong * channels
     val rawLen = (rowBytes + 1L) * height
     if (rawLen > 64L * 1024 * 1024) return None

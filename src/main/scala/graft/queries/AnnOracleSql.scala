@@ -133,17 +133,6 @@ object AnnOracleSql {
        WHERE rank <= $k"""
   }
 
-  /** Oracle for `dd_semantic` (SemDeDup): frozen centroids → argmax-
-    * cosine cluster assignment (carrying the centroid similarity the
-    * keeper rule compares) → within-cluster dominator join — u drops v
-    * iff same cluster, round(cos, 6) ≥ threshold and (u.cdot, u.id) <
-    * (v.cdot, v.id) — with the `maxCluster` cap replayed as a cluster-
-    * size window count on the dominator side only, exactly the Spark
-    * operator's r-side-only contract. cdot values are bit-identical on
-    * both engines (same sequential folds as the ivf assignment, already
-    * hash-proven), so the float comparisons in the dominance rule can
-    * never diverge.
-    */
   /** Oracle for `ann_contrastive`: the ivfTopK replay split by probe
     * rank — rank-1 probe (the query's own cluster) scores the 'pos'
     * branch (top-1), ranks 2..nProbe score the 'neg' branch (top-kNeg
@@ -185,6 +174,17 @@ object AnnOracleSql {
        WHERE r = 1"""
   }
 
+  /** Oracle for `dd_semantic` (SemDeDup): frozen centroids → argmax-
+    * cosine cluster assignment (carrying the centroid similarity the
+    * keeper rule compares) → within-cluster dominator join — u drops v
+    * iff same cluster, round(cos, 6) ≥ threshold and (u.cdot, u.id) <
+    * (v.cdot, v.id) — with the `maxCluster` cap replayed as a cluster-
+    * size window count on the dominator side only, exactly the Spark
+    * operator's r-side-only contract. cdot values are bit-identical on
+    * both engines (same sequential folds as the ivf assignment, already
+    * hash-proven), so the float comparisons in the dominance rule can
+    * never diverge.
+    */
   def semanticDedup(model: IvfModel, threshold: Double, maxCluster: Int): String = {
     val dim = model.centroids(0).length
     // maxCluster <= 0 is capBuckets' uncapped opt-out — the bsz filter

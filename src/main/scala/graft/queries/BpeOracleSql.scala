@@ -71,7 +71,8 @@ object BpeOracleSql {
     s"""WITH $ctes,
             t AS (SELECT x.doc_id, dd.lang, length(dd.text) AS n_ch,
                          CAST(length(x.m) - length(replace(x.m, '<', '')) AS BIGINT) AS n_tok
-                  FROM $last x JOIN documents dd ON dd.doc_id = x.doc_id)
+                  FROM $last x JOIN documents dd ON dd.doc_id = x.doc_id
+                  WHERE dd.doc_id IS NOT NULL AND dd.text IS NOT NULL)
        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
               CAST(sum(n_ch) AS BIGINT) AS sum_chars,
               CAST(sum(n_tok) AS BIGINT) AS sum_tokens,

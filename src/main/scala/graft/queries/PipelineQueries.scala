@@ -824,15 +824,12 @@ object PipelineQueries {
       val docs = Graft.documents(s, d)
       val batch = docs.where(pmod(col("doc_id"), lit(10)) === 0)
       val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
-      val maxRow = batch.agg(max("doc_id")).head()
-      if (maxRow.isNullAt(0)) {
-        batch.select(col("doc_id").as("asset_id"),
+      graft.streaming.StreamingQueries.harnessBatches(batch, "doc_id") match {
+        case None => batch.select(col("doc_id").as("asset_id"),
           lit(0L).as("dhash_hi"), lit(0L).as("dhash_lo")).limit(0)
-      } else {
-        val maxId = maxRow.getLong(0)
-        val batchOf = least(floor(col("doc_id") * 3 / (maxId + 1)), lit(2)).cast("int")
-        graft.streaming.StreamingQueries.runMediaIngestStream(
-          s, batch, corpus, batchOf, tag = "ppmedia")
+        case Some(batchOf) =>
+          graft.streaming.StreamingQueries.runMediaIngestStream(
+            s, batch, corpus, batchOf, tag = "ppmedia")
       }
     }),
 
@@ -921,16 +918,12 @@ object PipelineQueries {
       val docs = Graft.documents(s, d)
       val batch = docs.where(pmod(col("doc_id"), lit(10)) === 0)
       val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
-      // (ADVICE r11) the max() is NULL when the batch slice is empty;
-      // short-circuit to an empty result instead of NPE-ing on getLong.
-      val maxRow = batch.agg(max("doc_id")).head()
-      if (maxRow.isNullAt(0)) {
-        batch.select(col("doc_id"), lit("train").as("split")).limit(0)
-      } else {
-        val maxId = maxRow.getLong(0)
-        val batchOf = least(floor(col("doc_id") * 3 / (maxId + 1)), lit(2)).cast("int")
-        graft.streaming.StreamingQueries.runIngestStream(
-          s, batch, corpus, docs, batchOf, jaccardMin = 0.5, tag = "ppingest")
+      // empty batch slice → harnessBatches is None (the shared null guard)
+      graft.streaming.StreamingQueries.harnessBatches(batch, "doc_id") match {
+        case None => batch.select(col("doc_id"), lit("train").as("split")).limit(0)
+        case Some(batchOf) =>
+          graft.streaming.StreamingQueries.runIngestStream(
+            s, batch, corpus, docs, batchOf, jaccardMin = 0.5, tag = "ppingest")
       }
     }),
 
@@ -987,23 +980,20 @@ object PipelineQueries {
       val docs = Graft.documents(s, d)
       val batch = docs.where(pmod(col("doc_id"), lit(10)) === 0)
       val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
-      val maxRow = batch.agg(max("doc_id")).head()
-      if (maxRow.isNullAt(0)) {
-        batch.select(col("doc_id"), lit("train").as("split")).limit(0)
-      } else {
-        val maxId = maxRow.getLong(0)
-        val batchOf = least(floor(col("doc_id") * 3 / (maxId + 1)), lit(2)).cast("int")
-        val emb = Graft.embeddings(s, d)
-        val model = Ann.trainIvf(emb, "vec_id", "embedding", nLists = 16)
-        // identical frozen model (trainIvf is deterministic) → the
-        // batch entry's oracle replays this run too
-        AnnOracleSql.register("pp_ingest_semantic_streaming",
-          ppIngestSqlBuilder(Some(AnnOracleSql.ingestSemanticCtes(model,
-            threshold = 0.3, maxCluster = 2000,
-            newPred = "b.vec_id % 10 = 0", corpusPred = "vec_id % 10 <> 0"))))
-        graft.streaming.StreamingQueries.runIngestStream(
-          s, batch, corpus, docs, batchOf, jaccardMin = 0.5, tag = "ppsem",
-          semantic = Some((emb, model, 0.3, 2000)))
+      graft.streaming.StreamingQueries.harnessBatches(batch, "doc_id") match {
+        case None => batch.select(col("doc_id"), lit("train").as("split")).limit(0)
+        case Some(batchOf) =>
+          val emb = Graft.embeddings(s, d)
+          val model = Ann.trainIvf(emb, "vec_id", "embedding", nLists = 16)
+          // identical frozen model (trainIvf is deterministic) → the
+          // batch entry's oracle replays this run too
+          AnnOracleSql.register("pp_ingest_semantic_streaming",
+            ppIngestSqlBuilder(Some(AnnOracleSql.ingestSemanticCtes(model,
+              threshold = 0.3, maxCluster = 2000,
+              newPred = "b.vec_id % 10 = 0", corpusPred = "vec_id % 10 <> 0"))))
+          graft.streaming.StreamingQueries.runIngestStream(
+            s, batch, corpus, docs, batchOf, jaccardMin = 0.5, tag = "ppsem",
+            semantic = Some((emb, model, 0.3, 2000)))
       }
     }),
 
@@ -1257,7 +1247,11 @@ object PipelineQueries {
       // per lang with char totals, plus an integer milli-fertility
       // (floor of 1000·tokens/chars) so no float crosses the engines.
       // One tokenize scan + one tiny groupBy on lang.
+      // null guard stated EXPLICITLY on both engines (ADVICE r12): the
+      // oracle's doc_id join silently drops null rows while count(1)
+      // here would keep them — a latent hash divergence on dirty input.
       val docs = Graft.documents(s, d)
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
       val model = graft.functions.Bpe.train(docs, "text", nMerges = 64)
       AnnOracleSql.register("txt_fertility", BpeOracleSql.fertilityByLang(model))
       docs.groupBy("lang").agg(
@@ -1296,14 +1290,12 @@ object PipelineQueries {
       // (TextFunctions.bm25Score), so the entry shares txt_bm25's
       // oracle verbatim — retrieval-stats-at-ingest parity.
       val docs = Graft.documents(s, d)
-      val maxRow = docs.agg(max("doc_id")).head()
-      if (maxRow.isNullAt(0)) {
-        docs.select(col("doc_id"), lit(0).as("n_hit"), lit(0L).as("bm25_micro")).limit(0)
-      } else {
-        val maxId = maxRow.getLong(0)
-        val batchOf = least(floor(col("doc_id") * 3 / (maxId + 1)), lit(2)).cast("int")
-        graft.streaming.StreamingQueries.runBm25Stream(
-          s, docs, batchOf, Seq("dup", "spark", "merge", "vector"), tag = "bm25")
+      graft.streaming.StreamingQueries.harnessBatches(docs, "doc_id") match {
+        case None =>
+          docs.select(col("doc_id"), lit(0).as("n_hit"), lit(0L).as("bm25_micro")).limit(0)
+        case Some(batchOf) =>
+          graft.streaming.StreamingQueries.runBm25Stream(
+            s, docs, batchOf, Seq("dup", "spark", "merge", "vector"), tag = "bm25")
       }
     }),
 
@@ -1322,7 +1314,7 @@ object PipelineQueries {
       val lexTop = TextFunctions.bm25(Graft.documents(s, d), "doc_id", "text",
           Seq("dup", "spark", "merge", "vector"))
         .orderBy(col("bm25_micro").desc, col("doc_id").asc).limit(20)
-      val lw = Window.orderBy(col("bm25_micro").desc, col("doc_id").asc)
+      val lw = Window.orderBy(col("bm25_micro").desc, col("doc_id").asc) // bounded-by-construction (<=20 rows post-limit)
       val lex = lexTop.withColumn("lex_rank", row_number().over(lw))
         .select(col("doc_id"), col("lex_rank"))
       val emb = Graft.embeddings(s, d)
@@ -1642,6 +1634,31 @@ object PipelineQueries {
         s, "mm_audio_fft_streaming", Multimodal.audioSpectralFrames(assets))
     }),
 
+    "mm_audio_mel" -> ((s, d) => {
+      // MEL-SPECTROGRAM features on the FFT kernel (VERDICT r12 #4):
+      // per frame, 6 triangular mel-filterbank band energies as integer
+      // milli-fractions of total positive-bin power. The fixture's
+      // integer-bin tones concentrate all power at bin k, so band m's
+      // fraction equals the triangular weight w_m(k) — a small rational
+      // the oracle replays in EXACT integer arithmetic
+      // ((2000p + q) div 2q, i.e. round-half of 1000·p/q); the int16
+      // noise floor is 6 orders of magnitude inside every boundary.
+      // Filterbank edges are the HTK mel grid snapped to integer FFT
+      // bins (Multimodal.melCenters64, re-derived in DspSpec). Scale
+      // shape: partition-local scan end to end, zero exchanges.
+      Multimodal.audioMelFrames(Multimodal.syntheticToneWavAssets(Graft.documents(s, d)))
+    }),
+
+    "mm_audio_mel_streaming" -> ((s, d) => {
+      // mel featurization under the REAL streaming engine (stateless
+      // map, append mode, AvailableNow → memory sink); shares
+      // mm_audio_mel's oracle verbatim — featurize-at-ingest parity.
+      val assets = Multimodal.syntheticToneWavAssets(
+        graft.streaming.StreamingQueries.readStreamParquet(s, d, "documents"))
+      graft.streaming.StreamingQueries.runAppendToMemory(
+        s, "mm_audio_mel_streaming", Multimodal.audioMelFrames(assets))
+    }),
+
     "mm_audio" -> ((s, d) =>
       // audio-shaped overlapping windows (64-byte window, 32-byte hop)
       // over binary payloads; windows decoded to string for the oracle
@@ -1887,6 +1904,33 @@ object PipelineQueries {
          FROM documents d,
               UNNEST(generate_series(0, 3)) AS f(i)
          WHERE f.i <= d.doc_id % 4"""
+
+  /** Oracle for `mm_audio_mel`: the tone's bin k = 1 + (id + 3f) % 31
+    * carries ALL the frame's positive-bin power, so band m's
+    * milli-fraction is round-half(1000 · w_m(k)) with w_m the
+    * triangular weight — replayed here in pure integer arithmetic:
+    * round-half(1000·p/q) = (2000p + q) // (2q). Branch bounds and
+    * denominators are generated from the SAME melCenters64 constant the
+    * Spark kernel uses, so the two sides cannot drift apart.
+    */
+  private val mmAudioMelSql: String = {
+    val cs = Multimodal.melCenters64
+    val branches = (1 to cs.length - 2).map { m =>
+      val a = cs(m - 1); val c = cs(m); val b = cs(m + 1)
+      s"""WHEN m.m = $m THEN CASE
+              WHEN fr.k > $a AND fr.k <= $c THEN (2000 * (fr.k - $a) + ${c - a}) // ${2 * (c - a)}
+              WHEN fr.k > $c AND fr.k < $b THEN (2000 * ($b - fr.k) + ${b - c}) // ${2 * (b - c)}
+              ELSE 0 END"""
+    }.mkString("\n            ")
+    s"""WITH fr AS (SELECT d.doc_id, f.i AS frame_idx,
+                           1 + (d.doc_id + 3 * f.i) % 31 AS k
+                    FROM documents d, UNNEST(generate_series(0, 3)) AS f(i)
+                    WHERE f.i <= d.doc_id % 4)
+       SELECT fr.doc_id AS asset_id, CAST(fr.frame_idx AS INT) AS frame_idx,
+              CAST(m.m AS INT) AS mel_idx,
+              CAST(CASE $branches ELSE 0 END AS BIGINT) AS mel_milli
+       FROM fr, UNNEST(generate_series(1, ${cs.length - 2})) AS m(m)"""
+  }
 
   private val mmVideoMjpegSql: String =
     """SELECT d.doc_id AS asset_id,
@@ -2935,6 +2979,8 @@ object PipelineQueries {
     // Spark side must recover k by actually FFT-ing the PCM samples of
     // real WAV bytes — a misframed read or wrong twiddle moves argmax
     "mm_audio_fft" -> mmAudioFftSql,
+    "mm_audio_mel" -> mmAudioMelSql,
+    "mm_audio_mel_streaming" -> mmAudioMelSql,
 
     // the streaming twin shares the batch oracle verbatim
     "mm_audio_fft_streaming" -> mmAudioFftSql,

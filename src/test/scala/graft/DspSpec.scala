@@ -127,6 +127,64 @@ class DspSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Dsp.fft(new Array[Double](8), new Array[Double](4)))
   }
 
+  test("melCenters64 re-derives from the HTK mel formula (constants cannot drift)") {
+    // mel(f) = 2595·log10(1 + f/700); 8 mel-equidistant points over
+    // 0..8000 Hz, each snapped to the nearest 250 Hz FFT bin (64-sample
+    // frames at 16 kHz)
+    def mel(f: Double) = 2595.0 * math.log10(1.0 + f / 700.0)
+    def imel(m: Double) = 700.0 * (math.pow(10.0, m / 2595.0) - 1.0)
+    val derived = (0 to 7).map { i =>
+      math.round(imel(mel(0.0) + i * (mel(8000.0) - mel(0.0)) / 7.0) / 250.0).toInt
+    }
+    assert(derived === Multimodal.melCenters64.toSeq, s"derived=$derived")
+    // strictly increasing (the filterbank's structural precondition)
+    assert(Multimodal.melCenters64.sliding(2).forall(p => p(1) > p(0)))
+  }
+
+  test("melBandMilli: pure integer-bin tones report exactly the triangular weights") {
+    val cs = Multimodal.melCenters64
+    // exact rational replay, the oracle's arithmetic: (2000p + q) / (2q)
+    def expected(k: Int): Seq[Long] = (1 to cs.length - 2).map { m =>
+      val a = cs(m - 1); val c = cs(m); val b = cs(m + 1)
+      if (k > a && k <= c) (2000L * (k - a) + (c - a)) / (2L * (c - a))
+      else if (k > c && k < b) (2000L * (b - k) + (b - c)) / (2L * (b - c))
+      else 0L
+    }
+    for (k <- 1 to 31) {
+      val frame = Array.tabulate(64)(t =>
+        math.round(12000.0 * math.sin(2.0 * math.Pi * k * t / 64.0)).toDouble)
+      val got = Dsp.melBandMilli(frame, cs).toSeq
+      assert(got === expected(k), s"k=$k")
+    }
+  }
+
+  test("melBandMilli vs naive DFT filterbank on pseudo-random frames") {
+    val cs = Multimodal.melCenters64
+    for (seed <- Seq(3L, 99L)) {
+      val x = prng(seed, 64).map(v => math.round(v * 12000.0).toDouble)
+      val (er, ei) = naiveDft(x)
+      val pow = (0 until 32).map(k => er(k) * er(k) + ei(k) * ei(k))
+      val eTot = (1 to 31).map(pow).sum
+      val want = (1 to cs.length - 2).map { m =>
+        val a = cs(m - 1); val c = cs(m); val b = cs(m + 1)
+        val e = (math.max(1, a + 1) to c).map(k => pow(k) * (k - a).toDouble / (c - a)).sum +
+          (math.max(1, c + 1) until b).filter(_ < 32).map(k => pow(k) * (b - k).toDouble / (b - c)).sum
+        math.floor(1000.0 * e / eTot + 0.5).toLong
+      }
+      assert(Dsp.melBandMilli(x, cs).toSeq === want, s"seed=$seed")
+    }
+  }
+
+  test("melBandMilli contract: silent frame is all zeros; bad centers throw") {
+    assert(Dsp.melBandMilli(new Array[Double](64), Multimodal.melCenters64).forall(_ == 0L))
+    intercept[IllegalArgumentException](
+      Dsp.melBandMilli(new Array[Double](64), Array(0, 5, 3))) // not increasing
+    intercept[IllegalArgumentException](
+      Dsp.melBandMilli(new Array[Double](64), Array(0, 16, 40))) // beyond Nyquist
+    intercept[IllegalArgumentException](
+      Dsp.melBandMilli(new Array[Double](64), Array(0, 32))) // no filter
+  }
+
   test("end to end on fixture-shaped WAV bytes: frames, bins, purity") {
     // replicate syntheticToneWavAssets for id = 6 (3 frames) without Spark
     val id = 6L

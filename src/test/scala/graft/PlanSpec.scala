@@ -518,7 +518,7 @@ class PlanSpec extends GraftTest {
     // PNG decode, FFT features, video sampling, box resize: per-asset
     // partition-local work — any Exchange would mean the codec path
     // stopped riding executor count at 100 TB
-    for (name <- Seq("mm_decode_png", "mm_audio_fft", "mm_video_mjpeg", "mm_resize_box")) {
+    for (name <- Seq("mm_decode_png", "mm_audio_fft", "mm_audio_mel", "mm_video_mjpeg", "mm_resize_box")) {
       val p = plan(name)
       assert(!p.contains("Exchange"), s"$name must be shuffle-free:\n${p.take(2000)}")
       assert("Scan parquet".r.findAllIn(p).size === 1, s"$name: one corpus scan")
@@ -531,6 +531,37 @@ class PlanSpec extends GraftTest {
     assert(p.contains("Generate"), "posexplode must stay in the scan partition")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       "scan must prune to (doc_id, text):\n" + p.take(2000))
+  }
+
+  test("no unbounded global-sort window in src/main (bounded sites must say so)") {
+    // A Window.orderBy WITHOUT partitionBy range-partitions the whole
+    // input into ONE task — the scale-killer the r12 harness tertile
+    // assignment smuggled into benched streaming twins (VERDICT r12 #1,
+    // since replaced with arithmetic bounds). This guard closes the
+    // loophole permanently AT THE SOURCE: every WindowSpec built
+    // directly with orderBy must carry a `bounded-by-construction`
+    // annotation within its preceding four lines (or inline), stating
+    // why its input cannot grow with the corpus (e.g. post-limit top-k).
+    // Partitioned windows (`Window.partitionBy(...).orderBy`) don't
+    // match — per-key sorts scale with the key cardinality.
+    val re = """Window\s*\.\s*orderBy\s*\(""".r
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory) f.listFiles.foreach(walk)
+      else if (f.getName.endsWith(".scala")) {
+        val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        val lines = text.split("\n", -1)
+        for (m <- re.findAllMatchIn(text)) {
+          val line = text.substring(0, m.start).count(_ == '\n') // 0-based
+          val context = lines.slice(math.max(0, line - 4), line + 1).mkString("\n")
+          if (!context.contains("bounded-by-construction"))
+            offenders += s"${f.getPath}:${line + 1}"
+        }
+      }
+    walk(new java.io.File("src/main/scala"))
+    assert(offenders.isEmpty,
+      "unannotated global-sort Window (add partitionBy, or prove the input " +
+        s"bounded and annotate `bounded-by-construction`): ${offenders.mkString(", ")}")
   }
 
   private def withConf[A](kv: (String, String))(body: => A): A = {
