@@ -817,67 +817,76 @@ object Multimodal {
     */
   final case class ImagePHashDct(asset_id: Long, phash_hi: Long, phash_lo: Long)
 
+  /** The per-image pHash body, factored pure so the invariance
+    * properties (NN-upscale identity, sentinel contract) are testable
+    * without Spark.
+    */
+  def pHashDctOf(img: Png.PngImage): (Long, Long) = {
+    // nearest-neighbor 32×32 grayscale grid
+    val g = new Array[Long](32 * 32)
+    var y = 0
+    while (y < 32) {
+      val sy = y * img.height / 32
+      var x = 0
+      while (x < 32) {
+        val sx = x * img.width / 32
+        g(y * 32 + x) = (img.pixels((sy * img.width + sx) * img.channels) & 0xff).toLong
+        x += 1
+      }
+      y += 1
+    }
+    // separable fixed-point DCT: rows first (u over x), then columns
+    val t = new Array[Long](8 * 32) // t(u, y) = Σ_x c(u,x)·g(y,x)
+    var u = 0
+    while (u < 8) {
+      val row = dctCos32(u)
+      y = 0
+      while (y < 32) {
+        var s = 0L
+        var x = 0
+        while (x < 32) { s += row(x) * g(y * 32 + x); x += 1 }
+        t(u * 32 + y) = s
+        y += 1
+      }
+      u += 1
+    }
+    val coef = new Array[Long](64) // coef(u*8+v) = Σ_y c(v,y)·t(u,y)
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        val row = dctCos32(v)
+        var s = 0L
+        var yy = 0
+        while (yy < 32) { s += row(yy) * t(u * 32 + yy); yy += 1 }
+        coef(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    // exact AC median: 32nd smallest of the 63 (percentile_disc 0.5)
+    val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
+    java.util.Arrays.sort(ac)
+    val med = ac(31)
+    var hi = 0L
+    var lo = 0L
+    var b = 0
+    while (b < 64) {
+      if (coef(b) > med) {
+        if (b >= 32) hi |= 1L << (b - 32) else lo |= 1L << b
+      }
+      b += 1
+    }
+    (hi, lo)
+  }
+
   def imagePHashDct(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.select("asset_id", "payload").as[(Long, Array[Byte])].map { case (id, bytes) =>
       Png.decode(bytes) match {
         case Some(img) =>
-          // nearest-neighbor 32×32 grayscale grid
-          val g = new Array[Long](32 * 32)
-          var y = 0
-          while (y < 32) {
-            val sy = y * img.height / 32
-            var x = 0
-            while (x < 32) {
-              val sx = x * img.width / 32
-              g(y * 32 + x) = (img.pixels((sy * img.width + sx) * img.channels) & 0xff).toLong
-              x += 1
-            }
-            y += 1
-          }
-          // separable fixed-point DCT: rows first (u over x), then columns
-          val t = new Array[Long](8 * 32) // t(u, y) = Σ_x c(u,x)·g(y,x)
-          var u = 0
-          while (u < 8) {
-            val row = dctCos32(u)
-            y = 0
-            while (y < 32) {
-              var s = 0L
-              var x = 0
-              while (x < 32) { s += row(x) * g(y * 32 + x); x += 1 }
-              t(u * 32 + y) = s
-              y += 1
-            }
-            u += 1
-          }
-          val coef = new Array[Long](64) // coef(u*8+v) = Σ_y c(v,y)·t(u,y)
-          u = 0
-          while (u < 8) {
-            var v = 0
-            while (v < 8) {
-              val row = dctCos32(v)
-              var s = 0L
-              var yy = 0
-              while (yy < 32) { s += row(yy) * t(u * 32 + yy); yy += 1 }
-              coef(u * 8 + v) = s
-              v += 1
-            }
-            u += 1
-          }
-          // exact AC median: 32nd smallest of the 63 (percentile_disc 0.5)
-          val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
-          java.util.Arrays.sort(ac)
-          val med = ac(31)
-          var hi = 0L
-          var lo = 0L
-          var b = 0
-          while (b < 64) {
-            if (coef(b) > med) {
-              if (b >= 32) hi |= 1L << (b - 32) else lo |= 1L << b
-            }
-            b += 1
-          }
+          val (hi, lo) = pHashDctOf(img)
           ImagePHashDct(id, hi, lo)
         case None => ImagePHashDct(id, -1L, -1L)
       }

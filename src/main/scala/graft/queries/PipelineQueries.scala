@@ -84,6 +84,43 @@ object PipelineQueries {
                            THEN (CAST(1 AS BIGINT) << (y*8+x)) ELSE 0 END) AS BIGINT) AS dhash_lo
            FROM g GROUP BY 1)"""
 
+  /** The DCT-pHash replay CTE prefix (cos32 → pg → pt → pf → pm → ph)
+    * shared by the dd_image_phash_dct / dd_image_neardup_dct oracles:
+    * the 32×32 nearest-neighbor grayscale grid from the pixel formula,
+    * the SAME fixed-point cosine table the Spark kernel uses (embedded
+    * as a VALUES literal from Multimodal.dctCos32 — one constant, two
+    * engines), the separable integer DCT, the exact 32nd-smallest AC
+    * median (percentile_disc), and the 64-bit threshold packing. Every
+    * step is integer arithmetic, so the hash can never drift
+    * cross-engine.
+    */
+  private val phashDctCtes: String = {
+    val cosRows = (for (u <- 0 until 8; j <- 0 until 32)
+      yield s"($u, $j, ${Multimodal.dctCos32(u)(j)})").mkString(", ")
+    s"""cos32(u, j, c) AS (VALUES $cosRows),
+         pg AS (
+           SELECT d.doc_id AS asset_id, gx.x AS x, gy.y AS y,
+                  ((d.doc_id*7 + ((gx.x * (1 + d.n_chars % 13)) // 32) * 3
+                    + ((gy.y * (1 + d.doc_id % 11)) // 32) * 5) % 256) AS v
+           FROM documents d,
+                UNNEST(generate_series(0, 31)) AS gx(x),
+                UNNEST(generate_series(0, 31)) AS gy(y)),
+         pt AS (SELECT pg.asset_id, c.u AS u, pg.y AS y, SUM(c.c * pg.v) AS s
+                FROM pg JOIN cos32 c ON c.j = pg.x GROUP BY 1, 2, 3),
+         pf AS (SELECT pt.asset_id, pt.u AS u, c.u AS v, SUM(c.c * pt.s) AS coef
+                FROM pt JOIN cos32 c ON c.j = pt.y GROUP BY 1, 2, 3),
+         pm AS (SELECT asset_id,
+                       percentile_disc(0.5) WITHIN GROUP (ORDER BY coef) AS med
+                FROM pf WHERE NOT (u = 0 AND v = 0) GROUP BY 1),
+         ph AS (
+           SELECT pf.asset_id,
+                  CAST(SUM(CASE WHEN pf.coef > pm.med AND pf.u*8+pf.v >= 32
+                           THEN (CAST(1 AS BIGINT) << (pf.u*8+pf.v-32)) ELSE 0 END) AS BIGINT) AS phash_hi,
+                  CAST(SUM(CASE WHEN pf.coef > pm.med AND pf.u*8+pf.v < 32
+                           THEN (CAST(1 AS BIGINT) << (pf.u*8+pf.v)) ELSE 0 END) AS BIGINT) AS phash_lo
+           FROM pf JOIN pm USING (asset_id) GROUP BY 1)"""
+  }
+
   /** The dd_image_neardup composition, shared with the scale audit:
     * NEAR-duplicate image pairs in Hamming space without a quadratic
     * scan — exact-dedup to canonical hashes first, then split each
@@ -98,19 +135,30 @@ object PipelineQueries {
     * bytes/cluster, the join key is 1 byte of band value — no raw
     * image ever reaches the pair join.
     */
-  def imageNearDup(docs: DataFrame, maxHam: Int = 3): DataFrame = {
+  def imageNearDup(docs: DataFrame, maxHam: Int = 3): DataFrame =
+    bandedHammingPairs(
+      Multimodal.imageDHash(Multimodal.syntheticPngAssets(docs)), "dhash_hi", "dhash_lo", maxHam)
+
+  /** The banded-Hamming pair join, generalized over ANY (hi, lo) 64-bit
+    * fingerprint column pair — dHash and DCT-pHash feed the SAME
+    * machinery (r12 promised this reuse; r13's dd_image_neardup_dct
+    * collects it). Recall guarantee restated: 8 bands × 8 bits, so any
+    * pair at Hamming distance ≤ 7 agrees on ≥ 1 whole band (pigeonhole)
+    * — complete through maxHam ≤ 7, verified exactly by bit_count(xor).
+    */
+  def bandedHammingPairs(h: DataFrame, hiCol: String, loCol: String,
+                         maxHam: Int): DataFrame = {
     require(maxHam <= 7, s"8 bands of 8 bits only guarantee recall through Hamming 7: $maxHam")
-    val h = Multimodal.imageDHash(Multimodal.syntheticPngAssets(docs))
-    val canon = h.groupBy("dhash_hi", "dhash_lo").agg(min(col("asset_id")).as("asset_id"))
+    val canon = h.groupBy(hiCol, loCol).agg(min(col("asset_id")).as("asset_id"))
     val bandVals = array(
-      (0 until 4).map(k => shiftright(col("dhash_hi"), 8 * k).bitwiseAND(lit(255L))) ++
-      (0 until 4).map(k => shiftright(col("dhash_lo"), 8 * k).bitwiseAND(lit(255L))): _*)
-    val bands = canon.select(col("asset_id"), col("dhash_hi"), col("dhash_lo"),
+      (0 until 4).map(k => shiftright(col(hiCol), 8 * k).bitwiseAND(lit(255L))) ++
+      (0 until 4).map(k => shiftright(col(loCol), 8 * k).bitwiseAND(lit(255L))): _*)
+    val bands = canon.select(col("asset_id"), col(hiCol), col(loCol),
       posexplode(bandVals).as(Seq("band_idx", "band_val")))
     val a = bands.select(col("band_idx"), col("band_val"), col("asset_id").as("asset_a"),
-      col("dhash_hi").as("a_hi"), col("dhash_lo").as("a_lo"))
+      col(hiCol).as("a_hi"), col(loCol).as("a_lo"))
     val b = bands.select(col("band_idx"), col("band_val"), col("asset_id").as("asset_b"),
-      col("dhash_hi").as("b_hi"), col("dhash_lo").as("b_lo"))
+      col(hiCol).as("b_hi"), col(loCol).as("b_lo"))
     a.join(b, Seq("band_idx", "band_val"))
       .where(col("asset_a") < col("asset_b"))
       .select("asset_a", "asset_b", "a_hi", "a_lo", "b_hi", "b_lo").distinct()
@@ -1609,6 +1657,32 @@ object PipelineQueries {
       imageNearDup(Graft.documents(s, d))
     }),
 
+    "dd_image_phash_dct" -> ((s, d) => {
+      // robust perceptual DCT hash (VERDICT r12 #6): PNG decode →
+      // grayscale → 32×32 nearest-neighbor resize → separable
+      // FIXED-POINT 32-point DCT (round(4096·cos) basis, the libjpeg
+      // integer-DCT device) keeping the low-frequency 8×8 corner →
+      // exact 32nd-smallest AC median → 64 threshold bits. Versus
+      // dHash's adjacent gradients, pHash thresholds global low-
+      // frequency structure, so rescaled/smoothed/re-encoded copies
+      // keep their bits. Integer arithmetic END TO END, so the DuckDB
+      // oracle replays pixel formula + the SAME cosine table + median
+      // + packing with zero float surface. Scan-local, zero exchanges.
+      Multimodal.imagePHashDct(Multimodal.syntheticPngAssets(Graft.documents(s, d)))
+    }),
+
+    "dd_image_neardup_dct" -> ((s, d) => {
+      // the banded-Hamming near-dup join fed by the DCT pHash — the
+      // SAME 8-band × 8-bit machinery as dd_image_neardup
+      // (bandedHammingPairs), so the pigeonhole recall guarantee holds
+      // verbatim: any pair at Hamming ≤ 7 shares a whole band, hence
+      // the ≤ 3 threshold is provably complete; exact bit_count(xor)
+      // verify. Oracle: full O(n²) scan over canonical pHashes.
+      bandedHammingPairs(
+        Multimodal.imagePHashDct(Multimodal.syntheticPngAssets(Graft.documents(s, d))),
+        "phash_hi", "phash_lo", maxHam = 3)
+    }),
+
     "mm_audio_fft" -> ((s, d) => {
       // REAL DSP feature extraction: each doc becomes a mono 16-bit PCM
       // WAV whose 64-sample frames are pure sinusoids at integer bins
@@ -2963,6 +3037,26 @@ object PipelineQueries {
                 MIN(asset_id) OVER (PARTITION BY dhash_hi, dhash_lo) AS canonical_id,
                 asset_id = MIN(asset_id) OVER (PARTITION BY dhash_hi, dhash_lo) AS keep
          FROM h""",
+
+    // the full integer DCT-pHash replay per asset (cosine table, resize
+    // map, separable transform, exact AC median, bit packing)
+    "dd_image_phash_dct" ->
+      s"""WITH $phashDctCtes
+         SELECT asset_id, phash_hi, phash_lo FROM ph""",
+
+    // the full O(n^2) pair scan over canonical pHashes — the banded
+    // Spark plan must produce EXACTLY this set (pigeonhole guarantee)
+    "dd_image_neardup_dct" ->
+      s"""WITH $phashDctCtes,
+         pc AS (SELECT MIN(asset_id) AS asset_id, phash_hi, phash_lo
+                FROM ph GROUP BY phash_hi, phash_lo)
+         SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+                CAST(bit_count(xor(a.phash_hi, b.phash_hi))
+                     + bit_count(xor(a.phash_lo, b.phash_lo)) AS INT) AS hamming
+         FROM pc a, pc b
+         WHERE a.asset_id < b.asset_id
+           AND bit_count(xor(a.phash_hi, b.phash_hi))
+               + bit_count(xor(a.phash_lo, b.phash_lo)) <= 3""",
 
     // the dHash arithmetic replayed per asset — grid sampling via the
     // same integer nearest-neighbor map, gradient compare, 32/32 bit

@@ -514,6 +514,12 @@ class PlanSpec extends GraftTest {
       "no join expected in the window form")
   }
 
+  test("dd_image_phash_dct: decode + fixed-point DCT run inside the scan, zero exchanges") {
+    val p = plan("dd_image_phash_dct")
+    assert(!p.contains("Exchange"), "pHash must be shuffle-free:\n" + p.take(2000))
+    assert("Scan parquet".r.findAllIn(p).size === 1, "one corpus scan:\n" + p.take(2000))
+  }
+
   test("scan-local multimodal decodes carry ZERO exchanges") {
     // PNG decode, FFT features, video sampling, box resize: per-asset
     // partition-local work — any Exchange would mean the codec path

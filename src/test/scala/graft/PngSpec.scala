@@ -222,4 +222,34 @@ class PngSpec extends AnyFunSuite {
     val img = Png.decode(spliced.toByteArray).getOrElse(fail("tEXt chunk must be skipped"))
     assert(img.pixels.toSeq === px.toSeq)
   }
+
+  test("pHash DCT: invariant under integer nearest-neighbor upscale (the robustness dHash lacks)") {
+    import graft.multimodal.Multimodal
+    // 8×8 base raster from a non-linear formula (mod wrap breaks any
+    // accidental low-rank structure), plus its 2× and 4× NN upscales:
+    // the 32×32 resample of an f-times-replicated raster picks exactly
+    // the base pixels (src = x·(f·w)/32 = base index scaled), so the
+    // pHash is bit-identical across scales — the scale-invariance claim
+    // in testable form
+    def base(x: Int, y: Int) = (x * x * 7 + y * 13 + x * y * 3) % 200
+    def img(f: Int) = Png.PngImage(8 * f, 8 * f, 1,
+      raster(8 * f, 8 * f, 1)((x, y, _) => base(x / f, y / f)))
+    val h1 = Multimodal.pHashDctOf(img(1))
+    assert(Multimodal.pHashDctOf(img(2)) === h1, "2x upscale must not move the pHash")
+    assert(Multimodal.pHashDctOf(img(4)) === h1, "4x upscale must not move the pHash")
+    // 64 bits split as (hi, lo): at least one bit set and not all set
+    // (the formula image has real frequency structure)
+    assert(h1 != ((0L, 0L)) && h1 != ((0xffffffffL, 0xffffffffL)))
+    // brightness shift: a CONSTANT pixel offset changes only the DC
+    // coefficient — every AC row of the fixed-point basis sums to
+    // EXACTLY 0 even after rounding (checked offline for all u = 1..7),
+    // and the median is over AC only — so at most the DC bit may move.
+    // An exact invariance of the transform; dHash only gets the
+    // global-illumination robustness approximately. (base stays ≤ 199
+    // so +5 never clips.)
+    val br = raster(8, 8, 1)((x, y, _) => base(x, y) + 5)
+    val h2 = Multimodal.pHashDctOf(Png.PngImage(8, 8, 1, br))
+    val ham = java.lang.Long.bitCount(h1._1 ^ h2._1) + java.lang.Long.bitCount(h1._2 ^ h2._2)
+    assert(ham <= 1, s"brightness shift moved $ham/64 pHash bits — AC invariance broken")
+  }
 }
