@@ -32,12 +32,75 @@ object Bench {
     "pp_weights", "pp_profile", "pp_histogram", "pp_topquality", "pp_sample_n",
     "pp_sample_weighted", "pp_cluster_sample", "pp_domain_cap", "pp_dsir", "pp_delta", "pp_decontam_spans",
     "pp_pipeline", "pp_ingest_streaming", "pp_ingest_semantic", "pp_ingest_media", "pp_dedup_report", "dd_url", "q_hybrid_retrieval",
-    "mm_features", "mm_resize", "mm_quantize", "mm_decode", "mm_decode_jpeg", "mm_jpeg_coefs", "mm_jpeg_420", "mm_jpeg_rgb", "mm_decode_png", "mm_audio_fft", "mm_audio_mel", "dd_image_phash", "dd_image_phash_dct", "dd_image_resolve", "dd_image_neardup", "dd_image_neardup_dct", "mm_video_mjpeg", "mm_resize_box", "txt_sentences", "ann_assign_streaming",
+    "mm_features", "mm_resize", "mm_quantize", "mm_decode", "mm_decode_jpeg", "mm_jpeg_coefs", "mm_jpeg_420", "mm_jpeg_rgb", "mm_decode_png", "mm_audio_fft", "mm_audio_mel", "mm_audio_fingerprint", "dd_audio_neardup", "dd_image_phash", "dd_image_phash_dct", "dd_image_resolve", "dd_image_neardup", "dd_image_neardup_dct", "mm_video_mjpeg", "mm_resize_box", "txt_sentences", "ann_assign_streaming",
     "sk_cms", "sk_hll_merge", "sk_hll_overlap", "sk_heavy", "sk_heavy_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark: SparkSession = Graft.session()
+
+    // (VERDICT r12 #2) INTERLEAVED-PAIR mode: with
+    // SPARK_GRAFT_BENCH_LOCKSTEP=<dir> and SPARK_GRAFT_BENCH_ROLE=A|B,
+    // two Bench JVMs alternate per-query turns through a file baton —
+    // A times query i, hands off, B times query i, hands back. Both
+    // sides of the reproducibility pair then sample the SAME wall-clock
+    // windows, so the box-level drift two SEQUENTIAL full runs
+    // maximally expose (BENCH_DRIFT_r12.md: totals, worst queries and
+    // the calibration sentinel all moved together between runs) cancels
+    // in the per-query ratio instead of landing in it. Only one JVM
+    // computes at a time (the other polls a tiny file), so the timed
+    // sections see an uncontended box, same as a sequential run.
+    val lockstepDir = sys.env.get("SPARK_GRAFT_BENCH_LOCKSTEP")
+    val role = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROLE", "A")
+    require(role == "A" || role == "B", s"SPARK_GRAFT_BENCH_ROLE must be A or B: $role")
+    // Rendezvous before turn 0 so neither side's timed work overlaps the
+    // other's JVM/session boot (class loading steals CPU).
+    lazy val rendezvous: Unit = lockstepDir.foreach { dir =>
+      val d = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.write(d.resolve(s"ready-$role"), Array.emptyByteArray)
+      val t0 = System.currentTimeMillis()
+      while (!java.nio.file.Files.exists(d.resolve("ready-A")) ||
+             !java.nio.file.Files.exists(d.resolve("ready-B"))) {
+        require(System.currentTimeMillis() - t0 < 600000L, "lockstep peer never arrived")
+        Thread.sleep(10)
+      }
+    }
+    def withTurn[A](seq: Int)(body: => A): A = lockstepDir match {
+      case None => body
+      case Some(dir) =>
+        rendezvous
+        val mySlot = 2 * seq + (if (role == "A") 0 else 1)
+        val baton = java.nio.file.Paths.get(dir, "baton")
+        val t0 = System.currentTimeMillis()
+        // tolerate torn reads: Files.write is NOT atomic, so a poll can
+        // observe an empty/partial file mid-write — treat it as "not my
+        // turn yet" and re-poll (a naive .toInt here killed role B with
+        // NumberFormatException in the first pair run)
+        def current: Int =
+          try {
+            if (java.nio.file.Files.exists(baton))
+              new String(java.nio.file.Files.readAllBytes(baton), "UTF-8").trim.toInt
+            else 0
+          } catch { case _: Exception => -1 }
+        while (current < mySlot) {
+          // a turn can legitimately take minutes (streaming twins); the
+          // bound only catches a dead peer
+          require(System.currentTimeMillis() - t0 < 1200000L,
+            s"lockstep baton stuck below slot $mySlot")
+          Thread.sleep(10)
+        }
+        try body
+        finally {
+          // atomic hand-off: write-temp + ATOMIC_MOVE so the peer can
+          // never read a torn value
+          val tmp = java.nio.file.Paths.get(dir, s"baton-$role.tmp")
+          java.nio.file.Files.write(tmp, String.valueOf(mySlot + 1).getBytes("UTF-8"))
+          java.nio.file.Files.move(tmp, baton,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+    }
 
     def jsonEscape(s: String): String = s.flatMap {
       case '"'  => "\\\""
@@ -60,16 +123,6 @@ object Bench {
         case e: Throwable => Left(jsonEscape(e.toString.take(200)))
       }
 
-    // touch every corpus table once (untimed) so first timed runs measure
-    // compute, not cold page cache — an OS-cold read of the large tables
-    // once inflated shuffle-heavy queries ~10x on this box
-    Graft.tableNames.foreach { t =>
-      try Graft.table(spark, sfDir, t).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
-    }
-    // JVM/codegen warmup on the first headline query (untimed)
-    runOnce(headline.head)
-
     // Environment-sanity sentinel: time a fixed calibration probe before
     // and after the run. On a healthy box the two agree; on a contended
     // box they drift, and we stamp the artifact instead of letting a bad
@@ -85,7 +138,21 @@ object Bench {
       case (_, Right(b))        => b
       case _                    => Double.NaN
     }
-    val calStart = calibrate()
+
+    // turn 0: warmup + start sentinel (inside the lockstep so neither
+    // side's timed turns overlap the other's warmup compute)
+    val calStart = withTurn(0) {
+      // touch every corpus table once (untimed) so first timed runs measure
+      // compute, not cold page cache — an OS-cold read of the large tables
+      // once inflated shuffle-heavy queries ~10x on this box
+      Graft.tableNames.foreach { t =>
+        try Graft.table(spark, sfDir, t).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
+      }
+      // JVM/codegen warmup on the first headline query (untimed)
+      runOnce(headline.head)
+      calibrate()
+    }
 
     // per query: one UNTIMED warm pass, then timed reps until the
     // measurement CONVERGES — the two best reps agree within 25% — or a
@@ -107,8 +174,9 @@ object Bench {
     // another can still disagree 1.5x (the r11 builder pair's
     // pp_histogram). min-of-4 tightens the sampled minimum's tail at a
     // cost of <1s across the whole suite.
+    val active = headline.filter(SparkEntry.queries.contains)
     val results: Seq[(String, Either[String, Double])] =
-      headline.filter(SparkEntry.queries.contains).map { n =>
+      active.zipWithIndex.map { case (n, qi) => withTurn(1 + qi) {
         runOnce(n) // warm (untimed): discard result, keep only hard errors below
         // (r12) the min-reps band widened 0.25s -> 1.0s and convergence
         // tightened 1.25 -> 1.20: the r12 builder pair's worst ratio was
@@ -138,9 +206,9 @@ object Bench {
         }
         if (times.nonEmpty) n -> Right(times.min)
         else n -> Left(lastErr.getOrElse("no successful rep"))
-      }
+      }}
 
-    val calEnd = calibrate()
+    val calEnd = withTurn(1 + active.size)(calibrate())
     // DIRECTIONAL ratio: end/start. The JVM keeps JIT-warming through the
     // run, so end < start is normal on a healthy box (measured ~0.5x) and
     // must not trip the sentinel; contention arriving mid-run makes the

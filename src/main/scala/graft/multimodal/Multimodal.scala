@@ -739,6 +739,58 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Acoustic fingerprint of a decoded WAV (r13): 16 bits per frame ×
+    * the first 4 frames = one 64-bit fingerprint per asset, the
+    * chromaprint-style shape at miniature scale. Each frame contributes
+    * its full spectral sketch, every piece from the certified kernels:
+    *   bits 0-4   dominant positive-frequency bin ([[Dsp.dominantBin]])
+    *   bit  5     tonal-purity flag
+    *   bits 6-8   argmax mel band (1-based band index, ties to lowest —
+    *              [[Dsp.melBandMilli]] over [[melCenters64]])
+    *   bits 9-15  top band's milli-fraction / 8 (0..125)
+    * Missing frames pack as zero. Packed as two unsigned 32-bit halves
+    * in BIGINT like the image hashes, so [[graft.queries.PipelineQueries
+    * .bandedHammingPairs]] consumes it unchanged: similar audio (same
+    * dominant bins / band profile in most frames) lands at small Hamming
+    * distance, and the 8-band pigeonhole recall guarantee holds
+    * verbatim. The fixture's integer-bin tones make every field exact
+    * integer arithmetic the oracle replays. Decode failure emits the
+    * all--1 sentinel row. Scan-local, zero exchanges.
+    */
+  final case class AudioFingerprint(asset_id: Long, afp_hi: Long, afp_lo: Long)
+
+  def audioFingerprint(assets: DataFrame, frameLen: Int = 64): DataFrame = {
+    require(frameLen >= 4 && (frameLen & (frameLen - 1)) == 0,
+      s"frameLen must be a power of 2 >= 4: $frameLen")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "payload").as[(Long, Array[Byte])].map { case (id, bytes) =>
+      Codec.decodeWavData(bytes) match {
+        case Some((info, data)) if info.channels == 1 && info.bitsPerSample == 16 =>
+          val samples = Dsp.pcm16Samples(data)
+          val nFrames = math.min(samples.length / frameLen, 4)
+          var packed = 0L
+          var f = 0
+          while (f < nFrames) {
+            val frame = java.util.Arrays.copyOfRange(samples, f * frameLen, (f + 1) * frameLen)
+            val (bin, pure) = Dsp.dominantBin(frame)
+            val milli = Dsp.melBandMilli(frame, melCenters64)
+            var bestM = 0
+            var m = 1
+            while (m < milli.length) { if (milli(m) > milli(bestM)) bestM = m; m += 1 }
+            val word = (bin.toLong & 0x1fL) |
+              (if (pure) 0x20L else 0L) |
+              (((bestM + 1).toLong & 0x7L) << 6) |
+              ((math.min(milli(bestM) / 8, 125L) & 0x7fL) << 9)
+            packed |= word << (16 * f)
+            f += 1
+          }
+          AudioFingerprint(id, packed >>> 32, packed & 0xffffffffL)
+        case _ => AudioFingerprint(id, -1L, -1L)
+      }
+    }.toDF()
+  }
+
   /** Perceptual difference-hash (dHash) of a decoded image: sample a
     * 9×8 grid from the raster with the exact nearest-neighbor index map
     * `src = (grid · dim) / 9 (or /8)` (integer division — any source

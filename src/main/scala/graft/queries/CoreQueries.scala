@@ -213,6 +213,25 @@ object CoreQueries {
       s.read.schema(docs.schema).json(out)
     }),
 
+    "s_tfrecord" -> ((s, d) => {
+      // TFRecord roundtrip (r13) — the TensorFlow training-data
+      // interchange format, pure-JVM framing (8-byte LE length + masked
+      // CRC-32C on both the length and the payload; JDK CRC32C, public
+      // spec constants): documents → JSON payloads → 4 TFRecord shards
+      // → shard-parallel read with EVERY checksum verified → from_json
+      // with the explicit schema → identity vs the plain table. Like
+      // gzip text, a shard is one read task (non-splittable framing) —
+      // the writer controls parallelism, stated in the write API.
+      val out = tmp("tfrecord")
+      val docs = Graft.documents(s, d)
+      graft.sources.Sources.writeTfRecords(
+        docs.select(to_json(struct(docs.columns.map(col): _*)).cast("binary").as("payload")),
+        "payload", out, shards = 4)
+      graft.sources.Sources.readTfRecords(s, out)
+        .select(from_json(col("payload").cast("string"), docs.schema).as("r"))
+        .select(docs.columns.map(c => col(s"r.$c")): _*)
+    }),
+
     "s_parquet_zstd" -> ((s, d) => {
       // ZSTD-compressed parquet roundtrip — the modern default storage
       // codec for analytics corpora (splittable at the row-group level,
@@ -291,6 +310,7 @@ object CoreQueries {
     "s_jsonl" -> "SELECT * FROM documents",
     "s_jsonl_gz" -> "SELECT * FROM documents",
     "s_jsonl_bz2" -> "SELECT * FROM documents",
+    "s_tfrecord" -> "SELECT * FROM documents",
     "s_parquet_zstd" -> "SELECT * FROM documents",
     "s_parquet_bloom" -> "SELECT * FROM documents WHERE doc_id IN (5, 105, 205, 306)")
 

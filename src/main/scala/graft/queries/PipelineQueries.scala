@@ -1733,6 +1733,29 @@ object PipelineQueries {
         s, "mm_audio_mel_streaming", Multimodal.audioMelFrames(assets))
     }),
 
+    "mm_audio_fingerprint" -> ((s, d) => {
+      // acoustic fingerprint (r13): 16 bits per frame × 4 frames — the
+      // chromaprint-style shape at miniature scale — each frame packing
+      // its dominant bin + purity + argmax mel band + quantized top-band
+      // milli, all from the certified kernels. Every field is exact
+      // integer arithmetic the oracle replays (the tones' spectral facts
+      // are already hash-proven via mm_audio_fft/mm_audio_mel).
+      // Scan-local, zero exchanges.
+      Multimodal.audioFingerprint(Multimodal.syntheticToneWavAssets(Graft.documents(s, d)))
+    }),
+
+    "dd_audio_neardup" -> ((s, d) => {
+      // NEAR-dup audio via the SAME banded-Hamming machinery as the
+      // image paths — the third modality through one join shape
+      // (bandedHammingPairs): canonical fingerprints → 8 bands × 8 bits
+      // → pigeonhole-complete candidates through Hamming 7 → exact
+      // bit_count(xor) verify at <= 3. Oracle: full O(n²) pair scan
+      // over canonical fingerprints.
+      bandedHammingPairs(
+        Multimodal.audioFingerprint(Multimodal.syntheticToneWavAssets(Graft.documents(s, d))),
+        "afp_hi", "afp_lo", maxHam = 3)
+    }),
+
     "mm_audio" -> ((s, d) =>
       // audio-shaped overlapping windows (64-byte window, 32-byte hop)
       // over binary payloads; windows decoded to string for the oracle
@@ -1987,24 +2010,69 @@ object PipelineQueries {
     * denominators are generated from the SAME melCenters64 constant the
     * Spark kernel uses, so the two sides cannot drift apart.
     */
-  private val mmAudioMelSql: String = {
+  /** The mel triangular-weight milli-fraction as a SQL CASE over band
+    * index `m.m` and tone bin `$k` — round-half(1000·p/q) in pure
+    * integer arithmetic ((2000p + q) // 2q), generated from the SAME
+    * melCenters64 constant the Spark kernel uses. Shared by the
+    * mm_audio_mel and audio-fingerprint oracles.
+    */
+  private def melMilliCase(k: String): String = {
     val cs = Multimodal.melCenters64
     val branches = (1 to cs.length - 2).map { m =>
       val a = cs(m - 1); val c = cs(m); val b = cs(m + 1)
       s"""WHEN m.m = $m THEN CASE
-              WHEN fr.k > $a AND fr.k <= $c THEN (2000 * (fr.k - $a) + ${c - a}) // ${2 * (c - a)}
-              WHEN fr.k > $c AND fr.k < $b THEN (2000 * ($b - fr.k) + ${b - c}) // ${2 * (b - c)}
+              WHEN $k > $a AND $k <= $c THEN (2000 * ($k - $a) + ${c - a}) // ${2 * (c - a)}
+              WHEN $k > $c AND $k < $b THEN (2000 * ($b - $k) + ${b - c}) // ${2 * (b - c)}
               ELSE 0 END"""
     }.mkString("\n            ")
-    s"""WITH fr AS (SELECT d.doc_id, f.i AS frame_idx,
-                           1 + (d.doc_id + 3 * f.i) % 31 AS k
-                    FROM documents d, UNNEST(generate_series(0, 3)) AS f(i)
-                    WHERE f.i <= d.doc_id % 4)
-       SELECT fr.doc_id AS asset_id, CAST(fr.frame_idx AS INT) AS frame_idx,
-              CAST(m.m AS INT) AS mel_idx,
-              CAST(CASE $branches ELSE 0 END AS BIGINT) AS mel_milli
-       FROM fr, UNNEST(generate_series(1, ${cs.length - 2})) AS m(m)"""
+    s"CASE $branches ELSE 0 END"
   }
+
+  /** The fixture's per-frame tone bins: one row per (doc, frame 0..id%4)
+    * with k = 1 + (id + 3f) % 31 — shared by every audio oracle.
+    */
+  private val toneFramesCte: String =
+    """afr AS (SELECT d.doc_id, f.i AS frame_idx,
+                      1 + (d.doc_id + 3 * f.i) % 31 AS k
+               FROM documents d, UNNEST(generate_series(0, 3)) AS f(i)
+               WHERE f.i <= d.doc_id % 4)"""
+
+  private val mmAudioMelSql: String =
+    s"""WITH $toneFramesCte
+       SELECT afr.doc_id AS asset_id, CAST(afr.frame_idx AS INT) AS frame_idx,
+              CAST(m.m AS INT) AS mel_idx,
+              CAST(${melMilliCase("afr.k")} AS BIGINT) AS mel_milli
+       FROM afr, UNNEST(generate_series(1, ${Multimodal.melCenters64.length - 2})) AS m(m)"""
+
+  /** The audio-fingerprint replay CTE prefix (afr → amel → atop → afp):
+    * per frame, the dominant bin is the tone bin k (purity TRUE — the
+    * certified mm_audio_fft facts), the argmax mel band and its milli
+    * come from the shared weight CASE (ties to the lowest band, the
+    * kernel's strict-greater rule), and the 16-bit frame words pack
+    * into (hi, lo) halves with ≤16-bit shifts so no engine touches the
+    * sign bit.
+    */
+  private val afpCtes: String =
+    s"""$toneFramesCte,
+         amel AS (SELECT afr.doc_id, afr.frame_idx, m.m AS m,
+                         CAST(${melMilliCase("afr.k")} AS BIGINT) AS milli
+                  FROM afr, UNNEST(generate_series(1, ${Multimodal.melCenters64.length - 2})) AS m(m)),
+         atop AS (SELECT doc_id, frame_idx, m, milli FROM
+                    (SELECT *, row_number() OVER (PARTITION BY doc_id, frame_idx
+                                                  ORDER BY milli DESC, m ASC) AS r
+                     FROM amel)
+                  WHERE r = 1),
+         aword AS (SELECT afr.doc_id, afr.frame_idx,
+                          (afr.k + 32 + (t.m << 6)
+                           + ((CASE WHEN t.milli // 8 > 125 THEN 125 ELSE t.milli // 8 END) << 9)) AS word
+                   FROM afr JOIN atop t
+                     ON t.doc_id = afr.doc_id AND t.frame_idx = afr.frame_idx),
+         afp AS (SELECT doc_id AS asset_id,
+                        CAST(COALESCE(SUM(CASE WHEN frame_idx >= 2
+                                 THEN word << (16 * (frame_idx - 2)) ELSE 0 END), 0) AS BIGINT) AS afp_hi,
+                        CAST(COALESCE(SUM(CASE WHEN frame_idx < 2
+                                 THEN word << (16 * frame_idx) ELSE 0 END), 0) AS BIGINT) AS afp_lo
+                 FROM aword GROUP BY 1)"""
 
   private val mmVideoMjpegSql: String =
     """SELECT d.doc_id AS asset_id,
@@ -3075,6 +3143,25 @@ object PipelineQueries {
     "mm_audio_fft" -> mmAudioFftSql,
     "mm_audio_mel" -> mmAudioMelSql,
     "mm_audio_mel_streaming" -> mmAudioMelSql,
+
+    // the full integer fingerprint replay per asset
+    "mm_audio_fingerprint" ->
+      s"""WITH $afpCtes
+         SELECT asset_id, afp_hi, afp_lo FROM afp""",
+
+    // the full O(n^2) pair scan over canonical fingerprints — the banded
+    // Spark plan must produce EXACTLY this set (pigeonhole guarantee)
+    "dd_audio_neardup" ->
+      s"""WITH $afpCtes,
+         ac AS (SELECT MIN(asset_id) AS asset_id, afp_hi, afp_lo
+                FROM afp GROUP BY afp_hi, afp_lo)
+         SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+                CAST(bit_count(xor(a.afp_hi, b.afp_hi))
+                     + bit_count(xor(a.afp_lo, b.afp_lo)) AS INT) AS hamming
+         FROM ac a, ac b
+         WHERE a.asset_id < b.asset_id
+           AND bit_count(xor(a.afp_hi, b.afp_hi))
+               + bit_count(xor(a.afp_lo, b.afp_lo)) <= 3""",
 
     // the streaming twin shares the batch oracle verbatim
     "mm_audio_fft_streaming" -> mmAudioFftSql,

@@ -48,6 +48,102 @@ object Sources {
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
 
+  /** TFRecord framing (r13) — the TensorFlow training-data interchange
+    * format, from the PUBLIC spec (tensorflow/core/lib/io/record_writer):
+    * each record is
+    *   uint64 length (little-endian)
+    *   uint32 masked CRC-32C of the 8 length bytes
+    *   byte[length] payload
+    *   uint32 masked CRC-32C of the payload
+    * with mask(crc) = rotr15(crc) + 0xa282ead8 (uint32 wrap). CRC-32C
+    * (Castagnoli) ships in the JDK (`java.util.zip.CRC32C`, RFC 3720
+    * polynomial), so the codec is ~40 LoC with zero dependencies. Int
+    * arithmetic below IS uint32 arithmetic mod 2^32 (same bit patterns;
+    * shifts use >>> for the logical rotate).
+    */
+  object TfRecord {
+    private def maskedCrc(b: Array[Byte], off: Int, len: Int): Int = {
+      val c = new java.util.zip.CRC32C()
+      c.update(b, off, len)
+      val crc = c.getValue.toInt
+      ((crc >>> 15) | (crc << 17)) + 0xa282ead8
+    }
+
+    private def intLe(v: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+
+    def write(out: java.io.OutputStream, payload: Array[Byte]): Unit = {
+      val lenBuf = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(payload.length.toLong).array()
+      out.write(lenBuf)
+      out.write(intLe(maskedCrc(lenBuf, 0, 8)))
+      out.write(payload)
+      out.write(intLe(maskedCrc(payload, 0, payload.length)))
+    }
+
+    /** Strict parse of a whole shard: every record's BOTH checksums must
+      * verify and the file must end exactly at a record boundary — a
+      * flipped byte anywhere surfaces as IllegalArgumentException, never
+      * as silently-wrong payloads (the CRC is the format's whole point).
+      */
+    def readAll(bytes: Array[Byte]): Iterator[Array[Byte]] = new Iterator[Array[Byte]] {
+      private val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      override def hasNext: Boolean = buf.remaining() > 0
+      override def next(): Array[Byte] = {
+        require(buf.remaining() >= 12, s"truncated record header at ${buf.position()}")
+        val lenPos = buf.position()
+        val len = buf.getLong
+        require(len >= 0 && len <= buf.remaining() - 8,
+          s"record length $len exceeds shard at $lenPos")
+        require(buf.getInt == maskedCrc(bytes, lenPos, 8),
+          s"length CRC mismatch at $lenPos")
+        val payload = new Array[Byte](len.toInt)
+        val dataPos = buf.position()
+        buf.get(payload)
+        require(buf.getInt == maskedCrc(bytes, dataPos, len.toInt),
+          s"payload CRC mismatch at $dataPos")
+        payload
+      }
+    }
+  }
+
+  /** Write a binary column as TFRecord shards (one file per output
+    * partition). 100 TB shape: the write is embarrassingly parallel
+    * (each task streams its partition through the framing with no
+    * buffering beyond one record); like gzip text, a TFRecord shard is
+    * NOT splittable, so read parallelism = shard count — the writer
+    * controls it here exactly as production corpus writers do.
+    */
+  def writeTfRecords(df: DataFrame, payloadCol: String, path: String,
+                     shards: Int): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    df.select(col(payloadCol).cast("binary").as("p"))
+      .repartition(shards)
+      .foreachPartition { (it: Iterator[Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val p = java.nio.file.Paths.get(path, f"part-$pid%05d.tfrecord")
+        // TRUNCATE_EXISTING default: a task retry rewrites the whole
+        // shard, so the write is idempotent per partition
+        val out = new java.io.BufferedOutputStream(java.nio.file.Files.newOutputStream(p))
+        try it.foreach(r => TfRecord.write(out, r.getAs[Array[Byte]](0)))
+        finally out.close()
+      }
+  }
+
+  /** Read TFRecord shards back as one `payload: binary` row per record —
+    * shard-parallel (`binaryFile` source: one task per shard, matching
+    * the format's non-splittable framing), every checksum verified.
+    */
+  def readTfRecords(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$path/*.tfrecord")
+      .select("content").as[Array[Byte]]
+      .flatMap(TfRecord.readAll)
+      .toDF("payload")
+  }
+
   /** S9: CSV with an explicit schema (serde-at-the-edge). */
   def csv(spark: SparkSession, path: String, schema: StructType, header: Boolean = true): DataFrame =
     spark.read.schema(schema).option("header", header.toString).csv(path)

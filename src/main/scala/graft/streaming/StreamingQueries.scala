@@ -219,10 +219,12 @@ object StreamingQueries {
     */
   def runBm25Stream(spark: SparkSession, docs: DataFrame,
                     batchOf: org.apache.spark.sql.Column,
-                    queryTerms: Seq[String], tag: String): DataFrame = {
+                    queryTerms: Seq[String], tag: String,
+                    storeDirs: Option[scala.collection.mutable.Buffer[(String, String)]] = None): DataFrame = {
     val stream = stageStreamBatched(spark, docs, batchOf, tag)
     val tfRoot = tmpDir(s"bm25-tf-$tag")
     val dlRoot = tmpDir(s"bm25-dl-$tag")
+    storeDirs.foreach(b => b ++= Seq("tf" -> tfRoot, "dl" -> dlRoot))
     val q = stream.writeStream
       .option("checkpointLocation", tmpDir(s"ckpt-bm25-$tag"))
       .trigger(Trigger.AvailableNow())
@@ -359,12 +361,14 @@ object StreamingQueries {
   def runMediaIngestStream(spark: SparkSession, batchDocs: DataFrame,
                            corpusDocs: DataFrame,
                            batchOf: org.apache.spark.sql.Column,
-                           tag: String): DataFrame = {
+                           tag: String,
+                           storeDirs: Option[scala.collection.mutable.Buffer[(String, String)]] = None): DataFrame = {
     import graft.multimodal.Multimodal
     val stream = stageStreamBatched(spark, batchDocs, batchOf, tag)
     val seenRoot = tmpDir(s"mingest-seen-$tag")
     val outRoot = tmpDir(s"mingest-out-$tag")
     val corpusHashDir = tmpDir(s"mingest-corpus-$tag")
+    storeDirs.foreach(b => b ++= Seq("seen" -> seenRoot, "corpus" -> corpusHashDir))
     Multimodal.imageDHash(Multimodal.syntheticPngAssets(corpusDocs))
       .select("dhash_hi", "dhash_lo").distinct()
       .write.mode("overwrite").parquet(corpusHashDir)
