@@ -140,21 +140,33 @@ object PipelineQueries {
       Multimodal.imageDHash(Multimodal.syntheticPngAssets(docs)), "dhash_hi", "dhash_lo", maxHam)
 
   /** The banded-Hamming pair join, generalized over ANY (hi, lo) 64-bit
-    * fingerprint column pair — dHash and DCT-pHash feed the SAME
-    * machinery (r12 promised this reuse; r13's dd_image_neardup_dct
-    * collects it). Recall guarantee restated: 8 bands × 8 bits, so any
-    * pair at Hamming distance ≤ 7 agrees on ≥ 1 whole band (pigeonhole)
-    * — complete through maxHam ≤ 7, verified exactly by bit_count(xor).
+    * fingerprint column pair — dHash, DCT-pHash and the acoustic
+    * fingerprint feed the SAME machinery (r12 promised this reuse;
+    * r13's dd_image_neardup_dct / dd_audio_neardup collect it). Recall
+    * guarantee restated: 8 bands × 8 bits, so any pair at Hamming
+    * distance ≤ 7 agrees on ≥ 1 whole band (pigeonhole) — complete
+    * through maxHam ≤ 7, verified exactly by bit_count(xor).
+    *
+    * `maxBand` is the text-LSH path's hot-bucket guard applied to bit
+    * space (Dedup.capBuckets, r13): a pathological single-band pileup
+    * (one band value shared by k canonical fingerprints produces k²/2
+    * candidates) degrades to an OBSERVABLE drop instead of a quadratic
+    * stage. Default 10000 sits 10-100x above any expected true near-dup
+    * band at these thresholds — the certified corpora never approach it
+    * (the cap fires only past the point the banding assumption itself
+    * has failed) — so the oracle's full pair scan stays exactly equal.
     */
   def bandedHammingPairs(h: DataFrame, hiCol: String, loCol: String,
-                         maxHam: Int): DataFrame = {
+                         maxHam: Int, maxBand: Int = 10000): DataFrame = {
     require(maxHam <= 7, s"8 bands of 8 bits only guarantee recall through Hamming 7: $maxHam")
     val canon = h.groupBy(hiCol, loCol).agg(min(col("asset_id")).as("asset_id"))
     val bandVals = array(
       (0 until 4).map(k => shiftright(col(hiCol), 8 * k).bitwiseAND(lit(255L))) ++
       (0 until 4).map(k => shiftright(col(loCol), 8 * k).bitwiseAND(lit(255L))): _*)
-    val bands = canon.select(col("asset_id"), col(hiCol), col(loCol),
-      posexplode(bandVals).as(Seq("band_idx", "band_val")))
+    val bands = Dedup.capBuckets(
+      canon.select(col("asset_id"), col(hiCol), col(loCol),
+        posexplode(bandVals).as(Seq("band_idx", "band_val"))),
+      Seq("band_idx", "band_val"), maxBand, "banded_hamming")
     val a = bands.select(col("band_idx"), col("band_val"), col("asset_id").as("asset_a"),
       col(hiCol).as("a_hi"), col(loCol).as("a_lo"))
     val b = bands.select(col("band_idx"), col("band_val"), col("asset_id").as("asset_b"),
@@ -878,6 +890,28 @@ object PipelineQueries {
         case Some(batchOf) =>
           graft.streaming.StreamingQueries.runMediaIngestStream(
             s, batch, corpus, batchOf, tag = "ppmedia")
+      }
+    }),
+
+    "pp_ingest_media_dct" -> ((s, d) => {
+      // the media ingest gate keyed by the ROBUST DCT pHash instead of
+      // the exact dHash (r13): rescaled/smoothed re-encodes of corpus
+      // images now collide into the same fingerprint and get dropped at
+      // the gate — the production choice when assets arrive through
+      // lossy re-hosting. Same streaming machinery, same per-batch
+      // idempotent stores; the fingerprint function and column names
+      // are parameters (runMediaIngestStream hashFn).
+      val docs = Graft.documents(s, d)
+      val batch = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      graft.streaming.StreamingQueries.harnessBatches(batch, "doc_id") match {
+        case None => batch.select(col("doc_id").as("asset_id"),
+          lit(0L).as("phash_hi"), lit(0L).as("phash_lo")).limit(0)
+        case Some(batchOf) =>
+          graft.streaming.StreamingQueries.runMediaIngestStream(
+            s, batch, corpus, batchOf, tag = "ppmediadct",
+            hashFn = df => Multimodal.imagePHashDct(Multimodal.syntheticPngAssets(df)),
+            hiCol = "phash_hi", loCol = "phash_lo")
       }
     }),
 
@@ -3083,6 +3117,22 @@ object PipelineQueries {
          WHERE k.r = 1 AND NOT EXISTS (
            SELECT 1 FROM corp c
            WHERE c.dhash_hi = k.dhash_hi AND c.dhash_lo = k.dhash_lo)""",
+
+    // the dct-gated media ingest converges to this batch statement (the
+    // pp_ingest_media argument verbatim, over ph instead of h)
+    "pp_ingest_media_dct" ->
+      s"""WITH $phashDctCtes,
+         corp AS (SELECT DISTINCT phash_hi, phash_lo FROM ph WHERE asset_id % 10 <> 0),
+         newa AS (SELECT * FROM ph WHERE asset_id % 10 = 0),
+         kept AS (SELECT asset_id, phash_hi, phash_lo,
+                         row_number() OVER (PARTITION BY phash_hi, phash_lo
+                                            ORDER BY asset_id) AS r
+                  FROM newa)
+         SELECT k.asset_id, k.phash_hi, k.phash_lo
+         FROM kept k
+         WHERE k.r = 1 AND NOT EXISTS (
+           SELECT 1 FROM corp c
+           WHERE c.phash_hi = k.phash_hi AND c.phash_lo = k.phash_lo)""",
 
     // the full O(n^2) pair scan over canonical hashes — the banded
     // Spark plan must produce EXACTLY this set (pigeonhole guarantee)

@@ -362,15 +362,26 @@ object StreamingQueries {
                            corpusDocs: DataFrame,
                            batchOf: org.apache.spark.sql.Column,
                            tag: String,
-                           storeDirs: Option[scala.collection.mutable.Buffer[(String, String)]] = None): DataFrame = {
+                           storeDirs: Option[scala.collection.mutable.Buffer[(String, String)]] = None,
+                           // the gate's fingerprint is pluggable (r13):
+                           // default = exact dHash; pp_ingest_media_dct
+                           // passes the robust DCT pHash with its column
+                           // names — the store/join machinery is
+                           // fingerprint-agnostic
+                           hashFn: DataFrame => DataFrame = null,
+                           hiCol: String = "dhash_hi",
+                           loCol: String = "dhash_lo"): DataFrame = {
     import graft.multimodal.Multimodal
+    val hasher: DataFrame => DataFrame =
+      if (hashFn != null) hashFn
+      else df => Multimodal.imageDHash(Multimodal.syntheticPngAssets(df))
     val stream = stageStreamBatched(spark, batchDocs, batchOf, tag)
     val seenRoot = tmpDir(s"mingest-seen-$tag")
     val outRoot = tmpDir(s"mingest-out-$tag")
     val corpusHashDir = tmpDir(s"mingest-corpus-$tag")
     storeDirs.foreach(b => b ++= Seq("seen" -> seenRoot, "corpus" -> corpusHashDir))
-    Multimodal.imageDHash(Multimodal.syntheticPngAssets(corpusDocs))
-      .select("dhash_hi", "dhash_lo").distinct()
+    hasher(corpusDocs)
+      .select(hiCol, loCol).distinct()
       .write.mode("overwrite").parquet(corpusHashDir)
     val q = stream.writeStream
       .option("checkpointLocation", tmpDir(s"ckpt-mingest-$tag"))
@@ -384,15 +395,15 @@ object StreamingQueries {
         // persist: the decode+hash scan is the dominant cost here
         // (unlike runIngestStream's cheap md5) and BOTH writes below
         // consume it (review r12)
-        val hashed = Multimodal.imageDHash(Multimodal.syntheticPngAssets(b)).persist()
+        val hashed = hasher(b).persist()
         try {
           hashed
-            .join(corpusHashes, Seq("dhash_hi", "dhash_lo"), "left_anti")
-            .join(seen, Seq("dhash_hi", "dhash_lo"), "left_anti")
-            .groupBy("dhash_hi", "dhash_lo").agg(min(col("asset_id")).as("asset_id"))
-            .select("asset_id", "dhash_hi", "dhash_lo")
+            .join(corpusHashes, Seq(hiCol, loCol), "left_anti")
+            .join(seen, Seq(hiCol, loCol), "left_anti")
+            .groupBy(hiCol, loCol).agg(min(col("asset_id")).as("asset_id"))
+            .select("asset_id", hiCol, loCol)
             .write.mode("overwrite").parquet(s"$outRoot/batch-$id")
-          hashed.select("dhash_hi", "dhash_lo").distinct()
+          hashed.select(hiCol, loCol).distinct()
             .write.mode("overwrite").parquet(s"$seenRoot/seen-$id")
         } finally hashed.unpersist()
         ()
