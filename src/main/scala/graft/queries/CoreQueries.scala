@@ -213,6 +213,40 @@ object CoreQueries {
       s.read.schema(docs.schema).json(out)
     }),
 
+    "s_webdataset" -> ((s, d) => {
+      // WebDataset roundtrip (r13) — the de-facto MULTIMODAL training
+      // corpus layout: per sample, a `<key>.json` metadata member and a
+      // `<key>.png` image member, grouped contiguously inside plain
+      // USTAR tar shards (pure-JVM framing, header checksums verified
+      // on read; write repartitions BY KEY so a sample never splits
+      // across shards — the property streaming WebDataset readers
+      // rely on). Certified BOTH modalities deep: the json side must
+      // reproduce the documents table bit-exactly (from_json, explicit
+      // schema) and the png side goes through the FULL certified PNG
+      // decode to per-asset pixel sums the oracle replays from the
+      // pixel formula. Scale shape: shard-parallel read, scan-local
+      // decode, one broadcastable join keyed by doc_id.
+      val out = tmp("wds")
+      val docs = Graft.documents(s, d)
+      val key = format_string("%012d", col("doc_id"))
+      val jsonRows = docs.select(key.as("key"), lit("json").as("ext"),
+        to_json(struct(docs.columns.map(col): _*)).cast("binary").as("payload"))
+      val pngRows = graft.multimodal.Multimodal.syntheticPngAssets(docs)
+        .select(format_string("%012d", col("asset_id")).as("key"),
+          lit("png").as("ext"), col("payload"))
+      graft.sources.Sources.writeWebDataset(
+        jsonRows.unionByName(pngRows), out, shards = 4)
+      val back = graft.sources.Sources.readWebDataset(s, out)
+      val js = back.where(col("ext") === "json")
+        .select(from_json(col("payload").cast("string"), docs.schema).as("r"))
+        .select(col("r.*"))
+      val px = graft.multimodal.Multimodal.decodePngChannels(
+          back.where(col("ext") === "png")
+            .select(col("key").cast("long").as("asset_id"), col("payload")))
+        .groupBy("asset_id").agg(sum("px_sum").as("png_px_sum"))
+      js.join(px.withColumnRenamed("asset_id", "doc_id"), Seq("doc_id"))
+    }),
+
     "s_tfrecord" -> ((s, d) => {
       // TFRecord roundtrip (r13) — the TensorFlow training-data
       // interchange format, pure-JVM framing (8-byte LE length + masked
@@ -311,6 +345,20 @@ object CoreQueries {
     "s_jsonl_gz" -> "SELECT * FROM documents",
     "s_jsonl_bz2" -> "SELECT * FROM documents",
     "s_tfrecord" -> "SELECT * FROM documents",
+    // json members reproduce the table; png members decode to the
+    // pixel-formula sums (all channels)
+    "s_webdataset" ->
+      """SELECT d.*, p.png_px_sum FROM documents d JOIN (
+           SELECT d.doc_id,
+                  CAST(SUM((d.doc_id * 7 + gx.x * 3 + gy.y * 5 + ch.c * 11) % 256) AS BIGINT) AS png_px_sum
+           FROM documents d,
+                UNNEST(generate_series(0, 2)) AS ch(c),
+                UNNEST(generate_series(0, 12)) AS gx(x),
+                UNNEST(generate_series(0, 10)) AS gy(y)
+           WHERE ch.c < (CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 3 END)
+             AND gx.x < 1 + d.n_chars % 13
+             AND gy.y < 1 + d.doc_id % 11
+           GROUP BY 1) p ON p.doc_id = d.doc_id""",
     "s_parquet_zstd" -> "SELECT * FROM documents",
     "s_parquet_bloom" -> "SELECT * FROM documents WHERE doc_id IN (5, 105, 205, 306)")
 

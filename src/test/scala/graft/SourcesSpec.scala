@@ -259,6 +259,83 @@ class SourcesSpec extends GraftTest {
       TfRecord.readAll(bytes.dropRight(2)).toSeq)
   }
 
+  test("USTAR framing: roundtrip, padding, checksum corruption detection") {
+    import graft.sources.Sources.Tar
+    val members = Seq(
+      "000001.json" -> """{"a":1}""".getBytes("UTF-8"),
+      "000001.png" -> Array.tabulate(513)(i => (i * 3).toByte), // crosses a block
+      "000002.json" -> Array.emptyByteArray)
+    val bos = new java.io.ByteArrayOutputStream()
+    members.foreach { case (n, d) => Tar.writeEntry(bos, n, d) }
+    Tar.finish(bos)
+    val bytes = bos.toByteArray
+    // every member occupies header + ceil(size/512) blocks; +2 EOF blocks
+    assert(bytes.length === members.map(m => 512 + (m._2.length + 511) / 512 * 512).sum + 1024)
+    val back = Tar.readAll(bytes).toSeq
+    assert(back.map(_._1) === members.map(_._1))
+    members.zip(back).foreach { case ((_, a), (_, b)) => assert(a.toSeq === b.toSeq) }
+    // corrupting any header byte must break its checksum
+    for (off <- Seq(0, 50, 124)) {
+      val bad = bytes.clone(); bad(off) = (bad(off) ^ 0x01).toByte
+      intercept[IllegalArgumentException](Tar.readAll(bad).toSeq)
+    }
+  }
+
+  test("USTAR cross-validation: GNU tar extracts our shards; we read GNU tar's") {
+    import graft.sources.Sources.Tar
+    assume(new java.io.File("/usr/bin/tar").exists(), "system tar required")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tarx")
+    // ours -> GNU tar
+    val shard = dir.resolve("ours.tar")
+    val payload = Array.tabulate(700)(i => (i * 7 + 1).toByte)
+    val out = java.nio.file.Files.newOutputStream(shard)
+    try { Tar.writeEntry(out, "k1.bin", payload); Tar.finish(out) } finally out.close()
+    val exDir = dir.resolve("ex"); java.nio.file.Files.createDirectories(exDir)
+    val rc = new ProcessBuilder("tar", "-xf", shard.toString, "-C", exDir.toString)
+      .inheritIO().start().waitFor()
+    assert(rc === 0, "GNU tar rejected our shard")
+    assert(java.nio.file.Files.readAllBytes(exDir.resolve("k1.bin")).toSeq === payload.toSeq)
+    // GNU tar -> ours
+    val src = dir.resolve("src"); java.nio.file.Files.createDirectories(src)
+    java.nio.file.Files.write(src.resolve("k2.bin"), payload)
+    val theirs = dir.resolve("theirs.tar")
+    val rc2 = new ProcessBuilder("tar", "--format=ustar", "-cf", theirs.toString,
+      "-C", src.toString, "k2.bin").inheritIO().start().waitFor()
+    assert(rc2 === 0)
+    val back = Tar.readAll(java.nio.file.Files.readAllBytes(theirs)).toSeq
+    assert(back.map(_._1) === Seq("k2.bin"))
+    assert(back.head._2.toSeq === payload.toSeq)
+  }
+
+  test("WebDataset shards: sample members stay contiguous in one shard, roundtrip exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-wds").toString
+    val rows = (0 until 200).flatMap { i =>
+      val k = f"$i%06d"
+      Seq((k, "json", s"""{"i":$i}""".getBytes("UTF-8")),
+          (k, "png", Array.tabulate(32)(j => (i + j).toByte)))
+    }
+    graft.sources.Sources.writeWebDataset(rows.toDF("key", "ext", "payload"), dir, shards = 4)
+    // both members of every key land in the SAME shard (streaming
+    // readers group by adjacency — a split sample would be unreadable)
+    import graft.sources.Sources.Tar
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".tar"))
+    assert(files.length === 4)
+    val perShard = files.map(f =>
+      Tar.readAll(java.nio.file.Files.readAllBytes(f.toPath)).map(_._1).toSeq)
+    perShard.foreach { names =>
+      names.grouped(2).foreach { pair =>
+        assert(pair.map(_.split('.').head).distinct.size === 1,
+          s"sample split across members: $pair")
+      }
+    }
+    val back = graft.sources.Sources.readWebDataset(spark, dir)
+      .select(col("key"), col("ext"), col("payload"))
+      .as[(String, String, Array[Byte])].collect()
+      .map { case (k, e, p) => (k, e, p.toSeq) }.sortBy(t => (t._1, t._2))
+    assert(back.toSeq === rows.map { case (k, e, p) => (k, e, p.toSeq) }.sortBy(t => (t._1, t._2)))
+  }
+
   test("TFRecord shards roundtrip through Spark write/read (payload identity)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-tfrec").toString
