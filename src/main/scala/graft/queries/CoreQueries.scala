@@ -247,6 +247,51 @@ object CoreQueries {
       js.join(px.withColumnRenamed("asset_id", "doc_id"), Seq("doc_id"))
     }),
 
+    "s_webdataset_streaming" -> ((s, d) => {
+      // WebDataset shards arriving THROUGH the real streaming engine
+      // (the multimodal ingest-at-arrival shape): the SAME 4 shards
+      // are staged, read with a streaming binaryFile source, each tar
+      // parsed and both member types processed per micro-batch —
+      // stateless append, so the converged result equals the batch
+      // read and shares s_webdataset's oracle verbatim.
+      val out = tmp("wdss")
+      val docs = Graft.documents(s, d)
+      val key = format_string("%012d", col("doc_id"))
+      val jsonRows = docs.select(key.as("key"), lit("json").as("ext"),
+        to_json(struct(docs.columns.map(col): _*)).cast("binary").as("payload"))
+      val pngRows = graft.multimodal.Multimodal.syntheticPngAssets(docs)
+        .select(format_string("%012d", col("asset_id")).as("key"),
+          lit("png").as("ext"), col("payload"))
+      graft.sources.Sources.writeWebDataset(
+        jsonRows.unionByName(pngRows), out, shards = 4)
+      import s.implicits._
+      val stream = s.readStream.format("binaryFile")
+        .schema(s.read.format("binaryFile").load(s"$out/*.tar").schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(s"$out/*.tar")
+        .select("content").as[Array[Byte]]
+        .flatMap(graft.sources.Sources.Tar.readAll(_).map { case (name, data) =>
+          val dot = name.lastIndexOf('.')
+          (name.substring(0, dot), name.substring(dot + 1), data)
+        })
+        .toDF("key", "ext", "payload")
+      val js = stream.where(col("ext") === "json")
+        .select(from_json(col("payload").cast("string"), docs.schema).as("r"))
+        .select(col("r.*"))
+      val px = graft.multimodal.Multimodal.decodePngChannels(
+          stream.where(col("ext") === "png")
+            .select(col("key").cast("long").as("asset_id"), col("payload")))
+      // per-asset channel stats are append-safe (each asset's members
+      // arrive in ONE shard = one batch); the final per-doc reduce +
+      // join runs on the converged tables
+      val jsT = graft.streaming.StreamingQueries.runAppendToMemory(s, "s_wds_js", js)
+      val pxT = graft.streaming.StreamingQueries.runAppendToMemory(s, "s_wds_px", px)
+      jsT.join(
+        pxT.groupBy("asset_id").agg(sum("px_sum").as("png_px_sum"))
+          .withColumnRenamed("asset_id", "doc_id"),
+        Seq("doc_id"))
+    }),
+
     "s_tfrecord" -> ((s, d) => {
       // TFRecord roundtrip (r13) — the TensorFlow training-data
       // interchange format, pure-JVM framing (8-byte LE length + masked
@@ -345,6 +390,20 @@ object CoreQueries {
     "s_jsonl_gz" -> "SELECT * FROM documents",
     "s_jsonl_bz2" -> "SELECT * FROM documents",
     "s_tfrecord" -> "SELECT * FROM documents",
+    // the stateless streaming twin converges to the batch read — SAME oracle
+    "s_webdataset_streaming" ->
+      """SELECT d.*, p.png_px_sum FROM documents d JOIN (
+           SELECT d.doc_id,
+                  CAST(SUM((d.doc_id * 7 + gx.x * 3 + gy.y * 5 + ch.c * 11) % 256) AS BIGINT) AS png_px_sum
+           FROM documents d,
+                UNNEST(generate_series(0, 2)) AS ch(c),
+                UNNEST(generate_series(0, 12)) AS gx(x),
+                UNNEST(generate_series(0, 10)) AS gy(y)
+           WHERE ch.c < (CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 3 END)
+             AND gx.x < 1 + d.n_chars % 13
+             AND gy.y < 1 + d.doc_id % 11
+           GROUP BY 1) p ON p.doc_id = d.doc_id""",
+
     // json members reproduce the table; png members decode to the
     // pixel-formula sums (all channels)
     "s_webdataset" ->
@@ -543,6 +602,14 @@ object CoreQueries {
         .rollup("l_returnflag", "l_linestatus")
         .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))),
 
+    "q_cube" -> ((s, d) =>
+      // CUBE: all 2^k grouping-set combinations in ONE pass (Expand +
+      // single shuffle — never k separate scans unioned); the r13
+      // companion to q_rollup completing the grouping-sets surface
+      Graft.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))),
+
     "q1_agg" -> ((s, d) =>
       Graft.lineitem(s, d)
         .where(col("l_shipdate") <= lit("1998-09-02"))
@@ -622,6 +689,9 @@ object CoreQueries {
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
                 round(sum(l_extendedprice), 2) AS sum_base_price,
