@@ -190,15 +190,19 @@ object StreamScale {
           () => timed(j1(smallDir, smallPer), "j1s"),
           () => timed(j1(bigDir, bigPer), "j1b")))
 
+      // headers/prose emit only WITH their rows — a store-only run must
+      // not append an empty engine table to SCALE.md (review r13)
       val sb = new StringBuilder
-      sb.append(s"\n## streaming state growth (factor $factor, real engine, 3 time-tertile micro-batches)\n\n")
-      sb.append("Metrics from the engine's own progress events (`stateOperators`):\n")
-      sb.append("max state rows / state memory across batches. Dense arms replicate\n")
-      sb.append("rows into the same key space (state must stay ~flat); disjoint arms\n")
-      sb.append(s"grow the key space ${factor}x (state should track keys, time ~linear).\n\n")
-      sb.append("| case | provider | 1x sec | ${f}x sec | time ratio | 1x state rows | ${f}x state rows | rows ratio | 1x state MB | ${f}x state MB |\n"
-        .replace("${f}", factor.toString))
-      sb.append("|---|---|---|---|---|---|---|---|---|---|\n")
+      if (caseSel != "store") {
+        sb.append(s"\n## streaming state growth (factor $factor, real engine, 3 time-tertile micro-batches)\n\n")
+        sb.append("Metrics from the engine's own progress events (`stateOperators`):\n")
+        sb.append("max state rows / state memory across batches. Dense arms replicate\n")
+        sb.append("rows into the same key space (state must stay ~flat); disjoint arms\n")
+        sb.append(s"grow the key space ${factor}x (state should track keys, time ~linear).\n\n")
+        sb.append("| case | provider | 1x sec | ${f}x sec | time ratio | 1x state rows | ${f}x state rows | rows ratio | 1x state MB | ${f}x state MB |\n"
+          .replace("${f}", factor.toString))
+        sb.append("|---|---|---|---|---|---|---|---|---|---|\n")
+      }
       if (caseSel != "store") cases.foreach { case (name, prov, small, big) =>
         val s = small(); val b = big()
         val row = f"| $name | $prov | ${s.sec}%.2f | ${b.sec}%.2f | ${b.sec / s.sec}%.1f | " +
@@ -275,26 +279,28 @@ object StreamScale {
         ("pp_ingest_media (hash store, Nx assets)",
           () => mediaArm(docs, "media-s"), () => mediaArm(docsBig, "media-b")))
 
-      sb.append(s"\n### persisted-store state growth (factor $factor, foreachBatch parquet stores)\n\n")
-      sb.append("| case | 1x sec | ${f}x sec | time ratio | 1x store rows | ${f}x store rows | rows ratio | 1x store MB | ${f}x store MB |\n"
-        .replace("${f}", factor.toString))
-      sb.append("|---|---|---|---|---|---|---|---|---|\n")
-      if (caseSel != "engine") storeCases.foreach { case (name, small, big) =>
-        val s = small(); val b = big()
-        val row = f"| $name | ${s.sec}%.2f | ${b.sec}%.2f | ${b.sec / s.sec}%.1f | " +
-          f"${s.storeRows}%d | ${b.storeRows}%d | " +
-          f"${if (s.storeRows == 0) 0.0 else b.storeRows.toDouble / s.storeRows}%.1f | " +
-          f"${s.storeMB}%.1f | ${b.storeMB}%.1f |"
-        println(s"SS $row")
-        sb.append(row).append("\n")
+      if (caseSel != "engine") {
+        sb.append(s"\n### persisted-store state growth (factor $factor, foreachBatch parquet stores)\n\n")
+        sb.append("| case | 1x sec | ${f}x sec | time ratio | 1x store rows | ${f}x store rows | rows ratio | 1x store MB | ${f}x store MB |\n"
+          .replace("${f}", factor.toString))
+        sb.append("|---|---|---|---|---|---|---|---|---|\n")
+        storeCases.foreach { case (name, small, big) =>
+          val s = small(); val b = big()
+          val row = f"| $name | ${s.sec}%.2f | ${b.sec}%.2f | ${b.sec / s.sec}%.1f | " +
+            f"${s.storeRows}%d | ${b.storeRows}%d | " +
+            f"${if (s.storeRows == 0) 0.0 else b.storeRows.toDouble / s.storeRows}%.1f | " +
+            f"${s.storeMB}%.1f | ${b.storeMB}%.1f |"
+          println(s"SS $row")
+          sb.append(row).append("\n")
+        }
+        sb.append(
+          "\nReading: bm25's stats store (per-doc lengths + query-term tfs) tracks\n" +
+          "docs ~linearly — the additive-statistics design. The media hash store\n" +
+          "grows with DISTINCT content, not rows: the synthetic dHash domain is\n" +
+          "finite, so replicas collide into it and the store saturates — exactly\n" +
+          "the dedup-state law that makes the gate viable at 100 TB (state is\n" +
+          "bounded by content diversity, 16 bytes per distinct image).\n")
       }
-      sb.append(
-        "\nReading: bm25's stats store (per-doc lengths + query-term tfs) tracks\n" +
-        "docs ~linearly — the additive-statistics design. The media hash store\n" +
-        "grows with DISTINCT content, not rows: the synthetic dHash domain is\n" +
-        "finite, so replicas collide into it and the store saturates — exactly\n" +
-        "the dedup-state law that makes the gate viable at 100 TB (state is\n" +
-        "bounded by content diversity, 16 bytes per distinct image).\n")
 
       val p = java.nio.file.Paths.get("SCALE.md")
       if (Files.exists(p)) Files.writeString(p, Files.readString(p) + sb.toString)

@@ -762,6 +762,10 @@ object Multimodal {
   def audioFingerprint(assets: DataFrame, frameLen: Int = 64): DataFrame = {
     require(frameLen >= 4 && (frameLen & (frameLen - 1)) == 0,
       s"frameLen must be a power of 2 >= 4: $frameLen")
+    // same driver-side guard as audioMelFrames: a too-short frame would
+    // otherwise throw per-row inside executors (review r13)
+    require(melCenters64.last <= frameLen / 2,
+      s"filterbank top edge ${melCenters64.last} exceeds Nyquist bin ${frameLen / 2}")
     val spark = assets.sparkSession
     import spark.implicits._
     assets.select("asset_id", "payload").as[(Long, Array[Byte])].map { case (id, bytes) =>

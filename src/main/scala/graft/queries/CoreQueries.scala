@@ -270,9 +270,11 @@ object CoreQueries {
         .option("maxFilesPerTrigger", 1)
         .load(s"$out/*.tar")
         .select("content").as[Array[Byte]]
-        .flatMap(graft.sources.Sources.Tar.readAll(_).map { case (name, data) =>
-          val dot = name.lastIndexOf('.')
-          (name.substring(0, dot), name.substring(dot + 1), data)
+        .flatMap(graft.sources.Sources.Tar.readAll(_).collect {
+          // same dot-less/non-sample skip as Sources.readWebDataset
+          case (name, data) if name.lastIndexOf('.') > 0 =>
+            val dot = name.lastIndexOf('.')
+            (name.substring(0, dot), name.substring(dot + 1), data)
         })
         .toDF("key", "ext", "payload")
       val js = stream.where(col("ext") === "json")

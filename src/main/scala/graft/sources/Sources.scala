@@ -74,6 +74,9 @@ object Sources {
         .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
 
     def write(out: java.io.OutputStream, payload: Array[Byte]): Unit = {
+      // fail fast with a usable message: a NULL row in the payload
+      // column would otherwise NPE deep inside a write task (review r13)
+      require(payload != null, "TFRecord payload must not be null — filter null rows before writeTfRecords")
       val lenBuf = java.nio.ByteBuffer.allocate(8)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(payload.length.toLong).array()
       out.write(lenBuf)
@@ -171,19 +174,31 @@ object Sources {
                 sum += (if (i >= 148 && i < 156) ' '.toInt else bytes(pos + i) & 0xff)
                 i += 1
               }
-              val stored = new String(bytes, pos + 148, 8, "US-ASCII")
-                .takeWhile(c => c >= '0' && c <= '7')
+              // octal fields may be LEFT-padded with spaces (v7/historic
+              // writers) and terminated by NUL or space — strip both
+              // sides before parsing (review r13: zero-pad-only parsing
+              // rejected spec-legal archives)
+              def octalField(off: Int, len: Int): String =
+                new String(bytes, pos + off, len, "US-ASCII")
+                  .dropWhile(c => c == ' ' || c == 0)
+                  .takeWhile(c => c >= '0' && c <= '7')
+              val stored = octalField(148, 8)
               require(stored.nonEmpty && java.lang.Long.parseLong(stored, 8) == sum,
                 s"tar header checksum mismatch at offset $pos")
               val name = new String(bytes, pos, 100, "US-ASCII").takeWhile(_ != 0)
-              val sizeStr = new String(bytes, pos + 124, 12, "US-ASCII")
-                .takeWhile(c => c >= '0' && c <= '7')
+              val sizeStr = octalField(124, 12)
+              require(sizeStr.nonEmpty, s"tar member $name has no size field")
               val size = java.lang.Long.parseLong(sizeStr, 8)
               require(size >= 0 && pos + 512 + size <= bytes.length,
                 s"tar member $name overruns shard")
+              val typeflag = bytes(pos + 156)
               val data = java.util.Arrays.copyOfRange(bytes, pos + 512, pos + 512 + size.toInt)
               pos += 512 + ((size + 511) / 512).toInt * 512
-              nextEntry = (name, data)
+              // yield only REGULAR FILES: directories ('5'), pax headers
+              // ('x'/'g'), links etc. are walked over (their data blocks
+              // are still skipped above) — a dataset reader must never
+              // surface them as samples (review r13)
+              if (typeflag == '0'.toByte || typeflag == 0.toByte) nextEntry = (name, data)
             }
           }
         }
@@ -226,9 +241,14 @@ object Sources {
     import spark.implicits._
     spark.read.format("binaryFile").load(s"$path/*.tar")
       .select("content").as[Array[Byte]]
-      .flatMap(Tar.readAll(_).map { case (name, data) =>
-        val dot = name.lastIndexOf('.')
-        (name.substring(0, dot), name.substring(dot + 1), data)
+      .flatMap(Tar.readAll(_).collect {
+        // WebDataset convention: sample key = name up to the LAST dot.
+        // Members without an extension (or hidden in directories a
+        // foreign writer added) are not samples — skip, don't crash
+        // (review r13: substring(0, -1) threw on dot-less names)
+        case (name, data) if name.lastIndexOf('.') > 0 =>
+          val dot = name.lastIndexOf('.')
+          (name.substring(0, dot), name.substring(dot + 1), data)
       })
       .toDF("key", "ext", "payload")
   }

@@ -307,6 +307,63 @@ class SourcesSpec extends GraftTest {
     assert(back.head._2.toSeq === payload.toSeq)
   }
 
+  test("USTAR hardening: space-padded octal fields, directory members, dot-less names") {
+    import graft.sources.Sources.Tar
+    val payload = "data".getBytes("UTF-8")
+    // 1. space-padded checksum/size fields (v7/historic writers) parse
+    val bos = new java.io.ByteArrayOutputStream()
+    Tar.writeEntry(bos, "a.bin", payload)
+    Tar.finish(bos)
+    val bytes = bos.toByteArray
+    def respace(off: Int, len: Int): Unit = {
+      val s = new String(bytes, off, len, "US-ASCII")
+      val digits = s.dropWhile(c => c == '0').takeWhile(c => c >= '0' && c <= '7')
+      val v = if (digits.isEmpty) "0" else digits
+      val re = (" " * (len - 2 - v.length)) + v + "  "
+      System.arraycopy(re.getBytes("US-ASCII"), 0, bytes, off, len)
+    }
+    respace(124, 12) // size field: "        4\0 "
+    // recompute + space-pad the checksum for the modified header
+    var sum = 0L
+    for (i <- 0 until 512) sum += (if (i >= 148 && i < 156) ' '.toInt else bytes(i) & 0xff)
+    val cs = java.lang.Long.toOctalString(sum)
+    val csField = (" " * (6 - cs.length)) + cs + "  "
+    System.arraycopy(csField.getBytes("US-ASCII"), 0, bytes, 148, 8)
+    val back = Tar.readAll(bytes).toSeq
+    assert(back.map(_._1) === Seq("a.bin") && back.head._2.toSeq === payload.toSeq,
+      "space-padded octal fields must parse (v7-style writers)")
+    // 2. directory + pax-style members are walked over, never yielded
+    val bos2 = new java.io.ByteArrayOutputStream()
+    Tar.writeEntry(bos2, "samples/", Array.emptyByteArray)
+    Tar.writeEntry(bos2, "k.json", payload)
+    val arr = bos2.toByteArray
+    arr(156) = '5' // first member: directory typeflag
+    // fix its checksum after the typeflag edit
+    var s2 = 0L
+    for (i <- 0 until 512) s2 += (if (i >= 148 && i < 156) ' '.toInt else arr(i) & 0xff)
+    val cs2 = java.lang.Long.toOctalString(s2)
+    System.arraycopy((("0" * (6 - cs2.length)) + cs2).getBytes("US-ASCII"), 0, arr, 148, 6)
+    arr(154) = 0; arr(155) = ' '.toByte
+    val bos3 = new java.io.ByteArrayOutputStream()
+    bos3.write(arr); Tar.finish(bos3)
+    assert(Tar.readAll(bos3.toByteArray).map(_._1).toSeq === Seq("k.json"),
+      "directory members must be skipped")
+    // 3. a dot-less regular member survives Tar.readAll but is NOT a
+    // WebDataset sample — readWebDataset must skip it, not crash
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-wds-mixed")
+    val out = java.nio.file.Files.newOutputStream(dir.resolve("shard-00000.tar"))
+    try {
+      Tar.writeEntry(out, "README", payload) // no dot
+      Tar.writeEntry(out, "000001.json", """{"i":1}""".getBytes("UTF-8"))
+      Tar.finish(out)
+    } finally out.close()
+    val rows = graft.sources.Sources.readWebDataset(spark, dir.toString)
+      .select("key", "ext").as[(String, String)].collect().toSeq
+    assert(rows === Seq(("000001", "json")),
+      "dot-less members must be skipped by the WebDataset reader")
+  }
+
   test("WebDataset shards: sample members stay contiguous in one shard, roundtrip exact") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-wds").toString

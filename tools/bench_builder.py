@@ -84,7 +84,16 @@ def run_pair_interleaved(sf_dir):
             env=env, stdout=out_f, stderr=err_f, text=True)
     results = {}
     for role, p in procs.items():
-        rc = p.wait(timeout=7200)
+        try:
+            rc = p.wait(timeout=7200)
+        except subprocess.TimeoutExpired:
+            # kill BOTH sides: a hung role would otherwise orphan two
+            # JVMs holding the box (and the peer would spin on the
+            # baton until its own stuck-detector fired mid-suite)
+            for other in procs.values():
+                if other.poll() is None:
+                    other.kill()
+            raise SystemExit(f"interleaved bench role {role} timed out")
         out_f, err_f = outs[role]
         out_f.close()
         err_f.close()
