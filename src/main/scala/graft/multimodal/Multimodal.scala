@@ -739,6 +739,44 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Decimate-by-2 resampling (r13) through the real DSP path — the
+    * standard ingest rate-conversion, shipped bare (no anti-alias
+    * filter) so the ALIASING LAW itself becomes the certified contract:
+    * a tone at bin k of the 64-sample frame lands in the 32-sample
+    * decimated frame at k when k < 16, FOLDS to 32−k when k > 16, and
+    * vanishes EXACTLY at k = 16 (sin(πt) = 0 at every integer sample,
+    * and the generator's rounding maps ≤2.6e-10 amplitudes to a hard
+    * 0 — true silence, not near-silence). The oracle replays the fold
+    * arithmetically; `silent` is an exact integer-zero check with no
+    * float surface, and the all-zero frame's argmax is deterministic
+    * (bin 1, the scan's first index) on both engines. Partition-local
+    * scan, zero exchanges.
+    */
+  final case class AudioDecimated(asset_id: Long, frame_idx: Int, frame_len: Int,
+      dominant_bin: Int, dominant_is_pure: Boolean, silent: Boolean)
+
+  def audioDecimateFeatures(assets: DataFrame, frameLen: Int = 64): DataFrame = {
+    require(frameLen >= 8 && (frameLen & (frameLen - 1)) == 0,
+      s"frameLen must be a power of 2 >= 8 (decimated frames need >= 4 samples): $frameLen")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val half = frameLen / 2
+    assets.select("asset_id", "payload").as[(Long, Array[Byte])].flatMap { case (id, bytes) =>
+      Codec.decodeWavData(bytes) match {
+        case Some((info, data)) if info.channels == 1 && info.bitsPerSample == 16 =>
+          val samples = Dsp.pcm16Samples(data)
+          val nFrames = samples.length / frameLen
+          for (f <- 0 until nFrames) yield {
+            val dec = Array.tabulate(half)(t => samples(f * frameLen + 2 * t))
+            val silent = dec.forall(_ == 0.0)
+            val (bin, pure) = Dsp.dominantBin(dec)
+            AudioDecimated(id, f, half, bin, pure, silent)
+          }
+        case _ => Seq(AudioDecimated(id, -1, -1, -1, dominant_is_pure = false, silent = false))
+      }
+    }.toDF()
+  }
+
   /** Acoustic fingerprint of a decoded WAV (r13): 16 bits per frame ×
     * the first 4 frames = one 64-bit fingerprint per asset, the
     * chromaprint-style shape at miniature scale. Each frame contributes

@@ -1767,6 +1767,17 @@ object PipelineQueries {
         s, "mm_audio_mel_streaming", Multimodal.audioMelFrames(assets))
     }),
 
+    "mm_audio_decimate" -> ((s, d) => {
+      // decimate-by-2 resampling with the ALIAS FOLD as the certified
+      // contract: tone k < 16 stays at k, k > 16 folds to 32−k, k = 16
+      // decimates to EXACT silence (integer-zero samples — the flag has
+      // no float surface; the all-zero argmax is deterministically bin
+      // 1 on both engines). The bare-decimation aliasing law is what an
+      // ingest pipeline must reason about before choosing a filter.
+      Multimodal.audioDecimateFeatures(
+        Multimodal.syntheticToneWavAssets(Graft.documents(s, d)))
+    }),
+
     "mm_audio_fingerprint" -> ((s, d) => {
       // acoustic fingerprint (r13): 16 bits per frame × 4 frames — the
       // chromaprint-style shape at miniature scale — each frame packing
@@ -3193,6 +3204,19 @@ object PipelineQueries {
     "mm_audio_fft" -> mmAudioFftSql,
     "mm_audio_mel" -> mmAudioMelSql,
     "mm_audio_mel_streaming" -> mmAudioMelSql,
+
+    // the alias-fold replay: k<16 stays, k>16 folds to 32-k, k=16 is
+    // exact silence whose all-zero argmax is deterministically bin 1
+    "mm_audio_decimate" ->
+      s"""WITH $toneFramesCte
+         SELECT afr.doc_id AS asset_id, CAST(afr.frame_idx AS INT) AS frame_idx,
+                CAST(32 AS INT) AS frame_len,
+                CAST(CASE WHEN afr.k < 16 THEN afr.k
+                          WHEN afr.k = 16 THEN 1
+                          ELSE 32 - afr.k END AS INT) AS dominant_bin,
+                TRUE AS dominant_is_pure,
+                afr.k = 16 AS silent
+         FROM afr""",
 
     // the full integer fingerprint replay per asset
     "mm_audio_fingerprint" ->

@@ -185,6 +185,26 @@ class DspSpec extends AnyFunSuite {
       Dsp.melBandMilli(new Array[Double](64), Array(0, 32))) // no filter
   }
 
+  test("decimation aliasing law: k<16 stays, k>16 folds to 32-k, k=16 is EXACT silence") {
+    for (k <- 1 to 31) {
+      val frame = Array.tabulate(64)(t =>
+        math.round(12000.0 * math.sin(2.0 * math.Pi * k * t / 64.0)).toDouble)
+      val dec = Array.tabulate(32)(t => frame(2 * t))
+      if (k == 16) {
+        // sin(πt) rounds to a HARD integer zero at every sample — the
+        // silence flag has no float surface
+        assert(dec.forall(_ == 0.0), "k=16 must decimate to exact zeros")
+        val (bin, pure) = Dsp.dominantBin(dec)
+        assert(bin === 1 && pure, "all-zero argmax must be deterministic (first index)")
+      } else {
+        val expect = if (k < 16) k else 32 - k
+        val (bin, pure) = Dsp.dominantBin(dec)
+        assert(bin === expect, s"k=$k must land at $expect")
+        assert(pure, s"k=$k stays a pure tone after decimation")
+      }
+    }
+  }
+
   test("end to end on fixture-shaped WAV bytes: frames, bins, purity") {
     // replicate syntheticToneWavAssets for id = 6 (3 frames) without Spark
     val id = 6L

@@ -524,7 +524,7 @@ class PlanSpec extends GraftTest {
     // PNG decode, FFT features, video sampling, box resize: per-asset
     // partition-local work — any Exchange would mean the codec path
     // stopped riding executor count at 100 TB
-    for (name <- Seq("mm_decode_png", "mm_audio_fft", "mm_audio_mel", "mm_audio_fingerprint",
+    for (name <- Seq("mm_decode_png", "mm_audio_fft", "mm_audio_mel", "mm_audio_decimate", "mm_audio_fingerprint",
         "mm_video_mjpeg", "mm_resize_box")) {
       val p = plan(name)
       assert(!p.contains("Exchange"), s"$name must be shuffle-free:\n${p.take(2000)}")
