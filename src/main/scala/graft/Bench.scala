@@ -26,7 +26,7 @@ object Bench {
     "dd_ngram_jaccard", "dd_embedding", "dd_fuzzy", "dd_lsh_resolve",
     "dd_embedding_resolve", "dd_semantic", "dd_semantic_resolve",
     "ann_brute", "ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq", "ann_quantized", "ann_contrastive",
-    "txt_quality", "txt_langid", "txt_fingerprint", "txt_tfidf", "txt_bm25", "txt_repetition",
+    "txt_quality", "txt_langid", "txt_fingerprint", "txt_normalize", "txt_tfidf", "txt_bm25", "txt_repetition",
     "txt_unigram_lp", "txt_bigram_lp", "txt_ppl_buckets", "txt_diversity", "txt_classifier", "txt_bpe", "txt_bpe_big", "txt_bpe_32k", "txt_bpe_encode", "txt_bpe_decode", "txt_fertility",
     "pp_shuffle", "pp_mix", "pp_temperature", "pp_chunk", "pp_pack", "pp_pack_bpe", "pp_pack_mm", "pp_ctx_windows", "pp_interleave",
     "pp_weights", "pp_profile", "pp_histogram", "pp_topquality", "pp_sample_n",

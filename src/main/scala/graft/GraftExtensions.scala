@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CanonicalUrl, CdcChunks, CosineSimilarity, GramHashes, LangScores, LinearScore, MinHashAgg, RepetitionStats, RollingHash, ShingleHashes, SimHashAgg, SrpBucket, TextStats, TokenHashes}
+import graft.functions.{CanonicalUrl, CdcChunks, CosineSimilarity, GramHashes, LangScores, LinearScore, MinHashAgg, NfcNormalize, RepetitionStats, RollingHash, ShingleHashes, SimHashAgg, SrpBucket, TextStats, TokenHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -84,6 +84,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         requireArity("canonical_url", children, 1)
         CanonicalUrl(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        requireArity("nfc_normalize", children, 1)
+        NfcNormalize(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("cdc_chunks"),

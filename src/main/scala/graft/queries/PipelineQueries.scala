@@ -1343,6 +1343,29 @@ object PipelineQueries {
         .withColumn("fert_milli", expr("(sum_tokens * 1000) div sum_chars"))
     }),
 
+    "txt_normalize" -> ((s, d) => {
+      // Unicode NFC normalization (r13) — the pre-tokenization step
+      // every multilingual pipeline runs (decomposed base+combining
+      // sequences must compose, or "café" hashes two ways and exact
+      // dedup silently misses). The ASCII fixture corpus is NFC-inert,
+      // so each doc PLANTS a decomposed sequence chosen by doc_id%3
+      // (combining acute/grave/diaeresis — U+0301/U+0300/U+0308); the
+      // native nfc_normalize kernel (java.text.Normalizer, TR-15)
+      // composes it and DuckDB's nfc_normalize replays the same public
+      // spec — full text + both char counts certified (every row
+      // contracts by exactly one code point, so the op is non-vacuous
+      // on every row). Scan-local projection, zero exchanges; the
+      // isNormalized fast path makes clean-corpus rows reallocation-free.
+      val docs = Graft.documents(s, d)
+      val plant = when(pmod(col("doc_id"), lit(3)) === 0, lit(" cafe\u0301"))
+        .when(pmod(col("doc_id"), lit(3)) === 1, lit(" a\u0300 la"))
+        .otherwise(lit(" nai\u0308ve"))
+      docs.select(col("doc_id"), concat(col("text"), plant).as("_raw"))
+        .selectExpr("doc_id", "length(_raw) AS raw_chars",
+          "length(nfc_normalize(_raw)) AS norm_chars",
+          "nfc_normalize(_raw) AS norm_text")
+    }),
+
     "txt_fingerprint" -> ((s, d) =>
       Graft.documents(s, d).select(
         col("doc_id"),
@@ -2491,6 +2514,19 @@ object PipelineQueries {
 
     "txt_fingerprint" ->
       "SELECT doc_id, substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16) AS fp16 FROM documents",
+
+    // NFC replay: DuckDB's nfc_normalize implements the same TR-15 spec
+    // as java.text.Normalizer; the decomposed plants (chr 769/768/776 =
+    // combining acute/grave/diaeresis) compose on both engines
+    "txt_normalize" ->
+      """SELECT d.doc_id,
+                CAST(length(d.text || p.p) AS INT) AS raw_chars,
+                CAST(length(nfc_normalize(d.text || p.p)) AS INT) AS norm_chars,
+                nfc_normalize(d.text || p.p) AS norm_text
+         FROM documents d, LATERAL (SELECT CASE d.doc_id % 3
+                WHEN 0 THEN ' cafe' || chr(769)
+                WHEN 1 THEN ' a' || chr(768) || ' la'
+                ELSE ' nai' || chr(776) || 've' END AS p) p""",
     // replays the RollingHash Catalyst expression bit-for-bit: wrapping
     // 64-bit polynomial h = 31*h + byte (seed 1125899906842597) in
     // HUGEINT mod 2^64, re-signed at the end (ASCII corpus → ord ==

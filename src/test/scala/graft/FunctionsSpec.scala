@@ -884,6 +884,32 @@ class FunctionsSpec extends GraftTest {
         out1(1L).map(b => f"${b & 0xff}%02x").mkString(","))
   }
 
+  test("native nfc_normalize equals java.text.Normalizer on edges and planted corpus") {
+    import spark.implicits._
+    import graft.functions.NfcNormalize
+    import org.apache.spark.unsafe.types.UTF8String
+    // unit-level: composition cases + the reallocation-free fast path
+    def ref(s: String): String =
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    for (s <- Seq("", "ascii only", "café", "à la", "naïve",
+        "already é composed", "\u0301leading mark",
+        "stack é̈", "hangul 각")) {
+      assert(NfcNormalize.compute(UTF8String.fromString(s)).toString === ref(s), s"case '$s'")
+    }
+    // fast path: an already-NFC input returns the SAME buffer (no realloc)
+    val clean = UTF8String.fromString("plain ascii text")
+    assert(NfcNormalize.compute(clean) eq clean, "isNormalized fast path must not copy")
+    // corpus-level: kernel through real codegen == direct normalizer
+    val planted = Graft.documents(spark, sf)
+      .select(concat(col("text"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(" é")).otherwise(lit(" ô"))).as("t"))
+    val diff = planted
+      .select(col("t"), call_function("nfc_normalize", col("t")).as("native"))
+      .as[(String, String)].collect()
+      .filter { case (t, native) => native != ref(t) }
+    assert(diff.isEmpty, diff.take(3).mkString("; "))
+  }
+
   test("native canonical_url equals the regex-chain form on edges and corpus") {
     import spark.implicits._
     val edges = Seq(
