@@ -22,7 +22,7 @@ object Bench {
     "j1_ss_inner", "j3_ss_outer", "j4_st_inner", "j6_tt_inner", "aj_asof", "j_salted", "j_range",
     "aj_forward", "j_bucketed", "s_partition_prune",
     "d2_stream_to_table",
-    "dd_exact", "dd_chunk", "dd_span", "dd_span_remove", "dd_boilerplate", "dd_incremental", "dd_minhash", "dd_minhash_incremental", "dd_simhash",
+    "dd_exact", "dd_exact_nfc", "dd_chunk", "dd_span", "dd_span_remove", "dd_boilerplate", "dd_incremental", "dd_minhash", "dd_minhash_incremental", "dd_simhash",
     "dd_ngram_jaccard", "dd_embedding", "dd_fuzzy", "dd_lsh_resolve",
     "dd_embedding_resolve", "dd_semantic", "dd_semantic_resolve",
     "ann_brute", "ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq", "ann_quantized", "ann_contrastive",

@@ -1366,6 +1366,34 @@ object PipelineQueries {
           "nfc_normalize(_raw) AS norm_text")
     }),
 
+    "dd_exact_nfc" -> ((s, d) => {
+      // exact dedup THROUGH the normalization kernel — the reason
+      // txt_normalize exists: two crawls of the same page that differ
+      // ONLY in unicode composition form must dedup together. The
+      // fixture plants the pair explicitly: every %10==0 doc gets a
+      // PRECOMPOSED suffix twin (doc_id + offset) whose text is the
+      // DECOMPOSED spelling of the same string; dedup keys on
+      // nfc_normalize(text), so each twin collapses onto its original
+      // (keep-min id) — 10% of the corpus demonstrably deduped by
+      // normalization ALONE (raw md5 would keep both). Same hash
+      // groupBy shape as dd_exact: one exchange over 16-byte digests.
+      val docs = Graft.documents(s, d)
+      val off = 1000000000L
+      val composed = "\u00e9\u00e0\u00ef" // precomposed e-acute a-grave i-diaeresis
+      val decomposed = "e\u0301a\u0300i\u0308" // the same string, NFD-spelled
+      val twins = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + lit(off)).as("doc_id"),
+          concat(col("text"), lit(" "), lit(decomposed)).as("text"))
+      val corpus = docs.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10)) === 0,
+            concat(col("text"), lit(" "), lit(composed))).otherwise(col("text")).as("text"))
+        .unionByName(twins)
+      corpus.selectExpr("doc_id", "md5(nfc_normalize(text)) AS h")
+        .groupBy("h").agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).cast("long").as("n_dup"))
+        .select("keep_id", "n_dup")
+    }),
+
     "txt_fingerprint" -> ((s, d) =>
       Graft.documents(s, d).select(
         col("doc_id"),
@@ -2514,6 +2542,24 @@ object PipelineQueries {
 
     "txt_fingerprint" ->
       "SELECT doc_id, substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16) AS fp16 FROM documents",
+
+    // the normalization-gated dedup: composed suffix on the %10==0
+    // originals, decomposed spelling on their +1e9 twins — NFC makes
+    // the md5s collide, keep-min resolves to the original
+    "dd_exact_nfc" ->
+      """WITH corpus AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 10 = 0
+                       THEN text || ' ' || chr(233) || chr(224) || chr(239)
+                       ELSE text END AS text
+           FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000000,
+                  text || ' e' || chr(769) || 'a' || chr(768) || 'i' || chr(776)
+           FROM documents WHERE doc_id % 10 = 0)
+         SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dup
+         FROM (SELECT doc_id, md5(nfc_normalize(text)) AS h FROM corpus)
+         GROUP BY h""",
 
     // NFC replay: DuckDB's nfc_normalize implements the same TR-15 spec
     // as java.text.Normalizer; the decomposed plants (chr 769/768/776 =
