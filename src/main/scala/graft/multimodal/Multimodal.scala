@@ -675,19 +675,14 @@ object Multimodal {
       s"frameLen must be a power of 2 >= 4: $frameLen")
     val spark = assets.sparkSession
     import spark.implicits._
-    assets.select("asset_id", "payload").as[(Long, Array[Byte])].flatMap { case (id, bytes) =>
-      Codec.decodeWavData(bytes) match {
-        case Some((info, data)) if info.channels == 1 && info.bitsPerSample == 16 =>
-          val samples = Dsp.pcm16Samples(data)
-          val nFrames = samples.length / frameLen
-          for (f <- 0 until nFrames) yield {
-            val frame = java.util.Arrays.copyOfRange(samples, f * frameLen, (f + 1) * frameLen)
-            val (bin, pure) = Dsp.dominantBin(frame)
-            AudioFrameSpectrum(id, f, frameLen, bin, pure)
-          }
-        case _ => Seq(AudioFrameSpectrum(id, -1, -1, -1, dominant_is_pure = false))
+    wavRows(assets) { (id, samples) =>
+      val nFrames = samples.length / frameLen
+      for (f <- 0 until nFrames) yield {
+        val frame = java.util.Arrays.copyOfRange(samples, f * frameLen, (f + 1) * frameLen)
+        val (bin, pure) = Dsp.dominantBin(frame)
+        AudioFrameSpectrum(id, f, frameLen, bin, pure)
       }
-    }.toDF()
+    }(id => AudioFrameSpectrum(id, -1, -1, -1, dominant_is_pure = false)).toDF()
   }
 
   /** Mel-filterbank edge bins for 64-sample frames at 16 kHz (bin
@@ -713,6 +708,27 @@ object Multimodal {
     * the all--1 sentinel row. Scale shape: partition-local scan, zero
     * exchanges — featurization rides executor count at 100 TB.
     */
+  /** Shared WAV→PCM plumbing for every audio featurizer (review r13:
+    * was four near-identical copies of the decode + mono-16-bit guard +
+    * sentinel convention — a contract fix must land in ONE place):
+    * decode the WAV chunk walk, guard to mono 16-bit, hand the full
+    * int16 sample array to `onSamples`; non-decodable / out-of-scope
+    * payloads emit `bad(id)`, never crash the scan.
+    */
+  private def wavRows[T: org.apache.spark.sql.Encoder](assets: DataFrame)(
+      onSamples: (Long, Array[Double]) => IterableOnce[T])(
+      bad: Long => T): org.apache.spark.sql.Dataset[T] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "payload").as[(Long, Array[Byte])].flatMap { case (id, bytes) =>
+      Codec.decodeWavData(bytes) match {
+        case Some((info, data)) if info.channels == 1 && info.bitsPerSample == 16 =>
+          onSamples(id, Dsp.pcm16Samples(data))
+        case _ => Seq(bad(id))
+      }
+    }
+  }
+
   final case class AudioMelBand(asset_id: Long, frame_idx: Int, mel_idx: Int, mel_milli: Long)
 
   def audioMelFrames(assets: DataFrame, frameLen: Int = 64,
@@ -723,20 +739,15 @@ object Multimodal {
       s"filterbank top edge ${centers.last} exceeds Nyquist bin ${frameLen / 2}")
     val spark = assets.sparkSession
     import spark.implicits._
-    assets.select("asset_id", "payload").as[(Long, Array[Byte])].flatMap { case (id, bytes) =>
-      Codec.decodeWavData(bytes) match {
-        case Some((info, data)) if info.channels == 1 && info.bitsPerSample == 16 =>
-          val samples = Dsp.pcm16Samples(data)
-          val nFrames = samples.length / frameLen
-          for {
-            f <- 0 until nFrames
-            frame = java.util.Arrays.copyOfRange(samples, f * frameLen, (f + 1) * frameLen)
-            milli = Dsp.melBandMilli(frame, centers)
-            m <- milli.indices
-          } yield AudioMelBand(id, f, m + 1, milli(m))
-        case _ => Seq(AudioMelBand(id, -1, -1, -1L))
-      }
-    }.toDF()
+    wavRows(assets) { (id, samples) =>
+      val nFrames = samples.length / frameLen
+      for {
+        f <- 0 until nFrames
+        frame = java.util.Arrays.copyOfRange(samples, f * frameLen, (f + 1) * frameLen)
+        milli = Dsp.melBandMilli(frame, centers)
+        m <- milli.indices
+      } yield AudioMelBand(id, f, m + 1, milli(m))
+    }(id => AudioMelBand(id, -1, -1, -1L)).toDF()
   }
 
   /** Decimate-by-2 resampling (r13) through the real DSP path — the
@@ -761,20 +772,15 @@ object Multimodal {
     val spark = assets.sparkSession
     import spark.implicits._
     val half = frameLen / 2
-    assets.select("asset_id", "payload").as[(Long, Array[Byte])].flatMap { case (id, bytes) =>
-      Codec.decodeWavData(bytes) match {
-        case Some((info, data)) if info.channels == 1 && info.bitsPerSample == 16 =>
-          val samples = Dsp.pcm16Samples(data)
-          val nFrames = samples.length / frameLen
-          for (f <- 0 until nFrames) yield {
-            val dec = Array.tabulate(half)(t => samples(f * frameLen + 2 * t))
-            val silent = dec.forall(_ == 0.0)
-            val (bin, pure) = Dsp.dominantBin(dec)
-            AudioDecimated(id, f, half, bin, pure, silent)
-          }
-        case _ => Seq(AudioDecimated(id, -1, -1, -1, dominant_is_pure = false, silent = false))
+    wavRows(assets) { (id, samples) =>
+      val nFrames = samples.length / frameLen
+      for (f <- 0 until nFrames) yield {
+        val dec = Array.tabulate(half)(t => samples(f * frameLen + 2 * t))
+        val silent = dec.forall(_ == 0.0)
+        val (bin, pure) = Dsp.dominantBin(dec)
+        AudioDecimated(id, f, half, bin, pure, silent)
       }
-    }.toDF()
+    }(id => AudioDecimated(id, -1, -1, -1, dominant_is_pure = false, silent = false)).toDF()
   }
 
   /** Acoustic fingerprint of a decoded WAV (r13): 16 bits per frame ×
@@ -806,31 +812,26 @@ object Multimodal {
       s"filterbank top edge ${melCenters64.last} exceeds Nyquist bin ${frameLen / 2}")
     val spark = assets.sparkSession
     import spark.implicits._
-    assets.select("asset_id", "payload").as[(Long, Array[Byte])].map { case (id, bytes) =>
-      Codec.decodeWavData(bytes) match {
-        case Some((info, data)) if info.channels == 1 && info.bitsPerSample == 16 =>
-          val samples = Dsp.pcm16Samples(data)
-          val nFrames = math.min(samples.length / frameLen, 4)
-          var packed = 0L
-          var f = 0
-          while (f < nFrames) {
-            val frame = java.util.Arrays.copyOfRange(samples, f * frameLen, (f + 1) * frameLen)
-            val (bin, pure) = Dsp.dominantBin(frame)
-            val milli = Dsp.melBandMilli(frame, melCenters64)
-            var bestM = 0
-            var m = 1
-            while (m < milli.length) { if (milli(m) > milli(bestM)) bestM = m; m += 1 }
-            val word = (bin.toLong & 0x1fL) |
-              (if (pure) 0x20L else 0L) |
-              (((bestM + 1).toLong & 0x7L) << 6) |
-              ((math.min(milli(bestM) / 8, 125L) & 0x7fL) << 9)
-            packed |= word << (16 * f)
-            f += 1
-          }
-          AudioFingerprint(id, packed >>> 32, packed & 0xffffffffL)
-        case _ => AudioFingerprint(id, -1L, -1L)
+    wavRows(assets) { (id, samples) =>
+      val nFrames = math.min(samples.length / frameLen, 4)
+      var packed = 0L
+      var f = 0
+      while (f < nFrames) {
+        val frame = java.util.Arrays.copyOfRange(samples, f * frameLen, (f + 1) * frameLen)
+        val (bin, pure) = Dsp.dominantBin(frame)
+        val milli = Dsp.melBandMilli(frame, melCenters64)
+        var bestM = 0
+        var m = 1
+        while (m < milli.length) { if (milli(m) > milli(bestM)) bestM = m; m += 1 }
+        val word = (bin.toLong & 0x1fL) |
+          (if (pure) 0x20L else 0L) |
+          (((bestM + 1).toLong & 0x7L) << 6) |
+          ((math.min(milli(bestM) / 8, 125L) & 0x7fL) << 9)
+        packed |= word << (16 * f)
+        f += 1
       }
-    }.toDF()
+      Seq(AudioFingerprint(id, packed >>> 32, packed & 0xffffffffL))
+    }(id => AudioFingerprint(id, -1L, -1L)).toDF()
   }
 
   /** Perceptual difference-hash (dHash) of a decoded image: sample a

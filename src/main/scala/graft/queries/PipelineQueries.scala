@@ -1360,10 +1360,14 @@ object PipelineQueries {
       val plant = when(pmod(col("doc_id"), lit(3)) === 0, lit(" cafe\u0301"))
         .when(pmod(col("doc_id"), lit(3)) === 1, lit(" a\u0300 la"))
         .otherwise(lit(" nai\u0308ve"))
+      // normalize ONCE per row, derive the length from the result in a
+      // second projection (review r13: the single-select form evaluated
+      // the kernel twice wherever subexpression elimination is off)
       docs.select(col("doc_id"), concat(col("text"), plant).as("_raw"))
         .selectExpr("doc_id", "length(_raw) AS raw_chars",
-          "length(nfc_normalize(_raw)) AS norm_chars",
           "nfc_normalize(_raw) AS norm_text")
+        .select(col("doc_id"), col("raw_chars"),
+          length(col("norm_text")).as("norm_chars"), col("norm_text"))
     }),
 
     "dd_exact_nfc" -> ((s, d) => {
@@ -1377,21 +1381,25 @@ object PipelineQueries {
       // (keep-min id) — 10% of the corpus demonstrably deduped by
       // normalization ALONE (raw md5 would keep both). Same hash
       // groupBy shape as dd_exact: one exchange over 16-byte digests.
+      // ONE corpus scan (review r13: the union form read documents
+      // twice): each %10==0 row explodes into (original + twin) structs
       val docs = Graft.documents(s, d)
       val off = 1000000000L
       val composed = "\u00e9\u00e0\u00ef" // precomposed e-acute a-grave i-diaeresis
       val decomposed = "e\u0301a\u0300i\u0308" // the same string, NFD-spelled
-      val twins = docs.where(pmod(col("doc_id"), lit(10)) === 0)
-        .select((col("doc_id") + lit(off)).as("doc_id"),
-          concat(col("text"), lit(" "), lit(decomposed)).as("text"))
-      val corpus = docs.select(col("doc_id"),
-          when(pmod(col("doc_id"), lit(10)) === 0,
-            concat(col("text"), lit(" "), lit(composed))).otherwise(col("text")).as("text"))
-        .unionByName(twins)
-      corpus.selectExpr("doc_id", "md5(nfc_normalize(text)) AS h")
-        .groupBy("h").agg(min(col("doc_id")).as("keep_id"),
-          count(lit(1)).cast("long").as("n_dup"))
-        .select("keep_id", "n_dup")
+      val base = struct(col("doc_id").as("doc_id"), col("text").as("text"))
+      val planted = docs.select(explode(
+          when(pmod(col("doc_id"), lit(10)) === 0, array(
+            struct(col("doc_id").as("doc_id"),
+              concat(col("text"), lit(" "), lit(composed)).as("text")),
+            struct((col("doc_id") + lit(off)).as("doc_id"),
+              concat(col("text"), lit(" "), lit(decomposed)).as("text"))))
+          .otherwise(array(base))).as("r"))
+        .select(col("r.doc_id").as("doc_id"),
+          expr("nfc_normalize(r.text)").as("text"))
+      // the CANONICAL exact-dedup shape, reused (review r13: an inline
+      // md5-groupBy copy would drift from Dedup.exact independently)
+      Dedup.exact(planted, "doc_id", "text")
     }),
 
     "txt_fingerprint" -> ((s, d) =>
@@ -2557,9 +2565,9 @@ object PipelineQueries {
            SELECT doc_id + 1000000000,
                   text || ' e' || chr(769) || 'a' || chr(768) || 'i' || chr(776)
            FROM documents WHERE doc_id % 10 = 0)
-         SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dup
-         FROM (SELECT doc_id, md5(nfc_normalize(text)) AS h FROM corpus)
-         GROUP BY h""",
+         SELECT md5(nfc_normalize(text)) AS content_md5,
+                min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM corpus GROUP BY 1""",
 
     // NFC replay: DuckDB's nfc_normalize implements the same TR-15 spec
     // as java.text.Normalizer; the decomposed plants (chr 769/768/776 =
