@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CanonicalUrl, CdcChunks, CosineSimilarity, GramHashes, LangScores, LinearScore, MinHashAgg, NfcNormalize, RepetitionStats, RollingHash, ShingleHashes, SimHashAgg, SrpBucket, TextStats, TokenHashes}
+import graft.functions.{CanonicalUrl, CdcChunks, CosineSimilarity, GramHashes, LangScores, LinearScore, MinHashAgg, NfcNormalize, NfkcCasefold, RepetitionStats, RollingHash, ShingleHashes, SimHashAgg, SrpBucket, TextStats, TokenHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -91,6 +91,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         requireArity("nfc_normalize", children, 1)
         NfcNormalize(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("nfkc_casefold"),
+      new ExpressionInfo(classOf[NfkcCasefold].getName, "nfkc_casefold"),
+      (children: Seq[Expression]) => {
+        requireArity("nfkc_casefold", children, 1)
+        NfkcCasefold(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("cdc_chunks"),

@@ -51,12 +51,16 @@ object Multimodal {
     * (BITMAPINFOHEADER) and WAV (RIFF/WAVE) — exercising the decode seam
     * with genuine format parsing and zero new dependencies (r10 verdict
     * #4): little-endian field extraction, magic checks, and a proper
-    * RIFF chunk walk, not pseudo-features. Compressed formats (JPEG,
-    * FLAC…) stay behind [[DecoderStub]] — the container ships no codec
-    * libs — but the seam is now proven with real parsers: builders
-    * produce spec-conformant bytes, [[decodeMedia]] parses them back,
-    * and FunctionsSpec pins hand-computed golden headers so a builder
-    * and parser cannot be consistently wrong together.
+    * RIFF chunk walk, not pseudo-features. Since r12 the compressed
+    * formats are real too: baseline JPEG (full huffman+DCT decode,
+    * [[graft.multimodal.Jpeg]]) and PNG (zlib inflate + filter
+    * reconstruction, [[graft.multimodal.Png]]) are certified pure-JVM
+    * codecs; AVI frame-walk landed alongside. Only formats with no
+    * pure-JVM decoder here (e.g. FLAC, HEVC) remain behind
+    * [[DecoderStub]]. Builders produce spec-conformant bytes,
+    * [[decodeMedia]] parses them back, and FunctionsSpec pins
+    * hand-computed golden headers so a builder and parser cannot be
+    * consistently wrong together.
     */
   object Codec {
     private def le16(out: Array[Byte], p: Int, v: Int): Unit = {
@@ -806,6 +810,11 @@ object Multimodal {
   def audioFingerprint(assets: DataFrame, frameLen: Int = 64): DataFrame = {
     require(frameLen >= 4 && (frameLen & (frameLen - 1)) == 0,
       s"frameLen must be a power of 2 >= 4: $frameLen")
+    // the packed word stores the dominant bin in 5 bits; frameLen/2
+    // positive-frequency bins must fit in 0..31 or the `& 0x1f` mask
+    // below would silently truncate mod 32 (ADVICE r13)
+    require(frameLen <= 64,
+      s"frameLen must be <= 64 so the dominant bin fits the 5-bit field: $frameLen")
     // same driver-side guard as audioMelFrames: a too-short frame would
     // otherwise throw per-row inside executors (review r13)
     require(melCenters64.last <= frameLen / 2,

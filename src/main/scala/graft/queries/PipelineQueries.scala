@@ -135,9 +135,10 @@ object PipelineQueries {
     * bytes/cluster, the join key is 1 byte of band value — no raw
     * image ever reaches the pair join.
     */
-  def imageNearDup(docs: DataFrame, maxHam: Int = 3): DataFrame =
+  def imageNearDup(docs: DataFrame, maxHam: Int = 3, maxBand: Int = 10000): DataFrame =
     bandedHammingPairs(
-      Multimodal.imageDHash(Multimodal.syntheticPngAssets(docs)), "dhash_hi", "dhash_lo", maxHam)
+      Multimodal.imageDHash(Multimodal.syntheticPngAssets(docs)), "dhash_hi", "dhash_lo",
+      maxHam, maxBand)
 
   /** The banded-Hamming pair join, generalized over ANY (hi, lo) 64-bit
     * fingerprint column pair — dHash, DCT-pHash and the acoustic
@@ -155,6 +156,10 @@ object PipelineQueries {
     * band at these thresholds — the certified corpora never approach it
     * (the cap fires only past the point the banding assumption itself
     * has failed) — so the oracle's full pair scan stays exactly equal.
+    * Pass `maxBand = 0` to opt out of the cap entirely (ADVICE r13:
+    * provably-complete mode for callers who prefer a quadratic stage
+    * over a dropped pair); the `observe` metrics above make a fired cap
+    * diagnosable either way.
     */
   def bandedHammingPairs(h: DataFrame, hiCol: String, loCol: String,
                          maxHam: Int, maxBand: Int = 10000): DataFrame = {
@@ -1426,6 +1431,41 @@ object PipelineQueries {
       Dedup.exact(planted, "doc_id", "text")
     }),
 
+    "dd_exact_nfkc" -> ((s, d) => {
+      // exact dedup through NFKC + casefold (r14, verdict ask #4) —
+      // dd_exact_nfc's composition variants are only half the story:
+      // real crawls also spell the SAME logical string with
+      // compatibility forms (fullwidth Ａ, ligature ﬁ, superscript ²)
+      // and case variants, which NFC-keyed dedup keeps apart. The
+      // fixture plants both spellings explicitly: every %10==0 doc
+      // gains a LIGATURE-spelled suffix (" ﬁle abc 25") and a twin
+      // (doc_id + offset) carrying the CASE+FULLWIDTH+SUPERSCRIPT
+      // spelling (" FILE ＡＢＣ ²⁵") — under nfkc_casefold BOTH fold to
+      // the identical ASCII " file abc 25", so each twin collapses onto
+      // its original (keep-min id) while raw md5 (and even nfc-keyed
+      // md5) would keep all three spellings distinct. DuckDB has no
+      // NFKC surface, so the oracle replays the grouping with lower()
+      // over the ASCII corpus plus the KNOWN folded suffix; the
+      // kernel-equals-constant step is certified in FunctionsSpec
+      // (the established exact-columns device). Same one-scan explode
+      // + hash-groupBy shape as dd_exact_nfc.
+      val docs = Graft.documents(s, d)
+      val off = 1000000000L
+      val ligature = " ﬁle abc 25"                     // fi-ligature spelling
+      val compat = " FILE ＡＢＣ ²⁵"  // case+fullwidth+superscript spelling
+      val base = struct(col("doc_id").as("doc_id"), col("text").as("text"))
+      val planted = docs.select(explode(
+          when(pmod(col("doc_id"), lit(10)) === 0, array(
+            struct(col("doc_id").as("doc_id"),
+              concat(col("text"), lit(ligature)).as("text")),
+            struct((col("doc_id") + lit(off)).as("doc_id"),
+              concat(col("text"), lit(compat)).as("text"))))
+          .otherwise(array(base))).as("r"))
+        .select(col("r.doc_id").as("doc_id"),
+          expr("nfkc_casefold(r.text)").as("text"))
+      Dedup.exact(planted, "doc_id", "text")
+    }),
+
     "txt_fingerprint" -> ((s, d) =>
       Graft.documents(s, d).select(
         col("doc_id"),
@@ -2590,6 +2630,26 @@ object PipelineQueries {
                   text || ' e' || chr(769) || 'a' || chr(768) || 'i' || chr(776)
            FROM documents WHERE doc_id % 10 = 0)
          SELECT md5(nfc_normalize(text)) AS content_md5,
+                min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM corpus GROUP BY 1""",
+
+    // NFKC+casefold replay via the exact-columns device: DuckDB has no
+    // NFKC surface, so the oracle substitutes the KNOWN folded form of
+    // each planted suffix (certified kernel-equals-constant in
+    // FunctionsSpec) and lower() for the ASCII body (ASCII simple fold
+    // == lower; the corpus is ASCII by construction). Ligature original
+    // and case/fullwidth/superscript twin both land on ' file abc 25'.
+    "dd_exact_nfkc" ->
+      """WITH corpus AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 10 = 0
+                       THEN lower(text) || ' file abc 25'
+                       ELSE lower(text) END AS ntext
+           FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000000, lower(text) || ' file abc 25'
+           FROM documents WHERE doc_id % 10 = 0)
+         SELECT md5(ntext) AS content_md5,
                 min(doc_id) AS keep_id, count(*) AS n_copies
          FROM corpus GROUP BY 1""",
 

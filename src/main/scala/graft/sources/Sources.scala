@@ -129,6 +129,11 @@ object Sources {
     }
 
     def writeEntry(out: java.io.OutputStream, name: String, data: Array[Byte]): Unit = {
+      // US-ASCII getBytes substitutes '?' for unmappable chars, so two
+      // distinct non-ASCII names could silently collide (ADVICE r13):
+      // reject them before encoding instead
+      require(name.forall(c => c >= 0x20 && c < 0x7f),
+        s"tar member name must be printable ASCII: $name")
       require(name.getBytes("US-ASCII").length <= 100, s"tar name too long: $name")
       val h = new Array[Byte](512)
       val nb = name.getBytes("US-ASCII")
@@ -210,6 +215,29 @@ object Sources {
       }
   }
 
+  /** Shard-writer commit protocol (ADVICE r13): stream the shard into
+    * an attempt-unique temp file, then ATOMIC_MOVE into the final name.
+    * With direct writes, a speculative duplicate attempt of the same
+    * partition would open the same final path concurrently and could
+    * interleave bytes (TRUNCATE_EXISTING only makes *sequential*
+    * retries idempotent). With rename-commit, concurrent attempts each
+    * build a private file and the last atomic rename wins whole —
+    * either attempt's complete bytes, never a mix. This is the same
+    * task-commit shape Spark's own FileOutputCommitter v2 uses.
+    */
+  private def writeShardAtomic(finalPath: java.nio.file.Path)
+                              (body: java.io.OutputStream => Unit): Unit = {
+    val tc = org.apache.spark.TaskContext.get()
+    val attempt = if (tc == null) 0L else tc.taskAttemptId()
+    val tmp = finalPath.resolveSibling(
+      s".${finalPath.getFileName}.attempt-$attempt.tmp")
+    val out = new java.io.BufferedOutputStream(java.nio.file.Files.newOutputStream(tmp))
+    try body(out) finally out.close()
+    java.nio.file.Files.move(tmp, finalPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Write WebDataset shards: input rows are (key, ext, payload) —
     * every member of one sample (same key) must sit contiguously in one
     * shard, so rows repartition BY KEY and sort within partitions on
@@ -225,12 +253,11 @@ object Sources {
       .foreachPartition { (it: Iterator[Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val p = java.nio.file.Paths.get(path, f"shard-$pid%05d.tar")
-        val out = new java.io.BufferedOutputStream(java.nio.file.Files.newOutputStream(p))
-        try {
+        writeShardAtomic(p) { out =>
           it.foreach(r => Tar.writeEntry(out, s"${r.getString(0)}.${r.getString(1)}",
             r.getAs[Array[Byte]](2)))
           Tar.finish(out)
-        } finally out.close()
+        }
       }
   }
 
@@ -268,11 +295,9 @@ object Sources {
       .foreachPartition { (it: Iterator[Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val p = java.nio.file.Paths.get(path, f"part-$pid%05d.tfrecord")
-        // TRUNCATE_EXISTING default: a task retry rewrites the whole
-        // shard, so the write is idempotent per partition
-        val out = new java.io.BufferedOutputStream(java.nio.file.Files.newOutputStream(p))
-        try it.foreach(r => TfRecord.write(out, r.getAs[Array[Byte]](0)))
-        finally out.close()
+        writeShardAtomic(p) { out =>
+          it.foreach(r => TfRecord.write(out, r.getAs[Array[Byte]](0)))
+        }
       }
   }
 

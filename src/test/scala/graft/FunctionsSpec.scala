@@ -910,6 +910,61 @@ class FunctionsSpec extends GraftTest {
     assert(diff.isEmpty, diff.take(3).mkString("; "))
   }
 
+  test("native nfkc_casefold folds compatibility forms, case and superscripts") {
+    import spark.implicits._
+    import graft.functions.NfkcCasefold
+    import org.apache.spark.unsafe.types.UTF8String
+    def k(s: String): String = NfkcCasefold.compute(UTF8String.fromString(s)).toString
+    // the two planted dd_exact_nfkc suffix spellings MUST land on the
+    // exact constant the DuckDB oracle substitutes — this equality IS
+    // the oracle's missing-NFKC leg (the exact-columns device)
+    assert(k(" ﬁle abc 25") === " file abc 25", "ligature spelling")
+    assert(k(" FILE ＡＢＣ ²⁵") === " file abc 25",
+      "case+fullwidth+superscript spelling")
+    // individual transform classes
+    assert(k("ＷＩＤＥ") === "wide", "fullwidth + fold")
+    assert(k("ﬀﬁﬂ") === "fffifl", "latin ligatures")
+    assert(k("x²+y³") === "x2+y3", "superscripts")
+    assert(k("½") === "1⁄2", "vulgar fraction to digits + fraction slash")
+    assert(k("ÉCOLE") === "école", "non-ASCII case fold stays composed (NFKC re-pass)")
+    assert(k("café") === "café", "NFKC also composes canonical sequences")
+    assert(k("ß") === "ß", "simple fold keeps sharp s (full fold out of scope)")
+    assert(k("") === "")
+    // fast path: ASCII with no uppercase returns the SAME buffer
+    val clean = UTF8String.fromString("plain ascii text 123")
+    assert(NfkcCasefold.compute(clean) eq clean, "ASCII-lower fast path must not copy")
+    // uppercase ASCII must NOT take the fast path
+    assert(k("Mixed Case ASCII") === "mixed case ascii")
+    // corpus-level: kernel through real codegen == JDK reference chain
+    def ref(s: String): String = {
+      val n = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < n.length) {
+        val cp = n.codePointAt(i)
+        sb.appendCodePoint(Character.toLowerCase(Character.toUpperCase(cp)))
+        i += Character.charCount(cp)
+      }
+      java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFKC)
+    }
+    val planted = Graft.documents(spark, sf)
+      .select(concat(col("text"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(" Ｗ²")).otherwise(lit(" ﬁX"))).as("t"))
+    val diff = planted
+      .select(col("t"), call_function("nfkc_casefold", col("t")).as("native"))
+      .as[(String, String)].collect()
+      .filter { case (t, native) => native != ref(t) }
+    assert(diff.isEmpty, diff.take(3).mkString("; "))
+    // ASCII body + folded suffix == lower(body) || constant — the exact
+    // identity the DuckDB oracle relies on
+    val bodyCheck = Graft.documents(spark, sf)
+      .select(col("text"),
+        call_function("nfkc_casefold", concat(col("text"), lit(" ﬁle abc 25"))).as("native"))
+      .as[(String, String)].collect()
+      .filter { case (t, native) => native != t.toLowerCase(java.util.Locale.ROOT) + " file abc 25" }
+    assert(bodyCheck.isEmpty, bodyCheck.take(3).mkString("; "))
+  }
+
   test("native canonical_url equals the regex-chain form on edges and corpus") {
     import spark.implicits._
     val edges = Seq(
