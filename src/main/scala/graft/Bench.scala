@@ -22,7 +22,7 @@ object Bench {
     "j1_ss_inner", "j3_ss_outer", "j4_st_inner", "j6_tt_inner", "aj_asof", "j_salted", "j_range",
     "aj_forward", "j_bucketed", "s_partition_prune",
     "d2_stream_to_table",
-    "dd_exact", "dd_exact_nfc", "dd_chunk", "dd_span", "dd_span_remove", "dd_boilerplate", "dd_incremental", "dd_minhash", "dd_minhash_incremental", "dd_simhash",
+    "dd_exact", "dd_exact_nfc", "dd_exact_nfkc", "dd_chunk", "dd_span", "dd_span_remove", "dd_boilerplate", "dd_incremental", "dd_minhash", "dd_minhash_incremental", "dd_simhash",
     "dd_ngram_jaccard", "dd_embedding", "dd_fuzzy", "dd_lsh_resolve",
     "dd_embedding_resolve", "dd_semantic", "dd_semantic_resolve",
     "ann_brute", "ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq", "ann_quantized", "ann_contrastive",
@@ -32,7 +32,7 @@ object Bench {
     "pp_weights", "pp_profile", "pp_histogram", "pp_topquality", "pp_sample_n",
     "pp_sample_weighted", "pp_cluster_sample", "pp_domain_cap", "pp_dsir", "pp_delta", "pp_decontam_spans",
     "pp_pipeline", "pp_ingest_streaming", "pp_ingest_semantic", "pp_ingest_media", "pp_ingest_media_dct", "pp_dedup_report", "dd_url", "q_hybrid_retrieval",
-    "mm_features", "mm_resize", "mm_quantize", "mm_decode", "mm_decode_jpeg", "mm_jpeg_coefs", "mm_jpeg_420", "mm_jpeg_rgb", "mm_decode_png", "mm_audio_fft", "mm_audio_mel", "mm_audio_decimate", "mm_audio_fingerprint", "dd_audio_neardup", "dd_image_phash", "dd_image_phash_dct", "dd_image_resolve", "dd_image_neardup", "dd_image_neardup_dct", "mm_video_mjpeg", "mm_resize_box", "txt_sentences", "ann_assign_streaming",
+    "mm_features", "mm_resize", "mm_quantize", "mm_decode", "mm_decode_jpeg", "mm_jpeg_coefs", "mm_jpeg_420", "mm_jpeg_rgb", "mm_decode_png", "mm_audio_fft", "mm_audio_mel", "mm_audio_decimate", "mm_audio_fingerprint", "dd_audio_neardup", "dd_image_phash", "dd_image_phash_dct", "dd_image_resolve", "dd_image_neardup", "dd_image_neardup_dct", "mm_video_mjpeg", "mm_resize_box", "mm_text_image_score", "txt_sentences", "ann_assign_streaming",
     "sk_cms", "sk_hll_merge", "sk_hll_overlap", "sk_heavy", "sk_heavy_merge")
 
   def main(args: Array[String]): Unit = {
@@ -229,8 +229,28 @@ object Bench {
     val total = ok.map(_._2).sum
     val cal =
       s"""{"query":"$calibrationQuery","start":${fmt(calStart)},"end":${fmt(calEnd)},"ratio":${fmt(calRatio)}}"""
-    println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$es,"degraded":$degraded,"calibration":$cal,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$es,"degraded":$degraded,"calibration":$cal,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO persist the result whole (r14, verdict ask #3): the r13
+    // driver artifact shipped `parsed: null` with a truncated stdout
+    // tail (only 83/118 per-query timings recoverable), so cross-round
+    // deltas broke. A file write cannot truncate mid-object; atomic
+    // rename so a concurrently-reading driver never sees a partial
+    // file. Override the path with SPARK_GRAFT_BENCH_OUT; best-effort
+    // (an unwritable path must not fail the bench itself).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      // interleaved-pair JVMs must not clobber each other's artifact
+      if (lockstepDir.isDefined) s"/root/repo/BENCH_LAST.$role.json"
+      else "/root/repo/BENCH_LAST.json")
+    try {
+      val target = java.nio.file.Paths.get(outPath)
+      val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+      java.nio.file.Files.write(tmp, (line + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

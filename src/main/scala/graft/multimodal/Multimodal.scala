@@ -557,29 +557,35 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)].mapPartitions { it =>
-      it.map { case (id, nc) =>
-        val w = 1 + (nc % 13).toInt
-        val h = 1 + (id % 11).toInt
-        val ch = if (id % 2 == 0) 1 else 3
-        val px = new Array[Byte](w * h * ch)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            var c = 0
-            while (c < ch) {
-              px((y * w + x) * ch + c) = ((id * 7 + x * 3 + y * 5 + c * 11) % 256).toByte
-              c += 1
-            }
-            x += 1
-          }
-          y += 1
-        }
-        (id, Png.encode(w, h, ch, px,
-          filterFor = y0 => ((id + y0) % 5).toInt,
-          idatSplit = if (id % 4 == 0) 2 else 1))
-      }
+      it.map { case (id, nc) => (id, syntheticPngBytes(id, nc)) }
     }.toDF("asset_id", "payload")
+  }
+
+  /** The per-row generator behind [[syntheticPngAssets]], callable from
+    * any executor-side map (r14: the cross-modal scorer generates the
+    * image inline so text and image share ONE corpus scan).
+    */
+  def syntheticPngBytes(id: Long, nc: Long): Array[Byte] = {
+    val w = 1 + (nc % 13).toInt
+    val h = 1 + (id % 11).toInt
+    val ch = if (id % 2 == 0) 1 else 3
+    val px = new Array[Byte](w * h * ch)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < ch) {
+          px((y * w + x) * ch + c) = ((id * 7 + x * 3 + y * 5 + c * 11) % 256).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Png.encode(w, h, ch, px,
+      filterFor = y0 => ((id + y0) % 5).toInt,
+      idatSplit = if (id % 4 == 0) 2 else 1)
   }
 
   /** Per-(asset, channel) pixel statistics through the FULL PNG decode
@@ -865,29 +871,38 @@ object Multimodal {
     assets.select("asset_id", "payload").as[(Long, Array[Byte])].map { case (id, bytes) =>
       Png.decode(bytes) match {
         case Some(img) =>
-          var hi = 0L
-          var lo = 0L
-          var y = 0
-          while (y < 8) {
-            val sy = y * img.height / 8
-            var x = 0
-            while (x < 8) {
-              val sx0 = x * img.width / 9
-              val sx1 = (x + 1) * img.width / 9
-              val v0 = img.pixels((sy * img.width + sx0) * img.channels) & 0xff
-              val v1 = img.pixels((sy * img.width + sx1) * img.channels) & 0xff
-              if (v1 > v0) {
-                val b = y * 8 + x
-                if (b >= 32) hi |= 1L << (b - 32) else lo |= 1L << b
-              }
-              x += 1
-            }
-            y += 1
-          }
+          val (hi, lo) = dHashOf(img)
           ImageDHash(id, hi, lo)
         case None => ImageDHash(id, -1L, -1L)
       }
     }.toDF()
+  }
+
+  /** The 64-bit gradient-hash core behind [[imageDHash]], over a decoded
+    * image — shared with the cross-modal scorer's single-scan path (r14)
+    * so the two certified consumers can never drift.
+    */
+  def dHashOf(img: Png.PngImage): (Long, Long) = {
+    var hi = 0L
+    var lo = 0L
+    var y = 0
+    while (y < 8) {
+      val sy = y * img.height / 8
+      var x = 0
+      while (x < 8) {
+        val sx0 = x * img.width / 9
+        val sx1 = (x + 1) * img.width / 9
+        val v0 = img.pixels((sy * img.width + sx0) * img.channels) & 0xff
+        val v1 = img.pixels((sy * img.width + sx1) * img.channels) & 0xff
+        if (v1 > v0) {
+          val b = y * 8 + x
+          if (b >= 32) hi |= 1L << (b - 32) else lo |= 1L << b
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (hi, lo)
   }
 
   /** Fixed-point DCT-II basis for the 32-point transform, rows u = 0..7
@@ -1176,5 +1191,77 @@ object Multimodal {
       // per-partition init of a real codec would happen here
       rows.map { r: Row => DecoderStub.decode(r.getLong(0), r.getAs[Array[Byte]](1)) }
     }.toDF()
+  }
+
+  // ---- cross-modal consistency (r14) --------------------------------------
+
+  /** Image-tower weight of (bit, dim) slot — the [[graft.functions.LinearScore
+    * .weight]] rule with a different additive prime so the two towers
+    * decorrelate; exported so FunctionsSpec and the oracle generator
+    * derive from the one constant.
+    */
+  def crossModalImageWeight(x: Long): Long =
+    ((x * 2654435761L + 224737L) % 2001L) - 1000L
+
+  /** Cross-modal text↔image consistency scoring — the CLIP-score-proxy
+    * gate every multimodal training pipeline runs before an image-text
+    * pair enters the corpus (LAION-style: score the pair's agreement,
+    * keep above threshold). A real deployment broadcasts two frozen
+    * projection matrices and takes the dot product of the two tower
+    * embeddings; this engine keeps EXACTLY that dataflow with frozen
+    * FUNCTIONAL weights so the score is deterministic, broadcast-free
+    * and bit-replayable in BIGINT arithmetic on both engines (the
+    * [[graft.functions.LinearScore]] device, extended to two towers):
+    *
+    *   text tower   t[d] = Σ_tokens  wT(bucket(xxh64(tok))·dim + d)
+    *   image tower  i[d] = Σ_{set fingerprint bits b}  wI(b·dim + d)
+    *   score        Σ_d t[d]·i[d]      (a factorized bilinear form —
+    *                                    token grams × fingerprint bits)
+    *
+    * with wT = LinearScore.weight's rule and wI = [[crossModalImageWeight]].
+    * `kept` is the integer cross-multiplied decision
+    * `score ≥ thrMilli·n_tokens` (token-less rows are dropped, as in
+    * txt_classifier). Every intermediate bounds well inside signed 64
+    * bits: |t[d]| ≤ 1000·n_tokens, |i[d]| ≤ 64000, so |score| ≤
+    * dim·64e6·n_tokens — exact BIGINT both engines for any real corpus.
+    *
+    * Input contract: `paired` carries (doc_id, text, dhash_hi, dhash_lo)
+    * — one row per image-text pair, fingerprint from [[imageDHash]] (or
+    * [[pHashDctOf]]; any 64-bit (hi, lo) packing rides unchanged).
+    * Scale shape: scan-local projection — token hashing via the native
+    * `token_hashes` kernel, towers as pure Column arithmetic inside
+    * whole-stage codegen, ZERO exchanges and no model artifact.
+    */
+  def textImageScore(paired: DataFrame, buckets: Int = 1 << 20, dim: Int = 8,
+                     thrMilli: Long = 0L): DataFrame = {
+    require(dim >= 1 && dim <= 64, s"dim must be in [1, 64]: $dim")
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val spark = paired.sparkSession
+    val tokCol =
+      if (spark.catalog.functionExists("token_hashes"))
+        call_function("token_hashes", col("text"))
+      else transform(graft.functions.TextFunctions.tokens(col("text")), t => xxhash64(t))
+    // token hash → feature bucket, non-negative (pmod == ((h%K)+K)%K)
+    val withTok = paired.withColumn("_b", transform(tokCol, h => pmod(h, lit(buckets.toLong))))
+    def wT(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (x * lit(2654435761L) + lit(104729L)) % lit(2001L) - lit(1000L)
+    val tCols = (0 until dim).map { dd =>
+      aggregate(col("_b"), lit(0L),
+        (acc, b) => acc + wT(b * lit(dim.toLong) + lit(dd.toLong))).as(s"_t$dd")
+    }
+    val iCols = (0 until dim).map { dd =>
+      (0 until 64).map { b =>
+        val word = if (b < 32) col("dhash_lo") else col("dhash_hi")
+        shiftright(word, b % 32).bitwiseAND(lit(1L)) * lit(crossModalImageWeight(b.toLong * dim + dd))
+      }.reduce(_ + _).as(s"_i$dd")
+    }
+    val towers = withTok.select(
+      Seq(col("doc_id"), size(col("_b")).as("n_tokens")) ++ tCols ++ iCols: _*)
+    towers
+      .withColumn("score",
+        (0 until dim).map(dd => col(s"_t$dd") * col(s"_i$dd")).reduce(_ + _))
+      .withColumn("kept",
+        col("n_tokens") > 0 && col("score") >= lit(thrMilli) * col("n_tokens"))
+      .select("doc_id", "n_tokens", "score", "kept")
   }
 }

@@ -910,6 +910,29 @@ class FunctionsSpec extends GraftTest {
     assert(diff.isEmpty, diff.take(3).mkString("; "))
   }
 
+  test("textImageScore: single-scan path equals the compositional join path") {
+    import spark.implicits._
+    val docs = Graft.documents(spark, sf)
+    // compositional reference: the independently-certified image path
+    // (syntheticPngAssets -> imageDHash) joined back to the text — the
+    // single-scan mapPartitions in the query entry must be bit-equal
+    val viaJoin = graft.multimodal.Multimodal.textImageScore(
+      docs.select(col("doc_id"), col("text"))
+        .join(graft.multimodal.Multimodal.imageDHash(
+            graft.multimodal.Multimodal.syntheticPngAssets(docs))
+          .withColumnRenamed("asset_id", "doc_id"), Seq("doc_id")))
+    val viaScan = graft.queries.PipelineQueries.all("mm_text_image_score")(spark, sf)
+    val a = viaScan.orderBy("doc_id").collect().map(_.toSeq)
+    val b = viaJoin.orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.length === b.length && a.length > 0)
+    assert(a.zip(b).forall { case (x, y) => x == y },
+      a.zip(b).filter { case (x, y) => x != y }.take(3).mkString("; "))
+    // tower-bound sanity: |score| <= dim * 1000*n_tokens * 64000
+    val viol = viaScan.where(
+      abs(col("score")) > lit(8L) * lit(64000L) * lit(1000L) * col("n_tokens")).count()
+    assert(viol === 0, "score outside the documented integer bound")
+  }
+
   test("native nfkc_casefold folds compatibility forms, case and superscripts") {
     import spark.implicits._
     import graft.functions.NfkcCasefold

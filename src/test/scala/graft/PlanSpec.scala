@@ -532,6 +532,23 @@ class PlanSpec extends GraftTest {
     }
   }
 
+  test("mm_text_image_score: ONE corpus scan, zero exchanges, no UDF towers") {
+    // the cross-modal pair is built from the SAME documents row (image
+    // generated + decoded inline in one mapPartitions), so the whole
+    // score must be a single-scan, shuffle-free projection — a join
+    // between separate text and image scans would read the corpus twice
+    // and shuffle it once, for nothing, at 100 TB
+    val p = plan("mm_text_image_score")
+    assert(!p.contains("Exchange"), s"cross-modal score must be shuffle-free:\n${p.take(2000)}")
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"one corpus scan expected:\n${p.take(2000)}")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      "no join expected in the single-scan form")
+    // towers are Column arithmetic over the native token_hashes kernel,
+    // never a Scala UDF
+    assert(!p.toLowerCase.contains("scalaudf"), "no Scala UDF in the towers")
+  }
+
   test("txt_sentences: shuffle-free explode, text-only scan") {
     val p = plan("txt_sentences")
     assert(!p.contains("Exchange"), s"segmentation must be shuffle-free:\n${p.take(2000)}")
