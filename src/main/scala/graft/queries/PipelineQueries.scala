@@ -185,6 +185,29 @@ object PipelineQueries {
       .select("asset_a", "asset_b", "hamming")
   }
 
+  /** The mm_text_image_score composition, shared with the scale audit
+    * (the imageResolve precedent): one corpus scan generates + decodes
+    * the image inline (syntheticPngBytes → the certified PNG decode →
+    * the shared dHashOf core) while the text rides along, then the
+    * frozen two-tower integer model scores each pair — zero exchanges.
+    */
+  def textImagePairsScore(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val paired = docs
+      .select(col("doc_id"), col("n_chars"), col("text"))
+      .as[(Long, Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, nc, text) =>
+          val bytes = Multimodal.syntheticPngBytes(id, nc)
+          val (hi, lo) = graft.multimodal.Png.decode(bytes)
+            .map(Multimodal.dHashOf).getOrElse((-1L, -1L))
+          (id, text, hi, lo)
+        }
+      }.toDF("doc_id", "text", "dhash_hi", "dhash_lo")
+    Multimodal.textImageScore(paired, buckets = 1 << 20, dim = 8, thrMilli = 0L)
+  }
+
   /** The txt_sentences composition, shared with the scale audit (the
     * imagePhash precedent): deterministic boundary plant (every 5th
     * word gains a terminal '.') over the punctuation-free corpus, then
@@ -1967,19 +1990,7 @@ object PipelineQueries {
       // codegen downstream (PlanSpec pins scan count and exchange-
       // freeness). Oracle: CrossModalOracleSql replays token XXH64 +
       // both weight rules in BIGINT over the SHARED dhashCtes prefix.
-      import s.implicits._
-      val paired = Graft.documents(s, d)
-        .select(col("doc_id"), col("n_chars"), col("text"))
-        .as[(Long, Long, String)]
-        .mapPartitions { it =>
-          it.map { case (id, nc, text) =>
-            val bytes = Multimodal.syntheticPngBytes(id, nc)
-            val (hi, lo) = graft.multimodal.Png.decode(bytes)
-              .map(Multimodal.dHashOf).getOrElse((-1L, -1L))
-            (id, text, hi, lo)
-          }
-        }.toDF("doc_id", "text", "dhash_hi", "dhash_lo")
-      Multimodal.textImageScore(paired, buckets = 1 << 20, dim = 8, thrMilli = 0L)
+      textImagePairsScore(Graft.documents(s, d))
     }),
 
     "mm_audio" -> ((s, d) =>
