@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CanonicalUrl, CdcChunks, CosineSimilarity, GramHashes, LangScores, LinearScore, MinHashAgg, NfcNormalize, NfkcCasefold, RepetitionStats, RollingHash, ShingleHashes, SimHashAgg, SrpBucket, TextStats, TokenHashes}
+import graft.functions.{CanonicalUrl, CdcChunks, CosineSimilarity, CrossModalScore, GramHashes, LangScores, LinearScore, MinHashAgg, NfcNormalize, NfkcCasefold, RepetitionStats, RollingHash, ShingleHashes, SimHashAgg, SrpBucket, TextStats, TokenHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -91,6 +91,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         requireArity("nfc_normalize", children, 1)
         NfcNormalize(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cross_modal_score"),
+      new ExpressionInfo(classOf[CrossModalScore].getName, "cross_modal_score"),
+      (children: Seq[Expression]) => {
+        requireArity("cross_modal_score", children, 5)
+        CrossModalScore(children.head, children(1), children(2),
+          literalInt("cross_modal_score", children(3)),
+          literalInt("cross_modal_score", children(4)))
       }))
     ext.injectFunction((
       FunctionIdentifier("nfkc_casefold"),

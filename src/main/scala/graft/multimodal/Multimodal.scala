@@ -1201,7 +1201,7 @@ object Multimodal {
     * derive from the one constant.
     */
   def crossModalImageWeight(x: Long): Long =
-    ((x * 2654435761L + 224737L) % 2001L) - 1000L
+    graft.functions.CrossModalScore.imageWeight(x)
 
   /** Cross-modal text↔image consistency scoring — the CLIP-score-proxy
     * gate every multimodal training pipeline runs before an image-text
@@ -1234,6 +1234,34 @@ object Multimodal {
     */
   def textImageScore(paired: DataFrame, buckets: Int = 1 << 20, dim: Int = 8,
                      thrMilli: Long = 0L): DataFrame = {
+    require(dim >= 1 && dim <= 64, s"dim must be in [1, 64]: $dim")
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val spark = paired.sparkSession
+    // native single-pass kernel when registered: tokenize ONCE and
+    // accumulate all dim text components in the same scan
+    // (graft.functions.CrossModalScore) instead of materializing the
+    // token-hash array and walking it dim times through aggregate()
+    if (spark.catalog.functionExists("cross_modal_score")) {
+      return paired
+        .select(col("doc_id"),
+          call_function("cross_modal_score", col("text"),
+            col("dhash_hi"), col("dhash_lo"), lit(buckets), lit(dim)).as("_cm"))
+        .select(col("doc_id"),
+          col("_cm.n_tokens").as("n_tokens"), col("_cm.score").as("score"))
+        .withColumn("kept",
+          col("n_tokens") > 0 && col("score") >= lit(thrMilli) * col("n_tokens"))
+    }
+    textImageScoreColumnForm(paired, buckets, dim, thrMilli)
+  }
+
+  /** Extension-free Column form of [[textImageScore]] — the tower
+    * arithmetic as pure `functions._` expressions (token_hashes array +
+    * one aggregate() pass per text dimension). Bit-identical with the
+    * native kernel; kept public as the no-extensions fallback and the
+    * equality witness FunctionsSpec pins against the kernel.
+    */
+  def textImageScoreColumnForm(paired: DataFrame, buckets: Int = 1 << 20, dim: Int = 8,
+                               thrMilli: Long = 0L): DataFrame = {
     require(dim >= 1 && dim <= 64, s"dim must be in [1, 64]: $dim")
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
     val spark = paired.sparkSession

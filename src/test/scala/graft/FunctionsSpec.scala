@@ -927,6 +927,18 @@ class FunctionsSpec extends GraftTest {
     assert(a.length === b.length && a.length > 0)
     assert(a.zip(b).forall { case (x, y) => x == y },
       a.zip(b).filter { case (x, y) => x != y }.take(3).mkString("; "))
+    // native single-pass kernel == Column-HOF tower form, bit-exact
+    // (the kernel tokenizes once; the Column form walks the token-hash
+    // array once per dimension — same frozen arithmetic)
+    val paired = docs
+      .join(graft.multimodal.Multimodal.imageDHash(
+          graft.multimodal.Multimodal.syntheticPngAssets(docs))
+        .withColumnRenamed("asset_id", "doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("dhash_hi"), col("dhash_lo"))
+    val viaColumns = graft.multimodal.Multimodal.textImageScoreColumnForm(paired)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(b.zip(viaColumns).forall { case (x, y) => x == y },
+      b.zip(viaColumns).filter { case (x, y) => x != y }.take(3).mkString("; "))
     // tower-bound sanity: |score| <= dim * 1000*n_tokens * 64000
     val viol = viaScan.where(
       abs(col("score")) > lit(8L) * lit(64000L) * lit(1000L) * col("n_tokens")).count()
