@@ -1993,6 +1993,49 @@ object PipelineQueries {
       textImagePairsScore(Graft.documents(s, d))
     }),
 
+    "mm_text_image_score_streaming" -> ((s, d) => {
+      // the cross-modal scorer under the REAL streaming engine —
+      // score-at-arrival parity: the same single-scan pairing +
+      // two-tower kernel mapped over a streaming parquet read of
+      // documents (stateless, append mode), drained via AvailableNow
+      // to a memory sink. Shares mm_text_image_score's oracle verbatim.
+      graft.streaming.StreamingQueries.runAppendToMemory(
+        s, "mm_text_image_score_streaming",
+        textImagePairsScore(
+          graft.streaming.StreamingQueries.readStreamParquet(s, d, "documents")))
+    }),
+
+    "pp_ingest_crossmodal" -> ((s, d) => {
+      // the PRODUCTION multimodal ingest chain (r14): image-text pairs
+      // arrive in micro-batches, each batch passes the CROSS-MODAL
+      // CONSISTENCY gate first (two-tower integer score, kept pairs
+      // only — a LAION-style CLIP-score filter at arrival), then the
+      // image-dedup gate (decode + dHash, drop hashes already in the
+      // persisted corpus store or earlier batches, keep-min id).
+      // Gate-everywhere semantics: the corpus store itself holds only
+      // gate-passing corpus hashes — the corpus was built by this same
+      // chain. Same idempotent per-batch stores as pp_ingest_media
+      // (runMediaIngestStream; the composed gate rides the pluggable
+      // hashFn seam). Ascending-id micro-batches make first-accepted ==
+      // keep-min, so the converged output equals the batch statement
+      // the oracle replays (CrossModalOracleSql.crossModalIngest).
+      val docs = Graft.documents(s, d)
+      val batch = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      val gatedHash: DataFrame => DataFrame = b => {
+        val keptIds = textImagePairsScore(b).where(col("kept")).select("doc_id")
+        Multimodal.imageDHash(Multimodal.syntheticPngAssets(
+          b.join(keptIds, Seq("doc_id"))))
+      }
+      graft.streaming.StreamingQueries.harnessBatches(batch, "doc_id") match {
+        case None => batch.select(col("doc_id").as("asset_id"),
+          lit(0L).as("dhash_hi"), lit(0L).as("dhash_lo")).limit(0)
+        case Some(batchOf) =>
+          graft.streaming.StreamingQueries.runMediaIngestStream(
+            s, batch, corpus, batchOf, tag = "ppxmodal", hashFn = gatedHash)
+      }
+    }),
+
     "mm_audio" -> ((s, d) =>
       // audio-shaped overlapping windows (64-byte window, 32-byte hop)
       // over binary payloads; windows decoded to string for the oracle
@@ -3467,6 +3510,16 @@ object PipelineQueries {
     // dot product + the same cross-multiplied keep decision
     "mm_text_image_score" ->
       CrossModalOracleSql.textImageScore(dhashCtes, buckets = 1 << 20, dim = 8, thrMilli = 0L),
+
+    // the streaming twin converges to the identical scored table
+    // (stateless append) — batch oracle shared verbatim
+    "mm_text_image_score_streaming" ->
+      CrossModalOracleSql.textImageScore(dhashCtes, buckets = 1 << 20, dim = 8, thrMilli = 0L),
+
+    // the gated-ingest chain converges to the batch statement: gate →
+    // gated corpus store anti-join → keep-min per hash
+    "pp_ingest_crossmodal" ->
+      CrossModalOracleSql.crossModalIngest(dhashCtes, buckets = 1 << 20, dim = 8, thrMilli = 0L),
 
     // the full integer fingerprint replay per asset
     "mm_audio_fingerprint" ->
