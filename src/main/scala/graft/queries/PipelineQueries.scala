@@ -1184,6 +1184,23 @@ object PipelineQueries {
       Ann.bruteForceTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 10)
     }),
 
+    "ann_matryoshka" -> ((s, d) => {
+      // MATRYOSHKA (MRL) prefix search (r14): retrieval over only the
+      // first 16 of 64 dims — the coarse pass of the modern two-stage
+      // embedding-search economics (4x less vector I/O and dot-product
+      // work per candidate; re-rank survivors at full width). Cosine
+      // renormalizes per-vector, so truncation needs no stored norms;
+      // the slice happens on the FLOAT storage dtype before the double
+      // hop, exactly what the oracle replays. DedupAnnSpec pins the
+      // recall-vs-full-width trade the prefix buys. Scale shape: same
+      // broadcast-queries brute scan as ann_brute over a 4x-narrower
+      // store (the production coarse pass runs it over PQ/IVF instead;
+      // those compositions are certified separately).
+      val emb = Graft.embeddings(s, d)
+      val trunc = emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+      Ann.bruteForceTopK(trunc, trunc.where(col("vec_id") < 10), "vec_id", "embedding", k = 10)
+    }),
+
     "ann_lsh" -> ((s, d) => {
       // SRP-LSH bucketed ANN (shuffle on bucket id; recall vs brute force
       // asserted in AnnSpec)
@@ -2381,16 +2398,24 @@ object PipelineQueries {
     * FLOAT[] hop mirrors Graft.embeddings' defensive double→float
     * narrowing (identity on today's float corpus).
     */
-  private val annBruteSql: String =
-    """SELECT query_id, neighbor_id, rank, cos FROM (
+  private def bruteTopKSql(vec: String => String): String =
+    s"""SELECT query_id, neighbor_id, rank, cos FROM (
          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                 row_number() OVER (PARTITION BY q.vec_id
-                                   ORDER BY list_cosine_similarity(CAST(CAST(q.embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(e.embedding AS FLOAT[]) AS DOUBLE[])) DESC,
+                                   ORDER BY list_cosine_similarity(${vec("q")}, ${vec("e")}) DESC,
                                             e.vec_id ASC) AS rank,
-                round(list_cosine_similarity(CAST(CAST(q.embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(e.embedding AS FLOAT[]) AS DOUBLE[])), 6) AS cos
+                round(list_cosine_similarity(${vec("q")}, ${vec("e")}), 6) AS cos
          FROM embeddings q, embeddings e
          WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
        WHERE rank <= 10"""
+
+  private val annBruteSql: String =
+    bruteTopKSql(t => s"CAST(CAST($t.embedding AS FLOAT[]) AS DOUBLE[])")
+
+  // the MRL prefix slice happens on the FLOAT array (the storage dtype)
+  // BEFORE the double hop, mirroring slice() on the Spark side
+  private val annMatryoshkaSql: String =
+    bruteTopKSql(t => s"CAST(CAST($t.embedding AS FLOAT[])[1:16] AS DOUBLE[])")
 
   // the int8-quantization replay CTEs (e -> q -> c: float hop, exact
   // max scale, half-away-from-zero codes), shared by mm_quantize and
@@ -2654,6 +2679,7 @@ object PipelineQueries {
     "ann_incremental" -> EmbeddingOracleSql.crossCosine(threshold = 0.25),
     "ann_lsh" -> EmbeddingOracleSql.lshTopK(k = 10, nBits = 6, probeBits = 4),
     "ann_brute" -> annBruteSql,
+    "ann_matryoshka" -> annMatryoshkaSql,
     // quantize → dequant → FLOAT storage hop → the same cosine fold:
     // the store CTEs are the shared int8QuantizeCtes replay
     "ann_quantized" ->

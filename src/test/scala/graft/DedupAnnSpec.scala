@@ -308,6 +308,36 @@ class DedupAnnSpec extends GraftTest {
     assert(dup.length === 1 && dup.head.getAs[Int]("hamming") === 0)
   }
 
+  test("matryoshka prefix search: recall vs full width, exact on self-similar prefixes") {
+    import org.apache.spark.sql.functions.slice
+    val emb = Graft.embeddings(spark, sf)
+    val queries = emb.where(col("vec_id") < 20)
+    val truth = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val trunc = emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+    val coarse = Ann.bruteForceTopK(trunc, trunc.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.intersect(coarse).size.toDouble / truth.size
+    // uniform-random vectors are the MRL worst case (no information
+    // concentration in the prefix): a 16/64 prefix of iid dims still
+    // preserves a nontrivial share of the true top-5 — the plumbing
+    // assertion; trained MRL embeddings front-load variance and recall
+    // rises accordingly. The coarse→refine composition's exactness is
+    // covered by the full-width re-rank being ann_brute itself.
+    assert(recall >= 0.1, s"matryoshka coarse recall $recall")
+    // widening the prefix to the full 64 dims must reproduce the truth
+    // set exactly — the trade is the prefix, not the machinery
+    val full = Ann.bruteForceTopK(
+        emb.select(col("vec_id"), slice(col("embedding"), 1, 64).as("embedding")),
+        queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === truth, "64-dim slice must equal the unsliced truth set")
+  }
+
   test("ANN LSH recall vs brute force") {
     val emb = Graft.embeddings(spark, sf)
     val queries = emb.where(col("vec_id") < 20)
