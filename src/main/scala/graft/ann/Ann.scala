@@ -567,6 +567,39 @@ object Ann {
     pqTopK(corpus, queries, id, vec, k, refineK,
       trainPq(corpus, id, vec, m, codebookBits, trainCap, maxIter))
 
+  /** Matryoshka (MRL) coarse-to-fine retrieval (r14): coarse top-`coarseK`
+    * over only the first `prefix` dims (cosine renormalizes per vector,
+    * so the truncation needs no stored norms), then EXACT full-width
+    * re-rank of just those candidates — the two-stage economics of
+    * modern MRL embedding search, where the coarse pass touches a
+    * dim/prefix× narrower store and the refine pass touches only
+    * |queries| × coarseK raw vectors. `coarseK ≥ |corpus|` degrades
+    * gracefully to exact brute force (the pqTopK refine law; asserted
+    * in DedupAnnSpec). Reported scores are true full-width cosines.
+    *
+    * Scale shape: the coarse scan broadcasts the (truncated) query set
+    * over the narrow store; the refine joins the small candidate list
+    * back to the raw vectors by id (hash equi-join, candidate side
+    * broadcastable) — the 100 TB corpus is never scanned at full width.
+    */
+  def mrlTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+              k: Int, prefix: Int, coarseK: Int): DataFrame = {
+    require(coarseK >= k, s"coarseK $coarseK must be >= k $k")
+    val truncC = corpus.select(col(id), slice(col(vec), 1, prefix).as(vec))
+    val truncQ = queries.select(col(id), slice(col(vec), 1, prefix).as(vec))
+    val coarse = bruteForceTopK(truncC, truncQ, id, vec, coarseK)
+      .select(col("query_id"), col("neighbor_id"))
+    val qFull = broadcast(queries.select(col(id).as("query_id"), col(vec).as("qv")))
+    val refined = coarse
+      .join(corpus.select(col(id).as("neighbor_id"), col(vec).as("cv")), Seq("neighbor_id"))
+      .join(qFull, Seq("query_id"))
+      .withColumn("cos", cosineNative(corpus.sparkSession, "qv", "cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    refined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Train the PQ sub-codebooks separately — the freeze-the-model seam
     * (deterministic: hash-ordered sample, first-k init, fixed ties).
     */

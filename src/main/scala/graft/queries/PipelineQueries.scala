@@ -1201,6 +1201,17 @@ object PipelineQueries {
       Ann.bruteForceTopK(trunc, trunc.where(col("vec_id") < 10), "vec_id", "embedding", k = 10)
     }),
 
+    "ann_mrl_rerank" -> ((s, d) => {
+      // the COMPOSED MRL retrieval (r14): 16-dim coarse top-50 → exact
+      // 64-dim re-rank of only those candidates (Ann.mrlTopK) — the
+      // production two-stage shape ann_matryoshka's coarse pass feeds.
+      // Reported cosines are true full-width scores; the oracle replays
+      // both stages (coarse = the matryoshka device with k widened).
+      val emb = Graft.embeddings(s, d)
+      Ann.mrlTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+        k = 10, prefix = 16, coarseK = 50)
+    }),
+
     "ann_lsh" -> ((s, d) => {
       // SRP-LSH bucketed ANN (shuffle on bucket id; recall vs brute force
       // asserted in AnnSpec)
@@ -2398,7 +2409,7 @@ object PipelineQueries {
     * FLOAT[] hop mirrors Graft.embeddings' defensive double→float
     * narrowing (identity on today's float corpus).
     */
-  private def bruteTopKSql(vec: String => String): String =
+  private def bruteTopKSql(vec: String => String, k: Int = 10): String =
     s"""SELECT query_id, neighbor_id, rank, cos FROM (
          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                 row_number() OVER (PARTITION BY q.vec_id
@@ -2407,7 +2418,7 @@ object PipelineQueries {
                 round(list_cosine_similarity(${vec("q")}, ${vec("e")}), 6) AS cos
          FROM embeddings q, embeddings e
          WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
-       WHERE rank <= 10"""
+       WHERE rank <= $k"""
 
   private val annBruteSql: String =
     bruteTopKSql(t => s"CAST(CAST($t.embedding AS FLOAT[]) AS DOUBLE[])")
@@ -2416,6 +2427,23 @@ object PipelineQueries {
   // BEFORE the double hop, mirroring slice() on the Spark side
   private val annMatryoshkaSql: String =
     bruteTopKSql(t => s"CAST(CAST($t.embedding AS FLOAT[])[1:16] AS DOUBLE[])")
+
+  // the coarse-to-fine MRL composition: prefix-width coarse top-50
+  // (the matryoshka device above, k widened), exact full-width re-rank
+  // of only those candidates — mirrors Ann.mrlTopK stage for stage
+  private val annMrlRerankSql: String =
+    s"""WITH coarse AS (
+         ${bruteTopKSql(t => s"CAST(CAST($t.embedding AS FLOAT[])[1:16] AS DOUBLE[])", k = 50)})
+       SELECT query_id, neighbor_id, rank, cos FROM (
+         SELECT c.query_id, c.neighbor_id,
+                row_number() OVER (PARTITION BY c.query_id
+                                   ORDER BY list_cosine_similarity(CAST(CAST(q.embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(e.embedding AS FLOAT[]) AS DOUBLE[])) DESC,
+                                            c.neighbor_id ASC) AS rank,
+                round(list_cosine_similarity(CAST(CAST(q.embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(e.embedding AS FLOAT[]) AS DOUBLE[])), 6) AS cos
+         FROM coarse c
+         JOIN embeddings e ON e.vec_id = c.neighbor_id
+         JOIN embeddings q ON q.vec_id = c.query_id)
+       WHERE rank <= 10"""
 
   // the int8-quantization replay CTEs (e -> q -> c: float hop, exact
   // max scale, half-away-from-zero codes), shared by mm_quantize and
@@ -2680,6 +2708,7 @@ object PipelineQueries {
     "ann_lsh" -> EmbeddingOracleSql.lshTopK(k = 10, nBits = 6, probeBits = 4),
     "ann_brute" -> annBruteSql,
     "ann_matryoshka" -> annMatryoshkaSql,
+    "ann_mrl_rerank" -> annMrlRerankSql,
     // quantize → dequant → FLOAT storage hop → the same cosine fold:
     // the store CTEs are the shared int8QuantizeCtes replay
     "ann_quantized" ->

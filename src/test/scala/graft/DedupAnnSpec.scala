@@ -336,6 +336,24 @@ class DedupAnnSpec extends GraftTest {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full === truth, "64-dim slice must equal the unsliced truth set")
+    // composed coarse→refine: with coarseK >= |corpus| the coarse pass
+    // passes everything through and the refine IS exact brute force —
+    // the graceful-degradation law (the pqTopK refine precedent)
+    val n = emb.count().toInt
+    val exact = Ann.mrlTopK(emb, queries, "vec_id", "embedding",
+        k = 5, prefix = 16, coarseK = n)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact === truth, "mrlTopK with coarseK >= corpus must equal brute force")
+    // and the shipped (k=10, coarse=50) composition's recall vs brute
+    // must dominate the raw 16-dim coarse pass at the same k
+    val composed = Ann.mrlTopK(emb, queries, "vec_id", "embedding",
+        k = 5, prefix = 16, coarseK = 50)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val composedRecall = truth.intersect(composed).size.toDouble / truth.size
+    assert(composedRecall >= recall,
+      s"refine must not lose recall vs the raw coarse pass: $composedRecall < $recall")
   }
 
   test("ANN LSH recall vs brute force") {
