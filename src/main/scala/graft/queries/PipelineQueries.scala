@@ -208,6 +208,16 @@ object PipelineQueries {
     Multimodal.textImageScore(paired, buckets = 1 << 20, dim = 8, thrMilli = 0L)
   }
 
+  /** The pp_ingest_crossmodal gate, shared with the scale audit: keep
+    * only consistency-gate-passing pairs, then decode + dHash the
+    * survivors — the pluggable hashFn runMediaIngestStream consumes.
+    */
+  val crossModalGatedHash: DataFrame => DataFrame = b => {
+    val keptIds = textImagePairsScore(b).where(col("kept")).select("doc_id")
+    Multimodal.imageDHash(Multimodal.syntheticPngAssets(
+      b.join(keptIds, Seq("doc_id"))))
+  }
+
   /** The txt_sentences composition, shared with the scale audit (the
     * imagePhash precedent): deterministic boundary plant (every 5th
     * word gains a terminal '.') over the punctuation-free corpus, then
@@ -2050,17 +2060,12 @@ object PipelineQueries {
       val docs = Graft.documents(s, d)
       val batch = docs.where(pmod(col("doc_id"), lit(10)) === 0)
       val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
-      val gatedHash: DataFrame => DataFrame = b => {
-        val keptIds = textImagePairsScore(b).where(col("kept")).select("doc_id")
-        Multimodal.imageDHash(Multimodal.syntheticPngAssets(
-          b.join(keptIds, Seq("doc_id"))))
-      }
       graft.streaming.StreamingQueries.harnessBatches(batch, "doc_id") match {
         case None => batch.select(col("doc_id").as("asset_id"),
           lit(0L).as("dhash_hi"), lit(0L).as("dhash_lo")).limit(0)
         case Some(batchOf) =>
           graft.streaming.StreamingQueries.runMediaIngestStream(
-            s, batch, corpus, batchOf, tag = "ppxmodal", hashFn = gatedHash)
+            s, batch, corpus, batchOf, tag = "ppxmodal", hashFn = crossModalGatedHash)
       }
     }),
 
