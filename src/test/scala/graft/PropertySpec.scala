@@ -124,6 +124,75 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: nfkc_casefold is idempotent, matches the JDK chain, and fast-paths ASCII-lower") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.NfkcCasefold
+    // unicode-heavy generator: ASCII text salted with compatibility
+    // forms, combining marks, case, and fullwidth/superscript chars
+    val genUni: Gen[String] = Gen.listOf(Gen.frequency(
+      5 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '_', '.', '-'),
+      1 -> Gen.oneOf('ﬁ', 'Ａ', 'ａ', '²', '⁵', '½'),
+      1 -> Gen.oneOf('é', '́', '̈', 'É', 'ß', 'Σ', 'σ', 'ς'),
+      1 -> Gen.alphaUpperChar
+    )).map(_.mkString)
+    def k(s: String): String = NfkcCasefold.compute(UTF8String.fromString(s)).toString
+    def ref(s: String): String = {
+      val n = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < n.length) {
+        val cp = n.codePointAt(i)
+        sb.appendCodePoint(Character.toLowerCase(Character.toUpperCase(cp)))
+        i += Character.charCount(cp)
+      }
+      val f = sb.toString
+      if (java.text.Normalizer.isNormalized(f, java.text.Normalizer.Form.NFKC)) f
+      else java.text.Normalizer.normalize(f, java.text.Normalizer.Form.NFKC)
+    }
+    checkProp(Prop.forAll(genUni) { s =>
+      val once = k(s)
+      once == ref(s) && k(once) == once // reference equality + idempotence
+    })
+    // fast path: ASCII with no uppercase must return the SAME buffer
+    val genAsciiLower: Gen[String] = Gen.listOf(Gen.frequency(
+      5 -> Gen.alphaLowerChar, 2 -> Gen.numChar,
+      1 -> Gen.oneOf(' ', '_', '.', '-', '!'))).map(_.mkString)
+    checkProp(Prop.forAll(genAsciiLower) { s =>
+      val u = UTF8String.fromString(s)
+      NfkcCasefold.compute(u) eq u
+    })
+  }
+
+  test("property: cross_modal_score kernel == the reference towers on generated pairs") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.{CrossModalScore, ShingleHashes}
+    val dim = 8
+    val buckets = 1 << 20
+    def wT(x: Long) = (x * 2654435761L + 104729L) % 2001L - 1000L
+    val gen = for {
+      text <- genText
+      hi <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      lo <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    } yield (text, hi, lo)
+    checkProp(Prop.forAll(gen) { case (text, hi, lo) =>
+      val row = CrossModalScore.compute(UTF8String.fromString(text), hi, lo, buckets, dim)
+      // reference: tokenHashArray (the shared tokenizer) + naive towers
+      val hs = ShingleHashes.tokenHashArray(UTF8String.fromString(text))
+      val tv = Array.tabulate(dim) { dd =>
+        hs.map(h => wT((((h % buckets) + buckets) % buckets) * dim + dd)).sum
+      }
+      val iv = Array.tabulate(dim) { dd =>
+        (0 until 64).map { b =>
+          val bit = if (b < 32) (lo >>> b) & 1L else (hi >>> (b - 32)) & 1L
+          bit * CrossModalScore.imageWeight(b.toLong * dim + dd)
+        }.sum
+      }
+      val score = (0 until dim).map(dd => tv(dd) * iv(dd)).sum
+      row.getInt(0) == hs.length && row.getLong(1) == score
+    })
+  }
+
   test("property: repetition_stats kernel matches the string-based reference") {
     checkProp(Prop.forAll(genText) { text =>
       val row = graft.functions.RepetitionStats.compute(
