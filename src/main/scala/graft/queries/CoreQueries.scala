@@ -342,6 +342,40 @@ object CoreQueries {
       graft.streaming.StreamingQueries.runAppendToMemory(s, "s_tfr_stream", stream)
     }),
 
+    "s_tfexample" -> ((s, d) => {
+      // tf.Example protobuf payloads inside TFRecord shards (r14) —
+      // the message TensorFlow training pipelines ACTUALLY write
+      // (s_tfrecord's JSON payloads prove the framing; this proves the
+      // payload): each doc encodes as an Example with int64 features
+      // (doc_id, n_chars) and bytes features (text, lang, source)
+      // through the pure-JVM protobuf wire codec (Sources.TfExample —
+      // LEB128 varints, LEN-delimited submessages, packed int64 lists;
+      // golden bytes pinned in SourcesSpec), rides the checksummed
+      // TFRecord framing, and decodes back field-by-field to the
+      // identity. Unknown fields skip by wire type (forward compat);
+      // truncation throws. Scale shape: encode and decode are
+      // partition-local scans; shards read one-task-per-shard.
+      val out = tmp("tfexample")
+      val docs = Graft.documents(s, d)
+      import s.implicits._
+      val payloads = docs.select("doc_id", "text", "lang", "source", "n_chars")
+        .as[(Long, String, String, String, Long)]
+        .map { case (id, text, lang, source, nc) =>
+          graft.sources.Sources.TfExample.encode(Seq(
+            "doc_id" -> id, "text" -> text, "lang" -> lang,
+            "source" -> source, "n_chars" -> nc))
+        }.toDF("payload")
+      graft.sources.Sources.writeTfRecords(payloads, "payload", out, shards = 4)
+      graft.sources.Sources.readTfRecords(s, out)
+        .as[Array[Byte]]
+        .map { b =>
+          val m = graft.sources.Sources.TfExample.decode(b).toMap
+          def str(k: String) = new String(m(k).bytes.head, "UTF-8")
+          (m("doc_id").int64s.head, str("text"), str("lang"), str("source"),
+            m("n_chars").int64s.head)
+        }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    }),
+
     "s_parquet_zstd" -> ((s, d) => {
       // ZSTD-compressed parquet roundtrip — the modern default storage
       // codec for analytics corpora (splittable at the row-group level,
@@ -424,6 +458,8 @@ object CoreQueries {
     // the streaming twin converges to the identical table (stateless
     // append over the same 4 shards) — batch oracle shared verbatim
     "s_tfrecord_streaming" -> "SELECT * FROM documents",
+    // tf.Example roundtrip reconstructs the table field-by-field
+    "s_tfexample" -> "SELECT * FROM documents",
     // the stateless streaming twin converges to the batch read — SAME oracle
     "s_webdataset_streaming" ->
       """SELECT d.*, p.png_px_sum FROM documents d JOIN (

@@ -112,6 +112,224 @@ object Sources {
     }
   }
 
+  /** tf.Example protobuf wire format (r14) — the MESSAGE inside real
+    * TFRecord training shards (s_tfrecord's JSON payloads prove the
+    * framing; this proves the payload TensorFlow actually writes).
+    * Pure-JVM implementation of the public protobuf wire spec
+    * (LEB128 varints, `key = field<<3 | wire_type`, LEN-delimited
+    * submessages) for the tf.Example schema
+    * (tensorflow/core/example/example.proto, feature.proto):
+    *
+    *   Example  { Features features = 1 }
+    *   Features { map<string, Feature> feature = 1 }   // repeated entry
+    *            // map entry: { string key = 1; Feature value = 2 }
+    *   Feature  { oneof { BytesList bytes_list = 1;
+    *                      FloatList float_list = 2;
+    *                      Int64List int64_list = 3 } }
+    *   BytesList { repeated bytes value = 1 }
+    *   Int64List { repeated int64 value = 1 [packed] }
+    *
+    * Encoder emits map entries in caller order (deterministic shards);
+    * decoder is spec-faithful: unknown fields SKIP by wire type
+    * (forward compatibility — a shard written by a newer producer with
+    * extra features still parses), truncation/malformed keys THROW
+    * (never silently-wrong features), repeated non-packed int64 values
+    * are accepted where packed is expected (the spec requires parsers
+    * to accept both encodings). SourcesSpec pins hand-computed golden
+    * bytes so encoder and decoder cannot be consistently wrong together.
+    */
+  object TfExample {
+    final val WireVarint = 0
+    final val WireI64 = 1
+    final val WireLen = 2
+    final val WireI32 = 5
+
+    private def writeVarint(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0L) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+
+    private def writeKey(out: java.io.ByteArrayOutputStream, field: Int, wire: Int): Unit =
+      writeVarint(out, ((field.toLong << 3) | wire.toLong))
+
+    private def writeLenDelim(out: java.io.ByteArrayOutputStream, field: Int, body: Array[Byte]): Unit = {
+      writeKey(out, field, WireLen)
+      writeVarint(out, body.length.toLong)
+      out.write(body, 0, body.length)
+    }
+
+    private def int64List(vs: Seq[Long]): Array[Byte] = {
+      val packed = new java.io.ByteArrayOutputStream()
+      vs.foreach(writeVarint(packed, _))
+      val out = new java.io.ByteArrayOutputStream()
+      writeLenDelim(out, 1, packed.toByteArray) // packed repeated int64
+      out.toByteArray
+    }
+
+    private def bytesList(vs: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      vs.foreach(writeLenDelim(out, 1, _))
+      out.toByteArray
+    }
+
+    /** One feature-map entry: { key = 1, value = 2 (Feature) }. */
+    private def mapEntry(name: String, feature: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      writeLenDelim(out, 1, name.getBytes("UTF-8"))
+      writeLenDelim(out, 2, feature)
+      out.toByteArray
+    }
+
+    private def feature(kindField: Int, list: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      writeLenDelim(out, kindField, list)
+      out.toByteArray
+    }
+
+    /** Encode a feature map into tf.Example bytes. Values: Long →
+      * Int64List, Array[Byte]/String → BytesList. Entries in given order.
+      */
+    def encode(features: Seq[(String, Any)]): Array[Byte] = {
+      val fs = new java.io.ByteArrayOutputStream()
+      features.foreach { case (name, v) =>
+        val f = v match {
+          case l: Long => feature(3, int64List(Seq(l)))
+          case i: Int => feature(3, int64List(Seq(i.toLong)))
+          case b: Array[Byte] => feature(1, bytesList(Seq(b)))
+          case s: String => feature(1, bytesList(Seq(s.getBytes("UTF-8"))))
+          case ls: Seq[_] if ls.forall(_.isInstanceOf[Long]) =>
+            feature(3, int64List(ls.asInstanceOf[Seq[Long]]))
+          case other => throw new IllegalArgumentException(
+            s"unsupported tf.Example feature type for '$name': ${other.getClass}")
+        }
+        writeLenDelim(fs, 1, mapEntry(name, f))
+      }
+      val ex = new java.io.ByteArrayOutputStream()
+      writeLenDelim(ex, 1, fs.toByteArray) // Example.features = 1
+      ex.toByteArray
+    }
+
+    /** Decoded feature value: exactly one list is set per Feature. */
+    final case class Value(bytes: Seq[Array[Byte]], int64s: Seq[Long])
+
+    private final class Reader(buf: Array[Byte], start: Int, end: Int) {
+      var pos: Int = start
+      def hasMore: Boolean = pos < end
+      def varint(): Long = {
+        var shift = 0
+        var v = 0L
+        while (true) {
+          require(pos < end, s"truncated varint at $pos")
+          val b = buf(pos); pos += 1
+          v |= (b & 0x7fL) << shift
+          if ((b & 0x80) == 0) return v
+          shift += 7
+          require(shift < 64, "varint overflow")
+        }
+        v
+      }
+      def lenDelim(): (Int, Int) = {
+        val len = varint()
+        require(len >= 0 && len <= end - pos, s"truncated length-delimited field at $pos")
+        val s = pos; pos += len.toInt; (s, s + len.toInt)
+      }
+      /** Skip a field of the given wire type (unknown-field tolerance). */
+      def skip(wire: Int): Unit = wire match {
+        case WireVarint => varint(); ()
+        case WireI64 => require(end - pos >= 8, "truncated fixed64"); pos += 8
+        case WireLen => lenDelim(); ()
+        case WireI32 => require(end - pos >= 4, "truncated fixed32"); pos += 4
+        case w => throw new IllegalArgumentException(s"unsupported wire type $w at $pos")
+      }
+    }
+
+    private def parseInt64List(buf: Array[Byte], s: Int, e: Int): Seq[Long] = {
+      val r = new Reader(buf, s, e)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (r.hasMore) {
+        val key = r.varint()
+        val (field, wire) = ((key >>> 3).toInt, (key & 7).toInt)
+        if (field == 1 && wire == WireLen) { // packed
+          val (ps, pe) = r.lenDelim()
+          val pr = new Reader(buf, ps, pe)
+          while (pr.hasMore) out += pr.varint()
+        } else if (field == 1 && wire == WireVarint) out += r.varint() // unpacked
+        else r.skip(wire)
+      }
+      out.toSeq
+    }
+
+    private def parseBytesList(buf: Array[Byte], s: Int, e: Int): Seq[Array[Byte]] = {
+      val r = new Reader(buf, s, e)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      while (r.hasMore) {
+        val key = r.varint()
+        val (field, wire) = ((key >>> 3).toInt, (key & 7).toInt)
+        if (field == 1 && wire == WireLen) {
+          val (bs, be) = r.lenDelim()
+          out += java.util.Arrays.copyOfRange(buf, bs, be)
+        } else r.skip(wire)
+      }
+      out.toSeq
+    }
+
+    private def parseFeature(buf: Array[Byte], s: Int, e: Int): Value = {
+      val r = new Reader(buf, s, e)
+      var bytes = Seq.empty[Array[Byte]]
+      var ints = Seq.empty[Long]
+      while (r.hasMore) {
+        val key = r.varint()
+        val (field, wire) = ((key >>> 3).toInt, (key & 7).toInt)
+        (field, wire) match {
+          case (1, WireLen) => val (bs, be) = r.lenDelim(); bytes = parseBytesList(buf, bs, be)
+          case (3, WireLen) => val (is, ie) = r.lenDelim(); ints = parseInt64List(buf, is, ie)
+          case _ => r.skip(wire)
+        }
+      }
+      Value(bytes, ints)
+    }
+
+    /** Decode tf.Example bytes into the feature map (insertion order). */
+    def decode(bytes: Array[Byte]): Seq[(String, Value)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Value)]
+      val ex = new Reader(bytes, 0, bytes.length)
+      while (ex.hasMore) {
+        val key = ex.varint()
+        val (field, wire) = ((key >>> 3).toInt, (key & 7).toInt)
+        if (field == 1 && wire == WireLen) { // Features
+          val (fs, fe) = ex.lenDelim()
+          val fr = new Reader(bytes, fs, fe)
+          while (fr.hasMore) {
+            val fkey = fr.varint()
+            val (ff, fw) = ((fkey >>> 3).toInt, (fkey & 7).toInt)
+            if (ff == 1 && fw == WireLen) { // map entry
+              val (es, ee) = fr.lenDelim()
+              val er = new Reader(bytes, es, ee)
+              var name: String = null
+              var value: Value = null
+              while (er.hasMore) {
+                val ekey = er.varint()
+                val (ef, ew) = ((ekey >>> 3).toInt, (ekey & 7).toInt)
+                if (ef == 1 && ew == WireLen) {
+                  val (ns, ne) = er.lenDelim()
+                  name = new String(bytes, ns, ne - ns, "UTF-8")
+                } else if (ef == 2 && ew == WireLen) {
+                  val (vs, ve) = er.lenDelim()
+                  value = parseFeature(bytes, vs, ve)
+                } else er.skip(ew)
+              }
+              require(name != null && value != null,
+                "tf.Example map entry missing key or value")
+              out += name -> value
+            } else fr.skip(fw)
+          }
+        } else ex.skip(wire)
+      }
+      out.toSeq
+    }
+  }
+
   /** USTAR (POSIX tar) framing (r13) — the container under WebDataset,
     * the de-facto multimodal training-corpus layout (members grouped by
     * a sample key: `<key>.json`, `<key>.png`, … inside plain tar

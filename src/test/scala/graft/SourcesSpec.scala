@@ -406,4 +406,43 @@ class SourcesSpec extends GraftTest {
       .select(col("payload").cast("string")).as[String].collect().sorted
     assert(back.toSeq === rows.sorted)
   }
+
+  test("tf.Example wire format: golden bytes, roundtrip, unknown-field skip, truncation") {
+    import graft.sources.Sources.TfExample
+    def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
+    // hand-computed golden bytes against the public protobuf wire spec:
+    // Example{features{["a"->Int64List[1]]}} — every key/len derived by
+    // hand so encoder and decoder cannot be consistently wrong together
+    assert(hex(TfExample.encode(Seq("a" -> 1L))) === "0a0c0a0a0a01611205" + "1a030a0101")
+    // Example{features{["b"->BytesList["hi"]]}}
+    assert(hex(TfExample.encode(Seq("b" -> "hi"))) === "0a0d0a0b0a01621206" + "0a040a026869")
+    // roundtrip: mixed feature map, order preserved
+    val enc = TfExample.encode(Seq(
+      "doc_id" -> 123456789L, "text" -> "alpha beta", "neg" -> -7L,
+      "blob" -> Array[Byte](0, 1, -1, 127)))
+    val dec = TfExample.decode(enc)
+    assert(dec.map(_._1) === Seq("doc_id", "text", "neg", "blob"))
+    val m = dec.toMap
+    assert(m("doc_id").int64s === Seq(123456789L))
+    assert(new String(m("text").bytes.head, "UTF-8") === "alpha beta")
+    assert(m("neg").int64s === Seq(-7L), "negative int64 must survive the 10-byte varint")
+    assert(m("blob").bytes.head.toSeq === Seq[Byte](0, 1, -1, 127))
+    // unknown-field tolerance: append an unknown top-level varint field
+    // (field 99) — a newer producer's extra field must SKIP, not throw
+    val unknown = enc ++ Array[Byte](0x98.toByte, 0x06, 0x2a) // key=(99<<3|0), value=42
+    assert(TfExample.decode(unknown).toMap.apply("doc_id").int64s === Seq(123456789L))
+    // spec-required leniency: unpacked repeated int64 where packed is
+    // expected — Feature{int64_list{value(varint)=5, value(varint)=6}}
+    val unpacked = {
+      val il = Array[Byte](0x08, 0x05, 0x08, 0x06) // two field-1 varints
+      val feat = Array[Byte](0x1a, il.length.toByte) ++ il
+      val entry = Array[Byte](0x0a, 0x01, 0x75) ++ Array[Byte](0x12, feat.length.toByte) ++ feat
+      val feats = Array[Byte](0x0a, entry.length.toByte) ++ entry
+      Array[Byte](0x0a, feats.length.toByte) ++ feats
+    }
+    assert(TfExample.decode(unpacked).toMap.apply("u").int64s === Seq(5L, 6L))
+    // truncation must throw, never yield silently-wrong features
+    intercept[IllegalArgumentException](TfExample.decode(enc.dropRight(1)))
+    intercept[IllegalArgumentException](TfExample.decode(Array[Byte](0x0a, 0x7f)))
+  }
 }
