@@ -376,6 +376,32 @@ object CoreQueries {
         }.toDF("doc_id", "text", "lang", "source", "n_chars")
     }),
 
+    "s_tfexample_embeddings" -> ((s, d) => {
+      // tf.Example FLOAT features (r14): the embeddings table as real
+      // TF training records — vec_id/label as Int64List, the vector as
+      // a packed FloatList (fixed32 little-endian, the third and last
+      // tf.Example list kind) — roundtripped to the identity. Float
+      // bits pass through intBitsToFloat/putFloat untouched, so the
+      // roundtrip is bit-exact, not approximately-equal.
+      val out = tmp("tfexemb")
+      val emb = Graft.embeddings(s, d)
+      import s.implicits._
+      val payloads = emb.select("vec_id", "embedding", "label")
+        .as[(Long, Array[Float], Int)]
+        .map { case (id, v, label) =>
+          graft.sources.Sources.TfExample.encode(Seq(
+            "vec_id" -> id, "embedding" -> v, "label" -> label.toLong))
+        }.toDF("payload")
+      graft.sources.Sources.writeTfRecords(payloads, "payload", out, shards = 4)
+      graft.sources.Sources.readTfRecords(s, out)
+        .as[Array[Byte]]
+        .map { b =>
+          val m = graft.sources.Sources.TfExample.decode(b).toMap
+          (m("vec_id").int64s.head, m("embedding").floats.toArray,
+            m("label").int64s.head.toInt)
+        }.toDF("vec_id", "embedding", "label")
+    }),
+
     "s_parquet_zstd" -> ((s, d) => {
       // ZSTD-compressed parquet roundtrip — the modern default storage
       // codec for analytics corpora (splittable at the row-group level,
@@ -460,6 +486,8 @@ object CoreQueries {
     "s_tfrecord_streaming" -> "SELECT * FROM documents",
     // tf.Example roundtrip reconstructs the table field-by-field
     "s_tfexample" -> "SELECT * FROM documents",
+    // FloatList roundtrip is bit-exact (fixed32 passthrough)
+    "s_tfexample_embeddings" -> "SELECT * FROM embeddings",
     // the stateless streaming twin converges to the batch read — SAME oracle
     "s_webdataset_streaming" ->
       """SELECT d.*, p.png_px_sum FROM documents d JOIN (

@@ -173,6 +173,15 @@ object Sources {
       out.toByteArray
     }
 
+    private def floatList(vs: Seq[Float]): Array[Byte] = {
+      val packed = java.nio.ByteBuffer.allocate(4 * vs.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(packed.putFloat)
+      val out = new java.io.ByteArrayOutputStream()
+      writeLenDelim(out, 1, packed.array()) // packed repeated float (I32)
+      out.toByteArray
+    }
+
     /** One feature-map entry: { key = 1, value = 2 (Feature) }. */
     private def mapEntry(name: String, feature: Array[Byte]): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
@@ -198,6 +207,10 @@ object Sources {
           case i: Int => feature(3, int64List(Seq(i.toLong)))
           case b: Array[Byte] => feature(1, bytesList(Seq(b)))
           case s: String => feature(1, bytesList(Seq(s.getBytes("UTF-8"))))
+          case f: Float => feature(2, floatList(Seq(f)))
+          case fa: Array[Float] => feature(2, floatList(fa.toSeq))
+          case ls: Seq[_] if ls.nonEmpty && ls.forall(_.isInstanceOf[Float]) =>
+            feature(2, floatList(ls.asInstanceOf[Seq[Float]]))
           case ls: Seq[_] if ls.forall(_.isInstanceOf[Long]) =>
             feature(3, int64List(ls.asInstanceOf[Seq[Long]]))
           case other => throw new IllegalArgumentException(
@@ -211,7 +224,8 @@ object Sources {
     }
 
     /** Decoded feature value: exactly one list is set per Feature. */
-    final case class Value(bytes: Seq[Array[Byte]], int64s: Seq[Long])
+    final case class Value(bytes: Seq[Array[Byte]], int64s: Seq[Long],
+                           floats: Seq[Float] = Nil)
 
     private final class Reader(buf: Array[Byte], start: Int, end: Int) {
       var pos: Int = start
@@ -274,20 +288,45 @@ object Sources {
       out.toSeq
     }
 
+    private def parseFloatList(buf: Array[Byte], s: Int, e: Int): Seq[Float] = {
+      val r = new Reader(buf, s, e)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Float]
+      def readF32(at: Int): Float =
+        java.lang.Float.intBitsToFloat(
+          (buf(at) & 0xff) | ((buf(at + 1) & 0xff) << 8) |
+            ((buf(at + 2) & 0xff) << 16) | ((buf(at + 3) & 0xff) << 24))
+      while (r.hasMore) {
+        val key = r.varint()
+        val (field, wire) = ((key >>> 3).toInt, (key & 7).toInt)
+        if (field == 1 && wire == WireLen) { // packed
+          val (ps, pe) = r.lenDelim()
+          require((pe - ps) % 4 == 0, s"packed float list length not a multiple of 4 at $ps")
+          var i = ps
+          while (i < pe) { out += readF32(i); i += 4 }
+        } else if (field == 1 && wire == WireI32) { // unpacked
+          require(e - r.pos >= 4, "truncated fixed32")
+          out += readF32(r.pos); r.pos += 4
+        } else r.skip(wire)
+      }
+      out.toSeq
+    }
+
     private def parseFeature(buf: Array[Byte], s: Int, e: Int): Value = {
       val r = new Reader(buf, s, e)
       var bytes = Seq.empty[Array[Byte]]
       var ints = Seq.empty[Long]
+      var floats = Seq.empty[Float]
       while (r.hasMore) {
         val key = r.varint()
         val (field, wire) = ((key >>> 3).toInt, (key & 7).toInt)
         (field, wire) match {
           case (1, WireLen) => val (bs, be) = r.lenDelim(); bytes = parseBytesList(buf, bs, be)
+          case (2, WireLen) => val (fs, fe) = r.lenDelim(); floats = parseFloatList(buf, fs, fe)
           case (3, WireLen) => val (is, ie) = r.lenDelim(); ints = parseInt64List(buf, is, ie)
           case _ => r.skip(wire)
         }
       }
-      Value(bytes, ints)
+      Value(bytes, ints, floats)
     }
 
     /** Decode tf.Example bytes into the feature map (insertion order). */

@@ -441,6 +441,17 @@ class SourcesSpec extends GraftTest {
       Array[Byte](0x0a, feats.length.toByte) ++ feats
     }
     assert(TfExample.decode(unpacked).toMap.apply("u").int64s === Seq(5L, 6L))
+    // FloatList golden bytes: Example{["f"->FloatList[1.0f]]} — packed
+    // fixed32 LE of 1.0f is 00 00 80 3f
+    assert(hex(TfExample.encode(Seq("f" -> 1.0f))) ===
+      "0a0f0a0d0a0166" + "120812060a04" + "0000803f")
+    // float roundtrip is BIT-exact, including denormals and -0.0f
+    val fenc = TfExample.encode(Seq(
+      "v" -> Array(1.5f, -0.0f, Float.MinPositiveValue, 3.4028235e38f)))
+    val fdec = TfExample.decode(fenc).toMap.apply("v").floats
+    assert(fdec.map(java.lang.Float.floatToRawIntBits) ===
+      Seq(1.5f, -0.0f, Float.MinPositiveValue, 3.4028235e38f)
+        .map(java.lang.Float.floatToRawIntBits))
     // truncation must throw, never yield silently-wrong features
     intercept[IllegalArgumentException](TfExample.decode(enc.dropRight(1)))
     intercept[IllegalArgumentException](TfExample.decode(Array[Byte](0x0a, 0x7f)))
