@@ -376,6 +376,45 @@ object CoreQueries {
         }.toDF("doc_id", "text", "lang", "source", "n_chars")
     }),
 
+    "s_tfrecord_corrupt_tail" -> ((s, d) => {
+      // torn-tail recovery (r14) — the failure the TFRecord CRCs exist
+      // for: a writer killed mid-record leaves an intact prefix and a
+      // garbage tail. Four shards staged DETERMINISTICALLY (shard i =
+      // doc_id%4==i, doc_id-ordered), then two corruptions planted:
+      // shard 3 loses its final 4 bytes (payload CRC torn off — its
+      // LAST record, the max doc_id of the class, must drop) and shard
+      // 2 gains appended garbage (all records survive; only the bogus
+      // tail is abandoned). The permissive reader keeps every complete
+      // verified record, reports dropped bytes per shard through an
+      // observe metric, and can never yield a silently-wrong payload —
+      // the reference's log-and-continue (T2) semantics on binary
+      // shards. The oracle states the exact surviving set.
+      val out = tmp("tfrcorrupt")
+      val docs = Graft.documents(s, d)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      (0 until 4).foreach { i =>
+        docs.where(pmod(col("doc_id"), lit(4)) === i)
+          .select(col("doc_id"),
+            to_json(struct(docs.columns.map(col): _*)).cast("binary").as("payload"))
+          .coalesce(1).sortWithinPartitions("doc_id")
+          .select("payload")
+          .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+            val p = java.nio.file.Paths.get(out, f"part-$i%05d.tfrecord")
+            val os = new java.io.BufferedOutputStream(java.nio.file.Files.newOutputStream(p))
+            try it.foreach(r => graft.sources.Sources.TfRecord.write(os, r.getAs[Array[Byte]](0)))
+            finally os.close()
+          }
+      }
+      val s3 = java.nio.file.Paths.get(out, "part-00003.tfrecord")
+      val b3 = java.nio.file.Files.readAllBytes(s3)
+      java.nio.file.Files.write(s3, java.util.Arrays.copyOf(b3, b3.length - 4))
+      java.nio.file.Files.write(java.nio.file.Paths.get(out, "part-00002.tfrecord"),
+        Array[Byte](1, 2, 3, 4, 5), java.nio.file.StandardOpenOption.APPEND)
+      graft.sources.Sources.readTfRecordsPermissive(s, out)
+        .select(from_json(col("payload").cast("string"), docs.schema).as("r"))
+        .select(docs.columns.map(c => col(s"r.$c")): _*)
+    }),
+
     "s_tfexample_embeddings" -> ((s, d) => {
       // tf.Example FLOAT features (r14): the embeddings table as real
       // TF training records — vec_id/label as Int64List, the vector as
@@ -488,6 +527,12 @@ object CoreQueries {
     "s_tfexample" -> "SELECT * FROM documents",
     // FloatList roundtrip is bit-exact (fixed32 passthrough)
     "s_tfexample_embeddings" -> "SELECT * FROM embeddings",
+    // torn shard-3 tail drops exactly that shard's last (max-doc_id)
+    // record; the garbage appended to shard 2 drops nothing
+    "s_tfrecord_corrupt_tail" ->
+      """SELECT * FROM documents
+         WHERE NOT (doc_id % 4 = 3 AND doc_id =
+           (SELECT max(doc_id) FROM documents WHERE doc_id % 4 = 3))""",
     // the stateless streaming twin converges to the batch read — SAME oracle
     "s_webdataset_streaming" ->
       """SELECT d.*, p.png_px_sum FROM documents d JOIN (

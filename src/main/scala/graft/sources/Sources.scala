@@ -110,6 +110,34 @@ object Sources {
         payload
       }
     }
+
+    /** Permissive shard parse — the torn-tail recovery mode the CRCs
+      * exist for: a writer killed mid-record (or a truncated copy)
+      * leaves a shard whose PREFIX is intact and whose tail is garbage.
+      * Returns every complete, checksum-verified record up to the first
+      * framing/CRC failure and reports how many bytes were abandoned;
+      * a corrupted byte can therefore only ever DROP the tail, never
+      * yield a silently-wrong payload (the strict reader's guarantee,
+      * minus the throw). Log-and-continue at the shard level — the
+      * reference's T2 semantics applied to binary shards.
+      */
+    def readAllPermissive(bytes: Array[Byte]): (Seq[Array[Byte]], Long) = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      val it = readAll(bytes)
+      var consumedOk = true
+      var tail = 0L
+      try while (it.hasNext) out += it.next()
+      catch {
+        case _: IllegalArgumentException => consumedOk = false
+      }
+      if (!consumedOk) {
+        // bytes past the last GOOD record are the abandoned tail
+        var good = 0L
+        out.foreach(p => good += 8 + 4 + p.length + 4)
+        tail = bytes.length - good
+      }
+      (out.toSeq, tail)
+    }
   }
 
   /** tf.Example protobuf wire format (r14) — the MESSAGE inside real
@@ -599,6 +627,30 @@ object Sources {
     shardBytes(spark, s"$path/*.tfrecord")
       .flatMap(TfRecord.readAll)
       .toDF("payload")
+  }
+
+  /** [[readTfRecords]] in torn-tail recovery mode: complete verified
+    * records survive, each shard's abandoned-tail byte count rides an
+    * `observe` metric (`graft.tfrecord.skip` — dropped_bytes /
+    * corrupt_shards) so the loss is diagnosable, never silent.
+    */
+  def readTfRecordsPermissive(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    shardBytes(spark, s"$path/*.tfrecord")
+      .flatMap { b =>
+        val (recs, tail) = TfRecord.readAllPermissive(b)
+        // tail rides the shard's FIRST row only (0 elsewhere) so the
+        // observe sums are per-shard exact; a fully-garbage shard emits
+        // one null-payload marker row so its loss is still visible
+        if (recs.isEmpty) Seq((null: Array[Byte], tail))
+        else recs.zipWithIndex.map { case (r, i) => (r, if (i == 0) tail else 0L) }
+      }
+      .toDF("payload", "_tail")
+      .observe("graft.tfrecord.skip",
+        sum(col("_tail")).as("dropped_bytes"),
+        sum(when(col("_tail") > 0, 1L).otherwise(0L)).as("corrupt_shards"))
+      .where(col("payload").isNotNull)
+      .select("payload")
   }
 
   /** S9: CSV with an explicit schema (serde-at-the-edge). */

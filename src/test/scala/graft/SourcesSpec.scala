@@ -407,6 +407,33 @@ class SourcesSpec extends GraftTest {
     assert(back.toSeq === rows.sorted)
   }
 
+  test("TFRecord permissive read: intact prefix survives, tail loss is counted") {
+    import graft.sources.Sources.TfRecord
+    val buf = new java.io.ByteArrayOutputStream()
+    Seq("one", "two", "three").foreach(s => TfRecord.write(buf, s.getBytes("UTF-8")))
+    val good = buf.toByteArray
+    // intact shard: everything survives, zero abandoned bytes
+    val (all, t0) = TfRecord.readAllPermissive(good)
+    assert(all.map(new String(_, "UTF-8")) === Seq("one", "two", "three") && t0 === 0L)
+    // torn tail: last record's payload CRC truncated -> first two
+    // survive, abandoned byte count equals the torn record's framing
+    val torn = java.util.Arrays.copyOf(good, good.length - 4)
+    val (pre, t1) = TfRecord.readAllPermissive(torn)
+    assert(pre.map(new String(_, "UTF-8")) === Seq("one", "two"))
+    assert(t1 === (8 + 4 + "three".length + 4 - 4).toLong)
+    // appended garbage: all records survive, only the garbage abandoned
+    val noisy = good ++ Array[Byte](9, 9, 9)
+    val (allN, t2) = TfRecord.readAllPermissive(noisy)
+    assert(allN.size === 3 && t2 === 3L)
+    // fully-garbage shard: zero records, whole length abandoned
+    val (none, t3) = TfRecord.readAllPermissive(Array.fill[Byte](40)(7))
+    assert(none.isEmpty && t3 === 40L)
+    // a FLIPPED byte mid-payload can only drop the tail, never corrupt:
+    val flipped = good.clone(); flipped(8 + 4 + 1) = 'X'.toByte
+    val (fl, _) = TfRecord.readAllPermissive(flipped)
+    assert(fl.isEmpty, "flip in record 1 must drop everything from record 1 on")
+  }
+
   test("tf.Example wire format: golden bytes, roundtrip, unknown-field skip, truncation") {
     import graft.sources.Sources.TfExample
     def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
