@@ -1853,6 +1853,31 @@ object PipelineQueries {
         s, "mm_video_mjpeg_streaming", Multimodal.mjpegSampledFrames(assets, everyNth = 2))
     }),
 
+    "mm_video_scenes" -> ((s, d) => {
+      // SHOT-BOUNDARY detection (r14) — the per-scene sampling stage of
+      // video training-data prep (sample frames per SCENE, not per
+      // second, so a static shot contributes one exemplar instead of
+      // hundreds): every frame decodes through the full container+JPEG
+      // path (everyNth = 1), per-frame mean intensity (flat DC-only
+      // frames: min == max == mean, exact), then a lag window per asset
+      // marks frame i a boundary iff |intensity_i − intensity_{i−1}|
+      // exceeds the threshold (frame 0 always opens a scene; its delta
+      // surfaces as −1). The fixture's (doc_id·7 + idx·19) % 256 ramp
+      // makes wrap points genuine scene cuts (delta 237) and the rest
+      // continuous motion (delta 19), so both branches are certified.
+      // Scale shape: decode is a partition-local scan; the lag window
+      // shuffles once on asset_id — frames of one asset are few and
+      // co-located, never a global sort.
+      val frames = Multimodal.mjpegSampledFrames(
+        Multimodal.syntheticMjpegAviAssets(Graft.documents(s, d)), everyNth = 1)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("asset_id").orderBy("frame_idx")
+      frames.select(col("asset_id"), col("frame_idx"), col("px_min").as("intensity"))
+        .withColumn("delta", abs(col("intensity") - lag(col("intensity"), 1).over(w)))
+        .withColumn("is_scene", col("delta").isNull || col("delta") > 32)
+        .withColumn("delta", coalesce(col("delta"), lit(-1)).cast("int"))
+    }),
+
     "mm_video_mjpeg" -> ((s, d) => {
       // REAL video decode + frame sampling: each doc becomes a genuine
       // single-stream MJPEG AVI (nested RIFF LISTs: avih/strh/strf
@@ -3449,6 +3474,21 @@ object PipelineQueries {
 
     // the streaming twin shares the batch oracle verbatim
     "mm_video_mjpeg_streaming" -> mmVideoMjpegSql,
+
+    // the scene-boundary replay: per-frame intensity from the flat-frame
+    // formula, lag-delta per asset, frame 0 opens a scene (delta -1)
+    "mm_video_scenes" ->
+      """SELECT d.doc_id AS asset_id,
+                CAST(f.i AS INT) AS frame_idx,
+                CAST((d.doc_id * 7 + f.i * 19) % 256 AS INT) AS intensity,
+                CAST(CASE WHEN f.i = 0 THEN -1
+                     ELSE abs((d.doc_id * 7 + f.i * 19) % 256
+                            - (d.doc_id * 7 + (f.i - 1) * 19) % 256) END AS INT) AS delta,
+                (f.i = 0 OR abs((d.doc_id * 7 + f.i * 19) % 256
+                              - (d.doc_id * 7 + (f.i - 1) * 19) % 256) > 32) AS is_scene
+         FROM documents d,
+              UNNEST(generate_series(0, 4)) AS f(i)
+         WHERE f.i <= d.doc_id % 5""",
 
     // the MJPEG fixture's per-frame formula replayed over the SAMPLED
     // indices (0, 2, 4): the Spark side must walk the RIFF/AVI tree,
