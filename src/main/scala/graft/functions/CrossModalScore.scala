@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, TernaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, TernaryExpression}
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -78,34 +78,20 @@ object CrossModalScore {
   def imageWeight(slot: Long): Long =
     (slot * 2654435761L + 224737L) % 2001L - 1000L
 
-  private def isWordByte(b: Byte): Boolean =
-    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
-      (b >= '0' && b <= '9') || b == '_'
-
-  /** Kernel shared by interpreted eval and generated code. */
+  /** Kernel shared by interpreted eval and generated code. Tokenization
+    * rides [[ShingleHashes.foreachTokenHash]] — the library's single
+    * tokenizer+seed definition — so this kernel, the Column fallback
+    * and the DuckDB oracle can never silently fork (review r14).
+    */
   def compute(text: UTF8String, hi: Long, lo: Long, buckets: Int, dim: Int): InternalRow = {
-    val lower = text.toLowerCase
-    val base = lower.getBaseObject
-    val offset = lower.getBaseOffset
-    val n = lower.numBytes()
-    def byteAt(i: Int): Byte =
-      org.apache.spark.unsafe.Platform.getByte(base, offset + i)
-
     val tv = new Array[Long](dim)
     var nTokens = 0
-    var i = 0
-    while (i < n) {
-      while (i < n && !isWordByte(byteAt(i))) i += 1
-      val start = i
-      while (i < n && isWordByte(byteAt(i))) i += 1
-      if (i > start) {
-        nTokens += 1
-        val h = XXH64.hashUnsafeBytes(base, offset + start, i - start, 42L)
-        val bkt = ((h % buckets) + buckets) % buckets
-        val slot0 = bkt * dim
-        var dd = 0
-        while (dd < dim) { tv(dd) += textWeight(slot0 + dd); dd += 1 }
-      }
+    ShingleHashes.foreachTokenHash(text) { h =>
+      nTokens += 1
+      val bkt = ((h % buckets) + buckets) % buckets
+      val slot0 = bkt * dim
+      var dd = 0
+      while (dd < dim) { tv(dd) += textWeight(slot0 + dd); dd += 1 }
     }
     val iv = new Array[Long](dim)
     var b = 0

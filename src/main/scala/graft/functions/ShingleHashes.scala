@@ -106,17 +106,25 @@ case class GramHashes(child: Expression, k: Int) extends UnaryExpression {
 
 object ShingleHashes {
 
-  private final val Seed = 42L
+  /** The library's single token-hash seed (Spark's `xxhash64` default).
+    * Public so sibling kernels ([[CrossModalScore]]) derive from the
+    * one constant instead of restating it (review r14).
+    */
+  final val Seed = 42L
 
   private def isWordByte(b: Byte): Boolean =
     (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
       (b >= '0' && b <= '9') || b == '_'
 
-  /** One-pass tokenizer: XXH64 of each maximal word-byte run of the
-    * lowercased text, in order, duplicates preserved (exactly Spark's
-    * `xxhash64` over each `\W+`-split token).
+  /** THE tokenizer seam: one pass over the lowercased bytes, `f` called
+    * with each maximal word-byte run's XXH64 in document order,
+    * duplicates preserved (exactly Spark's `xxhash64` over each
+    * `\W+`-split token). [[tokenHashArray]] and the cross-modal kernel
+    * both build on this single definition, so the tokenizer can never
+    * silently fork (review r14: CrossModalScore had copy-pasted the
+    * loop and restated the seed).
     */
-  def tokenHashArray(text: UTF8String): Array[Long] = {
+  def foreachTokenHash(text: UTF8String)(f: Long => Unit): Unit = {
     val lower = text.toLowerCase
     val base = lower.getBaseObject
     val offset = lower.getBaseOffset
@@ -125,23 +133,27 @@ object ShingleHashes {
     // access hashUnsafeBytes uses — so the scan allocates nothing per row
     def byteAt(i: Int): Byte =
       org.apache.spark.unsafe.Platform.getByte(base, offset + i)
-
-    var tokenHashes = new Array[Long](math.max(8, math.min(n / 4 + 1, 1 << 16)))
-    var nTokens = 0
     var i = 0
     while (i < n) {
       while (i < n && !isWordByte(byteAt(i))) i += 1
       val start = i
       while (i < n && isWordByte(byteAt(i))) i += 1
-      if (i > start) {
-        if (nTokens == tokenHashes.length) {
-          val grown = new Array[Long](tokenHashes.length * 2)
-          System.arraycopy(tokenHashes, 0, grown, 0, nTokens)
-          tokenHashes = grown
-        }
-        tokenHashes(nTokens) = XXH64.hashUnsafeBytes(base, offset + start, i - start, Seed)
-        nTokens += 1
+      if (i > start) f(XXH64.hashUnsafeBytes(base, offset + start, i - start, Seed))
+    }
+  }
+
+  /** One-pass tokenizer materialized to an array (see [[foreachTokenHash]]). */
+  def tokenHashArray(text: UTF8String): Array[Long] = {
+    var tokenHashes = new Array[Long](math.max(8, math.min(text.numBytes() / 4 + 1, 1 << 16)))
+    var nTokens = 0
+    foreachTokenHash(text) { h =>
+      if (nTokens == tokenHashes.length) {
+        val grown = new Array[Long](tokenHashes.length * 2)
+        System.arraycopy(tokenHashes, 0, grown, 0, nTokens)
+        tokenHashes = grown
       }
+      tokenHashes(nTokens) = h
+      nTokens += 1
     }
     if (nTokens == tokenHashes.length) tokenHashes
     else java.util.Arrays.copyOf(tokenHashes, nTokens)

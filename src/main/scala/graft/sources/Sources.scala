@@ -562,17 +562,46 @@ object Sources {
     * local or object storage, like binaryFile does. Shards bound to
     * ~2 GB (Array[Byte]), the same limit binaryFile has.
     */
+  /** Hadoop Configuration is not java-serializable; this is the standard
+    * write/readFields envelope (what Spark's own internal wrapper does)
+    * so executor tasks see the SESSION'S filesystem settings — bare
+    * `new Configuration()` would drop every spark.hadoop.* credential/
+    * endpoint and break any non-default store (review r14).
+    */
+  private final class SerializableHadoopConf(
+      @transient var conf: org.apache.hadoop.conf.Configuration)
+      extends java.io.Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
   private def shardBytes(spark: SparkSession, glob: String)
       : org.apache.spark.sql.Dataset[Array[Byte]] = {
     import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(glob)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val paths = fs.globStatus(p).map(_.getPath.toString).sorted.toSeq
-    spark.createDataset(paths)
-      .repartition(math.max(paths.length, 1))
+    // globStatus returns NULL (not empty) when the parent path does not
+    // exist — surface the path, don't NPE (review r14)
+    val paths = Option(fs.globStatus(p)).getOrElse(Array.empty)
+      .map(_.getPath.toString).sorted.toSeq
+    require(paths.nonEmpty, s"no shards match $glob")
+    val serConf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    // parallelize with numSlices = paths guarantees ONE path per task —
+    // round-robin repartition seeds each input slice at a random output
+    // partition, so ~1/e of tasks would get zero shards and some 2-3,
+    // silently breaking the one-task-per-shard contract (review r14)
+    spark.createDataset(
+      spark.sparkContext.parallelize(paths, paths.length))
       .map { s =>
         val path = new org.apache.hadoop.fs.Path(s)
-        val f = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val f = path.getFileSystem(serConf.conf)
         val len = f.getFileStatus(path).getLen
         require(len <= Int.MaxValue, s"shard exceeds 2 GB: $s ($len bytes)")
         val buf = new Array[Byte](len.toInt)

@@ -5,7 +5,7 @@
 # operator with no measured row), the r14 operators
 # (mm_text_image_score, dd_exact_nfkc), and the container-source
 # read-parallelism arms (src_webdataset / src_tfrecord — verdict ask #6).
-set -e
+set -e -o pipefail
 cd /root/repo
 J=(java
   --add-opens=java.base/java.lang=ALL-UNNAMED
@@ -27,6 +27,6 @@ J=(java
 echo "=== [1/2] 10x/100x arms for the r14 operators (+ the missed mm_audio_decimate row)"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_FACTORS=10,100 \
   SPARK_GRAFT_SCALE_CASES=mm_audio_decimate,mm_text_image_score,dd_exact_nfkc,src_webdataset,src_tfrecord \
-  SPARK_GRAFT_SCALE_APPEND=1 "${J[@]}" graft.ScaleCheck 2>&1 | grep -E "^\[scale\]|wrote"
+  SPARK_GRAFT_SCALE_APPEND=1 "${J[@]}" graft.ScaleCheck 2>&1 | { grep -E "^\[scale\]|wrote" || true; }
 
 echo "=== [2/2] chain done"
