@@ -85,31 +85,56 @@ object Sources {
       out.write(intLe(maskedCrc(payload, 0, payload.length)))
     }
 
-    /** Strict parse of a whole shard: every record's BOTH checksums must
-      * verify and the file must end exactly at a record boundary — a
-      * flipped byte anywhere surfaces as IllegalArgumentException, never
-      * as silently-wrong payloads (the CRC is the format's whole point).
+    /** Strict STREAMING parse: every record's BOTH checksums must verify
+      * and the stream must end exactly at a record boundary — a flipped
+      * byte anywhere surfaces as IllegalArgumentException, never as
+      * silently-wrong payloads (the CRC is the format's whole point).
+      * Memory is one record at a time, never the shard: a GB-sized
+      * shard reads in constant space (r14: 32 concurrent whole-shard
+      * buffers OOM'd the 1000x arm — the exact failure a 100 TB read
+      * would hit with executor-count concurrency).
       */
-    def readAll(bytes: Array[Byte]): Iterator[Array[Byte]] = new Iterator[Array[Byte]] {
-      private val buf = java.nio.ByteBuffer.wrap(bytes)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      override def hasNext: Boolean = buf.remaining() > 0
-      override def next(): Array[Byte] = {
-        require(buf.remaining() >= 12, s"truncated record header at ${buf.position()}")
-        val lenPos = buf.position()
-        val len = buf.getLong
-        require(len >= 0 && len <= buf.remaining() - 8,
-          s"record length $len exceeds shard at $lenPos")
-        require(buf.getInt == maskedCrc(bytes, lenPos, 8),
-          s"length CRC mismatch at $lenPos")
+    def readStream(in: java.io.InputStream): Iterator[Array[Byte]] = new Iterator[Array[Byte]] {
+      private val din = new java.io.DataInputStream(in)
+      private var pos = 0L
+      private var nextRec: Array[Byte] = null
+      private var eof = false
+      private def intLeOf(b: Array[Byte], off: Int): Int =
+        (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+          ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+      private def advance(): Unit = {
+        if (nextRec != null || eof) return
+        val head = new Array[Byte](12)
+        val first = din.read(head, 0, 1)
+        if (first == -1) { eof = true; return } // clean end at a boundary
+        try din.readFully(head, 1, 11)
+        catch { case _: java.io.EOFException =>
+          throw new IllegalArgumentException(s"truncated record header at $pos") }
+        val len = java.nio.ByteBuffer.wrap(head, 0, 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+        require(len >= 0 && len <= Int.MaxValue - 16, s"record length $len invalid at $pos")
+        require(intLeOf(head, 8) == maskedCrc(head, 0, 8), s"length CRC mismatch at $pos")
         val payload = new Array[Byte](len.toInt)
-        val dataPos = buf.position()
-        buf.get(payload)
-        require(buf.getInt == maskedCrc(bytes, dataPos, len.toInt),
-          s"payload CRC mismatch at $dataPos")
-        payload
+        val tail = new Array[Byte](4)
+        try { din.readFully(payload); din.readFully(tail) }
+        catch { case _: java.io.EOFException =>
+          throw new IllegalArgumentException(s"truncated record payload at $pos") }
+        require(intLeOf(tail, 0) == maskedCrc(payload, 0, payload.length),
+          s"payload CRC mismatch at $pos")
+        pos += 12 + len + 4
+        nextRec = payload
+      }
+      override def hasNext: Boolean = { advance(); !eof && nextRec != null }
+      override def next(): Array[Byte] = {
+        advance()
+        if (nextRec == null) throw new NoSuchElementException
+        val r = nextRec; nextRec = null; r
       }
     }
+
+    /** [[readStream]] over in-memory bytes. */
+    def readAll(bytes: Array[Byte]): Iterator[Array[Byte]] =
+      readStream(new java.io.ByteArrayInputStream(bytes))
 
     /** Permissive shard parse — the torn-tail recovery mode the CRCs
       * exist for: a writer killed mid-record (or a truncated copy)
@@ -446,50 +471,72 @@ object Sources {
 
     def finish(out: java.io.OutputStream): Unit = out.write(new Array[Byte](1024))
 
-    /** Strict shard walk: every header checksum must verify; truncated
-      * or malformed shards throw, never yield garbage members.
+    /** Strict STREAMING shard walk: every header checksum must verify;
+      * truncated or malformed members throw, never yield garbage.
+      * Memory is one member at a time, never the shard (r14: whole-shard
+      * buffers OOM'd the 1000x arm at executor-count concurrency — the
+      * failure a 100 TB read would hit).
       */
-    def readAll(bytes: Array[Byte]): Iterator[(String, Array[Byte])] =
+    def readStream(in: java.io.InputStream): Iterator[(String, Array[Byte])] =
       new Iterator[(String, Array[Byte])] {
-        private var pos = 0
+        private val din = new java.io.DataInputStream(in)
+        private var pos = 0L
+        private var finished = false
         private var nextEntry: (String, Array[Byte]) = _
+        // a full 512-byte block, or end-of-archive on clean EOF /
+        // sub-512 trailing garbage (the historical array walk stopped
+        // there too)
+        private def readBlock(h: Array[Byte]): Boolean = {
+          val first = din.read(h, 0, 1)
+          if (first == -1) false
+          else {
+            try { din.readFully(h, 1, 511); true }
+            catch { case _: java.io.EOFException => false }
+          }
+        }
         private def advance(): Unit = {
           nextEntry = null
-          while (nextEntry == null && pos + 512 <= bytes.length) {
-            if (bytes.slice(pos, pos + 512).forall(_ == 0)) { pos = bytes.length }
-            else {
-              var sum = 0L
-              var i = 0
-              while (i < 512) {
-                sum += (if (i >= 148 && i < 156) ' '.toInt else bytes(pos + i) & 0xff)
-                i += 1
-              }
-              // octal fields may be LEFT-padded with spaces (v7/historic
-              // writers) and terminated by NUL or space — strip both
-              // sides before parsing (review r13: zero-pad-only parsing
-              // rejected spec-legal archives)
-              def octalField(off: Int, len: Int): String =
-                new String(bytes, pos + off, len, "US-ASCII")
-                  .dropWhile(c => c == ' ' || c == 0)
-                  .takeWhile(c => c >= '0' && c <= '7')
-              val stored = octalField(148, 8)
-              require(stored.nonEmpty && java.lang.Long.parseLong(stored, 8) == sum,
-                s"tar header checksum mismatch at offset $pos")
-              val name = new String(bytes, pos, 100, "US-ASCII").takeWhile(_ != 0)
-              val sizeStr = octalField(124, 12)
-              require(sizeStr.nonEmpty, s"tar member $name has no size field")
-              val size = java.lang.Long.parseLong(sizeStr, 8)
-              require(size >= 0 && pos + 512 + size <= bytes.length,
-                s"tar member $name overruns shard")
-              val typeflag = bytes(pos + 156)
-              val data = java.util.Arrays.copyOfRange(bytes, pos + 512, pos + 512 + size.toInt)
-              pos += 512 + ((size + 511) / 512).toInt * 512
-              // yield only REGULAR FILES: directories ('5'), pax headers
-              // ('x'/'g'), links etc. are walked over (their data blocks
-              // are still skipped above) — a dataset reader must never
-              // surface them as samples (review r13)
-              if (typeflag == '0'.toByte || typeflag == 0.toByte) nextEntry = (name, data)
+          val h = new Array[Byte](512)
+          while (nextEntry == null && !finished) {
+            if (!readBlock(h) || h.forall(_ == 0)) { finished = true; return }
+            var sum = 0L
+            var i = 0
+            while (i < 512) {
+              sum += (if (i >= 148 && i < 156) ' '.toInt else h(i) & 0xff)
+              i += 1
             }
+            // octal fields may be LEFT-padded with spaces (v7/historic
+            // writers) and terminated by NUL or space — strip both
+            // sides before parsing (review r13: zero-pad-only parsing
+            // rejected spec-legal archives)
+            def octalField(off: Int, len: Int): String =
+              new String(h, off, len, "US-ASCII")
+                .dropWhile(c => c == ' ' || c == 0)
+                .takeWhile(c => c >= '0' && c <= '7')
+            val stored = octalField(148, 8)
+            require(stored.nonEmpty && java.lang.Long.parseLong(stored, 8) == sum,
+              s"tar header checksum mismatch at offset $pos")
+            val name = new String(h, 0, 100, "US-ASCII").takeWhile(_ != 0)
+            val sizeStr = octalField(124, 12)
+            require(sizeStr.nonEmpty, s"tar member $name has no size field")
+            val size = java.lang.Long.parseLong(sizeStr, 8)
+            require(size >= 0 && size <= Int.MaxValue - 512,
+              s"tar member $name size $size out of range")
+            val typeflag = h(156)
+            val data = new Array[Byte](size.toInt)
+            try {
+              din.readFully(data)
+              din.skipNBytes(((size + 511) / 512) * 512 - size)
+            } catch {
+              case _: java.io.EOFException =>
+                throw new IllegalArgumentException(s"tar member $name overruns shard")
+            }
+            pos += 512 + ((size + 511) / 512) * 512
+            // yield only REGULAR FILES: directories ('5'), pax headers
+            // ('x'/'g'), links etc. are walked over (their data blocks
+            // are still skipped above) — a dataset reader must never
+            // surface them as samples (review r13)
+            if (typeflag == '0'.toByte || typeflag == 0.toByte) nextEntry = (name, data)
           }
         }
         advance()
@@ -498,6 +545,10 @@ object Sources {
           val e = nextEntry; advance(); e
         }
       }
+
+    /** [[readStream]] over in-memory bytes. */
+    def readAll(bytes: Array[Byte]): Iterator[(String, Array[Byte])] =
+      readStream(new java.io.ByteArrayInputStream(bytes))
   }
 
   /** Shard-writer commit protocol (ADVICE r13): stream the shard into
@@ -546,22 +597,6 @@ object Sources {
       }
   }
 
-  /** Read WebDataset shards back as (key, ext, payload) rows —
-    * shard-parallel, every tar checksum verified.
-    */
-  /** Whole-shard bytes with EXACTLY one task per shard. The binaryFile
-    * source bin-packs small files into shared partitions
-    * (maxPartitionBytes/openCostInBytes), which capped a 32-shard read
-    * at ~4 tasks and broke the documented contract of both container
-    * formats — "read parallelism = shard count, the writer's knob"
-    * (measured r14: 32 vs 4 shards read only 1.8x faster through
-    * binaryFile; ~7x after this). Shard paths are globbed once on the
-    * driver (cheap: one listing), round-robin repartitioned one path
-    * per task, and each task streams its shard through the Hadoop FS
-    * API — so the reader works against any Hadoop-compatible store,
-    * local or object storage, like binaryFile does. Shards bound to
-    * ~2 GB (Array[Byte]), the same limit binaryFile has.
-    */
   /** Hadoop Configuration is not java-serializable; this is the standard
     * write/readFields envelope (what Spark's own internal wrapper does)
     * so executor tasks see the SESSION'S filesystem settings — bare
@@ -582,9 +617,38 @@ object Sources {
     }
   }
 
-  private def shardBytes(spark: SparkSession, glob: String)
-      : org.apache.spark.sql.Dataset[Array[Byte]] = {
-    import spark.implicits._
+  /** Shard-parallel STREAMING read core: one task per shard, one open
+    * stream per task, `parse` pulls records incrementally.
+    *
+    * Why not binaryFile: the binaryFile source bin-packs small files by
+    * maxPartitionBytes/openCostInBytes, which capped a 32-shard read at
+    * ~4 tasks and broke both container formats' documented contract —
+    * "read parallelism = shard count, the writer's knob" (measured r14:
+    * 32 vs 4 shards only 1.8x faster through binaryFile). Paths are
+    * globbed once on the driver (one cheap listing) and parallelized
+    * with numSlices = nShards, which guarantees ONE path per task —
+    * round-robin repartition would seed each input slice at a random
+    * output partition, leaving ~1/e of tasks empty and some reading 2-3
+    * shards serially (review r14).
+    *
+    * Why streaming, not whole-shard buffers: 32 concurrent whole-shard
+    * Array[Byte] loads OOM'd the 1000x scale arm on a 16 GB heap — the
+    * exact failure a 100 TB read with GB-sized shards hits at
+    * executor-count concurrency. Each task holds ONE record/member at a
+    * time; shard size no longer bounds memory (measured: the 1000x
+    * WebDataset arm went from OOM to green).
+    *
+    * Tasks read through the SESSION'S Hadoop configuration
+    * ([[SerializableHadoopConf]]), so any Hadoop-compatible store works
+    * exactly as it does for binaryFile. The stream closes when its
+    * iterator drains; Spark's task-completion listener is not needed
+    * because flatMap always drains or fails the task (teardown closes
+    * the JVM's descriptors either way).
+    */
+  private def shardRecords[T: org.apache.spark.sql.Encoder](
+      spark: SparkSession, glob: String)(
+      parse: (String, Long, java.io.InputStream) => Iterator[T])
+      : org.apache.spark.sql.Dataset[T] = {
     val p = new org.apache.hadoop.fs.Path(glob)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // globStatus returns NULL (not empty) when the parent path does not
@@ -593,28 +657,37 @@ object Sources {
       .map(_.getPath.toString).sorted.toSeq
     require(paths.nonEmpty, s"no shards match $glob")
     val serConf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
-    // parallelize with numSlices = paths guarantees ONE path per task —
-    // round-robin repartition seeds each input slice at a random output
-    // partition, so ~1/e of tasks would get zero shards and some 2-3,
-    // silently breaking the one-task-per-shard contract (review r14)
+    import spark.implicits._
     spark.createDataset(
       spark.sparkContext.parallelize(paths, paths.length))
-      .map { s =>
+      .flatMap { s =>
         val path = new org.apache.hadoop.fs.Path(s)
         val f = path.getFileSystem(serConf.conf)
         val len = f.getFileStatus(path).getLen
-        require(len <= Int.MaxValue, s"shard exceeds 2 GB: $s ($len bytes)")
-        val buf = new Array[Byte](len.toInt)
-        val in = f.open(path)
-        try in.readFully(0, buf) finally in.close()
-        buf
+        val in = new java.io.BufferedInputStream(f.open(path), 1 << 16)
+        val inner = parse(s, len, in)
+        // close as soon as the shard drains (don't wait for task end)
+        new Iterator[T] {
+          private var closed = false
+          private def closeOnce(): Unit = if (!closed) { closed = true; in.close() }
+          override def hasNext: Boolean = {
+            val h = try inner.hasNext
+                    catch { case e: Throwable => closeOnce(); throw e }
+            if (!h) closeOnce()
+            h
+          }
+          override def next(): T = inner.next()
+        }
       }
   }
 
   def readWebDataset(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    shardBytes(spark, s"$path/*.tar")
-      .flatMap(Tar.readAll(_).collect {
+    implicit val enc: org.apache.spark.sql.Encoder[(String, String, Array[Byte])] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+    shardRecords(spark, s"$path/*.tar") { (_, _, in) =>
+      Tar.readStream(in).collect {
         // WebDataset convention: sample key = name up to the LAST dot.
         // Members without an extension (or hidden in directories a
         // foreign writer added) are not samples — skip, don't crash
@@ -622,8 +695,8 @@ object Sources {
         case (name, data) if name.lastIndexOf('.') > 0 =>
           val dot = name.lastIndexOf('.')
           (name.substring(0, dot), name.substring(dot + 1), data)
-      })
-      .toDF("key", "ext", "payload")
+      }
+    }.toDF("key", "ext", "payload")
   }
 
   /** Write a binary column as TFRecord shards (one file per output
@@ -648,32 +721,59 @@ object Sources {
   }
 
   /** Read TFRecord shards back as one `payload: binary` row per record —
-    * shard-parallel ([[shardBytes]]: one task per shard, matching
-    * the format's non-splittable framing), every checksum verified.
+    * shard-parallel ([[shardRecords]]: one task per shard, matching
+    * the format's non-splittable framing), every checksum verified,
+    * one record in memory at a time.
     */
-  def readTfRecords(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    shardBytes(spark, s"$path/*.tfrecord")
-      .flatMap(TfRecord.readAll)
+  def readTfRecords(spark: SparkSession, path: String): DataFrame =
+    shardRecords(spark, s"$path/*.tfrecord")((_, _, in) => TfRecord.readStream(in))(
+      org.apache.spark.sql.Encoders.BINARY)
       .toDF("payload")
-  }
 
   /** [[readTfRecords]] in torn-tail recovery mode: complete verified
-    * records survive, each shard's abandoned-tail byte count rides an
-    * `observe` metric (`graft.tfrecord.skip` — dropped_bytes /
-    * corrupt_shards) so the loss is diagnosable, never silent.
+    * records survive lazily (never the shard in memory), each corrupted
+    * shard emits one trailing null-payload marker carrying its
+    * abandoned-tail byte count, and the loss rides an `observe` metric
+    * (`graft.tfrecord.skip` — dropped_bytes / corrupt_shards) so it is
+    * diagnosable, never silent.
     */
   def readTfRecordsPermissive(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    shardBytes(spark, s"$path/*.tfrecord")
-      .flatMap { b =>
-        val (recs, tail) = TfRecord.readAllPermissive(b)
-        // tail rides the shard's FIRST row only (0 elsewhere) so the
-        // observe sums are per-shard exact; a fully-garbage shard emits
-        // one null-payload marker row so its loss is still visible
-        if (recs.isEmpty) Seq((null: Array[Byte], tail))
-        else recs.zipWithIndex.map { case (r, i) => (r, if (i == 0) tail else 0L) }
+    implicit val enc: org.apache.spark.sql.Encoder[(Array[Byte], Long)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.BINARY, org.apache.spark.sql.Encoders.scalaLong)
+    shardRecords(spark, s"$path/*.tfrecord") { (_, fileLen, in) =>
+      val inner = TfRecord.readStream(in)
+      new Iterator[(Array[Byte], Long)] {
+        private var goodBytes = 0L
+        private var finished = false
+        private var failed = false
+        private var markerEmitted = false
+        private var nextRec: Array[Byte] = null
+        private def fetch(): Unit = {
+          if (nextRec != null || finished) return
+          try {
+            if (inner.hasNext) {
+              nextRec = inner.next()
+              goodBytes += 8 + 4 + nextRec.length + 4
+            } else finished = true
+          } catch {
+            case _: IllegalArgumentException => failed = true; finished = true
+          }
+        }
+        override def hasNext: Boolean = {
+          fetch()
+          nextRec != null || (failed && !markerEmitted)
+        }
+        override def next(): (Array[Byte], Long) = {
+          fetch()
+          if (nextRec != null) { val r = nextRec; nextRec = null; (r, 0L) }
+          else if (failed && !markerEmitted) {
+            markerEmitted = true
+            (null, fileLen - goodBytes)
+          } else throw new NoSuchElementException
+        }
       }
+    }
       .toDF("payload", "_tail")
       .observe("graft.tfrecord.skip",
         sum(col("_tail")).as("dropped_bytes"),
