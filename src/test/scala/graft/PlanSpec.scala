@@ -532,6 +532,20 @@ class PlanSpec extends GraftTest {
     }
   }
 
+  test("dd_exact_nfkc: normalization rides the scan, ONE digest exchange") {
+    // the kernel must stay a scan-local projection feeding the
+    // canonical 16-byte-digest hash groupBy — a second exchange (or a
+    // pre-normalization shuffle of raw text) would ship full documents
+    // instead of digests at 100 TB
+    val p = plan("dd_exact_nfkc")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected exactly one shuffle, got $exchanges:\n${p.take(2000)}")
+    assert("Scan parquet".r.findAllIn(p).size === 1, "one corpus scan")
+    assert(p.contains("nfkc_casefold"), "normalization kernel must appear in-plan")
+    assert(p.contains("partial_min") || p.contains("partial_count") ||
+      p.contains("HashAggregate"), "map-side partial aggregation expected")
+  }
+
   test("mm_text_image_score: ONE corpus scan, zero exchanges, no UDF towers") {
     // the cross-modal pair is built from the SAME documents row (image
     // generated + decoded inline in one mapPartitions), so the whole
