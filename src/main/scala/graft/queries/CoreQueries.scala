@@ -342,6 +342,51 @@ object CoreQueries {
       graft.streaming.StreamingQueries.runAppendToMemory(s, "s_tfr_stream", stream)
     }),
 
+    "s_webdataset_corrupt_tail" -> ((s, d) => {
+      // torn-tail recovery for tar shards (r14) — the TFRecord entry's
+      // twin, certifying BOTH permissive branches: four shards staged
+      // deterministically (shard i = doc_id%4==i, key-ordered), then
+      // shard 3 loses its end-of-archive blocks plus ONE byte of the
+      // final member's padded data (writer killed mid-member — exactly
+      // that member, the class's max doc_id, must drop) and shard 2's
+      // FIRST header gets a flipped byte (checksum mismatch on entry —
+      // the whole shard quarantines). The permissive reader surfaces
+      // both losses through the observe metric and can never yield a
+      // garbage member; the oracle states the exact surviving set.
+      val out = tmp("wdscorrupt")
+      val docs = Graft.documents(s, d)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      (0 until 4).foreach { i =>
+        docs.where(pmod(col("doc_id"), lit(4)) === i)
+          .select(format_string("%012d", col("doc_id")).as("key"),
+            to_json(struct(docs.columns.map(col): _*)).cast("binary").as("payload"))
+          .coalesce(1).sortWithinPartitions("key")
+          .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+            val p = java.nio.file.Paths.get(out, f"shard-$i%05d.tar")
+            val os = new java.io.BufferedOutputStream(java.nio.file.Files.newOutputStream(p))
+            try {
+              it.foreach(r => graft.sources.Sources.Tar.writeEntry(
+                os, s"${r.getString(0)}.json", r.getAs[Array[Byte]](1)))
+              graft.sources.Sources.Tar.finish(os)
+            } finally os.close()
+          }
+      }
+      val s3 = java.nio.file.Paths.get(out, "shard-00003.tar")
+      val b3 = java.nio.file.Files.readAllBytes(s3)
+      // drop the two end-of-archive blocks plus one byte of the last
+      // member's padded data region — a torn final member either way
+      // (data cut when size%512==0, padding cut otherwise)
+      java.nio.file.Files.write(s3, java.util.Arrays.copyOf(b3, b3.length - 1025))
+      val s2 = java.nio.file.Paths.get(out, "shard-00002.tar")
+      val b2 = java.nio.file.Files.readAllBytes(s2)
+      b2(0) = (b2(0) ^ 0x7).toByte // first header name byte: checksum now wrong
+      java.nio.file.Files.write(s2, b2)
+      graft.sources.Sources.readWebDatasetPermissive(s, out)
+        .where(col("ext") === "json")
+        .select(from_json(col("payload").cast("string"), docs.schema).as("r"))
+        .select(docs.columns.map(c => col(s"r.$c")): _*)
+    }),
+
     "s_tfexample" -> ((s, d) => {
       // tf.Example protobuf payloads inside TFRecord shards (r14) —
       // the message TensorFlow training pipelines ACTUALLY write
@@ -527,6 +572,13 @@ object CoreQueries {
     "s_tfexample" -> "SELECT * FROM documents",
     // FloatList roundtrip is bit-exact (fixed32 passthrough)
     "s_tfexample_embeddings" -> "SELECT * FROM embeddings",
+    // tar twin: shard 2 quarantines whole (poisoned first header),
+    // shard 3 drops exactly its last (max-doc_id) member (torn tail)
+    "s_webdataset_corrupt_tail" ->
+      """SELECT * FROM documents
+         WHERE doc_id % 4 <> 2
+           AND NOT (doc_id % 4 = 3 AND doc_id =
+             (SELECT max(doc_id) FROM documents WHERE doc_id % 4 = 3))""",
     // torn shard-3 tail drops exactly that shard's last (max-doc_id)
     // record; the garbage appended to shard 2 drops nothing
     "s_tfrecord_corrupt_tail" ->

@@ -539,16 +539,75 @@ object Sources {
             if (typeflag == '0'.toByte || typeflag == 0.toByte) nextEntry = (name, data)
           }
         }
-        advance()
-        override def hasNext: Boolean = nextEntry != null
+        // LAZY advance (in hasNext, not next): the historical
+        // pre-fetching next() parsed the FOLLOWING header eagerly, so a
+        // torn member threw away the preceding GOOD member's return —
+        // the permissive walker lost two members per tear (review r14)
+        private var advanced = false
+        private def ensure(): Unit = if (!advanced) { advance(); advanced = true }
+        override def hasNext: Boolean = { ensure(); nextEntry != null }
         override def next(): (String, Array[Byte]) = {
-          val e = nextEntry; advance(); e
+          ensure()
+          if (nextEntry == null) throw new NoSuchElementException
+          val e = nextEntry
+          nextEntry = null
+          advanced = false
+          e
         }
       }
 
     /** [[readStream]] over in-memory bytes. */
     def readAll(bytes: Array[Byte]): Iterator[(String, Array[Byte])] =
       readStream(new java.io.ByteArrayInputStream(bytes))
+
+    /** Torn-tail recovery walk — [[TfRecord.readAllPermissive]]'s twin
+      * for tar shards: every complete, checksum-verified regular member
+      * up to the first framing/checksum failure survives LAZILY; on
+      * failure ONE trailing marker (null name) carries the abandoned
+      * byte count (shard length minus the emitted members' exact
+      * framing — 512-byte header + 512-padded data; non-regular members
+      * walked before the failure conservatively count as abandoned). A
+      * clean shard emits no marker: its end-of-archive blocks are
+      * framing, not loss. A poisoned FIRST header abandons the whole
+      * shard (quarantine semantics) — a corrupted byte can only ever
+      * DROP members, never yield garbage ones.
+      */
+    def readStreamPermissive(in: java.io.InputStream, shardLen: Long)
+        : Iterator[(String, Array[Byte], Long)] =
+      new Iterator[(String, Array[Byte], Long)] {
+        // LAZY: the strict walker advances eagerly at construction, so a
+        // poisoned FIRST header would throw before fetch()'s try/catch
+        private lazy val inner = readStream(in)
+        private var goodBytes = 0L
+        private var finished = false
+        private var failed = false
+        private var markerEmitted = false
+        private var nextEntry: (String, Array[Byte]) = null
+        private def fetch(): Unit = {
+          if (nextEntry != null || finished) return
+          try {
+            if (inner.hasNext) {
+              nextEntry = inner.next()
+              goodBytes += 512 + ((nextEntry._2.length + 511L) / 512L) * 512L
+            } else finished = true
+          } catch {
+            case _: IllegalArgumentException => failed = true; finished = true
+          }
+        }
+        override def hasNext: Boolean = {
+          fetch()
+          nextEntry != null || (failed && !markerEmitted)
+        }
+        override def next(): (String, Array[Byte], Long) = {
+          fetch()
+          if (nextEntry != null) {
+            val (n, d) = nextEntry; nextEntry = null; (n, d, 0L)
+          } else if (failed && !markerEmitted) {
+            markerEmitted = true
+            (null, null, shardLen - goodBytes)
+          } else throw new NoSuchElementException
+        }
+      }
   }
 
   /** Shard-writer commit protocol (ADVICE r13): stream the shard into
@@ -697,6 +756,35 @@ object Sources {
           (name.substring(0, dot), name.substring(dot + 1), data)
       }
     }.toDF("key", "ext", "payload")
+  }
+
+  /** [[readWebDataset]] in torn-tail recovery mode (the
+    * [[readTfRecordsPermissive]] twin): complete checksum-verified
+    * members survive lazily, each corrupted shard emits a trailing
+    * marker whose abandoned-tail byte count rides an observe metric
+    * (`graft.webdataset.skip`), and a poisoned header can only drop
+    * members (whole-shard quarantine at worst), never surface garbage.
+    */
+  def readWebDatasetPermissive(spark: SparkSession, path: String): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[(String, String, Array[Byte], Long)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY, org.apache.spark.sql.Encoders.scalaLong)
+    shardRecords(spark, s"$path/*.tar") { (_, shardLen, in) =>
+      Tar.readStreamPermissive(in, shardLen).map {
+        case (null, _, tail) => (null: String, null: String, null: Array[Byte], tail)
+        case (name, data, _) if name.lastIndexOf('.') > 0 =>
+          val dot = name.lastIndexOf('.')
+          (name.substring(0, dot), name.substring(dot + 1), data, 0L)
+        case (_, _, _) => (null: String, null: String, null: Array[Byte], 0L)
+      }
+    }
+      .toDF("key", "ext", "payload", "_tail")
+      .observe("graft.webdataset.skip",
+        sum(col("_tail")).as("dropped_bytes"),
+        sum(when(col("_tail") > 0, 1L).otherwise(0L)).as("corrupt_shards"))
+      .where(col("payload").isNotNull)
+      .select("key", "ext", "payload")
   }
 
   /** Write a binary column as TFRecord shards (one file per output

@@ -434,6 +434,36 @@ class SourcesSpec extends GraftTest {
     assert(fl.isEmpty, "flip in record 1 must drop everything from record 1 on")
   }
 
+  test("tar permissive walk: torn tail drops ONLY the torn member; poisoned header quarantines") {
+    import graft.sources.Sources.Tar
+    def shard(names: Seq[String]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      names.foreach(n => Tar.writeEntry(bos, n, s"content of $n".getBytes("UTF-8")))
+      Tar.finish(bos)
+      bos.toByteArray
+    }
+    val good = shard(Seq("a.json", "b.json", "c.json"))
+    def walk(bytes: Array[Byte]) =
+      Tar.readStreamPermissive(new java.io.ByteArrayInputStream(bytes), bytes.length.toLong).toSeq
+    // intact: all members, no marker
+    assert(walk(good).map(_._1) === Seq("a.json", "b.json", "c.json"))
+    // torn tail (end blocks + 1 byte of the last member's padded data):
+    // a and b MUST survive — the historical pre-fetching next() lost b
+    // too (the r14 lazy-advance fix pins this exact case)
+    val torn = java.util.Arrays.copyOf(good, good.length - 1025)
+    val w = walk(torn)
+    assert(w.map(_._1) === Seq("a.json", "b.json", null))
+    assert(w.last._3 > 0, "marker must carry the abandoned byte count")
+    // poisoned first header: whole shard quarantines as one marker
+    val poisoned = good.clone(); poisoned(0) = (poisoned(0) ^ 0x7).toByte
+    val p = walk(poisoned)
+    assert(p.map(_._1) === Seq(null.asInstanceOf[String]))
+    assert(p.head._3 === good.length.toLong)
+    // strict walk still throws on both corruptions
+    intercept[IllegalArgumentException](Tar.readAll(torn).toSeq)
+    intercept[IllegalArgumentException](Tar.readAll(poisoned).toSeq)
+  }
+
   test("tf.Example wire format: golden bytes, roundtrip, unknown-field skip, truncation") {
     import graft.sources.Sources.TfExample
     def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
