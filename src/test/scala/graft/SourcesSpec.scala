@@ -434,6 +434,23 @@ class SourcesSpec extends GraftTest {
     assert(fl.isEmpty, "flip in record 1 must drop everything from record 1 on")
   }
 
+  test("container reads plan exactly one task per shard (the parallelism contract)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tfr-tasks").toString
+    val payloads = (1 to 70).map(i => s"rec-$i").toDF("payload")
+      .select(col("payload").cast("binary").as("payload"))
+    graft.sources.Sources.writeTfRecords(payloads, "payload", dir, shards = 7)
+    val ds = graft.sources.Sources.readTfRecords(spark, dir)
+    // binaryFile bin-packs small files into shared partitions and
+    // round-robin repartition leaves ~1/e of tasks empty — the r14
+    // reader must give exactly shard-count partitions, none empty
+    assert(ds.rdd.getNumPartitions === 7, "one partition per shard")
+    val perPart = ds.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(perPart.length === 7 && perPart.forall(_ > 0),
+      s"every shard task must carry records: ${perPart.mkString(",")}")
+    assert(ds.count() === 70)
+  }
+
   test("tar permissive walk: torn tail drops ONLY the torn member; poisoned header quarantines") {
     import graft.sources.Sources.Tar
     def shard(names: Seq[String]): Array[Byte] = {
