@@ -239,10 +239,14 @@ object Bench {
     // rename so a concurrently-reading driver never sees a partial
     // file. Override the path with SPARK_GRAFT_BENCH_OUT; best-effort
     // (an unwritable path must not fail the bench itself).
+    // working-directory-relative default (ADVICE r14: an absolute
+    // /root/repo path baked into library code silently no-ops on any
+    // other checkout), and a logged failure instead of a silent one
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       // interleaved-pair JVMs must not clobber each other's artifact
-      if (lockstepDir.isDefined) s"/root/repo/BENCH_LAST.$role.json"
-      else "/root/repo/BENCH_LAST.json")
+      new java.io.File(
+        if (lockstepDir.isDefined) s"BENCH_LAST.$role.json"
+        else "BENCH_LAST.json").getAbsolutePath)
     try {
       val target = java.nio.file.Paths.get(outPath)
       val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
@@ -250,7 +254,10 @@ object Bench {
       java.nio.file.Files.move(tmp, target,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } catch { case _: Throwable => () }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"bench: artifact write to $outPath failed: $e")
+    }
     spark.stop()
   }
 }

@@ -375,8 +375,13 @@ object CoreQueries {
       val b3 = java.nio.file.Files.readAllBytes(s3)
       // drop the two end-of-archive blocks plus one byte of the last
       // member's padded data region — a torn final member either way
-      // (data cut when size%512==0, padding cut otherwise)
-      java.nio.file.Files.write(s3, java.util.Arrays.copyOf(b3, b3.length - 1025))
+      // (data cut when size%512==0, padding cut otherwise). An empty
+      // class (possible at tiny SFs) leaves only the 1024-byte
+      // end-of-archive — nothing to tear, skip rather than underflow
+      // (ADVICE r14); the oracle's max-doc_id drop clause is then a
+      // no-op over the empty set, so the result still matches.
+      if (b3.length > 1025)
+        java.nio.file.Files.write(s3, java.util.Arrays.copyOf(b3, b3.length - 1025))
       val s2 = java.nio.file.Paths.get(out, "shard-00002.tar")
       val b2 = java.nio.file.Files.readAllBytes(s2)
       b2(0) = (b2(0) ^ 0x7).toByte // first header name byte: checksum now wrong
@@ -477,13 +482,22 @@ object CoreQueries {
             "vec_id" -> id, "embedding" -> v, "label" -> label.toLong))
         }.toDF("payload")
       graft.sources.Sources.writeTfRecords(payloads, "payload", out, shards = 4)
+      // The harness compares results in pandas, which cannot sort/hash a
+      // raw array column (r14's one err row) — so the roundtripped vector
+      // leaves as EXPLODED scalars (vec_id, idx, value, label). The
+      // float→double widening is exact (every binary32 is a binary64),
+      // so a hash-match here still certifies the fixed32 passthrough
+      // bit-for-bit; DuckDB replays it as embedding[i] CAST AS DOUBLE.
       graft.sources.Sources.readTfRecords(s, out)
         .as[Array[Byte]]
-        .map { b =>
+        .flatMap { b =>
           val m = graft.sources.Sources.TfExample.decode(b).toMap
-          (m("vec_id").int64s.head, m("embedding").floats.toArray,
-            m("label").int64s.head.toInt)
-        }.toDF("vec_id", "embedding", "label")
+          val id = m("vec_id").int64s.head
+          val label = m("label").int64s.head.toInt
+          m("embedding").floats.iterator.zipWithIndex.map {
+            case (x, i) => (id, i, x.toDouble, label)
+          }
+        }.toDF("vec_id", "idx", "value", "label")
     }),
 
     "s_parquet_zstd" -> ((s, d) => {
@@ -570,8 +584,13 @@ object CoreQueries {
     "s_tfrecord_streaming" -> "SELECT * FROM documents",
     // tf.Example roundtrip reconstructs the table field-by-field
     "s_tfexample" -> "SELECT * FROM documents",
-    // FloatList roundtrip is bit-exact (fixed32 passthrough)
-    "s_tfexample_embeddings" -> "SELECT * FROM embeddings",
+    // FloatList roundtrip is bit-exact (fixed32 passthrough); exploded
+    // to scalars because the harness comparator can't hash array cells —
+    // float→double widening is exact, so the hash still certifies bits
+    "s_tfexample_embeddings" ->
+      """SELECT vec_id, CAST(i - 1 AS INT) AS idx,
+                CAST(embedding[i] AS DOUBLE) AS value, label
+         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)""",
     // tar twin: shard 2 quarantines whole (poisoned first header),
     // shard 3 drops exactly its last (max-doc_id) member (torn tail)
     "s_webdataset_corrupt_tail" ->

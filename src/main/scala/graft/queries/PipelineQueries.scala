@@ -33,6 +33,24 @@ object PipelineQueries {
       .select("a", "b", "jaccard")
   }
 
+  /** The oracle-portable verified-pair stage shared by dd_components /
+    * dd_resolve / dd_resolve_best / pp_split_grouped: (lang, n_chars)
+    * attribute blocking routed through [[Dedup.blockedPairs]] — so the
+    * default-on `maxBucket` hot-bucket guard covers EVERY blocking join
+    * in the registry, not just dd_ngram_jaccard's (r14 review: the
+    * inline `l.join(r, ...)` form bypassed the cap; inert at oracle SFs
+    * where (lang, n_chars) blocks are tiny, but the certified plan now
+    * carries the same observe-metric'd guard as the production path) —
+    * then exact token-Jaccard verify at 0.5.
+    */
+  def blockedVerifiedPairs(docs: DataFrame): DataFrame = {
+    val pairs = Dedup.blockedPairs(docs, "doc_id",
+      Seq("lang" -> col("lang"), "n_chars" -> col("n_chars")),
+      maxBucket = 1000)
+    Dedup.verifyJaccard(pairs, docs, "doc_id", "text")
+      .where(col("jaccard") >= 0.5).select("a", "b")
+  }
+
   /** The dd_image_phash composition, shared with the scale audit:
     * decode + dHash once, then a WINDOW count over the hash — NOT a
     * groupBy + self-join, which would run the expensive decode scan
@@ -476,12 +494,7 @@ object PipelineQueries {
       // SCALE.md measures as dd_cc_pipeline — blocking on (lang, n_chars)
       // is quadratic per block and only acceptable at oracle scale.
       val docs = Graft.documents(s, d)
-      val l = docs.select(col("lang"), col("n_chars"), col("doc_id").as("a"))
-      val r = docs.select(col("lang"), col("n_chars"), col("doc_id").as("b"))
-      val pairs = l.join(r, Seq("lang", "n_chars")).where(col("a") < col("b"))
-        .select("a", "b")
-      val verified = Dedup.verifyJaccard(pairs, docs, "doc_id", "text")
-        .where(col("jaccard") >= 0.5).select("a", "b")
+      val verified = blockedVerifiedPairs(docs)
       Dedup.connectedComponents(verified)
     }),
 
@@ -492,12 +505,7 @@ object PipelineQueries {
       // oracle-portable blocking join (as in dd_components); the
       // production path feeds LSH candidates instead.
       val docs = Graft.documents(s, d)
-      val l = docs.select(col("lang"), col("n_chars"), col("doc_id").as("a"))
-      val r = docs.select(col("lang"), col("n_chars"), col("doc_id").as("b"))
-      val pairs = l.join(r, Seq("lang", "n_chars")).where(col("a") < col("b"))
-        .select("a", "b")
-      val verified = Dedup.verifyJaccard(pairs, docs, "doc_id", "text")
-        .where(col("jaccard") >= 0.5).select("a", "b")
+      val verified = blockedVerifiedPairs(docs)
       Dedup.resolve(docs, verified, "doc_id").select("doc_id", "lang")
     }),
 
@@ -508,12 +516,7 @@ object PipelineQueries {
       // policy; same oracle-portable pair generation as dd_resolve, and
       // the LM score reuses txt_unigram_lp's layout-invariant arithmetic
       val docs = Graft.documents(s, d)
-      val l = docs.select(col("lang"), col("n_chars"), col("doc_id").as("a"))
-      val r = docs.select(col("lang"), col("n_chars"), col("doc_id").as("b"))
-      val pairs = l.join(r, Seq("lang", "n_chars")).where(col("a") < col("b"))
-        .select("a", "b")
-      val verified = Dedup.verifyJaccard(pairs, docs, "doc_id", "text")
-        .where(col("jaccard") >= 0.5).select("a", "b")
+      val verified = blockedVerifiedPairs(docs)
       val lm = TextFunctions.unigramLmScore(docs, "doc_id", "text")
         .select(col("doc").as("doc_id"), col("avg_nll_micro"))
       val docsScored = docs.join(lm, Seq("doc_id"), "left")
@@ -557,12 +560,7 @@ object PipelineQueries {
       // LSH pairs) land WHOLE in one split — a doc and its paraphrase can
       // never straddle train/test. Fully oracle-checkable.
       val docs = Graft.documents(s, d)
-      val l = docs.select(col("lang"), col("n_chars"), col("doc_id").as("a"))
-      val r = docs.select(col("lang"), col("n_chars"), col("doc_id").as("b"))
-      val pairs = l.join(r, Seq("lang", "n_chars")).where(col("a") < col("b"))
-        .select("a", "b")
-      val verified = Dedup.verifyJaccard(pairs, docs, "doc_id", "text")
-        .where(col("jaccard") >= 0.5).select("a", "b")
+      val verified = blockedVerifiedPairs(docs)
       Dedup.groupAwareSplit(docs, verified, "doc_id")
     }),
 

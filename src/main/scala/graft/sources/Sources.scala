@@ -476,29 +476,59 @@ object Sources {
       * Memory is one member at a time, never the shard (r14: whole-shard
       * buffers OOM'd the 1000x arm at executor-count concurrency — the
       * failure a 100 TB read would hit).
+      *
+      * Strict also polices the ARCHIVE FRAMING (ADVICE r14): EOF before
+      * the two zero end-of-archive blocks — a clean cut exactly between
+      * members, or a partial trailing header — throws, because a torn
+      * shard whose tear lands on a member boundary would otherwise pass
+      * strict validation with members silently missing. The lenient
+      * treat-EOF-as-end acceptance lives only in
+      * [[readStreamPermissive]], whose walk surfaces the loss as a
+      * marker instead of garbage.
       */
     def readStream(in: java.io.InputStream): Iterator[(String, Array[Byte])] =
+      walk(in, strict = true)
+
+    private def walk(in: java.io.InputStream, strict: Boolean)
+        : Iterator[(String, Array[Byte])] =
       new Iterator[(String, Array[Byte])] {
         private val din = new java.io.DataInputStream(in)
         private var pos = 0L
         private var finished = false
         private var nextEntry: (String, Array[Byte]) = _
-        // a full 512-byte block, or end-of-archive on clean EOF /
-        // sub-512 trailing garbage (the historical array walk stopped
-        // there too)
-        private def readBlock(h: Array[Byte]): Boolean = {
+        // 1 = full 512-byte block; -1 = clean EOF at a block boundary;
+        // 0 = partial trailing block (1-511 bytes)
+        private def readBlock(h: Array[Byte]): Int = {
           val first = din.read(h, 0, 1)
-          if (first == -1) false
+          if (first == -1) -1
           else {
-            try { din.readFully(h, 1, 511); true }
-            catch { case _: java.io.EOFException => false }
+            try { din.readFully(h, 1, 511); 1 }
+            catch { case _: java.io.EOFException => 0 }
           }
         }
         private def advance(): Unit = {
           nextEntry = null
           val h = new Array[Byte](512)
           while (nextEntry == null && !finished) {
-            if (!readBlock(h) || h.forall(_ == 0)) { finished = true; return }
+            val blk = readBlock(h)
+            if (blk != 1) {
+              // EOF without end-of-archive blocks: a lenient walk stops
+              // (the permissive wrapper accounts the loss); strict throws
+              require(!strict,
+                if (blk == 0) s"tar shard ends in a partial header block at offset $pos"
+                else s"tar shard ends at offset $pos without end-of-archive blocks")
+              finished = true; return
+            }
+            if (h.forall(_ == 0)) {
+              // first zero block: strict demands the spec's SECOND zero
+              // block whole (a lone zero block is a torn end-of-archive)
+              if (strict) {
+                val h2 = new Array[Byte](512)
+                require(readBlock(h2) == 1 && h2.forall(_ == 0),
+                  s"tar end-of-archive truncated at offset $pos (second zero block missing)")
+              }
+              finished = true; return
+            }
             var sum = 0L
             var i = 0
             while (i < 512) {
@@ -575,9 +605,12 @@ object Sources {
     def readStreamPermissive(in: java.io.InputStream, shardLen: Long)
         : Iterator[(String, Array[Byte], Long)] =
       new Iterator[(String, Array[Byte], Long)] {
-        // LAZY: the strict walker advances eagerly at construction, so a
-        // poisoned FIRST header would throw before fetch()'s try/catch
-        private lazy val inner = readStream(in)
+        // LAZY: a poisoned FIRST header must throw inside fetch()'s
+        // try/catch, not at construction. The inner walk is the LENIENT
+        // one — EOF-as-end stays acceptable here (strict now rejects it,
+        // ADVICE r14) because this wrapper accounts any cut through the
+        // abandoned-bytes marker instead of failing the shard
+        private lazy val inner = walk(in, strict = false)
         private var goodBytes = 0L
         private var finished = false
         private var failed = false
@@ -627,10 +660,20 @@ object Sources {
     val tmp = finalPath.resolveSibling(
       s".${finalPath.getFileName}.attempt-$attempt.tmp")
     val out = new java.io.BufferedOutputStream(java.nio.file.Files.newOutputStream(tmp))
-    try body(out) finally out.close()
-    java.nio.file.Files.move(tmp, finalPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // a failed attempt must not leave its .tmp behind (ADVICE r14:
+    // killed/failed attempts would accumulate hidden temp files in the
+    // output directory indefinitely) — delete before rethrowing
+    try {
+      try body(out) finally out.close()
+      java.nio.file.Files.move(tmp, finalPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      case e: Throwable =>
+        try java.nio.file.Files.deleteIfExists(tmp)
+        catch { case _: Throwable => () }
+        throw e
+    }
   }
 
   /** Write WebDataset shards: input rows are (key, ext, payload) —
@@ -699,10 +742,13 @@ object Sources {
     *
     * Tasks read through the SESSION'S Hadoop configuration
     * ([[SerializableHadoopConf]]), so any Hadoop-compatible store works
-    * exactly as it does for binaryFile. The stream closes when its
-    * iterator drains; Spark's task-completion listener is not needed
-    * because flatMap always drains or fails the task (teardown closes
-    * the JVM's descriptors either way).
+    * exactly as it does for binaryFile. The stream closes eagerly when
+    * its iterator drains or fails, AND a task-completion listener (the
+    * pattern Spark's own file sources use) backstops abandonment —
+    * limit/take/show, task kill, or a downstream failure between
+    * hasNext calls can leave the iterator undrained, and in a
+    * long-lived executor JVM that leaked descriptor/connection never
+    * comes back (ADVICE r14).
     */
   private def shardRecords[T: org.apache.spark.sql.Encoder](
       spark: SparkSession, glob: String)(
@@ -725,10 +771,14 @@ object Sources {
         val len = f.getFileStatus(path).getLen
         val in = new java.io.BufferedInputStream(f.open(path), 1 << 16)
         val inner = parse(s, len, in)
-        // close as soon as the shard drains (don't wait for task end)
+        // close as soon as the shard drains (don't wait for task end)…
         new Iterator[T] {
           private var closed = false
           private def closeOnce(): Unit = if (!closed) { closed = true; in.close() }
+          // …and at task end regardless: an abandoned iterator must not
+          // leak the open stream in a long-lived executor (ADVICE r14)
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => closeOnce()))
           override def hasNext: Boolean = {
             val h = try inner.hasNext
                     catch { case e: Throwable => closeOnce(); throw e }

@@ -602,6 +602,34 @@ class PlanSpec extends GraftTest {
         s"bounded and annotate `bounded-by-construction`): ${offenders.mkString(", ")}")
   }
 
+  test("every registry pair generator carries the hot-bucket cap") {
+    // r14 review: dd_resolve / pp_split_grouped built their candidate
+    // pairs with an inline uncapped self-join, bypassing blockedPairs'
+    // default-on maxBucket guard. Pin the repair twice over:
+    // (1) the shared candidate stage carries capBuckets' window column
+    //     (`_bsz`) — the observable signature of the guard — in its
+    //     analyzed plan (the component entries themselves materialize
+    //     through checkpointed connected components, which cuts lineage,
+    //     so the helper is the right assertion point);
+    val docs = Graft.documents(spark, sf)
+    val helper = graft.queries.PipelineQueries.blockedVerifiedPairs(docs)
+      .queryExecution.analyzed.toString
+    assert(helper.contains("_bsz"),
+      s"blockedVerifiedPairs lost the capBuckets guard:\n${helper.take(2000)}")
+    // (2) no query source builds the raw uncapped blocking self-join:
+    //     the inline `l.join(r, Seq(...))` pair idiom must not reappear —
+    //     candidate generation goes through Dedup.blockedPairs /
+    //     blockedVerifiedPairs (same source-scan idiom as the
+    //     global-sort-Window offender walk below)
+    Seq("queries/PipelineQueries.scala", "queries/CoreQueries.scala").foreach { f =>
+      val src = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"src/main/scala/graft/$f")), "UTF-8")
+      assert(!src.contains("""join(r, Seq("lang""""),
+        s"$f builds an inline uncapped blocking self-join — route it " +
+          "through Dedup.blockedPairs so the maxBucket guard applies")
+    }
+  }
+
   private def withConf[A](kv: (String, String))(body: => A): A = {
     val (k, v) = kv
     val old = spark.conf.getOption(k)

@@ -481,6 +481,35 @@ class SourcesSpec extends GraftTest {
     intercept[IllegalArgumentException](Tar.readAll(poisoned).toSeq)
   }
 
+  test("tar strict walk rejects torn end-of-archive framing; permissive stays lenient") {
+    // ADVICE r14: a tear landing exactly between members (or inside the
+    // end-of-archive blocks) used to pass strict validation with members
+    // silently missing — strict now polices the archive framing too
+    import graft.sources.Sources.Tar
+    val bos = new java.io.ByteArrayOutputStream()
+    Tar.writeEntry(bos, "a.json", "x".getBytes("US-ASCII"))
+    val noEoa = bos.toByteArray // complete member, NO finish()
+    val finBos = new java.io.ByteArrayOutputStream()
+    finBos.write(noEoa); Tar.finish(finBos)
+    val finished = finBos.toByteArray
+    // intact archive reads clean
+    assert(Tar.readAll(finished).map(_._1).toSeq === Seq("a.json"))
+    // tear exactly at the member boundary: EOF with no end-of-archive
+    intercept[IllegalArgumentException](Tar.readAll(noEoa).toSeq)
+    // partial trailing header block (1-511 bytes)
+    intercept[IllegalArgumentException](
+      Tar.readAll(java.util.Arrays.copyOf(finished, noEoa.length + 100)).toSeq)
+    // lone zero block: the spec's SECOND end-of-archive block torn off
+    intercept[IllegalArgumentException](
+      Tar.readAll(java.util.Arrays.copyOf(finished, noEoa.length + 512)).toSeq)
+    // the permissive walk keeps the lenient acceptance (its contract
+    // surfaces loss as a marker, and a boundary cut loses no member —
+    // the complete member survives, markerless)
+    val w = Tar.readStreamPermissive(
+      new java.io.ByteArrayInputStream(noEoa), noEoa.length.toLong).toSeq
+    assert(w.map(_._1) === Seq("a.json"))
+  }
+
   test("tf.Example wire format: golden bytes, roundtrip, unknown-field skip, truncation") {
     import graft.sources.Sources.TfExample
     def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
