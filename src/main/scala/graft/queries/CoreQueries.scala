@@ -500,6 +500,43 @@ object CoreQueries {
         }.toDF("vec_id", "idx", "value", "label")
     }),
 
+    "s_tfexample_media" -> ((s, d) => {
+      // TFDS-style IMAGE records (r15) — the standard tf.Example image
+      // shape: a PNG payload as an `image/encoded` BytesList feature
+      // (plus `image/format`) inside TFRecord shards, the layout TFDS
+      // image datasets actually ship. Composed entirely from certified
+      // pieces: the tf.Example wire codec (r14), TFRecord framing (r13),
+      // the streaming one-task-per-shard reader, and the full PNG decode
+      // path (chunk walk → CRC-32 → inflate → unfilter). The read side
+      // stream-parses each shard with ONE record in memory, decodes the
+      // BytesList payload, and reduces to per-asset pixel sums the
+      // oracle replays from the synthetic pixel formula (the
+      // s_webdataset device). 100 TB shape: shard-parallel read,
+      // scan-local decode, one hash aggregation.
+      val out = tmp("tfexmedia")
+      val docs = Graft.documents(s, d)
+      import s.implicits._
+      val payloads = docs.select("doc_id", "n_chars").as[(Long, Long)]
+        .map { case (id, nc) =>
+          graft.sources.Sources.TfExample.encode(Seq(
+            "asset_id" -> id,
+            "image/encoded" -> graft.multimodal.Multimodal.syntheticPngBytes(id, nc),
+            "image/format" -> "png"))
+        }.toDF("payload")
+      graft.sources.Sources.writeTfRecords(payloads, "payload", out, shards = 4)
+      val decoded = graft.sources.Sources.readTfRecords(s, out)
+        .as[Array[Byte]]
+        .map { b =>
+          val m = graft.sources.Sources.TfExample.decode(b).toMap
+          require(new String(m("image/format").bytes.head, "UTF-8") == "png",
+            "unexpected image/format")
+          (m("asset_id").int64s.head, m("image/encoded").bytes.head)
+        }.toDF("asset_id", "payload")
+      graft.multimodal.Multimodal.decodePngChannels(decoded)
+        .groupBy("asset_id").agg(sum("px_sum").as("png_px_sum"))
+        .select(col("asset_id").as("doc_id"), col("png_px_sum"))
+    }),
+
     "s_parquet_zstd" -> ((s, d) => {
       // ZSTD-compressed parquet roundtrip — the modern default storage
       // codec for analytics corpora (splittable at the row-group level,
@@ -591,6 +628,20 @@ object CoreQueries {
       """SELECT vec_id, CAST(i - 1 AS INT) AS idx,
                 CAST(embedding[i] AS DOUBLE) AS value, label
          FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)""",
+    // TFDS-style image/encoded BytesList payloads: the tf.Example +
+    // TFRecord + PNG-decode chain reduces to the synthetic pixel
+    // formula (the s_webdataset per-asset pixel-sum device)
+    "s_tfexample_media" ->
+      """SELECT d.doc_id,
+                CAST(SUM((d.doc_id * 7 + gx.x * 3 + gy.y * 5 + ch.c * 11) % 256) AS BIGINT) AS png_px_sum
+         FROM documents d,
+              UNNEST(generate_series(0, 2)) AS ch(c),
+              UNNEST(generate_series(0, 12)) AS gx(x),
+              UNNEST(generate_series(0, 10)) AS gy(y)
+         WHERE ch.c < (CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 3 END)
+           AND gx.x < 1 + d.n_chars % 13
+           AND gy.y < 1 + d.doc_id % 11
+         GROUP BY 1""",
     // tar twin: shard 2 quarantines whole (poisoned first header),
     // shard 3 drops exactly its last (max-doc_id) member (torn tail)
     "s_webdataset_corrupt_tail" ->

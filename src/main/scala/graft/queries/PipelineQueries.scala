@@ -102,6 +102,28 @@ object PipelineQueries {
                            THEN (CAST(1 AS BIGINT) << (y*8+x)) ELSE 0 END) AS BIGINT) AS dhash_lo
            FROM g GROUP BY 1)"""
 
+  /** The converged media-ingest gate statement shared by pp_ingest_media
+    * (streaming chain) and pp_ingest_tfexample_media (tf.Example
+    * container arm): new assets (id % 10 = 0) kept iff their dHash is
+    * absent from the standing corpus (id % 10 <> 0) AND they are the
+    * lowest-id new asset with that hash — ascending micro-batches make
+    * first-accepted == keep-min, so the streaming chain's output equals
+    * this batch statement.
+    */
+  private lazy val mediaIngestGateSql: String =
+    s"""WITH $dhashCtes,
+       corp AS (SELECT DISTINCT dhash_hi, dhash_lo FROM h WHERE asset_id % 10 <> 0),
+       newa AS (SELECT * FROM h WHERE asset_id % 10 = 0),
+       kept AS (SELECT asset_id, dhash_hi, dhash_lo,
+                       row_number() OVER (PARTITION BY dhash_hi, dhash_lo
+                                          ORDER BY asset_id) AS r
+                FROM newa)
+       SELECT k.asset_id, k.dhash_hi, k.dhash_lo
+       FROM kept k
+       WHERE k.r = 1 AND NOT EXISTS (
+         SELECT 1 FROM corp c
+         WHERE c.dhash_hi = k.dhash_hi AND c.dhash_lo = k.dhash_lo)"""
+
   /** The DCT-pHash replay CTE prefix (cos32 → pg → pt → pf → pm → ph)
     * shared by the dd_image_phash_dct / dd_image_neardup_dct oracles:
     * the 32×32 nearest-neighbor grayscale grid from the pixel formula,
@@ -979,6 +1001,47 @@ object PipelineQueries {
       }
     }),
 
+    "pp_ingest_tfexample_media" -> ((s, d) => {
+      // the media-ingest gate with the new batch arriving as TFDS-style
+      // tf.Example image shards (r15, s_tfexample_media's layout): the
+      // batch's PNGs ship as image/encoded BytesList features inside
+      // TFRecord shards, are stream-parsed shard-parallel (one record in
+      // memory per task), decoded through the certified PNG codec to
+      // dHash fingerprints, and gated — drop hashes already in the
+      // standing corpus, keep the lowest asset_id per surviving hash.
+      // Same gate semantics as pp_ingest_media, so its oracle transfers
+      // verbatim; the container read is what's new in front. 100 TB
+      // shape: shard-parallel decode scan, one hash aggregation, one
+      // anti-join against the (distinct, shuffling-once) corpus hashes.
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-ppingtfex").toAbsolutePath.toString
+      val docs = Graft.documents(s, d)
+      val batch = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      import s.implicits._
+      val payloads = batch.select("doc_id", "n_chars").as[(Long, Long)]
+        .map { case (id, nc) =>
+          graft.sources.Sources.TfExample.encode(Seq(
+            "asset_id" -> id,
+            "image/encoded" -> graft.multimodal.Multimodal.syntheticPngBytes(id, nc),
+            "image/format" -> "png"))
+        }.toDF("payload")
+      graft.sources.Sources.writeTfRecords(payloads, "payload", out, shards = 4)
+      val assets = graft.sources.Sources.readTfRecords(s, out)
+        .as[Array[Byte]]
+        .map { b =>
+          val m = graft.sources.Sources.TfExample.decode(b).toMap
+          (m("asset_id").int64s.head, m("image/encoded").bytes.head)
+        }.toDF("asset_id", "payload")
+      val batchHashes = Multimodal.imageDHash(assets)
+      val corpusHashes = Multimodal.imageDHash(Multimodal.syntheticPngAssets(corpus))
+        .select("dhash_hi", "dhash_lo").distinct()
+      batchHashes.groupBy("dhash_hi", "dhash_lo")
+        .agg(min(col("asset_id")).as("asset_id"))
+        .join(corpusHashes, Seq("dhash_hi", "dhash_lo"), "left_anti")
+        .select("asset_id", "dhash_hi", "dhash_lo")
+    }),
+
     "pp_ingest_media_dct" -> ((s, d) => {
       // the media ingest gate keyed by the ROBUST DCT pHash instead of
       // the exact dHash (r13): rescaled/smoothed re-encodes of corpus
@@ -1048,6 +1111,49 @@ object PipelineQueries {
         .dropDuplicatesWithinWatermark("user_id", "event_type")
         .select(col("user_id"), col("event_type"))
       graft.streaming.StreamingQueries.runAppendToMemory(s, "dd_sdedup", out)
+    }),
+
+    "dd_stream_dedup_watermark" -> ((s, d) => {
+      // WATERMARK-BOUNDED streaming dedup (r15): dd_stream_dedup's
+      // 30-day horizon covers the whole corpus, so its state never
+      // expires; real crawl ingestion bounds state with the watermark,
+      // and this twin makes the bound BITE end-to-end through the real
+      // engine. Event times are a pure function of (user, batch parity)
+      // — every row of a user within one micro-batch carries the SAME
+      // time, so the first-arrival state entry is value-deterministic,
+      // not processing-order-dependent. Engine mechanics as pinned by
+      // ProcessorsSpec: late filtering keeps event_time STRICTLY above
+      // the previous batch's eviction watermark (the filter lags one
+      // batch, SPARK-40925), duplicates of in-state keys drop, and
+      // end-of-batch eviction removes expiry <= watermark — so
+      // re-emission first becomes possible in batch 2. Batch 0 spreads
+      // first arrivals across a day (hour = user % 24); batch 1
+      // re-sends every user at hour 21 + user % 5 (all duplicates drop:
+      // nothing evicted yet); batch 2 re-sends at hour 20 + user % 7
+      // against the batch-0 watermark (max batch-0 time − 1 h). Three
+      // fates, all oracle-stated: rows at or below the watermark DROP
+      // (late), duplicates of still-live state DROP, duplicates of
+      // EXPIRED state RE-EMIT — the bounded-state contract (state is
+      // O(horizon), not O(corpus); dups separated by more than the
+      // horizon reappear) that a 100 TB ingest relies on.
+      val base = 1704067200000000L // 2024-01-01T00:00:00Z, micros
+      val hour = 3600L * 1000000L
+      val src = Graft.events(s, d).select(
+        col("event_id"), col("user_id"),
+        timestamp_micros(lit(base) + lit(hour) *
+          when(pmod(col("event_id"), lit(3)) === 0,
+            pmod(col("user_id"), lit(24)))
+          .when(pmod(col("event_id"), lit(3)) === 1,
+            lit(21) + pmod(col("user_id"), lit(5)))
+          .otherwise(lit(20) + pmod(col("user_id"), lit(7))))
+          .as("event_time"))
+      val stream = graft.streaming.StreamingQueries.stageStreamBatched(
+        s, src, pmod(col("event_id"), lit(3)), "ddwm")
+      val out = stream
+        .withWatermark("event_time", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id")
+        .select(col("user_id"), unix_micros(col("event_time")).as("emit_us"))
+      graft.streaming.StreamingQueries.runAppendToMemory(s, "dd_sdedup_wm", out)
     }),
 
     "pp_ingest" -> ((s, d) => {
@@ -3335,6 +3441,33 @@ object PipelineQueries {
          FROM v""",
     "dd_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // the bounded-horizon twin replayed exactly (boundary rules pinned
+    // by ProcessorsSpec): a user's FIRST batch emits at its
+    // deterministic per-batch time (batch-1 dups of batch-0 keys all
+    // drop — nothing is evicted before batch 1); batch-2 rows face the
+    // batch-0 watermark (max batch-0 time − 1 h) twice over — at or
+    // below it they drop as late, against still-live state
+    // (first-arrival expiry strictly above the watermark) they drop as
+    // duplicates, and against EXPIRED state they RE-EMIT
+    "dd_stream_dedup_watermark" ->
+      """WITH p AS (SELECT DISTINCT user_id, event_id % 3 AS b FROM events),
+              u0 AS (SELECT user_id, 1704067200000000 + 3600000000 * (user_id % 24) AS us
+                     FROM p WHERE b = 0),
+              u1 AS (SELECT user_id, 1704067200000000 + 3600000000 * (21 + user_id % 5) AS us
+                     FROM p WHERE b = 1),
+              u2 AS (SELECT user_id, 1704067200000000 + 3600000000 * (20 + user_id % 7) AS us
+                     FROM p WHERE b = 2),
+              wm AS (SELECT max(us) - 3600000000 AS wm0 FROM u0),
+              firsts AS (SELECT user_id, us FROM u0
+                         UNION ALL
+                         SELECT user_id, us FROM u1
+                         WHERE user_id NOT IN (SELECT user_id FROM u0))
+         SELECT user_id, us AS emit_us FROM firsts
+         UNION ALL
+         SELECT u2.user_id, u2.us AS emit_us
+         FROM u2 CROSS JOIN wm LEFT JOIN firsts f ON f.user_id = u2.user_id
+         WHERE u2.us > wm.wm0
+           AND (f.user_id IS NULL OR f.us + 3600000000 <= wm.wm0)""",
     "pp_split" ->
       """WITH v AS (SELECT doc_id,
                            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
@@ -3494,24 +3627,13 @@ object PipelineQueries {
     // n_frames pins the avih header field independently of the payload
     "mm_video_mjpeg" -> mmVideoMjpegSql,
 
-    // the converged media-ingest result: new assets (id % 10 = 0) kept
-    // iff their dHash is absent from the standing corpus (id % 10 <> 0)
-    // AND they are the lowest-id new asset with that hash — ascending
-    // micro-batches make first-accepted == keep-min, so the streaming
-    // chain's output equals this batch statement
-    "pp_ingest_media" ->
-      s"""WITH $dhashCtes,
-         corp AS (SELECT DISTINCT dhash_hi, dhash_lo FROM h WHERE asset_id % 10 <> 0),
-         newa AS (SELECT * FROM h WHERE asset_id % 10 = 0),
-         kept AS (SELECT asset_id, dhash_hi, dhash_lo,
-                         row_number() OVER (PARTITION BY dhash_hi, dhash_lo
-                                            ORDER BY asset_id) AS r
-                  FROM newa)
-         SELECT k.asset_id, k.dhash_hi, k.dhash_lo
-         FROM kept k
-         WHERE k.r = 1 AND NOT EXISTS (
-           SELECT 1 FROM corp c
-           WHERE c.dhash_hi = k.dhash_hi AND c.dhash_lo = k.dhash_lo)""",
+    "pp_ingest_media" -> mediaIngestGateSql,
+
+    // the tf.Example-container ingest arm computes the SAME gate over
+    // the same batch/corpus split — only the batch's transport differs
+    // (image/encoded BytesList records inside TFRecord shards), and the
+    // decode roundtrip is the identity, so the oracle is shared verbatim
+    "pp_ingest_tfexample_media" -> mediaIngestGateSql,
 
     // the dct-gated media ingest converges to this batch statement (the
     // pp_ingest_media argument verbatim, over ph instead of h)

@@ -589,4 +589,74 @@ class ProcessorsSpec extends GraftTest {
     assert(!q.isActive)
     assert(spark.sql("SELECT 1").count() === 1) // session still serves queries
   }
+
+  test("dropDuplicatesWithinWatermark: live dups drop, expired state re-emits") {
+    // the drop/keep boundary behind dd_stream_dedup_watermark, pinned on
+    // planted keys (the T3 device applied to dedup). Engine mechanics
+    // (probed r15, Spark 4.1, micro-batch N): late-input filtering keeps
+    // rows with event_time STRICTLY ABOVE the previous batch's eviction
+    // watermark (the filter lags one batch, SPARK-40925); a surviving
+    // row drops iff its key is in state; state eviction runs at batch
+    // END with the batch's eviction watermark (computed from data
+    // through batch N-1), predicate expiry <= watermark — so a key
+    // first seen in batch 0 re-emits no earlier than batch 2.
+    //
+    // Batch 0: A@3h, B@23h -> eviction watermark during batch 1 = 22h.
+    // Batch 1: A@23h drops (A still in state: end-of-batch-0 eviction
+    //          used the initial 0 watermark), F@22h emits (new key,
+    //          expiry 23h), G@21h emits (new key, expiry exactly 22h).
+    // Batch 2 (late-filter watermark = 22h, the batch-1 eviction value —
+    //          the filter lags one batch, SPARK-40925): A@23h RE-EMITS
+    //          (expiry 4h <= 22h evicted at end of batch 1), B@23h drops
+    //          (expiry 24h live), G@23h pins the eviction boundary
+    //          (expiry exactly 22h: evicted, predicate is
+    //          expiry <= watermark), F@23h pins the complement (expiry
+    //          23h > 22h: live, drops), C@21h and H@22h pin the late
+    //          filter (BELOW and exactly AT the watermark: both drop —
+    //          keep is strictly event_time > watermark).
+    import org.apache.spark.sql.functions._
+    val hour = 3600L * 1000000L
+    val base = 1704067200000000L
+    val dir = java.nio.file.Files.createTempDirectory("wmdedup")
+    def stage(i: Int, rows: Seq[(String, Long)]): Unit = {
+      import spark.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory(s"wmst$i")
+      rows.toDF("k", "us").withColumn("event_time", timestamp_micros(col("us")))
+        .drop("us").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val l = java.nio.file.Files.list(tmp)
+      val part = try l.filter(_.toString.endsWith(".parquet")).findFirst().get()
+                 finally l.close()
+      val t = dir.resolve(s"batch-$i.parquet")
+      java.nio.file.Files.move(part, t)
+      java.nio.file.Files.setLastModifiedTime(t,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - (2 - i) * 120000L))
+    }
+    stage(0, Seq(("A", base + 3 * hour), ("B", base + 23 * hour)))
+    stage(1, Seq(("A", base + 23 * hour), ("F", base + 22 * hour),
+      ("G", base + 21 * hour)))
+    stage(2, Seq(("A", base + 23 * hour), ("B", base + 23 * hour),
+      ("G", base + 23 * hour), ("F", base + 23 * hour), ("C", base + 21 * hour),
+      ("H", base + 22 * hour)))
+    val schema = spark.read.parquet(dir.toString).schema
+    val out = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("k")
+      .select(col("k"), unix_micros(col("event_time")).as("us"))
+    val q = out.writeStream.format("memory").queryName("wmdedup_probe")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("wmck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(); q.stop()
+    info(s"batches: ${q.recentProgress.map(p => s"${p.batchId}:${p.numInputRows}:wm=${p.eventTime.get("watermark")}").mkString(" | ")}")
+    val got = spark.table("wmdedup_probe")
+      .collect().map(r => (r.getString(0), (r.getLong(1) - base) / hour))
+      .sorted.toSeq
+    info(s"observed: ${got.mkString(", ")}")
+    assert(got === Seq(("A", 3L), ("A", 23L), ("B", 23L),
+      ("F", 22L), ("G", 21L), ("G", 23L)))
+  }
 }
