@@ -37,7 +37,8 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamScale {
 
-  private case class Run(sec: Double, maxStateRows: Long, maxStateMB: Double, batches: Int)
+  private case class Run(sec: Double, maxStateRows: Long, maxStateMB: Double,
+                         batches: Int, finalStateRows: Long = -1L)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -124,13 +125,19 @@ object StreamScale {
         q.awaitTermination()
         val sec = (System.nanoTime() - t0) / 1e9
         val progs = q.recentProgress
-        val rows = progs.map(p => p.stateOperators.map(_.numRowsTotal).sum)
-        val mem = progs.map(p => p.stateOperators.map(_.memoryUsedBytes).sum)
+        val withState = progs.filter(_.stateOperators.nonEmpty)
+        val rows = withState.map(p => p.stateOperators.map(_.numRowsTotal).sum)
+        val mem = withState.map(p => p.stateOperators.map(_.memoryUsedBytes).sum)
         q.stop()
         Run(sec,
           if (rows.isEmpty) 0L else rows.max,
           if (mem.isEmpty) 0.0 else mem.max / 1e6,
-          progs.count(_.numInputRows > 0))
+          progs.count(_.numInputRows > 0),
+          // state rows AFTER the terminal batch's eviction — the number
+          // that separates a horizon-bounded store (shrinks back toward
+          // the live window) from an unbounded one (max == final,
+          // forever); -1 when the query has no state operator
+          if (rows.isEmpty) -1L else rows.last)
       }
 
       def withKey(df: DataFrame, disjoint: Boolean): DataFrame =
@@ -173,6 +180,25 @@ object StreamScale {
         try f finally spark.conf.unset(rocksConf)
       }
 
+      // r15 (verdict ask #6's state story): exact streaming dedup keeps
+      // a state row per key FOREVER (the dd_stream_dedup shape — state
+      // is O(distinct keys)), while dropDuplicatesWithinWatermark
+      // evicts entries one horizon past their first arrival — the
+      // bounded-state twin. The disjoint arms grow the key space Nx:
+      // the unbounded arm's state must track keys ~Nx and NEVER shrink
+      // across batches; the bounded arm's max state stays at the keys
+      // live within one horizon of the watermark.
+      def ddUnbounded(dir: String, per: Int): DataFrame =
+        withKey(read(dir, per), disjoint = true)
+          .dropDuplicates("key")
+          .select("key")
+      def ddWm(dir: String, per: Int): DataFrame =
+        withKey(read(dir, per), disjoint = true)
+          .withColumn("event_time", timestamp_micros(col("ts_us")))
+          .withWatermark("event_time", "1 hour")
+          .dropDuplicatesWithinWatermark("key")
+          .select("key")
+
       val cases: Seq[(String, String, () => Run, () => Run)] = Seq(
         ("w1_dense (window agg, same keys)", "hdfs",
           () => timed(w1(smallDir, smallPer), "w1s"),
@@ -188,7 +214,16 @@ object StreamScale {
           () => withRocks(timed(w2(bigDir, bigPer, disjoint = true), "w2rb"))),
         ("j1_disjoint (interval join, Nx keys)", "hdfs",
           () => timed(j1(smallDir, smallPer), "j1s"),
-          () => timed(j1(bigDir, bigPer), "j1b")))
+          () => timed(j1(bigDir, bigPer), "j1b")),
+        ("dedup_unbounded (exact dedup, Nx keys)", "hdfs",
+          () => timed(ddUnbounded(smallDir, smallPer), "ddus"),
+          () => timed(ddUnbounded(bigDir, bigPer), "ddub")),
+        ("dedup_wm_disjoint (1h-horizon dedup, Nx keys)", "hdfs",
+          () => timed(ddWm(smallDir, smallPer), "ddws"),
+          () => timed(ddWm(bigDir, bigPer), "ddwb")),
+        ("dedup_wm_disjoint (1h-horizon dedup, Nx keys)", "rocksdb",
+          () => withRocks(timed(ddWm(smallDir, smallPer), "ddwrs")),
+          () => withRocks(timed(ddWm(bigDir, bigPer), "ddwrb"))))
 
       // headers/prose emit only WITH their rows — a store-only run must
       // not append an empty engine table to SCALE.md (review r13)
@@ -203,10 +238,27 @@ object StreamScale {
           .replace("${f}", factor.toString))
         sb.append("|---|---|---|---|---|---|---|---|---|---|\n")
       }
-      if (caseSel != "store") cases.foreach { case (name, prov, small, big) =>
+      // SPARK_GRAFT_STREAM_ONLY: comma-separated name prefixes — run a
+      // subset of arms without re-measuring the whole family (the mode
+      // a round's incremental chain uses; headers still emit so the
+      // appended rows stay under a labelled table)
+      val onlyArm: String => Boolean =
+        sys.env.get("SPARK_GRAFT_STREAM_ONLY")
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq) match {
+          case Some(ps) if ps.nonEmpty => name => ps.exists(name.startsWith)
+          case _                       => _ => true
+        }
+      if (caseSel != "store") cases.filter(c => onlyArm(c._1)).foreach { case (name, prov, small, big) =>
         val s = small(); val b = big()
+        // state-rows cells show "max (final)": max is the batch peak,
+        // final is what remains after the terminal watermark's eviction
+        // — for an unbounded store they coincide; for a horizon-bounded
+        // store the final shrinks to the keys still live in the window
+        def rowsCell(r: Run): String =
+          if (r.finalStateRows < 0) s"${r.maxStateRows}"
+          else s"${r.maxStateRows} (${r.finalStateRows})"
         val row = f"| $name | $prov | ${s.sec}%.2f | ${b.sec}%.2f | ${b.sec / s.sec}%.1f | " +
-          f"${s.maxStateRows}%d | ${b.maxStateRows}%d | " +
+          f"${rowsCell(s)} | ${rowsCell(b)} | " +
           f"${if (s.maxStateRows == 0) 0.0 else b.maxStateRows.toDouble / s.maxStateRows}%.1f | " +
           f"${s.maxStateMB}%.1f | ${b.maxStateMB}%.1f |"
         println(s"SS $row")
@@ -273,18 +325,36 @@ object StreamScale {
           spark, batch, corpus, batchOf, tag, storeDirs = Some(dirs))
       }, tag)
 
+      // r15 (verdict ask #5): the cross-batch CONTENT-HASH state behind
+      // pp_ingest_streaming (the per-batch `seen` stores + the one-time
+      // corpus hash store). Replication keeps TEXT UNCHANGED (dense), so
+      // distinct content saturates: the stores must grow with content
+      // diversity, never with row count — the same dedup-state law the
+      // media arm certifies, here for the md5 text gate.
+      def ingestArm(d: DataFrame, tag: String): StoreRun = timedStore({ dirs =>
+        val batch = d.where(pmod(col("doc_id"), lit(10)) === 0)
+        val corpus = d.where(pmod(col("doc_id"), lit(10)) =!= 0)
+        val batchOf = graft.streaming.StreamingQueries
+          .harnessBatches(batch, "doc_id").getOrElse(lit(0))
+        graft.streaming.StreamingQueries.runIngestStream(
+          spark, batch, corpus, d, batchOf, jaccardMin = 0.5, tag,
+          storeDirs = Some(dirs))
+      }, tag)
+
       val storeCases: Seq[(String, () => StoreRun, () => StoreRun)] = Seq(
         ("txt_bm25_streaming (stats store, Nx docs)",
           () => bm25Arm(docs, "bm25s"), () => bm25Arm(docsBig, "bm25b")),
         ("pp_ingest_media (hash store, Nx assets)",
-          () => mediaArm(docs, "media-s"), () => mediaArm(docsBig, "media-b")))
+          () => mediaArm(docs, "media-s"), () => mediaArm(docsBig, "media-b")),
+        ("pp_ingest (content-hash stores, Nx docs, text unchanged)",
+          () => ingestArm(docs, "ing-s"), () => ingestArm(docsBig, "ing-b")))
 
       if (caseSel != "engine") {
         sb.append(s"\n### persisted-store state growth (factor $factor, foreachBatch parquet stores)\n\n")
         sb.append("| case | 1x sec | ${f}x sec | time ratio | 1x store rows | ${f}x store rows | rows ratio | 1x store MB | ${f}x store MB |\n"
           .replace("${f}", factor.toString))
         sb.append("|---|---|---|---|---|---|---|---|---|\n")
-        storeCases.foreach { case (name, small, big) =>
+        storeCases.filter(c => onlyArm(c._1)).foreach { case (name, small, big) =>
           val s = small(); val b = big()
           val row = f"| $name | ${s.sec}%.2f | ${b.sec}%.2f | ${b.sec / s.sec}%.1f | " +
             f"${s.storeRows}%d | ${b.storeRows}%d | " +

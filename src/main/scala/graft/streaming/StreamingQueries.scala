@@ -251,11 +251,13 @@ object StreamingQueries {
   def runIngestStream(spark: SparkSession, batchDocs: DataFrame, corpus: DataFrame,
                       allDocs: DataFrame, batchOf: org.apache.spark.sql.Column,
                       jaccardMin: Double, tag: String,
-                      semantic: Option[(DataFrame, graft.ann.IvfModel, Double, Int)] = None): DataFrame = {
+                      semantic: Option[(DataFrame, graft.ann.IvfModel, Double, Int)] = None,
+                      storeDirs: Option[scala.collection.mutable.Buffer[(String, String)]] = None): DataFrame = {
     val stream = stageStreamBatched(spark, batchDocs, batchOf, tag)
     val seenRoot = tmpDir(s"ingest-seen-$tag")
     val outRoot = tmpDir(s"ingest-out-$tag")
     val corpusHashDir = tmpDir(s"ingest-corpus-$tag")
+    storeDirs.foreach(b => b ++= Seq("seen" -> seenRoot, "corpus" -> corpusHashDir))
     corpus.select(md5(col("text")).as("h")).distinct()
       .write.mode("overwrite").parquet(corpusHashDir)
     // semantic stage setup: persist the corpus-side cluster assignment once
