@@ -741,6 +741,28 @@ object Dedup {
       .select(col("bl._bp_id").as("a"), col("br._bp_id").as("b"))
   }
 
+  /** Cross-corpus candidate pairs by attribute blocking — the
+    * batch-vs-standing-corpus twin of [[blockedPairs]] (r15: the inline
+    * `batch.join(corpus, blockKeys)` form in the ingest paths carried no
+    * guard; this closes the last unguarded blocking-join class). Each
+    * side's oversized blocks are dropped by [[capBuckets]] independently
+    * (two window counts, each riding the hash exchange its join side
+    * needs anyway), so a hot block's pair fan-out is bounded by
+    * maxBucket² instead of |left block| × |right block| — linear-in-
+    * corpus block membership would otherwise grow the pair stage
+    * quadratically. Emits (a, b) = (left id, right id); drops are
+    * observable via the `graft.crossBlockedPairs.cap.*` metrics.
+    */
+  def crossBlockedPairs(left: DataFrame, right: DataFrame, id: String,
+                        blocks: Seq[(String, Column)],
+                        maxBucket: Int = 1000): DataFrame = {
+    val keys = blocks.map(_._1)
+    def keyed(df: DataFrame, as: String) =
+      capBuckets(df.select(blocks.map { case (n, c) => c.as(n) } :+ col(id).as(as): _*),
+        keys, maxBucket, "crossBlockedPairs")
+    keyed(left, "a").join(keyed(right, "b"), keys).select("a", "b")
+  }
+
   // ---- exact Jaccard verification ----------------------------------------
 
   /** Exact n-gram-set Jaccard for a candidate pair set (columns a, b):

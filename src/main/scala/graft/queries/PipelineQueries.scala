@@ -1168,10 +1168,11 @@ object PipelineQueries {
       val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
       val keptExact = Dedup.incremental(batch, corpus, "doc_id", "text")
         .select(col("keep_id").as("doc_id"))
-      val cand = batch.select(col("lang"), col("n_chars"), col("doc_id").as("a"))
-        .join(corpus.select(col("lang"), col("n_chars"), col("doc_id").as("b")),
-          Seq("lang", "n_chars"))
-        .select("a", "b")
+      // guarded cross-corpus blocking (r15): same default-on cap as the
+      // self-join pair generators; inert at oracle SFs, so the SQL
+      // chain's plain join replays it exactly
+      val cand = Dedup.crossBlockedPairs(batch, corpus, "doc_id",
+        Seq("lang" -> col("lang"), "n_chars" -> col("n_chars")))
       val nearDup = Dedup.verifyJaccard(cand, docs, "doc_id", "text")
         .where(col("jaccard") >= 0.5)
         .select(col("a").as("doc_id")).distinct()
@@ -1216,10 +1217,11 @@ object PipelineQueries {
       val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
       val keptExact = Dedup.incremental(batch, corpus, "doc_id", "text")
         .select(col("keep_id").as("doc_id"))
-      val cand = batch.select(col("lang"), col("n_chars"), col("doc_id").as("a"))
-        .join(corpus.select(col("lang"), col("n_chars"), col("doc_id").as("b")),
-          Seq("lang", "n_chars"))
-        .select("a", "b")
+      // guarded cross-corpus blocking (r15): same default-on cap as the
+      // self-join pair generators; inert at oracle SFs, so the SQL
+      // chain's plain join replays it exactly
+      val cand = Dedup.crossBlockedPairs(batch, corpus, "doc_id",
+        Seq("lang" -> col("lang"), "n_chars" -> col("n_chars")))
       val nearDup = Dedup.verifyJaccard(cand, docs, "doc_id", "text")
         .where(col("jaccard") >= 0.5)
         .select(col("a").as("doc_id")).distinct()

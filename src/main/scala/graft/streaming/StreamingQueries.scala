@@ -288,10 +288,12 @@ object StreamingQueries {
           .groupBy("_h").agg(min(col("doc_id")).as("doc_id"))
           .select("doc_id")
         val fresh = b.join(keptIds, Seq("doc_id"), "left_semi")
-        val cand = fresh.select(col("lang"), col("n_chars"), col("doc_id").as("a"))
-          .join(corpus.select(col("lang"), col("n_chars"), col("doc_id").as("b")),
-            Seq("lang", "n_chars"))
-          .select("a", "b")
+        // guarded cross-corpus blocking (r15): the per-batch candidate
+        // stage rides the same default-on capBuckets guard as the batch
+        // ingest chain — the corpus side's block membership grows with
+        // the standing corpus, the exact quadratic cliff the cap bounds
+        val cand = graft.dedup.Dedup.crossBlockedPairs(fresh, corpus, "doc_id",
+          Seq("lang" -> col("lang"), "n_chars" -> col("n_chars")))
         val nearDup = graft.dedup.Dedup.verifyJaccard(cand, allDocs, "doc_id", "text")
           .where(col("jaccard") >= jaccardMin)
           .select(col("a").as("doc_id")).distinct()

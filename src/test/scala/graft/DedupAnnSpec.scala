@@ -735,6 +735,27 @@ class DedupAnnSpec extends GraftTest {
       "uncapped run emits the full quadratic mega-block (the shape the cap prevents)")
   }
 
+  test("crossBlockedPairs caps each side's oversized blocks independently") {
+    import spark.implicits._
+    // batch: 2 healthy rows in block A, 150 rows in mega-block B;
+    // corpus: 3 rows in A, 200 rows in B. With maxBucket = 100 block B
+    // drops on BOTH sides (no 150x200 fan-out); block A's 2x3 pairs
+    // survive. Uncapped emits the full cross product per block.
+    val batch = (Seq((1L, "en", 10), (2L, "en", 12)) ++
+      (100L until 250L).map(i => (i, "en", 300))).toDF("doc_id", "lang", "n_chars")
+    val corpus = (Seq((51L, "en", 15), (52L, "en", 20), (53L, "en", 25)) ++
+      (500L until 700L).map(i => (i, "en", 300))).toDF("doc_id", "lang", "n_chars")
+    def pairs(cap: Int) = Dedup.crossBlockedPairs(batch, corpus, "doc_id",
+        Seq("lang" -> col("lang"), "blk" -> (col("n_chars") / lit(32)).cast("int")),
+        maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairs(100)
+    assert(capped === Set((1L, 51L), (1L, 52L), (1L, 53L),
+      (2L, 51L), (2L, 52L), (2L, 53L)))
+    assert(pairs(0).size === 6 + 150 * 200,
+      "uncapped run emits the full cross-block fan-out (the shape the cap prevents)")
+  }
+
   test("chunkDedup: chunks reassemble to the document; shared passages dedup to first occurrence") {
     import spark.implicits._
     // ~300-char passage shared verbatim by two otherwise-distinct docs:

@@ -616,17 +616,24 @@ class PlanSpec extends GraftTest {
       .queryExecution.analyzed.toString
     assert(helper.contains("_bsz"),
       s"blockedVerifiedPairs lost the capBuckets guard:\n${helper.take(2000)}")
-    // (2) no query source builds the raw uncapped blocking self-join:
-    //     the inline `l.join(r, Seq(...))` pair idiom must not reappear —
-    //     candidate generation goes through Dedup.blockedPairs /
-    //     blockedVerifiedPairs (same source-scan idiom as the
+    // (2) the guarded CROSS-corpus form covers the ingest chains too:
+    //     pp_ingest's candidate stage must carry the cap (its analyzed
+    //     plan is lazy, so the assertion works directly)
+    val ing = SparkEntry.queries("pp_ingest")(spark, sf).queryExecution.analyzed.toString
+    assert(ing.contains("_bsz"),
+      s"pp_ingest generates cross-corpus candidate pairs without the capBuckets guard:\n${ing.take(2000)}")
+    // (3) no query source builds the raw uncapped blocking join: the
+    //     inline `.join(x, Seq("lang", "n_chars"))` pair idiom must not
+    //     reappear — candidate generation goes through Dedup.blockedPairs
+    //     / crossBlockedPairs (same source-scan idiom as the
     //     global-sort-Window offender walk below)
-    Seq("queries/PipelineQueries.scala", "queries/CoreQueries.scala").foreach { f =>
+    Seq("queries/PipelineQueries.scala", "queries/CoreQueries.scala",
+      "streaming/StreamingQueries.scala").foreach { f =>
       val src = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"src/main/scala/graft/$f")), "UTF-8")
-      assert(!src.contains("""join(r, Seq("lang""""),
-        s"$f builds an inline uncapped blocking self-join — route it " +
-          "through Dedup.blockedPairs so the maxBucket guard applies")
+      assert(!src.contains("""Seq("lang", "n_chars"))"""),
+        s"$f builds an inline uncapped blocking join — route it through " +
+          "Dedup.blockedPairs / crossBlockedPairs so the maxBucket guard applies")
     }
   }
 
