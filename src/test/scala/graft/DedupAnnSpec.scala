@@ -756,6 +756,42 @@ class DedupAnnSpec extends GraftTest {
       "uncapped run emits the full cross-block fan-out (the shape the cap prevents)")
   }
 
+  test("banded-Hamming monoculture: the cap's observe metrics report the dropped mega-buckets") {
+    import spark.implicits._
+    // the SCALE.md skew-stress shape in miniature: 600 assets from one
+    // template (6 of 8 bands pinned, 8 random bits in each of the two
+    // low hi-bands) + 3 healthy distinct hashes. With maxBand = 100 the
+    // six pinned bands are mega-buckets the cap must drop WHOLE, and the
+    // loss must be OBSERVABLE: dropped_buckets >= 6, max_bucket = the
+    // cluster's distinct-fingerprint count, zero mega-bucket pairs out.
+    val cluster = (0L until 600L).map { i =>
+      val rnd = scala.util.hashing.MurmurHash3.stringHash(i.toString).toLong & 0xffffL
+      (i, 0x5a5a5a5a5a5a0000L | rnd, 0x3c3c3c3c3c3c3c3cL)
+    }
+    val healthy = Seq((1000L, 1L, 2L), (1001L, 1L, 3L), (1002L, 4L, 2L))
+    val h = (cluster ++ healthy).toDF("asset_id", "dhash_hi", "dhash_lo")
+    val df = graft.queries.PipelineQueries
+      .bandedHammingPairs(h, "dhash_hi", "dhash_lo", 3, maxBand = 100)
+    df.queryExecution.toRdd.foreach(_ => ())
+    val m = df.queryExecution.observedMetrics
+      .filter(_._1.contains("banded_hamming.cap")).values
+    assert(m.nonEmpty, "the cap's observe node must be in the executed plan")
+    val droppedBuckets = m.map(_.getAs[Long]("dropped_buckets")).sum
+    val maxBucket = m.map(_.getAs[Long]("max_bucket")).max
+    val distinctCluster = cluster.map(c => (c._2, c._3)).distinct.size
+    assert(droppedBuckets >= 6,
+      s"each pinned band must surface as a dropped mega-bucket: $droppedBuckets")
+    assert(maxBucket === distinctCluster.toLong,
+      s"max_bucket must report the cluster's canonical size: $maxBucket vs $distinctCluster")
+    // no pair from the pinned mega-buckets survives; healthy pairs none
+    // here (3 distinct hashes share no band value by construction check)
+    val pairs = df.collect()
+    assert(pairs.forall { r =>
+      val a = r.getAs[Long]("asset_a"); val b = r.getAs[Long]("asset_b")
+      !(a < 600 && b < 600) || r.getAs[Int]("hamming") <= 3
+    })
+  }
+
   test("chunkDedup: chunks reassemble to the document; shared passages dedup to first occurrence") {
     import spark.implicits._
     // ~300-char passage shared verbatim by two otherwise-distinct docs:
