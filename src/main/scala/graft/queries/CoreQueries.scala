@@ -537,6 +537,111 @@ object CoreQueries {
         .select(col("asset_id").as("doc_id"), col("png_px_sum"))
     }),
 
+    "s_tfexample_media_jpeg" -> ((s, d) => {
+      // the JPEG arm of the TFDS image-record chain (r15): the same
+      // tf.Example `image/encoded` BytesList transport, carrying the
+      // certified baseline-JPEG fixture instead of PNG — the payload
+      // decodes through the FULL entropy → dequantize → IDCT path and
+      // reduces to the mm_decode_jpeg block stats, so that oracle
+      // transfers verbatim. Together with s_tfexample_media this pins
+      // that the container layer is format-agnostic bytes (the
+      // image/format feature, not the framing, selects the codec).
+      val out = tmp("tfexmjpg")
+      val docs = Graft.documents(s, d)
+      import s.implicits._
+      val payloads = graft.multimodal.Multimodal.syntheticJpegAssets(docs)
+        .as[(Long, Array[Byte])]
+        .map { case (id, jpeg) =>
+          graft.sources.Sources.TfExample.encode(Seq(
+            "asset_id" -> id, "image/encoded" -> jpeg,
+            "image/format" -> "jpeg"))
+        }.toDF("payload")
+      graft.sources.Sources.writeTfRecords(payloads, "payload", out, shards = 4)
+      val assets = graft.sources.Sources.readTfRecords(s, out)
+        .as[Array[Byte]]
+        .map { b =>
+          val m = graft.sources.Sources.TfExample.decode(b).toMap
+          require(new String(m("image/format").bytes.head, "UTF-8") == "jpeg",
+            "unexpected image/format")
+          (m("asset_id").int64s.head, m("image/encoded").bytes.head)
+        }.toDF("asset_id", "payload")
+      graft.multimodal.Multimodal.decodeJpegBlocks(assets)
+    }),
+
+    "s_tfexample_media_streaming" -> ((s, d) => {
+      // the streaming twin of s_tfexample_media: the SAME image shards
+      // arrive through the real engine (binaryFile source, one shard
+      // per micro-batch), each TFRecord frame parsed, the tf.Example
+      // decoded, the PNG payload decoded per batch — stateless append,
+      // so the converged per-asset pixel sums equal the batch read and
+      // share its oracle verbatim (the s_webdataset_streaming device
+      // applied to the tf.Example container).
+      val out = tmp("tfexmstream")
+      val docs = Graft.documents(s, d)
+      import s.implicits._
+      val payloads = docs.select("doc_id", "n_chars").as[(Long, Long)]
+        .map { case (id, nc) =>
+          graft.sources.Sources.TfExample.encode(Seq(
+            "asset_id" -> id,
+            "image/encoded" -> graft.multimodal.Multimodal.syntheticPngBytes(id, nc),
+            "image/format" -> "png"))
+        }.toDF("payload")
+      graft.sources.Sources.writeTfRecords(payloads, "payload", out, shards = 4)
+      val stream = s.readStream.format("binaryFile")
+        .schema(s.read.format("binaryFile").load(s"$out/*.tfrecord").schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(s"$out/*.tfrecord")
+        .select("content").as[Array[Byte]]
+        .flatMap { shard =>
+          graft.sources.Sources.TfRecord.readAll(shard).map { b =>
+            val m = graft.sources.Sources.TfExample.decode(b).toMap
+            (m("asset_id").int64s.head, m("image/encoded").bytes.head)
+          }
+        }.toDF("asset_id", "payload")
+      val px = graft.multimodal.Multimodal.decodePngChannels(stream)
+      val pxT = graft.streaming.StreamingQueries.runAppendToMemory(s, "s_tfexm_px", px)
+      pxT.groupBy("asset_id").agg(sum("px_sum").as("png_px_sum"))
+        .select(col("asset_id").as("doc_id"), col("png_px_sum"))
+    }),
+
+    "s_tfexample_multimodal" -> ((s, d) => {
+      // the COMPLETE multimodal training sample (r15): one tf.Example
+      // per document carrying text (BytesList), the paired image
+      // (image/encoded BytesList PNG), and integer metadata (Int64List)
+      // — the record shape a text+image training pipeline actually
+      // consumes. Both modalities certified deep on the way back: text
+      // must reproduce the documents columns bit-exactly (UTF-8
+      // BytesList roundtrip) and the image goes through the full PNG
+      // decode to per-asset pixel sums the oracle replays.
+      val out = tmp("tfexmm")
+      val docs = Graft.documents(s, d)
+      import s.implicits._
+      val payloads = docs.select("doc_id", "text", "lang", "n_chars")
+        .as[(Long, String, String, Long)]
+        .map { case (id, text, lang, nc) =>
+          graft.sources.Sources.TfExample.encode(Seq(
+            "doc_id" -> id, "text" -> text, "lang" -> lang, "n_chars" -> nc,
+            "image/encoded" -> graft.multimodal.Multimodal.syntheticPngBytes(id, nc),
+            "image/format" -> "png"))
+        }.toDF("payload")
+      graft.sources.Sources.writeTfRecords(payloads, "payload", out, shards = 4)
+      val back = graft.sources.Sources.readTfRecords(s, out)
+        .as[Array[Byte]]
+        .map { b =>
+          val m = graft.sources.Sources.TfExample.decode(b).toMap
+          (m("doc_id").int64s.head,
+            new String(m("text").bytes.head, "UTF-8"),
+            new String(m("lang").bytes.head, "UTF-8"),
+            m("n_chars").int64s.head,
+            m("image/encoded").bytes.head)
+        }.toDF("doc_id", "text", "lang", "n_chars", "payload")
+      val px = graft.multimodal.Multimodal.decodePngChannels(
+          back.select(col("doc_id").as("asset_id"), col("payload")))
+        .groupBy("asset_id").agg(sum("px_sum").as("png_px_sum"))
+        .withColumnRenamed("asset_id", "doc_id")
+      back.drop("payload").join(px, Seq("doc_id"))
+    }),
+
     "s_parquet_zstd" -> ((s, d) => {
       // ZSTD-compressed parquet roundtrip — the modern default storage
       // codec for analytics corpora (splittable at the row-group level,
@@ -586,6 +691,21 @@ object CoreQueries {
       s.read.schema(docs.schema).json(out)
     }))
 
+  /** Per-asset pixel-sum replay of the synthetic PNG formula — shared
+    * by the tf.Example media batch query and its streaming twin.
+    */
+  private val tfexampleMediaPxSql: String =
+    """SELECT d.doc_id,
+              CAST(SUM((d.doc_id * 7 + gx.x * 3 + gy.y * 5 + ch.c * 11) % 256) AS BIGINT) AS png_px_sum
+       FROM documents d,
+            UNNEST(generate_series(0, 2)) AS ch(c),
+            UNNEST(generate_series(0, 12)) AS gx(x),
+            UNNEST(generate_series(0, 10)) AS gy(y)
+       WHERE ch.c < (CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 3 END)
+         AND gx.x < 1 + d.n_chars % 13
+         AND gy.y < 1 + d.doc_id % 11
+       GROUP BY 1"""
+
   val sourceOracles: Map[String, String] = Map(
     "s1_stream_source" ->
       "SELECT CAST(user_id AS VARCHAR) AS key, event_type AS value, epoch_us(ts) AS ts_us FROM events",
@@ -631,17 +751,27 @@ object CoreQueries {
     // TFDS-style image/encoded BytesList payloads: the tf.Example +
     // TFRecord + PNG-decode chain reduces to the synthetic pixel
     // formula (the s_webdataset per-asset pixel-sum device)
-    "s_tfexample_media" ->
-      """SELECT d.doc_id,
-                CAST(SUM((d.doc_id * 7 + gx.x * 3 + gy.y * 5 + ch.c * 11) % 256) AS BIGINT) AS png_px_sum
-         FROM documents d,
-              UNNEST(generate_series(0, 2)) AS ch(c),
-              UNNEST(generate_series(0, 12)) AS gx(x),
-              UNNEST(generate_series(0, 10)) AS gy(y)
-         WHERE ch.c < (CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 3 END)
-           AND gx.x < 1 + d.n_chars % 13
-           AND gy.y < 1 + d.doc_id % 11
-         GROUP BY 1""",
+    "s_tfexample_media" -> tfexampleMediaPxSql,
+    // the stateless streaming twin converges to the batch read — SAME oracle
+    "s_tfexample_media_streaming" -> tfexampleMediaPxSql,
+    // JPEG payloads through the same container reduce to the
+    // mm_decode_jpeg block stats — that oracle verbatim
+    "s_tfexample_media_jpeg" -> PipelineQueries.mmDecodeJpegSql,
+    // full multimodal sample: text columns roundtrip to identity, the
+    // paired image reduces to the pixel-formula sums
+    "s_tfexample_multimodal" ->
+      """SELECT d.doc_id, d.text, d.lang, d.n_chars, p.png_px_sum
+         FROM documents d JOIN (
+           SELECT d.doc_id,
+                  CAST(SUM((d.doc_id * 7 + gx.x * 3 + gy.y * 5 + ch.c * 11) % 256) AS BIGINT) AS png_px_sum
+           FROM documents d,
+                UNNEST(generate_series(0, 2)) AS ch(c),
+                UNNEST(generate_series(0, 12)) AS gx(x),
+                UNNEST(generate_series(0, 10)) AS gy(y)
+           WHERE ch.c < (CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 3 END)
+             AND gx.x < 1 + d.n_chars % 13
+             AND gy.y < 1 + d.doc_id % 11
+           GROUP BY 1) p ON p.doc_id = d.doc_id""",
     // tar twin: shard 2 quarantines whole (poisoned first header),
     // shard 3 drops exactly its last (max-doc_id) member (torn tail)
     "s_webdataset_corrupt_tail" ->

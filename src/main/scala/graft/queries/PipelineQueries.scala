@@ -2403,7 +2403,9 @@ object PipelineQueries {
   // Batch/streaming twin oracles bound ONCE (review r12): each
   // streaming entry shares its batch SQL by reference, so a formula
   // tweak can never silently decouple the two certifications.
-  private val mmDecodeJpegSql: String =
+  // shared with CoreQueries' s_tfexample_media_jpeg (same decode, JPEG
+  // payloads arriving through the tf.Example container instead)
+  private[queries] val mmDecodeJpegSql: String =
     """SELECT d.doc_id AS asset_id,
                 CAST(0 AS INT) AS comp,
                 CAST(8 * (1 + d.doc_id % 3) AS INT) AS width,

@@ -510,6 +510,31 @@ class SourcesSpec extends GraftTest {
     assert(w.map(_._1) === Seq("a.json"))
   }
 
+  test("failed shard write leaves no temp files behind (ADVICE r14)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("shardfail")
+    // a null payload makes TfRecord.write throw mid-shard: the write
+    // must fail the job AND delete its .attempt-N.tmp before rethrowing
+    val bad = spark.range(10)
+      .select(when(col("id") === 7, lit(null))
+        .otherwise(col("id").cast("string")).cast("binary").as("payload"))
+    intercept[org.apache.spark.SparkException] {
+      graft.sources.Sources.writeTfRecords(bad, "payload", dir.toString, shards = 2)
+    }
+    val leftovers = {
+      val l = java.nio.file.Files.list(dir)
+      try l.map[String](_.getFileName.toString).toArray.map(_.toString).toSeq
+      finally l.close()
+    }
+    assert(!leftovers.exists(_.contains(".tmp")),
+      s"failed attempts must clean their temp files: $leftovers")
+    // and a healthy write into the same directory still commits whole
+    val good = spark.range(10)
+      .select(col("id").cast("string").cast("binary").as("payload"))
+    graft.sources.Sources.writeTfRecords(good, "payload", dir.toString, shards = 2)
+    assert(graft.sources.Sources.readTfRecords(spark, dir.toString).count() === 10)
+  }
+
   test("tf.Example wire format: golden bytes, roundtrip, unknown-field skip, truncation") {
     import graft.sources.Sources.TfExample
     def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
