@@ -31,6 +31,7 @@ object Bench {
     "pp_shuffle", "pp_mix", "pp_temperature", "pp_chunk", "pp_pack", "pp_pack_bpe", "pp_pack_mm", "pp_ctx_windows", "pp_interleave",
     "pp_weights", "pp_profile", "pp_histogram", "pp_topquality", "pp_sample_n",
     "pp_sample_weighted", "pp_cluster_sample", "pp_domain_cap", "pp_dsir", "pp_delta", "pp_decontam_spans",
+    "pp_sft_mask", "pp_preference_pairs", "pp_fim",
     "pp_pipeline", "pp_ingest_streaming", "pp_ingest_semantic", "pp_ingest_media", "pp_ingest_media_dct", "pp_ingest_tfexample_media", "pp_dedup_report", "dd_url", "q_hybrid_retrieval",
     "s_tfexample_media", "s_tfexample_media_jpeg", "s_tfexample_multimodal", "dd_stream_dedup_watermark",
     "mm_features", "mm_resize", "mm_quantize", "mm_decode", "mm_decode_jpeg", "mm_jpeg_coefs", "mm_jpeg_420", "mm_jpeg_rgb", "mm_decode_png", "mm_audio_fft", "mm_audio_mel", "mm_audio_decimate", "mm_audio_fingerprint", "dd_audio_neardup", "dd_image_phash", "dd_image_phash_dct", "dd_image_resolve", "dd_image_neardup", "dd_image_neardup_dct", "mm_video_mjpeg", "mm_video_scenes", "mm_resize_box", "mm_text_image_score", "txt_sentences", "ann_assign_streaming",

@@ -1076,6 +1076,80 @@ object PipelineQueries {
       TextFunctions.chunkSpans(Graft.documents(s, d), "doc_id", "text",
         maxTok = 128, overlap = 16)),
 
+    "pp_sft_mask" -> ((s, d) => {
+      // SFT example assembly with LOSS-MASK spans (r15): each doc
+      // becomes a chat-templated training example — role sentinels
+      // around a deterministic user/assistant split (first half of the
+      // text prompts, second half answers) — plus the 1-based character
+      // span [mask_start, mask_end) of the ASSISTANT content, the only
+      // region the loss trains on. Pure per-row string arithmetic (one
+      // codegen'd scan, no shuffle); the oracle replays the template
+      // and the span math exactly. 100 TB shape: embarrassingly
+      // parallel, output size ~input size.
+      val docs = Graft.documents(s, d)
+      val len = length(col("text"))
+      val half = expr("length(text) div 2")
+      docs.select(col("doc_id"),
+        concat(lit("<|user|>"), expr("substring(text, 1, length(text) div 2)"),
+          lit("<|assistant|>"),
+          expr("substring(text, length(text) div 2 + 1, length(text))"),
+          lit("<|end|>")).as("sft_text"),
+        (lit(8) + half + lit(13) + lit(1)).cast("int").as("mask_start"),
+        (lit(8) + half + lit(13) + lit(1) + (len - half)).cast("int").as("mask_end"))
+    }),
+
+    "pp_preference_pairs" -> ((s, d) => {
+      // preference-pair construction (DPO/RLHF data prep, r15): within
+      // each group (lang as the prompt proxy), pair the preferred
+      // response with the dispreferred one — chosen = the doc
+      // maximizing the (n_tokens, doc_id) score (the
+      // most-informative-response proxy; this corpus passes the
+      // quality_ok gate wholesale, so the gate cannot discriminate),
+      // rejected = the doc minimizing it; singleton groups emit
+      // nothing. Integer score + deterministic tie-breaks keep the
+      // oracle exact, and the shape is ONE per-group aggregation
+      // computing both struct extremes (map-side partials, one
+      // exchange) — no window sort, no per-group row explosion at
+      // 100 TB.
+      val docs = Graft.documents(s, d)
+      val q = TextFunctions.qualityFeatures(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      q.groupBy("lang")
+        .agg(max(struct(col("n_tokens"), col("doc_id"))).as("c"),
+          min(struct(col("n_tokens"), col("doc_id"))).as("r"))
+        .where(col("c.doc_id") =!= col("r.doc_id"))
+        .select(col("lang"),
+          col("c.doc_id").as("chosen_id"), col("c.n_tokens").as("chosen_tokens"),
+          col("r.doc_id").as("rejected_id"), col("r.n_tokens").as("rejected_tokens"),
+          (col("c.n_tokens") - col("r.n_tokens")).as("token_gap"))
+    }),
+
+    "pp_fim" -> ((s, d) => {
+      // fill-in-the-middle transformation (code/infilling training,
+      // r15): even doc_ids re-serialize as <PRE>prefix<SUF>suffix<MID>
+      // middle (the PSM order infilling models train on), odd ids pass
+      // through unchanged — the deterministic stand-in for the
+      // apply-with-probability-p gate. Thirds split by character count;
+      // span lengths ride along as integers. One codegen'd scan, fully
+      // oracle-replayable.
+      val docs = Graft.documents(s, d)
+      val len = length(col("text"))
+      val third = expr("length(text) div 3")
+      val applied = pmod(col("doc_id"), lit(2)) === 0
+      docs.select(col("doc_id"),
+        when(applied, concat(
+            lit("<PRE>"), expr("substring(text, 1, length(text) div 3)"),
+            lit("<SUF>"),
+            expr("substring(text, 2 * (length(text) div 3) + 1, length(text))"),
+            lit("<MID>"),
+            expr("substring(text, length(text) div 3 + 1, length(text) div 3)")))
+          .otherwise(col("text")).as("fim_text"),
+        applied.as("fim_applied"),
+        when(applied, third).otherwise(lit(0)).cast("int").as("pre_len"),
+        when(applied, third).otherwise(lit(0)).cast("int").as("mid_len"),
+        when(applied, len - lit(2) * third).otherwise(lit(0)).cast("int").as("suf_len"))
+    }),
+
     "pp_weighted" -> ((s, d) =>
       // target-ratio mixture: de oversampled 2:1 against everything else,
       // at the largest feasible size — same broadcast-counts shape as
@@ -3418,6 +3492,53 @@ object PipelineQueries {
                     FROM t WHERE n_tok > 0)
          SELECT doc_id, i AS chunk_idx, i * 112 AS tok_start, least(i * 112 + 128, n_tok) AS tok_end
          FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)""",
+    // the chat template + loss-mask span replayed character-exact:
+    // assistant content starts after "<|user|>" (8) + the user half +
+    // "<|assistant|>" (13); [mask_start, mask_end) covers exactly the
+    // second half of the original text
+    "pp_sft_mask" ->
+      """SELECT doc_id,
+                '<|user|>' || substr(text, 1, length(text) // 2) ||
+                '<|assistant|>' || substr(text, length(text) // 2 + 1) ||
+                '<|end|>' AS sft_text,
+                CAST(8 + length(text) // 2 + 13 + 1 AS INT) AS mask_start,
+                CAST(8 + length(text) // 2 + 13 + 1
+                     + (length(text) - length(text) // 2) AS INT) AS mask_end
+         FROM documents""",
+    // chosen = doc maximizing (n_tokens, doc_id) per lang, rejected =
+    // the minimizer; singleton groups drop — integer score,
+    // deterministic lexicographic tie-breaks
+    "pp_preference_pairs" ->
+      """WITH f AS (SELECT doc_id, lang,
+                           len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS n_tokens
+                    FROM documents),
+              good AS (SELECT lang, doc_id AS chosen_id, n_tokens AS chosen_tokens,
+                              row_number() OVER (PARTITION BY lang
+                                ORDER BY n_tokens DESC, doc_id DESC) AS rn
+                       FROM f),
+              bad AS (SELECT lang, doc_id AS rejected_id, n_tokens AS rejected_tokens,
+                             row_number() OVER (PARTITION BY lang
+                               ORDER BY n_tokens ASC, doc_id ASC) AS rn
+                      FROM f)
+         SELECT g.lang, g.chosen_id, g.chosen_tokens,
+                b.rejected_id, b.rejected_tokens,
+                g.chosen_tokens - b.rejected_tokens AS token_gap
+         FROM good g JOIN bad b ON g.lang = b.lang
+         WHERE g.rn = 1 AND b.rn = 1 AND g.chosen_id <> b.rejected_id""",
+    // PSM re-serialization on even ids, identity on odd — thirds by
+    // character count, spans as integers
+    "pp_fim" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN
+                  '<PRE>' || substr(text, 1, length(text) // 3) ||
+                  '<SUF>' || substr(text, 2 * (length(text) // 3) + 1) ||
+                  '<MID>' || substr(text, length(text) // 3 + 1, length(text) // 3)
+                ELSE text END AS fim_text,
+                (doc_id % 2 = 0) AS fim_applied,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN length(text) // 3 ELSE 0 END AS INT) AS pre_len,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN length(text) // 3 ELSE 0 END AS INT) AS mid_len,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN length(text) - 2 * (length(text) // 3) ELSE 0 END AS INT) AS suf_len
+         FROM documents""",
     "pp_weighted" ->
       """WITH c AS (SELECT lang, count(*) AS n_s,
                            CASE WHEN lang = 'de' THEN 2 ELSE 1 END AS w

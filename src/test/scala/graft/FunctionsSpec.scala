@@ -1673,4 +1673,41 @@ class FunctionsSpec extends GraftTest {
     assert(builtin === Seq((1L, 0L, 3L), (2L, 0L, 1L), (2L, gapUs + 1L, 1L)))
     assert(gaps === builtin)
   }
+
+  test("pp_sft_mask / pp_fim: spans reconstruct the original content exactly") {
+    // self-consistency of the r15 training-prep transforms beyond the
+    // oracle hash: slicing sft_text at [mask_start, mask_end) must give
+    // exactly the assistant half of the source, and a FIM'd doc must
+    // reassemble to the original from its spans (PSM order inverted)
+    val sf = "/root/testdata/sf0.001"
+    val docs = Graft.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    SparkEntry.queries("pp_sft_mask")(spark, sf).collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val sft = r.getAs[String]("sft_text")
+      val (ms, me) = (r.getAs[Int]("mask_start"), r.getAs[Int]("mask_end"))
+      val text = docs(id)
+      assert(sft.substring(ms - 1, me - 1) === text.substring(text.length / 2),
+        s"doc $id: mask span must cover exactly the assistant half")
+      assert(sft.startsWith("<|user|>" + text.substring(0, text.length / 2)))
+      assert(sft.endsWith("<|end|>"))
+    }
+    SparkEntry.queries("pp_fim")(spark, sf).collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val fim = r.getAs[String]("fim_text")
+      val text = docs(id)
+      if (!r.getAs[Boolean]("fim_applied")) assert(fim === text)
+      else {
+        val (p, m, sfx) = (r.getAs[Int]("pre_len"), r.getAs[Int]("mid_len"),
+          r.getAs[Int]("suf_len"))
+        assert(p + m + sfx === text.length)
+        val pre = fim.substring(5, 5 + p)
+        val suf = fim.substring(5 + p + 5, 5 + p + 5 + sfx)
+        val mid = fim.substring(5 + p + 5 + sfx + 5)
+        assert(pre + mid + suf === text,
+          s"doc $id: PSM spans must reassemble to the source text")
+      }
+    }
+  }
 }
