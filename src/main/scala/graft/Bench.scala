@@ -25,7 +25,7 @@ object Bench {
     "dd_exact", "dd_exact_nfc", "dd_exact_nfkc", "dd_chunk", "dd_span", "dd_span_remove", "dd_boilerplate", "dd_incremental", "dd_minhash", "dd_minhash_incremental", "dd_simhash",
     "dd_ngram_jaccard", "dd_embedding", "dd_fuzzy", "dd_lsh_resolve",
     "dd_embedding_resolve", "dd_semantic", "dd_semantic_resolve",
-    "ann_brute", "ann_matryoshka", "ann_mrl_rerank", "ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq", "ann_quantized", "ann_contrastive",
+    "ann_brute", "ann_filtered", "ann_matryoshka", "ann_mrl_rerank", "ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq", "ann_quantized", "ann_contrastive",
     "txt_quality", "txt_langid", "txt_fingerprint", "txt_normalize", "txt_tfidf", "txt_bm25", "txt_repetition",
     "txt_unigram_lp", "txt_bigram_lp", "txt_ppl_buckets", "txt_diversity", "txt_classifier", "txt_bpe", "txt_bpe_big", "txt_bpe_32k", "txt_bpe_encode", "txt_bpe_decode", "txt_fertility",
     "pp_shuffle", "pp_mix", "pp_temperature", "pp_chunk", "pp_pack", "pp_pack_bpe", "pp_pack_mm", "pp_ctx_windows", "pp_interleave",

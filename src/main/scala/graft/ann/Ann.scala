@@ -69,6 +69,33 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
   }
 
+  /** FILTERED exact top-k (r15): [[bruteForceTopK]] under a per-query
+    * metadata predicate — each query retrieves only among corpus rows
+    * whose `filterCols` values EQUAL its own (label-scoped / tenant-
+    * scoped retrieval, the production shape where candidates must share
+    * the query's domain). The filter is an equi-JOIN key, not a
+    * post-rank WHERE: Spark broadcasts the small query set and the
+    * filter prunes candidates BEFORE the dot product, so per-query work
+    * is the matching partition of the corpus, never all of it — exactly
+    * how a partitioned/namespaced vector index behaves at scale. Rank
+    * ties break on neighbor id (deterministic, oracle-replayable).
+    */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, id: String,
+                   vec: String, filterCols: Seq[String], k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      (filterCols.map(col) :+ col(id).as("query_id")) :+ col(vec).as("qv"): _*))
+    val c = corpus.select(
+      (filterCols.map(col) :+ col(id).as("neighbor_id")) :+ col(vec).as("cv"): _*)
+    val scored = c.join(q, filterCols) // broadcast hash join on the filter keys
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosineNative(corpus.sparkSession, "qv", "cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id") +: filterCols.map(col) :+ col("neighbor_id") :+
+        col("rank") :+ round(col("cos"), 6).as("cos"): _*)
+  }
+
   /** Embedding-cosine near-duplicate pairs: SRP-bucket the corpus, pair
     * within buckets (plus 1-bit multiprobe on the pairing side), verify
     * cosine ≥ `threshold`. Same scale shape as text LSH dedup — shuffle

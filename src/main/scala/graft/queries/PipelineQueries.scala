@@ -1374,6 +1374,17 @@ object PipelineQueries {
       Ann.bruteForceTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 10)
     }),
 
+    "ann_filtered" -> ((s, d) => {
+      // label-scoped exact retrieval (r15): each query's candidates are
+      // pre-filtered to ITS label by an equi-join key (broadcast hash
+      // join), so the filter prunes before any dot product — the
+      // namespaced/tenant-scoped search shape, not a post-rank WHERE
+      // that would waste the full scan's scoring work.
+      val emb = Graft.embeddings(s, d)
+      Ann.filteredTopK(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", Seq("label"), k = 10)
+    }),
+
     "ann_matryoshka" -> ((s, d) => {
       // MATRYOSHKA (MRL) prefix search (r14): retrieval over only the
       // first 16 of 64 dims — the coarse pass of the modern two-stage
@@ -2919,6 +2930,18 @@ object PipelineQueries {
     "ann_incremental" -> EmbeddingOracleSql.crossCosine(threshold = 0.25),
     "ann_lsh" -> EmbeddingOracleSql.lshTopK(k = 10, nBits = 6, probeBits = 4),
     "ann_brute" -> annBruteSql,
+    // the label equi-filter joins into the rank partition — candidates
+    // restricted to the query's label BEFORE scoring, ties on id
+    "ann_filtered" ->
+      s"""SELECT query_id, label, neighbor_id, rank, cos FROM (
+           SELECT q.vec_id AS query_id, q.label, e.vec_id AS neighbor_id,
+                  row_number() OVER (PARTITION BY q.vec_id
+                                     ORDER BY list_cosine_similarity(CAST(CAST(q.embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(e.embedding AS FLOAT[]) AS DOUBLE[])) DESC,
+                                              e.vec_id ASC) AS rank,
+                  round(list_cosine_similarity(CAST(CAST(q.embedding AS FLOAT[]) AS DOUBLE[]), CAST(CAST(e.embedding AS FLOAT[]) AS DOUBLE[])), 6) AS cos
+           FROM embeddings q JOIN embeddings e ON e.label = q.label
+           WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
+         WHERE rank <= 10""",
     "ann_matryoshka" -> annMatryoshkaSql,
     "ann_mrl_rerank" -> annMrlRerankSql,
     // quantize → dequant → FLOAT storage hop → the same cosine fold:

@@ -792,6 +792,25 @@ class DedupAnnSpec extends GraftTest {
     })
   }
 
+  test("filteredTopK equals per-label brute force (the filter prunes, never reorders)") {
+    import org.apache.spark.sql.functions._
+    val emb = Graft.embeddings(spark, sf)
+    val queries = emb.where(col("vec_id") < 10)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = key(graft.ann.Ann.filteredTopK(
+      emb, queries, "vec_id", "embedding", Seq("label"), k = 10))
+    val labels = queries.select("label").distinct().collect().map(_.getInt(0))
+    val want = labels.map { l =>
+      key(graft.ann.Ann.bruteForceTopK(
+        emb.where(col("label") === l), queries.where(col("label") === l),
+        "vec_id", "embedding", k = 10))
+    }.reduce(_ ++ _)
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("chunkDedup: chunks reassemble to the document; shared passages dedup to first occurrence") {
     import spark.implicits._
     // ~300-char passage shared verbatim by two otherwise-distinct docs:
