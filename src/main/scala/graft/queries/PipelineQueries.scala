@@ -1107,13 +1107,14 @@ object PipelineQueries {
       // quality_ok gate wholesale, so the gate cannot discriminate),
       // rejected = the doc minimizing it; singleton groups emit
       // nothing. Integer score + deterministic tie-breaks keep the
-      // oracle exact, and the shape is ONE per-group aggregation
-      // computing both struct extremes (map-side partials, one
-      // exchange) — no window sort, no per-group row explosion at
-      // 100 TB.
+      // oracle exact, and the shape is ONE projection (score computed
+      // next to the group key — no corpus self-join to fetch lang) +
+      // ONE per-group aggregation computing both struct extremes
+      // (map-side partials, one exchange) — no window sort, no
+      // per-group row explosion at 100 TB.
       val docs = Graft.documents(s, d)
-      val q = TextFunctions.qualityFeatures(docs, "doc_id", "text")
-        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      val q = docs.select(col("doc_id"), col("lang"),
+        TextFunctions.wsTokenCount(col("text")).as("n_tokens"))
       q.groupBy("lang")
         .agg(max(struct(col("n_tokens"), col("doc_id"))).as("c"),
           min(struct(col("n_tokens"), col("doc_id"))).as("r"))
