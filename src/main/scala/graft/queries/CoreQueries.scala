@@ -392,6 +392,131 @@ object CoreQueries {
         .select(docs.columns.map(c => col(s"r.$c")): _*)
     }),
 
+    "s_zipshards" -> ((s, d) => {
+      // ZIP shard roundtrip (r15) — the other common sample-archive
+      // container next to WebDataset tar (Kaggle dumps, scraped-corpus
+      // drops, COCO-style sets): documents → JSON members → 4 zip
+      // shards (pure-JDK java.util.zip, DEFLATE) → shard-parallel
+      // streaming read with every member's CRC-32 verified → from_json
+      // with the explicit schema → identity vs the plain table. Read
+      // parallelism = shard count (stream mode ignores the tail-resident
+      // central directory, so a shard is one task — the writer's knob,
+      // stated in the write API).
+      val out = tmp("zipshards")
+      val docs = Graft.documents(s, d)
+      graft.sources.Sources.writeZipShards(
+        docs.select(format_string("%012d", col("doc_id")).as("key"),
+          lit("json").as("ext"),
+          to_json(struct(docs.columns.map(col): _*)).cast("binary").as("payload")),
+        out, shards = 4)
+      graft.sources.Sources.readZipShards(s, out)
+        .select(from_json(col("payload").cast("string"), docs.schema).as("r"))
+        .select(docs.columns.map(c => col(s"r.$c")): _*)
+    }),
+
+    "s_zipshards_streaming" -> ((s, d) => {
+      // zip shards arriving THROUGH the real streaming engine (the
+      // container family's ingest-at-arrival twin): the SAME 4 shards
+      // staged, streaming binaryFile source one shard per micro-batch,
+      // each archive walked by the SAME CRC-verifying member reader the
+      // batch path uses, then from_json. Stateless append — converged
+      // result equals the batch read and shares s_zipshards' oracle.
+      val out = tmp("zipshardss")
+      val docs = Graft.documents(s, d)
+      graft.sources.Sources.writeZipShards(
+        docs.select(format_string("%012d", col("doc_id")).as("key"),
+          lit("json").as("ext"),
+          to_json(struct(docs.columns.map(col): _*)).cast("binary").as("payload")),
+        out, shards = 4)
+      import s.implicits._
+      val stream = s.readStream.format("binaryFile")
+        .schema(s.read.format("binaryFile").load(s"$out/*.zip").schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(s"$out/*.zip")
+        .select("content").as[Array[Byte]]
+        .flatMap(graft.sources.Sources.Zip.readAll(_).collect {
+          case (name, data) if name.lastIndexOf('.') > 0 => data
+        })
+        .toDF("payload")
+        .select(from_json(col("payload").cast("string"), docs.schema).as("r"))
+        .select(docs.columns.map(c => col(s"r.$c")): _*)
+      graft.streaming.StreamingQueries.runAppendToMemory(s, "s_zip_stream", stream)
+    }),
+
+    "s_zipshards_corrupt_tail" -> ((s, d) => {
+      // torn-tail recovery for zip shards (r15) — the tar/TFRecord
+      // permissive twin on the third container format: four shards
+      // staged deterministically (shard i = doc_id%4==i, key-ordered),
+      // then shard 3 is truncated INSIDE its final member's local
+      // header (a writer killed mid-member; the cut offset is captured
+      // structurally while building the shard, not scanned from bytes —
+      // DEFLATE payloads could contain spurious signatures). Exactly
+      // that member, the class's max doc_id, must drop; complete
+      // CRC-verified members survive; the loss rides the observe
+      // metric. The oracle states the exact surviving set.
+      val out = tmp("zipcorrupt")
+      val docs = Graft.documents(s, d)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      (0 until 3).foreach { i =>
+        docs.where(pmod(col("doc_id"), lit(4)) === i)
+          .select(format_string("%012d", col("doc_id")).as("key"),
+            to_json(struct(docs.columns.map(col): _*)).cast("binary").as("payload"))
+          .coalesce(1).sortWithinPartitions("key")
+          .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+            val p = java.nio.file.Paths.get(out, f"shard-$i%05d.zip")
+            val os = new java.io.BufferedOutputStream(java.nio.file.Files.newOutputStream(p))
+            val z = new java.util.zip.ZipOutputStream(os)
+            try {
+              var wrote = false
+              it.foreach { r =>
+                val e = new java.util.zip.ZipEntry(s"${r.getString(0)}.json")
+                e.setTime(0L)
+                z.putNextEntry(e)
+                z.write(r.getAs[Array[Byte]](1))
+                z.closeEntry()
+                wrote = true
+              }
+              if (wrote) z.finish()
+            } finally os.close()
+          }
+      }
+      // shard 3 builds on the driver (the readAllBytes-precedent class
+      // sizes) so the last member's local-header offset is KNOWN: after
+      // each closeEntry the underlying buffer holds that entry whole
+      val rows3 = docs.where(pmod(col("doc_id"), lit(4)) === 3)
+        .select(format_string("%012d", col("doc_id")).as("key"),
+          to_json(struct(docs.columns.map(col): _*)).cast("binary").as("payload"))
+        .orderBy("key").collect()
+      if (rows3.nonEmpty) {
+        val baos = new java.io.ByteArrayOutputStream()
+        val z = new java.util.zip.ZipOutputStream(baos)
+        rows3.dropRight(1).foreach { r =>
+          val e = new java.util.zip.ZipEntry(s"${r.getString(0)}.json")
+          e.setTime(0L)
+          z.putNextEntry(e)
+          z.write(r.getAs[Array[Byte]](1))
+          z.closeEntry()
+        }
+        z.flush()
+        val cut = baos.size() + 12 // 12 bytes into the last local header
+        val last = rows3.last
+        val e = new java.util.zip.ZipEntry(s"${last.getString(0)}.json")
+        e.setTime(0L)
+        z.putNextEntry(e)
+        z.write(last.getAs[Array[Byte]](1))
+        z.closeEntry()
+        z.finish()
+        val full = baos.toByteArray
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out, "shard-00003.zip"),
+          java.util.Arrays.copyOf(full, cut))
+      }
+      graft.sources.Sources.readZipShardsPermissive(s, out)
+        .where(col("ext") === "json")
+        .select(from_json(col("payload").cast("string"), docs.schema).as("r"))
+        .select(docs.columns.map(c => col(s"r.$c")): _*)
+    }),
+
     "s_tfexample" -> ((s, d) => {
       // tf.Example protobuf payloads inside TFRecord shards (r14) —
       // the message TensorFlow training pipelines ACTUALLY write
@@ -813,6 +938,14 @@ object CoreQueries {
              AND gx.x < 1 + d.n_chars % 13
              AND gy.y < 1 + d.doc_id % 11
            GROUP BY 1) p ON p.doc_id = d.doc_id""",
+    "s_zipshards" -> "SELECT * FROM documents",
+    "s_zipshards_streaming" -> "SELECT * FROM documents",
+    // torn shard-3 tail (cut inside the final member's local header)
+    // drops exactly that shard's last (max-doc_id) record
+    "s_zipshards_corrupt_tail" ->
+      """SELECT * FROM documents
+         WHERE NOT (doc_id % 4 = 3 AND doc_id =
+           (SELECT max(doc_id) FROM documents WHERE doc_id % 4 = 3))""",
     "s_parquet_zstd" -> "SELECT * FROM documents",
     "s_parquet_bloom" -> "SELECT * FROM documents WHERE doc_id IN (5, 105, 205, 306)")
 

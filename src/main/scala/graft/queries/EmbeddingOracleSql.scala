@@ -125,6 +125,39 @@ object EmbeddingOracleSql {
          FROM scored)
        WHERE rank <= $k"""
 
+  /** Oracle for `pp_bitext_mine`: (src_id, tgt_id, cos) — source side
+    * (even labels) probes the capped target side (odd labels) through
+    * the SRP buckets exactly as [[crossCosine]], then the MUTUAL-best
+    * filter: forward best target per source AND backward best source
+    * per target, ranked on the rounded cosine with id tie-break (the
+    * pair set carries the rounded value, so both engines rank the same
+    * key). */
+  def bitextMutualBest(threshold: Double, nBits: Int = 6, probeBits: Int = 3,
+                       maxBucket: Int = 1000, dim: Int = 64): String =
+    s"""WITH bkt AS (${bucketSql(nBits, dim)}),
+          lab AS (SELECT vec_id, label FROM embeddings),
+          corp AS (SELECT vec_id, e, b0 FROM
+                     (SELECT bkt.vec_id, bkt.e, bkt.b0,
+                             count(*) OVER (PARTITION BY b0) AS bsz
+                      FROM bkt JOIN lab USING (vec_id) WHERE label % 2 <> 0)
+                   WHERE bsz <= $maxBucket),
+          l AS (SELECT bkt.vec_id AS src_id, e AS va, xor(b0, f) AS bucket
+                FROM bkt JOIN lab USING (vec_id),
+                     (VALUES ${probeValues(probeBits)}) fl(f)
+                WHERE label % 2 = 0),
+          p AS (SELECT src_id, r.vec_id AS tgt_id,
+                       round(list_cosine_similarity(va, r.e), 6) AS cos
+                FROM l JOIN (SELECT vec_id, e, b0 AS bucket FROM corp) r
+                     USING (bucket)
+                WHERE round(list_cosine_similarity(va, r.e), 6) >= $threshold),
+          rk AS (SELECT src_id, tgt_id, cos,
+                        row_number() OVER (PARTITION BY src_id
+                                           ORDER BY cos DESC, tgt_id ASC) AS rf,
+                        row_number() OVER (PARTITION BY tgt_id
+                                           ORDER BY cos DESC, src_id ASC) AS rb
+                 FROM p)
+       SELECT src_id, tgt_id, cos FROM rk WHERE rf = 1 AND rb = 1"""
+
   /** Oracle for `ann_incremental`: (batch_id, corpus_id, cos) — batch =
     * vec_id % 10 = 0 probes into the capped corpus buckets; pairs unique
     * by construction (corpus rows key by their one bucket, probe flips

@@ -4,6 +4,7 @@ import graft.Graft
 import graft.ann.Ann
 import graft.dedup.Dedup
 import graft.functions.TextFunctions
+import graft.graph.Graph
 import graft.operators.Aggregates
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -49,6 +50,28 @@ object PipelineQueries {
       maxBucket = 1000)
     Dedup.verifyJaccard(pairs, docs, "doc_id", "text")
       .where(col("jaccard") >= 0.5).select("a", "b")
+  }
+
+  /** The pp_bitext_mine composition, shared with the scale audit:
+    * source side (even labels) probes the capped SRP buckets of the
+    * target side (odd labels), cosine >= `threshold` candidates, then
+    * the mutual-best intersection (forward best target per source AND
+    * backward best source per target, ranked on the rounded cosine the
+    * pair set carries, id tie-break).
+    */
+  def bitextMine(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Ann.crossCosinePairs(
+      emb.where(pmod(col("label"), lit(2)) === 0),
+      emb.where(pmod(col("label"), lit(2)) =!= 0),
+      "vec_id", "embedding", threshold = threshold, nBits = 6, probeBits = 3,
+      maxBucket = 1000)
+    val wF = Window.partitionBy("batch_id").orderBy(col("cos").desc, col("corpus_id").asc)
+    val wB = Window.partitionBy("corpus_id").orderBy(col("cos").desc, col("batch_id").asc)
+    pairs.withColumn("rf", row_number().over(wF))
+      .withColumn("rb", row_number().over(wB))
+      .where(col("rf") === 1 && col("rb") === 1)
+      .select(col("batch_id").as("src_id"), col("corpus_id").as("tgt_id"), col("cos"))
   }
 
   /** The dd_image_phash composition, shared with the scale audit:
@@ -495,6 +518,23 @@ object PipelineQueries {
         emb.where(pmod(col("vec_id"), lit(10)) =!= 0),
         "vec_id", "embedding", threshold = 0.25, nBits = 6, probeBits = 3,
         maxBucket = 1000)
+    }),
+
+    "pp_bitext_mine" -> ((s, d) => {
+      // bitext mining (parallel-corpus alignment for translation data,
+      // the CCMatrix/WikiMatrix shape — Schwenk et al. 2019): source-
+      // side vectors (even labels stand in for language A) probe the
+      // capped SRP buckets of the target side (odd labels = language B),
+      // cosine >= 0.4 candidates, then the MUTUAL-best intersection —
+      // forward best target per source AND backward best source per
+      // target — the filter the mining pipelines use to kill hub
+      // false-positives. Full hash oracle: the pair stage is the
+      // certified crossCosinePairs replay; both rank windows order on
+      // the ROUNDED cosine the pair set carries, id tie-break, and ride
+      // the pair set's own partitioning (bounded rows per src/tgt by
+      // construction of the capped buckets). Composition shared with
+      // the scale audit ([[bitextMine]]).
+      bitextMine(Graft.embeddings(s, d), threshold = 0.4)
     }),
 
     "dd_simhash" -> ((s, d) =>
@@ -1172,6 +1212,58 @@ object PipelineQueries {
       // fully oracle-checkable
       TextFunctions.deterministicShuffle(Graft.documents(s, d), "doc_id",
         nShards = 32, seed = 42)),
+
+    "pp_curriculum" -> ((s, d) => {
+      // progressive curriculum schedule (easy-first ordering, Bengio et
+      // al. 2009): difficulty tier = arithmetic thirds of n_chars (the
+      // max arrives via a bounded 1-row scalar probe — the Windows.scala
+      // cardinality-probe precedent), epoch e trains on tiers <= e, and
+      // the order WITHIN an epoch is a deterministic md5 shuffle sharded
+      // into 8 buckets so the position window parallelizes across
+      // (epoch, bucket) — never a single-reducer global sort (the
+      // pp_shuffle device; at scale the bucket count rises with the
+      // corpus). Fully oracle-checkable.
+      import org.apache.spark.sql.expressions.Window
+      val docs = Graft.documents(s, d)
+      val m = docs.agg(max("n_chars")).head().getLong(0) + 1L
+      val tiered = docs.select(col("doc_id"),
+        expr(s"least(2L, (n_chars * 3) div $m)").as("tier"))
+      val h = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+        col("epoch").cast("string"), lit(":cur42"))), 1, 8), 16, 10).cast("long")
+      tiered.select(col("doc_id"), col("tier"),
+          explode(sequence(col("tier"), lit(2L))).as("epoch"))
+        .withColumn("h", h)
+        .withColumn("bucket", pmod(col("h"), lit(8L)))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("epoch", "bucket").orderBy(col("h"), col("doc_id"))).cast("long"))
+        .select("epoch", "bucket", "pos", "doc_id", "tier")
+    }),
+
+    "pp_rejection_sample" -> ((s, d) => {
+      // rejection sampling / best-of-n selection (the RLHF data-curation
+      // reduce: n candidate generations per prompt, keep the
+      // reward-argmax): candidates group by prompt (doc_id div 4), a
+      // deterministic pseudo-reward scores each, the argmax survives
+      // (ties to the lower id) with the group size and the winner's
+      // margin over the runner-up. One window pass over the prompt
+      // groups — group size is bounded by the generation fan-out (n=4
+      // here), never by corpus size, so the partitioned window is the
+      // scale-right plan.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("prompt_id")
+        .orderBy(col("reward_milli").desc, col("doc_id").asc)
+      Graft.documents(s, d).select(col("doc_id"),
+          expr("doc_id div 4").as("prompt_id"),
+          pmod(col("doc_id") * lit(48271L) + col("n_chars") * lit(16807L),
+            lit(100000L)).as("reward_milli"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_cand", count(lit(1)).over(Window.partitionBy("prompt_id")))
+        .withColumn("margin", col("reward_milli") -
+          coalesce(lead("reward_milli", 1).over(w), lit(0L)))
+        .where(col("rn") === 1)
+        .select(col("prompt_id"), col("doc_id").as("chosen_id"),
+          col("reward_milli").as("best_reward"), col("n_cand"), col("margin"))
+    }),
 
     "dd_stream_dedup" -> ((s, d) => {
       // streaming dedup through the real engine: readStream → watermark →
@@ -2295,6 +2387,47 @@ object PipelineQueries {
           winBytes = 64, hopBytes = 32)
         .select(col("asset_id"), col("win_idx"), col("win").cast("string").as("win_str"))),
 
+    // ---- graph / authority --------------------------------------------------
+    "g_pagerank" -> ((s, d) => {
+      // crawl-authority PageRank (Brin & Page 1998) over the derived
+      // host-shaped link graph — the quality prior web-curation
+      // pipelines weight documents by. Integer micro-unit ranks with
+      // truncated-division contributions make the K=4 power iteration
+      // bit-exact and order-independent (the micro-nat LM device), so
+      // the DuckDB unrolled-CTE replay hash-matches. Scale shape: one
+      // persisted degree-annotated edge list reused every round; each
+      // round = one shuffle on src + one map-side-combinable hash agg on
+      // dst; per-round checkpointing keeps the plan constant-size at any
+      // K (the connectedComponents contract).
+      val docs = Graft.documents(s, d)
+      Graph.pageRank(Graph.syntheticLinkGraph(docs),
+        docs.select(col("doc_id").as("node")), iterations = 4)
+    }),
+
+    "g_degree" -> ((s, d) => {
+      // per-node degree profile of the link graph (the hub/spoke skew
+      // the PageRank mass follows): two hash aggregations + zero-filled
+      // left joins, all map-side combinable — linear at any scale.
+      val docs = Graft.documents(s, d)
+      Graph.degrees(Graph.syntheticLinkGraph(docs),
+        docs.select(col("doc_id").as("node")))
+    }),
+
+    "g_authority" -> ((s, d) => {
+      // rank mass rolled up to the source (pseudo-host) grain — the
+      // per-domain authority table a curation pipeline joins its
+      // quality priors against (CCNet-style head/middle/tail weighting).
+      // The doc->rank join shuffles on the dense node id; the rollup is
+      // a low-cardinality hash agg with map-side partials.
+      val docs = Graft.documents(s, d)
+      val pr = Graph.pageRank(Graph.syntheticLinkGraph(docs),
+        docs.select(col("doc_id").as("node")), iterations = 4)
+      docs.join(pr, docs("doc_id") === pr("node"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("rank_micro").as("auth_micro"))
+        .withColumn("mean_micro", expr("auth_micro div n_docs"))
+    }),
+
     // ---- sketches ---------------------------------------------------------
     "sk_quantiles" -> ((s, d) => {
       // quantile sketch (approx_percentile ≈ Greenwald-Khanna) CERTIFIED
@@ -2777,6 +2910,11 @@ object PipelineQueries {
     // hash-match, each sketch's guarantee is a boolean the oracle states
     // as TRUE (a violation flips the engine-side value and fails the
     // hash), and the sketch itself stays in the executed plan.
+    // g_*: integer-exact link-graph authority family — unrolled-CTE
+    // PageRank replay + degree profile (GraphOracleSql).
+    "g_pagerank" -> GraphOracleSql.pageRank(),
+    "g_degree" -> GraphOracleSql.degrees,
+    "g_authority" -> GraphOracleSql.authority(),
     "sk_cms" ->
       """SELECT event_type AS key, count(*) AS exact_cnt,
                 TRUE AS cms_no_undercount, TRUE AS cms_within_eps
@@ -2929,6 +3067,7 @@ object PipelineQueries {
     "dd_embedding" -> EmbeddingOracleSql.cosinePairs(threshold = 0.25),
     "dd_embedding_resolve" -> EmbeddingOracleSql.cosineResolve(threshold = 0.95),
     "ann_incremental" -> EmbeddingOracleSql.crossCosine(threshold = 0.25),
+    "pp_bitext_mine" -> EmbeddingOracleSql.bitextMutualBest(threshold = 0.4),
     "ann_lsh" -> EmbeddingOracleSql.lshTopK(k = 10, nBits = 6, probeBits = 4),
     "ann_brute" -> annBruteSql,
     // the label equi-filter joins into the rank partition — candidates
@@ -3588,6 +3727,35 @@ object PipelineQueries {
          SELECT doc_id, h % 32 AS shard,
                 row_number() OVER (PARTITION BY h % 32 ORDER BY h, doc_id) AS pos
          FROM v""",
+    "pp_curriculum" ->
+      """WITH mx AS (SELECT max(n_chars) + 1 AS m FROM documents),
+         t AS (SELECT doc_id, least(2, (n_chars * 3) // (SELECT m FROM mx)) AS tier
+               FROM documents),
+         ep AS (SELECT doc_id, tier, g.e AS epoch
+                FROM t, UNNEST(generate_series(t.tier, 2)) AS g(e)),
+         k AS (SELECT doc_id, tier, epoch,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                          CAST(epoch AS VARCHAR) || ':cur42'), 1, 8))::BIGINT AS h
+               FROM ep)
+         SELECT epoch, h % 8 AS bucket,
+                row_number() OVER (PARTITION BY epoch, h % 8 ORDER BY h, doc_id) AS pos,
+                doc_id, tier
+         FROM k""",
+    "pp_rejection_sample" ->
+      """WITH c AS (SELECT doc_id, doc_id // 4 AS prompt_id,
+                           (doc_id * 48271 + n_chars * 16807) % 100000 AS reward_milli
+                    FROM documents),
+         r AS (SELECT prompt_id, doc_id, reward_milli,
+                      row_number() OVER (PARTITION BY prompt_id
+                                         ORDER BY reward_milli DESC, doc_id ASC) AS rn,
+                      count(*) OVER (PARTITION BY prompt_id) AS n_cand,
+                      reward_milli - COALESCE(lead(reward_milli) OVER
+                        (PARTITION BY prompt_id
+                         ORDER BY reward_milli DESC, doc_id ASC), 0) AS margin
+               FROM c)
+         SELECT prompt_id, doc_id AS chosen_id, reward_milli AS best_reward,
+                n_cand, margin
+         FROM r WHERE rn = 1""",
     "dd_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     // the bounded-horizon twin replayed exactly (boundary rules pinned

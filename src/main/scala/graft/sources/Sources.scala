@@ -837,6 +837,307 @@ object Sources {
       .select("key", "ext", "payload")
   }
 
+  /** ZIP shard container (pure JDK `java.util.zip`) — the other common
+    * sample-archive layout next to WebDataset tar: many dataset dumps
+    * (Kaggle exports, scraped-corpus drops, COCO-style image sets) ship
+    * as zip shards of `<key>.<ext>` members. Same member-naming and
+    * key-contiguity conventions as the tar family; DEFLATE compression
+    * comes with the container. Like tar/TFRecord, a zip shard read in
+    * stream mode is one task (the central directory sits at the tail, so
+    * splitting would need a footer pass) — read parallelism = shard
+    * count, the writer's knob.
+    */
+  object Zip {
+    private val LOC = 0x04034b50L
+    private val CEN = 0x02014b50L
+    private val EOCD = 0x06054b50L
+    private val DESC = 0x08074b50L
+
+    private def bad(msg: String): Nothing = throw new IllegalArgumentException(s"zip: $msg")
+
+    /** Counting little-endian reader over the raw stream, with pushback
+      * for the deflate bytes the inflater over-reads past a member's end.
+      * `consumed` tracks exactly the bytes the walk has accepted — the
+      * permissive wrapper's abandoned-tail accounting reads it.
+      */
+    private final class LeIn(in: java.io.InputStream) {
+      private val pb = new java.io.PushbackInputStream(in, 1 << 16)
+      var consumed = 0L
+      def readN(n: Int): Array[Byte] = {
+        val a = new Array[Byte](n); var off = 0
+        while (off < n) {
+          val k = pb.read(a, off, n - off)
+          if (k < 0) bad("truncated (EOF inside header or member)")
+          off += k
+        }
+        consumed += n; a
+      }
+      /** 4 bytes, or None on clean EOF BEFORE the first byte. */
+      def tryRead4(): Option[Array[Byte]] = {
+        val b0 = pb.read()
+        if (b0 < 0) None
+        else { consumed += 1; Some(Array(b0.toByte) ++ readN(3)) }
+      }
+      def readChunk(buf: Array[Byte]): Int = {
+        val k = pb.read(buf, 0, buf.length)
+        if (k > 0) consumed += k
+        k
+      }
+      def unread(buf: Array[Byte], off: Int, len: Int): Unit = {
+        pb.unread(buf, off, len); consumed -= len
+      }
+    }
+    private def u16(a: Array[Byte], i: Int): Int =
+      (a(i) & 0xff) | ((a(i + 1) & 0xff) << 8)
+    private def u32(a: Array[Byte], i: Int): Long =
+      (u16(a, i).toLong) | (u16(a, i + 2).toLong << 16)
+
+    /** Streaming member walk over the LOCAL headers (a hand framing
+      * walk, the Tar/TfRecord convention — NOT `ZipInputStream`, whose
+      * `readLOC` swallows a torn header's `EOFException` and reports
+      * clean end-of-archive, exactly the silent-truncation gap the tar
+      * strict mode closes per ADVICE r14). One member in memory at a
+      * time; every member's CRC-32 and size verified against its header
+      * or data descriptor — a flipped payload byte throws, never yields
+      * a silently-wrong member. End of members is the central-directory
+      * (or empty-archive EOCD) SIGNATURE — plain EOF anywhere is a torn
+      * shard and throws; the central directory itself is framing-only
+      * for a stream reader and is not walked. STORED and DEFLATED
+      * methods supported (descriptor mode requires DEFLATED, whose
+      * coding is self-terminating; STORED-with-descriptor is not
+      * streamable and is rejected, as every stream reader must).
+      * Directory members skip. ZIP64 is out of scope (shards are
+      * writer-bounded) and rejected loudly.
+      */
+    def readStream(in: java.io.InputStream): Iterator[(String, Array[Byte])] =
+      walk(new LeIn(in))
+
+    private def walk(s: LeIn): Iterator[(String, Array[Byte])] =
+      new Iterator[(String, Array[Byte])] {
+        private var nextEntry: (String, Array[Byte]) = null
+        private var finished = false
+        private def fetch(): Unit = {
+          while (nextEntry == null && !finished) {
+            s.tryRead4() match {
+              case None =>
+                // EOF where a signature belongs: only a zero-byte
+                // stream is ambiguous enough to accept (an empty
+                // partition's EOCD-only commit always has the sig)
+                if (s.consumed == 0L) finished = true else bad("truncated (EOF where a signature belongs)")
+              case Some(sig4) =>
+                u32(sig4, 0) match {
+                  case CEN | EOCD => finished = true // valid end of members
+                  case LOC =>
+                    val h = s.readN(26) // rest of the 30-byte local header
+                    val flags = u16(h, 2)
+                    val method = u16(h, 4)
+                    val crcH = u32(h, 10)
+                    val csizeH = u32(h, 14)
+                    val usizeH = u32(h, 18)
+                    val nlen = u16(h, 22)
+                    val elen = u16(h, 24)
+                    if (csizeH == 0xffffffffL || usizeH == 0xffffffffL) bad("ZIP64 not supported")
+                    val name = new String(s.readN(nlen), "UTF-8")
+                    if (elen > 0) s.readN(elen)
+                    val hasDesc = (flags & 8) != 0
+                    val crc = new java.util.zip.CRC32
+                    val data: Array[Byte] =
+                      if (method == 0) {
+                        if (hasDesc) bad(s"STORED member '$name' with data descriptor is not streamable")
+                        if (csizeH != usizeH) bad(s"STORED member '$name' size mismatch")
+                        val d = s.readN(usizeH.toInt)
+                        crc.update(d)
+                        if (crc.getValue != crcH) bad(s"CRC mismatch in member '$name'")
+                        d
+                      } else if (method == 8) {
+                        val inf = new java.util.zip.Inflater(true)
+                        try {
+                          val out = new java.io.ByteArrayOutputStream(math.max(64, usizeH.toInt))
+                          val inBuf = new Array[Byte](8192)
+                          val outBuf = new Array[Byte](8192)
+                          var lastK = 0
+                          var fedTotal = 0L
+                          while (!inf.finished()) {
+                            if (inf.needsInput()) {
+                              if (!hasDesc && fedTotal >= csizeH) bad(s"deflate stream of '$name' overruns its declared size")
+                              val k = s.readChunk(inBuf)
+                              if (k < 0) bad(s"truncated deflate stream in member '$name'")
+                              lastK = k; fedTotal += k
+                              inf.setInput(inBuf, 0, k)
+                            }
+                            val n =
+                              try inf.inflate(outBuf)
+                              catch { case e: java.util.zip.DataFormatException => bad(s"corrupt deflate data in member '$name': ${e.getMessage}") }
+                            if (n > 0) { out.write(outBuf, 0, n); crc.update(outBuf, 0, n) }
+                            else if (n == 0 && inf.needsDictionary()) bad(s"member '$name' needs a preset dictionary")
+                          }
+                          val rem = inf.getRemaining
+                          if (rem > 0) s.unread(inBuf, lastK - rem, rem)
+                          val d = out.toByteArray
+                          if (hasDesc) {
+                            val first = s.readN(4)
+                            val crcD = if (u32(first, 0) == DESC) u32(s.readN(4), 0) else u32(first, 0)
+                            val tail = s.readN(8)
+                            val usizeD = u32(tail, 4)
+                            if (crc.getValue != crcD) bad(s"CRC mismatch in member '$name'")
+                            if ((d.length.toLong & 0xffffffffL) != usizeD) bad(s"size mismatch in member '$name'")
+                          } else {
+                            if (fedTotal - rem != csizeH) bad(s"compressed size mismatch in member '$name'")
+                            if (crc.getValue != crcH) bad(s"CRC mismatch in member '$name'")
+                            if ((d.length.toLong & 0xffffffffL) != usizeH) bad(s"size mismatch in member '$name'")
+                          }
+                          d
+                        } finally inf.end()
+                      } else bad(s"unsupported compression method $method in member '$name'")
+                    if (!name.endsWith("/")) nextEntry = (name, data) // directories skip
+                  case other => bad(f"unexpected signature 0x$other%08x")
+                }
+            }
+          }
+        }
+        override def hasNext: Boolean = { fetch(); nextEntry != null }
+        override def next(): (String, Array[Byte]) = {
+          fetch()
+          if (nextEntry == null) throw new NoSuchElementException
+          val r = nextEntry; nextEntry = null; r
+        }
+      }
+
+    def readAll(bytes: Array[Byte]): Iterator[(String, Array[Byte])] =
+      readStream(new java.io.ByteArrayInputStream(bytes))
+
+    /** Torn-tail recovery walk (the tar/TFRecord permissive twin):
+      * complete CRC-verified members survive lazily; the first framing
+      * or checksum failure abandons the rest of the shard and emits one
+      * trailing (null, null, abandonedBytes) marker — `shardLen` minus
+      * the bytes consumed through the last verified member, EXACT
+      * framing accounting (the walk counts its own consumption). Unlike
+      * tar, a tear landing exactly between members is still detected:
+      * a valid end is the central-directory signature, so plain EOF is
+      * always a tear. A torn shard can only ever DROP members, never
+      * surface garbage ones.
+      */
+    def readStreamPermissive(in: java.io.InputStream, shardLen: Long)
+        : Iterator[(String, Array[Byte], Long)] =
+      new Iterator[(String, Array[Byte], Long)] {
+        private val le = new LeIn(in)
+        private lazy val inner = walk(le)
+        private var goodBytes = 0L
+        private var finished = false
+        private var failed = false
+        private var markerEmitted = false
+        private var nextEntry: (String, Array[Byte]) = null
+        private def fetch(): Unit = {
+          if (nextEntry != null || finished) return
+          try {
+            if (inner.hasNext) {
+              nextEntry = inner.next()
+              goodBytes = le.consumed
+            } else finished = true
+          } catch {
+            case _: java.io.IOException => failed = true; finished = true
+            case _: IllegalArgumentException => failed = true; finished = true
+          }
+        }
+        override def hasNext: Boolean = {
+          fetch()
+          nextEntry != null || (failed && !markerEmitted)
+        }
+        override def next(): (String, Array[Byte], Long) = {
+          fetch()
+          if (nextEntry != null) {
+            val (n, d) = nextEntry; nextEntry = null; (n, d, 0L)
+          } else if (failed && !markerEmitted) {
+            markerEmitted = true
+            (null, null, math.max(0L, shardLen - goodBytes))
+          } else throw new NoSuchElementException
+        }
+      }
+  }
+
+  /** Write ZIP shards: rows are (key, ext, payload), repartitioned BY
+    * KEY and sorted within partitions on (key, ext) so a sample's
+    * members sit contiguously — the same layout contract as
+    * [[writeWebDataset]]. One zip per partition via the atomic-rename
+    * commit; entry times pinned to the DOS epoch so shard bytes carry
+    * no wall clock.
+    */
+  def writeZipShards(df: DataFrame, path: String, shards: Int): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    df.select(col("key").cast("string"), col("ext").cast("string"),
+        col("payload").cast("binary"))
+      .repartition(shards, col("key"))
+      .sortWithinPartitions("key", "ext")
+      .foreachPartition { (it: Iterator[Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val p = java.nio.file.Paths.get(path, f"shard-$pid%05d.zip")
+        writeShardAtomic(p) { out =>
+          val z = new java.util.zip.ZipOutputStream(out)
+          var wrote = false
+          it.foreach { r =>
+            val e = new java.util.zip.ZipEntry(s"${r.getString(0)}.${r.getString(1)}")
+            e.setTime(0L) // deterministic shard bytes (clamps to DOS epoch)
+            z.putNextEntry(e)
+            z.write(r.getAs[Array[Byte]](2))
+            z.closeEntry()
+            wrote = true
+          }
+          // ZipOutputStream refuses a zero-entry finish(); an empty
+          // partition commits the 22-byte EOCD-only archive instead
+          // (readers see an empty shard, not a missing one)
+          if (wrote) z.finish()
+          else out.write(Array[Byte]('P', 'K', 5, 6, 0, 0, 0, 0, 0, 0, 0, 0,
+            0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+        }
+      }
+  }
+
+  /** Read ZIP shards back as (key, ext, payload) — shard-parallel
+    * ([[shardRecords]]), every member CRC-verified, one member in
+    * memory at a time. Same `<key>.<ext>` naming convention as
+    * [[readWebDataset]] (dot-less members skip, they are not samples).
+    */
+  def readZipShards(spark: SparkSession, path: String): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[(String, String, Array[Byte])] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)
+    shardRecords(spark, s"$path/*.zip") { (_, _, in) =>
+      Zip.readStream(in).collect {
+        case (name, data) if name.lastIndexOf('.') > 0 =>
+          val dot = name.lastIndexOf('.')
+          (name.substring(0, dot), name.substring(dot + 1), data)
+      }
+    }.toDF("key", "ext", "payload")
+  }
+
+  /** [[readZipShards]] in torn-tail recovery mode: survivors stream
+    * through lazily, each corrupted shard emits a trailing marker whose
+    * abandoned-byte count rides `graft.zip.skip` (dropped_bytes /
+    * corrupt_shards) — diagnosable, never silent.
+    */
+  def readZipShardsPermissive(spark: SparkSession, path: String): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[(String, String, Array[Byte], Long)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY, org.apache.spark.sql.Encoders.scalaLong)
+    shardRecords(spark, s"$path/*.zip") { (_, shardLen, in) =>
+      Zip.readStreamPermissive(in, shardLen).map {
+        case (null, _, tail) => (null: String, null: String, null: Array[Byte], tail)
+        case (name, data, _) if name.lastIndexOf('.') > 0 =>
+          val dot = name.lastIndexOf('.')
+          (name.substring(0, dot), name.substring(dot + 1), data, 0L)
+        case (_, _, _) => (null: String, null: String, null: Array[Byte], 0L)
+      }
+    }
+      .toDF("key", "ext", "payload", "_tail")
+      .observe("graft.zip.skip",
+        sum(col("_tail")).as("dropped_bytes"),
+        sum(when(col("_tail") > 0, 1L).otherwise(0L)).as("corrupt_shards"))
+      .where(col("payload").isNotNull)
+      .select("key", "ext", "payload")
+  }
+
   /** Write a binary column as TFRecord shards (one file per output
     * partition). 100 TB shape: the write is embarrassingly parallel
     * (each task streams its partition through the framing with no

@@ -584,4 +584,107 @@ class SourcesSpec extends GraftTest {
     intercept[IllegalArgumentException](TfExample.decode(enc.dropRight(1)))
     intercept[IllegalArgumentException](TfExample.decode(Array[Byte](0x0a, 0x7f)))
   }
+
+  test("ZIP shards: roundtrip exact, CRC corruption detection") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zip").toString
+    val rows = (0 until 200).map(i => (f"$i%06d", "bin",
+      Array.tabulate[Byte](50 + i % 7)(j => ((i * 31 + j) % 256).toByte)))
+    graft.sources.Sources.writeZipShards(rows.toDF("key", "ext", "payload"),
+      dir, shards = 4)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".zip"))
+    assert(files.length === 4, "one shard file per output partition")
+    val back = graft.sources.Sources.readZipShards(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getAs[Array[Byte]](2).toSeq))
+      .sortBy(_._1)
+    assert(back.toSeq === rows.map(t => (t._1, t._2, t._3.toSeq)).sortBy(_._1))
+    // a flipped byte inside a member's DEFLATE data: the strict read
+    // must throw (inflate/CRC-32 verification), never yield a silently-
+    // wrong payload. The data offset is parsed from the local header
+    // (JDK writers append an extended-timestamp extra field, so a fixed
+    // offset could land in ignored extra bytes)
+    val victim = files.minBy(_.getName).toPath
+    val bytes = java.nio.file.Files.readAllBytes(victim)
+    def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    val dataStart = 30 + u16(26) + u16(28)
+    bytes(dataStart + 5) = (bytes(dataStart + 5) ^ 0x55).toByte
+    java.nio.file.Files.write(victim, bytes)
+    intercept[Exception] {
+      graft.sources.Sources.readZipShards(spark, dir).collect()
+    }
+  }
+
+  test("ZIP permissive walk: torn member drops, intact prefix survives, empty EOCD reads empty") {
+    import graft.sources.Sources.Zip
+    val baos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(baos)
+    def put(name: String, data: Array[Byte]): Unit = {
+      val e = new java.util.zip.ZipEntry(name)
+      e.setTime(0L)
+      z.putNextEntry(e); z.write(data); z.closeEntry()
+    }
+    put("a.txt", "alpha".getBytes("UTF-8"))
+    put("b.txt", "bravo-bravo".getBytes("UTF-8"))
+    z.flush()
+    val cutAt = baos.size() + 20 // 20 bytes into the third local header
+    put("c.txt", "charlie".getBytes("UTF-8"))
+    z.finish()
+    val full = baos.toByteArray
+    // intact: all three members, no marker
+    val whole = Zip.readStreamPermissive(
+      new java.io.ByteArrayInputStream(full), full.length.toLong).toSeq
+    assert(whole.map(_._1) === Seq("a.txt", "b.txt", "c.txt"))
+    assert(whole.forall(_._3 === 0L))
+    // torn inside the last member's header: first two survive, one
+    // trailing marker accounts EXACTLY the abandoned framing bytes
+    // (cutAt sits 20 bytes past the end of member b)
+    val torn = java.util.Arrays.copyOf(full, cutAt)
+    val got = Zip.readStreamPermissive(
+      new java.io.ByteArrayInputStream(torn), torn.length.toLong).toSeq
+    assert(got.map(_._1) === Seq("a.txt", "b.txt", null))
+    assert(new String(got(1)._2, "UTF-8") === "bravo-bravo")
+    assert(got(2)._3 === 20L)
+    // strict walk must REJECT the same tear (a torn header is not a
+    // clean end — the ZipInputStream silent-truncation gap, closed by
+    // walking local headers by hand): valid end = CEN/EOCD signature
+    intercept[IllegalArgumentException] {
+      Zip.readAll(torn).toList
+    }
+    // a tear landing exactly BETWEEN members (at the next signature
+    // boundary, cutAt - 20) is still torn framing, not end-of-archive
+    intercept[IllegalArgumentException] {
+      Zip.readAll(java.util.Arrays.copyOf(full, cutAt - 20)).toList
+    }
+    // EOCD-only empty archive (what an empty write partition commits)
+    val eocd = Array[Byte]('P', 'K', 5, 6) ++ new Array[Byte](18)
+    assert(Zip.readAll(eocd).isEmpty)
+  }
+
+  test("ZIP cross-validation: foreign-written archives (stored + deflated, no descriptors) read back") {
+    // python's zipfile writes local headers with KNOWN sizes and no data
+    // descriptors — the two walk branches our own writer (descriptor
+    // mode) never produces; a directory member exercises the skip rule
+    val py = new java.io.File("/usr/bin/python3")
+    assume(py.exists(), "python3 not available")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zipx")
+    val zf = dir.resolve("foreign.zip")
+    val script =
+      s"""import zipfile
+         |z = zipfile.ZipFile("$zf", "w")
+         |z.writestr("stored.txt", "plain stored payload", compress_type=zipfile.ZIP_STORED)
+         |z.writestr("deflated.txt", "deflate " * 50, compress_type=zipfile.ZIP_DEFLATED)
+         |z.writestr("subdir/", "")
+         |z.writestr("subdir/nested.bin", "nested", compress_type=zipfile.ZIP_DEFLATED)
+         |z.close()
+         |""".stripMargin
+    val p = new ProcessBuilder("/usr/bin/python3", "-c", script).inheritIO().start()
+    assert(p.waitFor() === 0)
+    val got = graft.sources.Sources.Zip.readAll(
+      java.nio.file.Files.readAllBytes(zf)).toList
+    assert(got.map(_._1) === List("stored.txt", "deflated.txt", "subdir/nested.bin"))
+    assert(new String(got(0)._2, "UTF-8") === "plain stored payload")
+    assert(new String(got(1)._2, "UTF-8") === "deflate " * 50)
+    assert(new String(got(2)._2, "UTF-8") === "nested")
+  }
+
 }
