@@ -1126,6 +1126,27 @@ object TextFunctions {
       call_function("canonical_url", u)
     else canonicalUrl(u)
 
+  /** Crawl-HTML text extraction — the FIRST stage of every web-corpus
+    * pipeline (WET-style plain text from raw HTML): drop script/style
+    * blocks whole, strip the remaining markup, decode the core
+    * character entities (after tag removal; `&amp;` last so escaped
+    * entities don't double-decode), collapse whitespace. A fixed
+    * regexp_replace chain — codegen'd expressions, zero shuffles, and
+    * engine-portable (the DuckDB oracle replays the identical chain).
+    * Real crawls also need block-level boilerplate scoring — that lives
+    * in [[graft.dedup.Dedup.boilerplateRemove]] (corpus-frequent lines)
+    * downstream of this per-document pass.
+    */
+  def htmlText(html: Column): Column = {
+    val noScript = regexp_replace(html, "<script[^>]*>[^<]*</script>", " ")
+    val noStyle = regexp_replace(noScript, "<style[^>]*>[^<]*</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val ents = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (pat, rep)) => regexp_replace(c, pat, rep) }
+    trim(regexp_replace(ents, "\\s+", " "))
+  }
+
   /** Deterministic round-robin interleave of a corpus's strata (the
     * source-mixing order for training: batch i draws document i/K from
     * stratum i%K): each stratum orders its rows by the engine-portable

@@ -97,13 +97,7 @@ object Graph {
     var prev: Option[DataFrame] = None
     try {
       for (_ <- 1 to iterations) {
-        val contrib = e.join(ranks, e("src") === ranks("node"))
-          .select(col("dst").as("node"), expr("r div outdeg").as("c"))
-        val inMass = contrib.groupBy("node").agg(sum("c").as("s"))
-        val next = base.join(inMass, Seq("node"), "left")
-          .select(col("node"),
-            (lit(teleport) + expr(s"($damping * coalesce(s, 0L)) div 1000"))
-              .as("r"))
+        val next = pageRankRound(e, base, ranks, teleport, damping)
         val materialized = ckpt(next)
         prev.foreach(release)
         prev = Some(materialized)
@@ -111,6 +105,24 @@ object Graph {
       }
       ranks.select(col("node"), col("r").as("rank_micro"))
     } finally e.unpersist(blocking = false)
+  }
+
+  /** One power-iteration round — exposed at package scope so PlanSpec
+    * can pin its physical shape (the loop checkpoints each round, so
+    * the query-level executed plan is just the final scan): one
+    * id-hash shuffle for edges⋈ranks, one map-side-combinable hash
+    * aggregation on dst, one zero-fill left join on the vertex set.
+    */
+  private[graft] def pageRankRound(e: DataFrame, base: DataFrame,
+                                   ranks: DataFrame, teleport: Long,
+                                   damping: Int): DataFrame = {
+    val contrib = e.join(ranks, e("src") === ranks("node"))
+      .select(col("dst").as("node"), expr("r div outdeg").as("c"))
+    val inMass = contrib.groupBy("node").agg(sum("c").as("s"))
+    base.join(inMass, Seq("node"), "left")
+      .select(col("node"),
+        (lit(teleport) + expr(s"($damping * coalesce(s, 0L)) div 1000"))
+          .as("r"))
   }
 
   /** Per-node degree profile over a directed edge list: (node, outdeg,

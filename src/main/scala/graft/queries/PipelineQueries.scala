@@ -52,6 +52,30 @@ object PipelineQueries {
       .where(col("jaccard") >= 0.5).select("a", "b")
   }
 
+  /** Deterministic synthetic crawl page per doc (the dd_url device: the
+    * corpus has no HTML column, so the fixture plants one both engines
+    * rebuild identically): head noise, script/style blocks, the doc
+    * text, two anchors, and planted character entities.
+    */
+  private def syntheticHtml(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title><script type=\"text/javascript\">var x = "), pmod(col("doc_id"), lit(9)),
+      lit(";</script><style>p {margin:0}</style></head><body><h1>Doc "), col("doc_id"),
+      lit("</h1><p>"), col("text"),
+      lit("</p><a href=\"https://example"), pmod(col("doc_id"), lit(7)),
+      lit(".com/p"), pmod(col("doc_id"), lit(50)),
+      lit("\">read "), pmod(col("doc_id"), lit(13)),
+      lit("</a> <a href=\"https://example"), pmod(col("doc_id"), lit(3)),
+      lit(".org/q"), pmod(col("doc_id"), lit(20)),
+      lit("\">more "), pmod(col("doc_id"), lit(11)),
+      lit("</a><div>&amp; entities &lt;kept&gt; &quot;q&quot;&nbsp;end</div></body></html>"))
+      .as("html"))
+
+  /** The shared anchor pattern for txt_html_links (engine-portable:
+    * plain RE2-compatible groups, identical in Spark and DuckDB). */
+  private val anchorPat = "<a href=\"([^\"]+)\">([^<]*)</a>"
+
   /** The pp_bitext_mine composition, shared with the scale audit:
     * source side (even labels) probes the capped SRP buckets of the
     * target side (odd labels), cosine >= `threshold` candidates, then
@@ -1844,6 +1868,57 @@ object PipelineQueries {
         col("doc_id"),
         TextFunctions.fingerprintHex(col("text")).as("fp16"))),
 
+    "txt_html_extract" -> ((s, d) => {
+      // crawl-HTML -> plain text (the WET extraction, stage one of
+      // every web pipeline): drop script/style whole, strip markup,
+      // decode the core entities, collapse whitespace. Pure codegen'd
+      // regexp chain over the synthetic page fixture (the dd_url
+      // device) — zero shuffles, and the oracle replays the identical
+      // chain, so the extraction is certified end-to-end.
+      val h = syntheticHtml(Graft.documents(s, d))
+      h.select(col("doc_id"),
+          TextFunctions.htmlText(col("html")).as("text_clean"))
+        .withColumn("clean_chars", length(col("text_clean")).cast("long"))
+    }),
+
+    "txt_html_links" -> ((s, d) => {
+      // anchor extraction (the crawl-graph edge builder: href + anchor
+      // text per link, link order preserved) — regexp_extract_all over
+      // the same synthetic pages, posexplode keeps the scan one pass.
+      // These edges are what g_pagerank's host graph consumes upstream.
+      val h = syntheticHtml(Graft.documents(s, d))
+      h.select(col("doc_id"), col("html"),
+          posexplode(regexp_extract_all(col("html"), lit(anchorPat), lit(1))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("link_idx"),
+          col("col").as("href"),
+          element_at(regexp_extract_all(col("html"), lit(anchorPat), lit(2)),
+            (col("pos") + 1).cast("int")).as("anchor"))
+    }),
+
+    "pp_blocklist" -> ((s, d) => {
+      // domain-blocklist filtering (the UT1/URL-blocklist gate every
+      // crawl pipeline runs): a host is blocked if it equals an entry
+      // or sits under one (suffix at a dot boundary). The scalable
+      // shape is suffix EXPLOSION (a host emits its <=4 dot-boundary
+      // suffixes) joined against the broadcast blocklist — per-row
+      // work bounded by label count, never a regex-per-entry scan; the
+      // survivors anti-join on the matched ids.
+      import s.implicits._
+      val docs = Graft.documents(s, d)
+      val hosts = docs.select(col("doc_id"),
+        concat(lit("sub"), pmod(col("doc_id"), lit(5)), lit(".example"),
+          pmod(col("doc_id"), lit(7)), lit(".com")).as("host"))
+      val block = Seq("example0.com", "example3.com", "sub2.example5.com")
+        .toDF("entry")
+      val parts = split(col("host"), "\\.")
+      val suffixes = hosts.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(parts)),
+          i => array_join(slice(parts, i, size(parts)), "."))).as("suffix"))
+      val blockedIds = suffixes.join(broadcast(block),
+        col("suffix") === col("entry")).select("doc_id").distinct()
+      hosts.join(blockedIds, Seq("doc_id"), "left_anti")
+    }),
+
     "txt_tfidf" -> ((s, d) =>
       // TF-IDF featurization; fully oracle-checkable (smooth idf, 4dp)
       TextFunctions.tfidf(Graft.documents(s, d), "doc_id", "text")
@@ -2899,7 +2974,58 @@ object PipelineQueries {
 
   private val ppIngestSql: String = ppIngestSqlBuilder(None)
 
+  /** The synthetic-page CTE shared by the txt_html_* oracles — ONE
+    * definition of the fixture so the two certifications can never
+    * drift from each other (the dhashCtes convention); it must stay
+    * byte-identical to [[syntheticHtml]]. */
+  private val htmlCte: String =
+    """h AS (SELECT doc_id,
+             '<html><head><title>Doc ' || doc_id ||
+             '</title><script type="text/javascript">var x = ' || (doc_id % 9) ||
+             ';</script><style>p {margin:0}</style></head><body><h1>Doc ' || doc_id ||
+             '</h1><p>' || text ||
+             '</p><a href="https://example' || (doc_id % 7) || '.com/p' || (doc_id % 50) ||
+             '">read ' || (doc_id % 13) ||
+             '</a> <a href="https://example' || (doc_id % 3) || '.org/q' || (doc_id % 20) ||
+             '">more ' || (doc_id % 11) ||
+             '</a><div>&amp; entities &lt;kept&gt; &quot;q&quot;&nbsp;end</div></body></html>' AS html
+           FROM documents)"""
+
   private val staticOracles: Map[String, String] = Map(
+    // txt_html_*: WET-style extraction replayed as the identical regex
+    // chain; anchors via regexp_extract_all + 1-based ordinality
+    "txt_html_extract" ->
+      s"""WITH $htmlCte,
+         c1 AS (SELECT doc_id, regexp_replace(html, '<script[^>]*>[^<]*</script>', ' ', 'g') AS t FROM h),
+         c2 AS (SELECT doc_id, regexp_replace(t, '<style[^>]*>[^<]*</style>', ' ', 'g') AS t FROM c1),
+         c3 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM c2),
+         c4 AS (SELECT doc_id, regexp_replace(t, '&lt;', '<', 'g') AS t FROM c3),
+         c5 AS (SELECT doc_id, regexp_replace(t, '&gt;', '>', 'g') AS t FROM c4),
+         c6 AS (SELECT doc_id, regexp_replace(t, '&quot;', '"', 'g') AS t FROM c5),
+         c7 AS (SELECT doc_id, regexp_replace(t, '&#39;', '''', 'g') AS t FROM c6),
+         c8 AS (SELECT doc_id, regexp_replace(t, '&nbsp;', ' ', 'g') AS t FROM c7),
+         c9 AS (SELECT doc_id, regexp_replace(t, '&amp;', '&', 'g') AS t FROM c8)
+         SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text_clean,
+                CAST(length(trim(regexp_replace(t, '\\s+', ' ', 'g'))) AS BIGINT) AS clean_chars
+         FROM c9""",
+    "txt_html_links" ->
+      s"""WITH $htmlCte,
+         l AS (SELECT doc_id,
+                      regexp_extract_all(html, '<a href="([^"]+)">([^<]*)</a>', 1) AS hrefs,
+                      regexp_extract_all(html, '<a href="([^"]+)">([^<]*)</a>', 2) AS anchors
+               FROM h)
+         SELECT doc_id, CAST(g.i AS BIGINT) AS link_idx,
+                hrefs[g.i] AS href, anchors[g.i] AS anchor
+         FROM l, UNNEST(generate_series(1, len(hrefs))) AS g(i)""",
+    "pp_blocklist" ->
+      """WITH hosts AS (SELECT doc_id,
+                               'sub' || (doc_id % 5) || '.example' || (doc_id % 7) || '.com' AS host
+                        FROM documents),
+         b(entry) AS (VALUES ('example0.com'), ('example3.com'), ('sub2.example5.com')),
+         blk AS (SELECT DISTINCT doc_id FROM hosts JOIN b
+                 ON hosts.host = b.entry OR hosts.host LIKE '%.' || b.entry)
+         SELECT doc_id, host FROM hosts
+         WHERE doc_id NOT IN (SELECT doc_id FROM blk)""",
     // sk_quantiles: discrete (ANSI percentile_disc) exact quantiles are
     // actual data elements — no interpolation arithmetic — so they
     // hash-match across engines; okXX is the sketch's rank-error-bound

@@ -1710,4 +1710,24 @@ class FunctionsSpec extends GraftTest {
       }
     }
   }
+
+  test("htmlText: script/style drop whole, entities decode once, whitespace collapses") {
+    import spark.implicits._
+    val cases = Seq(
+      // tags strip, core entities decode AFTER tag removal
+      ("<p>a &amp; b &lt;kept&gt;</p>", "a & b <kept>"),
+      // script/style bodies are dropped WHOLE, not just untagged
+      ("<script type=\"x\">var junk = 1;</script>text<style>p {m:0}</style>", "text"),
+      // double-escaped entity decodes ONE level (&amp; runs last)
+      ("x &amp;lt; y", "x &lt; y"),
+      // nbsp becomes a plain space and whitespace collapses + trims
+      ("  a&nbsp;&nbsp;b   c  ", "a b c"),
+      ("<div><h1>T</h1><p>body &#39;q&#39; &quot;r&quot;</p></div>", "T body 'q' \"r\"")
+    ).toDF("html", "want")
+    val got = cases.select(
+      graft.functions.TextFunctions.htmlText(col("html")).as("got"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
 }

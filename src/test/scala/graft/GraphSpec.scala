@@ -117,4 +117,35 @@ class GraphSpec extends GraftTest {
     assert(joined.where(col("best_reward") =!= col("want")).count() === 0)
     assert(out.where(col("margin") < 0).count() === 0)
   }
+
+  test("blocklist filter: exact and dot-boundary-suffix hosts drop, others survive") {
+    val out = PipelineQueries.all("pp_blocklist")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val block = Seq("example0.com", "example3.com", "sub2.example5.com")
+    // survivors never match an entry exactly or as a dot-boundary suffix
+    out.foreach { case (_, host) =>
+      assert(!block.exists(e => host == e || host.endsWith("." + e)), host)
+    }
+    // the filter is non-vacuous and exact: recompute the expected set
+    val total = Graft.documents(spark, sf).count()
+    val expected = (0L until total).filterNot { id =>
+      val host = s"sub${id % 5}.example${id % 7}.com"
+      block.exists(e => host == e || host.endsWith("." + e))
+    }.toSet
+    assert(out.map(_._1).toSet === expected)
+  }
+
+  test("html links: two ordered anchors per page with the planted targets") {
+    val out = PipelineQueries.all("txt_html_links")(spark, sf).cache()
+    val total = Graft.documents(spark, sf).count()
+    assert(out.count() === 2 * total)
+    val first = out.where(col("doc_id") === 10L)
+      .orderBy("link_idx").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getString(3)))
+    assert(first.toSeq === Seq(
+      (1L, "https://example3.com/p10", "read 10"),
+      (2L, "https://example1.org/q10", "more 10")))
+    out.unpersist()
+  }
+
 }

@@ -646,4 +646,60 @@ class PlanSpec extends GraftTest {
       case None    => spark.conf.unset(k)
     }
   }
+
+  test("pagerank round: id-hash shuffles only, map-side partials, no cartesian, no global sort") {
+    // the loop checkpoints every round, so the query-level executed
+    // plan is just the final scan — pin the ROUND's shape directly
+    val docs = Graft.documents(spark, sf)
+    val edges = graft.graph.Graph.syntheticLinkGraph(docs)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e = edges.join(deg, Seq("src")).select(col("src"), col("dst"), col("outdeg"))
+    val base = docs.select(col("doc_id").as("node"))
+    val ranks = base.withColumn("r", lit(1000000L))
+    val p = graft.graph.Graph.pageRankRound(e, base, ranks, 150000L, 850)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pagerank round must join on the node id:\n" + p.take(3000))
+    assert(p.contains("partial_sum"),
+      "in-mass aggregation must combine map-side:\n" + p.take(3000))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "pagerank never needs a global sort:\n" + p.take(3000))
+    // and the query-level plan confirms the checkpoint contract:
+    // the final round arrives as a materialized scan, constant-size at any K
+    val pq = plan("g_pagerank")
+    assert(pq.contains("Scan ExistingRDD"),
+      "prior round must arrive as a checkpoint scan:\n" + pq.take(3000))
+  }
+
+  test("bitext mining: capped bucket join + pair-scoped rank windows, no cartesian") {
+    val p = plan("pp_bitext_mine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "bitext candidates must come from the SRP bucket join:\n" + p.take(3000))
+    assert(p.contains("Window"), "mutual-best needs the two rank windows")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "rank windows partition by src/tgt id — never a global sort:\n" + p.take(3000))
+  }
+
+  test("curriculum: position windows partition by (epoch, bucket) — no global sort") {
+    val p = plan("pp_curriculum")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "curriculum positions must never range-partition:\n" + p.take(3000))
+    assert(p.contains("Window"), p.take(2000))
+  }
+
+  test("blocklist filter: broadcast blocklist join, suffixes never shuffle the corpus twice") {
+    val p = plan("pp_blocklist")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 3-entry blocklist must broadcast:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("html extraction runs shuffle-free (pure codegen'd expression chain)") {
+    val p = plan("txt_html_extract")
+    assert(!p.contains("Exchange"),
+      "WET extraction is a scan-local regex chain:\n" + p.take(3000))
+    // whole-stage codegen renders as "*(n)" in the simple plan string
+    assert(p.contains("*("), "extraction chain must stay codegen'd:\n" + p.take(2000))
+  }
+
 }
