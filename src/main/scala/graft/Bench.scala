@@ -34,6 +34,9 @@ object Bench {
     "pp_sft_mask", "pp_preference_pairs", "pp_fim",
     "pp_pipeline", "pp_ingest_streaming", "pp_ingest_semantic", "pp_ingest_media", "pp_ingest_media_dct", "pp_ingest_tfexample_media", "pp_dedup_report", "dd_url", "q_hybrid_retrieval",
     "s_tfexample_media", "s_tfexample_media_jpeg", "s_tfexample_multimodal", "dd_stream_dedup_watermark",
+    "g_pagerank", "g_pagerank_seeded", "g_degree", "g_authority",
+    "pp_bitext_mine", "pp_curriculum", "pp_rejection_sample",
+    "txt_html_extract", "txt_html_links", "pp_blocklist", "s_zipshards",
     "mm_features", "mm_resize", "mm_quantize", "mm_decode", "mm_decode_jpeg", "mm_jpeg_coefs", "mm_jpeg_420", "mm_jpeg_rgb", "mm_decode_png", "mm_audio_fft", "mm_audio_mel", "mm_audio_decimate", "mm_audio_fingerprint", "dd_audio_neardup", "dd_image_phash", "dd_image_phash_dct", "dd_image_resolve", "dd_image_neardup", "dd_image_neardup_dct", "mm_video_mjpeg", "mm_video_scenes", "mm_resize_box", "mm_text_image_score", "txt_sentences", "ann_assign_streaming",
     "sk_cms", "sk_hll_merge", "sk_hll_overlap", "sk_heavy", "sk_heavy_merge")
 

@@ -76,8 +76,45 @@ object Graph {
       .select(col("src"), col("dst"), col("outdeg"))
       .persist(MEMORY_AND_DISK)
     e.count() // force once, before round-1 plans race to build it twice
+    val base = nodes.select(col("node")).withColumn("tp", lit(teleport))
+    iterate(e, base, iterations, microScale, damping)
+  }
 
-    val sc = nodes.sparkSession.sparkContext
+  /** Personalized PageRank (the crawl-frontier / seed-quality variant:
+    * teleport mass flows ONLY to the seed set, so ranks measure
+    * proximity to the seeds — the trusted-domain prior). The total
+    * teleport mass of the uniform variant redistributes equally over
+    * the seeds in integer units: `tp(v) = (teleport · N) div |S|` for
+    * seeds, 0 elsewhere. Same integer-exact round, same checkpoint
+    * contract.
+    */
+  def personalizedPageRank(edges: DataFrame, nodes: DataFrame, seeds: DataFrame,
+                           iterations: Int = 4, microScale: Long = 1000000L,
+                           damping: Int = 850): DataFrame = {
+    require(iterations >= 1, s"personalizedPageRank: iterations $iterations < 1")
+    val teleport = microScale * (1000L - damping) / 1000L
+    // bounded 1-row scalar probes (the cardinality-probe precedent)
+    val nNodes = nodes.count()
+    val nSeeds = seeds.count()
+    require(nSeeds > 0, "personalizedPageRank: empty seed set")
+    val perSeed = teleport * nNodes / nSeeds
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e = edges.join(deg, Seq("src"))
+      .select(col("src"), col("dst"), col("outdeg"))
+      .persist(MEMORY_AND_DISK)
+    e.count()
+    val base = nodes.select(col("node"))
+      .join(seeds.select(col("node")).withColumn("_s", lit(1)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("_s").isNotNull, lit(perSeed)).otherwise(lit(0L)).as("tp"))
+    iterate(e, base, iterations, microScale, damping)
+  }
+
+  /** The shared checkpointed power-iteration loop over a degree-
+    * annotated PERSISTED edge list and a (node, tp) teleport frame. */
+  private def iterate(e: DataFrame, base: DataFrame, iterations: Int,
+                      microScale: Long, damping: Int): DataFrame = {
+    val sc = base.sparkSession.sparkContext
     val reliable = sc.getCheckpointDir.isDefined
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
@@ -91,13 +128,11 @@ object Graph {
           p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
         }
       }
-
-    val base = nodes.select(col("node"))
-    var ranks = base.withColumn("r", lit(microScale))
+    var ranks = base.select(col("node"), lit(microScale).as("r"))
     var prev: Option[DataFrame] = None
     try {
       for (_ <- 1 to iterations) {
-        val next = pageRankRound(e, base, ranks, teleport, damping)
+        val next = pageRankRound(e, base, ranks, damping)
         val materialized = ckpt(next)
         prev.foreach(release)
         prev = Some(materialized)
@@ -114,15 +149,13 @@ object Graph {
     * aggregation on dst, one zero-fill left join on the vertex set.
     */
   private[graft] def pageRankRound(e: DataFrame, base: DataFrame,
-                                   ranks: DataFrame, teleport: Long,
-                                   damping: Int): DataFrame = {
+                                   ranks: DataFrame, damping: Int): DataFrame = {
     val contrib = e.join(ranks, e("src") === ranks("node"))
       .select(col("dst").as("node"), expr("r div outdeg").as("c"))
     val inMass = contrib.groupBy("node").agg(sum("c").as("s"))
     base.join(inMass, Seq("node"), "left")
       .select(col("node"),
-        (lit(teleport) + expr(s"($damping * coalesce(s, 0L)) div 1000"))
-          .as("r"))
+        (col("tp") + expr(s"($damping * coalesce(s, 0L)) div 1000")).as("r"))
   }
 
   /** Per-node degree profile over a directed edge list: (node, outdeg,

@@ -26,13 +26,14 @@ object GraphOracleSql {
                 FROM documents d)),
        deg AS (SELECT src, count(*) AS outdeg FROM e0 GROUP BY 1)"""
 
-  /** r0..rK chained CTEs of the integer power iteration. */
-  private def rankCtes(iterations: Int, microScale: Long, damping: Int): String = {
-    val teleport = microScale * (1000L - damping) / 1000L
+  /** r0..rK chained CTEs of the integer power iteration; `tpSql` is the
+    * per-node teleport expression (may reference the base alias `b`). */
+  private def rankCtes(iterations: Int, microScale: Long, damping: Int,
+                       tpSql: String): String = {
     val r0 = s"r0 AS (SELECT doc_id AS node, CAST($microScale AS BIGINT) AS r FROM documents)"
     val rounds = (1 to iterations).map { k =>
       s"""r$k AS (SELECT b.node,
-                    CAST($teleport + ($damping * COALESCE(a.s, 0)) // 1000 AS BIGINT) AS r
+                    CAST(($tpSql) + ($damping * COALESCE(a.s, 0)) // 1000 AS BIGINT) AS r
              FROM r0 b LEFT JOIN
                   (SELECT e0.dst AS node, SUM(rr.r // deg.outdeg) AS s
                    FROM e0 JOIN r${k - 1} rr ON e0.src = rr.node
@@ -42,12 +43,30 @@ object GraphOracleSql {
     (r0 +: rounds).mkString(",\n       ")
   }
 
+  private def uniformTp(microScale: Long, damping: Int): String =
+    (microScale * (1000L - damping) / 1000L).toString
+
   /** Oracle for `g_pagerank`: (node, rank_micro) after K rounds. */
   def pageRank(iterations: Int = 4,
                microScale: Long = 1000000L, damping: Int = 850): String =
     s"""WITH $edgeCtes,
-       ${rankCtes(iterations, microScale, damping)}
+       ${rankCtes(iterations, microScale, damping, uniformTp(microScale, damping))}
        SELECT node, r AS rank_micro FROM r$iterations"""
+
+  /** Oracle for `g_pagerank_seeded`: the personalized variant — the
+    * uniform teleport mass redistributes equally (integer div) over the
+    * seed set (doc_id % `seedMod` = 0); non-seeds get none. */
+  def personalizedPageRank(iterations: Int = 4, microScale: Long = 1000000L,
+                           damping: Int = 850, seedMod: Int = 100): String = {
+    val tp =
+      s"""CASE WHEN b.node % $seedMod = 0
+          THEN (${uniformTp(microScale, damping)} * (SELECT count(*) FROM documents))
+               // (SELECT count(*) FROM documents WHERE doc_id % $seedMod = 0)
+          ELSE 0 END"""
+    s"""WITH $edgeCtes,
+       ${rankCtes(iterations, microScale, damping, tp)}
+       SELECT node, r AS rank_micro FROM r$iterations"""
+  }
 
   /** Oracle for `g_degree`: (node, outdeg, indeg) zero-filled. */
   def degrees: String =
@@ -65,7 +84,7 @@ object GraphOracleSql {
   def authority(iterations: Int = 4,
                 microScale: Long = 1000000L, damping: Int = 850): String =
     s"""WITH $edgeCtes,
-       ${rankCtes(iterations, microScale, damping)}
+       ${rankCtes(iterations, microScale, damping, uniformTp(microScale, damping))}
        SELECT d.source, count(*) AS n_docs,
               CAST(SUM(rr.r) AS BIGINT) AS auth_micro,
               CAST(SUM(rr.r) // count(*) AS BIGINT) AS mean_micro

@@ -1895,6 +1895,19 @@ object PipelineQueries {
             (col("pos") + 1).cast("int")).as("anchor"))
     }),
 
+    "txt_html_extract_streaming" -> ((s, d) => {
+      // WET extraction AT ARRIVAL through the real streaming engine —
+      // the crawl-ingest shape (pages land, text extracts per
+      // micro-batch): the same codegen'd chain over a parquet stream,
+      // stateless append, so the converged table equals the batch pass
+      // and shares txt_html_extract's oracle verbatim.
+      val docs = graft.streaming.StreamingQueries.readStreamParquet(s, d, "documents")
+      val out = syntheticHtml(docs)
+        .select(col("doc_id"), TextFunctions.htmlText(col("html")).as("text_clean"))
+        .withColumn("clean_chars", length(col("text_clean")).cast("long"))
+      graft.streaming.StreamingQueries.runAppendToMemory(s, "txt_html_stream", out)
+    }),
+
     "pp_blocklist" -> ((s, d) => {
       // domain-blocklist filtering (the UT1/URL-blocklist gate every
       // crawl pipeline runs): a host is blocked if it equals an entry
@@ -2479,6 +2492,19 @@ object PipelineQueries {
         docs.select(col("doc_id").as("node")), iterations = 4)
     }),
 
+    "g_pagerank_seeded" -> ((s, d) => {
+      // personalized PageRank (the crawl-frontier / trusted-seed prior:
+      // teleport mass flows ONLY to the seed set — doc_id % 100 == 0 —
+      // so ranks measure proximity to trusted domains). Same
+      // integer-exact checkpointed rounds as g_pagerank; the per-seed
+      // teleport is one integer division computed from two bounded
+      // count probes.
+      val docs = Graft.documents(s, d)
+      val nodes = docs.select(col("doc_id").as("node"))
+      Graph.personalizedPageRank(Graph.syntheticLinkGraph(docs), nodes,
+        nodes.where(pmod(col("node"), lit(100)) === 0), iterations = 4)
+    }),
+
     "g_degree" -> ((s, d) => {
       // per-node degree profile of the link graph (the hub/spoke skew
       // the PageRank mass follows): two hash aggregations + zero-filled
@@ -2991,23 +3017,28 @@ object PipelineQueries {
              '</a><div>&amp; entities &lt;kept&gt; &quot;q&quot;&nbsp;end</div></body></html>' AS html
            FROM documents)"""
 
+  /** The WET-extraction replay shared by the batch entry and its
+    * streaming twin (stateless append — converged == batch). */
+  private val htmlExtractSql: String =
+    s"""WITH $htmlCte,
+       c1 AS (SELECT doc_id, regexp_replace(html, '<script[^>]*>[^<]*</script>', ' ', 'g') AS t FROM h),
+       c2 AS (SELECT doc_id, regexp_replace(t, '<style[^>]*>[^<]*</style>', ' ', 'g') AS t FROM c1),
+       c3 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM c2),
+       c4 AS (SELECT doc_id, regexp_replace(t, '&lt;', '<', 'g') AS t FROM c3),
+       c5 AS (SELECT doc_id, regexp_replace(t, '&gt;', '>', 'g') AS t FROM c4),
+       c6 AS (SELECT doc_id, regexp_replace(t, '&quot;', '"', 'g') AS t FROM c5),
+       c7 AS (SELECT doc_id, regexp_replace(t, '&#39;', '''', 'g') AS t FROM c6),
+       c8 AS (SELECT doc_id, regexp_replace(t, '&nbsp;', ' ', 'g') AS t FROM c7),
+       c9 AS (SELECT doc_id, regexp_replace(t, '&amp;', '&', 'g') AS t FROM c8)
+       SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text_clean,
+              CAST(length(trim(regexp_replace(t, '\\s+', ' ', 'g'))) AS BIGINT) AS clean_chars
+       FROM c9"""
+
   private val staticOracles: Map[String, String] = Map(
     // txt_html_*: WET-style extraction replayed as the identical regex
     // chain; anchors via regexp_extract_all + 1-based ordinality
-    "txt_html_extract" ->
-      s"""WITH $htmlCte,
-         c1 AS (SELECT doc_id, regexp_replace(html, '<script[^>]*>[^<]*</script>', ' ', 'g') AS t FROM h),
-         c2 AS (SELECT doc_id, regexp_replace(t, '<style[^>]*>[^<]*</style>', ' ', 'g') AS t FROM c1),
-         c3 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM c2),
-         c4 AS (SELECT doc_id, regexp_replace(t, '&lt;', '<', 'g') AS t FROM c3),
-         c5 AS (SELECT doc_id, regexp_replace(t, '&gt;', '>', 'g') AS t FROM c4),
-         c6 AS (SELECT doc_id, regexp_replace(t, '&quot;', '"', 'g') AS t FROM c5),
-         c7 AS (SELECT doc_id, regexp_replace(t, '&#39;', '''', 'g') AS t FROM c6),
-         c8 AS (SELECT doc_id, regexp_replace(t, '&nbsp;', ' ', 'g') AS t FROM c7),
-         c9 AS (SELECT doc_id, regexp_replace(t, '&amp;', '&', 'g') AS t FROM c8)
-         SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text_clean,
-                CAST(length(trim(regexp_replace(t, '\\s+', ' ', 'g'))) AS BIGINT) AS clean_chars
-         FROM c9""",
+    "txt_html_extract_streaming" -> htmlExtractSql,
+    "txt_html_extract" -> htmlExtractSql,
     "txt_html_links" ->
       s"""WITH $htmlCte,
          l AS (SELECT doc_id,
@@ -3039,6 +3070,7 @@ object PipelineQueries {
     // g_*: integer-exact link-graph authority family — unrolled-CTE
     // PageRank replay + degree profile (GraphOracleSql).
     "g_pagerank" -> GraphOracleSql.pageRank(),
+    "g_pagerank_seeded" -> GraphOracleSql.personalizedPageRank(),
     "g_degree" -> GraphOracleSql.degrees,
     "g_authority" -> GraphOracleSql.authority(),
     "sk_cms" ->

@@ -21,6 +21,18 @@ class GraphSpec extends GraftTest {
     assert(got === Map(1L -> 1127500L, 2L -> 1722500L, 3L -> 150000L))
   }
 
+  test("personalized pageRank: teleport mass flows only to the seed, hand-iterated") {
+    import spark.implicits._
+    // seeds = {1}: tp(1) = 150000*3/1 = 450000, others 0
+    // r1 = (2150000, 850000, 0); r2 = (1172500, 1827500, 0)
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val got = Graph.personalizedPageRank(edges, nodes,
+        nodes.where(col("node") === 1L), iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1172500L, 2L -> 1827500L, 3L -> 0L))
+  }
+
   test("pageRank is layout-invariant (partitioning cannot change integer ranks)") {
     val docs = Graft.documents(spark, sf)
     val nodes = docs.select(col("doc_id").as("node"))

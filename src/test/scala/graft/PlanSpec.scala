@@ -654,9 +654,9 @@ class PlanSpec extends GraftTest {
     val edges = graft.graph.Graph.syntheticLinkGraph(docs)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val e = edges.join(deg, Seq("src")).select(col("src"), col("dst"), col("outdeg"))
-    val base = docs.select(col("doc_id").as("node"))
-    val ranks = base.withColumn("r", lit(1000000L))
-    val p = graft.graph.Graph.pageRankRound(e, base, ranks, 150000L, 850)
+    val base = docs.select(col("doc_id").as("node")).withColumn("tp", lit(150000L))
+    val ranks = base.select(col("node"), lit(1000000L).as("r"))
+    val p = graft.graph.Graph.pageRankRound(e, base, ranks, 850)
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "pagerank round must join on the node id:\n" + p.take(3000))
