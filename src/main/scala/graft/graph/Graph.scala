@@ -93,9 +93,11 @@ object Graph {
                            damping: Int = 850): DataFrame = {
     require(iterations >= 1, s"personalizedPageRank: iterations $iterations < 1")
     val teleport = microScale * (1000L - damping) / 1000L
-    // bounded 1-row scalar probes (the cardinality-probe precedent)
+    // bounded 1-row scalar probes (the cardinality-probe precedent);
+    // the seed count and the join side must agree on DISTINCT seeds
+    val distinctSeeds = seeds.select(col("node")).distinct()
     val nNodes = nodes.count()
-    val nSeeds = seeds.count()
+    val nSeeds = distinctSeeds.count()
     require(nSeeds > 0, "personalizedPageRank: empty seed set")
     val perSeed = teleport * nNodes / nSeeds
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -103,8 +105,10 @@ object Graph {
       .select(col("src"), col("dst"), col("outdeg"))
       .persist(MEMORY_AND_DISK)
     e.count()
+    // distinct: a duplicated seed row would otherwise FAN OUT the base
+    // left join and double-count that node every round
     val base = nodes.select(col("node"))
-      .join(seeds.select(col("node")).withColumn("_s", lit(1)), Seq("node"), "left")
+      .join(distinctSeeds.withColumn("_s", lit(1)), Seq("node"), "left")
       .select(col("node"),
         when(col("_s").isNotNull, lit(perSeed)).otherwise(lit(0L)).as("tp"))
     iterate(e, base, iterations, microScale, damping)

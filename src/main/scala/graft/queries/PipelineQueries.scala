@@ -76,6 +76,24 @@ object PipelineQueries {
     * plain RE2-compatible groups, identical in Spark and DuckDB). */
   private val anchorPat = "<a href=\"([^\"]+)\">([^<]*)</a>"
 
+  /** The pp_sft_mask example builder, shared with pp_pack_sft: each doc
+    * becomes a chat-templated training example (role sentinels around a
+    * deterministic user/assistant split) plus the 1-based char span
+    * [mask_start, mask_end) of the ASSISTANT content — the only
+    * loss-bearing region. One codegen'd scan, no shuffle.
+    */
+  private def sftExamples(docs: DataFrame): DataFrame = {
+    val len = length(col("text"))
+    val half = expr("length(text) div 2")
+    docs.select(col("doc_id"),
+      concat(lit("<|user|>"), expr("substring(text, 1, length(text) div 2)"),
+        lit("<|assistant|>"),
+        expr("substring(text, length(text) div 2 + 1, length(text))"),
+        lit("<|end|>")).as("sft_text"),
+      (lit(8) + half + lit(13) + lit(1)).cast("int").as("mask_start"),
+      (lit(8) + half + lit(13) + lit(1) + (len - half)).cast("int").as("mask_end"))
+  }
+
   /** The pp_bitext_mine composition, shared with the scale audit:
     * source side (even labels) probes the capped SRP buckets of the
     * target side (odd labels), cosine >= `threshold` candidates, then
@@ -1150,16 +1168,28 @@ object PipelineQueries {
       // codegen'd scan, no shuffle); the oracle replays the template
       // and the span math exactly. 100 TB shape: embarrassingly
       // parallel, output size ~input size.
-      val docs = Graft.documents(s, d)
-      val len = length(col("text"))
-      val half = expr("length(text) div 2")
-      docs.select(col("doc_id"),
-        concat(lit("<|user|>"), expr("substring(text, 1, length(text) div 2)"),
-          lit("<|assistant|>"),
-          expr("substring(text, length(text) div 2 + 1, length(text))"),
-          lit("<|end|>")).as("sft_text"),
-        (lit(8) + half + lit(13) + lit(1)).cast("int").as("mask_start"),
-        (lit(8) + half + lit(13) + lit(1) + (len - half)).cast("int").as("mask_end"))
+      sftExamples(Graft.documents(s, d))
+    }),
+
+    "pp_pack_sft" -> ((s, d) => {
+      // loss-masked SFT packing — the tensor-assembly step: the
+      // chat-templated examples ([[sftExamples]]) pack into fixed
+      // 512-token bins (packBins' two-phase parallel prefix sum) and
+      // each example's assistant span REBASES by its char offset inside
+      // the packed sequence — what a masked-loss dataloader actually
+      // indexes. The offset window rides the bin partitioning (bins are
+      // budget-bounded groups), never a global sort.
+      import org.apache.spark.sql.expressions.Window
+      val sft = sftExamples(Graft.documents(s, d))
+      val bins = TextFunctions.packBins(sft, "doc_id", "sft_text", tokenBudget = 512)
+      val joined = sft.join(bins.select("doc_id", "n_tok", "bin"), Seq("doc_id"))
+      val wBin = Window.partitionBy("bin").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      joined.withColumn("seq_off",
+          coalesce(sum(length(col("sft_text")).cast("long")).over(wBin), lit(0L)))
+        .select(col("doc_id"), col("bin"), col("n_tok"), col("seq_off"),
+          (col("mask_start") + col("seq_off")).cast("long").as("packed_mask_start"),
+          (col("mask_end") + col("seq_off")).cast("long").as("packed_mask_end"))
     }),
 
     "pp_preference_pairs" -> ((s, d) => {
@@ -3766,6 +3796,30 @@ object PipelineQueries {
                            sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
                     FROM t)
          SELECT doc_id, n_tok, CAST((cum - n_tok) // 512 AS BIGINT) AS bin FROM c""",
+    "pp_pack_sft" ->
+      """WITH t AS (SELECT doc_id,
+                           '<|user|>' || substr(text, 1, length(text) // 2) ||
+                           '<|assistant|>' || substr(text, length(text) // 2 + 1) ||
+                           '<|end|>' AS sft_text,
+                           8 + (length(text) // 2) + 13 + 1 AS mask_start,
+                           8 + (length(text) // 2) + 13 + 1 +
+                             (length(text) - length(text) // 2) AS mask_end
+                    FROM documents),
+         tok AS (SELECT *, CAST(len(list_filter(string_split_regex(sft_text, '\s+'),
+                                                w -> len(w) > 0)) AS BIGINT) AS n_tok
+                 FROM t),
+         c AS (SELECT *, sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+               FROM tok),
+         b AS (SELECT *, CAST((cum - n_tok) // 512 AS BIGINT) AS bin FROM c),
+         o AS (SELECT *, COALESCE(sum(CAST(length(sft_text) AS BIGINT))
+                           OVER (PARTITION BY bin ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS seq_off
+               FROM b)
+         SELECT doc_id, bin, n_tok, seq_off,
+                CAST(mask_start + seq_off AS BIGINT) AS packed_mask_start,
+                CAST(mask_end + seq_off AS BIGINT) AS packed_mask_end
+         FROM o""",
     "pp_ingest" -> ppIngestSql,
     // the streaming composition converges to the identical result
     // (ascending-range micro-batches make first-accepted == keep-min),

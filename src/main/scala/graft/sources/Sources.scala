@@ -937,6 +937,8 @@ object Sources {
                     val nlen = u16(h, 22)
                     val elen = u16(h, 24)
                     if (csizeH == 0xffffffffL || usizeH == 0xffffffffL) bad("ZIP64 not supported")
+                    if (csizeH > Int.MaxValue - 8 || usizeH > Int.MaxValue - 8)
+                      bad(s"member larger than the 2 GiB single-buffer bound ($usizeH bytes)")
                     val name = new String(s.readN(nlen), "UTF-8")
                     if (elen > 0) s.readN(elen)
                     val hasDesc = (flags & 8) != 0

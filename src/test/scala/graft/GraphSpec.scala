@@ -118,6 +118,28 @@ class GraphSpec extends GraftTest {
     out.unpersist()
   }
 
+  test("packed SFT masks index the assistant span inside the packed sequence") {
+    val texts = Graft.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sftRows = PipelineQueries.all("pp_sft_mask")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = PipelineQueries.all("pp_pack_sft")(spark, sf).collect()
+    assert(rows.length === texts.size)
+    rows.groupBy(_.getAs[Long]("bin")).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getLong(0))
+      val packed = ordered.map(r => sftRows(r.getLong(0))).mkString
+      ordered.foreach { r =>
+        val id = r.getLong(0)
+        val s = r.getAs[Long]("packed_mask_start").toInt
+        val e = r.getAs[Long]("packed_mask_end").toInt
+        val text = texts(id)
+        val assistant = text.substring(text.length / 2)
+        assert(packed.substring(s - 1, e - 1) === assistant,
+          s"doc $id: packed span must be exactly the assistant half")
+      }
+    }
+  }
+
   test("rejection sampling: the chosen candidate carries the group max reward") {
     val out = PipelineQueries.all("pp_rejection_sample")(spark, sf)
     val docs = Graft.documents(spark, sf)
