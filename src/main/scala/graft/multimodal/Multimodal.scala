@@ -863,6 +863,47 @@ object Multimodal {
     * copy, so channel choice is pinned by the oracle). Decode failure
     * emits the all--1 sentinel row.
     */
+  final case class ImagePatch(asset_id: Long, patch_row: Int, patch_col: Int,
+                              px_sum: Long, px_min: Int, px_max: Int)
+
+  /** ViT-style patch extraction (Dosovitskiy et al. 2021's image-to-
+    * sequence step): decode, point-resample to a fixed `grid`×`grid`
+    * luma lattice (the dHash sampling rule: sx = x·w div grid), split
+    * into (grid/patch)² patches, emit exact per-patch integer stats —
+    * the certifiable projection of the patch tensor a ViT dataloader
+    * materializes. Scan-local decode, (grid/patch)² rows per asset, no
+    * shuffle; undecodable payloads surface as one (-1,-1) marker row
+    * (the imageDHash convention), never a crash.
+    */
+  def imagePatches(assets: DataFrame, grid: Int = 8, patch: Int = 4): DataFrame = {
+    require(grid % patch == 0, s"imagePatches: grid $grid not a multiple of patch $patch")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val np = grid / patch
+    assets.select("asset_id", "payload").as[(Long, Array[Byte])].flatMap { case (id, bytes) =>
+      Png.decode(bytes) match {
+        case Some(img) =>
+          for (pr <- 0 until np; pc <- 0 until np) yield {
+            var s = 0L; var mn = 256; var mx = -1
+            var y = pr * patch
+            while (y < (pr + 1) * patch) {
+              var x = pc * patch
+              while (x < (pc + 1) * patch) {
+                val sy = y * img.height / grid
+                val sx = x * img.width / grid
+                val v = img.pixels((sy * img.width + sx) * img.channels) & 0xff
+                s += v; if (v < mn) mn = v; if (v > mx) mx = v
+                x += 1
+              }
+              y += 1
+            }
+            ImagePatch(id, pr, pc, s, mn, mx)
+          }
+        case None => Seq(ImagePatch(id, -1, -1, -1L, -1, -1))
+      }
+    }.toDF()
+  }
+
   final case class ImageDHash(asset_id: Long, dhash_hi: Long, dhash_lo: Long)
 
   def imageDHash(assets: DataFrame): DataFrame = {

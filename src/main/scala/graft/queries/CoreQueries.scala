@@ -392,6 +392,21 @@ object CoreQueries {
         .select(docs.columns.map(c => col(s"r.$c")): _*)
     }),
 
+    "s_arrow_roundtrip" -> ((s, d) => {
+      // Arrow IPC stream roundtrip (r15) — the columnar interchange
+      // format ML dataloaders consume, spoken by a HAND-BUILT
+      // FlatBuffers layer (vtables, unions, struct vectors) and the
+      // encapsulated-message framing, pure JVM (Sources.ArrowIpc;
+      // cross-validated BOTH directions against pyarrow in
+      // SourcesSpec): documents → 4 .arrows shards → shard-parallel
+      // streaming read (schema validated, one batch in memory) →
+      // identity vs the plain table.
+      val out = tmp("arrowstream")
+      val docs = Graft.documents(s, d)
+      graft.sources.Sources.writeArrowStream(docs, out, shards = 4)
+      graft.sources.Sources.readArrowStream(s, out, docs.schema)
+    }),
+
     "s_zipshards" -> ((s, d) => {
       // ZIP shard roundtrip (r15) — the other common sample-archive
       // container next to WebDataset tar (Kaggle dumps, scraped-corpus
@@ -938,6 +953,7 @@ object CoreQueries {
              AND gx.x < 1 + d.n_chars % 13
              AND gy.y < 1 + d.doc_id % 11
            GROUP BY 1) p ON p.doc_id = d.doc_id""",
+    "s_arrow_roundtrip" -> "SELECT * FROM documents",
     "s_zipshards" -> "SELECT * FROM documents",
     "s_zipshards_streaming" -> "SELECT * FROM documents",
     // torn shard-3 tail (cut inside the final member's local header)

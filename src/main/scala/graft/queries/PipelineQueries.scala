@@ -2559,6 +2559,14 @@ object PipelineQueries {
         .withColumn("mean_micro", expr("auth_micro div n_docs"))
     }),
 
+    "mm_patchify" -> ((s, d) =>
+      // ViT patch extraction over REAL decoded pixels: full PNG decode →
+      // 8x8 luma lattice (the dHash sampling rule) → four 4x4 patches
+      // with exact integer stats — the image-to-sequence step a ViT
+      // dataloader runs, certified against the pixel-formula replay.
+      Multimodal.imagePatches(
+        Multimodal.syntheticPngAssets(Graft.documents(s, d)))),
+
     // ---- sketches ---------------------------------------------------------
     "sk_quantiles" -> ((s, d) => {
       // quantile sketch (approx_percentile ≈ Greenwald-Khanna) CERTIFIED
@@ -3097,6 +3105,21 @@ object PipelineQueries {
     // hash-match, each sketch's guarantee is a boolean the oracle states
     // as TRUE (a violation flips the engine-side value and fails the
     // hash), and the sketch itself stays in the executed plan.
+    // mm_patchify: the synthetic PNG's pixel formula (id*7 + x*3 + y*5,
+    // channel 0) point-sampled at the 8x8 dHash lattice, grouped into
+    // 4x4 patches
+    "mm_patchify" ->
+      """WITH g AS (SELECT d.doc_id AS asset_id, gx.x AS x, gy.y AS y,
+                (d.doc_id*7 + ((gx.x * (1 + d.n_chars % 13)) // 8) * 3
+                   + ((gy.y * (1 + d.doc_id % 11)) // 8) * 5) % 256 AS v
+              FROM documents d,
+                   UNNEST(generate_series(0, 7)) AS gx(x),
+                   UNNEST(generate_series(0, 7)) AS gy(y))
+         SELECT asset_id, CAST(y // 4 AS INT) AS patch_row,
+                CAST(x // 4 AS INT) AS patch_col,
+                CAST(SUM(v) AS BIGINT) AS px_sum,
+                CAST(MIN(v) AS INT) AS px_min, CAST(MAX(v) AS INT) AS px_max
+         FROM g GROUP BY 1, 2, 3""",
     // g_*: integer-exact link-graph authority family — unrolled-CTE
     // PageRank replay + degree profile (GraphOracleSql).
     "g_pagerank" -> GraphOracleSql.pageRank(),

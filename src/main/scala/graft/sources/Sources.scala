@@ -1140,6 +1140,38 @@ object Sources {
       .select("key", "ext", "payload")
   }
 
+  /** Write Arrow IPC stream shards (one `.arrows` per partition via the
+    * atomic-rename commit) — the zero-copy interchange format ML
+    * dataloaders mmap. Embarrassingly parallel; each task buffers one
+    * record batch (1024 rows), never the shard. Non-splittable for a
+    * stream reader (batch boundaries are discovered by walking
+    * messages), so read parallelism = shard count, the writer's knob —
+    * the tar/TFRecord/zip contract.
+    */
+  def writeArrowStream(df: DataFrame, path: String, shards: Int): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    val schema = df.schema
+    df.repartition(shards)
+      .foreachPartition { (it: Iterator[Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val p = java.nio.file.Paths.get(path, f"part-$pid%05d.arrows")
+        writeShardAtomic(p)(out => ArrowIpc.writeStream(out, schema, it))
+      }
+  }
+
+  /** Read Arrow IPC stream shards back, validating the stream schema
+    * against the EXPECTED Spark schema (names + types, order-exact) —
+    * shard-parallel ([[shardRecords]]), one record batch in memory at a
+    * time, nulls honored through the validity bitmaps.
+    */
+  def readArrowStream(spark: SparkSession, path: String,
+                      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    shardRecords(spark, s"$path/*.arrows")((_, _, in) => ArrowIpc.readStream(in, schema))
+      .toDF()
+  }
+
   /** Write a binary column as TFRecord shards (one file per output
     * partition). 100 TB shape: the write is embarrassingly parallel
     * (each task streams its partition through the framing with no

@@ -687,4 +687,85 @@ class SourcesSpec extends GraftTest {
     assert(new String(got(2)._2, "UTF-8") === "nested")
   }
 
+
+  test("Arrow IPC: Spark roundtrip exact; truncation and garbage throw") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-arrow").toString
+    val df = (0 until 300).map(i =>
+      (i.toLong, s"text-$i \u00e9\u4e2d", i * 0.125, Array.tabulate[Byte](i % 5)(j => (i + j).toByte)))
+      .toDF("id", "s", "x", "b")
+    graft.sources.Sources.writeArrowStream(df, dir, shards = 3)
+    val back = graft.sources.Sources.readArrowStream(spark, dir, df.schema)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getAs[Array[Byte]](3).toSeq)).sortBy(_._1)
+    val want = df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+      r.getAs[Array[Byte]](3).toSeq)).sortBy(_._1)
+    assert(back.toSeq === want.toSeq)
+    // truncation mid-stream throws (never a silent prefix)
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".arrows")).head.toPath
+    val bytes = java.nio.file.Files.readAllBytes(f)
+    val torn = java.util.Arrays.copyOf(bytes, bytes.length - 9)
+    intercept[IllegalArgumentException] {
+      graft.sources.ArrowIpc.readStream(
+        new java.io.ByteArrayInputStream(torn), df.schema).toList
+    }
+    // garbage throws
+    intercept[IllegalArgumentException] {
+      graft.sources.ArrowIpc.readStream(
+        new java.io.ByteArrayInputStream(Array.fill[Byte](64)(7)),
+        df.schema).toList
+    }
+  }
+
+  test("Arrow IPC cross-validation: pyarrow reads our stream; we read pyarrow's, nulls honored") {
+    import org.apache.spark.sql.types._
+    // probe for a pyarrow-capable interpreter (the driver environment's
+    // pyenv python carries it; the system python may not)
+    val py = Seq("/root/.pyenv/shims/python3", "/root/.pyenv/versions/3.11.7/bin/python3",
+        "/usr/bin/python3", "/usr/local/bin/python3")
+      .find { c =>
+        new java.io.File(c).exists() && {
+          try new ProcessBuilder(c, "-c", "import pyarrow").start().waitFor() == 0
+          catch { case _: Exception => false }
+        }
+      }
+    assume(py.isDefined, "no pyarrow-capable python3 available")
+    val dir = java.nio.file.Files.createTempDirectory("graft-arrowx")
+    // direction 1: OUR writer -> pyarrow reader (checksummed row echo)
+    import spark.implicits._
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", -2.25), (3L, "\u00fcber", 0.0))
+      .toDF("id", "name", "score")
+    graft.sources.Sources.writeArrowStream(df, dir.toString, shards = 1)
+    val script1 =
+      s"""import pyarrow.ipc as ipc, glob
+         |t = ipc.open_stream(sorted(glob.glob("$dir/*.arrows"))[0]).read_all()
+         |rows = sorted(zip(t.column(0).to_pylist(), t.column(1).to_pylist(), t.column(2).to_pylist()))
+         |assert rows == [(1, "alpha", 1.5), (2, "beta", -2.25), (3, "\\u00fcber", 0.0)], rows
+         |print("OK1")
+         |""".stripMargin
+    val p1 = new ProcessBuilder(py.get, "-c", script1).start()
+    val out1 = new String(p1.getInputStream.readAllBytes(), "UTF-8")
+    assert(p1.waitFor() === 0, new String(p1.getErrorStream.readAllBytes(), "UTF-8"))
+    assert(out1.contains("OK1"))
+    // direction 2: pyarrow writer (multiple batches + NULLS) -> our reader
+    val foreign = dir.resolve("foreign.arrows")
+    val script2 =
+      s"""import pyarrow as pa, pyarrow.ipc as ipc
+         |schema = pa.schema([("id", pa.int64()), ("name", pa.string()), ("score", pa.float64())])
+         |w = ipc.new_stream("$foreign", schema)
+         |w.write_batch(pa.record_batch([pa.array([10, None]), pa.array(["x", None]), pa.array([0.5, None])], schema=schema))
+         |w.write_batch(pa.record_batch([pa.array([30]), pa.array(["z"]), pa.array([None], type=pa.float64())], schema=schema))
+         |w.close()
+         |print("OK2")
+         |""".stripMargin
+    val p2 = new ProcessBuilder(py.get, "-c", script2).start()
+    assert(p2.waitFor() === 0, new String(p2.getErrorStream.readAllBytes(), "UTF-8"))
+    val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val got = graft.sources.ArrowIpc.readStream(
+      new java.io.BufferedInputStream(java.nio.file.Files.newInputStream(foreign)), schema).toList
+    assert(got.map(r => (r.get(0), r.get(1), r.get(2))) === List(
+      (10L, "x", 0.5), (null, null, null), (30L, "z", null)))
+  }
+
 }
