@@ -407,6 +407,30 @@ object CoreQueries {
       graft.sources.Sources.readArrowStream(s, out, docs.schema)
     }),
 
+    "s_arrow_streaming" -> ((s, d) => {
+      // Arrow shards arriving THROUGH the real streaming engine (the
+      // dataloader-feed shape): the SAME 4 shards staged, streaming
+      // binaryFile source one shard per micro-batch, each walked by the
+      // SAME schema-validated batch reader. Stateless append —
+      // converged result equals the batch read, shared oracle.
+      val out = tmp("arrowstreams")
+      val docs = Graft.documents(s, d)
+      graft.sources.Sources.writeArrowStream(docs, out, shards = 4)
+      import s.implicits._
+      val schema = docs.schema
+      implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+        org.apache.spark.sql.Encoders.row(schema)
+      val stream = s.readStream.format("binaryFile")
+        .schema(s.read.format("binaryFile").load(s"$out/*.arrows").schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(s"$out/*.arrows")
+        .select("content").as[Array[Byte]]
+        .flatMap(b => graft.sources.ArrowIpc.readStream(
+          new java.io.ByteArrayInputStream(b), schema))
+      graft.streaming.StreamingQueries.runAppendToMemory(s, "s_arrow_stream",
+        stream.toDF())
+    }),
+
     "s_zipshards" -> ((s, d) => {
       // ZIP shard roundtrip (r15) — the other common sample-archive
       // container next to WebDataset tar (Kaggle dumps, scraped-corpus
@@ -954,6 +978,7 @@ object CoreQueries {
              AND gy.y < 1 + d.doc_id % 11
            GROUP BY 1) p ON p.doc_id = d.doc_id""",
     "s_arrow_roundtrip" -> "SELECT * FROM documents",
+    "s_arrow_streaming" -> "SELECT * FROM documents",
     "s_zipshards" -> "SELECT * FROM documents",
     "s_zipshards_streaming" -> "SELECT * FROM documents",
     // torn shard-3 tail (cut inside the final member's local header)
