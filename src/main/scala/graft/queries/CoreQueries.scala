@@ -407,6 +407,23 @@ object CoreQueries {
       graft.sources.Sources.readArrowStream(s, out, docs.schema)
     }),
 
+    "s_arrow_embeddings" -> ((s, d) => {
+      // embeddings through the Arrow interchange: vec_id/label as
+      // Int64, the vector as list<float32> — the EXACT layout a
+      // pyarrow/torch dataloader consumes. Float bits ride the fixed32
+      // child buffer untouched, so the roundtrip is bit-exact; the
+      // harness-facing projection explodes to scalars (the
+      // s_tfexample_embeddings device — pandas cannot hash raw arrays).
+      val out = tmp("arrowemb")
+      val emb = Graft.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label").cast("long").as("label"))
+      graft.sources.Sources.writeArrowStream(emb, out, shards = 4)
+      graft.sources.Sources.readArrowStream(s, out, emb.schema)
+        .select(col("vec_id"), posexplode(col("embedding")), col("label"))
+        .select(col("vec_id"), col("pos").cast("int").as("idx"),
+          col("col").cast("double").as("value"), col("label").cast("int").as("label"))
+    }),
+
     "s_arrow_streaming" -> ((s, d) => {
       // Arrow shards arriving THROUGH the real streaming engine (the
       // dataloader-feed shape): the SAME 4 shards staged, streaming
@@ -979,6 +996,10 @@ object CoreQueries {
            GROUP BY 1) p ON p.doc_id = d.doc_id""",
     "s_arrow_roundtrip" -> "SELECT * FROM documents",
     "s_arrow_streaming" -> "SELECT * FROM documents",
+    "s_arrow_embeddings" ->
+      """SELECT vec_id, CAST(i - 1 AS INT) AS idx,
+                CAST(embedding[i] AS DOUBLE) AS value, label
+         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)""",
     "s_zipshards" -> "SELECT * FROM documents",
     "s_zipshards_streaming" -> "SELECT * FROM documents",
     // torn shard-3 tail (cut inside the final member's local header)

@@ -222,6 +222,7 @@ object ArrowIpc {
   private val TYPE_FLOAT = 3
   private val TYPE_BINARY = 4
   private val TYPE_UTF8 = 5
+  private val TYPE_LIST = 12
   private val HEADER_SCHEMA = 1
   private val HEADER_RECORD_BATCH = 3
 
@@ -230,7 +231,8 @@ object ArrowIpc {
     case DoubleType => (TYPE_FLOAT, "float64")
     case StringType => (TYPE_UTF8, "utf8")
     case BinaryType => (TYPE_BINARY, "binary")
-    case other => bad(s"unsupported Spark type $other (supported: long, double, string, binary)")
+    case ArrayType(FloatType, _) => (TYPE_LIST, "list<float32>")
+    case other => bad(s"unsupported Spark type $other (supported: long, double, string, binary, array<float>)")
   }
 
   // ---- reader --------------------------------------------------------------
@@ -307,6 +309,14 @@ object ArrowIpc {
             val t = fb.offField(f, 3)
             if (fb.i16Field(t, 0, 0) != 2) bad(s"field '$name': only float64 supported")
           }
+          if (tt == TYPE_LIST) {
+            val kids = fb.offField(f, 5)
+            if (kids < 0 || fb.vecLen(kids) != 1) bad(s"list field '$name' needs exactly one child")
+            val kid = fb.vecTable(kids, 0)
+            if (fb.u8Field(kid, 2, 0) != TYPE_FLOAT ||
+                fb.i16Field(fb.offField(kid, 3), 0, 0) != 1)
+              bad(s"list field '$name': only list<float32> supported")
+          }
           if (fb.offField(f, 4) >= 0) bad(s"field '$name' is dictionary-encoded (unsupported)")
         }
       }
@@ -316,18 +326,26 @@ object ArrowIpc {
         val nodesVec = fb.offField(rb, 1)
         val bufsVec = fb.offField(rb, 2)
         if (nodesVec < 0 || bufsVec < 0) bad("record batch missing nodes/buffers")
+        // nodes walk the schema tree pre-order: a list field carries its
+        // child's node too
+        val wantNodes = schema.length + schema.count(_.dataType.isInstanceOf[ArrayType])
         val nodes = fb.vecLen(nodesVec)
-        if (nodes != schema.length) bad(s"record batch has $nodes nodes, expected ${schema.length}")
+        if (nodes != wantNodes) bad(s"record batch has $nodes nodes, expected $wantNodes")
         var bufIdx = 0
+        var nodeIdx = 0
         def buffer(): (Long, Long) = {
           val p = fb.vecElems(bufsVec) + 16 * bufIdx
           bufIdx += 1
           (fb.i64(p), fb.i64(p + 8))
         }
+        def node(): (Long, Long) = {
+          val p = fb.vecElems(nodesVec) + 16 * nodeIdx
+          nodeIdx += 1
+          (fb.i64(p), fb.i64(p + 8))
+        }
         val cols = new Array[Array[Any]](schema.length)
         (0 until schema.length).foreach { ci =>
-          val nodeP = fb.vecElems(nodesVec) + 16 * ci
-          val nullCount = fb.i64(nodeP + 8)
+          val (_, nullCount) = node()
           val (voff, vlen) = buffer()
           def isNull(r: Int): Boolean =
             nullCount > 0 && vlen > 0 &&
@@ -366,6 +384,32 @@ object ArrowIpc {
                   }
                 r += 1
               }
+            case ArrayType(FloatType, _) =>
+              val (ooff, _) = buffer()
+              val (_, childNulls) = node()
+              val (cvoff, cvlen) = buffer() // child validity
+              if (childNulls > 0 && cvlen > 0) bad("null list ELEMENTS unsupported")
+              val (doff, _) = buffer() // child float32 data
+              var r = 0
+              while (r < nRows) {
+                out(r) =
+                  if (isNull(r)) null
+                  else {
+                    val s0 = i32le(body, ooff.toInt + 4 * r)
+                    val e0 = i32le(body, ooff.toInt + 4 * (r + 1))
+                    val a = new Array[Float](e0 - s0)
+                    var j = 0
+                    while (j < a.length) {
+                      a(j) = java.lang.Float.intBitsToFloat(
+                        i32le(body, doff.toInt + 4 * (s0 + j)))
+                      j += 1
+                    }
+                    a
+                  }
+                r += 1
+              }
+              // silence the unused warning for the child validity offset
+              val _ = cvoff
             case other => bad(s"unsupported type $other")
           }
           cols(ci) = out
@@ -431,13 +475,23 @@ object ArrowIpc {
       val typeTable = f.dataType match {
         case LongType => fbb.createTable(Seq(fbb.I32S(0, 64), fbb.BoolS(1, true)))
         case DoubleType => fbb.createTable(Seq(fbb.I16S(0, 2))) // precision: int16 enum, DOUBLE
-
-        case _ => fbb.createTable(Seq.empty) // Utf8/Binary are empty tables
+        case _ => fbb.createTable(Seq.empty) // Utf8/Binary/List are empty tables
+      }
+      val children: Option[Int] = f.dataType match {
+        case ArrayType(FloatType, _) =>
+          val childType = fbb.createTable(Seq(fbb.I16S(0, 1))) // SINGLE precision
+          val childName = fbb.createString("item")
+          val child = fbb.createTable(Seq(
+            fbb.Off(0, childName), fbb.BoolS(1, true),
+            fbb.I8(2, TYPE_FLOAT), fbb.Off(3, childType)))
+          Some(fbb.createOffsetVector(Seq(child)))
+        case _ => None
       }
       val name = fbb.createString(f.name)
       fbb.createTable(Seq(
         fbb.Off(0, name), fbb.BoolS(1, f.nullable),
-        fbb.I8(2, tt), fbb.Off(3, typeTable)))
+        fbb.I8(2, tt), fbb.Off(3, typeTable)) ++
+        children.map(fbb.Off(5, _)).toSeq)
     }.toSeq
     val fieldsVec = fbb.createOffsetVector(fieldTables)
     val schemaTable = fbb.createTable(Seq(fbb.Off(1, fieldsVec))) // endianness defaults LE
@@ -451,6 +505,7 @@ object ArrowIpc {
     val n = rows.length
     val body = new java.io.ByteArrayOutputStream()
     val buffers = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val childLens = scala.collection.mutable.Map.empty[Int, Long]
     def addBuffer(bytes: Array[Byte]): Unit = {
       val off = body.size()
       buffers += ((off.toLong, bytes.length.toLong))
@@ -490,19 +545,38 @@ object ArrowIpc {
           val data = new java.io.ByteArrayOutputStream(acc)
           datas.foreach(data.write)
           addBuffer(data.toByteArray)
+        case ArrayType(FloatType, _) =>
+          val arrays = rows.map { r =>
+            if (r.isNullAt(ci)) bad(s"null in column '${f.name}' (writer is non-null only)")
+            r.getAs[scala.collection.Seq[Float]](ci)
+          }
+          val offs = java.nio.ByteBuffer.allocate(4 * (n + 1)).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var acc = 0
+          offs.putInt(0)
+          arrays.foreach { a => acc += a.length; offs.putInt(acc) }
+          addBuffer(offs.array())
+          addBuffer(Array.emptyByteArray) // child validity (no elem nulls)
+          val data = java.nio.ByteBuffer.allocate(4 * acc).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          arrays.foreach(_.foreach(data.putFloat))
+          addBuffer(data.array())
+          childLens(ci) = acc.toLong
         case other => bad(s"unsupported type $other")
       }
     }
     val fbb = new FbBuilder()
-    // FieldNode structs: (length, null_count) per column, 16 bytes each,
-    // vector stored FORWARD
-    val nodeBytes = java.nio.ByteBuffer.allocate(16 * schema.length)
+    // FieldNode structs: (length, null_count), pre-order over the schema
+    // tree — a list field carries its child's node right after its own
+    val nNodes = schema.length + childLens.size
+    val nodeBytes = java.nio.ByteBuffer.allocate(16 * nNodes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    schema.fields.foreach { _ => nodeBytes.putLong(n.toLong); nodeBytes.putLong(0L) }
+    schema.fields.zipWithIndex.foreach { case (_, ci) =>
+      nodeBytes.putLong(n.toLong); nodeBytes.putLong(0L)
+      childLens.get(ci).foreach { cl => nodeBytes.putLong(cl); nodeBytes.putLong(0L) }
+    }
     val bufBytes = java.nio.ByteBuffer.allocate(16 * buffers.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     buffers.foreach { case (o, l) => bufBytes.putLong(o); bufBytes.putLong(l) }
-    val nodesVec = fbb.createStructVector(schema.length, nodeBytes.array(), 8)
+    val nodesVec = fbb.createStructVector(nNodes, nodeBytes.array(), 8)
     val bufsVec = fbb.createStructVector(buffers.length, bufBytes.array(), 8)
     val rb = fbb.createTable(Seq(
       fbb.I64S(0, n.toLong), fbb.Off(1, nodesVec), fbb.Off(2, bufsVec)))

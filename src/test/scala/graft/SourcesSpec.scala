@@ -768,4 +768,42 @@ class SourcesSpec extends GraftTest {
       (10L, "x", 0.5), (null, null, null), (30L, "z", null)))
   }
 
+
+  test("Arrow IPC list<float32>: bit-exact roundtrip; pyarrow reads our list column") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-arrowl").toString
+    val df = Seq(
+      (1L, Array(1.5f, -0.25f, java.lang.Float.MIN_VALUE)),
+      (2L, Array.empty[Float]),
+      (3L, Array(Float.MaxValue, 3.0f))
+    ).toDF("id", "vec")
+    graft.sources.Sources.writeArrowStream(df, dir, shards = 1)
+    val back = graft.sources.Sources.readArrowStream(spark, dir, df.schema)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toList)).sortBy(_._1)
+    assert(back.toList === List(
+      (1L, List(1.5f, -0.25f, java.lang.Float.MIN_VALUE)),
+      (2L, Nil), (3L, List(Float.MaxValue, 3.0f))))
+    val py = Seq("/root/.pyenv/shims/python3", "/usr/bin/python3").find { c =>
+      new java.io.File(c).exists() && {
+        try new ProcessBuilder(c, "-c", "import pyarrow").start().waitFor() == 0
+        catch { case _: Exception => false }
+      }
+    }
+    assume(py.isDefined, "no pyarrow-capable python3")
+    val script =
+      s"""import pyarrow.ipc as ipc, glob
+         |t = ipc.open_stream(sorted(glob.glob("$dir/*.arrows"))[0]).read_all()
+         |assert str(t.schema.field("vec").type) == "list<item: float>", t.schema
+         |vecs = dict(zip(t.column("id").to_pylist(), t.column("vec").to_pylist()))
+         |assert vecs[1][0] == 1.5 and vecs[1][1] == -0.25 and len(vecs[1]) == 3
+         |assert vecs[2] == [] and len(vecs[3]) == 2
+         |print("OKL")
+         |""".stripMargin
+    val pr = new ProcessBuilder(py.get, "-c", script).start()
+    val out = new String(pr.getInputStream.readAllBytes(), "UTF-8")
+    assert(pr.waitFor() === 0, new String(pr.getErrorStream.readAllBytes(), "UTF-8"))
+    assert(out.contains("OKL"))
+  }
+
 }
