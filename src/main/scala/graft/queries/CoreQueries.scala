@@ -407,6 +407,18 @@ object CoreQueries {
       graft.sources.Sources.readArrowStream(s, out, docs.schema)
     }),
 
+    "s_arrow_file" -> ((s, d) => {
+      // Feather-V2 Arrow FILE roundtrip (r15): the stream content
+      // wrapped in magic + a Footer flatbuffer of batch locations — the
+      // mmap-able form pyarrow.ipc.open_file random-accesses
+      // (cross-validated in SourcesSpec). Read back through the same
+      // schema-validated streaming walk.
+      val out = tmp("arrowfile")
+      val docs = Graft.documents(s, d)
+      graft.sources.Sources.writeArrowFile(docs, out, shards = 4)
+      graft.sources.Sources.readArrowFile(s, out, docs.schema)
+    }),
+
     "s_arrow_embeddings" -> ((s, d) => {
       // embeddings through the Arrow interchange: vec_id/label as
       // Int64, the vector as list<float32> — the EXACT layout a
@@ -996,6 +1008,7 @@ object CoreQueries {
            GROUP BY 1) p ON p.doc_id = d.doc_id""",
     "s_arrow_roundtrip" -> "SELECT * FROM documents",
     "s_arrow_streaming" -> "SELECT * FROM documents",
+    "s_arrow_file" -> "SELECT * FROM documents",
     "s_arrow_embeddings" ->
       """SELECT vec_id, CAST(i - 1 AS INT) AS idx,
                 CAST(embedding[i] AS DOUBLE) AS value, label

@@ -579,6 +579,51 @@ object PipelineQueries {
       bitextMine(Graft.embeddings(s, d), threshold = 0.4)
     }),
 
+    "q_mmr" -> ((s, d) => {
+      // MMR diversified retrieval (Carbonell & Goldstein 1998) — the
+      // standard RAG re-ranker: from the brute top-20 of query vec 0,
+      // greedily pick 5 by lambda*rel - (1-lambda)*max-sim-to-selected
+      // (lambda = 0.5), ties to the lower id. Every arithmetic step
+      // runs on the ROUNDED cosines the certified brute path emits
+      // (one multiply + one subtract + round — identical IEEE ops in
+      // DuckDB's replay). Scale shape: MMR by definition reranks a
+      // BOUNDED candidate set — the per-round argmax frames hold <= 20
+      // rows post-limit (the q_hybrid_retrieval bounded-by-construction
+      // device), the per-round 1-row picks are the bounded-probe
+      // precedent, and the pair sims ride the certified broadcast
+      // brute joins; the corpus is only ever scanned by the top-k stage.
+      val emb = Graft.embeddings(s, d)
+      val q = emb.where(col("vec_id") === 0L)
+      val cand = Ann.bruteForceTopK(emb, q, "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("vec_id"), col("cos").as("rel"))
+        .localCheckpoint()
+      val candVecs = emb.join(cand.select("vec_id"), Seq("vec_id"))
+      val sims = Ann.bruteForceTopK(candVecs, candVecs, "vec_id", "embedding", k = 20)
+        .select(col("query_id").as("va"), col("neighbor_id").as("vb"), col("cos").as("sim"))
+        .localCheckpoint()
+      var selIds = Seq.empty[Long]
+      var selected = Seq.empty[(Int, Long, Double, Double)]
+      (1 to 5).foreach { r =>
+        val remaining =
+          if (selIds.isEmpty) cand
+          else cand.where(!col("vec_id").isin(selIds: _*))
+        val scored =
+          if (r == 1) remaining.withColumn("mmr", round(lit(0.5) * col("rel"), 6))
+          else {
+            val ms = sims.where(col("vb").isin(selIds: _*))
+              .groupBy("va").agg(max("sim").as("ms"))
+            remaining.join(ms, remaining("vec_id") === ms("va"))
+              .withColumn("mmr", round(lit(0.5) * col("rel") - lit(0.5) * col("ms"), 6))
+          }
+        val pick = scored.orderBy(col("mmr").desc, col("vec_id").asc)
+          .select("vec_id", "rel", "mmr").limit(1).head() // bounded 1-row probe
+        selIds = selIds :+ pick.getLong(0)
+        selected = selected :+ ((r, pick.getLong(0), pick.getDouble(1), pick.getDouble(2)))
+      }
+      import s.implicits._
+      selected.toDF("rank", "vec_id", "rel", "mmr")
+    }),
+
     "dd_simhash" -> ((s, d) =>
       // SimHash near-dup pairs (chunk-blocked Hamming). Full hash oracle
       // since r9: SimHashOracleSql replays the signatures in DuckDB and
@@ -2919,6 +2964,41 @@ object PipelineQueries {
   private val annBruteSql: String =
     bruteTopKSql(t => s"CAST(CAST($t.embedding AS FLOAT[]) AS DOUBLE[])")
 
+  /** Oracle for q_mmr: the 5 greedy rounds unrolled (the PageRank CTE
+    * device) over the brute top-20 candidates and their pair cosines —
+    * round k's score is round(0.5*rel - 0.5*max-sim-to-selected, 6),
+    * ties to the lower id, round 1 seeded by round(0.5*rel, 6). */
+  private val mmrSql: String = {
+    val prefix =
+      """WITH e AS (SELECT vec_id, CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]) AS v
+                    FROM embeddings),
+         cand AS (SELECT vec_id, rel FROM (
+                    SELECT ne.vec_id,
+                           row_number() OVER (ORDER BY list_cosine_similarity(q.v, ne.v) DESC,
+                                                       ne.vec_id ASC) AS rnk,
+                           round(list_cosine_similarity(q.v, ne.v), 6) AS rel
+                    FROM e q, e ne WHERE q.vec_id = 0 AND ne.vec_id <> 0)
+                  WHERE rnk <= 20),
+         sims AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                         round(list_cosine_similarity(ea.v, eb.v), 6) AS sim
+                  FROM cand a, cand b, e ea, e eb
+                  WHERE ea.vec_id = a.vec_id AND eb.vec_id = b.vec_id
+                    AND a.vec_id <> b.vec_id),
+         s1 AS (SELECT vec_id, rel, round(0.5 * rel, 6) AS mmr FROM cand
+                ORDER BY round(0.5 * rel, 6) DESC, vec_id LIMIT 1)"""
+    val rounds = (2 to 5).map { k =>
+      val selUnion = (1 until k).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+      s"""s$k AS (SELECT c.vec_id, c.rel,
+                    round(0.5 * c.rel - 0.5 * (SELECT max(sim) FROM sims
+                      WHERE va = c.vec_id AND vb IN ($selUnion)), 6) AS mmr
+             FROM cand c WHERE c.vec_id NOT IN ($selUnion)
+             ORDER BY mmr DESC, vec_id LIMIT 1)"""
+    }
+    val union = (1 to 5).map(k =>
+      s"SELECT CAST($k AS INT) AS rank, vec_id, rel, mmr FROM s$k").mkString("\n       UNION ALL ")
+    (prefix +: rounds).mkString(",\n       ") + "\n       " + union
+  }
+
   // the MRL prefix slice happens on the FLOAT array (the storage dtype)
   // BEFORE the double hop, mirroring slice() on the Spark side
   private val annMatryoshkaSql: String =
@@ -3281,6 +3361,7 @@ object PipelineQueries {
     "pp_bitext_mine" -> EmbeddingOracleSql.bitextMutualBest(threshold = 0.4),
     "ann_lsh" -> EmbeddingOracleSql.lshTopK(k = 10, nBits = 6, probeBits = 4),
     "ann_brute" -> annBruteSql,
+    "q_mmr" -> mmrSql,
     // the label equi-filter joins into the rank partition — candidates
     // restricted to the query's label BEFORE scoring, ties on id
     "ann_filtered" ->

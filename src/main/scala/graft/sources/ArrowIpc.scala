@@ -468,8 +468,9 @@ object ArrowIpc {
     while (i % 8 != 0) { out.write(0); i += 1 }
   }
 
-  private def schemaMessage(schema: StructType): Array[Byte] = {
-    val fbb = new FbBuilder()
+  /** Build the Schema TABLE inside an in-progress flatbuffer — shared
+    * by the stream's schema message and the file footer. */
+  private def buildSchemaTable(fbb: FbBuilder, schema: StructType): Int = {
     val fieldTables = schema.fields.map { f =>
       val (tt, _) = arrowTypeOf(f.dataType)
       val typeTable = f.dataType match {
@@ -494,7 +495,12 @@ object ArrowIpc {
         children.map(fbb.Off(5, _)).toSeq)
     }.toSeq
     val fieldsVec = fbb.createOffsetVector(fieldTables)
-    val schemaTable = fbb.createTable(Seq(fbb.Off(1, fieldsVec))) // endianness defaults LE
+    fbb.createTable(Seq(fbb.Off(1, fieldsVec))) // endianness defaults LE
+  }
+
+  private def schemaMessage(schema: StructType): Array[Byte] = {
+    val fbb = new FbBuilder()
+    val schemaTable = buildSchemaTable(fbb, schema)
     val msg = fbb.createTable(Seq(
       fbb.I16S(0, 4), // MetadataVersion V5
       fbb.I8(1, HEADER_SCHEMA), fbb.Off(2, schemaTable), fbb.I64S(3, 0L)))
@@ -597,5 +603,56 @@ object ArrowIpc {
       writeMessage(out, meta, body)
     }
     w32(out, -1); w32(out, 0) // end-of-stream
+  }
+
+  /** Write rows as a Feather-V2 Arrow FILE: the stream content wrapped
+    * in "ARROW1" magic plus a Footer flatbuffer carrying the schema and
+    * per-batch Block locations — what `pyarrow.ipc.open_file` memory-
+    * maps for random batch access (cross-validated in SourcesSpec).
+    * [[readStream]] reads these files too (it skips the magic and stops
+    * at the end-of-stream marker; the footer is tail-only metadata).
+    */
+  def writeFile(out0: java.io.OutputStream, schema: StructType,
+                rows: Iterator[Row], batchRows: Int = 1024): Unit = {
+    val magic = "ARROW1".getBytes("UTF-8")
+    var pos = 0L
+    val out = new java.io.OutputStream {
+      override def write(b: Int): Unit = { out0.write(b); pos += 1 }
+      override def write(a: Array[Byte], off: Int, len: Int): Unit = {
+        out0.write(a, off, len); pos += len
+      }
+    }
+    out.write(magic); out.write(0); out.write(0) // 8-byte-aligned prologue
+    writeMessage(out, schemaMessage(schema), Array.emptyByteArray)
+    // Block: {offset: long, metaDataLength: int (framing incl. the
+    // 8-byte prefix and padding), bodyLength: long (padded)} — offsets
+    // are absolute from the file start
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    rows.grouped(batchRows).foreach { group =>
+      val (meta, body) = batchMessage(schema, group)
+      val off = pos
+      val metaPadded = (meta.length + 7) & ~7
+      val bodyPadded = (body.length + 7L) & ~7L
+      writeMessage(out, meta, body)
+      blocks += ((off, 8 + metaPadded, bodyPadded))
+    }
+    w32(out, -1); w32(out, 0) // end-of-stream
+    val fbb = new FbBuilder()
+    val schemaTable = buildSchemaTable(fbb, schema)
+    // Block structs are 24 bytes: long + int + 4 pad + long
+    val blockBytes = java.nio.ByteBuffer.allocate(24 * blocks.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    blocks.foreach { case (o, m, b) =>
+      blockBytes.putLong(o); blockBytes.putInt(m); blockBytes.putInt(0); blockBytes.putLong(b)
+    }
+    val dictVec = fbb.createStructVector(0, Array.emptyByteArray, 8)
+    val rbVec = fbb.createStructVector(blocks.length, blockBytes.array(), 8)
+    val footer = fbb.createTable(Seq(
+      fbb.I16S(0, 4), fbb.Off(1, schemaTable),
+      fbb.Off(2, dictVec), fbb.Off(3, rbVec)))
+    val fbytes = fbb.finish(footer)
+    out.write(fbytes)
+    w32(out, fbytes.length)
+    out.write(magic)
   }
 }

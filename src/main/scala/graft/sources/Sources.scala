@@ -1159,6 +1159,33 @@ object Sources {
       }
   }
 
+  /** Write Feather-V2 Arrow FILE shards (`.arrow` — the mmap-able form
+    * with a footer of batch locations, what `pyarrow.ipc.open_file`
+    * expects). Same contract as [[writeArrowStream]] otherwise.
+    */
+  def writeArrowFile(df: DataFrame, path: String, shards: Int): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    val schema = df.schema
+    df.repartition(shards)
+      .foreachPartition { (it: Iterator[Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val p = java.nio.file.Paths.get(path, f"part-$pid%05d.arrow")
+        writeShardAtomic(p)(out => ArrowIpc.writeFile(out, schema, it))
+      }
+  }
+
+  /** Read Feather-V2 `.arrow` file shards — the same streaming walk as
+    * [[readArrowStream]] (magic skipped, footer never consulted: a
+    * stream reader stops at the end-of-stream marker).
+    */
+  def readArrowFile(spark: SparkSession, path: String,
+                    schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    shardRecords(spark, s"$path/*.arrow")((_, _, in) => ArrowIpc.readStream(in, schema))
+      .toDF()
+  }
+
   /** Read Arrow IPC stream shards back, validating the stream schema
     * against the EXPECTED Spark schema (names + types, order-exact) —
     * shard-parallel ([[shardRecords]]), one record batch in memory at a

@@ -806,4 +806,57 @@ class SourcesSpec extends GraftTest {
     assert(out.contains("OKL"))
   }
 
+
+  test("Arrow FILE (Feather V2): footer readable by pyarrow open_file; we read its files") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val py = Seq("/root/.pyenv/shims/python3", "/usr/bin/python3").find { c =>
+      new java.io.File(c).exists() && {
+        try new ProcessBuilder(c, "-c", "import pyarrow").start().waitFor() == 0
+        catch { case _: Exception => false }
+      }
+    }
+    assume(py.isDefined, "no pyarrow-capable python3")
+    val dir = java.nio.file.Files.createTempDirectory("graft-arrowf").toString
+    // >1 batch so the footer carries multiple Block records
+    val df = (0 until 2500).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+    graft.sources.Sources.writeArrowFile(df, dir, shards = 1)
+    val script =
+      s"""import pyarrow.ipc as ipc, glob
+         |f = ipc.open_file(sorted(glob.glob("$dir/*.arrow"))[0])
+         |assert f.num_record_batches >= 2, f.num_record_batches
+         |t = f.read_all()
+         |assert t.num_rows == 2500 and t.column("id").to_pylist()[:3] is not None
+         |ids = sorted(t.column("id").to_pylist())
+         |assert ids[0] == 0 and ids[-1] == 2499 and len(set(ids)) == 2500
+         |# random batch access through the footer blocks (the mmap path)
+         |b = f.get_batch(f.num_record_batches - 1)
+         |assert b.num_rows > 0
+         |print("OKF")
+         |""".stripMargin
+    val pr = new ProcessBuilder(py.get, "-c", script).start()
+    val out = new String(pr.getInputStream.readAllBytes(), "UTF-8")
+    assert(pr.waitFor() === 0, new String(pr.getErrorStream.readAllBytes(), "UTF-8"))
+    assert(out.contains("OKF"))
+    // our reader consumes our own files and pyarrow-written files
+    val back = graft.sources.Sources.readArrowFile(spark, dir, df.schema)
+    assert(back.count() === 2500)
+    val foreign = java.nio.file.Paths.get(dir, "foreign.arrow")
+    val script2 =
+      s"""import pyarrow as pa, pyarrow.ipc as ipc
+         |t = pa.table({"id": pa.array([7, 8], type=pa.int64()), "s": pa.array(["a", "b"])})
+         |w = ipc.new_file("$foreign", t.schema)
+         |w.write_table(t)
+         |w.close()
+         |print("OKW")
+         |""".stripMargin
+    val p2 = new ProcessBuilder(py.get, "-c", script2).start()
+    assert(p2.waitFor() === 0, new String(p2.getErrorStream.readAllBytes(), "UTF-8"))
+    val schema = StructType(Seq(StructField("id", LongType), StructField("s", StringType)))
+    val got = graft.sources.ArrowIpc.readStream(
+      new java.io.BufferedInputStream(java.nio.file.Files.newInputStream(foreign)), schema)
+      .map(r => (r.getLong(0), r.getString(1))).toList
+    assert(got === List((7L, "a"), (8L, "b")))
+  }
+
 }
