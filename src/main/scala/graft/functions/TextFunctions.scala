@@ -1138,8 +1138,13 @@ object TextFunctions {
     * downstream of this per-document pass.
     */
   def htmlText(html: Column): Column = {
-    val noScript = regexp_replace(html, "<script[^>]*>[^<]*</script>", " ")
-    val noStyle = regexp_replace(noScript, "<style[^>]*>[^<]*</style>", " ")
+    // case-insensitive dotall NON-GREEDY block strip (r15 ADVICE): a
+    // real script body containing '<' (e.g. `if (a<b)`) or an upper-case
+    // <SCRIPT> tag must not leak into the corpus text; pattern is
+    // byte-identical in the DuckDB oracle (both engines: java.util.regex
+    // and RE2 accept inline (?is) and lazy quantifiers)
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
     val ents = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")

@@ -145,6 +145,67 @@ object CoreQueries {
       s.read.format(avroFormat).schema(region.schema).load(out)
     }),
 
+    "s_avro_evolution" -> ((s, d) => {
+      // Avro READER-SCHEMA evolution (r15 VERDICT #6) — the container's
+      // native mechanism, distinct from parquet's mergeSchema: batch 1
+      // writes (doc_id, lang), batch 2 adds n_chars, and ONE read with
+      // the evolved reader schema (n_chars: union[null,long] default
+      // null) resolves both writer schemas per-file — Avro schema
+      // resolution fills the default for old files. This is how a 100 TB
+      // Avro lake absorbs column adds without rewriting history.
+      val avroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+      val path = tmp("avroevo")
+      val docs = Graft.documents(s, d)
+      docs.where(pmod(col("doc_id"), lit(2)) === 0)
+        .select("doc_id", "lang")
+        .write.mode("overwrite").format(avroFormat).save(s"$path/b1")
+      docs.where(pmod(col("doc_id"), lit(2)) =!= 0)
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").format(avroFormat).save(s"$path/b2")
+      val readerSchema =
+        """{"type":"record","name":"topLevelRecord","fields":[
+          |  {"name":"doc_id","type":["long","null"]},
+          |  {"name":"lang","type":["string","null"]},
+          |  {"name":"n_chars","type":["null","long"],"default":null}
+          |]}""".stripMargin
+      s.read.format(avroFormat).option("avroSchema", readerSchema)
+        .load(s"$path/b1", s"$path/b2")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
+    "s_avro_corrupt_skip" -> ((s, d) => {
+      // Avro corrupt-shard quarantine (r15 VERDICT #6) — the twin every
+      // other container family has: four deterministic shard dirs
+      // (doc_id%4), then shard 2's part file gets its 4-byte magic
+      // zeroed (a torn/garbled object-store upload). Avro's
+      // DataFileStream throws IOException("Not an Avro data file") on
+      // the bad magic, and the per-read ignoreCorruptFiles option turns
+      // that into a whole-file skip — log-and-continue (T2) at shard
+      // granularity, never a silently-wrong row. Oracle states the
+      // surviving set exactly: everything but shard 2.
+      val avroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+      val path = tmp("avrocorrupt")
+      val docs = Graft.documents(s, d).select("doc_id", "lang")
+      (0 until 4).foreach { i =>
+        docs.where(pmod(col("doc_id"), lit(4)) === i)
+          .coalesce(1)
+          .write.mode("overwrite").format(avroFormat).save(s"$path/s$i")
+      }
+      val s2Files = java.nio.file.Files.list(java.nio.file.Paths.get(s"$path/s2"))
+      val part2 =
+        try {
+          import scala.jdk.CollectionConverters._
+          s2Files.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".avro")).toSeq.head
+        } finally s2Files.close()
+      val bytes = java.nio.file.Files.readAllBytes(part2)
+      java.util.Arrays.fill(bytes, 0, 4, 0.toByte)
+      java.nio.file.Files.write(part2, bytes)
+      s.read.format(avroFormat).schema(docs.schema)
+        .option("ignoreCorruptFiles", "true")
+        .load((0 until 4).map(i => s"$path/s$i"): _*)
+    }),
+
     "s_orc" -> ((s, d) => {
       // ORC roundtrip — the other columnar interchange format (Hive /
       // Trino warehouse corpora ship as ORC about as often as parquet):
@@ -922,6 +983,15 @@ object CoreQueries {
     "s10_ddl" ->
       "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey",
     "s_avro_roundtrip" -> "SELECT * FROM region",
+    // Avro reader-schema resolution: old files surface the evolved
+    // column as its union default (null)
+    "s_avro_evolution" ->
+      """SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars FROM documents WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 <> 0""",
+    // bad-magic shard 2 is skipped whole; the other three survive intact
+    "s_avro_corrupt_skip" ->
+      "SELECT doc_id, lang FROM documents WHERE doc_id % 4 <> 2",
     "s_zorder" ->
       "SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events",
     "s_orc" -> "SELECT * FROM documents",

@@ -586,39 +586,47 @@ object PipelineQueries {
       // (lambda = 0.5), ties to the lower id. Every arithmetic step
       // runs on the ROUNDED cosines the certified brute path emits
       // (one multiply + one subtract + round — identical IEEE ops in
-      // DuckDB's replay). Scale shape: MMR by definition reranks a
-      // BOUNDED candidate set — the per-round argmax frames hold <= 20
-      // rows post-limit (the q_hybrid_retrieval bounded-by-construction
-      // device), the per-round 1-row picks are the bounded-probe
-      // precedent, and the pair sims ride the certified broadcast
-      // brute joins; the corpus is only ever scanned by the top-k stage.
+      // DuckDB's replay, and the local round below is scala
+      // BigDecimal(double).setScale(6, HALF_UP), the exact function
+      // Spark's Round expression applies to DoubleType). Scale shape:
+      // MMR by definition reranks a BOUNDED candidate set — the top-k
+      // stage is the only corpus scan; the candidate rels and their
+      // <= 20x20 pair sims come back in ONE action (r15 ADVICE: was 5
+      // sequential 1-row argmax probes = ~9 driver round-trips), and
+      // the greedy loop runs locally over <= 400 rows.
       val emb = Graft.embeddings(s, d)
       val q = emb.where(col("vec_id") === 0L)
       val cand = Ann.bruteForceTopK(emb, q, "vec_id", "embedding", k = 20)
         .select(col("neighbor_id").as("vec_id"), col("cos").as("rel"))
-        .localCheckpoint()
       val candVecs = emb.join(cand.select("vec_id"), Seq("vec_id"))
       val sims = Ann.bruteForceTopK(candVecs, candVecs, "vec_id", "embedding", k = 20)
         .select(col("query_id").as("va"), col("neighbor_id").as("vb"), col("cos").as("sim"))
-        .localCheckpoint()
-      var selIds = Seq.empty[Long]
-      var selected = Seq.empty[(Int, Long, Double, Double)]
+      // ONE bounded action: each candidate's rel rides its sim rows
+      // (20 candidates x <= 20 neighbors = <= 400 rows by construction)
+      val pairRows = cand.join(sims, cand("vec_id") === sims("va"))
+        .select(cand("vec_id"), col("rel"), col("vb"), col("sim"))
+        .collect()
+      val rel = pairRows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val sim = pairRows.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+      // scala BigDecimal(d) == Spark Round-on-Double semantics
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      var selIds = Vector.empty[Long]
+      var selected = Vector.empty[(Int, Long, Double, Double)]
       (1 to 5).foreach { r =>
-        val remaining =
-          if (selIds.isEmpty) cand
-          else cand.where(!col("vec_id").isin(selIds: _*))
-        val scored =
-          if (r == 1) remaining.withColumn("mmr", round(lit(0.5) * col("rel"), 6))
+        val scored = rel.keysIterator.filterNot(selIds.contains).flatMap { id =>
+          if (r == 1) Some((id, rel(id), r6(0.5 * rel(id))))
           else {
-            val ms = sims.where(col("vb").isin(selIds: _*))
-              .groupBy("va").agg(max("sim").as("ms"))
-            remaining.join(ms, remaining("vec_id") === ms("va"))
-              .withColumn("mmr", round(lit(0.5) * col("rel") - lit(0.5) * col("ms"), 6))
+            // inner-join semantics of the old frame form: a candidate
+            // with no sim row to any selected id drops out of this round
+            val ss = selIds.flatMap(sid => sim.get((id, sid)))
+            if (ss.isEmpty) None
+            else Some((id, rel(id), r6(0.5 * rel(id) - 0.5 * ss.max)))
           }
-        val pick = scored.orderBy(col("mmr").desc, col("vec_id").asc)
-          .select("vec_id", "rel", "mmr").limit(1).head() // bounded 1-row probe
-        selIds = selIds :+ pick.getLong(0)
-        selected = selected :+ ((r, pick.getLong(0), pick.getDouble(1), pick.getDouble(2)))
+        }.toVector
+        val pick = scored.minBy { case (id, _, m) => (-m, id) }
+        selIds = selIds :+ pick._1
+        selected = selected :+ ((r, pick._1, pick._2, pick._3))
       }
       import s.implicits._
       selected.toDF("rank", "vec_id", "rel", "mmr")
@@ -3139,8 +3147,8 @@ object PipelineQueries {
     * streaming twin (stateless append — converged == batch). */
   private val htmlExtractSql: String =
     s"""WITH $htmlCte,
-       c1 AS (SELECT doc_id, regexp_replace(html, '<script[^>]*>[^<]*</script>', ' ', 'g') AS t FROM h),
-       c2 AS (SELECT doc_id, regexp_replace(t, '<style[^>]*>[^<]*</style>', ' ', 'g') AS t FROM c1),
+       c1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+       c2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM c1),
        c3 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM c2),
        c4 AS (SELECT doc_id, regexp_replace(t, '&lt;', '<', 'g') AS t FROM c3),
        c5 AS (SELECT doc_id, regexp_replace(t, '&gt;', '>', 'g') AS t FROM c4),
@@ -3920,7 +3928,8 @@ object PipelineQueries {
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                          0) AS seq_off
                FROM b)
-         SELECT doc_id, bin, n_tok, seq_off,
+         SELECT doc_id, bin, n_tok,
+                CAST(seq_off AS BIGINT) AS seq_off,
                 CAST(mask_start + seq_off AS BIGINT) AS packed_mask_start,
                 CAST(mask_end + seq_off AS BIGINT) AS packed_mask_end
          FROM o""",

@@ -301,20 +301,24 @@ object ArrowIpc {
           if (tt != wantTt) bad(s"field '$name' has arrow type id $tt, expected $label")
           if (tt == TYPE_INT) {
             val t = fb.offField(f, 3)
+            if (t < 0) bad(s"field '$name': Int type table missing")
             if (fb.i32Field(t, 0, 0) != 64 || !fb.boolField(t, 1, false))
               bad(s"field '$name': only signed 64-bit ints supported")
           }
           if (tt == TYPE_FLOAT) {
             // FloatingPoint.precision is an int16 enum (DOUBLE = 2)
             val t = fb.offField(f, 3)
+            if (t < 0) bad(s"field '$name': FloatingPoint type table missing")
             if (fb.i16Field(t, 0, 0) != 2) bad(s"field '$name': only float64 supported")
           }
           if (tt == TYPE_LIST) {
             val kids = fb.offField(f, 5)
             if (kids < 0 || fb.vecLen(kids) != 1) bad(s"list field '$name' needs exactly one child")
             val kid = fb.vecTable(kids, 0)
+            val kidT = fb.offField(kid, 3)
+            if (kidT < 0) bad(s"list field '$name': child type table missing")
             if (fb.u8Field(kid, 2, 0) != TYPE_FLOAT ||
-                fb.i16Field(fb.offField(kid, 3), 0, 0) != 1)
+                fb.i16Field(kidT, 0, 0) != 1)
               bad(s"list field '$name': only list<float32> supported")
           }
           if (fb.offField(f, 4) >= 0) bad(s"field '$name' is dictionary-encoded (unsupported)")

@@ -1037,7 +1037,11 @@ object Sources {
               goodBytes = le.consumed
             } else finished = true
           } catch {
-            case _: java.io.IOException => failed = true; finished = true
+            // ONLY the torn-shard signal: the walk converts all framing/
+            // CRC/EOF defects to IllegalArgumentException via bad()
+            // (LeIn.readN throws bad() on EOF), so a raw IOException here
+            // can only be a genuine underlying-stream fault — let it
+            // propagate and fail the task for retry (matches Tar twin)
             case _: IllegalArgumentException => failed = true; finished = true
           }
         }

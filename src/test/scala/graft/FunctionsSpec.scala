@@ -1718,6 +1718,13 @@ class FunctionsSpec extends GraftTest {
       ("<p>a &amp; b &lt;kept&gt;</p>", "a & b <kept>"),
       // script/style bodies are dropped WHOLE, not just untagged
       ("<script type=\"x\">var junk = 1;</script>text<style>p {m:0}</style>", "text"),
+      // r15 ADVICE: a '<' inside the body, an upper-case tag, and a
+      // multi-line body must all still drop whole (case-insensitive
+      // dotall non-greedy strip)
+      ("<SCRIPT>if (a<b) { x(); }</SCRIPT>ok", "ok"),
+      ("<script>\nline1();\nif (i<2) {}\n</script>done<style>a\n{b<c}</style>", "done"),
+      // NON-GREEDY: two script blocks must not swallow the text between
+      ("<script>a<b</script>mid<script>c<d</script>end", "mid end"),
       // double-escaped entity decodes ONE level (&amp; runs last)
       ("x &amp;lt; y", "x &lt; y"),
       // nbsp becomes a plain space and whitespace collapses + trims

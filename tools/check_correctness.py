@@ -40,6 +40,17 @@ def compare(name, res, exp):
     r, e = canon(res), canon(exp)
     for c in r.columns:
         rv, ev = r[c].values, e[c].values
+        # The driver hashes raw values, so int64 42 vs float64 42.0 FAILS
+        # there even when every value is numerically equal (the r15
+        # pp_pack_sft escape: DuckDB HUGEINT -> pandas float64 vs Spark
+        # int64). Red-flag the dtype mix locally instead of tolerating it.
+        r_float = np.issubdtype(r[c].dtype, np.floating)
+        e_float = np.issubdtype(e[c].dtype, np.floating)
+        r_int = np.issubdtype(r[c].dtype, np.integer)
+        e_int = np.issubdtype(e[c].dtype, np.integer)
+        if (r_float and e_int) or (r_int and e_float):
+            return (f"DTYPE mismatch col {c}: spark={r[c].dtype} oracle={e[c].dtype}"
+                    f" (driver hash would fail — cast the oracle output)")
         if np.issubdtype(r[c].dtype, np.floating) or np.issubdtype(e[c].dtype, np.floating):
             rv2 = pd.to_numeric(r[c], errors="coerce").values.astype(float)
             ev2 = pd.to_numeric(e[c], errors="coerce").values.astype(float)
