@@ -804,6 +804,48 @@ object TextFunctions {
         expr(s"_before div ${tokenBudget.toLong}L").as("bin"))
   }
 
+  /** Length-bucketed batch assignment (r16) — the batching layout
+    * sequence-length-sensitive trainers use (bucket docs by length class
+    * so a batch's padding waste is bounded, then number batches within
+    * each bucket): input must carry `id` and a `bucket` column; output
+    * adds `batch_id` = per-bucket ordinal (ordered by id) div batchSize.
+    *
+    * Scale shape: the per-bucket ordinal uses [[packBins]]'s two-phase
+    * parallel prefix device with a COMPOSITE (bucket, block) key — local
+    * running counts inside ≤4096 id-range blocks, per-(bucket, block)
+    * totals (≤ buckets×4096 rows) prefix-summed on the tiny frame and
+    * broadcast back. No global sort, no single-partition window over
+    * the data; deterministic for unique ids regardless of layout.
+    */
+  def bucketBatches(docs: org.apache.spark.sql.DataFrame, id: String,
+                    batchSize: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = docs.agg(min(col(id)).cast("long"), max(col(id)).cast("long")).head()
+    if (bounds.isNullAt(0))
+      return docs.withColumn("batch_id", lit(null).cast("long")).where(lit(false))
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = hi - lo + 1
+    val nBlocks = math.min(4096L, span)
+    val blockSpan = (span + nBlocks - 1) / nBlocks
+    val blocked = docs.withColumn("_blk",
+      expr(s"(cast(`$id` as bigint) - ${lo}L) div ${blockSpan}L"))
+      .where(col("_blk").isNotNull)
+    val wLocal = Window.partitionBy(col("bucket"), col("_blk")).orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = blocked.withColumn("_local_cnt", count(lit(1)).over(wLocal))
+    // per-(bucket, block) totals are tiny; the per-bucket ordered prefix
+    // over them is a bounded-by-construction window
+    val wOff = Window.partitionBy(col("bucket")).orderBy(col("_blk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = local.groupBy("bucket", "_blk").agg(max("_local_cnt").as("_btotal"))
+      .withColumn("_offset", sum(col("_btotal")).over(wOff) - col("_btotal"))
+      .select("bucket", "_blk", "_offset")
+    local.join(broadcast(offsets), Seq("bucket", "_blk"))
+      .withColumn("batch_id",
+        expr(s"(_offset + _local_cnt - 1L) div ${batchSize.toLong}L"))
+      .drop("_blk", "_local_cnt", "_offset")
+  }
+
   /** Repetition quality signals (the Gopher-rules family): per document,
     * the fraction of duplicate word 2-/3-grams and the share of the most
     * frequent token — the standard filters for looping/boilerplate text.

@@ -497,6 +497,87 @@ object CoreQueries {
           col("col").cast("double").as("value"), col("label").cast("int").as("label"))
     }),
 
+    "s_safetensors" -> ((s, d) => {
+      // embeddings through the SAFETENSORS interchange (r16) — the
+      // model-ecosystem tensor container (public spec:
+      // huggingface/safetensors): per shard, vec_id I64 [n],
+      // embedding F32 [n,d], label I64 [n] — exactly the file a
+      // torch/NumPy dataloader mmaps. Float bits ride the little-endian
+      // buffer untouched (bit-exact roundtrip); harness projection
+      // explodes to scalars (the s_arrow_embeddings device). Shards are
+      // all-or-nothing (no record framing), so shard count = read
+      // parallelism AND peak writer-task memory — the non-splittable
+      // container discipline TFRecord/tar already follow.
+      val out = tmp("safetensors")
+      val emb = Graft.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label").cast("long").as("label"))
+      graft.sources.Safetensors.writeVectors(emb, out, "vec_id", "embedding", "label", shards = 4)
+      graft.sources.Safetensors.readVectors(s, out, "vec_id", "embedding", "label")
+        .select(col("vec_id"), posexplode(col("embedding")), col("label"))
+        .select(col("vec_id"), col("pos").cast("int").as("idx"),
+          col("col").cast("double").as("value"), col("label").cast("int").as("label"))
+    }),
+
+    "s_safetensors_streaming" -> ((s, d) => {
+      // safetensors shards arriving THROUGH the real streaming engine
+      // (the dataloader-feed shape, the s_arrow_streaming device): the
+      // SAME 4 shards staged, streaming binaryFile source one shard per
+      // micro-batch, each decoded whole by the SAME validated parser
+      // (a safetensors shard has no record framing — file == batch).
+      // Stateless append — converged result equals the batch read,
+      // shared oracle.
+      val out = tmp("ststream")
+      val emb = Graft.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label").cast("long").as("label"))
+      graft.sources.Safetensors.writeVectors(emb, out, "vec_id", "embedding", "label", shards = 4)
+      import s.implicits._
+      val schema = graft.sources.Safetensors.vectorSchema("vec_id", "embedding", "label")
+      implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+        org.apache.spark.sql.Encoders.row(schema)
+      val stream = s.readStream.format("binaryFile")
+        .schema(s.read.format("binaryFile").load(s"$out/*.safetensors").schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(s"$out/*.safetensors")
+        .select("content").as[Array[Byte]]
+        .flatMap(b => graft.sources.Safetensors.decodeVectors(b, "vec_id", "embedding", "label"))
+      graft.streaming.StreamingQueries.runAppendToMemory(s, "s_safetensors_stream",
+          stream.toDF())
+        .select(col("vec_id"), posexplode(col("embedding")), col("label"))
+        .select(col("vec_id"), col("pos").cast("int").as("idx"),
+          col("col").cast("double").as("value"), col("label").cast("int").as("label"))
+    }),
+
+    "s_safetensors_corrupt_skip" -> ((s, d) => {
+      // safetensors torn-tail quarantine: four DETERMINISTIC shards
+      // (vec_id%4), shard 2's file loses its final 256 bytes — with no
+      // record framing there is no salvageable prefix (the buffer no
+      // longer matches the header's spans), so the permissive reader
+      // quarantines the WHOLE shard and surfaces zero rows for it;
+      // strict-read duals fail the task instead. Oracle states the
+      // surviving set exactly: everything but vec_id%4 == 2.
+      val out = tmp("stcorrupt")
+      val emb = Graft.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label").cast("long").as("label"))
+      (0 until 4).foreach { i =>
+        graft.sources.Safetensors.writeVectors(
+          emb.where(pmod(col("vec_id"), lit(4)) === i),
+          s"$out/s$i", "vec_id", "embedding", "label", shards = 1)
+      }
+      val victim = java.nio.file.Paths.get(s"$out/s2/part-00000.safetensors")
+      val vb = java.nio.file.Files.readAllBytes(victim)
+      java.nio.file.Files.write(victim, java.util.Arrays.copyOf(vb, vb.length - 256))
+      val parts = (0 until 4).map(i => s"$out/s$i")
+      parts.tail.foldLeft(
+          graft.sources.Safetensors.readVectorsPermissive(s, parts.head,
+            "vec_id", "embedding", "label")) { (acc, p) =>
+          acc.unionAll(graft.sources.Safetensors.readVectorsPermissive(s, p,
+            "vec_id", "embedding", "label"))
+        }
+        .select(col("vec_id"), posexplode(col("embedding")), col("label"))
+        .select(col("vec_id"), col("pos").cast("int").as("idx"),
+          col("col").cast("double").as("value"), col("label").cast("int").as("label"))
+    }),
+
     "s_arrow_streaming" -> ((s, d) => {
       // Arrow shards arriving THROUGH the real streaming engine (the
       // dataloader-feed shape): the SAME 4 shards staged, streaming
@@ -1083,6 +1164,21 @@ object CoreQueries {
       """SELECT vec_id, CAST(i - 1 AS INT) AS idx,
                 CAST(embedding[i] AS DOUBLE) AS value, label
          FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)""",
+    "s_safetensors" ->
+      """SELECT vec_id, CAST(i - 1 AS INT) AS idx,
+                CAST(embedding[i] AS DOUBLE) AS value, label
+         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)""",
+    // stateless streaming append converges to the batch read — SAME oracle
+    "s_safetensors_streaming" ->
+      """SELECT vec_id, CAST(i - 1 AS INT) AS idx,
+                CAST(embedding[i] AS DOUBLE) AS value, label
+         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)""",
+    // the torn shard (vec_id%4 = 2) quarantines whole; the rest survive
+    "s_safetensors_corrupt_skip" ->
+      """SELECT vec_id, CAST(i - 1 AS INT) AS idx,
+                CAST(embedding[i] AS DOUBLE) AS value, label
+         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+         WHERE vec_id % 4 <> 2""",
     "s_zipshards" -> "SELECT * FROM documents",
     "s_zipshards_streaming" -> "SELECT * FROM documents",
     // torn shard-3 tail (cut inside the final member's local header)

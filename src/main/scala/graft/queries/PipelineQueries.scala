@@ -1084,6 +1084,98 @@ object PipelineQueries {
       // deterministic by doc_id order — fully oracle-expressible
       TextFunctions.packBins(Graft.documents(s, d), "doc_id", "text", tokenBudget = 512)),
 
+    "pp_length_buckets" -> ((s, d) => {
+      // length-bucketed batch assignment (r16) — the layout that bounds
+      // a batch's padding waste when sequence lengths vary 100×: docs
+      // fall into 5 token-length classes, each class numbers batches of
+      // 8 by doc_id order. Per-bucket ordinals via the packBins
+      // two-phase prefix device on a COMPOSITE (bucket, block) key — no
+      // global sort or single-partition window anywhere; deterministic
+      // (unique doc_id order) under any layout.
+      val base = Graft.documents(s, d).select(col("doc_id"),
+        TextFunctions.wsTokenCount(col("text")).cast("long").as("n_tok"))
+        .withColumn("bucket",
+          when(col("n_tok") < 32, 0L).when(col("n_tok") < 64, 1L)
+            .when(col("n_tok") < 128, 2L).when(col("n_tok") < 256, 3L)
+            .otherwise(4L))
+      TextFunctions.bucketBatches(base, "doc_id", batchSize = 8)
+        .select("doc_id", "n_tok", "bucket", "batch_id")
+    }),
+
+    "pp_anchor_text" -> ((s, d) => {
+      // anchor-text aggregation (r16) — the classic web-graph document
+      // signal (anchors pointing AT a page describe it better than the
+      // page itself): from the crawl-link edges, per target href the
+      // in-link count, distinct linking docs, and the dominant anchor
+      // text (most frequent, alphabetical tie-break). Scale shape: one
+      // (href, anchor) count aggregation rides the extraction scan's
+      // exchange; the dominant-anchor pick is a window partitioned BY
+      // HREF (bounded per key), then one more per-href aggregation —
+      // no global funnel.
+      import org.apache.spark.sql.expressions.Window
+      val links = syntheticHtml(Graft.documents(s, d))
+        .select(col("doc_id"), col("html"),
+          posexplode(regexp_extract_all(col("html"), lit(anchorPat), lit(1))))
+        .select(col("doc_id"), col("col").as("href"),
+          element_at(regexp_extract_all(col("html"), lit(anchorPat), lit(2)),
+            (col("pos") + 1).cast("int")).as("anchor"))
+      val perAnchor = links.groupBy("href", "anchor")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("doc_id")).as("n_docs_a"))
+      val w = Window.partitionBy("href")
+        .orderBy(col("cnt").desc, col("anchor").asc)
+      val top = perAnchor.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("href"), col("anchor").as("top_anchor"), col("cnt").as("top_cnt"))
+      val totals = links.groupBy("href")
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("doc_id")).as("n_docs"))
+      totals.join(top, Seq("href"))
+        .select("href", "n_links", "n_docs", "top_anchor", "top_cnt")
+    }),
+
+    "pp_datacard" -> ((s, d) => {
+      // data-card corpus summary (r16) — the per-source table every
+      // training-data release publishes (docs, languages, chars, corpus
+      // share): one aggregation exchange; the corpus share rides a
+      // window over the ALREADY-AGGREGATED per-source frame (rows
+      // bounded by the source vocabulary, not the data) in exact
+      // basis-point integer arithmetic.
+      import org.apache.spark.sql.expressions.Window
+      val per = Graft.documents(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"))
+      // non-foldable always-zero partition key (the packBins wOff device)
+      val wAll = Window.partitionBy(expr("n_docs * 0L"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      per.withColumn("_total", sum(col("n_docs")).over(wAll))
+        .withColumn("share_bp", expr("(n_docs * 10000L) div _total"))
+        .select("source", "n_docs", "n_langs", "total_chars", "share_bp")
+    }),
+
+    "pp_mixture_epochs" -> ((s, d) => {
+      // mixture epoch planning (r16) — the repeat-factor table a
+      // uniform-target training mix implies (the Llama-recipe device:
+      // small domains get UPSAMPLED — trained for multiple epochs — to
+      // hit their share of the token budget): per source the available
+      // whitespace tokens, the uniform per-source target (budget div K),
+      // and epochs = ceil(target / available) in exact integer
+      // arithmetic. One aggregation exchange; K and the targets ride a
+      // window over the already-aggregated source-vocabulary-bounded
+      // frame (the pp_datacard device).
+      import org.apache.spark.sql.expressions.Window
+      val budget = 1000000L
+      val per = Graft.documents(s, d).groupBy("source")
+        .agg(sum(TextFunctions.wsTokenCount(col("text")).cast("long")).as("avail_toks"))
+      val wAll = Window.partitionBy(expr("avail_toks * 0L"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      per.withColumn("_k", count(lit(1)).over(wAll))
+        .withColumn("target_toks", expr(s"${budget}L div _k"))
+        .withColumn("epochs", expr("(target_toks + avail_toks - 1L) div avail_toks"))
+        .select("source", "avail_toks", "target_toks", "epochs")
+    }),
+
     "pp_pack_bpe" -> ((s, d) => {
       // tokenizer-aware sequence packing: the bins budget by the TRUE
       // BPE subword count (trie kernel) instead of the whitespace
@@ -3908,6 +4000,49 @@ object PipelineQueries {
                            sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
                     FROM t)
          SELECT doc_id, n_tok, CAST((cum - n_tok) // 512 AS BIGINT) AS bin FROM c""",
+    "pp_length_buckets" ->
+      """WITH t AS (SELECT doc_id,
+                           CAST(len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS BIGINT) AS n_tok
+                    FROM documents),
+              b AS (SELECT doc_id, n_tok,
+                           CASE WHEN n_tok < 32 THEN 0 WHEN n_tok < 64 THEN 1
+                                WHEN n_tok < 128 THEN 2 WHEN n_tok < 256 THEN 3
+                                ELSE 4 END AS bucket
+                    FROM t)
+         SELECT doc_id, n_tok, CAST(bucket AS BIGINT) AS bucket,
+                CAST((row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // 8 AS BIGINT) AS batch_id
+         FROM b""",
+    "pp_anchor_text" ->
+      s"""WITH $htmlCte,
+         l AS (SELECT doc_id,
+                      regexp_extract_all(html, '<a href="([^"]+)">([^<]*)</a>', 1) AS hrefs,
+                      regexp_extract_all(html, '<a href="([^"]+)">([^<]*)</a>', 2) AS anchors
+               FROM h),
+         e AS (SELECT doc_id, hrefs[g.i] AS href, anchors[g.i] AS anchor
+               FROM l, UNNEST(generate_series(1, len(hrefs))) AS g(i)),
+         pa AS (SELECT href, anchor, count(*) AS cnt FROM e GROUP BY 1, 2),
+         top AS (SELECT href, anchor AS top_anchor, cnt AS top_cnt FROM (
+                   SELECT *, row_number() OVER (PARTITION BY href ORDER BY cnt DESC, anchor ASC) AS rn
+                   FROM pa) WHERE rn = 1),
+         tot AS (SELECT href, count(*) AS n_links, count(DISTINCT doc_id) AS n_docs FROM e GROUP BY 1)
+         SELECT t.href, t.n_links, t.n_docs, p.top_anchor, p.top_cnt
+         FROM tot t JOIN top p ON t.href = p.href""",
+    "pp_datacard" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+                             CAST(sum(n_chars) AS BIGINT) AS total_chars
+                      FROM documents GROUP BY source)
+         SELECT source, n_docs, n_langs, total_chars,
+                CAST((n_docs * 10000) // (SELECT sum(n_docs) FROM per) AS BIGINT) AS share_bp
+         FROM per""",
+    "pp_mixture_epochs" ->
+      """WITH t AS (SELECT source,
+                           CAST(len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS BIGINT) AS n_tok
+                    FROM documents),
+              per AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS avail_toks FROM t GROUP BY source)
+         SELECT source, avail_toks,
+                CAST(1000000 // (SELECT count(*) FROM per) AS BIGINT) AS target_toks,
+                CAST((1000000 // (SELECT count(*) FROM per) + avail_toks - 1) // avail_toks AS BIGINT) AS epochs
+         FROM per""",
     "pp_pack_sft" ->
       """WITH t AS (SELECT doc_id,
                            '<|user|>' || substr(text, 1, length(text) // 2) ||

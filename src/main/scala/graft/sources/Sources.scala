@@ -653,7 +653,7 @@ object Sources {
     * either attempt's complete bytes, never a mix. This is the same
     * task-commit shape Spark's own FileOutputCommitter v2 uses.
     */
-  private def writeShardAtomic(finalPath: java.nio.file.Path)
+  private[sources] def writeShardAtomic(finalPath: java.nio.file.Path)
                               (body: java.io.OutputStream => Unit): Unit = {
     val tc = org.apache.spark.TaskContext.get()
     val attempt = if (tc == null) 0L else tc.taskAttemptId()
@@ -750,7 +750,7 @@ object Sources {
     * long-lived executor JVM that leaked descriptor/connection never
     * comes back (ADVICE r14).
     */
-  private def shardRecords[T: org.apache.spark.sql.Encoder](
+  private[sources] def shardRecords[T: org.apache.spark.sql.Encoder](
       spark: SparkSession, glob: String)(
       parse: (String, Long, java.io.InputStream) => Iterator[T])
       : org.apache.spark.sql.Dataset[T] = {
