@@ -820,6 +820,34 @@ object Dedup {
       .drop(col("sb.vid")).drop(col("sb.toks"))
   }
 
+  /** Directional n-gram CONTAINMENT verify (r16) — the asymmetric dedup
+    * measure (Broder's containment, the quote/subset-duplication signal
+    * Jaccard underweights: a short doc fully quoted inside a long one
+    * has tiny Jaccard but containment 1.0 on the short side): for each
+    * candidate pair, `cont_ab` = |A∩B| / |A|, `cont_ba` = |A∩B| / |B|,
+    * plus the symmetric Jaccard for contrast. Same ReuseExchange shape
+    * as [[verifyJaccard]] (one shingle pass serves both join sides).
+    */
+  def verifyContainment(pairs: DataFrame, docs: DataFrame, id: String,
+                        text: String, ngram: Int = 1): DataFrame = {
+    val grams =
+      if (docs.sparkSession.catalog.functionExists("shingle_hashes"))
+        call_function("shingle_hashes", col(text), lit(math.max(ngram, 1)))
+      else if (ngram <= 1) array_distinct(TextFunctions.tokens(col(text)))
+      else array_distinct(TextFunctions.wordNgrams(col(text), ngram))
+    val sets = docs.select(col(id).as("vid"), grams.as("toks"))
+    val inter = size(array_intersect(col("sa.toks"), col("sb.toks"))).cast("double")
+    pairs
+      .join(sets.as("sa"), col("a") === col("sa.vid"))
+      .join(sets.as("sb"), col("b") === col("sb.vid"))
+      .withColumn("cont_ab", round(inter / size(col("sa.toks")).cast("double"), 4))
+      .withColumn("cont_ba", round(inter / size(col("sb.toks")).cast("double"), 4))
+      .withColumn("jaccard", round(inter /
+        size(array_union(col("sa.toks"), col("sb.toks"))).cast("double"), 4))
+      .drop(col("sa.vid")).drop(col("sa.toks"))
+      .drop(col("sb.vid")).drop(col("sb.toks"))
+  }
+
   // ---- duplicate-cluster resolution ---------------------------------------
 
   /** Connected components over a candidate-pair set (columns `a`, `b`) —

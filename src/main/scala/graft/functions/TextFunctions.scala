@@ -820,6 +820,17 @@ object TextFunctions {
   def bucketBatches(docs: org.apache.spark.sql.DataFrame, id: String,
                     batchSize: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // EXACTLY (id, bucket) — no passthrough columns: the window requires
+    // precisely these plus _blk, so BOTH consumers of the window frame
+    // (the offsets aggregation and the final join's left side) prune the
+    // scan identically, the window's exchange canonicalizes, and
+    // ReuseExchange serves the offsets branch from the join side's
+    // shuffle files — the packBins single-scan property. A passthrough
+    // column (e.g. n_tok) is needed only by the join side, forks the
+    // pruning, and doubles the corpus scan + tokenize (measured at
+    // sf0.01 before this contract was tightened).
+    require(docs.columns.toSet == Set(id, "bucket"),
+      s"bucketBatches expects exactly ($id, bucket); got ${docs.columns.mkString(",")}")
     val bounds = docs.agg(min(col(id)).cast("long"), max(col(id)).cast("long")).head()
     if (bounds.isNullAt(0))
       return docs.withColumn("batch_id", lit(null).cast("long")).where(lit(false))
@@ -827,9 +838,13 @@ object TextFunctions {
     val span = hi - lo + 1
     val nBlocks = math.min(4096L, span)
     val blockSpan = (span + nBlocks - 1) / nBlocks
+    // BOTH join keys explicitly non-null (the packBins lesson): the
+    // final equi-join infers isnotnull(bucket) && isnotnull(_blk) into
+    // one consumer's subtree only, which would specialize the window
+    // exchange apart from the offsets branch's and break ReuseExchange
     val blocked = docs.withColumn("_blk",
       expr(s"(cast(`$id` as bigint) - ${lo}L) div ${blockSpan}L"))
-      .where(col("_blk").isNotNull)
+      .where(col("_blk").isNotNull && col("bucket").isNotNull)
     val wLocal = Window.partitionBy(col("bucket"), col("_blk")).orderBy(col(id))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = blocked.withColumn("_local_cnt", count(lit(1)).over(wLocal))
@@ -837,7 +852,8 @@ object TextFunctions {
     // over them is a bounded-by-construction window
     val wOff = Window.partitionBy(col("bucket")).orderBy(col("_blk"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = local.groupBy("bucket", "_blk").agg(max("_local_cnt").as("_btotal"))
+    val offsets = local.groupBy("bucket", "_blk")
+      .agg(max("_local_cnt").as("_btotal"))
       .withColumn("_offset", sum(col("_btotal")).over(wOff) - col("_btotal"))
       .select("bucket", "_blk", "_offset")
     local.join(broadcast(offsets), Seq("bucket", "_blk"))

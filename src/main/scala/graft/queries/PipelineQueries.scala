@@ -454,6 +454,24 @@ object PipelineQueries {
       ngramJaccard(Graft.documents(s, d))
     }),
 
+    "dd_containment" -> ((s, d) => {
+      // directional n-gram CONTAINMENT dedup (r16) — Broder's asymmetric
+      // measure: a short doc quoted whole inside a long one scores tiny
+      // Jaccard but containment 1.0 on the short side, the signal quote/
+      // subset duplication filters need. Same oracle-portable blocking +
+      // capBuckets guard as dd_ngram_jaccard (the production candidate
+      // path for containment is chunk-level hashing — dd_chunk — or
+      // containment-MinHash sketches; exact-length blocking is the
+      // oracle-scale device). Jaccard rides along for contrast.
+      val docs = Graft.documents(s, d)
+      val pairs = Dedup.blockedPairs(docs, "doc_id",
+        Seq("lang" -> col("lang"), "blk" -> (col("n_chars") / lit(32)).cast("int")),
+        maxBucket = 1000)
+      Dedup.verifyContainment(pairs, docs, "doc_id", "text", ngram = 3)
+        .where(greatest(col("cont_ab"), col("cont_ba")) >= 0.3)
+        .select("a", "b", "cont_ab", "cont_ba", "jaccard")
+    }),
+
     "dd_chunk" -> ((s, d) =>
       // content-defined chunk-level (passage) dedup: CCNet-style
       // boilerplate removal — repeated passages keep only their first
@@ -1092,14 +1110,13 @@ object PipelineQueries {
       // two-phase prefix device on a COMPOSITE (bucket, block) key — no
       // global sort or single-partition window anywhere; deterministic
       // (unique doc_id order) under any layout.
+      val nTok = TextFunctions.wsTokenCount(col("text")).cast("long")
       val base = Graft.documents(s, d).select(col("doc_id"),
-        TextFunctions.wsTokenCount(col("text")).cast("long").as("n_tok"))
-        .withColumn("bucket",
-          when(col("n_tok") < 32, 0L).when(col("n_tok") < 64, 1L)
-            .when(col("n_tok") < 128, 2L).when(col("n_tok") < 256, 3L)
-            .otherwise(4L))
+        when(nTok < 32, 0L).when(nTok < 64, 1L)
+          .when(nTok < 128, 2L).when(nTok < 256, 3L)
+          .otherwise(4L).as("bucket"))
       TextFunctions.bucketBatches(base, "doc_id", batchSize = 8)
-        .select("doc_id", "n_tok", "bucket", "batch_id")
+        .select("doc_id", "bucket", "batch_id")
     }),
 
     "pp_anchor_text" -> ((s, d) => {
@@ -3453,6 +3470,25 @@ object PipelineQueries {
          FROM grams l JOIN grams r ON l.lang = r.lang AND l.blk = r.blk AND l.doc_id < r.doc_id
          WHERE round(CAST(len(list_intersect(l.tk, r.tk)) AS DOUBLE) /
                      CAST(len(list_distinct(list_concat(l.tk, r.tk))) AS DOUBLE), 4) >= 0.3""",
+    "dd_containment" ->
+      """WITH toks AS (SELECT doc_id, lang, n_chars // 32 AS blk,
+                             list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0) AS l
+                      FROM documents),
+              grams AS (SELECT doc_id, lang, blk,
+                               list_distinct(CASE WHEN len(l) >= 3
+                                 THEN list_transform(generate_series(1, len(l) - 2), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+                                 ELSE l END) AS tk
+                        FROM toks),
+              p AS (SELECT l.doc_id AS a, r.doc_id AS b,
+                           round(CAST(len(list_intersect(l.tk, r.tk)) AS DOUBLE) /
+                                 CAST(len(l.tk) AS DOUBLE), 4) AS cont_ab,
+                           round(CAST(len(list_intersect(l.tk, r.tk)) AS DOUBLE) /
+                                 CAST(len(r.tk) AS DOUBLE), 4) AS cont_ba,
+                           round(CAST(len(list_intersect(l.tk, r.tk)) AS DOUBLE) /
+                                 CAST(len(list_distinct(list_concat(l.tk, r.tk))) AS DOUBLE), 4) AS jaccard
+                    FROM grams l JOIN grams r ON l.lang = r.lang AND l.blk = r.blk AND l.doc_id < r.doc_id)
+         SELECT a, b, cont_ab, cont_ba, jaccard FROM p
+         WHERE greatest(cont_ab, cont_ba) >= 0.3""",
     // SRP bucket + probe + cap replay (EmbeddingOracleSql): the
     // embedding-LSH family is hash-checkable end-to-end since r9
     "dd_embedding" -> EmbeddingOracleSql.cosinePairs(threshold = 0.25),
@@ -4009,7 +4045,7 @@ object PipelineQueries {
                                 WHEN n_tok < 128 THEN 2 WHEN n_tok < 256 THEN 3
                                 ELSE 4 END AS bucket
                     FROM t)
-         SELECT doc_id, n_tok, CAST(bucket AS BIGINT) AS bucket,
+         SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
                 CAST((row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // 8 AS BIGINT) AS batch_id
          FROM b""",
     "pp_anchor_text" ->
