@@ -532,6 +532,23 @@ class PlanSpec extends GraftTest {
     }
   }
 
+  test("pp_length_buckets: ONE corpus scan — offsets branch reuses the window exchange") {
+    // the composite-(bucket, block) prefix device must keep the packBins
+    // single-scan property: the offsets aggregation hangs off the SAME
+    // window exchange as the final join's left side (ReuseExchange). A
+    // passthrough column in the bucketBatches input forks the pruning
+    // and doubles the corpus scan + tokenize (the r16 plan-audit find —
+    // bucketBatches' (id, bucket)-only contract exists for this).
+    val df = SparkEntry.queries("pp_length_buckets")(spark, sf)
+    df.collect() // reuse materializes as AQE stage sharing — inspect the FINAL plan
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected exactly one corpus scan, got $scans:\n${p.take(3000)}")
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"offsets branch must reuse the window exchange:\n${p.take(3000)}")
+    assert(!p.contains("Exchange rangepartitioning"), "no global sort expected")
+  }
+
   test("dd_exact_nfkc: normalization rides the scan, ONE digest exchange") {
     // the kernel must stay a scan-local projection feeding the
     // canonical 16-byte-digest hash groupBy — a second exchange (or a
