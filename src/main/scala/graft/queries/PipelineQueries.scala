@@ -2060,6 +2060,85 @@ object PipelineQueries {
         col("doc_id"),
         TextFunctions.fingerprintHex(col("text")).as("fp16"))),
 
+    "s_warc" -> ((s, d) => {
+      // WARC container roundtrip (r16) — the web-archive format
+      // CommonCrawl ships (ISO 28500): each synthetic crawl page becomes
+      // a response record (fixed date, deterministic record id, exact
+      // Content-Length framing) across 4 shards; the strict streaming
+      // walk reads them back one-task-per-shard, one record in memory at
+      // a time. Identity oracle over the page fixture. doc_id rides the
+      // Target-URI (the crawl-pipeline convention: the URI IS the key).
+      val out = java.nio.file.Files.createTempDirectory("graft-warc").toAbsolutePath.toString
+      val h = syntheticHtml(Graft.documents(s, d))
+        .select(concat(lit("https://corpus.example/doc/"), col("doc_id")).as("uri"),
+          col("html").cast("binary").as("payload"))
+      graft.sources.Warc.writeShards(h, "uri", "payload", out, shards = 4)
+      graft.sources.Warc.read(s, out)
+        .select(
+          regexp_extract(col("uri"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          col("payload").cast("string").as("html"))
+    }),
+
+    "s_warc_wet" -> ((s, d) => {
+      // the REAL crawl front end end-to-end (r16): WARC shards → strict
+      // record walk → WET text extraction — the exact WARC→WET stage a
+      // 100 TB CommonCrawl pipeline runs first, composed from the
+      // certified container codec and the certified extraction chain
+      // (shares txt_html_extract's oracle verbatim). Scan shape: the
+      // extraction regexes run inside the shard-read projection — no
+      // extra exchange over the raw HTML.
+      val out = java.nio.file.Files.createTempDirectory("graft-warcwet").toAbsolutePath.toString
+      val h = syntheticHtml(Graft.documents(s, d))
+        .select(concat(lit("https://corpus.example/doc/"), col("doc_id")).as("uri"),
+          col("html").cast("binary").as("payload"))
+      graft.sources.Warc.writeShards(h, "uri", "payload", out, shards = 4)
+      graft.sources.Warc.read(s, out)
+        .select(
+          regexp_extract(col("uri"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          TextFunctions.htmlText(col("payload").cast("string")).as("text_clean"))
+        .withColumn("clean_chars", length(col("text_clean")).cast("long"))
+    }),
+
+    "s_warc_corrupt_tail" -> ((s, d) => {
+      // WARC torn-tail recovery: 4 DETERMINISTIC shards (doc_id%4,
+      // doc_id-ordered), shard 3 loses its final 6 bytes (the terminator
+      // and payload tail of its LAST record — the max doc_id of the
+      // class, which must drop) and shard 2 gains appended garbage (a
+      // bad version line: all real records survive, only the bogus tail
+      // is abandoned). The permissive walk keeps every CRLF-framed
+      // verified record, reports the loss through the observe metric,
+      // and can never surface a truncated payload. Oracle states the
+      // exact surviving set.
+      val out = java.nio.file.Files.createTempDirectory("graft-warccorrupt").toAbsolutePath.toString
+      val docs = Graft.documents(s, d)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      (0 until 4).foreach { i =>
+        syntheticHtml(docs.where(pmod(col("doc_id"), lit(4)) === i))
+          .select(col("doc_id"),
+            concat(lit("https://corpus.example/doc/"), col("doc_id")).as("uri"),
+            col("html").cast("binary").as("payload"))
+          .coalesce(1).sortWithinPartitions("doc_id")
+          .select("uri", "payload")
+          .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+            val p = java.nio.file.Paths.get(out, f"part-$i%05d.warc")
+            val os = new java.io.BufferedOutputStream(java.nio.file.Files.newOutputStream(p))
+            try it.foreach { r =>
+              graft.sources.Warc.writeRecord(os, r.getString(0),
+                "urn:graft:fixed", r.getAs[Array[Byte]](1))
+            } finally os.close()
+          }
+      }
+      val s3 = java.nio.file.Paths.get(out, "part-00003.warc")
+      val b3 = java.nio.file.Files.readAllBytes(s3)
+      java.nio.file.Files.write(s3, java.util.Arrays.copyOf(b3, b3.length - 6))
+      java.nio.file.Files.write(java.nio.file.Paths.get(out, "part-00002.warc"),
+        "GARBAGE\r\n".getBytes("US-ASCII"), java.nio.file.StandardOpenOption.APPEND)
+      graft.sources.Warc.readPermissive(s, out)
+        .select(
+          regexp_extract(col("uri"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          col("payload").cast("string").as("html"))
+    }),
+
     "txt_html_extract" -> ((s, d) => {
       // crawl-HTML -> plain text (the WET extraction, stage one of
       // every web pipeline): drop script/style whole, strip markup,
@@ -3274,6 +3353,17 @@ object PipelineQueries {
     // chain; anchors via regexp_extract_all + 1-based ordinality
     "txt_html_extract_streaming" -> htmlExtractSql,
     "txt_html_extract" -> htmlExtractSql,
+    // WARC roundtrip: identity over the synthetic page fixture
+    "s_warc" -> s"WITH $htmlCte SELECT doc_id, html FROM h",
+    // WARC -> WET composition converges to the extraction chain's answer
+    "s_warc_wet" -> htmlExtractSql,
+    // torn shard-3 tail drops exactly that shard's last (max-doc_id)
+    // record; the garbage version line appended to shard 2 drops nothing
+    "s_warc_corrupt_tail" ->
+      s"""WITH $htmlCte
+         SELECT doc_id, html FROM h
+         WHERE NOT (doc_id % 4 = 3 AND doc_id =
+           (SELECT max(doc_id) FROM documents WHERE doc_id % 4 = 3))""",
     "txt_html_links" ->
       s"""WITH $htmlCte,
          l AS (SELECT doc_id,

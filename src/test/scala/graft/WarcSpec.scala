@@ -1,0 +1,92 @@
+package graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import graft.sources.Warc
+
+/** Byte-level contract of the WARC codec (ISO 28500 / IIPC WARC spec):
+  * roundtrip fidelity, strict validation of every malformed shape, the
+  * permissive torn-tail marker, and the documented framing limit (a cut
+  * exactly between records is undetectable — WARC has no end marker).
+  */
+class WarcSpec extends GraftTest {
+
+  private def rec(uri: String, payload: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    Warc.writeRecord(bos, uri, s"urn:test:$uri", payload.getBytes("UTF-8"))
+    bos.toByteArray
+  }
+
+  private def readAll(b: Array[Byte]) =
+    Warc.readStream(new ByteArrayInputStream(b)).toVector
+
+  test("roundtrip: records, uris, ids, and payload bytes survive; UTF-8 payloads exact") {
+    val b = rec("https://a.example/1", "hello <b>world</b>") ++
+      rec("https://a.example/2", "café 世界")
+    val got = readAll(b)
+    assert(got.map(_._1) === Vector("https://a.example/1", "https://a.example/2"))
+    assert(got.map(_._2) === Vector("urn:test:https://a.example/1", "urn:test:https://a.example/2"))
+    assert(new String(got(1)._3, "UTF-8") === "café 世界")
+  }
+
+  test("empty payload and empty stream are legal") {
+    assert(readAll(rec("https://e", "")).head._3.length === 0)
+    assert(readAll(Array.emptyByteArray).isEmpty)
+  }
+
+  private def expectBad(b: Array[Byte], fragment: String): Unit = {
+    val e = intercept[IllegalArgumentException](readAll(b))
+    assert(e.getMessage.startsWith("warc:"), e.getMessage)
+    assert(e.getMessage.contains(fragment), s"'${e.getMessage}' lacks '$fragment'")
+  }
+
+  test("strict: every malformed shape throws the documented error") {
+    val good = rec("https://a", "payload-bytes")
+    // torn payload tail
+    expectBad(java.util.Arrays.copyOf(good, good.length - 6), "truncated")
+    // torn inside the header block
+    expectBad(java.util.Arrays.copyOf(good, 30), "truncated")
+    // bad version line
+    expectBad("HTTP/1.1 200 OK\r\n\r\n".getBytes("US-ASCII"), "bad version line")
+    // LF-only line endings rejected
+    expectBad("WARC/1.0\nContent-Length: 0\n\n".getBytes("US-ASCII"), "CRLF")
+    // missing Content-Length
+    expectBad("WARC/1.0\r\nWARC-Type: response\r\n\r\n".getBytes("US-ASCII"), "without Content-Length")
+    // non-numeric Content-Length
+    expectBad("WARC/1.0\r\nContent-Length: twelve\r\n\r\n".getBytes("US-ASCII"), "bad Content-Length")
+    // header line without a colon
+    expectBad("WARC/1.0\r\nnonsense\r\n\r\n".getBytes("US-ASCII"), "malformed header line")
+    // missing record terminator (next record starts immediately)
+    val noTerm = {
+      val g = rec("https://a", "xy")
+      g.dropRight(4) ++ rec("https://b", "z")
+    }
+    expectBad(noTerm, "terminator")
+    // writer refuses CR/LF injection into header values
+    intercept[IllegalArgumentException] {
+      Warc.writeRecord(new ByteArrayOutputStream(), "https://a\r\nX: y", "id", Array.emptyByteArray)
+    }
+  }
+
+  test("documented framing limit: a cut exactly between records reads as a clean end") {
+    val two = rec("https://a", "one") ++ rec("https://b", "two")
+    val cut = java.util.Arrays.copyOf(two, rec("https://a", "one").length)
+    assert(readAll(cut).map(_._1) === Vector("https://a")) // strict ACCEPTS — no end marker exists
+  }
+
+  test("permissive: torn tail becomes one marker with exact abandoned-byte accounting") {
+    val r1 = rec("https://a", "one")
+    val whole = r1 ++ rec("https://b", "twotwotwo")
+    val torn = java.util.Arrays.copyOf(whole, whole.length - 5)
+    val got = Warc.readStreamPermissive(new ByteArrayInputStream(torn), torn.length.toLong).toVector
+    val (recs, markers) = got.partition(_._1 != null)
+    assert(recs.map(_._1) === Vector("https://a"))
+    assert(markers.size === 1)
+    assert(markers.head._4 === (torn.length - r1.length).toLong,
+      "marker must account every byte past the last verified record")
+    // garbage tail after valid records: all records survive, loss observed
+    val garbaged = whole ++ "NOT-A-RECORD\r\n".getBytes("US-ASCII")
+    val got2 = Warc.readStreamPermissive(new ByteArrayInputStream(garbaged), garbaged.length.toLong).toVector
+    assert(got2.count(_._1 != null) === 2)
+    assert(got2.filter(_._1 == null).map(_._4).sum === 14L)
+  }
+}
