@@ -2099,6 +2099,51 @@ object PipelineQueries {
         .withColumn("clean_chars", length(col("text_clean")).cast("long"))
     }),
 
+    "s_warc_gz" -> ((s, d) => {
+      // the ACTUAL CommonCrawl wire format (r16): .warc.gz with each
+      // record its own gzip member (RFC 1952 concatenation — the layout
+      // an index can seek into), read back through one multi-member
+      // decompressor feeding the same strict walk. Same identity oracle
+      // as the plain container.
+      val out = java.nio.file.Files.createTempDirectory("graft-warcgz").toAbsolutePath.toString
+      val h = syntheticHtml(Graft.documents(s, d))
+        .select(concat(lit("https://corpus.example/doc/"), col("doc_id")).as("uri"),
+          col("html").cast("binary").as("payload"))
+      graft.sources.Warc.writeShardsGz(h, "uri", "payload", out, shards = 4)
+      graft.sources.Warc.readGz(s, out)
+        .select(
+          regexp_extract(col("uri"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          col("payload").cast("string").as("html"))
+    }),
+
+    "s_warc_streaming" -> ((s, d) => {
+      // WARC shards arriving THROUGH the real streaming engine (the
+      // s_arrow_streaming device): the SAME 4 shards staged, streaming
+      // binaryFile source one shard per micro-batch, each walked by the
+      // SAME strict record parser. Stateless append — converged result
+      // equals the batch read, shared oracle.
+      val out = java.nio.file.Files.createTempDirectory("graft-warcstream").toAbsolutePath.toString
+      val h = syntheticHtml(Graft.documents(s, d))
+        .select(concat(lit("https://corpus.example/doc/"), col("doc_id")).as("uri"),
+          col("html").cast("binary").as("payload"))
+      graft.sources.Warc.writeShards(h, "uri", "payload", out, shards = 4)
+      import s.implicits._
+      val stream = s.readStream.format("binaryFile")
+        .schema(s.read.format("binaryFile").load(s"$out/*.warc").schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(s"$out/*.warc")
+        .select("content").as[Array[Byte]]
+        .flatMap { b =>
+          graft.sources.Warc.readStream(new java.io.ByteArrayInputStream(b))
+            .map { case (uri, _, payload) => (uri, new String(payload, "UTF-8")) }
+        }
+        .toDF("uri", "html")
+      graft.streaming.StreamingQueries.runAppendToMemory(s, "s_warc_stream", stream)
+        .select(
+          regexp_extract(col("uri"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          col("html"))
+    }),
+
     "s_warc_corrupt_tail" -> ((s, d) => {
       // WARC torn-tail recovery: 4 DETERMINISTIC shards (doc_id%4,
       // doc_id-ordered), shard 3 loses its final 6 bytes (the terminator
@@ -3355,6 +3400,10 @@ object PipelineQueries {
     "txt_html_extract" -> htmlExtractSql,
     // WARC roundtrip: identity over the synthetic page fixture
     "s_warc" -> s"WITH $htmlCte SELECT doc_id, html FROM h",
+    // per-record gzip members decompress to the identical stream
+    "s_warc_gz" -> s"WITH $htmlCte SELECT doc_id, html FROM h",
+    // the stateless streaming twin converges to the batch read
+    "s_warc_streaming" -> s"WITH $htmlCte SELECT doc_id, html FROM h",
     // WARC -> WET composition converges to the extraction chain's answer
     "s_warc_wet" -> htmlExtractSql,
     // torn shard-3 tail drops exactly that shard's last (max-doc_id)

@@ -216,6 +216,57 @@ object Warc {
       }
   }
 
+  /** Write .warc.gz shards the way CommonCrawl actually ships them:
+    * EACH RECORD IS ITS OWN GZIP MEMBER, members concatenated — the
+    * layout that lets an index seek to a record's byte offset and
+    * decompress just that member (plain whole-file gzip cannot).
+    * RFC 1952 makes concatenated members one valid gzip stream, so
+    * [[readGz]] walks the whole shard through one multi-member
+    * decompressor feeding the SAME strict record walk.
+    */
+  def writeShardsGz(df: DataFrame, uriCol: String, payloadCol: String,
+                    path: String, shards: Int): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    df.select(col(uriCol).cast("string").as("u"), col(payloadCol).cast("binary").as("p"))
+      .repartition(shards)
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val p = java.nio.file.Paths.get(path, f"part-$pid%05d.warc.gz")
+        Sources.writeShardAtomic(p) { out =>
+          it.foreach { r =>
+            val uri = r.getString(0)
+            val rid = "urn:graft:" + java.security.MessageDigest.getInstance("MD5")
+              .digest(uri.getBytes("UTF-8")).map("%02x".format(_)).mkString
+            // one gzip member per record: open/finish a GZIPOutputStream
+            // around each record so members concatenate seekably
+            val gz = new java.util.zip.GZIPOutputStream(new NoCloseOut(out))
+            writeRecord(gz, uri, rid, r.getAs[Array[Byte]](1))
+            gz.finish(); gz.close()
+          }
+        }
+      }
+  }
+
+  /** Shields the shard stream from per-member GZIPOutputStream.close(). */
+  private final class NoCloseOut(out: java.io.OutputStream) extends java.io.FilterOutputStream(out) {
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = out.write(b, off, len)
+    override def close(): Unit = flush()
+  }
+
+  /** Strict shard-parallel read of [[writeShardsGz]] output — JDK
+    * GZIPInputStream consumes concatenated members natively (RFC 1952),
+    * so the record walk sees one continuous WARC stream. A corrupt
+    * gzip frame surfaces as the task-failing IOException it is.
+    */
+  def readGz(spark: SparkSession, path: String): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[(String, String, Array[Byte])] =
+      org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.BINARY)
+    Sources.shardRecords(spark, s"$path/*.warc.gz") { (_, _, in) =>
+      readStream(new java.util.zip.GZIPInputStream(in, 1 << 16))
+    }.toDF("uri", "record_id", "payload")
+  }
+
   /** Strict shard-parallel read: (uri, record_id, payload). */
   def read(spark: SparkSession, path: String): DataFrame = {
     implicit val enc: org.apache.spark.sql.Encoder[(String, String, Array[Byte])] =

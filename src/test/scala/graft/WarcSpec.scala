@@ -73,6 +73,32 @@ class WarcSpec extends GraftTest {
     assert(readAll(cut).map(_._1) === Vector("https://a")) // strict ACCEPTS — no end marker exists
   }
 
+  test("warc.gz: per-record gzip members concatenate into one readable stream, each member standalone") {
+    def gzMember(r: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(r); gz.finish(); gz.close()
+      bos.toByteArray
+    }
+    val m1 = gzMember(rec("https://a", "one"))
+    val m2 = gzMember(rec("https://b", "two"))
+    // the whole shard: one multi-member stream, two records
+    val all = Warc.readStream(new java.util.zip.GZIPInputStream(
+      new ByteArrayInputStream(m1 ++ m2))).toVector
+    assert(all.map(_._1) === Vector("https://a", "https://b"))
+    // the CommonCrawl-index property: EACH member decompresses alone
+    // (seek to offset, read one record — impossible with whole-file gzip)
+    val solo = Warc.readStream(new java.util.zip.GZIPInputStream(
+      new ByteArrayInputStream(m2))).toVector
+    assert(solo.map(_._1) === Vector("https://b"))
+    // a corrupt gzip frame is an I/O fault (task retry), not a torn-tail drop
+    val broken = m1.clone(); broken(12) = (broken(12) ^ 0xff).toByte
+    intercept[java.io.IOException] {
+      Warc.readStream(new java.util.zip.GZIPInputStream(
+        new ByteArrayInputStream(broken))).toVector
+    }
+  }
+
   test("permissive: torn tail becomes one marker with exact abandoned-byte accounting") {
     val r1 = rec("https://a", "one")
     val whole = r1 ++ rec("https://b", "twotwotwo")
