@@ -518,6 +518,24 @@ object CoreQueries {
           col("col").cast("double").as("value"), col("label").cast("int").as("label"))
     }),
 
+    "s_npz" -> ((s, d) => {
+      // embeddings through numpy's npz interchange (r16): each shard a
+      // ZIP of three .npy members (i8 ids, f4 [n,d] vectors, i8 labels)
+      // — exactly what np.load returns member-wise — written STORED with
+      // deterministic bytes, read back through the repo's OWN
+      // CRC-verifying zip walk composed with the .npy header parser.
+      // Float bits ride the LE buffer untouched; same exploded-scalar
+      // projection and oracle as the other vector containers.
+      val out = tmp("npz")
+      val emb = Graft.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label").cast("long").as("label"))
+      graft.sources.Npy.writeNpzVectors(emb, out, "vec_id", "embedding", "label", shards = 4)
+      graft.sources.Npy.readNpzVectors(s, out, "vec_id", "embedding", "label")
+        .select(col("vec_id"), posexplode(col("embedding")), col("label"))
+        .select(col("vec_id"), col("pos").cast("int").as("idx"),
+          col("col").cast("double").as("value"), col("label").cast("int").as("label"))
+    }),
+
     "s_safetensors_streaming" -> ((s, d) => {
       // safetensors shards arriving THROUGH the real streaming engine
       // (the dataloader-feed shape, the s_arrow_streaming device): the
@@ -1165,6 +1183,10 @@ object CoreQueries {
                 CAST(embedding[i] AS DOUBLE) AS value, label
          FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)""",
     "s_safetensors" ->
+      """SELECT vec_id, CAST(i - 1 AS INT) AS idx,
+                CAST(embedding[i] AS DOUBLE) AS value, label
+         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)""",
+    "s_npz" ->
       """SELECT vec_id, CAST(i - 1 AS INT) AS idx,
                 CAST(embedding[i] AS DOUBLE) AS value, label
          FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)""",

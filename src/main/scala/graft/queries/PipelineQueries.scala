@@ -2060,6 +2060,31 @@ object PipelineQueries {
         col("doc_id"),
         TextFunctions.fingerprintHex(col("text")).as("fp16"))),
 
+    "pp_robots" -> ((s, d) => {
+      // RFC 9309 robots filtering (r16) — the crawl-politeness stage
+      // between link mining and fetch: each distinct crawl URL judged by
+      // its host's rule group, LONGEST matching path prefix wins, Allow
+      // beats Disallow at equal length, no match ⇒ allowed. The fixture
+      // plants all three behaviors: per .com host k, Disallow /p{k} with
+      // a longer Allow /p{k}3 carve-out (longest-match), example1.org a
+      // blanket Disallow /, and example2.org an EQUAL-LENGTH /q1
+      // Allow+Disallow pair (the tie the RFC resolves to Allow). Rules
+      // broadcast (robots corpora are KBs per host vs billions of URLs);
+      // the verdict is one broadcast join + one per-URL aggregation.
+      val links = syntheticHtml(Graft.documents(s, d))
+        .select(explode(regexp_extract_all(col("html"), lit(anchorPat), lit(1))).as("href"))
+      import s.implicits._
+      val rules = ((0 until 7).flatMap(k => Seq(
+          (s"example$k.com", s"/p$k", false),
+          (s"example$k.com", s"/p${k}3", true))) ++ Seq(
+          ("example1.org", "/", false),
+          ("example2.org", "/q1", false),
+          ("example2.org", "/q1", true)))
+        .toDF("host", "prefix", "allow")
+      graft.crawl.Robots.verdicts(links, "href", rules)
+        .select(col("url").as("href"), col("allowed"), col("matched_prefix"))
+    }),
+
     "s_warc" -> ((s, d) => {
       // WARC container roundtrip (r16) — the web-archive format
       // CommonCrawl ships (ISO 28500): each synthetic crawl page becomes
@@ -3398,6 +3423,32 @@ object PipelineQueries {
     // chain; anchors via regexp_extract_all + 1-based ordinality
     "txt_html_extract_streaming" -> htmlExtractSql,
     "txt_html_extract" -> htmlExtractSql,
+    // RFC 9309 replay: longest matching prefix, Allow wins equal-length
+    // ties (ORDER BY length DESC, allow DESC mirrors Spark's
+    // max(struct(len, allow, prefix)) exactly), no match => allowed
+    "pp_robots" -> {
+      val ruleRows = ((0 until 7).flatMap(k => Seq(
+          s"('example$k.com', '/p$k', FALSE)",
+          s"('example$k.com', '/p${k}3', TRUE)")) ++ Seq(
+          "('example1.org', '/', FALSE)",
+          "('example2.org', '/q1', FALSE)",
+          "('example2.org', '/q1', TRUE)")).mkString(", ")
+      s"""WITH $htmlCte,
+         l AS (SELECT DISTINCT href FROM (
+                 SELECT UNNEST(regexp_extract_all(html, '<a href="([^"]+)">([^<]*)</a>', 1)) AS href FROM h)),
+         u AS (SELECT href, regexp_extract(href, '^https?://([^/]+)', 1) AS host,
+                      CASE WHEN length(regexp_extract(href, '^https?://[^/]+(/.*)$$', 1)) > 0
+                           THEN regexp_extract(href, '^https?://[^/]+(/.*)$$', 1)
+                           ELSE '/' END AS path
+               FROM l),
+         rules(host, prefix, allow) AS (VALUES $ruleRows),
+         m AS (SELECT u.href, r.prefix, r.allow,
+                      row_number() OVER (PARTITION BY u.href
+                        ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix DESC) AS rn
+               FROM u JOIN rules r ON u.host = r.host AND starts_with(u.path, r.prefix))
+         SELECT u.href, COALESCE(m.allow, TRUE) AS allowed, m.prefix AS matched_prefix
+         FROM u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON u.href = m.href"""
+    },
     // WARC roundtrip: identity over the synthetic page fixture
     "s_warc" -> s"WITH $htmlCte SELECT doc_id, html FROM h",
     // per-record gzip members decompress to the identical stream
