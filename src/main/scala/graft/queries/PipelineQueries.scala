@@ -1171,6 +1171,35 @@ object PipelineQueries {
         .select("source", "n_docs", "n_langs", "total_chars", "share_bp")
     }),
 
+    "pp_datacard_streaming" -> ((s, d) => {
+      // the data card maintained AT INGEST by the real streaming engine:
+      // complete-mode per-source aggregation through micro-batches with
+      // a state-cleanup + from-scratch recompute round (the house
+      // runWithStateCleanup discipline), the corpus-share window applied
+      // POST-convergence on the K-row result (windows over streaming
+      // aggregates are unsupported by design — and unnecessary: the
+      // share is a projection of the converged card). Shares
+      // pp_datacard's oracle verbatim.
+      import org.apache.spark.sql.expressions.Window
+      // the STREAMING state is one (source, lang) aggregation — distinct
+      // counts and chained aggregations are unsupported on streams by
+      // design, and unnecessary: the per-language cells ARE the card's
+      // sufficient statistic; the per-source rollup is a projection of
+      // the converged state
+      val cells = graft.streaming.StreamingQueries.runWithStateCleanup(
+        s, d, "documents", "pp_datacard_stream",
+        df => df.groupBy("source", "lang")
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars")))
+      val converged = cells.groupBy("source")
+        .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_langs"),
+          sum(col("chars")).as("total_chars"))
+      val wAll = Window.partitionBy(expr("n_docs * 0L"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      converged.withColumn("_total", sum(col("n_docs")).over(wAll))
+        .withColumn("share_bp", expr("(n_docs * 10000L) div _total"))
+        .select("source", "n_docs", "n_langs", "total_chars", "share_bp")
+    }),
+
     "pp_mixture_epochs" -> ((s, d) => {
       // mixture epoch planning (r16) — the repeat-factor table a
       // uniform-target training mix implies (the Llama-recipe device:
@@ -2059,6 +2088,32 @@ object PipelineQueries {
       Graft.documents(s, d).select(
         col("doc_id"),
         TextFunctions.fingerprintHex(col("text")).as("fp16"))),
+
+    "pp_sft_multiturn" -> ((s, d) => {
+      // MULTI-TURN SFT assembly (r16) — real chat training data is
+      // conversations, not single exchanges: each doc becomes a 2-turn
+      // dialog (text quarters: user1/assistant1/user2/assistant2) under
+      // the role-sentinel template, with a loss-mask char span PER
+      // ASSISTANT TURN — the only regions the loss trains on (the
+      // pp_sft_mask discipline, generalized to per-turn spans). Pure
+      // per-row integer arithmetic on ONE codegen'd scan, no shuffle;
+      // the oracle replays template + span math exactly. 100 TB shape:
+      // embarrassingly parallel.
+      val L = length(col("text"))
+      val q = expr("length(text) div 4")
+      Graft.documents(s, d).select(col("doc_id"),
+        concat(
+          lit("<|user|>"), expr("substring(text, 1, length(text) div 4)"),
+          lit("<|assistant|>"), expr("substring(text, length(text) div 4 + 1, length(text) div 4)"),
+          lit("<|end|>"),
+          lit("<|user|>"), expr("substring(text, 2 * (length(text) div 4) + 1, length(text) div 4)"),
+          lit("<|assistant|>"), expr("substring(text, 3 * (length(text) div 4) + 1, length(text))"),
+          lit("<|end|>")).as("sft_text"),
+        (lit(8) + q + lit(13) + lit(1)).cast("long").as("a1_start"),
+        (lit(8) + q + lit(13) + lit(1) + q).cast("long").as("a1_end"),
+        (lit(50) + q * 3 ).cast("long").as("a2_start"),
+        (lit(50) + L).cast("long").as("a2_end"))
+    }),
 
     "pp_robots" -> ((s, d) => {
       // RFC 9309 robots filtering (r16) — the crawl-politeness stage
@@ -3423,6 +3478,22 @@ object PipelineQueries {
     // chain; anchors via regexp_extract_all + 1-based ordinality
     "txt_html_extract_streaming" -> htmlExtractSql,
     "txt_html_extract" -> htmlExtractSql,
+    // template + per-turn span arithmetic replayed exactly: quarters by
+    // integer div, sentinel lengths 8/13/7, spans 1-based [start, end)
+    "pp_sft_multiturn" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS L, length(text) // 4 AS q FROM documents)
+         SELECT doc_id,
+                '<|user|>' || substr(text, 1, q) ||
+                '<|assistant|>' || substr(text, q + 1, q) ||
+                '<|end|>' ||
+                '<|user|>' || substr(text, 2 * q + 1, q) ||
+                '<|assistant|>' || substr(text, 3 * q + 1, L) ||
+                '<|end|>' AS sft_text,
+                CAST(8 + q + 13 + 1 AS BIGINT) AS a1_start,
+                CAST(8 + q + 13 + 1 + q AS BIGINT) AS a1_end,
+                CAST(50 + 3 * q AS BIGINT) AS a2_start,
+                CAST(50 + L AS BIGINT) AS a2_end
+         FROM t""",
     // RFC 9309 replay: longest matching prefix, Allow wins equal-length
     // ties (ORDER BY length DESC, allow DESC mirrors Spark's
     // max(struct(len, allow, prefix)) exactly), no match => allowed
@@ -4254,6 +4325,14 @@ object PipelineQueries {
          SELECT t.href, t.n_links, t.n_docs, p.top_anchor, p.top_cnt
          FROM tot t JOIN top p ON t.href = p.href""",
     "pp_datacard" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+                             CAST(sum(n_chars) AS BIGINT) AS total_chars
+                      FROM documents GROUP BY source)
+         SELECT source, n_docs, n_langs, total_chars,
+                CAST((n_docs * 10000) // (SELECT sum(n_docs) FROM per) AS BIGINT) AS share_bp
+         FROM per""",
+    // the streaming card converges to the batch card — SAME oracle
+    "pp_datacard_streaming" ->
       """WITH per AS (SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
                              CAST(sum(n_chars) AS BIGINT) AS total_chars
                       FROM documents GROUP BY source)
