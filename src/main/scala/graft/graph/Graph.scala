@@ -146,6 +146,68 @@ object Graph {
     } finally e.unpersist(blocking = false)
   }
 
+  /** Synchronous label-propagation communities (Raghavan et al. 2007,
+    * the DETERMINISTIC variant: no random visit order, no random
+    * tie-break — every node simultaneously adopts the most frequent
+    * label among its neighbors from the PREVIOUS round, ties to the
+    * MINIMUM label, isolated nodes keep their own): fixed K rounds over
+    * the undirected view of the edge list, so the result is exact and
+    * oracle-replayable. Communities differ from connected components —
+    * a sparse bridge between two dense regions does not merge them.
+    *
+    * Scale shape: the persisted undirected edge list is reused every
+    * round; each round = one shuffle joining labels to edges + one
+    * two-level hash aggregation (count per (node, label), then argmax
+    * via max(struct)) + a zero-fill left join on the vertex set; same
+    * per-round checkpoint + release contract as [[pageRank]], so the
+    * plan stays constant-size at any K.
+    */
+  def labelPropagation(edges: DataFrame, nodes: DataFrame,
+                       iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"labelPropagation: iterations $iterations < 1")
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
+      .where(col("a") =!= col("b")).distinct()
+      .persist(MEMORY_AND_DISK)
+    und.count() // force once, before round-1 plans race to build it twice
+    val base = nodes.select(col("node"))
+    val sc = base.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    def release(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach { r =>
+        r.unpersist(blocking = false)
+        if (reliable) r.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+        }
+      }
+    var labels = base.select(col("node"), col("node").as("label"))
+    var prev: Option[DataFrame] = None
+    try {
+      for (_ <- 1 to iterations) {
+        // argmax by (count, min label): max(struct(c, -label)) picks the
+        // highest count, then the LEAST label (ids are non-negative, so
+        // negation orders them in reverse) — the deterministic tie rule
+        val win = und.join(labels, und("b") === labels("node"))
+          .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
+          .groupBy(col("a"))
+          .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("w"))
+          .select(col("a").as("node"), (-col("w.nl")).as("winner"))
+        val next = labels.join(win, Seq("node"), "left")
+          .select(col("node"), coalesce(col("winner"), col("label")).as("label"))
+        val materialized = ckpt(next)
+        prev.foreach(release)
+        prev = Some(materialized)
+        labels = materialized
+      }
+      labels.select(col("node"), col("label").as("community"))
+    } finally und.unpersist(blocking = false)
+  }
+
   /** One power-iteration round — exposed at package scope so PlanSpec
     * can pin its physical shape (the loop checkpoints each round, so
     * the query-level executed plan is just the final scan): one

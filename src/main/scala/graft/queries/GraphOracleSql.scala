@@ -68,6 +68,34 @@ object GraphOracleSql {
        SELECT node, r AS rank_micro FROM r$iterations"""
   }
 
+  /** Oracle for `g_lpa`: K rounds of deterministic synchronous label
+    * propagation (most frequent neighbor label, ties to the MINIMUM —
+    * row_number ordered (c DESC, label ASC) mirrors Spark's
+    * max(struct(c, -label)) exactly); isolated nodes keep their own.
+    */
+  def labelPropagation(iterations: Int = 3): String = {
+    val und =
+      """und AS (SELECT DISTINCT a, b FROM (
+                   SELECT src AS a, dst AS b FROM e0
+                   UNION ALL SELECT dst AS a, src AS b FROM e0)
+                 WHERE a <> b)"""
+    val l0 = "l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents)"
+    val rounds = (1 to iterations).map { k =>
+      s"""n$k AS (SELECT u.a, l.label, count(*) AS c
+              FROM und u JOIN l${k - 1} l ON u.b = l.node GROUP BY 1, 2),
+         w$k AS (SELECT a, label FROM (
+                   SELECT a, label,
+                          row_number() OVER (PARTITION BY a ORDER BY c DESC, label ASC) AS rn
+                   FROM n$k) WHERE rn = 1),
+         l$k AS (SELECT p.node, COALESCE(w.label, p.label) AS label
+              FROM l${k - 1} p LEFT JOIN w$k w ON p.node = w.a)"""
+    }
+    s"""WITH $edgeCtes,
+       $und,
+       ${(l0 +: rounds).mkString(",\n       ")}
+       SELECT node, label AS community FROM l$iterations"""
+  }
+
   /** Oracle for `g_degree`: (node, outdeg, indeg) zero-filled. */
   def degrees: String =
     s"""WITH $edgeCtes,

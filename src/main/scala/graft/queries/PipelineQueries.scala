@@ -2872,6 +2872,38 @@ object PipelineQueries {
         .select(col("asset_id"), col("win_idx"), col("win").cast("string").as("win_str"))),
 
     // ---- graph / authority --------------------------------------------------
+    "g_lpa" -> ((s, d) => {
+      // label-propagation communities (r16) — the graph primitive
+      // between degree counting and PageRank: dense regions converge to
+      // one label while sparse bridges do NOT merge them (unlike
+      // connected components). Deterministic synchronous variant (ties
+      // to the min label), K=3 fixed rounds over the same derived link
+      // graph, per-round checkpointed like g_pagerank; the oracle
+      // unrolls the rounds as chained CTEs.
+      val docs = Graft.documents(s, d)
+      Graph.labelPropagation(Graph.syntheticLinkGraph(docs),
+        docs.select(col("doc_id").as("node")), iterations = 3)
+    }),
+
+    "q_retention" -> ((s, d) => {
+      // cohort retention (r16) — the canonical product-analytics
+      // triangle: users cohorted by FIRST-activity week, activity
+      // counted per (cohort week, activity week) as distinct users;
+      // weeks are exact integer µs-epoch divisions. Scale shape: one
+      // (user, week) dedup aggregation, a per-user min, and a broadcast
+      // of nothing — the cohort joins back on user_id riding the same
+      // hash partitioning; no window over raw events.
+      val wk = expr("ts_us div 604800000000")
+      val active = Graft.events(s, d)
+        .select(col("user_id"), wk.as("wk")).distinct()
+      val cohort = active.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      active.join(cohort, Seq("user_id"))
+        .groupBy("cohort_wk", "wk")
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .withColumn("weeks_since", col("wk") - col("cohort_wk"))
+        .select("cohort_wk", "wk", "weeks_since", "n_active")
+    }),
+
     "g_pagerank" -> ((s, d) => {
       // crawl-authority PageRank (Brin & Page 1998) over the derived
       // host-shaped link graph — the quality prior web-curation
@@ -3580,6 +3612,14 @@ object PipelineQueries {
          FROM g GROUP BY 1, 2, 3""",
     // g_*: integer-exact link-graph authority family — unrolled-CTE
     // PageRank replay + degree profile (GraphOracleSql).
+    "g_lpa" -> GraphOracleSql.labelPropagation(),
+    "q_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+              c AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY user_id)
+         SELECT c.cohort_wk, a.wk, a.wk - c.cohort_wk AS weeks_since,
+                count(DISTINCT a.user_id) AS n_active
+         FROM a JOIN c ON a.user_id = c.user_id
+         GROUP BY 1, 2, 3""",
     "g_pagerank" -> GraphOracleSql.pageRank(),
     "g_pagerank_seeded" -> GraphOracleSql.personalizedPageRank(),
     "g_degree" -> GraphOracleSql.degrees,
