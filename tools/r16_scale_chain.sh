@@ -21,9 +21,14 @@ J=(java
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx16g -Xss32m
   -cp "target/scala-2.13/classes:/opt/spark/jars/*")
 
-echo "=== [1/1] 10x/100x arms: pp_length_buckets"
+echo "=== [1/2] 10x/100x arms: pp_length_buckets"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_FACTORS=10,100 \
   SPARK_GRAFT_SCALE_CASES=pp_length_buckets \
+  SPARK_GRAFT_SCALE_APPEND=1 "${J[@]}" graft.ScaleCheck 2>&1 | { grep -E "^\[scale\]|wrote" || true; }
+
+echo "=== [2/2] 10x/100x arms: g_lpa"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_FACTORS=10,100 \
+  SPARK_GRAFT_SCALE_CASES=g_lpa \
   SPARK_GRAFT_SCALE_APPEND=1 "${J[@]}" graft.ScaleCheck 2>&1 | { grep -E "^\[scale\]|wrote" || true; }
 
 echo "=== chain done"
