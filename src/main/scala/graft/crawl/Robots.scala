@@ -29,16 +29,23 @@ object Robots {
         when(length(regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1)) > 0,
           regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1))
           .otherwise(lit("/")))
-    val matched = u.join(broadcast(rules),
+    // ONE LEFT join, ONE aggregation — `u` has a single consumer, so the
+    // URL extraction scan runs once (the inner-join + join-back form
+    // read it twice: the inner join's inferred filters and pruning
+    // specialized one branch apart — r16 plan audit). A URL with no
+    // matching rule keeps null rule fields; its winner struct is
+    // all-null and loses to any real match (struct ordering ranks null
+    // fields first), and coalesce turns a never-matched URL into the
+    // RFC's default ALLOW.
+    u.join(broadcast(rules),
         u("host") === rules("host") && col("path").startsWith(col("prefix")),
-        "inner")
+        "left")
       // winner: max(struct(prefix length, allow, prefix)) — longest
       // match first, Allow beats Disallow at equal length (RFC 9309
       // §2.2.2), the prefix string itself as a deterministic tiebreak
-      .groupBy(col("url").as("m_url"))
+      .groupBy(col("url"))
       .agg(max(struct(length(col("prefix")).as("l"), col("allow").as("a"),
         col("prefix").as("p"))).as("w"))
-    u.join(matched, u("url") === matched("m_url"), "left")
       .select(col("url"),
         coalesce(col("w.a"), lit(true)).as("allowed"),
         col("w.p").as("matched_prefix"))

@@ -1124,11 +1124,15 @@ object PipelineQueries {
       // signal (anchors pointing AT a page describe it better than the
       // page itself): from the crawl-link edges, per target href the
       // in-link count, distinct linking docs, and the dominant anchor
-      // text (most frequent, alphabetical tie-break). Scale shape: one
-      // (href, anchor) count aggregation rides the extraction scan's
-      // exchange; the dominant-anchor pick is a window partitioned BY
-      // HREF (bounded per key), then one more per-href aggregation —
-      // no global funnel.
+      // text (most frequent, alphabetical tie-break). Scale shape: the
+      // EXPENSIVE part — the page scan + regex extraction — runs ONCE,
+      // feeding a single (href, anchor, doc_id) cell aggregation whose
+      // exchange both rollups reuse (identical subplans below the
+      // exchange — the cells' grouping keys can't be pruned apart, so
+      // ReuseExchange fires; r16 plan audit: the two-consumer `links`
+      // form scanned and re-extracted the corpus twice). Downstream
+      // rollups shuffle only the narrow cell frame; the dominant-anchor
+      // window partitions BY HREF (bounded per key). No global funnel.
       import org.apache.spark.sql.expressions.Window
       val links = syntheticHtml(Graft.documents(s, d))
         .select(col("doc_id"), col("html"),
@@ -1136,16 +1140,15 @@ object PipelineQueries {
         .select(col("doc_id"), col("col").as("href"),
           element_at(regexp_extract_all(col("html"), lit(anchorPat), lit(2)),
             (col("pos") + 1).cast("int")).as("anchor"))
-      val perAnchor = links.groupBy("href", "anchor")
-        .agg(count(lit(1)).as("cnt"),
-          countDistinct(col("doc_id")).as("n_docs_a"))
+      val cells = links.groupBy("href", "anchor", "doc_id").agg(count(lit(1)).as("k"))
+      val perAnchor = cells.groupBy("href", "anchor").agg(sum("k").as("cnt"))
       val w = Window.partitionBy("href")
         .orderBy(col("cnt").desc, col("anchor").asc)
       val top = perAnchor.withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .select(col("href"), col("anchor").as("top_anchor"), col("cnt").as("top_cnt"))
-      val totals = links.groupBy("href")
-        .agg(count(lit(1)).as("n_links"),
+      val totals = cells.groupBy("href")
+        .agg(sum(col("k")).as("n_links"),
           countDistinct(col("doc_id")).as("n_docs"))
       totals.join(top, Seq("href"))
         .select("href", "n_links", "n_docs", "top_anchor", "top_cnt")
@@ -2889,15 +2892,19 @@ object PipelineQueries {
       // cohort retention (r16) — the canonical product-analytics
       // triangle: users cohorted by FIRST-activity week, activity
       // counted per (cohort week, activity week) as distinct users;
-      // weeks are exact integer µs-epoch divisions. Scale shape: one
-      // (user, week) dedup aggregation, a per-user min, and a broadcast
-      // of nothing — the cohort joins back on user_id riding the same
-      // hash partitioning; no window over raw events.
+      // weeks are exact integer µs-epoch divisions. Scale shape: ONE
+      // events scan — (user, week) dedup aggregation, then the cohort
+      // week as a per-USER window over the already-deduped frame
+      // (bounded rows per user = distinct active weeks; the
+      // join-back-to-a-second-aggregation form scanned events twice,
+      // r16 plan audit), then the triangle rollup.
+      import org.apache.spark.sql.expressions.Window
       val wk = expr("ts_us div 604800000000")
       val active = Graft.events(s, d)
+        .where(col("user_id").isNotNull)
         .select(col("user_id"), wk.as("wk")).distinct()
-      val cohort = active.groupBy("user_id").agg(min("wk").as("cohort_wk"))
-      active.join(cohort, Seq("user_id"))
+      active
+        .withColumn("cohort_wk", min("wk").over(Window.partitionBy("user_id")))
         .groupBy("cohort_wk", "wk")
         .agg(countDistinct(col("user_id")).as("n_active"))
         .withColumn("weeks_since", col("wk") - col("cohort_wk"))
