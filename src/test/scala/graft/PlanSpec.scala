@@ -549,6 +549,26 @@ class PlanSpec extends GraftTest {
     assert(!p.contains("Exchange rangepartitioning"), "no global sort expected")
   }
 
+  test("r16 single-scan pins: anchor aggregation, robots verdicts, retention, multiturn SFT") {
+    // each of these shipped with a two-consumer fork that scanned (and
+    // re-ran the expensive extraction on) the corpus twice; the fixes —
+    // a shared cell exchange, a single left join with an all-null loser
+    // struct, a per-user window over the deduped frame — must hold
+    for ((q, maxScans) <- Seq("pp_anchor_text" -> 1, "pp_robots" -> 1,
+        "q_retention" -> 1, "pp_sft_multiturn" -> 1)) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val scans = "Scan parquet".r.findAllIn(p).size
+      assert(scans <= maxScans, s"$q: expected ≤$maxScans scans, saw $scans:\n${p.take(3000)}")
+      assert(!p.contains("CartesianProduct"), s"$q: no cartesian product")
+    }
+    // the multiturn assembly is pure per-row arithmetic: zero exchanges
+    val mt = SparkEntry.queries("pp_sft_multiturn")(spark, sf)
+    assert(!mt.queryExecution.executedPlan.toString.contains("Exchange"),
+      "pp_sft_multiturn must be shuffle-free")
+  }
+
   test("dd_exact_nfkc: normalization rides the scan, ONE digest exchange") {
     // the kernel must stay a scan-local projection feeding the
     // canonical 16-byte-digest hash groupBy — a second exchange (or a
