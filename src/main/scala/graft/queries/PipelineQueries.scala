@@ -2092,6 +2092,36 @@ object PipelineQueries {
         col("doc_id"),
         TextFunctions.fingerprintHex(col("text")).as("fp16"))),
 
+    "txt_oov" -> ((s, d) => {
+      // out-of-vocabulary rate under a FROZEN top-1000 word vocabulary
+      // (r16) — the curation signal that flags boilerplate/garbled/
+      // wrong-register text a token-count filter misses. Train-once
+      // discipline (the BPE/IVF contract): the vocab is a bounded
+      // top-20 model artifact (deterministic: count desc, word asc; 20
+      // rather than a web-scale 10^5 because the synthetic corpus has
+      // ~50 distinct words — a bigger K would make every doc 0 OOV and
+      // the gate non-discriminating),
+      // memoized per corpus and BROADCAST back — the scoring pass is
+      // then ONE corpus scan + a broadcast left join + one per-doc
+      // aggregation; exact basis-point integer arithmetic.
+      val docs = Graft.documents(s, d)
+      val vocab: Seq[String] = frozenModel("oov_vocab", d) {
+        docs.select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tok").asc).limit(20)
+          .collect().map(_.getString(0)).toSeq // bounded model-load collect
+      }
+      import s.implicits._
+      val v = broadcast(vocab.toDF("tok").withColumn("_v", lit(1)))
+      docs.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .join(v, Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_bp", expr("(n_oov * 10000L) div n_tok"))
+        .select("doc_id", "n_tok", "n_oov", "oov_bp")
+    }),
+
     "pp_sft_multiturn" -> ((s, d) => {
       // MULTI-TURN SFT assembly (r16) — real chat training data is
       // conversations, not single exchanges: each doc becomes a 2-turn
@@ -3517,6 +3547,21 @@ object PipelineQueries {
     // chain; anchors via regexp_extract_all + 1-based ordinality
     "txt_html_extract_streaming" -> htmlExtractSql,
     "txt_html_extract" -> htmlExtractSql,
+    // frozen top-20 vocab replay (count desc, word asc — the exact
+    // training order) + per-doc OOV in integer basis points
+    "txt_oov" ->
+      """WITH toks AS (SELECT doc_id,
+                              UNNEST(list_filter(string_split_regex(lower(text), '\W+'), w -> len(w) > 0)) AS tok
+                       FROM documents),
+              v AS (SELECT tok FROM (
+                      SELECT tok, count(*) AS c FROM toks GROUP BY 1
+                      ORDER BY c DESC, tok ASC LIMIT 20)),
+              p AS (SELECT t.doc_id, count(*) AS n_tok,
+                           sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+                    FROM toks t LEFT JOIN v ON t.tok = v.tok GROUP BY 1)
+         SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, CAST(n_oov AS BIGINT) AS n_oov,
+                CAST((n_oov * 10000) // n_tok AS BIGINT) AS oov_bp
+         FROM p""",
     // template + per-turn span arithmetic replayed exactly: quarters by
     // integer div, sentinel lengths 8/13/7, spans 1-based [start, end)
     "pp_sft_multiturn" ->
