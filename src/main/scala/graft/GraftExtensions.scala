@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CanonicalUrl, CdcChunks, CosineSimilarity, CrossModalScore, GramHashes, LangScores, LinearScore, MinHashAgg, NfcNormalize, NfkcCasefold, RepetitionStats, RollingHash, ShingleHashes, SimHashAgg, SrpBucket, TextStats, TokenHashes}
+import graft.functions.{CanonicalUrl, CdcChunks, CosineSimilarity, CrossModalScore, GramHashes, HtmlText, LangScores, LinearScore, MinHashAgg, NfcNormalize, NfkcCasefold, RepetitionStats, RollingHash, ShingleHashes, SimHashAgg, SrpBucket, TextStats, TokenHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -107,6 +107,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         requireArity("nfkc_casefold", children, 1)
         NfkcCasefold(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("html_text"),
+      new ExpressionInfo(classOf[HtmlText].getName, "html_text"),
+      (children: Seq[Expression]) => {
+        requireArity("html_text", children, 1)
+        HtmlText(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("cdc_chunks"),

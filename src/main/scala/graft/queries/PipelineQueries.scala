@@ -2208,7 +2208,7 @@ object PipelineQueries {
       graft.sources.Warc.read(s, out)
         .select(
           regexp_extract(col("uri"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
-          TextFunctions.htmlText(col("payload").cast("string")).as("text_clean"))
+          TextFunctions.htmlTextFast(s, col("payload").cast("string")).as("text_clean"))
         .withColumn("clean_chars", length(col("text_clean")).cast("long"))
     }),
 
@@ -2306,7 +2306,7 @@ object PipelineQueries {
       // chain, so the extraction is certified end-to-end.
       val h = syntheticHtml(Graft.documents(s, d))
       h.select(col("doc_id"),
-          TextFunctions.htmlText(col("html")).as("text_clean"))
+          TextFunctions.htmlTextFast(s, col("html")).as("text_clean"))
         .withColumn("clean_chars", length(col("text_clean")).cast("long"))
     }),
 
@@ -2332,7 +2332,7 @@ object PipelineQueries {
       // and shares txt_html_extract's oracle verbatim.
       val docs = graft.streaming.StreamingQueries.readStreamParquet(s, d, "documents")
       val out = syntheticHtml(docs)
-        .select(col("doc_id"), TextFunctions.htmlText(col("html")).as("text_clean"))
+        .select(col("doc_id"), TextFunctions.htmlTextFast(s, col("html")).as("text_clean"))
         .withColumn("clean_chars", length(col("text_clean")).cast("long"))
       graft.streaming.StreamingQueries.runAppendToMemory(s, "txt_html_stream", out)
     }),

@@ -1711,6 +1711,43 @@ class FunctionsSpec extends GraftTest {
     }
   }
 
+  test("html_text native kernel == regex chain over the corpus and adversarial edges") {
+    import spark.implicits._
+    // the synthetic page corpus — the certified path's real input
+    val docs = Graft.documents(spark, sf).limit(200)
+    val pages = docs.select(concat(
+      lit("<html><head><script>var x=1;</script><style>p{}</style></head><body><p>"),
+      col("text"), lit("</p></body></html>")).as("html"))
+    val corpusDiff = pages.select(
+        graft.functions.TextFunctions.htmlText(col("html")).as("a"),
+        expr("html_text(html)").as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(corpusDiff === 0, "kernel must equal the chain on the corpus")
+    // adversarial edges: every divergence class the pass analysis covers
+    val edges = Seq(
+      "<SCRIPT>if (a<b) {}</SCRIPT>ok",                       // case + '<' in body
+      "<script>unterminated",                                  // no close: kept literally
+      "<scriptx data=1>longer-name opens too</script>z",       // regex opens on <script[^>]*
+      "<script>a</script>mid<script>b</script>",               // non-greedy: two blocks
+      "<style>s1<script>inner</script>s2</style>",             // script pass runs FIRST
+      "&l<b>t;",                                               // tag becomes SPACE, no entity forms
+      "&lt<b>;",                                               // ditto, other split
+      "a &amp;lt; b",                                          // double-escape decodes ONE level
+      "&amp;amp;",                                             // amp is the LAST pass
+      "x<>y",                                                  // <> is not a tag
+      "x< y > z",                                              // loose < with later >: IS a tag per <[^>]+>
+      "trail<",                                                // dangling <
+      "&nbsp;&unknown; &#39;q&#39;",                           // unknown entity kept
+      " \t\n\f\r mixed   ws ",                           // \s class exact
+      "")
+    val edgeDiff = edges.toDF("html").select(
+        graft.functions.TextFunctions.htmlText(col("html")).as("a"),
+        expr("html_text(html)").as("b"))
+      .collect().filter(r => r.getString(0) != r.getString(1))
+    assert(edgeDiff.isEmpty,
+      edgeDiff.map(r => s"chain='${r.getString(0)}' kernel='${r.getString(1)}'").mkString("; "))
+  }
+
   test("htmlText: script/style drop whole, entities decode once, whitespace collapses") {
     import spark.implicits._
     val cases = Seq(
