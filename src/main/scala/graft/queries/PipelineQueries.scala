@@ -2918,6 +2918,28 @@ object PipelineQueries {
         docs.select(col("doc_id").as("node")), iterations = 3)
     }),
 
+    "q_outliers" -> ((s, d) => {
+      // integer-exact 3-sigma outlier flagging per event type (r16) —
+      // the data-quality gate before a numeric column feeds training
+      // features: (x − mean)² > 9·variance rearranged to the
+      // denominator-free moment inequality (n·x − s)² > 9(n·q − s²)
+      // over cent-quantized values, with the quadratics in DECIMAL(38)
+      // (s² overflows int64 at corpus scale; DuckDB's HUGEINT matches
+      // exactly). ONE scan + a tiny per-type stats broadcast — flagging
+      // rides the same pass that computed nothing more than 3 moments.
+      val ev = Graft.events(s, d).select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val stats = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum("cents").as("s1"),
+        sum(expr("cents * cents")).as("q"))
+      val dev = (col("n") * col("cents") - col("s1")).cast("decimal(38,0)")
+      val varTerm = col("n").cast("decimal(38,0)") * col("q") -
+        col("s1").cast("decimal(38,0)") * col("s1")
+      ev.join(broadcast(stats), Seq("event_type"))
+        .where(dev * dev > varTerm * lit(9))
+        .select("event_id", "event_type", "cents")
+    }),
+
     "q_retention" -> ((s, d) => {
       // cohort retention (r16) — the canonical product-analytics
       // triangle: users cohorted by FIRST-activity week, activity
@@ -3665,6 +3687,16 @@ object PipelineQueries {
     // g_*: integer-exact link-graph authority family — unrolled-CTE
     // PageRank replay + degree profile (GraphOracleSql).
     "g_lpa" -> GraphOracleSql.labelPropagation(),
+    // HUGEINT quadratics mirror Spark's DECIMAL(38) exactly
+    "q_outliers" ->
+      """WITH e AS (SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+              st AS (SELECT event_type, count(*) AS n, sum(cents) AS s1,
+                            sum(cents * cents) AS q
+                     FROM e GROUP BY 1)
+         SELECT e.event_id, e.event_type, e.cents
+         FROM e JOIN st USING (event_type)
+         WHERE (st.n * e.cents - st.s1) * (st.n * e.cents - st.s1)
+               > 9 * (st.n * st.q - st.s1 * st.s1)""",
     "q_retention" ->
       """WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
               c AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY user_id)
