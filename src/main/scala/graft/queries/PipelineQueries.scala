@@ -2122,6 +2122,26 @@ object PipelineQueries {
         .select("doc_id", "n_tok", "n_oov", "oov_bp")
     }),
 
+    "pp_mlm_mask" -> ((s, d) => {
+      // deterministic MLM masking (r16) — BERT-style corpus prep: each
+      // whitespace token masks iff its portable md5 position hash lands
+      // under 15% (the standard rate), so the same doc always masks the
+      // same positions (reproducible epochs, the interleave/split hash
+      // device). Pure per-row HOF over ONE codegen'd scan — no shuffle,
+      // no RNG; the oracle replays the hash and the lambda exactly.
+      val toks = split(col("text"), "\\s+")
+      val h = (i: org.apache.spark.sql.Column) => conv(substring(
+        md5(concat(col("doc_id").cast("string"), lit(":"), i.cast("string"))),
+        1, 8), 16, 10).cast("long") % 100
+      Graft.documents(s, d).select(col("doc_id"),
+        concat_ws(" ", transform(toks,
+          (t, i) => when(length(t) > 0 && h(i) < 15, lit("[MASK]")).otherwise(t)))
+          .as("masked_text"),
+        aggregate(transform(toks,
+            (t, i) => when(length(t) > 0 && h(i) < 15, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).as("n_masked"))
+    }),
+
     "pp_sft_multiturn" -> ((s, d) => {
       // MULTI-TURN SFT assembly (r16) — real chat training data is
       // conversations, not single exchanges: each doc becomes a 2-turn
@@ -3569,6 +3589,19 @@ object PipelineQueries {
     // chain; anchors via regexp_extract_all + 1-based ordinality
     "txt_html_extract_streaming" -> htmlExtractSql,
     "txt_html_extract" -> htmlExtractSql,
+    // the portable md5 position hash replayed exactly (Spark transform
+    // indexes 0-based; generate_series is 1-based, hence i-1)
+    "pp_mlm_mask" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS l FROM documents)
+         SELECT doc_id,
+                array_to_string(list_transform(generate_series(1, len(l)), i ->
+                  CASE WHEN len(l[i]) > 0
+                        AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 8))::BIGINT % 100 < 15
+                       THEN '[MASK]' ELSE l[i] END), ' ') AS masked_text,
+                CAST(len(list_filter(generate_series(1, len(l)), i ->
+                  len(l[i]) > 0
+                  AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 8))::BIGINT % 100 < 15)) AS BIGINT) AS n_masked
+         FROM t""",
     // frozen top-20 vocab replay (count desc, word asc — the exact
     // training order) + per-doc OOV in integer basis points
     "txt_oov" ->
