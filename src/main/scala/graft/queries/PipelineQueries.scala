@@ -2344,6 +2344,26 @@ object PipelineQueries {
             (col("pos") + 1).cast("int")).as("anchor"))
     }),
 
+    "pp_mlm_mask_streaming" -> ((s, d) => {
+      // MLM masking AT INGEST through the real streaming engine — the
+      // same deterministic hash lambda per micro-batch, stateless
+      // append, so the converged table equals the batch pass and shares
+      // pp_mlm_mask's oracle verbatim.
+      val docs = graft.streaming.StreamingQueries.readStreamParquet(s, d, "documents")
+      val toks = split(col("text"), "\\s+")
+      val h = (i: org.apache.spark.sql.Column) => conv(substring(
+        md5(concat(col("doc_id").cast("string"), lit(":"), i.cast("string"))),
+        1, 8), 16, 10).cast("long") % 100
+      val out = docs.select(col("doc_id"),
+        concat_ws(" ", transform(toks,
+          (t, i) => when(length(t) > 0 && h(i) < 15, lit("[MASK]")).otherwise(t)))
+          .as("masked_text"),
+        aggregate(transform(toks,
+            (t, i) => when(length(t) > 0 && h(i) < 15, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).as("n_masked"))
+      graft.streaming.StreamingQueries.runAppendToMemory(s, "pp_mlm_stream", out)
+    }),
+
     "txt_html_extract_streaming" -> ((s, d) => {
       // WET extraction AT ARRIVAL through the real streaming engine —
       // the crawl-ingest shape (pages land, text extracts per
@@ -3589,6 +3609,19 @@ object PipelineQueries {
     // chain; anchors via regexp_extract_all + 1-based ordinality
     "txt_html_extract_streaming" -> htmlExtractSql,
     "txt_html_extract" -> htmlExtractSql,
+    // the stateless streaming twin converges to the batch mask — the
+    // oracle below serves both
+    "pp_mlm_mask_streaming" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS l FROM documents)
+         SELECT doc_id,
+                array_to_string(list_transform(generate_series(1, len(l)), i ->
+                  CASE WHEN len(l[i]) > 0
+                        AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 8))::BIGINT % 100 < 15
+                       THEN '[MASK]' ELSE l[i] END), ' ') AS masked_text,
+                CAST(len(list_filter(generate_series(1, len(l)), i ->
+                  len(l[i]) > 0
+                  AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 8))::BIGINT % 100 < 15)) AS BIGINT) AS n_masked
+         FROM t""",
     // the portable md5 position hash replayed exactly (Spark transform
     // indexes 0-based; generate_series is 1-based, hence i-1)
     "pp_mlm_mask" ->
