@@ -287,6 +287,63 @@ object Dedup {
       .where(col("est_jaccard") >= threshold)
   }
 
+  /** Containment-MinHash pair generation (r17, VERDICT r16 #3) — the
+    * PRODUCTION candidate path dd_containment's exact-length blocking
+    * stood in for. One aggregation pass yields each doc's MinHash
+    * signature AND its exact distinct-shingle count (the shingle arrays
+    * are already distinct, so `count(*)` over the exploded hashes IS
+    * |set|); candidates come from the same banded LSH bucket join as
+    * [[minhashPairs]], behind the same default-ON [[capBuckets]] guard.
+    * DIRECTIONAL containment is then estimated from the
+    * signature-agreement Jaccard via Broder's identity
+    * |A∩B| = J/(1+J)·(|A|+|B|):  est_cont_ab = est_inter / |A|.
+    * The sketch buys the pruning; the exact [[verifyContainment]] stage
+    * downstream keeps the precision.
+    *
+    * Scale shape: signatures+sizes reduce map-side to ~0.5 KB/doc, the
+    * candidate join ships 24-byte band rows, and signatures re-join
+    * only for bucket-collided survivors — never an all-pairs product,
+    * and the mega-bucket failure mode is capped exactly like
+    * [[minhashPairs]] (drops observable via the cap metrics).
+    */
+  def containmentSketchPairs(docs: DataFrame, id: String, text: String,
+                             estThreshold: Double, numHashes: Int = 64,
+                             bands: Int = 16, shingleK: Int = 3,
+                             maxBucket: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    val exploded = docs.select(col(id).as("doc"),
+      explode(shingleHashesNative(spark, text, shingleK)).as("h"))
+    val sigExpr =
+      if (spark.catalog.functionExists("minhash_agg"))
+        expr(s"minhash_agg(h, $numHashes)")
+      else // columnar k-min fallback — identical signatures (minhashSigsColumnar)
+        array(minhashCoeffs(numHashes).map { case (a, b) => min(col("h") * a + b) }: _*)
+    val sigs = exploded.groupBy("doc")
+      .agg(sigExpr.as("sig"), count(lit(1)).as("nset"))
+    val bandedAll = bandsOfSigs(sigs.select(col("doc"), col("sig")), numHashes, bands)
+    val banded = capBuckets(bandedAll, Seq("band", "band_hash"), maxBucket,
+      "containmentSketchPairs")
+    val l = banded.select(col("band"), col("band_hash"), col("doc").as("a"))
+    val r = banded.select(col("band"), col("band_hash"), col("doc").as("b"))
+    val cand = l.join(r, Seq("band", "band_hash")).where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val withSigs = cand
+      .join(sigs.select(col("doc").as("a"), col("sig").as("sig_a"), col("nset").as("na")), "a")
+      .join(sigs.select(col("doc").as("b"), col("sig").as("sig_b"), col("nset").as("nb")), "b")
+    val est = round(aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble), 4)
+    withSigs.withColumn("est_jaccard", est)
+      .withColumn("est_cont_ab",
+        round(col("est_jaccard") / (col("est_jaccard") + lit(1.0)) *
+          (col("na") + col("nb")).cast("double") / col("na").cast("double"), 4))
+      .withColumn("est_cont_ba",
+        round(col("est_jaccard") / (col("est_jaccard") + lit(1.0)) *
+          (col("na") + col("nb")).cast("double") / col("nb").cast("double"), 4))
+      .where(greatest(col("est_cont_ab"), col("est_cont_ba")) >= estThreshold)
+      .select("a", "b", "est_jaccard", "est_cont_ab", "est_cont_ba")
+  }
+
   /** Cross-corpus MinHash near-dup: which new-batch documents are
     * NEAR-duplicates (signature-estimated Jaccard ≥ threshold) of
     * something already in the corpus — the fuzzy companion of

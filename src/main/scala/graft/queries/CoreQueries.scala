@@ -536,6 +536,43 @@ object CoreQueries {
           col("col").cast("double").as("value"), col("label").cast("int").as("label"))
     }),
 
+    "s_npy" -> ((s, d) => {
+      // bare .npy vector shards (r17, VERDICT r16 #4) — the fairseq/
+      // megatron wire form: a directory of raw f4 [n,d] matrices with
+      // NO ids in the container (row identity = shard + row order).
+      // Shards are deterministic (vec_id mod 4, rows ascending by
+      // vec_id within a shard), so the oracle reconstructs the mapping
+      // exactly: shard = vec_id % 4, row_idx = rank within shard.
+      // Float bits ride the LE buffer untouched; exploded-scalar
+      // projection like the other vector containers.
+      val out = tmp("npyshards")
+      val emb = Graft.embeddings(s, d)
+      graft.sources.Npy.writeNpyShards(emb, out, "vec_id", "embedding", shards = 4)
+      graft.sources.Npy.readNpyShards(s, out)
+        .select(col("shard"), col("row_idx"), posexplode(col("vec")))
+        .select(col("shard"), col("row_idx"), col("pos").cast("int").as("idx"),
+          col("col").cast("double").as("value"))
+    }),
+
+    "s_npy_corrupt_tail" -> ((s, d) => {
+      // bare-.npy torn-tail quarantine: shard 2's file loses its final
+      // 256 bytes — with no record framing the data extent no longer
+      // matches the header's shape, so the permissive reader
+      // quarantines the WHOLE shard (zero rows for it); the strict dual
+      // fails the task instead. Oracle states the surviving set
+      // exactly: every shard but vec_id%4 == 2.
+      val out = tmp("npycorrupt")
+      val emb = Graft.embeddings(s, d)
+      graft.sources.Npy.writeNpyShards(emb, out, "vec_id", "embedding", shards = 4)
+      val victim = java.nio.file.Paths.get(s"$out/part-00002.npy")
+      val vb = java.nio.file.Files.readAllBytes(victim)
+      java.nio.file.Files.write(victim, java.util.Arrays.copyOf(vb, vb.length - 256))
+      graft.sources.Npy.readNpyShardsPermissive(s, out)
+        .select(col("shard"), col("row_idx"), posexplode(col("vec")))
+        .select(col("shard"), col("row_idx"), col("pos").cast("int").as("idx"),
+          col("col").cast("double").as("value"))
+    }),
+
     "s_safetensors_streaming" -> ((s, d) => {
       // safetensors shards arriving THROUGH the real streaming engine
       // (the dataloader-feed shape, the s_arrow_streaming device): the
@@ -1190,6 +1227,27 @@ object CoreQueries {
       """SELECT vec_id, CAST(i - 1 AS INT) AS idx,
                 CAST(embedding[i] AS DOUBLE) AS value, label
          FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)""",
+    // the bare-.npy layout carries no ids: the oracle reconstructs the
+    // deterministic (shard = vec_id%4, row_idx = rank-within-shard)
+    // mapping the writer pins
+    "s_npy" ->
+      """WITH r AS (SELECT vec_id % 4 AS shard,
+                           row_number() OVER (PARTITION BY vec_id % 4 ORDER BY vec_id) - 1 AS row_idx,
+                           embedding
+                    FROM embeddings)
+         SELECT CAST(shard AS BIGINT) AS shard, CAST(row_idx AS BIGINT) AS row_idx,
+                CAST(i - 1 AS INT) AS idx, CAST(embedding[i] AS DOUBLE) AS value
+         FROM r, UNNEST(generate_series(1, len(embedding))) AS t(i)""",
+    // the torn shard (vec_id%4 = 2) quarantines whole; the rest survive
+    "s_npy_corrupt_tail" ->
+      """WITH r AS (SELECT vec_id % 4 AS shard,
+                           row_number() OVER (PARTITION BY vec_id % 4 ORDER BY vec_id) - 1 AS row_idx,
+                           embedding
+                    FROM embeddings)
+         SELECT CAST(shard AS BIGINT) AS shard, CAST(row_idx AS BIGINT) AS row_idx,
+                CAST(i - 1 AS INT) AS idx, CAST(embedding[i] AS DOUBLE) AS value
+         FROM r, UNNEST(generate_series(1, len(embedding))) AS t(i)
+         WHERE shard <> 2""",
     // stateless streaming append converges to the batch read — SAME oracle
     "s_safetensors_streaming" ->
       """SELECT vec_id, CAST(i - 1 AS INT) AS idx,

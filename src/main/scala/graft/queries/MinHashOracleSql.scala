@@ -163,8 +163,14 @@ object MinHashOracleSql {
       "THEN error('minhash oracle: non-ASCII text, byte-level XXH64 replay invalid for doc ' || doc_id) " +
       "ELSE text END AS text FROM documents"
 
-  /** (doc_id, sig) — the full signature replay as one SQL fragment. */
-  private def sigSql(numHashes: Int): String = {
+  /** (doc_id, sh) — the shingle-hash replay (token XXH64 → 3-gram
+    * running hashLong chain; short docs fall back to raw token hashes,
+    * exactly like ShingleHashes.compute). Shared by the signature
+    * replay and the containment-sketch set-size CTE. NOTE: emits one
+    * row per gram POSITION (duplicates included) — consumers wanting
+    * the set take DISTINCT, matching the Spark side's array_distinct.
+    */
+  private def shinglesSql: String = {
     val tokRows = chain(
       s"""SELECT doc_id, unnest(toks) AS tok, unnest(generate_series(0, len(toks) - 1)) AS tok_idx
          FROM (SELECT doc_id, $toks AS toks FROM ($guardedDocs))""",
@@ -173,18 +179,19 @@ object MinHashOracleSql {
       s"""SELECT doc_id, list(th ORDER BY tok_idx) AS ths
          FROM (SELECT doc_id, tok_idx, ${signed("t_f5")} AS th FROM ($tokRows))
          GROUP BY doc_id"""
-    // 3-gram running hashLong chain (shingleK = 3 unrolled); docs with
-    // fewer than 3 tokens fall back to their raw token hashes, exactly
-    // like ShingleHashes.compute
     val gramRows = chain(
       s"""SELECT doc_id, ${unsigned("ths[g]")} AS x1, ${unsigned("ths[g+1]")} AS x2, ${unsigned("ths[g+2]")} AS x3
          FROM (SELECT doc_id, ths, unnest(generate_series(1, len(ths) - 2)) AS g
                FROM ($thList) WHERE len(ths) >= 3)""",
       xxh64Long("x1", Seed, "a_") ++ xxh64Long("x2", "a_f5", "b_") ++ xxh64Long("x3", "b_f5", "c_"))
-    val shingles =
-      s"""SELECT doc_id, ${signed("c_f5")} AS sh FROM ($gramRows)
-         UNION ALL
-         SELECT doc_id, unnest(ths) AS sh FROM ($thList) WHERE len(ths) < 3"""
+    s"""SELECT doc_id, ${signed("c_f5")} AS sh FROM ($gramRows)
+       UNION ALL
+       SELECT doc_id, unnest(ths) AS sh FROM ($thList) WHERE len(ths) < 3"""
+  }
+
+  /** (doc_id, sig) — the full signature replay as one SQL fragment. */
+  private def sigSql(numHashes: Int): String = {
+    val shingles = shinglesSql
     val coeffVals = graft.dedup.Dedup.minhashCoeffs(numHashes).zipWithIndex
       .map { case ((a, b), i) =>
         s"($i, ${BigInt(a).mod(M)}$HU, ${BigInt(b).mod(M)}$HU)"
@@ -252,6 +259,47 @@ object MinHashOracleSql {
           cb AS (SELECT band, band_hash, doc AS corpus_id FROM (${cappedCte("cb0", maxBucket)})),
           cand AS (SELECT DISTINCT batch_id, corpus_id FROM bb JOIN cb USING (band, band_hash))
        ${estSql("SELECT batch_id, corpus_id FROM cand", "batch_id", "corpus_id", numHashes, threshold)}"""
+
+  /** Oracle for `dd_containment_sketch`: the containment-MinHash
+    * production arm replayed end-to-end — signatures + banding + cap
+    * exactly as [[minhashPairs]], per-doc set sizes as
+    * `count(DISTINCT sh)` over the replayed shingles (the Spark side's
+    * `count(*)` over already-distinct arrays), Broder's containment
+    * estimate from the agreement Jaccard in the SAME IEEE operation
+    * order as the Column expression, then the exact string-3-gram
+    * containment verify (the dd_containment replay — hash sets and
+    * string sets agree absent 64-bit collisions).
+    */
+  def containmentSketch(estThreshold: Double = 0.3, contThreshold: Double = 0.3,
+                        numHashes: Int = 64, bands: Int = 16,
+                        maxBucket: Int = 1000): String =
+    s"""WITH sigs AS (${sigSql(numHashes)}),
+          sizes AS (SELECT doc_id, count(DISTINCT sh) AS nset FROM ($shinglesSql) GROUP BY doc_id),
+          banded AS (${bandSql(bands, numHashes / bands)}),
+          capped AS (${cappedCte("banded", maxBucket)}),
+          cand AS (${cappedSelfJoinPairs(maxBucket)}),
+          est0 AS (SELECT cand.a, cand.b,
+                          round(CAST(len(list_filter(generate_series(1, $numHashes), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $numHashes.0, 4) AS est_jaccard,
+                          za.nset AS na, zb.nset AS nb
+                   FROM cand
+                   JOIN sigs sa ON cand.a = sa.doc_id JOIN sigs sb ON cand.b = sb.doc_id
+                   JOIN sizes za ON cand.a = za.doc_id JOIN sizes zb ON cand.b = zb.doc_id),
+          est AS (SELECT a, b, est_jaccard,
+                         round(est_jaccard / (est_jaccard + 1.0) * CAST(na + nb AS DOUBLE) / CAST(na AS DOUBLE), 4) AS est_cont_ab,
+                         round(est_jaccard / (est_jaccard + 1.0) * CAST(na + nb AS DOUBLE) / CAST(nb AS DOUBLE), 4) AS est_cont_ba
+                  FROM est0),
+          flt AS (SELECT * FROM est WHERE greatest(est_cont_ab, est_cont_ba) >= $estThreshold),
+          tk0 AS (SELECT doc_id, $toks AS l FROM documents),
+          grams AS (SELECT doc_id, list_distinct(CASE WHEN len(l) >= 3
+                      THEN list_transform(generate_series(1, len(l) - 2), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+                      ELSE l END) AS tk
+                    FROM tk0),
+          v AS (SELECT f.a, f.b, f.est_jaccard, f.est_cont_ab, f.est_cont_ba,
+                       round(CAST(len(list_intersect(gl.tk, gr.tk)) AS DOUBLE) / CAST(len(gl.tk) AS DOUBLE), 4) AS cont_ab,
+                       round(CAST(len(list_intersect(gl.tk, gr.tk)) AS DOUBLE) / CAST(len(gr.tk) AS DOUBLE), 4) AS cont_ba
+                FROM flt f JOIN grams gl ON f.a = gl.doc_id JOIN grams gr ON f.b = gr.doc_id)
+       SELECT a, b, est_jaccard, est_cont_ab, est_cont_ba, cont_ab, cont_ba
+       FROM v WHERE greatest(cont_ab, cont_ba) >= $contThreshold"""
 
   /** Oracle for `dd_lsh_resolve`: (doc_id, lang) — LSH candidates →
     * exact token-set Jaccard verify → connected components (recursive

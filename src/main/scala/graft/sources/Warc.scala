@@ -124,7 +124,10 @@ object Warc {
           val i = line.indexOf(':')
           if (i <= 0) bad(s"malformed header line '${line.take(40)}'")
           val (k, v) = (line.substring(0, i).trim, line.substring(i + 1).trim)
-          k.toLowerCase match {
+          // Locale.ROOT (ADVICE r16): default-locale lowercasing turns
+          // 'WARC-Record-ID' into dotless-ı forms under a Turkish locale
+          // and every record silently loses its uri/record_id
+          k.toLowerCase(java.util.Locale.ROOT) match {
             case "content-length" =>
               if (!v.nonEmpty || !v.forall(_.isDigit)) bad(s"bad Content-Length '$v'")
               len = v.toLong
@@ -253,17 +256,122 @@ object Warc {
     override def close(): Unit = flush()
   }
 
-  /** Strict shard-parallel read of [[writeShardsGz]] output — JDK
-    * GZIPInputStream consumes concatenated members natively (RFC 1952),
-    * so the record walk sees one continuous WARC stream. A corrupt
-    * gzip frame surfaces as the task-failing IOException it is.
+  /** RFC 1952 multi-member decompressor with STRICT member accounting
+    * (ADVICE r16). JDK GZIPInputStream does consume concatenated
+    * members, but its readTrailer() swallows a MALFORMED next-member
+    * header (catch IOException → treat as clean EOF), so a garbled
+    * member boundary silently dropped every subsequent record in the
+    * strict reader. This walk owns the member loop: each member's
+    * header is parsed per the spec (FEXTRA/FNAME/FCOMMENT/FHCRC
+    * handled), the deflate body inflates through a raw Inflater,
+    * the 8-byte trailer's CRC32 + ISIZE are verified, and — the
+    * strict-dual property — bytes after the last valid member that do
+    * NOT begin a well-formed next header fail loudly instead of
+    * vanishing. Clean EOF is legal only at a member boundary with
+    * zero bytes remaining.
+    */
+  private[graft] final class MultiMemberGzIn(raw: java.io.InputStream)
+      extends java.io.InputStream {
+    private val in = new java.io.PushbackInputStream(
+      new java.io.BufferedInputStream(raw, 1 << 16), 1 << 16)
+    private val inf = new java.util.zip.Inflater(true)
+    private val crc = new java.util.zip.CRC32
+    private val inBuf = new Array[Byte](1 << 16)
+    private var inLen = 0
+    private var inMember = false
+    private var done = false
+    private val one = new Array[Byte](1)
+
+    private def expectByte(what: String): Int = {
+      val b = in.read(); if (b < 0) bad(s"gzip: truncated $what"); b
+    }
+
+    /** Parse one member header; false on clean EOF before any byte. */
+    private def startMember(): Boolean = {
+      val b0 = in.read()
+      if (b0 < 0) return false
+      val b1 = expectByte("gzip magic")
+      if (b0 != 0x1f || b1 != 0x8b) bad(f"gzip: bad member magic $b0%02x$b1%02x")
+      val cm = expectByte("gzip CM")
+      if (cm != 8) bad(s"gzip: unsupported compression method $cm")
+      val flg = expectByte("gzip FLG")
+      var i = 0
+      while (i < 6) { expectByte("gzip MTIME/XFL/OS"); i += 1 }
+      if ((flg & 4) != 0) { // FEXTRA: u16-LE length + payload
+        val xl = expectByte("FEXTRA len") | (expectByte("FEXTRA len") << 8)
+        var j = 0; while (j < xl) { expectByte("FEXTRA"); j += 1 }
+      }
+      if ((flg & 8) != 0) while (expectByte("FNAME") != 0) ()
+      if ((flg & 16) != 0) while (expectByte("FCOMMENT") != 0) ()
+      if ((flg & 2) != 0) { expectByte("FHCRC"); expectByte("FHCRC") }
+      inf.reset(); crc.reset(); inLen = 0
+      inMember = true
+      true
+    }
+
+    /** Trailer check at deflate end: unread the inflater's lookahead,
+      * then verify CRC32 + ISIZE (mod 2^32).
+      */
+    private def endMember(): Unit = {
+      val rem = inf.getRemaining
+      if (rem > 0) in.unread(inBuf, inLen - rem, rem)
+      val tr = new Array[Byte](8)
+      var o = 0
+      while (o < 8) {
+        val k = in.read(tr, o, 8 - o)
+        if (k < 0) bad("gzip: truncated member trailer")
+        o += k
+      }
+      def le32(i: Int): Long =
+        (tr(i) & 0xffL) | ((tr(i + 1) & 0xffL) << 8) |
+          ((tr(i + 2) & 0xffL) << 16) | ((tr(i + 3) & 0xffL) << 24)
+      if (le32(0) != crc.getValue) bad("gzip: member CRC32 mismatch")
+      if (le32(4) != (inf.getBytesWritten & 0xffffffffL))
+        bad("gzip: member ISIZE mismatch")
+      inMember = false
+    }
+
+    override def read(): Int = {
+      val k = read(one, 0, 1); if (k < 0) -1 else one(0) & 0xff
+    }
+
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0
+      while (!done) {
+        if (!inMember && !startMember()) { done = true; return -1 }
+        val n =
+          try inf.inflate(b, off, len)
+          catch {
+            case e: java.util.zip.DataFormatException =>
+              bad(s"gzip: corrupt deflate stream (${e.getMessage})")
+          }
+        if (n > 0) { crc.update(b, off, n); return n }
+        if (inf.finished()) endMember() // verify trailer; loop to next member
+        else if (inf.needsInput()) {
+          val k = in.read(inBuf, 0, inBuf.length)
+          if (k < 0) bad("gzip: truncated member (EOF inside deflate stream)")
+          inLen = k
+          inf.setInput(inBuf, 0, k)
+        } else if (inf.needsDictionary()) bad("gzip: preset dictionary unsupported")
+      }
+      -1
+    }
+
+    override def close(): Unit = { inf.end(); in.close() }
+  }
+
+  /** Strict shard-parallel read of [[writeShardsGz]] output through the
+    * member-accounting [[MultiMemberGzIn]] walk, so the record stream
+    * sees one continuous WARC stream AND a garbled member boundary
+    * fails the task instead of silently truncating the shard (the JDK
+    * decompressor's concatenation support swallows exactly that case).
     */
   def readGz(spark: SparkSession, path: String): DataFrame = {
     implicit val enc: org.apache.spark.sql.Encoder[(String, String, Array[Byte])] =
       org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.BINARY)
     Sources.shardRecords(spark, s"$path/*.warc.gz") { (_, _, in) =>
-      readStream(new java.util.zip.GZIPInputStream(in, 1 << 16))
+      readStream(new MultiMemberGzIn(in))
     }.toDF("uri", "record_id", "payload")
   }
 

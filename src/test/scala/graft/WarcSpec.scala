@@ -99,6 +99,46 @@ class WarcSpec extends GraftTest {
     }
   }
 
+  test("warc.gz strict member accounting: a garbled member boundary fails loudly") {
+    // ADVICE r16: JDK GZIPInputStream's readTrailer() swallows a
+    // malformed next-member header (IOException → clean EOF), so a
+    // garbled boundary silently dropped all subsequent records from the
+    // STRICT reader. MultiMemberGzIn owns the member loop and must fail.
+    def gzMember(r: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(r); gz.finish(); gz.close()
+      bos.toByteArray
+    }
+    def viaStrict(b: Array[Byte]) =
+      Warc.readStream(new Warc.MultiMemberGzIn(new ByteArrayInputStream(b))).toVector
+    val m1 = gzMember(rec("https://a", "one"))
+    val m2 = gzMember(rec("https://b", "two"))
+    // clean concatenation and a solo member read exactly like the JDK path
+    assert(viaStrict(m1 ++ m2).map(_._1) === Vector("https://a", "https://b"))
+    assert(viaStrict(m2).map(_._1) === Vector("https://b"))
+    // the swallow case: garbage where the next member header should be —
+    // the JDK decompressor yields ONLY record 1 here (verified below);
+    // the strict walk must throw instead of truncating the shard
+    val garbled = m1 ++ "GARBAGE-NOT-GZIP".getBytes("US-ASCII")
+    val jdk = Warc.readStream(new java.util.zip.GZIPInputStream(
+      new ByteArrayInputStream(garbled ++ m2))).toVector
+    assert(jdk.map(_._1) === Vector("https://a"), "JDK silently drops past the garble")
+    val e = intercept[IllegalArgumentException](viaStrict(garbled))
+    assert(e.getMessage.contains("gzip"), e.getMessage)
+    intercept[IllegalArgumentException](viaStrict(garbled ++ m2))
+    // truncated trailing member: EOF inside the deflate stream
+    intercept[IllegalArgumentException](
+      viaStrict(m1 ++ java.util.Arrays.copyOf(m2, m2.length - 6)))
+    // corrupt deflate byte mid-member
+    val broken = m1.clone(); broken(14) = (broken(14) ^ 0xff).toByte
+    intercept[IllegalArgumentException](viaStrict(broken))
+    // trailer CRC32 flip caught by the member check
+    val crcBad = (m1 ++ m2).clone()
+    crcBad(m1.length - 5) = (crcBad(m1.length - 5) ^ 0xff).toByte
+    intercept[IllegalArgumentException](viaStrict(crcBad))
+  }
+
   test("permissive: torn tail becomes one marker with exact abandoned-byte accounting") {
     val r1 = rec("https://a", "one")
     val whole = r1 ++ rec("https://b", "twotwotwo")
