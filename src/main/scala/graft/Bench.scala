@@ -42,7 +42,8 @@ object Bench {
     "pp_mixture_epochs", "dd_containment", "dd_containment_sketch",
     "s_warc", "s_warc_wet", "s_warc_gz",
     "s_npz", "s_npy", "pp_robots", "pp_sft_multiturn", "pp_datacard_streaming",
-    "g_lpa", "q_retention", "txt_oov", "q_outliers", "pp_mlm_mask",
+    "g_lpa", "q_retention", "q_dau_wau", "txt_oov", "q_outliers", "pp_mlm_mask",
+    "pp_corpus_fingerprint",
     "mm_features", "mm_resize", "mm_quantize", "mm_decode", "mm_decode_jpeg", "mm_jpeg_coefs", "mm_jpeg_420", "mm_jpeg_rgb", "mm_decode_png", "mm_audio_fft", "mm_audio_mel", "mm_audio_decimate", "mm_audio_fingerprint", "dd_audio_neardup", "dd_image_phash", "dd_image_phash_dct", "dd_image_resolve", "dd_image_neardup", "dd_image_neardup_dct", "mm_video_mjpeg", "mm_video_scenes", "mm_resize_box", "mm_text_image_score", "txt_sentences", "ann_assign_streaming",
     "sk_cms", "sk_hll_merge", "sk_hll_overlap", "sk_heavy", "sk_heavy_merge")
 
@@ -186,6 +187,14 @@ object Bench {
     // pp_histogram). min-of-4 tightens the sampled minimum's tail at a
     // cost of <1s across the whole suite.
     val active = headline.filter(SparkEntry.queries.contains)
+    // Segmented sentinel series (VERDICT r16 #6): two rounds in a row
+    // the solo window degraded MID-RUN, and a start/end-only calibration
+    // pair can't localize when — so the q1_agg probe re-runs every ~20
+    // queries (inside the lockstep turn, so pair mode stays uncontended)
+    // and the artifact carries the whole series for per-segment
+    // correction in BENCH_DRIFT. Cost: ~2 probes × n/20 ≈ a few seconds.
+    val sentinelEvery = 20
+    val sentinelSeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     val results: Seq[(String, Either[String, Double])] =
       active.zipWithIndex.map { case (n, qi) => withTurn(1 + qi) {
         runOnce(n) // warm (untimed): discard result, keep only hard errors below
@@ -215,6 +224,8 @@ object Bench {
             times.nonEmpty && times.min < tinySec && times.size < tinyMinReps
           done = converged && !needMoreTiny
         }
+        if ((qi + 1) % sentinelEvery == 0)
+          sentinelSeries += ((qi, calibrate()))
         if (times.nonEmpty) n -> Right(times.min)
         else n -> Left(lastErr.getOrElse("no successful rep"))
       }}
@@ -240,8 +251,14 @@ object Bench {
     val total = ok.map(_._2).sum
     val cal =
       s"""{"query":"$calibrationQuery","start":${fmt(calStart)},"end":${fmt(calEnd)},"ratio":${fmt(calRatio)}}"""
+    // the full probe series, start (-1) and end (n) included, so drift
+    // correction can be per-segment instead of start/end-only
+    val series = (Seq(-1 -> calStart) ++ sentinelSeries.toSeq ++
+        Seq(active.size -> calEnd))
+      .map { case (i, t) => s"""{"after":$i,"sec":${fmt(t)}}""" }
+      .mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$es,"degraded":$degraded,"calibration":$cal,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$es,"degraded":$degraded,"calibration":$cal,"sentinel_series":$series,"sf":"$sfDir"}"""
     println(line)
     // ALSO persist the result whole (r14, verdict ask #3): the r13
     // driver artifact shipped `parsed: null` with a truncated stdout

@@ -848,11 +848,6 @@ object Dedup {
     */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, id: String, text: String,
                     ngram: Int = 1, membersOnly: Boolean = false): DataFrame = {
-    val grams =
-      if (docs.sparkSession.catalog.functionExists("shingle_hashes"))
-        call_function("shingle_hashes", col(text), lit(math.max(ngram, 1)))
-      else if (ngram <= 1) array_distinct(TextFunctions.tokens(col(text)))
-      else array_distinct(TextFunctions.wordNgrams(col(text), ngram))
     val base = docs.select(col(id).as("vid"), col(text))
     val filtered =
       if (!membersOnly) base
@@ -860,13 +855,40 @@ object Dedup {
         pairs.select(col("a").as("vid"))
           .unionByName(pairs.select(col("b").as("vid"))).distinct(),
         Seq("vid"), "left_semi")
-    val sets = filtered.select(col("vid"), grams.as("toks"))
-    // Both join sides reference the SAME sets plan (aliased, not
-    // pre-renamed): the two hash(vid) exchanges canonicalize identically,
-    // so ReuseExchange materializes the shingle pass ONCE and the second
-    // join reads the shuffle files — halving the dominant cost (corpus
-    // scan + shingle + shuffle) vs the rename-first shape, where the
-    // Projects differ and no reuse fires.
+    verifyJaccardWithSets(pairs,
+      filtered.select(col("vid"), gramSet(docs.sparkSession, text, ngram).as("toks")))
+  }
+
+  /** The distinct gram-set column [[verifyJaccard]] compares on — hashed
+    * grams through the single-pass kernel when registered (set sizes
+    * over 64-bit gram hashes equal those over gram strings), string sets
+    * otherwise.
+    */
+  def gramSet(spark: org.apache.spark.sql.SparkSession, text: String,
+              ngram: Int): Column =
+    if (spark.catalog.functionExists("shingle_hashes"))
+      call_function("shingle_hashes", col(text), lit(math.max(ngram, 1)))
+    else if (ngram <= 1) array_distinct(TextFunctions.tokens(col(text)))
+    else array_distinct(TextFunctions.wordNgrams(col(text), ngram))
+
+  /** (vid, toks) gram-set frame for a corpus — the PERSIST-ONCE form the
+    * per-micro-batch ingest gate reads back each batch (r17, VERDICT r16
+    * #7: the streaming ingest chains re-tokenized the entire corpus once
+    * per micro-batch through the inline verify; a persisted set frame
+    * makes the tokenize pass once-per-corpus, the production discipline
+    * the semantic gate's persisted cluster assignment already follows).
+    */
+  def gramSets(docs: DataFrame, id: String, text: String, ngram: Int = 1): DataFrame =
+    docs.select(col(id).as("vid"), gramSet(docs.sparkSession, text, ngram).as("toks"))
+
+  /** The verify stage of [[verifyJaccard]] over an ALREADY-BUILT (vid,
+    * toks) set frame. When `sets` is a lazy in-plan frame, both join
+    * sides alias the SAME plan so the two hash(vid) exchanges
+    * canonicalize identically and ReuseExchange materializes the shingle
+    * pass ONCE; when `sets` is a persisted parquet frame, each join side
+    * is a cheap columnar read — no tokenize work at all.
+    */
+  def verifyJaccardWithSets(pairs: DataFrame, sets: DataFrame): DataFrame =
     pairs
       .join(sets.as("sa"), col("a") === col("sa.vid"))
       .join(sets.as("sb"), col("b") === col("sb.vid"))
@@ -875,7 +897,6 @@ object Dedup {
           size(array_union(col("sa.toks"), col("sb.toks"))).cast("double"), 4))
       .drop(col("sa.vid")).drop(col("sa.toks"))
       .drop(col("sb.vid")).drop(col("sb.toks"))
-  }
 
   /** Directional n-gram CONTAINMENT verify (r16) — the asymmetric dedup
     * measure (Broder's containment, the quote/subset-duplication signal

@@ -554,6 +554,35 @@ object CoreQueries {
           col("col").cast("double").as("value"))
     }),
 
+    "s_npy_streaming" -> ((s, d) => {
+      // bare-.npy shards arriving THROUGH the real streaming engine (the
+      // container family's ingest-at-arrival twin): the SAME 4 shards
+      // staged, streaming binaryFile source one shard per micro-batch,
+      // each decoded whole by the SAME validated parser (a bare .npy has
+      // no record framing — file == batch), shard index from the file
+      // name. Stateless append — converged result equals the batch read
+      // and shares s_npy's oracle.
+      val out = tmp("npystream")
+      val emb = Graft.embeddings(s, d)
+      graft.sources.Npy.writeNpyShards(emb, out, "vec_id", "embedding", shards = 4)
+      import s.implicits._
+      implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+        org.apache.spark.sql.Encoders.row(graft.sources.Npy.npyShardSchema)
+      val stream = s.readStream.format("binaryFile")
+        .schema(s.read.format("binaryFile").load(s"$out/*.npy").schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(s"$out/*.npy")
+        .select("path", "content").as[(String, Array[Byte])]
+        .flatMap { case (p, b) =>
+          graft.sources.Npy.decodeVectorShard(graft.sources.Npy.shardIndexOf(p), b)
+        }
+      graft.streaming.StreamingQueries.runAppendToMemory(s, "s_npy_stream",
+          stream.toDF())
+        .select(col("shard"), col("row_idx"), posexplode(col("vec")))
+        .select(col("shard"), col("row_idx"), col("pos").cast("int").as("idx"),
+          col("col").cast("double").as("value"))
+    }),
+
     "s_npy_corrupt_tail" -> ((s, d) => {
       // bare-.npy torn-tail quarantine: shard 2's file loses its final
       // 256 bytes — with no record framing the data extent no longer
@@ -1231,6 +1260,15 @@ object CoreQueries {
     // deterministic (shard = vec_id%4, row_idx = rank-within-shard)
     // mapping the writer pins
     "s_npy" ->
+      """WITH r AS (SELECT vec_id % 4 AS shard,
+                           row_number() OVER (PARTITION BY vec_id % 4 ORDER BY vec_id) - 1 AS row_idx,
+                           embedding
+                    FROM embeddings)
+         SELECT CAST(shard AS BIGINT) AS shard, CAST(row_idx AS BIGINT) AS row_idx,
+                CAST(i - 1 AS INT) AS idx, CAST(embedding[i] AS DOUBLE) AS value
+         FROM r, UNNEST(generate_series(1, len(embedding))) AS t(i)""",
+    // stateless streaming append converges to the batch read — SAME oracle
+    "s_npy_streaming" ->
       """WITH r AS (SELECT vec_id % 4 AS shard,
                            row_number() OVER (PARTITION BY vec_id % 4 ORDER BY vec_id) - 1 AS row_idx,
                            embedding

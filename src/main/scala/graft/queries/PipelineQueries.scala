@@ -57,7 +57,7 @@ object PipelineQueries {
     * rebuild identically): head noise, script/style blocks, the doc
     * text, two anchors, and planted character entities.
     */
-  private def syntheticHtml(docs: DataFrame): DataFrame =
+  private[graft] def syntheticHtml(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), concat(
       lit("<html><head><title>Doc "), col("doc_id"),
       lit("</title><script type=\"text/javascript\">var x = "), pmod(col("doc_id"), lit(9)),
@@ -3048,6 +3048,46 @@ object PipelineQueries {
         .select("cohort_wk", "wk", "weeks_since", "n_active")
     }),
 
+    "q_dau_wau" -> ((s, d) => {
+      // DAU/WAU rolling-active-users (r17) — the other canonical
+      // product-analytics table next to q_retention: per µs-epoch day
+      // the distinct active users, and the 7-day-window count (distinct
+      // users active in [day-6, day]). Scale shape: ONE events scan →
+      // (user, day) dedup aggregation; WAU via a bounded 7-way day
+      // explode of the DEDUPED frame (distinct-over-sliding-window is
+      // NOT a sum of dailies — users overlap days — and the explode
+      // keeps it one hash aggregation instead of a range self-join);
+      // DAU joins from the same deduped frame. Only days with activity
+      // report (the DAU frame's key set).
+      val day = expr("ts_us div 86400000000")
+      val active = Graft.events(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"), day.as("day")).distinct()
+      val dau = active.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      val wau = active
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + lit(6))).as("day"))
+        .groupBy("day").agg(countDistinct("user_id").as("wau"))
+      dau.join(wau, Seq("day")).select("day", "dau", "wau")
+    }),
+
+    "pp_corpus_fingerprint" -> ((s, d) => {
+      // order-invariant corpus content fingerprint (r17) — the dataset
+      // versioning primitive a reproducible-training release pins (the
+      // "data hash" line on a data card): per doc a 63-bit content hash
+      // (md5 hex prefix — engine-portable, the pp_mlm_mask device),
+      // folded order-invariantly by exact integer SUM mod 2^63, plus
+      // the doc count and distinct-content count. ONE scan, one tiny
+      // aggregation — no sort, no collect; byte-identical across
+      // layouts/engines by construction (any row order sums the same).
+      val h = conv(substring(md5(col("text")), 1, 16), 16, 10)
+        .cast("decimal(38,0)")
+      val m = lit(new java.math.BigDecimal("9223372036854775808"))
+      Graft.documents(s, d).select(h.as("h"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_distinct"),
+          (sum(col("h")) % m).cast("long").as("content_sum"))
+    }),
+
     "g_pagerank" -> ((s, d) => {
       // crawl-authority PageRank (Brin & Page 1998) over the derived
       // host-shaped link graph — the quality prior web-curation
@@ -3815,6 +3855,27 @@ object PipelineQueries {
                 count(DISTINCT a.user_id) AS n_active
          FROM a JOIN c ON a.user_id = c.user_id
          GROUP BY 1, 2, 3""",
+    "q_dau_wau" ->
+      """WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+                    FROM events WHERE user_id IS NOT NULL),
+              dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM a GROUP BY day),
+              w AS (SELECT a.user_id, a.day + g.i AS day
+                    FROM a, UNNEST(generate_series(0, 6)) AS g(i)),
+              wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM w GROUP BY day)
+         SELECT d.day, d.dau, w2.wau FROM dau d JOIN wau w2 ON d.day = w2.day""",
+    // the 63-bit md5-prefix content hash folded by exact integer sum —
+    // order-invariant, so both engines agree under any row order
+    // the hex parse rides two 32-bit ::BIGINT halves (DuckDB's hex-cast
+    // tops out at BIGINT) recombined in HUGEINT — equal to Spark's
+    // conv(hex16, 16, 10) by construction
+    "pp_corpus_fingerprint" ->
+      """WITH t AS (SELECT ('0x' || substr(md5(text), 1, 8))::BIGINT::HUGEINT * 4294967296
+                         + ('0x' || substr(md5(text), 9, 8))::BIGINT::HUGEINT AS h
+                    FROM documents)
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+                CAST(sum(h) % 9223372036854775808 AS BIGINT) AS content_sum
+         FROM t""",
     "g_pagerank" -> GraphOracleSql.pageRank(),
     "g_pagerank_seeded" -> GraphOracleSql.personalizedPageRank(),
     "g_degree" -> GraphOracleSql.degrees,

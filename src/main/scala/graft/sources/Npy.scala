@@ -226,19 +226,9 @@ object Npy {
 
   private def npyShardFrame(spark: SparkSession, path: String,
                             permissive: Boolean): DataFrame = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("shard", LongType, nullable = false),
-      StructField("row_idx", LongType, nullable = false),
-      StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false)))
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
-      org.apache.spark.sql.Encoders.row(schema)
-    val shardRe = ".*part-(\\d+)\\.npy$".r
+      org.apache.spark.sql.Encoders.row(npyShardSchema)
     Sources.shardRecords(spark, s"$path/*.npy") { (name, len, in) =>
-      val shard = name match {
-        case shardRe(k) => k.toLong
-        case _ => bad(s"unrecognized npy shard name $name")
-      }
       def parse(): Iterator[Row] = {
         if (len > Int.MaxValue - 16)
           bad(s"shard of $len bytes exceeds the single-buffer bound")
@@ -249,25 +239,51 @@ object Npy {
           if (k < 0) bad("truncated shard (EOF before the stated extent)")
           o += k
         }
-        val (h, off) = parseHeader(bytes)
-        if (h.descr != "<f4") bad(s"vector shard must be <f4, got ${h.descr}")
-        val (n, dm) = h.shape match {
-          case Seq(rows, d) => (rows.toInt, d.toInt)
-          case s => bad(s"vector shard must be rank-2, got ${s.mkString("x")}")
-        }
-        val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        (0 until n).iterator.map { i =>
-          val v = new Array[Float](dm)
-          var j = 0
-          while (j < dm) { v(j) = bb.getFloat(off + (i * dm + j) * 4); j += 1 }
-          Row(shard, i.toLong, v.toSeq)
-        }
+        decodeVectorShard(shardIndexOf(name), bytes)
       }
       if (!permissive) parse()
       else
         try parse().toVector.iterator
         catch { case _: IllegalArgumentException => Iterator.empty }
     }.toDF()
+  }
+
+  private val shardRe = ".*part-(\\d+)\\.npy$".r
+
+  /** The deterministic shard index a [[writeNpyShards]] file name carries. */
+  def shardIndexOf(name: String): Long = name match {
+    case shardRe(k) => k.toLong
+    case _ => bad(s"unrecognized npy shard name $name")
+  }
+
+  /** One whole shard (as bytes) → (shard, row_idx, vec) rows — the
+    * per-micro-batch unit the streaming twin flatMaps over (a bare .npy
+    * has no record framing, so file == record batch). Strict: any
+    * header/shape/extent violation throws.
+    */
+  def decodeVectorShard(shard: Long, bytes: Array[Byte]): Iterator[Row] = {
+    val (h, off) = parseHeader(bytes)
+    if (h.descr != "<f4") bad(s"vector shard must be <f4, got ${h.descr}")
+    val (n, dm) = h.shape match {
+      case Seq(rows, d) => (rows.toInt, d.toInt)
+      case s => bad(s"vector shard must be rank-2, got ${s.mkString("x")}")
+    }
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).iterator.map { i =>
+      val v = new Array[Float](dm)
+      var j = 0
+      while (j < dm) { v(j) = bb.getFloat(off + (i * dm + j) * 4); j += 1 }
+      Row(shard, i.toLong, v.toSeq)
+    }
+  }
+
+  /** The (shard, row_idx, vec) catalyst schema the npy shard readers emit. */
+  def npyShardSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("shard", LongType, nullable = false),
+      StructField("row_idx", LongType, nullable = false),
+      StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false)))
   }
 
   /** Shard-parallel strict read of [[writeNpzVectors]] output: the

@@ -260,6 +260,16 @@ object StreamingQueries {
     storeDirs.foreach(b => b ++= Seq("seen" -> seenRoot, "corpus" -> corpusHashDir))
     corpus.select(md5(col("text")).as("h")).distinct()
       .write.mode("overwrite").parquet(corpusHashDir)
+    // persist the gram-set frame ONCE (r17, VERDICT r16 #7): the inline
+    // verifyJaccard re-tokenized the ENTIRE corpus in every micro-batch
+    // (3 full shingle passes for 3 batches); with the sets persisted the
+    // tokenize pass is once-per-corpus and each batch's verify is two
+    // columnar reads + the pair joins — the same persist-once discipline
+    // as the semantic gate's cluster assignment below. Values are
+    // identical: parquet roundtrips the hashed-gram longs exactly.
+    val setsDir = tmpDir(s"ingest-sets-$tag")
+    graft.dedup.Dedup.gramSets(allDocs, "doc_id", "text")
+      .write.mode("overwrite").parquet(setsDir)
     // semantic stage setup: persist the corpus-side cluster assignment once
     val semState = semantic.map { case (emb, model, thr, cap) =>
       val dir = tmpDir(s"ingest-semasg-$tag")
@@ -294,7 +304,8 @@ object StreamingQueries {
         // the standing corpus, the exact quadratic cliff the cap bounds
         val cand = graft.dedup.Dedup.crossBlockedPairs(fresh, corpus, "doc_id",
           Seq("lang" -> col("lang"), "n_chars" -> col("n_chars")))
-        val nearDup = graft.dedup.Dedup.verifyJaccard(cand, allDocs, "doc_id", "text")
+        val nearDup = graft.dedup.Dedup
+          .verifyJaccardWithSets(cand, spark.read.parquet(setsDir))
           .where(col("jaccard") >= jaccardMin)
           .select(col("a").as("doc_id")).distinct()
         val afterJac = fresh.join(nearDup, Seq("doc_id"), "left_anti")

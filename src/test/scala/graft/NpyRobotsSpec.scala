@@ -41,6 +41,41 @@ class NpyRobotsSpec extends GraftTest {
     expectBad(fortran, "fortran_order")
   }
 
+  test("npy shards: deterministic residue layout roundtrips; torn shard quarantines whole") {
+    // the bare-.npy directory (r17): shard j = ids with id % 4 == j,
+    // rows ascending by id — the mapping the s_npy oracle replays
+    import spark.implicits._
+    val df = (0L until 20L).map(i => (i, Array.tabulate(3)(j => (i * 10 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = java.nio.file.Files.createTempDirectory("npy-shards").toString
+    Npy.writeNpyShards(df, out, "vec_id", "embedding", shards = 4)
+    val got = Npy.readNpyShards(spark, out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toVector))
+      .sortBy(t => (t._1, t._2))
+    assert(got.length === 20)
+    // shard 1, row_idx 2 must be vec_id 9 (ids 1,5,9,... ascending)
+    val r12 = got.find(t => t._1 == 1 && t._2 == 2).get
+    assert(r12._3 === Vector(90f, 91f, 92f))
+    // every row's floats reconstruct its vec_id: id = shard + 4*row_idx
+    got.foreach { case (s, ri, v) =>
+      val id = s + 4 * ri
+      assert(v === Vector.tabulate(3)(j => (id * 10 + j).toFloat), s"shard $s row $ri")
+    }
+    // torn tail: strict fails the task, permissive quarantines the WHOLE
+    // shard (no record framing — no salvageable prefix)
+    val victim = java.nio.file.Paths.get(s"$out/part-00002.npy")
+    val vb = java.nio.file.Files.readAllBytes(victim)
+    java.nio.file.Files.write(victim, java.util.Arrays.copyOf(vb, vb.length - 8))
+    intercept[org.apache.spark.SparkException](Npy.readNpyShards(spark, out).collect())
+    val surv = Npy.readNpyShardsPermissive(spark, out)
+      .select("shard").distinct().collect().map(_.getLong(0)).sorted
+    assert(surv === Array(0L, 1L, 3L), "torn shard 2 must quarantine whole")
+    // rank-1 shard rejected by the vector decode
+    val r1 = Npy.encode("<f4", Seq(2L), Array[Byte](0, 0, 0, 0, 0, 0, 0, 0))
+    val e = intercept[IllegalArgumentException](Npy.decodeVectorShard(0L, r1).toVector)
+    assert(e.getMessage.contains("rank-2"))
+  }
+
   test("robots: longest match, equal-length Allow tie, no-match allowed, bare-host path is /") {
     import spark.implicits._
     val urls = Seq(

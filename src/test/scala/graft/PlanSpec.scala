@@ -569,6 +569,45 @@ class PlanSpec extends GraftTest {
       "pp_sft_multiturn must be shuffle-free")
   }
 
+  test("r17 pins: anchor regex zipped below the Generate; MLM mask hashed once") {
+    // VERDICT r16 #1: the post-explode element_at(regexp_extract_all(..))
+    // re-ran the full-document regex once per anchor row — O(anchors ×
+    // doc_len). Both capture groups must extract inside the Generate's
+    // child (arrays_zip): no RegExpExtractAll may appear ABOVE the
+    // Generate in the optimized plan (plans print top-down, parents
+    // before children, and the generator expression prints ON the
+    // Generate line itself).
+    for (q <- Seq("pp_anchor_text", "txt_html_links")) {
+      val p = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan.toString
+      val gen = p.indexOf("Generate")
+      assert(gen >= 0, s"$q: expected a Generate in the plan:\n${p.take(2000)}")
+      assert(!p.substring(0, gen).contains("regexp_extract_all"),
+        s"$q: a regex extraction sits above the Generate (per-anchor re-extraction):\n${p.take(3000)}")
+    }
+    // VERDICT r16 #2: ONE md5 per token — the boolean mask array is
+    // computed once (its Project survives CollapseProject because the
+    // alias is non-cheap and referenced twice) and both masked_text and
+    // n_masked derive from it
+    val m = SparkEntry.queries("pp_mlm_mask")(spark, sf).queryExecution.optimizedPlan.toString
+    val md5s = "md5\\(".r.findAllIn(m).size
+    assert(md5s === 1,
+      s"pp_mlm_mask: expected exactly one md5 evaluation in-plan, got $md5s:\n${m.take(3000)}")
+  }
+
+  test("dd_containment_sketch: capBuckets guard in-plan, no cartesian product") {
+    // the containment-MinHash production arm must keep the same
+    // discipline as minhashPairs: banded bucket join behind the cap
+    // (observable `_bsz` window column), never an all-pairs product
+    val a = SparkEntry.queries("dd_containment_sketch")(spark, sf)
+      .queryExecution.analyzed.toString
+    assert(a.contains("_bsz"),
+      s"containment sketch lost the capBuckets guard:\n${a.take(2000)}")
+    val df = SparkEntry.queries("dd_containment_sketch")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), "no cartesian product")
+  }
+
   test("dd_exact_nfkc: normalization rides the scan, ONE digest exchange") {
     // the kernel must stay a scan-local projection feeding the
     // canonical 16-byte-digest hash groupBy — a second exchange (or a

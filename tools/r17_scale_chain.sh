@@ -1,0 +1,35 @@
+#!/bin/bash
+# r17 measurement chain — SERIAL (appends SCALE.md; timings need an
+# uncontended box). Adds 10x/100x arms for the r17 ring: the
+# containment-MinHash production arm and the WARC→WET shard-parallel
+# composition.
+set -e -o pipefail
+cd /root/repo
+J=(java
+  --add-opens=java.base/java.lang=ALL-UNNAMED
+  --add-opens=java.base/java.lang.invoke=ALL-UNNAMED
+  --add-opens=java.base/java.lang.reflect=ALL-UNNAMED
+  --add-opens=java.base/java.io=ALL-UNNAMED
+  --add-opens=java.base/java.net=ALL-UNNAMED
+  --add-opens=java.base/java.nio=ALL-UNNAMED
+  --add-opens=java.base/java.util=ALL-UNNAMED
+  --add-opens=java.base/java.util.concurrent=ALL-UNNAMED
+  --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED
+  --add-opens=java.base/sun.nio.ch=ALL-UNNAMED
+  --add-opens=java.base/sun.nio.cs=ALL-UNNAMED
+  --add-opens=java.base/sun.security.action=ALL-UNNAMED
+  --add-opens=java.base/sun.util.calendar=ALL-UNNAMED
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx16g -Xss32m
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*")
+
+echo "=== [1/2] 10x/100x arms: dd_containment_sketch"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_FACTORS=10,100 \
+  SPARK_GRAFT_SCALE_CASES=dd_containment_sketch \
+  SPARK_GRAFT_SCALE_APPEND=1 "${J[@]}" graft.ScaleCheck 2>&1 | { grep -E "^\[scale\]|wrote" || true; }
+
+echo "=== [2/2] 10x/100x arms: src_warc_wet"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_FACTORS=10,100 \
+  SPARK_GRAFT_SCALE_CASES=src_warc_wet \
+  SPARK_GRAFT_SCALE_APPEND=1 "${J[@]}" graft.ScaleCheck 2>&1 | { grep -E "^\[scale\]|wrote" || true; }
+
+echo "=== chain done"
