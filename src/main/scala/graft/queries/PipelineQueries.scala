@@ -3070,6 +3070,64 @@ object PipelineQueries {
       dau.join(wau, Seq("day")).select("day", "dau", "wau")
     }),
 
+    "q_funnel_steps" -> ((s, d) => {
+      // ordered-funnel conversion (r17) — the product-analytics
+      // sequence gate: of the users who VIEWed, how many CLICKed
+      // strictly after their first view WITHIN the 24 h conversion
+      // window, then PURCHASEd within 24 h of that first qualifying
+      // click (the window is what makes the funnel discriminate —
+      // unwindowed, any long-lived user converts eventually: 15/15/15
+      // at sf0.001 vs 15/6/3 windowed; 150/60/25 at sf0.01). Scale
+      // shape: each stage is a pushed-filter scan of the slim (user,
+      // type, ts) columns reduced by a min-aggregation, hash-joined to
+      // the previous stage's 2-column per-user frame — never a per-user
+      // ordered buffer, never a window over raw events (the
+      // first-timestamp-chaining device every funnel engine uses).
+      val winUs = 86400000000L
+      val ev = Graft.events(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+      val t1 = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("t1"))
+      val t2 = ev.where(col("event_type") === "click")
+        .join(t1, "user_id")
+        .where(col("ts_us") > col("t1") && col("ts_us") <= col("t1") + lit(winUs))
+        .groupBy("user_id").agg(min("ts_us").as("t2"))
+      val t3 = ev.where(col("event_type") === "purchase")
+        .join(t2, "user_id")
+        .where(col("ts_us") > col("t2") && col("ts_us") <= col("t2") + lit(winUs))
+        .groupBy("user_id").agg(min("ts_us").as("t3"))
+      t1.agg(count(lit(1)).as("n_users"))
+        .select(lit(1).as("step"), lit("view").as("step_name"), col("n_users"))
+        .unionByName(t2.agg(count(lit(1)).as("n_users"))
+          .select(lit(2).as("step"), lit("click").as("step_name"), col("n_users")))
+        .unionByName(t3.agg(count(lit(1)).as("n_users"))
+          .select(lit(3).as("step"), lit("purchase").as("step_name"), col("n_users")))
+    }),
+
+    "pp_rank_shards" -> ((s, d) => {
+      // data-parallel rank sharding (r17) — the assignment table a
+      // multi-node training job derives from the corpus: each doc lands
+      // on one of 8 ranks by the portable md5 bucket (the splitAssign/
+      // interleave hash device — stable across runs, engines, and
+      // re-ingestion), and the table reports per-rank docs, whitespace
+      // tokens, and token share in exact basis points (the imbalance a
+      // data-parallel job pads or waits on). ONE scan + one 8-row
+      // aggregation; the share rides a window over the already-
+      // aggregated rank-vocabulary frame (the pp_datacard device).
+      import org.apache.spark.sql.expressions.Window
+      val world = 8
+      val rank = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % world).as("rank")
+      val per = Graft.documents(s, d)
+        .select(rank, TextFunctions.wsTokenCount(col("text")).cast("long").as("toks"))
+        .groupBy("rank").agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+      val wAll = Window.partitionBy(expr("n_docs * 0L"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      per.withColumn("_tot", sum(col("n_tokens")).over(wAll))
+        .withColumn("share_bp", expr("(n_tokens * 10000L) div _tot"))
+        .select("rank", "n_docs", "n_tokens", "share_bp")
+    }),
+
     "pp_corpus_fingerprint" -> ((s, d) => {
       // order-invariant corpus content fingerprint (r17) — the dataset
       // versioning primitive a reproducible-training release pins (the
@@ -3865,6 +3923,32 @@ object PipelineQueries {
          SELECT d.day, d.dau, w2.wau FROM dau d JOIN wau w2 ON d.day = w2.day""",
     // the 63-bit md5-prefix content hash folded by exact integer sum —
     // order-invariant, so both engines agree under any row order
+    "q_funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+                    FROM events WHERE user_id IS NOT NULL),
+              t1 AS (SELECT user_id, min(ts_us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+              t2 AS (SELECT e.user_id, min(e.ts_us) AS t2 FROM e JOIN t1 ON e.user_id = t1.user_id
+                     WHERE e.event_type = 'click' AND e.ts_us > t1.t1
+                       AND e.ts_us <= t1.t1 + 86400000000 GROUP BY 1),
+              t3 AS (SELECT e.user_id, min(e.ts_us) AS t3 FROM e JOIN t2 ON e.user_id = t2.user_id
+                     WHERE e.event_type = 'purchase' AND e.ts_us > t2.t2
+                       AND e.ts_us <= t2.t2 + 86400000000 GROUP BY 1)
+         SELECT 1 AS step, 'view' AS step_name, CAST((SELECT count(*) FROM t1) AS BIGINT) AS n_users
+         UNION ALL
+         SELECT 2, 'click', CAST((SELECT count(*) FROM t2) AS BIGINT)
+         UNION ALL
+         SELECT 3, 'purchase', CAST((SELECT count(*) FROM t3) AS BIGINT)""",
+    // rank = md5-prefix bucket replay (the splitAssign device); token
+    // count is the shared whitespace-token formula
+    "pp_rank_shards" ->
+      """WITH t AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS rank,
+                           CAST(len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS BIGINT) AS toks
+                    FROM documents),
+              per AS (SELECT rank, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens
+                      FROM t GROUP BY rank)
+         SELECT rank, n_docs, n_tokens,
+                CAST((n_tokens * 10000) // (SELECT sum(n_tokens) FROM per) AS BIGINT) AS share_bp
+         FROM per""",
     // the hex parse rides two 32-bit ::BIGINT halves (DuckDB's hex-cast
     // tops out at BIGINT) recombined in HUGEINT — equal to Spark's
     // conv(hex16, 16, 10) by construction
