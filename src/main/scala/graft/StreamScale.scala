@@ -337,7 +337,7 @@ object StreamScale {
         val batchOf = graft.streaming.StreamingQueries
           .harnessBatches(batch, "doc_id").getOrElse(lit(0))
         graft.streaming.StreamingQueries.runIngestStream(
-          spark, batch, corpus, d, batchOf, jaccardMin = 0.5, tag,
+          spark, batch, corpus, batchOf, jaccardMin = 0.5, tag,
           storeDirs = Some(dirs))
       }, tag)
 

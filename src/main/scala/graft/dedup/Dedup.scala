@@ -266,8 +266,23 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, id: String, text: String,
                    threshold: Double, numHashes: Int = 64, bands: Int = 16,
-                   shingleK: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val sigs = minhashSigs(docs, id, text, numHashes, shingleK)
+                   shingleK: Int = 3, maxBucket: Int = 1000): DataFrame =
+    minhashPairsFromSigs(minhashSigs(docs, id, text, numHashes, shingleK),
+      threshold, numHashes, bands, maxBucket)
+
+  /** [[minhashPairs]] over an ALREADY-BUILT (doc, sig) frame (r18,
+    * VERDICT r17 #6). The signature frame is consumed THREE times in
+    * the pair plan (banding + both sides of the candidate-estimate
+    * join); when the caller persists it once (the r17 gram-set
+    * discipline — dd_lsh_resolve writes it to parquet and reads it
+    * back), each consumer is a cheap columnar read and the expensive
+    * shingle+minhash aggregation runs exactly once per run instead of
+    * once per consumer. Values are identical either way: parquet
+    * roundtrips the 64 signature longs exactly.
+    */
+  def minhashPairsFromSigs(sigs: DataFrame, threshold: Double,
+                           numHashes: Int = 64, bands: Int = 16,
+                           maxBucket: Int = 1000): DataFrame = {
     val bandedAll = bandsOfSigs(sigs, numHashes, bands)
     val banded = capBuckets(bandedAll, Seq("band", "band_hash"), maxBucket, "minhashPairs")
     val l = banded.select(col("band"), col("band_hash"), col("doc").as("a"))

@@ -595,7 +595,11 @@ object CoreQueries {
       graft.sources.Npy.writeNpyShards(emb, out, "vec_id", "embedding", shards = 4)
       val victim = java.nio.file.Paths.get(s"$out/part-00002.npy")
       val vb = java.nio.file.Files.readAllBytes(victim)
-      java.nio.file.Files.write(victim, java.util.Arrays.copyOf(vb, vb.length - 256))
+      // ADVICE r17: at a tiny SF the shard file could be < 256 bytes of
+      // payload — cut at most what's there past the 128-byte header so
+      // the fixture always exercises quarantine, never throws.
+      val cut = math.min(256, math.max(1, vb.length - 128))
+      java.nio.file.Files.write(victim, java.util.Arrays.copyOf(vb, vb.length - cut))
       graft.sources.Npy.readNpyShardsPermissive(s, out)
         .select(col("shard"), col("row_idx"), posexplode(col("vec")))
         .select(col("shard"), col("row_idx"), col("pos").cast("int").as("idx"),

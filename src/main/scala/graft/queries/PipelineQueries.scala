@@ -7,7 +7,7 @@ import graft.functions.TextFunctions
 import graft.graph.Graph
 import graft.operators.Aggregates
 import graft.multimodal.Multimodal
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Large-scale training-data-pipeline operators as driver-checkable
@@ -69,12 +69,41 @@ object PipelineQueries {
       lit("</a> <a href=\"https://example"), pmod(col("doc_id"), lit(3)),
       lit(".org/q"), pmod(col("doc_id"), lit(20)),
       lit("\">more "), pmod(col("doc_id"), lit(11)),
+      // r18 (VERDICT r17 #3): real-crawl href variants — single-quoted
+      // with attributes around href, and unquoted with whitespace
+      // around `=` — so the widened extraction is certified against
+      // the forms CommonCrawl actually serves, not just "-quoted.
+      lit("</a> <a class=\"nav\" href='https://example"), pmod(col("doc_id"), lit(5)),
+      lit(".net/r"), pmod(col("doc_id"), lit(30)),
+      lit("' rel=next>next "), pmod(col("doc_id"), lit(9)),
+      lit("</a> <a href = https://ex"), pmod(col("doc_id"), lit(2)),
+      lit(".io/s"), pmod(col("doc_id"), lit(10)),
+      lit(" target=_blank>go "), pmod(col("doc_id"), lit(6)),
       lit("</a><div>&amp; entities &lt;kept&gt; &quot;q&quot;&nbsp;end</div></body></html>"))
       .as("html"))
 
-  /** The shared anchor pattern for txt_html_links (engine-portable:
-    * plain RE2-compatible groups, identical in Spark and DuckDB). */
-  private val anchorPat = "<a href=\"([^\"]+)\">([^<]*)</a>"
+  /** The shared anchor TAG pattern for txt_html_links/pp_anchor_text/
+    * pp_robots (engine-portable: plain RE2-compatible groups, identical
+    * in Spark and DuckDB). r18 (VERDICT r17 #3): captures the whole
+    * attribute string (group 1) + anchor text (group 2) so hrefs in any
+    * real-crawl form — double-quoted, single-quoted, unquoted, extra
+    * attributes before/after, whitespace around `=` — are reachable.
+    * The href itself is pulled from the SHORT per-anchor attrs string by
+    * [[hrefFromAttrs]] (O(attrs) per anchor — NOT the r16 per-anchor
+    * full-document re-extraction trap; the doc-level regex still runs
+    * exactly twice per document, zipped below the Generate). */
+  private val anchorPat = "(?i)<a\\s+([^>]*)>([^<]*)</a>"
+
+  /** href out of one anchor tag's attribute string: double-quoted, then
+    * single-quoted, then unquoted token (RFC 1866 NAME-ish), first hit
+    * wins; absent/empty href → NULL (the edge drops — a hrefless <a> is
+    * an anchor point, not a link). No backreferences, so the identical
+    * patterns replay in DuckDB's RE2 oracle. */
+  private def hrefFromAttrs(attrs: Column): Column =
+    coalesce(
+      nullif(regexp_extract(attrs, "(?i)href\\s*=\\s*\"([^\"]*)\"", 1), lit("")),
+      nullif(regexp_extract(attrs, "(?i)href\\s*=\\s*'([^']*)'", 1), lit("")),
+      nullif(regexp_extract(attrs, "(?i)href\\s*=\\s*([^\\s\"'>]+)", 1), lit("")))
 
   /** The pp_sft_mask example builder, shared with pp_pack_sft: each doc
     * becomes a chat-templated training example (role sentinels around a
@@ -482,6 +511,18 @@ object PipelineQueries {
       // by the exact gram-set containment stage. Never an all-pairs
       // product at any corpus size; hash-checkable end-to-end via the
       // full XXH64 replay (MinHashOracleSql.containmentSketch).
+      // Recall (r18, VERDICT r17 #4 — certified in DedupAnnSpec): with
+      // 64 hashes / 16 bands × 4 rows, P(candidate) = 1-(1-J⁴)¹⁶ —
+      // steep near J ≈ 0.7, still ≈ 0.97 at J = 2/3; measured 1.0
+      // against the exact arm at sf0.01 (the sketch pairs are a strict
+      // SUPERSET: LSH buckets reach cross-length pairs the exact arm's
+      // (lang, n_chars/32) blocking can't). The documented blind spot:
+      // a quote under ~half its container's length has J = |A|/|B| <
+      // 0.5 so J⁴ collapses and banding rarely fires — tiny-quote
+      // inclusion is dd_chunk / dd_span's regime (chunk-level exact
+      // hashing), not the sketch's; lowering estThreshold does NOT fix
+      // it (banding, not the estimate, is what gates recall — more
+      // bands of fewer rows would, at quadratic candidate cost).
       val docs = Graft.documents(s, d)
       val est = Dedup.containmentSketchPairs(docs, "doc_id", "text",
         estThreshold = 0.3)
@@ -727,8 +768,17 @@ object PipelineQueries {
       // oracle-portable twin via blocking-join candidates. Full hash
       // oracle since r8: MinHashOracleSql.lshResolve replays LSH →
       // verify → components in DuckDB; end-to-end recall in DedupAnnSpec.
+      // r18 (VERDICT r17 #6): ONE signature aggregation per run — the
+      // pair plan consumes the sig frame three times (banding + both
+      // estimate-join sides), so it persists once (the r17 gram-set
+      // discipline) and every consumer is a columnar read-back. Parquet
+      // roundtrips the signature longs exactly → identical oracle rows.
       val docs = Graft.documents(s, d)
-      val cand = Dedup.minhashPairs(docs, "doc_id", "text",
+      val sigDir = java.nio.file.Files
+        .createTempDirectory("graft-lshsigs").toAbsolutePath.toString
+      Dedup.minhashSigs(docs, "doc_id", "text")
+        .write.mode("overwrite").parquet(sigDir)
+      val cand = Dedup.minhashPairsFromSigs(s.read.parquet(sigDir),
         threshold = 0.5, maxBucket = 1000).select("a", "b")
       val verified = Dedup.verifyJaccard(cand, docs, "doc_id", "text")
         .where(col("jaccard") >= 0.5).select("a", "b")
@@ -1162,9 +1212,14 @@ object PipelineQueries {
       val links = syntheticHtml(Graft.documents(s, d))
         .select(col("doc_id"),
           explode(arrays_zip(
-            regexp_extract_all(col("html"), lit(anchorPat), lit(1)).as("href"),
+            regexp_extract_all(col("html"), lit(anchorPat), lit(1)).as("attrs"),
             regexp_extract_all(col("html"), lit(anchorPat), lit(2)).as("anchor"))))
-        .select(col("doc_id"), col("col.href").as("href"), col("col.anchor").as("anchor"))
+        // href resolves from the SHORT per-anchor attrs string (r18:
+        // quoted/unquoted forms) — O(attrs) per anchor, not the
+        // full-document re-extraction the r17 pin guards against
+        .select(col("doc_id"), hrefFromAttrs(col("col.attrs")).as("href"),
+          col("col.anchor").as("anchor"))
+        .where(col("href").isNotNull)
       val cells = links.groupBy("href", "anchor", "doc_id").agg(count(lit(1)).as("k"))
       val perAnchor = cells.groupBy("href", "anchor").agg(sum("k").as("cnt"))
       val w = Window.partitionBy("href")
@@ -1627,18 +1682,23 @@ object PipelineQueries {
       // (foreachBatch micro-batches, cross-batch content-hash state,
       // at-least-once-idempotent per-batch stores — see
       // StreamingQueries.runIngestStream). Micro-batches partition the
-      // new docs into ascending doc_id thirds, so first-accepted ==
-      // keep-min and the converged output equals the batch chain: the
-      // entry shares pp_ingest's oracle verbatim.
+      // new docs into ascending doc_id HALVES (r18, VERDICT r17 #7: two
+      // batches certify the cross-batch property exactly as three did —
+      // batch 1 must drop content batch 0 accepted — while cutting a
+      // third of the per-batch store actions; the multi-prior-store
+      // union path stays exercised by ProcessorsSpec's 3-batch planted
+      // fixture and the media ingest entries). First-accepted ==
+      // keep-min under ascending ids, so the converged output equals
+      // the batch chain: the entry shares pp_ingest's oracle verbatim.
       val docs = Graft.documents(s, d)
       val batch = docs.where(pmod(col("doc_id"), lit(10)) === 0)
       val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
       // empty batch slice → harnessBatches is None (the shared null guard)
-      graft.streaming.StreamingQueries.harnessBatches(batch, "doc_id") match {
+      graft.streaming.StreamingQueries.harnessBatches(batch, "doc_id", n = 2) match {
         case None => batch.select(col("doc_id"), lit("train").as("split")).limit(0)
         case Some(batchOf) =>
           graft.streaming.StreamingQueries.runIngestStream(
-            s, batch, corpus, docs, batchOf, jaccardMin = 0.5, tag = "ppingest")
+            s, batch, corpus, batchOf, jaccardMin = 0.5, tag = "ppingest")
       }
     }),
 
@@ -1708,7 +1768,7 @@ object PipelineQueries {
               threshold = 0.3, maxCluster = 2000,
               newPred = "b.vec_id % 10 = 0", corpusPred = "vec_id % 10 <> 0"))))
           graft.streaming.StreamingQueries.runIngestStream(
-            s, batch, corpus, docs, batchOf, jaccardMin = 0.5, tag = "ppsem",
+            s, batch, corpus, batchOf, jaccardMin = 0.5, tag = "ppsem",
             semantic = Some((emb, model, 0.3, 2000)))
       }
     }),
@@ -2212,7 +2272,9 @@ object PipelineQueries {
       // broadcast (robots corpora are KBs per host vs billions of URLs);
       // the verdict is one broadcast join + one per-URL aggregation.
       val links = syntheticHtml(Graft.documents(s, d))
-        .select(explode(regexp_extract_all(col("html"), lit(anchorPat), lit(1))).as("href"))
+        .select(explode(regexp_extract_all(col("html"), lit(anchorPat), lit(1))).as("attrs"))
+        .select(hrefFromAttrs(col("attrs")).as("href"))
+        .where(col("href").isNotNull)
       import s.implicits._
       val rules = ((0 until 7).flatMap(k => Seq(
           (s"example$k.com", s"/p$k", false),
@@ -2371,12 +2433,16 @@ object PipelineQueries {
       // would re-run the full-document regex once per anchor row.
       // These edges are what g_pagerank's host graph consumes upstream.
       val h = syntheticHtml(Graft.documents(s, d))
+      // link_idx is the tag's ordinal among ALL <a …> tags in the page
+      // (hrefless anchors keep their slot but emit no edge) — the
+      // filter sits below the index so both engines agree on it.
       h.select(col("doc_id"),
           posexplode(arrays_zip(
-            regexp_extract_all(col("html"), lit(anchorPat), lit(1)).as("href"),
+            regexp_extract_all(col("html"), lit(anchorPat), lit(1)).as("attrs"),
             regexp_extract_all(col("html"), lit(anchorPat), lit(2)).as("anchor"))))
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("link_idx"),
-          col("col.href").as("href"), col("col.anchor").as("anchor"))
+          hrefFromAttrs(col("col.attrs")).as("href"), col("col.anchor").as("anchor"))
+        .where(col("href").isNotNull)
     }),
 
     "pp_mlm_mask_streaming" -> ((s, d) => {
@@ -3104,6 +3170,78 @@ object PipelineQueries {
           .select(lit(3).as("step"), lit("purchase").as("step_name"), col("n_users")))
     }),
 
+    "q_dau_wau_streaming" -> ((s, d) => {
+      // DAU/WAU maintained AT INGEST by the real streaming engine (r18,
+      // VERDICT r17 #2) — the canonical incrementally-maintained table
+      // next to pp_datacard_streaming, same device: the streaming state
+      // is the (user, day) presence cells (one complete-mode count
+      // aggregation with the house state-cleanup + recompute round);
+      // distinct-counts-over-sliding-windows are unsupported on streams
+      // by design — and unnecessary, because the cells ARE the
+      // sufficient statistic. DAU and the 7-day WAU derive
+      // post-convergence exactly as the batch form derives them from
+      // its deduped frame (bounded 7-way explode, never a range
+      // self-join). Shares q_dau_wau's oracle verbatim.
+      val cells = graft.streaming.StreamingQueries.runWithStateCleanup(
+        s, d, "events", "q_dau_wau_stream",
+        df => df.where(col("user_id").isNotNull)
+          .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+          .groupBy("user_id", "day").agg(count(lit(1)).as("n")))
+      val active = cells.select("user_id", "day")
+      val dau = active.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      val wau = active
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + lit(6))).as("day"))
+        .groupBy("day").agg(countDistinct("user_id").as("wau"))
+      dau.join(wau, Seq("day")).select("day", "dau", "wau")
+    }),
+
+    "q_funnel_steps_streaming" -> ((s, d) => {
+      // the funnel maintained by a per-user STATEFUL PROCESSOR through
+      // the real streaming engine (r18, VERDICT r17 #2 — X1's
+      // flatMapGroupsWithState machinery IS first-timestamp chaining):
+      // micro-batches staged in ascending event-time order (the
+      // Processors.funnelChain contract), per-user (t1, t2, t3) state
+      // advancing the view → click → purchase chain, Update-mode
+      // snapshots reduced to the converged row per user (fields are
+      // write-once), then the same three step counts as the batch form.
+      // Shares q_funnel_steps's oracle verbatim.
+      import s.implicits._
+      val winUs = 86400000000L
+      val ev = Graft.events(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("event_type"), col("ts_us").cast("long").as("ts_us"))
+      graft.streaming.StreamingQueries
+          .harnessBatches(ev.select(col("ts_us").as("id")), "id") match {
+        case None =>
+          ev.select(lit(1).as("step"), lit("view").as("step_name"),
+            lit(0L).as("n_users")).limit(0)
+        case Some(_) =>
+          // ascending event-time thirds over ts_us (write-once contract)
+          val maxTs = ev.agg(max("ts_us")).head().getLong(0)
+          val batchOf = least(floor(col("ts_us") * 3 / (maxTs + 1)), lit(2)).cast("int")
+          val stream = graft.streaming.StreamingQueries
+            .stageStreamBatched(s, ev, batchOf, "qfunnel")
+            .as[(Long, String, Long)]
+          val snaps = graft.streaming.Processors.funnelChain(stream, winUs)
+            .toDF("user_id", "t1", "t2", "t3")
+          val conv = graft.streaming.StreamingQueries
+            .runUpdateToMemory(s, "q_funnel_stream", snaps)
+            .groupBy("user_id")
+            .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+          val counts = conv.agg(
+            sum(when(col("t1") >= 0, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("t2") >= 0, 1L).otherwise(0L)).as("n2"),
+            sum(when(col("t3") >= 0, 1L).otherwise(0L)).as("n3"))
+          counts.select(lit(1).as("step"), lit("view").as("step_name"),
+              col("n1").as("n_users"))
+            .unionByName(counts.select(lit(2).as("step"),
+              lit("click").as("step_name"), col("n2").as("n_users")))
+            .unionByName(counts.select(lit(3).as("step"),
+              lit("purchase").as("step_name"), col("n3").as("n_users")))
+      }
+    }),
+
     "pp_rank_shards" -> ((s, d) => {
       // data-parallel rank sharding (r17) — the assignment table a
       // multi-node training job derives from the corpus: each doc lands
@@ -3727,8 +3865,31 @@ object PipelineQueries {
              '">read ' || (doc_id % 13) ||
              '</a> <a href="https://example' || (doc_id % 3) || '.org/q' || (doc_id % 20) ||
              '">more ' || (doc_id % 11) ||
+             '</a> <a class="nav" href=''https://example' || (doc_id % 5) || '.net/r' || (doc_id % 30) ||
+             ''' rel=next>next ' || (doc_id % 9) ||
+             '</a> <a href = https://ex' || (doc_id % 2) || '.io/s' || (doc_id % 10) ||
+             ' target=_blank>go ' || (doc_id % 6) ||
              '</a><div>&amp; entities &lt;kept&gt; &quot;q&quot;&nbsp;end</div></body></html>' AS html
            FROM documents)"""
+
+  /** The anchor-edge CTE tail shared by the txt_html_links /
+    * pp_anchor_text / pp_robots oracles — the DuckDB replay of
+    * [[anchorPat]] + [[hrefFromAttrs]], byte-for-byte the same regexes
+    * (RE2 both sides, no backreferences). Emits
+    * (doc_id, link_idx, href, anchor); hrefless tags keep their
+    * link_idx slot but are filtered (href IS NULL). */
+  private val anchorEdgeCte: String =
+    """l AS (SELECT doc_id,
+             regexp_extract_all(html, '(?i)<a\s+([^>]*)>([^<]*)</a>', 1) AS attrs,
+             regexp_extract_all(html, '(?i)<a\s+([^>]*)>([^<]*)</a>', 2) AS anchors
+           FROM h),
+       e AS (SELECT doc_id, CAST(g.i AS BIGINT) AS link_idx,
+                    COALESCE(
+                      NULLIF(regexp_extract(attrs[g.i], '(?i)href\s*=\s*"([^"]*)"', 1), ''),
+                      NULLIF(regexp_extract(attrs[g.i], '(?i)href\s*=\s*''([^'']*)''', 1), ''),
+                      NULLIF(regexp_extract(attrs[g.i], '(?i)href\s*=\s*([^\s"''>]+)', 1), '')) AS href,
+                    anchors[g.i] AS anchor
+             FROM l, UNNEST(generate_series(1, len(attrs))) AS g(i))"""
 
   /** The WET-extraction replay shared by the batch entry and its
     * streaming twin (stateless append — converged == batch). */
@@ -3746,6 +3907,38 @@ object PipelineQueries {
        SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text_clean,
               CAST(length(trim(regexp_replace(t, '\\s+', ' ', 'g'))) AS BIGINT) AS clean_chars
        FROM c9"""
+
+  /** DAU/WAU replay shared by the batch entry and its streaming twin
+    * (r18 — the converged (user, day) cell state equals the batch
+    * deduped frame). */
+  private val dauWauSql: String =
+    """WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+                  FROM events WHERE user_id IS NOT NULL),
+            dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM a GROUP BY day),
+            w AS (SELECT a.user_id, a.day + g.i AS day
+                  FROM a, UNNEST(generate_series(0, 6)) AS g(i)),
+            wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM w GROUP BY day)
+       SELECT d.day, d.dau, w2.wau FROM dau d JOIN wau w2 ON d.day = w2.day"""
+
+  /** Funnel replay shared by the batch entry and its stateful-processor
+    * streaming twin (r18 — ascending event-time micro-batches make the
+    * per-user (t1, t2, t3) chain state write-once, so the converged
+    * snapshot equals the batch first-timestamp chain). */
+  private val funnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+                  FROM events WHERE user_id IS NOT NULL),
+            t1 AS (SELECT user_id, min(ts_us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+            t2 AS (SELECT e.user_id, min(e.ts_us) AS t2 FROM e JOIN t1 ON e.user_id = t1.user_id
+                   WHERE e.event_type = 'click' AND e.ts_us > t1.t1
+                     AND e.ts_us <= t1.t1 + 86400000000 GROUP BY 1),
+            t3 AS (SELECT e.user_id, min(e.ts_us) AS t3 FROM e JOIN t2 ON e.user_id = t2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts_us > t2.t2
+                     AND e.ts_us <= t2.t2 + 86400000000 GROUP BY 1)
+       SELECT 1 AS step, 'view' AS step_name, CAST((SELECT count(*) FROM t1) AS BIGINT) AS n_users
+       UNION ALL
+       SELECT 2, 'click', CAST((SELECT count(*) FROM t2) AS BIGINT)
+       UNION ALL
+       SELECT 3, 'purchase', CAST((SELECT count(*) FROM t3) AS BIGINT)"""
 
   private val staticOracles: Map[String, String] = Map(
     // txt_html_*: WET-style extraction replayed as the identical regex
@@ -3820,13 +4013,13 @@ object PipelineQueries {
           "('example2.org', '/q1', FALSE)",
           "('example2.org', '/q1', TRUE)")).mkString(", ")
       s"""WITH $htmlCte,
-         l AS (SELECT DISTINCT href FROM (
-                 SELECT UNNEST(regexp_extract_all(html, '<a href="([^"]+)">([^<]*)</a>', 1)) AS href FROM h)),
+         $anchorEdgeCte,
+         lk AS (SELECT DISTINCT href FROM e WHERE href IS NOT NULL),
          u AS (SELECT href, regexp_extract(href, '^https?://([^/]+)', 1) AS host,
                       CASE WHEN length(regexp_extract(href, '^https?://[^/]+(/.*)$$', 1)) > 0
                            THEN regexp_extract(href, '^https?://[^/]+(/.*)$$', 1)
                            ELSE '/' END AS path
-               FROM l),
+               FROM lk),
          rules(host, prefix, allow) AS (VALUES $ruleRows),
          m AS (SELECT u.href, r.prefix, r.allow,
                       row_number() OVER (PARTITION BY u.href
@@ -3852,13 +4045,8 @@ object PipelineQueries {
            (SELECT max(doc_id) FROM documents WHERE doc_id % 4 = 3))""",
     "txt_html_links" ->
       s"""WITH $htmlCte,
-         l AS (SELECT doc_id,
-                      regexp_extract_all(html, '<a href="([^"]+)">([^<]*)</a>', 1) AS hrefs,
-                      regexp_extract_all(html, '<a href="([^"]+)">([^<]*)</a>', 2) AS anchors
-               FROM h)
-         SELECT doc_id, CAST(g.i AS BIGINT) AS link_idx,
-                hrefs[g.i] AS href, anchors[g.i] AS anchor
-         FROM l, UNNEST(generate_series(1, len(hrefs))) AS g(i)""",
+         $anchorEdgeCte
+         SELECT doc_id, link_idx, href, anchor FROM e WHERE href IS NOT NULL""",
     "pp_blocklist" ->
       """WITH hosts AS (SELECT doc_id,
                                'sub' || (doc_id % 5) || '.example' || (doc_id % 7) || '.com' AS host
@@ -3913,31 +4101,15 @@ object PipelineQueries {
                 count(DISTINCT a.user_id) AS n_active
          FROM a JOIN c ON a.user_id = c.user_id
          GROUP BY 1, 2, 3""",
-    "q_dau_wau" ->
-      """WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
-                    FROM events WHERE user_id IS NOT NULL),
-              dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM a GROUP BY day),
-              w AS (SELECT a.user_id, a.day + g.i AS day
-                    FROM a, UNNEST(generate_series(0, 6)) AS g(i)),
-              wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM w GROUP BY day)
-         SELECT d.day, d.dau, w2.wau FROM dau d JOIN wau w2 ON d.day = w2.day""",
-    // the 63-bit md5-prefix content hash folded by exact integer sum —
-    // order-invariant, so both engines agree under any row order
-    "q_funnel_steps" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
-                    FROM events WHERE user_id IS NOT NULL),
-              t1 AS (SELECT user_id, min(ts_us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
-              t2 AS (SELECT e.user_id, min(e.ts_us) AS t2 FROM e JOIN t1 ON e.user_id = t1.user_id
-                     WHERE e.event_type = 'click' AND e.ts_us > t1.t1
-                       AND e.ts_us <= t1.t1 + 86400000000 GROUP BY 1),
-              t3 AS (SELECT e.user_id, min(e.ts_us) AS t3 FROM e JOIN t2 ON e.user_id = t2.user_id
-                     WHERE e.event_type = 'purchase' AND e.ts_us > t2.t2
-                       AND e.ts_us <= t2.t2 + 86400000000 GROUP BY 1)
-         SELECT 1 AS step, 'view' AS step_name, CAST((SELECT count(*) FROM t1) AS BIGINT) AS n_users
-         UNION ALL
-         SELECT 2, 'click', CAST((SELECT count(*) FROM t2) AS BIGINT)
-         UNION ALL
-         SELECT 3, 'purchase', CAST((SELECT count(*) FROM t3) AS BIGINT)""",
+    "q_dau_wau" -> dauWauSql,
+    // the streaming card converges to the batch table — SAME oracle
+    // (r18: the (user, day) cells are the streaming state's sufficient
+    // statistic; DAU/WAU are projections of the converged frame)
+    "q_dau_wau_streaming" -> dauWauSql,
+    "q_funnel_steps" -> funnelSql,
+    // the stateful-processor chain converges to the batch chain under
+    // ascending event-time micro-batches — SAME oracle
+    "q_funnel_steps_streaming" -> funnelSql,
     // rank = md5-prefix bucket replay (the splitAssign device); token
     // count is the shared whitespace-token formula
     "pp_rank_shards" ->
@@ -4694,17 +4866,13 @@ object PipelineQueries {
          FROM b""",
     "pp_anchor_text" ->
       s"""WITH $htmlCte,
-         l AS (SELECT doc_id,
-                      regexp_extract_all(html, '<a href="([^"]+)">([^<]*)</a>', 1) AS hrefs,
-                      regexp_extract_all(html, '<a href="([^"]+)">([^<]*)</a>', 2) AS anchors
-               FROM h),
-         e AS (SELECT doc_id, hrefs[g.i] AS href, anchors[g.i] AS anchor
-               FROM l, UNNEST(generate_series(1, len(hrefs))) AS g(i)),
-         pa AS (SELECT href, anchor, count(*) AS cnt FROM e GROUP BY 1, 2),
+         $anchorEdgeCte,
+         pa AS (SELECT href, anchor, count(*) AS cnt FROM e WHERE href IS NOT NULL GROUP BY 1, 2),
          top AS (SELECT href, anchor AS top_anchor, cnt AS top_cnt FROM (
                    SELECT *, row_number() OVER (PARTITION BY href ORDER BY cnt DESC, anchor ASC) AS rn
                    FROM pa) WHERE rn = 1),
-         tot AS (SELECT href, count(*) AS n_links, count(DISTINCT doc_id) AS n_docs FROM e GROUP BY 1)
+         tot AS (SELECT href, count(*) AS n_links, count(DISTINCT doc_id) AS n_docs
+                 FROM e WHERE href IS NOT NULL GROUP BY 1)
          SELECT t.href, t.n_links, t.n_docs, p.top_anchor, p.top_cnt
          FROM tot t JOIN top p ON t.href = p.href""",
     "pp_datacard" ->

@@ -286,24 +286,36 @@ object Warc {
       val b = in.read(); if (b < 0) bad(s"gzip: truncated $what"); b
     }
 
-    /** Parse one member header; false on clean EOF before any byte. */
+    /** Parse one member header; false on clean EOF before any byte.
+      * When FHCRC is set, CRC32 over every header byte up to (not
+      * including) the CRC16 field is verified against it (RFC 1952
+      * §2.3.1) — ADVICE r17: a garbled header with FHCRC set must fail
+      * here, not later at the body CRC.
+      */
     private def startMember(): Boolean = {
       val b0 = in.read()
       if (b0 < 0) return false
-      val b1 = expectByte("gzip magic")
+      val hcrc = new java.util.zip.CRC32
+      def hByte(what: String): Int = { val b = expectByte(what); hcrc.update(b); b }
+      hcrc.update(b0)
+      val b1 = hByte("gzip magic")
       if (b0 != 0x1f || b1 != 0x8b) bad(f"gzip: bad member magic $b0%02x$b1%02x")
-      val cm = expectByte("gzip CM")
+      val cm = hByte("gzip CM")
       if (cm != 8) bad(s"gzip: unsupported compression method $cm")
-      val flg = expectByte("gzip FLG")
+      val flg = hByte("gzip FLG")
       var i = 0
-      while (i < 6) { expectByte("gzip MTIME/XFL/OS"); i += 1 }
+      while (i < 6) { hByte("gzip MTIME/XFL/OS"); i += 1 }
       if ((flg & 4) != 0) { // FEXTRA: u16-LE length + payload
-        val xl = expectByte("FEXTRA len") | (expectByte("FEXTRA len") << 8)
-        var j = 0; while (j < xl) { expectByte("FEXTRA"); j += 1 }
+        val xl = hByte("FEXTRA len") | (hByte("FEXTRA len") << 8)
+        var j = 0; while (j < xl) { hByte("FEXTRA"); j += 1 }
       }
-      if ((flg & 8) != 0) while (expectByte("FNAME") != 0) ()
-      if ((flg & 16) != 0) while (expectByte("FCOMMENT") != 0) ()
-      if ((flg & 2) != 0) { expectByte("FHCRC"); expectByte("FHCRC") }
+      if ((flg & 8) != 0) while (hByte("FNAME") != 0) ()
+      if ((flg & 16) != 0) while (hByte("FCOMMENT") != 0) ()
+      if ((flg & 2) != 0) {
+        val want = expectByte("FHCRC") | (expectByte("FHCRC") << 8)
+        val got = (hcrc.getValue & 0xffffL).toInt
+        if (got != want) bad(f"gzip: member header CRC16 mismatch (want $want%04x got $got%04x)")
+      }
       inf.reset(); crc.reset(); inLen = 0
       inMember = true
       true

@@ -171,4 +171,55 @@ object Processors {
           }
       }
   }
+
+  /** Ordered-funnel first-timestamp chaining as a per-user stateful
+    * processor (r18, VERDICT r17 #2) — q_funnel_steps's chained-min
+    * shape maintained incrementally: state = (t1, t2, t3) µs
+    * first-timestamps (-1 = unset), each micro-batch advancing the
+    * chain view → click-within-`winUs`-of-t1 → purchase-within-`winUs`-
+    * of-t2. CONTRACT: micro-batches must arrive in ascending event-time
+    * order (the caller stages them with an ascending-ts `batchOf`), so
+    * each field is write-once — a later batch can never contain an
+    * earlier view/click/purchase — and the converged state equals the
+    * batch chain under any within-batch row order (mins are taken over
+    * the whole batch against the full eligibility window). Rows buffer
+    * per USER per MICRO-BATCH only (the two-pass eligibility needs the
+    * batch slice twice) — never the user's history.
+    *
+    * Input: (user_id, event_type, ts_us). Output (Update mode): the
+    * current (user, t1, t2, t3) snapshot after each batch that touches
+    * the user; fields are monotone unset→set, so the converged table is
+    * max-per-field per user.
+    */
+  def funnelChain(events: Dataset[(Long, String, Long)],
+                  winUs: Long): Dataset[(Long, Long, Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, String, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          val batch = rows.toArray // per-user-per-batch slice only
+          var (t1, t2, t3) = state.getOption.getOrElse((-1L, -1L, -1L))
+          if (t1 < 0) {
+            val vs = batch.collect { case (_, "view", ts) => ts }
+            if (vs.nonEmpty) t1 = vs.min
+          }
+          if (t1 >= 0 && t2 < 0) {
+            val cs = batch.collect {
+              case (_, "click", ts) if ts > t1 && ts <= t1 + winUs => ts
+            }
+            if (cs.nonEmpty) t2 = cs.min
+          }
+          if (t2 >= 0 && t3 < 0) {
+            val ps = batch.collect {
+              case (_, "purchase", ts) if ts > t2 && ts <= t2 + winUs => ts
+            }
+            if (ps.nonEmpty) t3 = ps.min
+          }
+          state.update((t1, t2, t3))
+          Iterator.single((user, t1, t2, t3))
+      }
+  }
 }

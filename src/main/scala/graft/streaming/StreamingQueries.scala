@@ -249,27 +249,33 @@ object StreamingQueries {
   }
 
   def runIngestStream(spark: SparkSession, batchDocs: DataFrame, corpus: DataFrame,
-                      allDocs: DataFrame, batchOf: org.apache.spark.sql.Column,
+                      batchOf: org.apache.spark.sql.Column,
                       jaccardMin: Double, tag: String,
                       semantic: Option[(DataFrame, graft.ann.IvfModel, Double, Int)] = None,
                       storeDirs: Option[scala.collection.mutable.Buffer[(String, String)]] = None): DataFrame = {
     val stream = stageStreamBatched(spark, batchDocs, batchOf, tag)
     val seenRoot = tmpDir(s"ingest-seen-$tag")
     val outRoot = tmpDir(s"ingest-out-$tag")
-    val corpusHashDir = tmpDir(s"ingest-corpus-$tag")
-    storeDirs.foreach(b => b ++= Seq("seen" -> seenRoot, "corpus" -> corpusHashDir))
-    corpus.select(md5(col("text")).as("h")).distinct()
-      .write.mode("overwrite").parquet(corpusHashDir)
-    // persist the gram-set frame ONCE (r17, VERDICT r16 #7): the inline
-    // verifyJaccard re-tokenized the ENTIRE corpus in every micro-batch
-    // (3 full shingle passes for 3 batches); with the sets persisted the
-    // tokenize pass is once-per-corpus and each batch's verify is two
-    // columnar reads + the pair joins — the same persist-once discipline
-    // as the semantic gate's cluster assignment below. Values are
-    // identical: parquet roundtrips the hashed-gram longs exactly.
-    val setsDir = tmpDir(s"ingest-sets-$tag")
-    graft.dedup.Dedup.gramSets(allDocs, "doc_id", "text")
-      .write.mode("overwrite").parquet(setsDir)
+    // ONE consolidated corpus-side store (r18, VERDICT r17 #7; extends
+    // the r17 persist-once discipline): the exact-hash gate and the
+    // gram-set verify read the SAME per-doc frame — (vid, toks, h,
+    // in_corpus) — written in ONE pass over the corpus∪batch docs
+    // instead of a distinct-md5 pass over the corpus PLUS a shingle
+    // pass over allDocs. Parquet column pruning keeps each gate's
+    // per-batch read to exactly its columns (h+in_corpus for the exact
+    // gate, vid+toks for the verify), so consolidating stores costs the
+    // joins nothing. Values identical: md5/gram longs roundtrip exactly,
+    // and an anti-join is indifferent to the corpus hashes no longer
+    // being pre-distinct'd.
+    val storeDir = tmpDir(s"ingest-store-$tag")
+    storeDirs.foreach(b => b ++= Seq("seen" -> seenRoot, "corpus" -> storeDir))
+    def sideStore(side: DataFrame, inCorpus: Boolean): DataFrame =
+      side.select(col("doc_id").as("vid"),
+        graft.dedup.Dedup.gramSet(spark, "text", 1).as("toks"),
+        md5(col("text")).as("h"), lit(inCorpus).as("in_corpus"))
+    sideStore(corpus, inCorpus = true)
+      .unionByName(sideStore(batchDocs, inCorpus = false))
+      .write.mode("overwrite").parquet(storeDir)
     // semantic stage setup: persist the corpus-side cluster assignment once
     val semState = semantic.map { case (emb, model, thr, cap) =>
       val dir = tmpDir(s"ingest-semasg-$tag")
@@ -286,7 +292,8 @@ object StreamingQueries {
       .option("checkpointLocation", tmpDir(s"ckpt-ingest-$tag"))
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, id: Long) =>
-        val corpusHashes = spark.read.parquet(corpusHashDir)
+        val store = spark.read.parquet(storeDir)
+        val corpusHashes = store.where(col("in_corpus")).select(col("h"))
         val priorDirs = seenBefore(id)
         val seen =
           if (priorDirs.isEmpty) corpusHashes.limit(0)
@@ -305,7 +312,7 @@ object StreamingQueries {
         val cand = graft.dedup.Dedup.crossBlockedPairs(fresh, corpus, "doc_id",
           Seq("lang" -> col("lang"), "n_chars" -> col("n_chars")))
         val nearDup = graft.dedup.Dedup
-          .verifyJaccardWithSets(cand, spark.read.parquet(setsDir))
+          .verifyJaccardWithSets(cand, store.select(col("vid"), col("toks")))
           .where(col("jaccard") >= jaccardMin)
           .select(col("a").as("doc_id")).distinct()
         val afterJac = fresh.join(nearDup, Seq("doc_id"), "left_anti")
@@ -468,6 +475,25 @@ object StreamingQueries {
       .format("memory")
       .queryName(queryName)
       .outputMode("append")
+      .option("checkpointLocation", tmpDir(s"ckpt-$queryName"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.table(queryName)
+  }
+
+  /** Run an already-built streaming DataFrame to a named in-memory sink
+    * in UPDATE mode — the output mode of flatMapGroupsWithState
+    * processors; the sink accumulates every per-batch snapshot, so a
+    * caller whose state fields are monotone reduces them to the
+    * converged row per key afterwards.
+    */
+  def runUpdateToMemory(spark: SparkSession, queryName: String, out: DataFrame): DataFrame = {
+    val q = out.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("update")
       .option("checkpointLocation", tmpDir(s"ckpt-$queryName"))
       .trigger(Trigger.AvailableNow())
       .start()

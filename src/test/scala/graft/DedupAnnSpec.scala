@@ -251,6 +251,57 @@ class DedupAnnSpec extends GraftTest {
     assert(recall >= 0.9, s"LSH recall $recall over ${truth.size} planted near-dup pairs")
   }
 
+  test("containment sketch arm: planted quote pairs surface; recall vs the exact arm") {
+    import spark.implicits._
+    // r18 (VERDICT r17 #4): certify the containment-MinHash production
+    // arm's RECALL, not just its hash replay. Planted: each base doc
+    // gets a companion holding its first 2/3 of words — shingle Jaccard
+    // ≈ 2/3 (steep on the 16×4 LSH curve: P(candidate) = 1-(1-J⁴)¹⁶ ≈
+    // 0.97) and containment(short in long) ≈ 1.0, squarely the
+    // quote-inclusion signal the sketch exists to catch. The measured
+    // floor is 0.9; the arm's DOCUMENTED blind spot — quotes under ~half
+    // the container's length bucket poorly (J = |A|/|B| < 0.5 → J⁴
+    // collapses) — is dd_chunk / dd_span's regime, stated in the query
+    // comment.
+    val base = docs.where(col("doc_id") < 60).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val planted = base.map { case (id, t) =>
+      val w = t.split(" ")
+      (id + 200000L, w.take(math.max(3, w.length * 2 / 3)).mkString(" "))
+    }
+    val all = (base ++ planted).toSeq.toDF("doc_id", "text")
+    val est = Dedup.containmentSketchPairs(all, "doc_id", "text", estThreshold = 0.3)
+    val found = Dedup.verifyContainment(est, all, "doc_id", "text", ngram = 3)
+      .where(greatest(col("cont_ab"), col("cont_ba")) >= 0.3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = base.map { case (id, _) => (id, id + 200000L) }.toSet
+    val recall = truth.count(found.contains).toDouble / truth.size
+    assert(recall >= 0.9,
+      s"containment sketch recall $recall over ${truth.size} planted quote pairs")
+    // and against the exact arm on the natural corpus: every pair the
+    // oracle-scale blocking arm verifies at 0.3 must also surface
+    // through the sketch path (measured 5/5 at sf0.01 — the sketch arm
+    // is a SUPERSET there: LSH buckets reach cross-length pairs the
+    // (lang, n_chars/32) blocking can't)
+    val exact = Dedup.verifyContainment(
+        Dedup.blockedPairs(docs, "doc_id",
+          Seq("lang" -> col("lang"), "blk" -> (col("n_chars") / lit(32)).cast("int")),
+          maxBucket = 1000),
+        docs, "doc_id", "text", ngram = 3)
+      .where(greatest(col("cont_ab"), col("cont_ba")) >= 0.3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (exact.nonEmpty) {
+      val sketch = Dedup.verifyContainment(
+          Dedup.containmentSketchPairs(docs, "doc_id", "text", estThreshold = 0.3),
+          docs, "doc_id", "text", ngram = 3)
+        .where(greatest(col("cont_ab"), col("cont_ba")) >= 0.3)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val natRecall = exact.count(sketch.contains).toDouble / exact.size
+      assert(natRecall >= 0.8,
+        s"sketch-arm recall of the exact arm's pairs: $natRecall (${exact.size} exact pairs)")
+    }
+  }
+
   test("minhash estimator property: |est - true jaccard| small over random set pairs") {
     import spark.implicits._
     // generate 100 random doc pairs with known overlap from a 2000-word

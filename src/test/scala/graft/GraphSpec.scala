@@ -169,16 +169,22 @@ class GraphSpec extends GraftTest {
     assert(out.map(_._1).toSet === expected)
   }
 
-  test("html links: two ordered anchors per page with the planted targets") {
+  test("html links: four ordered anchors per page incl. quoted/unquoted href variants") {
+    // r18 (VERDICT r17 #3): the fixture plants all three real-crawl href
+    // forms — double-quoted, single-quoted with attributes around href,
+    // and unquoted with whitespace around `=` — and the widened
+    // extraction must surface every one, in tag order.
     val out = PipelineQueries.all("txt_html_links")(spark, sf).cache()
     val total = Graft.documents(spark, sf).count()
-    assert(out.count() === 2 * total)
+    assert(out.count() === 4 * total)
     val first = out.where(col("doc_id") === 10L)
       .orderBy("link_idx").collect()
       .map(r => (r.getLong(1), r.getString(2), r.getString(3)))
     assert(first.toSeq === Seq(
       (1L, "https://example3.com/p10", "read 10"),
-      (2L, "https://example1.org/q10", "more 10")))
+      (2L, "https://example1.org/q10", "more 10"),
+      (3L, "https://example0.net/r10", "next 1"),
+      (4L, "https://ex0.io/s0", "go 4")))
     out.unpersist()
   }
 

@@ -594,6 +594,39 @@ class PlanSpec extends GraftTest {
       s"pp_mlm_mask: expected exactly one md5 evaluation in-plan, got $md5s:\n${m.take(3000)}")
   }
 
+  test("r18 pin: dd_lsh_resolve persists signatures ONCE; pair plan reads the store") {
+    // VERDICT r17 #6: the pair plan consumes the MinHash signature frame
+    // three times (banding + both estimate-join sides); the query now
+    // persists it once per build and every consumer reads the store
+    // back. The query's RETURNED plan is the post-checkpoint component
+    // anti-join (components materialize at build), so the pin checks
+    // (a) exactly one signature store is written per build, and (b) the
+    // pair plan over the persisted store carries NO shingle+minhash
+    // aggregation — only columnar store reads + the banded join.
+    val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    def sigDirs: Set[String] = {
+      val l = java.nio.file.Files.list(tmpRoot)
+      try {
+        val b = scala.collection.mutable.Set.empty[String]
+        l.forEach(p =>
+          if (p.getFileName.toString.startsWith("graft-lshsigs")) b += p.toString)
+        b.toSet
+      } finally l.close()
+    }
+    val before = sigDirs
+    SparkEntry.queries("dd_lsh_resolve")(spark, sf).collect()
+    val created = sigDirs -- before
+    assert(created.size === 1,
+      s"expected exactly ONE persisted signature store per build, got ${created.size}")
+    val pairs = graft.dedup.Dedup.minhashPairsFromSigs(
+      spark.read.parquet(created.head), threshold = 0.5)
+    val pe = pairs.queryExecution.executedPlan.toString
+    assert(pe.contains("graft-lshsigs"),
+      s"pair plan must read the persisted signature store:\n${pe.take(3000)}")
+    assert(!pe.contains("minhash_agg") && !pe.contains("shingle_hashes"),
+      s"pair plan must not re-aggregate signatures or re-tokenize:\n${pe.take(3000)}")
+  }
+
   test("dd_containment_sketch: capBuckets guard in-plan, no cartesian product") {
     // the containment-MinHash production arm must keep the same
     // discipline as minhashPairs: banded bucket join behind the cap

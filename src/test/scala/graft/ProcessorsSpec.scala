@@ -481,7 +481,7 @@ class ProcessorsSpec extends GraftTest {
     val all = batch.unionByName(corpus)
     val batchOf = least(col("doc_id") / 10, lit(2)).cast("int") // ascending thirds
     val out = graft.streaming.StreamingQueries
-      .runIngestStream(spark, batch, corpus, all, batchOf, jaccardMin = 0.5, tag = "spec")
+      .runIngestStream(spark, batch, corpus, batchOf, jaccardMin = 0.5, tag = "spec")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(out.map(_._1) === Set(0L, 30L),
       s"expected 20 dropped by cross-batch state and 10 by the near-dup gate, got $out")
@@ -532,7 +532,7 @@ class ProcessorsSpec extends GraftTest {
       (2L, Array(-0.9f, 0.1f))).toDF("vec_id", "embedding")
     val batchOf = least(col("doc_id") / 10, lit(2)).cast("int")
     val out = graft.streaming.StreamingQueries
-      .runIngestStream(spark, batch, corpus, all, batchOf, jaccardMin = 0.5,
+      .runIngestStream(spark, batch, corpus, batchOf, jaccardMin = 0.5,
         tag = "semspec", semantic = Some((emb, model, 0.95, 100)))
       .collect().map(_.getLong(0)).toSet
     assert(out === Set(10L, 30L),
