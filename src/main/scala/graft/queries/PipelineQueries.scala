@@ -3114,6 +3114,30 @@ object PipelineQueries {
         .select("cohort_wk", "wk", "weeks_since", "n_active")
     }),
 
+    "q_retention_streaming" -> ((s, d) => {
+      // the retention triangle maintained AT INGEST by the real
+      // streaming engine (r18) — completing the product-analytics
+      // family's streaming twins (q_dau_wau_streaming's device
+      // verbatim): the streaming state is the (user, week) presence
+      // cells — one complete-mode count aggregation with the house
+      // state-cleanup + recompute round — and the cohort week +
+      // triangle rollup are projections of the CONVERGED frame (the
+      // per-user window is bounded by distinct active weeks, never raw
+      // events). Shares q_retention's oracle verbatim.
+      import org.apache.spark.sql.expressions.Window
+      val cells = graft.streaming.StreamingQueries.runWithStateCleanup(
+        s, d, "events", "q_retention_stream",
+        df => df.where(col("user_id").isNotNull)
+          .select(col("user_id"), expr("(ts div 1000) div 604800000000").as("wk"))
+          .groupBy("user_id", "wk").agg(count(lit(1)).as("n")))
+      cells.select("user_id", "wk")
+        .withColumn("cohort_wk", min("wk").over(Window.partitionBy("user_id")))
+        .groupBy("cohort_wk", "wk")
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .withColumn("weeks_since", col("wk") - col("cohort_wk"))
+        .select("cohort_wk", "wk", "weeks_since", "n_active")
+    }),
+
     "q_dau_wau" -> ((s, d) => {
       // DAU/WAU rolling-active-users (r17) — the other canonical
       // product-analytics table next to q_retention: per µs-epoch day
@@ -3908,6 +3932,17 @@ object PipelineQueries {
               CAST(length(trim(regexp_replace(t, '\\s+', ' ', 'g'))) AS BIGINT) AS clean_chars
        FROM c9"""
 
+  /** Cohort-retention replay shared by the batch entry and its streaming
+    * twin (r18 — the converged (user, week) cell state equals the batch
+    * deduped frame). */
+  private val retentionSql: String =
+    """WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+            c AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY user_id)
+       SELECT c.cohort_wk, a.wk, a.wk - c.cohort_wk AS weeks_since,
+              count(DISTINCT a.user_id) AS n_active
+       FROM a JOIN c ON a.user_id = c.user_id
+       GROUP BY 1, 2, 3"""
+
   /** DAU/WAU replay shared by the batch entry and its streaming twin
     * (r18 — the converged (user, day) cell state equals the batch
     * deduped frame). */
@@ -4094,13 +4129,11 @@ object PipelineQueries {
          FROM e JOIN st USING (event_type)
          WHERE (st.n * e.cents - st.s1) * (st.n * e.cents - st.s1)
                > 9 * (st.n * st.q - st.s1 * st.s1)""",
-    "q_retention" ->
-      """WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
-              c AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY user_id)
-         SELECT c.cohort_wk, a.wk, a.wk - c.cohort_wk AS weeks_since,
-                count(DISTINCT a.user_id) AS n_active
-         FROM a JOIN c ON a.user_id = c.user_id
-         GROUP BY 1, 2, 3""",
+    "q_retention" -> retentionSql,
+    // the streaming triangle converges to the batch one — SAME oracle
+    // (r18: the (user, week) cells are the streaming state's sufficient
+    // statistic; cohort + triangle are projections of the converged frame)
+    "q_retention_streaming" -> retentionSql,
     "q_dau_wau" -> dauWauSql,
     // the streaming card converges to the batch table — SAME oracle
     // (r18: the (user, day) cells are the streaming state's sufficient
