@@ -91,6 +91,16 @@ object StreamingQueries {
   def stageStreamBatched(spark: SparkSession, src: DataFrame,
                          batchOf: org.apache.spark.sql.Column,
                          tag: String = "df"): DataFrame = {
+    val dir = stageBatchedDir(spark, src, batchOf, tag)
+    spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+  }
+
+  /** The staging half of [[stageStreamBatched]]: write the N batch files
+    * and return the directory. */
+  def stageBatchedDir(spark: SparkSession, src: DataFrame,
+                      batchOf: org.apache.spark.sql.Column,
+                      tag: String): String = {
     val batchDir = Paths.get(tmpDir(s"streamN-$tag"))
     val tagged = src.withColumn("_b", batchOf.cast("int"))
     val nMax = tagged.agg(max(col("_b"))).head().getInt(0)
@@ -108,9 +118,29 @@ object StreamingQueries {
       Files.setLastModifiedTime(target,
         java.nio.file.attribute.FileTime.fromMillis(now - (nMax - i) * 120000L))
     }
-    spark.readStream.schema(src.schema)
-      .option("maxFilesPerTrigger", 1).parquet(batchDir.toString)
+    batchDir.toString
   }
+
+  /** [[stageStreamBatched]] with the staged directory cached per
+    * (key) for the life of the JVM (r18): the bench runs a query
+    * several times per process, and the staged input is a pure function
+    * of (corpus, batchOf) — re-staging each rep times dirty-page write
+    * variance instead of the operator (the s_partition_prune lesson,
+    * CoreQueries.cachedSetup). `batchOf` is by-name so cache hits skip
+    * its bounded max-probe too. The CHECKPOINT stays fresh per run
+    * (each sink helper makes its own), so the stream itself re-executes
+    * fully every rep — only the byte-identical input layout is reused.
+    */
+  def stageStreamBatchedCached(spark: SparkSession, src: DataFrame,
+                               tag: String, key: String)
+                              (batchOf: => org.apache.spark.sql.Column): DataFrame = {
+    val dir = stagedBatchDirs.computeIfAbsent(key,
+      _ => stageBatchedDir(spark, src, batchOf, tag))
+    spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+  }
+  private val stagedBatchDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** J6-J8 / A6 through the real streaming engine. A KTable is a
     * changelog, and a table-table join (or table re-aggregation) emits an
