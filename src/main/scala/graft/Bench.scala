@@ -44,7 +44,7 @@ object Bench {
     "s_npz", "s_npy", "pp_robots", "pp_sft_multiturn", "pp_datacard_streaming",
     "g_lpa", "q_retention", "q_dau_wau", "q_funnel_steps",
     "q_dau_wau_streaming", "q_funnel_steps_streaming", "q_retention_streaming",
-    "txt_oov", "q_outliers",
+    "txt_oov", "q_outliers", "q_outliers_streaming",
     "pp_mlm_mask", "pp_corpus_fingerprint", "pp_rank_shards",
     "mm_features", "mm_resize", "mm_quantize", "mm_decode", "mm_decode_jpeg", "mm_jpeg_coefs", "mm_jpeg_420", "mm_jpeg_rgb", "mm_decode_png", "mm_audio_fft", "mm_audio_mel", "mm_audio_decimate", "mm_audio_fingerprint", "dd_audio_neardup", "dd_image_phash", "dd_image_phash_dct", "dd_image_resolve", "dd_image_neardup", "dd_image_neardup_dct", "mm_video_mjpeg", "mm_video_scenes", "mm_resize_box", "mm_text_image_score", "txt_sentences", "ann_assign_streaming",
     "sk_cms", "sk_hll_merge", "sk_hll_overlap", "sk_heavy", "sk_heavy_merge")
@@ -62,7 +62,7 @@ object Bench {
     "pp_ingest_streaming", "pp_ingest_media", "pp_ingest_media_dct",
     "pp_datacard_streaming", "dd_stream_dedup_watermark",
     "ann_assign_streaming", "q_dau_wau_streaming", "q_funnel_steps_streaming",
-    "q_retention_streaming")
+    "q_retention_streaming", "q_outliers_streaming")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

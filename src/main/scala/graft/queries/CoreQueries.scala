@@ -2070,9 +2070,14 @@ object CoreQueries {
         .otherwise(least(
           expr(s"((ts - ${minTs}L) * 3) div ${maxTs - minTs + 1L}L"),
           lit(2)).cast("int"))
+    // the staged frame (events + sentinels + time-tertile batch column)
+    // is identical for BOTH sides and EVERY join flavor — one session-
+    // cached staging serves j2/j3_streaming's four readStream sources
+    // (r18; the bounds probe above stays per-call, it feeds the join
+    // columns too)
     def side(tag: String) =
-      StreamingQueries.stageStreamBatched(s, withSentinels,
-          batchCol, s"ev-$queryName-$tag")
+      StreamingQueries.stageStreamBatchedCached(s, withSentinels,
+          "ev-ssjoin", s"ssjoin|$d")(batchCol)
         .select(col("event_id").as(s"${tag}_event_id"),
           col("user_id").cast("string").as(s"${tag}_key"),
           col("event_type").as(s"${tag}_type"),

@@ -1642,8 +1642,11 @@ object PipelineQueries {
             lit(21) + pmod(col("user_id"), lit(5)))
           .otherwise(lit(20) + pmod(col("user_id"), lit(7))))
           .as("event_time"))
-      val stream = graft.streaming.StreamingQueries.stageStreamBatched(
-        s, src, pmod(col("event_id"), lit(3)), "ddwm")
+      // staging is session-cached per corpus (r18, the q_funnel device):
+      // reps re-run the watermark state machine from a fresh checkpoint
+      // over the byte-identical three-file layout
+      val stream = graft.streaming.StreamingQueries.stageStreamBatchedCached(
+        s, src, "ddwm", s"ddwm|$d")(pmod(col("event_id"), lit(3)))
       val out = stream
         .withWatermark("event_time", "1 hour")
         .dropDuplicatesWithinWatermark("user_id")
@@ -3091,6 +3094,38 @@ object PipelineQueries {
         .select("event_id", "event_type", "cents")
     }),
 
+    "q_outliers_streaming" -> ((s, d) => {
+      // the 3-sigma outlier gate maintained AT INGEST by the real
+      // streaming engine (r18) — completing the product-analytics
+      // family's streaming twins (retention/DAU-WAU/funnel/outliers):
+      // the streaming state is the per-type moment triple (n, Σx, Σx²)
+      // — K rows, one complete-mode aggregation, with the quadratic
+      // summed in DECIMAL(38) from the operand up (the q_outliers
+      // exactness discipline holds on the stream too: a wrapped int64
+      // Σx² flags wrong outliers at exactly the scale the gate exists
+      // for, and the state store carries decimals exactly). Flagging is
+      // a projection of the CONVERGED frame: the K-row stats broadcast-
+      // join the batch events scan exactly as the batch form — moments
+      // are the sufficient statistic, so no per-event streaming state
+      // is ever held. Shares q_outliers's oracle verbatim.
+      val cDec = col("cents").cast("decimal(38,0)")
+      val stats = graft.streaming.StreamingQueries.runCompleteAggToMemory(
+        s, d, "events", "q_outliers_stream",
+        df => df.select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("event_type").agg(
+            count(lit(1)).as("n"), sum(cDec).as("s1"),
+            sum(cDec * col("cents")).as("q")))
+      val ev = Graft.events(s, d).select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val dev = col("n").cast("decimal(38,0)") * col("cents") - col("s1")
+      val varTerm = col("n").cast("decimal(38,0)") * col("q") -
+        col("s1") * col("s1")
+      ev.join(broadcast(stats), Seq("event_type"))
+        .where(dev * dev > varTerm * lit(9))
+        .select("event_id", "event_type", "cents")
+    }),
+
     "q_retention" -> ((s, d) => {
       // cohort retention (r16) — the canonical product-analytics
       // triangle: users cohorted by FIRST-activity week, activity
@@ -3961,6 +3996,20 @@ object PipelineQueries {
             wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM w GROUP BY day)
        SELECT d.day, d.dau, w2.wau FROM dau d JOIN wau w2 ON d.day = w2.day"""
 
+  /** 3-sigma replay shared by the batch entry and its streaming twin
+    * (r18 — the converged per-type (n, Σx, Σx²) moment state equals the
+    * batch moments; DuckDB's HUGEINT quadratics mirror Spark's
+    * DECIMAL(38) exactly). */
+  private val outliersSql: String =
+    """WITH e AS (SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+            st AS (SELECT event_type, count(*) AS n, sum(cents) AS s1,
+                          sum(cents * cents) AS q
+                   FROM e GROUP BY 1)
+       SELECT e.event_id, e.event_type, e.cents
+       FROM e JOIN st USING (event_type)
+       WHERE (st.n * e.cents - st.s1) * (st.n * e.cents - st.s1)
+             > 9 * (st.n * st.q - st.s1 * st.s1)"""
+
   /** Funnel replay shared by the batch entry and its stateful-processor
     * streaming twin (r18 — ascending event-time micro-batches make the
     * per-user (t1, t2, t3) chain state write-once, so the converged
@@ -4126,15 +4175,11 @@ object PipelineQueries {
     // PageRank replay + degree profile (GraphOracleSql).
     "g_lpa" -> GraphOracleSql.labelPropagation(),
     // HUGEINT quadratics mirror Spark's DECIMAL(38) exactly
-    "q_outliers" ->
-      """WITH e AS (SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
-              st AS (SELECT event_type, count(*) AS n, sum(cents) AS s1,
-                            sum(cents * cents) AS q
-                     FROM e GROUP BY 1)
-         SELECT e.event_id, e.event_type, e.cents
-         FROM e JOIN st USING (event_type)
-         WHERE (st.n * e.cents - st.s1) * (st.n * e.cents - st.s1)
-               > 9 * (st.n * st.q - st.s1 * st.s1)""",
+    "q_outliers" -> outliersSql,
+    // the streaming moments converge to the batch moments — SAME oracle
+    // (r18: the per-type (n, Σx, Σx²) triple is the streaming state's
+    // sufficient statistic; flagging is a projection of the converged frame)
+    "q_outliers_streaming" -> outliersSql,
     "q_retention" -> retentionSql,
     // the streaming triangle converges to the batch one — SAME oracle
     // (r18: the (user, week) cells are the streaming state's sufficient

@@ -659,4 +659,30 @@ class ProcessorsSpec extends GraftTest {
     assert(got === Seq(("A", 3L), ("A", 23L), ("B", 23L),
       ("F", 22L), ("G", 21L), ("G", 23L)))
   }
+
+  test("stageStreamBatchedCached stages once per key and re-streams the full layout") {
+    import graft.streaming.StreamingQueries
+    val src = spark.range(0, 30).selectExpr("id", "id % 3 AS grp")
+    val probes = new java.util.concurrent.atomic.AtomicInteger(0)
+    def batchOf = { probes.incrementAndGet(); col("grp") }
+    def drain(name: String): Seq[Long] = {
+      val q = StreamingQueries
+        .stageStreamBatchedCached(spark, src, "cachedstage", "cachedstage|spec")(batchOf)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("csck").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(); q.stop()
+      spark.table(name).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    }
+    // two runs, one staging: the thunk (and its max-probe) fires once,
+    // and the second run still streams every row from a fresh checkpoint
+    assert(drain("cs_a") === (0L until 30L))
+    assert(drain("cs_b") === (0L until 30L))
+    assert(probes.get() === 1)
+    // a different key is a different staging
+    StreamingQueries
+      .stageStreamBatchedCached(spark, src, "cachedstage", "cachedstage|spec2")(batchOf)
+    assert(probes.get() === 2)
+  }
 }
