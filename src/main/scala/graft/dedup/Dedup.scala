@@ -1031,8 +1031,19 @@ object Dedup {
     // auto-reliable: a session that configured a checkpoint store gets
     // executor-loss-proof rounds without opting in per call
     val reliable = checkpointDir.isDefined || existingDir.isDefined
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    // `pairs` is referenced twice (the undirected union swaps the
+    // columns — two different projections, so ReuseExchange cannot
+    // deduplicate them) and is typically the LAZY tail of a whole
+    // candidate-generation + verify pipeline: without materialization
+    // that pipeline executed end-to-end TWICE just to build the edge
+    // list (measured: dd_lsh_resolve's components stage 3.1 s lazy vs
+    // 1.2 s over a materialized pair frame at sf0.1). Persist the slim
+    // (a, b) projection once — pair sets are the SMALL output of capped
+    // candidate generation at any scale — and release it as soon as the
+    // edge list itself is materialized below (r18 optimization).
+    val p = pairs.select(col("a"), col("b")).persist(MEMORY_AND_DISK)
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
       .distinct().persist(MEMORY_AND_DISK)
     // Checkpoint (not persist) after every round: each round's plan
     // references the previous round's frame multiple times, so WITHOUT
@@ -1046,8 +1057,19 @@ object Dedup {
     // RDDs (unpersist + reliable-file delete) — relying on GC +
     // ContextCleaner would hold O(rounds) full label copies in executor
     // storage / the checkpoint store mid-algorithm.
+    // LAZY local checkpoints (r18 optimization, guide §1.2): eager
+    // materialization cost one scheduled job per checkpoint — 3 jobs per
+    // round (stepped, next, convergence probe) of mostly scheduling
+    // overhead on small-to-moderate pair sets. localCheckpoint(eager =
+    // false) is persist-backed, so each round's stepped/next materialize
+    // AS PART OF the round's convergence-probe job (1 job per round),
+    // computed exactly once (block-level locking serves the self-join's
+    // second reference from the cache) — lineage truncation and the
+    // release contract are unchanged. Reliable mode stays EAGER: an
+    // un-persisted RDD.checkpoint() re-runs the computation at
+    // materialization, and executor-loss-safety is the mode's point.
     def ckpt(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      if (reliable) df.checkpoint() else df.localCheckpoint(eager = false)
     def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
       df.queryExecution.analyzed.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
@@ -1070,10 +1092,19 @@ object Dedup {
     // returned frame is checkpointed, so downstream consumers plan at
     // the caller's width).
     val nEdges = edges.count()
+    p.unpersist(blocking = false) // edges are materialized; the pair cache is done
     val conf = pairs.sparkSession.conf
     val confParts = conf.get("spark.sql.shuffle.partitions")
     val loopParts = math.max(1L, math.min(confParts.toLong, nEdges / 65536L + 1L))
     conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    // At loopParts == 1 there is nothing for AQE to adapt (no partitions
+    // to coalesce, no skew to split) and its stage-by-stage re-planning
+    // adds scheduling latency to every round job — disable it for the
+    // loop, restore after (r18 optimization). Any loop wider than one
+    // partition keeps AQE: that is the regime where its coalescing and
+    // skew handling earn their cost.
+    val confAqe = conf.get("spark.sql.adaptive.enabled")
+    if (loopParts == 1L) conf.set("spark.sql.adaptive.enabled", "false")
     try {
     var labels = ckpt(edges.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node")))
@@ -1127,7 +1158,10 @@ object Dedup {
     }
     edges.unpersist()
     labels
-    } finally conf.set("spark.sql.shuffle.partitions", confParts)
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", confParts)
+      conf.set("spark.sql.adaptive.enabled", confAqe)
+    }
   }
 
   /** End-to-end dedup resolution: given the corpus and a verified

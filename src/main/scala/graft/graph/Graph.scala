@@ -75,9 +75,11 @@ object Graph {
     val e = edges.join(deg, Seq("src"))
       .select(col("src"), col("dst"), col("outdeg"))
       .persist(MEMORY_AND_DISK)
-    e.count() // force once, before round-1 plans race to build it twice
+    val nEdges = e.count() // force once, before round-1 plans race to build it twice
     val base = nodes.select(col("node")).withColumn("tp", lit(teleport))
-    iterate(e, base, iterations, microScale, damping)
+    withLoopParallelism(e.sparkSession, nEdges) {
+      iterate(e, base, iterations, microScale, damping)
+    }
   }
 
   /** Personalized PageRank (the crawl-frontier / seed-quality variant:
@@ -104,18 +106,65 @@ object Graph {
     val e = edges.join(deg, Seq("src"))
       .select(col("src"), col("dst"), col("outdeg"))
       .persist(MEMORY_AND_DISK)
-    e.count()
+    val nEdges = e.count()
     // distinct: a duplicated seed row would otherwise FAN OUT the base
     // left join and double-count that node every round
     val base = nodes.select(col("node"))
       .join(distinctSeeds.withColumn("_s", lit(1)), Seq("node"), "left")
       .select(col("node"),
         when(col("_s").isNotNull, lit(perSeed)).otherwise(lit(0L)).as("tp"))
-    iterate(e, base, iterations, microScale, damping)
+    withLoopParallelism(e.sparkSession, nEdges) {
+      iterate(e, base, iterations, microScale, damping)
+    }
+  }
+
+  /** Loop parallelism proportional to the measured edge volume — the
+    * [[graft.dedup.Dedup.connectedComponents]] sizing discipline applied
+    * to the K-round graph loops (r18 optimization, guide §2.2): each
+    * round's joins/aggregations are separated from the next by a
+    * checkpoint, which defeats AQE's coalescing, so the loop width must
+    * be chosen here. ~64k edges per reducer, clamped at the session's
+    * configured width — a 100 TB edge list keeps every reducer, while a
+    * small graph stops paying (width × stages × rounds) task-scheduling
+    * overhead (measured at sf0.1: the four g_* entries each run ~2x
+    * faster with 1 loop partition than with 32; ranks are exact integer
+    * arithmetic, so the result is bit-identical at any width). The
+    * session conf is restored in `finally`; the returned frame is
+    * checkpointed, so downstream consumers plan at the caller's width.
+    */
+  private def withLoopParallelism[A](spark: org.apache.spark.sql.SparkSession,
+                                     nEdges: Long)(body: => A): A = {
+    val conf = spark.conf
+    val confParts = conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.max(1L, math.min(confParts.toLong, nEdges / 65536L + 1L))
+    conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    // at 1 loop partition there is nothing for AQE to adapt; its
+    // stage-by-stage re-planning only adds latency to every round job —
+    // the connectedComponents rule (Dedup.scala), shared here
+    val confAqe = conf.get("spark.sql.adaptive.enabled")
+    if (loopParts == 1L) conf.set("spark.sql.adaptive.enabled", "false")
+    try body
+    finally {
+      conf.set("spark.sql.shuffle.partitions", confParts)
+      conf.set("spark.sql.adaptive.enabled", confAqe)
+    }
   }
 
   /** The shared checkpointed power-iteration loop over a degree-
-    * annotated PERSISTED edge list and a (node, tp) teleport frame. */
+    * annotated PERSISTED edge list and a (node, tp) teleport frame.
+    *
+    * Rounds are checkpointed every `ckptEvery = 8` iterations plus once
+    * at the END (r18 optimization, guide §1.2 "remove unnecessary
+    * passes"): [[pageRankRound]] references the previous round's frame
+    * exactly ONCE, so lineage between checkpoints grows linearly and a
+    * bounded stretch of rounds executes as ONE job instead of one eager
+    * materialization job per round (at the default K = 4 the whole loop
+    * is a single job; measured at sf0.1 the g_pagerank family drops
+    * ~25-40%). At any K the plan stays ≤ ckptEvery rounds deep — the
+    * constant-size-at-any-K contract keeps holding, with a bounded
+    * constant instead of 1. The final round is always materialized so
+    * the edge unpersist below can never force a re-derivation.
+    */
   private def iterate(e: DataFrame, base: DataFrame, iterations: Int,
                       microScale: Long, damping: Int): DataFrame = {
     val sc = base.sparkSession.sparkContext
@@ -132,15 +181,19 @@ object Graph {
           p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
         }
       }
+    val ckptEvery = 8
     var ranks = base.select(col("node"), lit(microScale).as("r"))
     var prev: Option[DataFrame] = None
     try {
-      for (_ <- 1 to iterations) {
+      for (i <- 1 to iterations) {
         val next = pageRankRound(e, base, ranks, damping)
-        val materialized = ckpt(next)
-        prev.foreach(release)
-        prev = Some(materialized)
-        ranks = materialized
+        ranks =
+          if (i % ckptEvery == 0 || i == iterations) {
+            val materialized = ckpt(next)
+            prev.foreach(release)
+            prev = Some(materialized)
+            materialized
+          } else next
       }
       ranks.select(col("node"), col("r").as("rank_micro"))
     } finally e.unpersist(blocking = false)
@@ -169,7 +222,7 @@ object Graph {
       .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
       .where(col("a") =!= col("b")).distinct()
       .persist(MEMORY_AND_DISK)
-    und.count() // force once, before round-1 plans race to build it twice
+    val nEdges = und.count() // force once, before round-1 plans race to build it twice
     val base = nodes.select(col("node"))
     val sc = base.sparkSession.sparkContext
     val reliable = sc.getCheckpointDir.isDefined
@@ -185,10 +238,18 @@ object Graph {
           p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
         }
       }
+    // labels is referenced TWICE per round (the neighbor join and the
+    // zero-fill join), so an un-checkpointed round would RE-EXECUTE the
+    // previous round's work once per reference — measured at sf0.1,
+    // ckptEvery = 2 made g_lpa ~25% SLOWER (1.5 → 1.9 s; the duplicated
+    // recompute costs more than the saved materialization), unlike
+    // pageRank's single-reference round. Per-round checkpointing is the
+    // right call here; kept at 1 deliberately (r18 optimization audit).
+    val ckptEvery = 1
     var labels = base.select(col("node"), col("node").as("label"))
     var prev: Option[DataFrame] = None
-    try {
-      for (_ <- 1 to iterations) {
+    try withLoopParallelism(base.sparkSession, nEdges) {
+      for (i <- 1 to iterations) {
         // argmax by (count, min label): max(struct(c, -label)) picks the
         // highest count, then the LEAST label (ids are non-negative, so
         // negation orders them in reverse) — the deterministic tie rule
@@ -199,10 +260,13 @@ object Graph {
           .select(col("a").as("node"), (-col("w.nl")).as("winner"))
         val next = labels.join(win, Seq("node"), "left")
           .select(col("node"), coalesce(col("winner"), col("label")).as("label"))
-        val materialized = ckpt(next)
-        prev.foreach(release)
-        prev = Some(materialized)
-        labels = materialized
+        labels =
+          if (i % ckptEvery == 0 || i == iterations) {
+            val materialized = ckpt(next)
+            prev.foreach(release)
+            prev = Some(materialized)
+            materialized
+          } else next
       }
       labels.select(col("node"), col("label").as("community"))
     } finally und.unpersist(blocking = false)

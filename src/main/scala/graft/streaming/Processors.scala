@@ -187,9 +187,13 @@ object Processors {
     * batch slice twice) — never the user's history.
     *
     * Input: (user_id, event_type, ts_us). Output (Update mode): the
-    * current (user, t1, t2, t3) snapshot after each batch that touches
-    * the user; fields are monotone unset→set, so the converged table is
-    * max-per-field per user.
+    * (user, t1, t2, t3) snapshot after each batch that CHANGES the
+    * user's state (first appearance included — the state write); fields
+    * are monotone unset→set, so the converged table is max-per-field
+    * per user, and suppressing unchanged re-emissions (r18 optimization)
+    * drops only rows a later snapshot of the same user duplicates —
+    * update-mode semantics, and the sink/downstream reduce see fewer
+    * rows with an identical converged result.
     */
   def funnelChain(events: Dataset[(Long, String, Long)],
                   winUs: Long): Dataset[(Long, Long, Long, Long)] = {
@@ -201,7 +205,8 @@ object Processors {
         (user: Long, rows: Iterator[(Long, String, Long)],
          state: GroupState[(Long, Long, Long)]) =>
           val batch = rows.toArray // per-user-per-batch slice only
-          var (t1, t2, t3) = state.getOption.getOrElse((-1L, -1L, -1L))
+          val prior = state.getOption
+          var (t1, t2, t3) = prior.getOrElse((-1L, -1L, -1L))
           if (t1 < 0) {
             val vs = batch.collect { case (_, "view", ts) => ts }
             if (vs.nonEmpty) t1 = vs.min
@@ -219,7 +224,8 @@ object Processors {
             if (ps.nonEmpty) t3 = ps.min
           }
           state.update((t1, t2, t3))
-          Iterator.single((user, t1, t2, t3))
+          if (prior.contains((t1, t2, t3))) Iterator.empty
+          else Iterator.single((user, t1, t2, t3))
       }
   }
 }

@@ -31,6 +31,55 @@ object StreamingQueries {
     d.toAbsolutePath.toString
   }
 
+  /** Scale-adaptive state partitioning for the stateful streaming twins
+    * (r18 optimization, guide §2.2): a streaming stateful operator pins
+    * its shuffle-partition count when the query starts — AQE is disabled
+    * on streams, so the width must be sized HERE, to the stream's input
+    * volume, the same way [[graft.dedup.Dedup.connectedComponents]]
+    * sizes its loop. One state partition per
+    * `SPARK_GRAFT_STREAM_PART_BYTES` of input (default 32 MiB — the
+    * state-store-commit analog of a ~128 MB scan task given that state
+    * is a reduction of input), clamped to [1, session width]: a 100 TB
+    * ingest keeps the session's full width, while a bench-SF stream
+    * stops paying per-trigger commit overhead for 32 near-empty state
+    * stores. Measured (StreamProbe2, sf0.1 events, complete-mode
+    * (user,day) agg): the HDFS-backed store's commit path contends
+    * superlinearly in instance count — summed commitTimeMs 10.8-51 s at
+    * 32 stores vs 0.6 s at 8 — and the trigger drops 1.7-2.4 s → 1.1 s;
+    * the same state on tmpfs is NOT faster, so it is commit-path
+    * contention, not fsync. Values are partition-count-invariant (exact
+    * per-key aggregations / per-key processors), so results are
+    * bit-identical at any width. Session conf restored in `finally`;
+    * post-convergence consumers plan at the caller's width.
+    */
+  def withStreamParts[A](spark: SparkSession, inputBytes: Long)(body: => A): A = {
+    if (inputBytes < 0) body
+    else {
+      val conf = spark.conf
+      val prev = conf.get("spark.sql.shuffle.partitions")
+      val target = sys.env.getOrElse("SPARK_GRAFT_STREAM_PART_BYTES",
+        (32L << 20).toString).toLong
+      val parts = math.max(1L,
+        math.min(prev.toLong, inputBytes / math.max(1L, target) + 1L))
+      conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try body
+      finally conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
+
+  /** Total byte size of a file or directory tree — the input-volume
+    * probe [[withStreamParts]] sizes state partitioning from. */
+  def pathBytes(path: String): Long = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) 0L
+    else {
+      val walk = Files.walk(p)
+      try walk.filter(Files.isRegularFile(_))
+        .mapToLong(f => Files.size(f)).sum()
+      finally walk.close()
+    }
+  }
+
   /** Micro-batch assignment for the streaming-twin harnesses: ascending
     * `idCol` n-tiles computed ARITHMETICALLY from one bounded 1-row max —
     * batch i holds ids in [i·(max+1)/n, (i+1)·(max+1)/n) — so staging
@@ -141,6 +190,12 @@ object StreamingQueries {
   }
   private val stagedBatchDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Input-volume probe for a [[stageStreamBatchedCached]] stream: the
+    * staged directory's byte size under its cache `key` (0 if not yet
+    * staged) — what callers hand to [[withStreamParts]]. */
+  def stagedBytes(key: String): Long =
+    Option(stagedBatchDirs.get(key)).map(pathBytes).getOrElse(0L)
 
   /** J6-J8 / A6 through the real streaming engine. A KTable is a
     * changelog, and a table-table join (or table re-aggregation) emits an
@@ -282,8 +337,17 @@ object StreamingQueries {
                       batchOf: org.apache.spark.sql.Column,
                       jaccardMin: Double, tag: String,
                       semantic: Option[(DataFrame, graft.ann.IvfModel, Double, Int)] = None,
-                      storeDirs: Option[scala.collection.mutable.Buffer[(String, String)]] = None): DataFrame = {
-    val stream = stageStreamBatched(spark, batchDocs, batchOf, tag)
+                      storeDirs: Option[scala.collection.mutable.Buffer[(String, String)]] = None,
+                      // r18: per-corpus staging cache key (the
+                      // stageStreamBatchedCached discipline) — the staged
+                      // input is a pure function of (corpus, batchOf), so
+                      // bench reps re-run the STREAM, not the byte-identical
+                      // stage; None (tests, ad-hoc fixtures) stages fresh
+                      stageKey: Option[String] = None): DataFrame = {
+    val stream = stageKey match {
+      case Some(k) => stageStreamBatchedCached(spark, batchDocs, tag, k)(batchOf)
+      case None    => stageStreamBatched(spark, batchDocs, batchOf, tag)
+    }
     val seenRoot = tmpDir(s"ingest-seen-$tag")
     val outRoot = tmpDir(s"ingest-out-$tag")
     // ONE consolidated corpus-side store (r18, VERDICT r17 #7; extends
@@ -422,12 +486,18 @@ object StreamingQueries {
                            // fingerprint-agnostic
                            hashFn: DataFrame => DataFrame = null,
                            hiCol: String = "dhash_hi",
-                           loCol: String = "dhash_lo"): DataFrame = {
+                           loCol: String = "dhash_lo",
+                           // r18: per-corpus staging cache key, see
+                           // runIngestStream
+                           stageKey: Option[String] = None): DataFrame = {
     import graft.multimodal.Multimodal
     val hasher: DataFrame => DataFrame =
       if (hashFn != null) hashFn
       else df => Multimodal.imageDHash(Multimodal.syntheticPngAssets(df))
-    val stream = stageStreamBatched(spark, batchDocs, batchOf, tag)
+    val stream = stageKey match {
+      case Some(k) => stageStreamBatchedCached(spark, batchDocs, tag, k)(batchOf)
+      case None    => stageStreamBatched(spark, batchDocs, batchOf, tag)
+    }
     val seenRoot = tmpDir(s"mingest-seen-$tag")
     val outRoot = tmpDir(s"mingest-out-$tag")
     val corpusHashDir = tmpDir(s"mingest-corpus-$tag")
@@ -479,7 +549,7 @@ object StreamingQueries {
       transform: DataFrame => DataFrame,
       confs: Map[String, String] = Map.empty): DataFrame = {
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+    try withStreamParts(spark, pathBytes(s"$dir/$table.parquet")) {
       val out = transform(readStreamParquet(spark, dir, table))
       val q = out.writeStream
         .format("memory")
@@ -500,18 +570,20 @@ object StreamingQueries {
     * APPEND mode — the output mode of stream-stream joins and other
     * append-only pipelines (complete mode is for aggregations).
     */
-  def runAppendToMemory(spark: SparkSession, queryName: String, out: DataFrame): DataFrame = {
-    val q = out.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("append")
-      .option("checkpointLocation", tmpDir(s"ckpt-$queryName"))
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q.stop()
-    spark.table(queryName)
-  }
+  def runAppendToMemory(spark: SparkSession, queryName: String, out: DataFrame,
+                        inputBytes: Long = -1L): DataFrame =
+    withStreamParts(spark, inputBytes) {
+      val q = out.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("append")
+        .option("checkpointLocation", tmpDir(s"ckpt-$queryName"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      spark.table(queryName)
+    }
 
   /** Run an already-built streaming DataFrame to a named in-memory sink
     * in UPDATE mode — the output mode of flatMapGroupsWithState
@@ -519,18 +591,20 @@ object StreamingQueries {
     * caller whose state fields are monotone reduces them to the
     * converged row per key afterwards.
     */
-  def runUpdateToMemory(spark: SparkSession, queryName: String, out: DataFrame): DataFrame = {
-    val q = out.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("update")
-      .option("checkpointLocation", tmpDir(s"ckpt-$queryName"))
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q.stop()
-    spark.table(queryName)
-  }
+  def runUpdateToMemory(spark: SparkSession, queryName: String, out: DataFrame,
+                        inputBytes: Long = -1L): DataFrame =
+    withStreamParts(spark, inputBytes) {
+      val q = out.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("update")
+        .option("checkpointLocation", tmpDir(s"ckpt-$queryName"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      spark.table(queryName)
+    }
 
   /** T4: `streams.cleanUp()` — run the aggregation twice with the
     * checkpoint deleted in between; a reset state store must reproduce
@@ -543,7 +617,8 @@ object StreamingQueries {
       queryName: String,
       transform: DataFrame => DataFrame): DataFrame = {
     val ckpt = tmpDir(s"ckpt-$queryName")
-    def once(name: String): DataFrame = {
+    def once(name: String): DataFrame = withStreamParts(
+        spark, pathBytes(s"$dir/$table.parquet")) {
       val q = transform(readStreamParquet(spark, dir, table)).writeStream
         .format("memory").queryName(name).outputMode("complete")
         .option("checkpointLocation", ckpt)

@@ -660,6 +660,37 @@ class ProcessorsSpec extends GraftTest {
       ("F", 22L), ("G", 21L), ("G", 23L)))
   }
 
+  test("funnelChain advances cross-batch state and emits only on change (r18)") {
+    import graft.streaming.{Processors, StreamingQueries}
+    import spark.implicits._
+    // two ascending-event-time batches; winUs wide enough for every chain
+    // u1: view@10, click@20 (batch 0), purchase@30 (batch 1) — advances in both
+    // u2: view@10 (batch 0); view@40 (batch 1) does NOT advance (t1 write-once)
+    // u3: click@15 (batch 0) never qualifies (no view); click@45 (batch 1) same
+    val rows = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (2L, "view", 10L), (3L, "click", 15L),
+      (1L, "purchase", 30L), (2L, "view", 40L), (3L, "click", 45L))
+    val src = rows.toDF("user_id", "event_type", "ts_us")
+    val stream = StreamingQueries.stageStreamBatched(spark, src,
+        when(col("ts_us") < 25, lit(0)).otherwise(lit(1)), "funnelspec")
+      .as[(Long, String, Long)]
+    val snaps = Processors.funnelChain(stream, winUs = 100L)
+      .toDF("user_id", "t1", "t2", "t3")
+    val sink = StreamingQueries.runUpdateToMemory(spark, "funnelspec_sink", snaps)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    // emit-on-change: u1 twice (both batches advance), u2/u3 once (their
+    // batch-1 rows change nothing) — 4 rows, not 3 users x their batches
+    assert(sink === Seq(
+      (1L, 10L, 20L, -1L), (1L, 10L, 20L, 30L),
+      (2L, 10L, -1L, -1L), (3L, -1L, -1L, -1L)))
+    // converged max-per-field table equals the batch first-timestamp chain
+    val conv = sink.groupBy(_._1).view.mapValues(g =>
+      (g.map(_._2).max, g.map(_._3).max, g.map(_._4).max)).toMap
+    assert(conv === Map(1L -> ((10L, 20L, 30L)), 2L -> ((10L, -1L, -1L)),
+      3L -> ((-1L, -1L, -1L))))
+  }
+
   test("stageStreamBatchedCached stages once per key and re-streams the full layout") {
     import graft.streaming.StreamingQueries
     val src = spark.range(0, 30).selectExpr("id", "id % 3 AS grp")
