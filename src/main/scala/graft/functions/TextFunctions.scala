@@ -437,10 +437,21 @@ object TextFunctions {
     // isnotnull(doc) onto ONE tf consumer's subtree only — without
     // matching filters here the consumers differ by exactly those
     // inferred filters and ReuseExchange cannot deduplicate the
-    // tokenize scan (the dsirWeights / dd_span reuse-breaker class)
+    // tokenize scan (the dsirWeights / dd_span reuse-breaker class).
+    // r18 (guide §2.3 — shuffle narrower keys): the model/aggregation
+    // key is the 8-byte xxhash64 of the term (the single-pass
+    // `token_hashes` kernel when registered), not the term string — the
+    // (doc, term) tf shuffle and the model join move one long per token
+    // instead of a UTF8 string, and no output column carries a term, so
+    // rows are identical absent a 64-bit collision (the hashed-gram-set
+    // argument of [[graft.dedup.Dedup.verifyJaccard]]).
+    val th =
+      if (docs.sparkSession.catalog.functionExists("token_hashes"))
+        call_function("token_hashes", col(text))
+      else transform(tokens(col(text)), t => xxhash64(t))
     val tf = docs
       .where(col(id).isNotNull)
-      .select(col(id).as("doc"), explode(tokens(col(text))).as("term"))
+      .select(col(id).as("doc"), explode(th).as("term"))
       .where(col("term").isNotNull)
       .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
     val uni = tf.groupBy("term").agg(sum("tf").as("cnt"))
@@ -472,16 +483,37 @@ object TextFunctions {
     * one array-HOF, no self-join); (doc,w1,w2) tf partials combine
     * map-side; the model is (w1,w2)-keyed aggregates joined back on the
     * bigram key — the same two-level shape as the unigram LM.
+    *
+    * r18 (guide §2.3/§2.4): the keys are 8-byte HASHES — w1 = xxhash64
+    * of the left token, w2 = xxhash64 over the token-hash pair — so the
+    * tf shuffle and the model join move 16 bytes per gram instead of
+    * two strings; no output column carries a gram, so rows are
+    * identical absent a 64-bit collision (the hashed-gram-set argument
+    * of [[graft.dedup.Dedup.verifyJaccard]]). Both hash columns derive
+    * from ONE token-hash array (one tokenize pass), and the explicit
+    * not-null filter after the explode (inert: xxhash64 of a non-null
+    * token is non-null) makes the tf2 exchange's two consumers
+    * filter-symmetric so ReuseExchange deduplicates the scan — the
+    * unigramLmScore/dsirWeights device; without it the r18 plan audit
+    * showed the tokenize+explode subtree TWICE under txt_bigram_lp.
     */
   def bigramLmScore(docs: org.apache.spark.sql.DataFrame, id: String,
                     text: String): org.apache.spark.sql.DataFrame = {
+    val th =
+      if (docs.sparkSession.catalog.functionExists("token_hashes"))
+        call_function("token_hashes", col(text))
+      else transform(tokens(col(text)), t => xxhash64(t))
     val bi = docs
       .where(col(id).isNotNull)
-      .select(col(id).as("doc"), tokens(col(text)).as("ts"))
+      .select(col(id).as("doc"), th.as("ts"))
       .where(size(col("ts")) >= 2)
-      .select(col("doc"), explode(expr(
-        "transform(slice(ts, 1, size(ts) - 1), (w, i) -> struct(w AS w1, element_at(ts, i + 2) AS w2))")).as("bg"))
-      .select(col("doc"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .select(col("doc"), explode(arrays_zip(
+          slice(col("ts"), lit(1), size(col("ts")) - 1).as("h1"),
+          zip_with(slice(col("ts"), lit(1), size(col("ts")) - 1),
+            slice(col("ts"), lit(2), size(col("ts")) - 1),
+            (a, b) => xxhash64(a, b)).as("h12"))).as("bg"))
+      .select(col("doc"), col("bg.h1").as("w1"), col("bg.h12").as("w2"))
+      .where(col("w1").isNotNull && col("w2").isNotNull)
     val tf2 = bi.groupBy("doc", "w1", "w2").agg(count(lit(1)).as("tf"))
     val cnt2 = tf2.groupBy("w1", "w2").agg(sum("tf").as("c2"))
     val cnt1 = cnt2.groupBy("w1").agg(sum("c2").as("c1"))

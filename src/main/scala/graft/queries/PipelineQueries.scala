@@ -105,6 +105,45 @@ object PipelineQueries {
       nullif(regexp_extract(attrs, "(?i)href\\s*=\\s*'([^']*)'", 1), lit("")),
       nullif(regexp_extract(attrs, "(?i)href\\s*=\\s*([^\\s\"'>]+)", 1), lit("")))
 
+  /** The funnel report rows from ONE (n1, n2, n3) aggregate row —
+    * shared by q_funnel_steps and its streaming twin. r18 (guide §2.4):
+    * a literal-array explode emits the three (step, step_name, n_users)
+    * rows from a single execution of the upstream aggregate; the former
+    * three-branch union re-executed the aggregate (and everything under
+    * it) once per branch.
+    */
+  private def funnelCountRows(counts: DataFrame): DataFrame =
+    counts.select(explode(array(
+        struct(lit(1).as("step"), lit("view").as("step_name"),
+          col("n1").as("n_users")),
+        struct(lit(2).as("step"), lit("click").as("step_name"),
+          col("n2").as("n_users")),
+        struct(lit(3).as("step"), lit("purchase").as("step_name"),
+          col("n3").as("n_users")))).as("r"))
+      .select(col("r.step").as("step"), col("r.step_name").as("step_name"),
+        col("r.n_users").as("n_users"))
+
+  /** DAU/WAU derivation over a DEDUPED (user_id, day) presence frame —
+    * shared by q_dau_wau and its streaming twin so the two can never
+    * drift. r18 (guide §2.4 — remove shuffles outright): ONE bounded
+    * 7-way explode feeds ONE aggregation; DAU is a PLAIN conditional
+    * count (the input is (user, day)-distinct, so exactly one offset-0
+    * row exists per presence cell — no second distinct needed), WAU the
+    * one distinct agg, and `dau >= 1` keeps exactly the days the former
+    * dau-branch ⋈ wau-branch inner join kept (a day only ever appeared
+    * in the dau branch when some user was active ON it). Replaces two
+    * scans of the input + two aggregation branches + a join with one
+    * scan + one aggregation.
+    */
+  private def dauWauFromCells(active: DataFrame): DataFrame =
+    active.select(col("user_id"), col("day").as("cell_day"),
+        explode(sequence(col("day"), col("day") + lit(6))).as("day"))
+      .groupBy("day").agg(
+        sum(when(col("day") === col("cell_day"), 1L).otherwise(0L)).as("dau"),
+        countDistinct("user_id").as("wau"))
+      .where(col("dau") >= 1)
+      .select("day", "dau", "wau")
+
   /** The pp_sft_mask example builder, shared with pp_pack_sft: each doc
     * becomes a chat-templated training example (role sentinels around a
     * deterministic user/assistant split) plus the 1-based char span
@@ -1406,11 +1445,17 @@ object PipelineQueries {
       // the gate — the production choice when assets arrive through
       // lossy re-hosting. Same streaming machinery, same per-batch
       // idempotent stores; the fingerprint function and column names
-      // are parameters (runMediaIngestStream hashFn).
+      // are parameters (runMediaIngestStream hashFn). Micro-batches are
+      // ascending-id HALVES (r18, the pp_ingest_streaming VERDICT r17
+      // #7 audit applied to the DCT arm): two batches certify the
+      // cross-batch hash state exactly as three did — batch 1 must drop
+      // fingerprints batch 0 accepted — at two-thirds the per-batch
+      // decode+store actions; the >1-prior-store union path stays
+      // exercised in-registry by pp_ingest_media's three batches.
       val docs = Graft.documents(s, d)
       val batch = docs.where(pmod(col("doc_id"), lit(10)) === 0)
       val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
-      graft.streaming.StreamingQueries.harnessBatches(batch, "doc_id") match {
+      graft.streaming.StreamingQueries.harnessBatches(batch, "doc_id", n = 2) match {
         case None => batch.select(col("doc_id").as("asset_id"),
           lit(0L).as("phash_hi"), lit(0L).as("phash_lo")).limit(0)
         case Some(batchOf) =>
@@ -3184,22 +3229,20 @@ object PipelineQueries {
       // DAU/WAU rolling-active-users (r17) — the other canonical
       // product-analytics table next to q_retention: per µs-epoch day
       // the distinct active users, and the 7-day-window count (distinct
-      // users active in [day-6, day]). Scale shape: ONE events scan →
-      // (user, day) dedup aggregation; WAU via a bounded 7-way day
-      // explode of the DEDUPED frame (distinct-over-sliding-window is
-      // NOT a sum of dailies — users overlap days — and the explode
-      // keeps it one hash aggregation instead of a range self-join);
-      // DAU joins from the same deduped frame. Only days with activity
-      // report (the DAU frame's key set).
+      // users active in [day-6, day]). Scale shape (r18, guide §2.4):
+      // ONE events scan → (user, day) dedup aggregation → bounded 7-way
+      // day explode feeding a SINGLE aggregation
+      // (distinct-over-sliding-window is NOT a sum of dailies — users
+      // overlap days — and the explode keeps it one hash aggregation
+      // instead of a range self-join). See [[dauWauFromCells]]; the
+      // former dau-branch ⋈ wau-branch form scanned events twice (the
+      // Generate above the wau branch specialized its dedup subtree out
+      // of ReuseExchange) and paid a join. Only days with activity
+      // report (dau >= 1 — exactly the days the old inner join kept).
       val day = expr("ts_us div 86400000000")
       val active = Graft.events(s, d).where(col("user_id").isNotNull)
         .select(col("user_id"), day.as("day")).distinct()
-      val dau = active.groupBy("day").agg(countDistinct("user_id").as("dau"))
-      val wau = active
-        .select(col("user_id"),
-          explode(sequence(col("day"), col("day") + lit(6))).as("day"))
-        .groupBy("day").agg(countDistinct("user_id").as("wau"))
-      dau.join(wau, Seq("day")).select("day", "dau", "wau")
+      dauWauFromCells(active)
     }),
 
     "q_funnel_steps" -> ((s, d) => {
@@ -3228,12 +3271,16 @@ object PipelineQueries {
         .join(t2, "user_id")
         .where(col("ts_us") > col("t2") && col("ts_us") <= col("t2") + lit(winUs))
         .groupBy("user_id").agg(min("ts_us").as("t3"))
-      t1.agg(count(lit(1)).as("n_users"))
-        .select(lit(1).as("step"), lit("view").as("step_name"), col("n_users"))
-        .unionByName(t2.agg(count(lit(1)).as("n_users"))
-          .select(lit(2).as("step"), lit("click").as("step_name"), col("n_users")))
-        .unionByName(t3.agg(count(lit(1)).as("n_users"))
-          .select(lit(3).as("step"), lit("purchase").as("step_name"), col("n_users")))
+      // r18 (guide §2.4): ONE execution of the stage chain — the former
+      // three-branch union re-aggregated t1/t2/t3 separately (the t1
+      // subtree executed under every branch); chaining two left joins
+      // (t2 ⊆ t1, t3 ⊆ t2 by construction) gives one per-user frame
+      // whose single 1-row aggregate carries all three counts, exploded
+      // to the same three rows.
+      funnelCountRows(
+        t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
+          .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+            count(col("t3")).as("n3")))
     }),
 
     "q_dau_wau_streaming" -> ((s, d) => {
@@ -3255,13 +3302,9 @@ object PipelineQueries {
         df => df.where(col("user_id").isNotNull)
           .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
           .groupBy("user_id", "day").agg(count(lit(1)).as("n")))
-      val active = cells.select("user_id", "day")
-      val dau = active.groupBy("day").agg(countDistinct("user_id").as("dau"))
-      val wau = active
-        .select(col("user_id"),
-          explode(sequence(col("day"), col("day") + lit(6))).as("day"))
-        .groupBy("day").agg(countDistinct("user_id").as("wau"))
-      dau.join(wau, Seq("day")).select("day", "dau", "wau")
+      // post-convergence derivation = the batch form's single-pass
+      // explode+aggregate over the deduped cells (dauWauFromCells)
+      dauWauFromCells(cells.select("user_id", "day"))
     }),
 
     "q_funnel_steps_streaming" -> ((s, d) => {
@@ -3314,16 +3357,15 @@ object PipelineQueries {
               graft.streaming.StreamingQueries.stagedBytes(stageKey))
             .groupBy("user_id")
             .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
-          val counts = conv.agg(
+          // r18 (guide §2.4): the three-branch union referenced the
+          // `counts` aggregate three times and the memory-sink reduce
+          // chain got NO exchange reuse (r18 plan audit: 24 Exchange /
+          // 0 ReusedExchange — LocalTableScan subtrees re-executed per
+          // branch); the literal-array explode runs the chain ONCE.
+          funnelCountRows(conv.agg(
             sum(when(col("t1") >= 0, 1L).otherwise(0L)).as("n1"),
             sum(when(col("t2") >= 0, 1L).otherwise(0L)).as("n2"),
-            sum(when(col("t3") >= 0, 1L).otherwise(0L)).as("n3"))
-          counts.select(lit(1).as("step"), lit("view").as("step_name"),
-              col("n1").as("n_users"))
-            .unionByName(counts.select(lit(2).as("step"),
-              lit("click").as("step_name"), col("n2").as("n_users")))
-            .unionByName(counts.select(lit(3).as("step"),
-              lit("purchase").as("step_name"), col("n3").as("n_users")))
+            sum(when(col("t3") >= 0, 1L).otherwise(0L)).as("n3")))
       }
     }),
 
