@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CanonicalUrl, CdcChunks, CosineSimilarity, CrossModalScore, GramHashes, HtmlText, LangScores, LinearScore, MinHashAgg, NfcNormalize, NfkcCasefold, RepetitionStats, RollingHash, ShingleHashes, SimHashAgg, SrpBucket, TextStats, TokenHashes}
+import graft.functions.{CanonicalUrl, CdcChunks, CosineSimilarity, CrossModalScore, GramHashes, HtmlText, InterSize, LangScores, LinearScore, MinHashAgg, NfcNormalize, NfkcCasefold, RepetitionStats, RollingHash, ShingleHashes, SimHashAgg, SrpBucket, TextStats, TokenHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -56,6 +56,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         requireArity("token_hashes", children, 1)
         TokenHashes(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("inter_size"),
+      new ExpressionInfo(classOf[InterSize].getName, "inter_size"),
+      (children: Seq[Expression]) => {
+        requireArity("inter_size", children, 2)
+        InterSize(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("lang_scores"),

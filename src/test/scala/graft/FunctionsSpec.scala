@@ -200,6 +200,34 @@ class FunctionsSpec extends GraftTest {
     }
   }
 
+  test("native inter_size is value-identical to size(array_intersect) (r18)") {
+    import spark.implicits._
+    // corpus gram-set pairs — the exact shape the verify stages feed it
+    val sets = Graft.documents(spark, sf).limit(120)
+      .select(col("doc_id"), call_function("shingle_hashes", col("text"), lit(3)).as("toks"))
+    val pairs = sets.as("x").crossJoin(sets.as("y")).limit(4000)
+      .select(col("x.toks").as("a"), col("y.toks").as("b"))
+    val diff = pairs
+      .withColumn("k", coalesce(call_function("inter_size", col("a"), col("b")), lit(-1)))
+      .withColumn("ref", size(array_intersect(col("a"), col("b"))))
+      .where(!(col("k") <=> col("ref")))
+    assert(diff.count() === 0L, "inter_size disagrees with array_intersect on corpus sets")
+    // edge cases: duplicates count once, null elements match only each
+    // other, empty arrays, null argument → -1 through the dispatch's
+    // coalesce (size's legacy -1-on-null, which the verify ratios pin)
+    val edge = Seq(
+      (Seq[java.lang.Long](1L, 1L, 2L), Seq[java.lang.Long](1L, 3L)),
+      (Seq[java.lang.Long](1L, null, 2L), Seq[java.lang.Long](null, 2L, 2L)),
+      (Seq[java.lang.Long](null), Seq[java.lang.Long](1L)),
+      (Seq.empty[java.lang.Long], Seq[java.lang.Long](1L)),
+      (null, Seq[java.lang.Long](1L))).toDF("a", "b")
+    val edgeDiff = edge
+      .withColumn("k", coalesce(call_function("inter_size", col("a"), col("b")), lit(-1)))
+      .withColumn("ref", size(array_intersect(col("a"), col("b"))))
+      .where(!(col("k") <=> col("ref")))
+    assert(edgeDiff.count() === 0L, "inter_size edge-case mismatch")
+  }
+
   test("quantile sketch estimates land within rank error of exact percentiles") {
     import spark.implicits._
     val ev = Graft.eventsStream(spark, sf).select(col("amount").cast("double").as("v"))
