@@ -835,6 +835,31 @@ object Dedup {
     keyed(left, "a").join(keyed(right, "b"), keys).select("a", "b")
   }
 
+  /** One side of [[crossBlockedPairs]], keyed and capped, as a standalone
+    * frame (r18, guide §2.4): a standing CORPUS's capped block frame is a
+    * pure function of the corpus, so a per-micro-batch ingest gate
+    * computes it ONCE per run and persists it — each trigger then pays
+    * only its own (small) batch side's cap window instead of re-running
+    * the corpus-wide window + exchange. `as` names the id column ("b"
+    * for the right side of [[crossBlockedPairsAgainst]]).
+    */
+  def cappedBlockSide(df: DataFrame, id: String, blocks: Seq[(String, Column)],
+                      as: String, maxBucket: Int = 1000): DataFrame =
+    capBuckets(df.select(blocks.map { case (n, c) => c.as(n) } :+ col(id).as(as): _*),
+      blocks.map(_._1), maxBucket, "crossBlockedPairs")
+
+  /** [[crossBlockedPairs]] against an ALREADY-CAPPED right side (a
+    * [[cappedBlockSide]] frame, typically read back from a per-run
+    * store). The left side gets the same default-ON guard; the join and
+    * its semantics are identical to [[crossBlockedPairs]] — only where
+    * the right side's window runs changes.
+    */
+  def crossBlockedPairsAgainst(left: DataFrame, cappedRight: DataFrame,
+                               id: String, blocks: Seq[(String, Column)],
+                               maxBucket: Int = 1000): DataFrame =
+    cappedBlockSide(left, id, blocks, "a", maxBucket)
+      .join(cappedRight, blocks.map(_._1)).select("a", "b")
+
   // ---- exact Jaccard verification ----------------------------------------
 
   /** Exact n-gram-set Jaccard for a candidate pair set (columns a, b):

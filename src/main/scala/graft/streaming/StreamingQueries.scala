@@ -370,6 +370,13 @@ object StreamingQueries {
     sideStore(corpus, inCorpus = true)
       .unionByName(sideStore(batchDocs, inCorpus = false))
       .write.mode("overwrite").parquet(storeDir)
+    // NOT persisted: the corpus side's capped block frame
+    // (Dedup.cappedBlockSide) is a pure function of the standing corpus
+    // and COULD persist once per run like the gram-set store — measured
+    // at sf0.1 with two triggers it LOSES (~2.6 s → ~3.1 s): the extra
+    // setup write costs more than two per-trigger corpus windows over a
+    // 5k-doc corpus. The helper exists for the many-trigger/large-corpus
+    // regime; re-measure before flipping (r18 audit, guide §1.1).
     // semantic stage setup: persist the corpus-side cluster assignment once
     val semState = semantic.map { case (emb, model, thr, cap) =>
       val dir = tmpDir(s"ingest-semasg-$tag")

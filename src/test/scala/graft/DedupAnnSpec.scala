@@ -807,6 +807,26 @@ class DedupAnnSpec extends GraftTest {
       "uncapped run emits the full cross-block fan-out (the shape the cap prevents)")
   }
 
+  test("crossBlockedPairsAgainst over a persisted cappedBlockSide equals crossBlockedPairs (r18)") {
+    import spark.implicits._
+    val batch = (Seq((1L, "en", 10), (2L, "en", 12)) ++
+      (100L until 250L).map(i => (i, "en", 300))).toDF("doc_id", "lang", "n_chars")
+    val corpus = (Seq((51L, "en", 15), (52L, "en", 20), (53L, "en", 25)) ++
+      (500L until 700L).map(i => (i, "en", 300))).toDF("doc_id", "lang", "n_chars")
+    val blocks = Seq("lang" -> col("lang"), "blk" -> (col("n_chars") / lit(32)).cast("int"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-blkside").toString
+    try {
+      Dedup.cappedBlockSide(corpus, "doc_id", blocks, as = "b", maxBucket = 100)
+        .write.mode("overwrite").parquet(dir)
+      val viaStore = Dedup.crossBlockedPairsAgainst(batch, spark.read.parquet(dir),
+          "doc_id", blocks, maxBucket = 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val direct = Dedup.crossBlockedPairs(batch, corpus, "doc_id", blocks, maxBucket = 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaStore === direct)
+    } finally ProbeUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("banded-Hamming monoculture: the cap's observe metrics report the dropped mega-buckets") {
     import spark.implicits._
     // the SCALE.md skew-stress shape in miniature: 600 assets from one
