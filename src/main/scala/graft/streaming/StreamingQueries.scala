@@ -506,7 +506,6 @@ object StreamingQueries {
       case None    => stageStreamBatched(spark, batchDocs, batchOf, tag)
     }
     val seenRoot = tmpDir(s"mingest-seen-$tag")
-    val outRoot = tmpDir(s"mingest-out-$tag")
     val corpusHashDir = tmpDir(s"mingest-corpus-$tag")
     storeDirs.foreach(b => b ++= Seq("seen" -> seenRoot, "corpus" -> corpusHashDir))
     hasher(corpusDocs)
@@ -520,27 +519,36 @@ object StreamingQueries {
         val priorDirs = storesBefore(seenRoot, id)
         val seen =
           if (priorDirs.isEmpty) corpusHashes.limit(0)
-          else spark.read.parquet(priorDirs: _*)
-        // persist: the decode+hash scan is the dominant cost here
-        // (unlike runIngestStream's cheap md5) and BOTH writes below
-        // consume it (review r12)
-        val hashed = hasher(b).persist()
-        try {
-          hashed
-            .join(corpusHashes, Seq(hiCol, loCol), "left_anti")
-            .join(seen, Seq(hiCol, loCol), "left_anti")
-            .groupBy(hiCol, loCol).agg(min(col("asset_id")).as("asset_id"))
-            .select("asset_id", hiCol, loCol)
-            .write.mode("overwrite").parquet(s"$outRoot/batch-$id")
-          hashed.select(hiCol, loCol).distinct()
-            .write.mode("overwrite").parquet(s"$seenRoot/seen-$id")
-        } finally hashed.unpersist()
+          else spark.read.parquet(priorDirs: _*).select(hiCol, loCol)
+        // ONE write per trigger (r18, guide §2.4): the old out-store
+        // (gate survivors) + seen-store (all batch hashes) pair ran two
+        // jobs over a persisted decode; the unified per-batch store
+        // carries every distinct batch hash with its keep-min asset_id
+        // and a `kept` gate flag, so the decode+dHash scan runs ONCE
+        // per trigger with no persist, later batches read (hi, lo)
+        // through parquet pruning (exactly the old seen rows — the
+        // groupBy's key set IS the old distinct), and the converged
+        // output is the kept-filtered read-back. Values identical: all
+        // rows of a hash survive or none, so min(asset_id) before the
+        // gate equals min over survivors; the distinct corpus/seen
+        // sides make the left joins fan-out-free.
+        hasher(b)
+          .groupBy(hiCol, loCol).agg(min(col("asset_id")).as("asset_id"))
+          .join(corpusHashes.withColumn("_in_corpus", lit(true)),
+            Seq(hiCol, loCol), "left")
+          .join(seen.withColumn("_in_seen", lit(true)),
+            Seq(hiCol, loCol), "left")
+          .select(col("asset_id"), col(hiCol), col(loCol),
+            (col("_in_corpus").isNull && col("_in_seen").isNull).as("kept"))
+          .write.mode("overwrite").parquet(s"$seenRoot/seen-$id")
         ()
       }
       .start()
     q.awaitTermination()
     q.stop()
-    spark.read.option("recursiveFileLookup", "true").parquet(outRoot)
+    spark.read.option("recursiveFileLookup", "true").parquet(seenRoot)
+      .where(col("kept"))
+      .select("asset_id", hiCol, loCol)
   }
 
   /** Run `transform` over a streaming read of `table`, aggregate to a
