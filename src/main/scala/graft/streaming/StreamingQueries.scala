@@ -349,7 +349,6 @@ object StreamingQueries {
       case None    => stageStreamBatched(spark, batchDocs, batchOf, tag)
     }
     val seenRoot = tmpDir(s"ingest-seen-$tag")
-    val outRoot = tmpDir(s"ingest-out-$tag")
     // ONE consolidated corpus-side store (r18, VERDICT r17 #7; extends
     // the r17 persist-once discipline): the exact-hash gate and the
     // gram-set verify read the SAME per-doc frame — (vid, toks, h,
@@ -431,18 +430,30 @@ object StreamingQueries {
             afterJac.join(semDrop, Seq("doc_id"), "left_anti")
           case None => afterJac
         }
-        surviving
-          .select(col("doc_id"),
-            graft.functions.TextFunctions.splitAssign(col("doc_id")).as("split"))
-          .write.mode("overwrite").parquet(s"$outRoot/batch-$id")
-        hashed.select(col("_h").as("h")).distinct()
+        // ONE write per trigger (r18, the runMediaIngestStream device):
+        // the per-batch store carries every distinct batch content hash
+        // with its keep-min doc_id and a kept gate flag — the old
+        // separate survivors write + seen-hash write were two jobs over
+        // the same batch. Later batches read only `h` (parquet column
+        // pruning; the groupBy's key set IS the old distinct), and the
+        // converged output is the kept-filtered read-back. Values
+        // identical: surviving ids are keep-min ids by construction, so
+        // the flag left-join is fan-out-free and total.
+        hashed.groupBy("_h").agg(min(col("doc_id")).as("doc_id"))
+          .join(surviving.select(col("doc_id")).withColumn("_kept", lit(true)),
+            Seq("doc_id"), "left")
+          .select(col("_h").as("h"), col("doc_id"),
+            coalesce(col("_kept"), lit(false)).as("kept"))
           .write.mode("overwrite").parquet(s"$seenRoot/seen-$id")
         ()
       }
       .start()
     q.awaitTermination()
     q.stop()
-    spark.read.option("recursiveFileLookup", "true").parquet(outRoot)
+    spark.read.option("recursiveFileLookup", "true").parquet(seenRoot)
+      .where(col("kept"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.splitAssign(col("doc_id")).as("split"))
   }
 
   /** Earlier micro-batches' per-batch stores under `root` — strictly
