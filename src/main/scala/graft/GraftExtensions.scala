@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CanonicalUrl, CdcChunks, CosineSimilarity, CrossModalScore, GramHashes, HtmlText, InterSize, LangScores, LinearScore, MinHashAgg, NfcNormalize, NfkcCasefold, RepetitionStats, RollingHash, ShingleHashes, SimHashAgg, SrpBucket, TextStats, TokenHashes}
+import graft.functions.{CanonicalUrl, CdcChunks, CosineSimilarity, CrossModalScore, GramHashes, HtmlText, InterSize, LangScores, LinearScore, MinHashAgg, MinHashSig, MinHashSigSize, NfcNormalize, NfkcCasefold, RepetitionStats, RollingHash, ShingleHashes, SimHashAgg, SimHashSig, SrpBucket, TextStats, TokenHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -36,6 +36,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_agg"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
       (children: Seq[Expression]) => MinHashAgg.fromChildren(children)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        requireArity("minhash_sig", children, 3)
+        MinHashSig(children.head,
+          literalInt("minhash_sig", children(1)),
+          literalInt("minhash_sig", children(2)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig_size"),
+      new ExpressionInfo(classOf[MinHashSigSize].getName, "minhash_sig_size"),
+      (children: Seq[Expression]) => {
+        requireArity("minhash_sig_size", children, 3)
+        MinHashSigSize(children.head,
+          literalInt("minhash_sig_size", children(1)),
+          literalInt("minhash_sig_size", children(2)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+      (children: Seq[Expression]) => {
+        requireArity("simhash_sig", children, 1)
+        SimHashSig(children.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),

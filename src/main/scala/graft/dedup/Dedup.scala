@@ -203,7 +203,18 @@ object Dedup {
     */
   def minhashSigs(docs: DataFrame, id: String, text: String,
                   numHashes: Int = 64, shingleK: Int = 3): DataFrame =
-    if (docs.sparkSession.catalog.functionExists("minhash_agg"))
+    // r19 (guide §2.4): the signature is a pure per-document function,
+    // so the per-row kernel removes the explode + groupBy hash exchange
+    // entirely — one scan, zero shuffles, zero aggregation buffers.
+    // The 0/1-element array + explode reproduces the aggregate form's
+    // "no row for token-free docs" contract without a filter Catalyst
+    // would re-evaluate below the projection; signatures bit-identical
+    // (FunctionsSpec r19 witness).
+    if (docs.sparkSession.catalog.functionExists("minhash_sig"))
+      docs.select(col(id).as("doc"),
+        explode(call_function("minhash_sig",
+          col(text), lit(shingleK), lit(numHashes))).as("sig"))
+    else if (docs.sparkSession.catalog.functionExists("minhash_agg"))
       docs.select(col(id).as("doc"),
           explode(shingleHashesNative(docs.sparkSession, text, shingleK)).as("h"))
         .groupBy("doc")
@@ -326,15 +337,27 @@ object Dedup {
                              bands: Int = 16, shingleK: Int = 3,
                              maxBucket: Int = 1000): DataFrame = {
     val spark = docs.sparkSession
-    val exploded = docs.select(col(id).as("doc"),
-      explode(shingleHashesNative(spark, text, shingleK)).as("h"))
-    val sigExpr =
-      if (spark.catalog.functionExists("minhash_agg"))
-        expr(s"minhash_agg(h, $numHashes)")
-      else // columnar k-min fallback — identical signatures (minhashSigsColumnar)
-        array(minhashCoeffs(numHashes).map { case (a, b) => min(col("h") * a + b) }: _*)
-    val sigs = exploded.groupBy("doc")
-      .agg(sigExpr.as("sig"), count(lit(1)).as("nset"))
+    // r19 (guide §2.4): signature + |set| are per-document functions —
+    // the per-row kernel removes the explode + groupBy exchange (the
+    // minhashSigs device; nset = distinct gram count, identical to
+    // count(*) over the exploded per-doc-distinct shingle set)
+    val sigs =
+      if (spark.catalog.functionExists("minhash_sig_size"))
+        docs.select(col(id).as("doc"),
+            explode(call_function("minhash_sig_size",
+              col(text), lit(shingleK), lit(numHashes))).as("_ss"))
+          .select(col("doc"), col("_ss.sig").as("sig"), col("_ss.nset").as("nset"))
+      else {
+        val exploded = docs.select(col(id).as("doc"),
+          explode(shingleHashesNative(spark, text, shingleK)).as("h"))
+        val sigExpr =
+          if (spark.catalog.functionExists("minhash_agg"))
+            expr(s"minhash_agg(h, $numHashes)")
+          else // columnar k-min fallback — identical signatures (minhashSigsColumnar)
+            array(minhashCoeffs(numHashes).map { case (a, b) => min(col("h") * a + b) }: _*)
+        exploded.groupBy("doc")
+          .agg(sigExpr.as("sig"), count(lit(1)).as("nset"))
+      }
     val bandedAll = bandsOfSigs(sigs.select(col("doc"), col("sig")), numHashes, bands)
     val banded = capBuckets(bandedAll, Seq("band", "band_hash"), maxBucket,
       "containmentSketchPairs")
@@ -1400,6 +1423,12 @@ object Dedup {
     * (nothing to fingerprint).
     */
   def simhashSigs(docs: DataFrame, id: String, text: String): DataFrame = {
+    // r19 (guide §2.4): SimHash is a pure per-document fold — the
+    // per-row kernel removes the explode + groupBy exchange (the
+    // minhashSigs device); bit-identical to simhash_agg (FunctionsSpec)
+    if (docs.sparkSession.catalog.functionExists("simhash_sig"))
+      return docs.select(col(id).as("doc"),
+        explode(call_function("simhash_sig", col(text))).as("sh"))
     // token hashes via the single-pass native kernel when available
     // (bit-exact with the HOF form — FunctionsSpec)
     val tokenHashes =

@@ -228,6 +228,46 @@ class FunctionsSpec extends GraftTest {
     assert(edgeDiff.count() === 0L, "inter_size edge-case mismatch")
   }
 
+  test("per-row minhash_sig/minhash_sig_size/simhash_sig match the aggregate forms (r19)") {
+    import spark.implicits._
+    // corpus docs + edge cases: empty text, all-punctuation (0 tokens →
+    // NO row, the aggregate form's contract), fewer tokens than k (the
+    // token-hash fallback), null text
+    val edge = Seq((100001L, ""), (100002L, "!!! ... ???"), (100003L, "one two"),
+      (100004L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val docs = Graft.documents(spark, sf).select(col("doc_id"), col("text"))
+      .limit(200).unionByName(edge)
+    // minhash_sig vs explode(shingle_hashes) + minhash_agg
+    val perRow = docs.select(col("doc_id").as("doc"),
+        explode(call_function("minhash_sig", col("text"), lit(3), lit(64))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agg = docs.select(col("doc_id").as("doc"),
+        explode(call_function("shingle_hashes", col("text"), lit(3))).as("h"))
+      .groupBy("doc").agg(expr("minhash_agg(h, 64)").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(perRow === agg, "minhash_sig disagrees with minhash_agg")
+    // minhash_sig_size: same signatures plus the distinct-shingle count
+    val perRowSz = docs.select(col("doc_id").as("doc"),
+        explode(call_function("minhash_sig_size", col("text"), lit(3), lit(64))).as("ss"))
+      .select(col("doc"), col("ss.sig"), col("ss.nset"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getLong(2)))).toMap
+    val aggSz = docs.select(col("doc_id").as("doc"),
+        explode(call_function("shingle_hashes", col("text"), lit(3))).as("h"))
+      .groupBy("doc").agg(expr("minhash_agg(h, 64)").as("sig"), count(lit(1)).as("nset"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getLong(2)))).toMap
+    assert(perRowSz === aggSz, "minhash_sig_size disagrees with the aggregate form")
+    // simhash_sig vs explode(token_hashes) + simhash_agg
+    val perRowSim = docs.select(col("doc_id").as("doc"),
+        explode(call_function("simhash_sig", col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val aggSim = docs.select(col("doc_id").as("doc"),
+        explode(call_function("token_hashes", col("text"))).as("h"))
+      .groupBy("doc").agg(expr("simhash_agg(h)").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perRowSim === aggSim, "simhash_sig disagrees with simhash_agg")
+  }
+
   test("quantile sketch estimates land within rank error of exact percentiles") {
     import spark.implicits._
     val ev = Graft.eventsStream(spark, sf).select(col("amount").cast("double").as("v"))
