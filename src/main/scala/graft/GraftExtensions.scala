@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CanonicalUrl, CdcChunks, CosineSimilarity, CrossModalScore, GramHashes, HtmlText, InterSize, LangScores, LinearScore, MinHashAgg, MinHashSig, MinHashSigSize, NfcNormalize, NfkcCasefold, RepetitionStats, RollingHash, ShingleHashes, SimHashAgg, SimHashSig, SrpBucket, TextStats, TokenHashes}
+import graft.functions.{CanonicalUrl, CdcChunks, CosineSimilarity, CrossModalScore, GramHashes, HtmlText, InterSize, InterSizeSorted, LangScores, LinearScore, MinHashAgg, MinHashSig, MinHashSigSize, NfcNormalize, NfkcCasefold, RepetitionStats, RollingHash, ShingleHashes, SimHashAgg, SimHashSig, SrpBucket, TextStats, TokenHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -88,6 +88,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         requireArity("inter_size", children, 2)
         InterSize(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("inter_size_sorted"),
+      new ExpressionInfo(classOf[InterSizeSorted].getName, "inter_size_sorted"),
+      (children: Seq[Expression]) => {
+        requireArity("inter_size_sorted", children, 2)
+        InterSizeSorted(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("lang_scores"),

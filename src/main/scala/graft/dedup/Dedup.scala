@@ -956,14 +956,38 @@ object Dedup {
   private def interSize(spark: org.apache.spark.sql.SparkSession,
                         toksType: org.apache.spark.sql.types.DataType,
                         a: Column, b: Column): Column = {
-    val isLongArray = toksType match {
-      case org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.LongType, _) => true
-      case _ => false
-    }
-    if (isLongArray && spark.catalog.functionExists("inter_size"))
+    if (isLongArray(toksType) && spark.catalog.functionExists("inter_size"))
       coalesce(call_function("inter_size", a, b), lit(-1))
     else size(array_intersect(a, b))
+  }
+
+  private def isLongArray(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, _) => true
+    case _ => false
+  }
+
+  /** r19 (guide §1.2 — per-pair work): the verify stages compare each
+    * document's gram set against MANY candidate partners (~40 per doc at
+    * bench SF), and [[graft.functions.InterSize]] pays a copy + sort of
+    * both arrays per PAIR. Sorting each set ONCE in the sets projection
+    * (sort_array — per doc, not per pair) lets the `inter_size_sorted`
+    * kernel merge-count straight over the arrays with zero per-pair
+    * allocation. Output values are untouched: downstream reads only
+    * SIZES of the set arrays, which sorting preserves, and the kernel is
+    * value-identical to `size(array_intersect)` on sorted inputs
+    * (FunctionsSpec). Returns (sets', interFn) — the possibly-sorted
+    * frame and the matching |A∩B| column builder (NULL-side pairs keep
+    * the legacy -1 through the coalesce, exactly [[interSize]]).
+    */
+  private def sortedSetsAndInter(spark: org.apache.spark.sql.SparkSession,
+                                 sets: DataFrame)
+    : (DataFrame, (Column, Column) => Column) = {
+    val toksType = sets.schema("toks").dataType
+    if (isLongArray(toksType) && spark.catalog.functionExists("inter_size_sorted"))
+      (sets.select(col("vid"), sort_array(col("toks")).as("toks")),
+        (a, b) => coalesce(call_function("inter_size_sorted", a, b), lit(-1)))
+    else (sets, (a, b) => interSize(spark, toksType, a, b))
   }
 
   /** The verify stage of [[verifyJaccard]] over an ALREADY-BUILT (vid,
@@ -982,13 +1006,12 @@ object Dedup {
     * The intersect size lands in its own projection so CollapseProject
     * cannot inline the non-cheap expression twice.
     */
-  def verifyJaccardWithSets(pairs: DataFrame, sets: DataFrame): DataFrame =
+  def verifyJaccardWithSets(pairs: DataFrame, sets: DataFrame): DataFrame = {
+    val (s2, interFn) = sortedSetsAndInter(pairs.sparkSession, sets)
     pairs
-      .join(sets.as("sa"), col("a") === col("sa.vid"))
-      .join(sets.as("sb"), col("b") === col("sb.vid"))
-      .withColumn("_inter",
-        interSize(pairs.sparkSession, sets.schema("toks").dataType,
-          col("sa.toks"), col("sb.toks")))
+      .join(s2.as("sa"), col("a") === col("sa.vid"))
+      .join(s2.as("sb"), col("b") === col("sb.vid"))
+      .withColumn("_inter", interFn(col("sa.toks"), col("sb.toks")))
       .withColumn("jaccard", round(col("_inter").cast("double") /
         // a NULL side yields _inter = -1 (size's legacy -1-on-null);
         // the old size(array_union) was -1 there too, so pin the
@@ -999,6 +1022,7 @@ object Dedup {
       .drop("_inter")
       .drop(col("sa.vid")).drop(col("sa.toks"))
       .drop(col("sb.vid")).drop(col("sb.toks"))
+  }
 
   /** Directional n-gram CONTAINMENT verify (r16) — the asymmetric dedup
     * measure (Broder's containment, the quote/subset-duplication signal
@@ -1019,13 +1043,13 @@ object Dedup {
     // r18: ONE array_intersect per pair, in its own projection
     // (CollapseProject cannot inline it into the three consumers);
     // |A∪B| derives as |A| + |B| − |A∩B| — the verifyJaccardWithSets
-    // device, exact on the per-doc-distinct gram sets.
+    // device, exact on the per-doc-distinct gram sets. r19: sets sorted
+    // once per doc so the merge kernel skips the per-pair copy + sort.
+    val (s2, interFn) = sortedSetsAndInter(pairs.sparkSession, sets)
     pairs
-      .join(sets.as("sa"), col("a") === col("sa.vid"))
-      .join(sets.as("sb"), col("b") === col("sb.vid"))
-      .withColumn("_inter",
-        interSize(pairs.sparkSession, sets.schema("toks").dataType,
-          col("sa.toks"), col("sb.toks")))
+      .join(s2.as("sa"), col("a") === col("sa.vid"))
+      .join(s2.as("sb"), col("b") === col("sb.vid"))
+      .withColumn("_inter", interFn(col("sa.toks"), col("sb.toks")))
       .withColumn("cont_ab", round(col("_inter").cast("double") /
         size(col("sa.toks")).cast("double"), 4))
       .withColumn("cont_ba", round(col("_inter").cast("double") /

@@ -226,6 +226,21 @@ class FunctionsSpec extends GraftTest {
       .withColumn("ref", size(array_intersect(col("a"), col("b"))))
       .where(!(col("k") <=> col("ref")))
     assert(edgeDiff.count() === 0L, "inter_size edge-case mismatch")
+    // r19: the presorted kernel (merge over sort_array'd inputs, no
+    // per-pair copy/sort) must agree on the same corpus pairs + edges
+    val sortedDiff = pairs
+      .withColumn("k", coalesce(call_function("inter_size_sorted",
+        sort_array(col("a")), sort_array(col("b"))), lit(-1)))
+      .withColumn("ref", size(array_intersect(col("a"), col("b"))))
+      .where(!(col("k") <=> col("ref")))
+    assert(sortedDiff.count() === 0L,
+      "inter_size_sorted disagrees with array_intersect on corpus sets")
+    val sortedEdgeDiff = edge
+      .withColumn("k", coalesce(call_function("inter_size_sorted",
+        sort_array(col("a")), sort_array(col("b"))), lit(-1)))
+      .withColumn("ref", size(array_intersect(col("a"), col("b"))))
+      .where(!(col("k") <=> col("ref")))
+    assert(sortedEdgeDiff.count() === 0L, "inter_size_sorted edge-case mismatch")
   }
 
   test("per-row minhash_sig/minhash_sig_size/simhash_sig match the aggregate forms (r19)") {
