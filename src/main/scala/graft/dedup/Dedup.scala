@@ -997,6 +997,13 @@ object Dedup {
     * pass ONCE; when `sets` is a persisted parquet frame, each join side
     * is a cheap columnar read — no tokenize work at all.
     *
+    * CONTRACT (ADVICE r18): `toks` must be per-row DISTINCT (duplicate-
+    * free) arrays — every in-repo producer goes through
+    * [[gramSet]]/[[gramSets]], which dedup. The Jaccard denominator
+    * derives |A∪B| as |A| + |B| − |A∩B|, which is exact only on sets; a
+    * caller passing duplicate-bearing arrays (e.g. raw `token_hashes`
+    * output) silently inflates the denominator and understates Jaccard.
+    *
     * r18 (guide §1.2 — per-pair work): |A∪B| is DERIVED as
     * |A| + |B| − |A∩B| (exact: the gram arrays are per-doc distinct
     * sets), so each candidate pair pays ONE array_intersect instead of
@@ -1233,6 +1240,11 @@ object Dedup {
       .withColumn("comp", col("node")))
     var converged = false
     var i = 0
+    // previous round's label sum for the monotone convergence probe
+    // below; null = "no round measured yet" (and the sum of an EMPTY
+    // label frame, which the null==null clause treats as converged —
+    // the old any-changed probe also stopped after one round there)
+    var prevSum: java.math.BigDecimal = null
     while (!converged && i < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("node").as("dst"), col("comp").as("nbr_comp")), "dst")
@@ -1268,15 +1280,23 @@ object Dedup {
       val next = ckpt(halved
         .select(col("x.node").as("node"),
           least(col("x.comp"), coalesce(col("cc"), col("x.comp"))).as("comp")))
-      // convergence probe: did ANY label change? (limit 1 — the probe cost
-      // is bounded regardless of graph size)
-      val changed = next
-        .join(labels.select(col("node"), col("comp").as("old")), "node")
-        .where(col("comp") =!= col("old")).limit(1).count()
+      // convergence probe (r19, guide §1.2): labels are element-wise
+      // NON-INCREASING (every assignment is a `least`), and the node set
+      // is constant across rounds — so "no label changed" ⟺ "the label
+      // sum is unchanged". A 1-row decimal(38,0) aggregation of `next`
+      // alone (exact up to 10^38 — no overflow at any id/graph scale)
+      // replaces the next⋈labels join the old any-changed probe paid
+      // every round; the probe job still materializes the round's lazy
+      // checkpoints, so jobs per round stay 1 with one less join+shuffle
+      // inside.
+      val sumNow = next.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
       release(labels)
       release(stepped)
       labels = next
-      converged = changed == 0L
+      converged =
+        if (sumNow == null) true // empty label frame: nothing to propagate
+        else prevSum != null && prevSum.compareTo(sumNow) == 0
+      prevSum = sumNow
       i += 1
     }
     edges.unpersist()
@@ -1403,6 +1423,15 @@ object Dedup {
     // no distinct needed: deletionNeighborhood array_distincts per doc,
     // so (doc, vh) rows are already unique — a distinct here would add a
     // third corpus-scale shuffle for nothing
+    // r19 audit (guide §1.1 — measured and REJECTED): a
+    // distinct-pairs-before-verify form (slim (vh, doc) self-join,
+    // strings joined back once per distinct pair, DP once per pair)
+    // LOSES same-JVM at sf0.1 — FuzzyProbe best-of-4 1.28 s (this form)
+    // vs 2.00 s (that form). At maxDist = 1 the threshold-bounded DP
+    // over ~18-char names is a few dozen ops, nearly every
+    // shared-variant pair passes it (262.5k verified pairs), and the
+    // short strings are cheap on the wire — so the pre-distinct saves
+    // almost no DP work while adding two joins. The r18 shape stands.
     val variantsAll = docs
       .where(col(text).isNotNull)
       .select(col(id).as("doc"), col(text).as("str"),

@@ -489,7 +489,12 @@ object TextFunctions {
     * tf shuffle and the model join move 16 bytes per gram instead of
     * two strings; no output column carries a gram, so rows are
     * identical absent a 64-bit collision (the hashed-gram-set argument
-    * of [[graft.dedup.Dedup.verifyJaccard]]). Both hash columns derive
+    * of [[graft.dedup.Dedup.verifyJaccard]]; note — ADVICE r18 — that
+    * unlike dedup, where a collision merely adds one candidate pair to
+    * an exact verify, a collision HERE merges two bigrams' counts and
+    * perturbs the output statistic directly; negligible below ~2^32
+    * distinct grams, the repo-wide hashed-key policy's bound). Both
+    * hash columns derive
     * from ONE token-hash array (one tokenize pass), and the explicit
     * not-null filter after the explode (inert: xxhash64 of a non-null
     * token is non-null) makes the tf2 exchange's two consumers
@@ -621,6 +626,57 @@ object TextFunctions {
     * engine-invariant. Output: (doc, n_grams, logw_micro); gram-less
     * docs score (0, 0).
     */
+  /** [[dsirWeights]] for the common case where the target corpus is a
+    * PREDICATE-SELECTED SLICE of the raw pool (r19 optimization, guide
+    * §2.4 / VERDICT r18 #5 — the one untried pp_dsir shape): target
+    * membership rides a per-row flag on ONE gram scan, and the
+    * per-(doc, bucket) cell frame carries BOTH counts (`tf`, and `tft`
+    * over target rows), so the model side needs no second tokenize pass.
+    * The cell frame is materialized once with a lazy local checkpoint —
+    * without it, column pruning splits the two consumers' copies of the
+    * aggregation (the model side reads tft, the scoring side does not)
+    * and the gram scan plans twice, exactly the r18 flag-form dead end.
+    * Output identical to `dsirWeights(raw, raw.where(isTarget), ...)`
+    * (bucket counts aggregate the same rows, just flagged instead of
+    * re-scanned; equality pinned in FunctionsSpec). Same-JVM A/B at
+    * sf0.1 (DsirProbe): 1.42 → 0.70 s.
+    */
+  def dsirWeightsTagged(raw: org.apache.spark.sql.DataFrame, isTarget: Column,
+                        id: String, text: String,
+                        buckets: Int = 8192): org.apache.spark.sql.DataFrame = {
+    def q6(c: Column): Column = floor(detLn(c) * lit(1000000.0)).cast("long")
+    val nbi = greatest(size(col("toks")) - lit(1), lit(0))
+    val cells = raw.where(col(id).isNotNull)
+      .select(col(id).as("doc"), isTarget.as("tgt"), tokens(col(text)).as("toks"))
+      .select(col("doc"), col("tgt"), explode(concat(col("toks"),
+        zip_with(slice(col("toks"), lit(1), nbi), slice(col("toks"), lit(2), nbi),
+          (a, b) => concat(a, lit(" "), b)))).as("gram"))
+      .select(col("doc"), col("tgt"),
+        pmod(xxhash64(col("gram")), lit(buckets.toLong)).as("bkt"))
+      .where(col("bkt").isNotNull)
+      .groupBy("doc", "bkt")
+      .agg(count(lit(1)).as("tf"),
+        sum(when(col("tgt"), lit(1L)).otherwise(lit(0L))).as("tft"))
+      .localCheckpoint(false)
+    val byBkt = cells.groupBy("bkt").agg(sum("tf").as("cr"), sum("tft").as("ct"))
+    val lam = byBkt.select(col("bkt"),
+      (q6(col("ct") + lit(1L)) - q6(col("cr") + lit(1L))).as("lam_micro"))
+    val denom = byBkt.agg(sum("cr").as("n_r"), sum("ct").as("n_t"))
+      .select((q6(col("n_r") + lit(buckets.toLong)) -
+        q6(col("n_t") + lit(buckets.toLong))).as("const_micro"))
+    val perDoc = cells.join(broadcast(lam), Seq("bkt"))
+      .groupBy("doc")
+      .agg(sum("tf").as("n_grams"), sum(col("tf") * col("lam_micro")).as("_s"))
+    raw.where(col(id).isNotNull)
+      .select(col(id).as("doc"))
+      .join(perDoc, Seq("doc"), "left")
+      .crossJoin(broadcast(denom))
+      .select(col("doc"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        (coalesce(col("_s"), lit(0L)) +
+          coalesce(col("n_grams"), lit(0L)) * col("const_micro")).as("logw_micro"))
+  }
+
   def dsirWeights(raw: org.apache.spark.sql.DataFrame,
                   target: org.apache.spark.sql.DataFrame, id: String,
                   text: String, buckets: Int = 8192): org.apache.spark.sql.DataFrame = {

