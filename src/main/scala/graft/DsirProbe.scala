@@ -75,7 +75,8 @@ object DsirProbe {
     }
 
     val arms: Seq[(String, () => DataFrame)] = Seq(
-      ("dsir_committed", () => committed()), ("dsir_tagged   ", () => tagged()))
+      ("dsir_committed", () => committed()), ("dsir_tagged   ", () => tagged()),
+      ("dsir_library  ", () => SparkEntry.queries("pp_dsir")(spark, sfDir)))
     val best = scala.collection.mutable.Map.empty[String, Double]
     (1 to 4).foreach { rep =>
       arms.foreach { case (tag, mk) =>
