@@ -786,7 +786,14 @@ object Dedup {
     val segArr = transform(
       sequence(lit(0), (ceil(size(col("_w")).cast("double") / lineWords) - 1).cast("int")),
       i => array_join(slice(col("_w"), i * lineWords + 1, lit(lineWords)), " "))
+    // segs feeds BOTH the line-frequency table and the flag join, and
+    // the two consumers' pruned copies differ, so without
+    // materialization the tokenize+posexplode scan plans twice (the
+    // dsirWeightsTagged lesson). One lazy local checkpoint makes the
+    // segment pass once-per-call (r19 optimization, guide §2.4;
+    // BoilerProbe same-JVM A/B at sf0.1: 1.14 → 0.89 s, equal output).
     val segs = base.select(col("_doc"), posexplode(segArr).as(Seq("line_idx", "line")))
+      .localCheckpoint(false)
     // df ≥ max(ceil(maxDfFrac·N), 2): a line must repeat across at
     // least two docs to ever count as boilerplate
     val boiler = segs.groupBy("line")
